@@ -1,13 +1,594 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ann.Similarity
+import graft.dedup.Dedup
+import graft.meds.Meds
+import graft.operators._
+import graft.sources.Tables
+import graft.text.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2, and for each one an ANSI-SQL oracle (DuckDB dialect) the
+  * driver hash-compares against on the same parquet tables.
+  *
+  * Verification conventions (SURVEY.md §5):
+  *   - every aggregate / computed column is aliased identically on both
+  *     sides;
+  *   - timestamps are emitted as epoch MICROSECONDS (BIGINT) — engine-
+  *     neutral, no parquet logical-type ambiguity;
+  *   - floating sums go through DECIMAL(38,6) (associative, partitioning-
+  *     independent) and are cast back to DOUBLE; ratios/z-scores are
+  *     ROUND(x, 6) in both engines;
+  *   - portable hashes only: md5 and md5-derived 32-bit ints.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------------------------------------------------------------- inputs
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** events viewed as a MEDS measurement table. */
+  private def meds(s: SparkSession, dir: String): DataFrame = Meds.fromEvents(ev(s, dir))
+
+  /** Same, with event_id retained for row-unique verification output. */
+  private def medsE(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).select(
+      col("event_id"),
+      col("user_id").cast("long").as("patient_id"),
+      col("ts").as("time"),
+      col("event_type").as("code"),
+      col("value").cast("double").as("numeric_value")
+    )
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
+
+  private def timeUs(c: String = "time"): org.apache.spark.sql.Column =
+    unix_micros(col(c)).as("time_us")
+
+  // ------------------------------------------------------- shared SQL text
+
+  /** The nine code-metadata aggregations (DuckDB dialect), matching
+    * [[CodeMetadata.aggregations]] alias-for-alias.
+    */
+  private val P = "value IS NOT NULL AND NOT isnan(value)"
+  private val aggColsSql: String =
+    s"""count(DISTINCT user_id) AS "code/n_patients",
+       |count(*) AS "code/n_occurrences",
+       |count(DISTINCT CASE WHEN $P THEN user_id END) AS "values/n_patients",
+       |count(CASE WHEN $P THEN 1 END) AS "values/n_occurrences",
+       |count(CASE WHEN $P AND round(value)=value THEN 1 END) AS "values/n_ints",
+       |CAST(coalesce(sum(CASE WHEN $P THEN CAST(value AS DECIMAL(38,6)) END),0) AS DOUBLE) AS "values/sum",
+       |CAST(coalesce(sum(CASE WHEN $P THEN CAST(value*value AS DECIMAL(38,6)) END),0) AS DOUBLE) AS "values/sum_sqd",
+       |min(CASE WHEN $P THEN value END) AS "values/min",
+       |max(CASE WHEN $P THEN value END) AS "values/max"""".stripMargin
+
+  /** Per-code mean/std CTEs (m, st) shared by occlude/normalize oracles. */
+  private val statsCtes: String =
+    s"""m AS (SELECT event_type AS code,
+       |  count(CASE WHEN $P THEN 1 END) AS n,
+       |  CAST(coalesce(sum(CASE WHEN $P THEN CAST(value AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s,
+       |  CAST(coalesce(sum(CASE WHEN $P THEN CAST(value*value AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s2
+       | FROM events GROUP BY 1),
+       |st AS (SELECT code, s/n AS mean, sqrt(greatest(s2/n - (s/n)*(s/n), 0)) AS std FROM m)""".stripMargin
+
+  /** Distinct (id, shingle) 5-gram table over documents (tk, sh0, sh CTEs). */
+  private val shingleCtes: String =
+    """tk AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+      |sh0 AS (SELECT id, unnest(CASE WHEN len(toks)>=5 THEN list_transform(range(1, len(toks)-3), i -> array_to_string(toks[i:i+4],' ')) ELSE [] END) AS shingle FROM tk),
+      |sh AS (SELECT DISTINCT id, shingle FROM sh0)""".stripMargin
+
+  /** md5-derived 32-bit hash (matches [[TextFunctions.md5Hash32]]). */
+  private def h32(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr),1,8)) AS BIGINT)"
+
+  /** Strict left-to-right 64-dim dot product (matches [[Similarity.dot]]). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))), (x,y) -> x+y)"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)}/(sqrt(${dotSql(a, a)})*sqrt(${dotSql(b, b)}))"
+
+  /** Sign-bit cell over the first 8 dims (matches [[Similarity.signBitCell]]). */
+  private val cellSql: String =
+    (0 until 8).map(d => s"(CASE WHEN embedding[${d + 1}]>0 THEN ${1L << d} ELSE 0 END)").mkString("+")
+
+  private val stopwordSqlLists: Map[String, String] =
+    TextFunctions.Stopwords.toMap.map { case (l, ws) => l -> ws.map(w => s"'$w'").mkString("[", ",", "]") }
+
+  // ---------------------------------------------------------------- driver
+
+  /** Flagship: full code-metadata aggregation on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_agg_code_metadata")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -------------------------------------------- MEDS core (SURVEY §2 1-20)
+    "q_agg_code_metadata" -> ((s, dir) => CodeMetadata.aggregate(meds(s, dir))),
+
+    "q_agg_all_codes" -> ((s, dir) =>
+      CodeMetadata.aggregate(meds(s, dir), summarizeOverAllCodes = true)),
+
+    "q_filter_measurements" -> { (s, dir) =>
+      val df = medsE(s, dir)
+      val meta = CodeMetadata.aggregate(meds(s, dir))
+      Filters
+        .filterMeasurements(df, meta, minPatientsPerCode = Some(100), minOccurrencesPerCode = Some(2000))
+        .select(col("event_id"), col("patient_id"), timeUs(), col("code"), col("numeric_value"))
+    },
+
+    "q_filter_patients_meas" -> ((s, dir) =>
+      Filters
+        .filterPatientsByNumMeasurements(medsE(s, dir), 60)
+        .select(col("event_id"), col("patient_id"), timeUs(), col("code"), col("numeric_value"))),
+
+    "q_filter_patients_events" -> ((s, dir) =>
+      Filters
+        .filterPatientsByNumEvents(medsE(s, dir), 60)
+        .select(col("event_id"), col("patient_id"), timeUs(), col("code"), col("numeric_value"))),
+
+    "q_add_age" -> ((s, dir) =>
+      TimeDerived
+        .ageEvents(meds(s, dir), TimeDerived.dobFromFirstEvent, "AGE", "years")
+        .select(col("patient_id"), timeUs(), col("code"), round(col("numeric_value"), 6).as("numeric_value"))),
+
+    "q_time_of_day" -> ((s, dir) =>
+      TimeDerived
+        .timeOfDayEvents(meds(s, dir))
+        .select(col("patient_id"), timeUs(), col("code"))),
+
+    "q_occlude_outliers" -> { (s, dir) =>
+      val meta = CodeMetadata.aggregate(meds(s, dir))
+      Outliers
+        .occludeOutliers(medsE(s, dir), meta, stddevCutoff = 1.5)
+        .select(col("event_id"), col("patient_id"), timeUs(), col("code"),
+          col("numeric_value"), col("numeric_value/is_inlier"))
+    },
+
+    "q_normalize" -> { (s, dir) =>
+      val meta = Vocabulary.lexicographicIndices(CodeMetadata.aggregate(meds(s, dir)))
+      Normalize
+        .normalize(meds(s, dir), meta)
+        .select(col("patient_id"), timeUs(), col("code"), round(col("numeric_value"), 6).as("numeric_value"))
+    },
+
+    "q_fit_vocab" -> ((s, dir) =>
+      Vocabulary
+        .lexicographicIndices(CodeMetadata.aggregate(meds(s, dir)))
+        .select(col("code"), col("code/vocab_index"))),
+
+    "q_reorder_measurements" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val patterns = Seq("^signup$", "^purchase$", "^error$")
+      // Coarsen events to days so (patient, time) groups hold >1 measurement.
+      val df = medsE(s, dir).withColumn("time", date_trunc("day", col("time")))
+      val w = Window.partitionBy("patient_id", "time")
+        .orderBy(col("__code_order_idx"), col("code"), col("event_id"))
+      df.withColumn("__code_order_idx", Reorder.codeOrderIdx(patterns))
+        .withColumn("order_in_event", row_number().over(w).cast("long"))
+        .select(col("event_id"), col("patient_id"), timeUs(), col("code"), col("order_in_event"))
+    },
+
+    "q_tokenize_schema" -> ((s, dir) =>
+      Tokenize
+        .schemaExploded(meds(s, dir))
+        .select(col("patient_id"), unix_micros(col("start_time")).as("start_time_us"),
+          col("event_idx").cast("long").as("event_idx"), timeUs())),
+
+    "q_tokenize_seqs" -> ((s, dir) =>
+      Tokenize
+        .seqsExploded(meds(s, dir))
+        .select(col("patient_id"), timeUs(), col("n_measurements"), col("codes"),
+          round(col("time_delta_days"), 6).as("time_delta_days"))),
+
+    "q_shard_assign" -> ((s, dir) =>
+      Shard.splitByModulo(meds(s, dir), Seq("train" -> 8, "tuning" -> 1, "held_out" -> 1), 4)),
+
+    "q_convert_events" -> { (s, dir) =>
+      import Extract._
+      extractEvent(
+        ev(s, dir),
+        EventConfig(
+          patientId = "user_id",
+          time = Some("ts"),
+          code = Seq(CodeLit("EVENT"), CodeCol("event_type")),
+          numericValue = Some("value"),
+          extraCols = Map("event_id" -> "event_id")
+        )
+      ).select(col("event_id"), col("patient_id"), timeUs(), col("code"), col("numeric_value"))
+    },
+
+    "q_merge_sort" -> { (s, dir) =>
+      val m = meds(s, dir)
+      val p1 = m.filter(col("code").isin("click", "view")).withColumn("channel", lit("web"))
+      val p2 = m.filter(col("code") === "purchase")
+      Extract
+        .mergeCohort(Seq(p1, p2, p2),
+          uniqueBy = Some(Seq("patient_id", "time", "code", "numeric_value", "channel")))
+        .select(col("patient_id"), timeUs(), col("code"), col("numeric_value"), col("channel"))
+    },
+
+    "q_code_metadata_join" -> { (s, dir) =>
+      import s.implicits._
+      val codes = CodeMetadata
+        .aggregate(meds(s, dir))
+        .select(col("code"), col(CodeMetadata.CodeNOccurrences).as("n_occurrences"))
+      val metadata = Seq(
+        ("click", "Click event"), ("view", "View event"),
+        ("purchase", "Purchase"), ("signup", "Signup")
+      ).toDF("code", "description")
+      Extract.attachCodeMetadata(codes, metadata)
+    },
+
+    "q_finalize" -> ((s, dir) =>
+      Meds
+        .finalizeData(medsE(s, dir))
+        .select(col("event_id"), col("patient_id"), timeUs(), col("code"), col("numeric_value"))),
+
+    // --------------------------------------------- dedup (SURVEY §2 21-25)
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup
+        .ngramJaccardPairs(docs(s, dir), threshold = 0.5, n = 5, maxDocFreq = 1000)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    "q_minhash_sigs" -> ((s, dir) => Dedup.minhashSignatures(docs(s, dir), numHashes = 8, n = 5)),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(
+        Dedup.minhashSignatures(docs(s, dir), numHashes = 8, n = 5), numHashes = 8, numBands = 4)),
+
+    "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), bits = 32)),
+
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(emb(s, dir), threshold = 0.25)),
+
+    // ----------------------------------------- similarity (SURVEY §2 26-27)
+    "q_ann_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"), col("cosine"))
+    },
+
+    "q_ann_ivf" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity
+        .bucketedTopK(e, e.filter(col("vec_id") < 8), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"), col("cosine"))
+    },
+
+    // ----------------------------------------------- text (SURVEY §2 28-31)
+    "q_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))),
+
+    "q_quality" -> { (s, dir) =>
+      val f = TextFunctions.qualityFeatures(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        f.getField("n_chars").cast("long").as("n_chars"),
+        f.getField("n_words").cast("long").as("n_words"),
+        f.getField("mean_word_len").as("mean_word_len"),
+        f.getField("punct_ratio").as("punct_ratio"),
+        f.getField("stopword_ratio").as("stopword_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality_score")
+      )
+    },
+
+    "q_token_count" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.whitespaceTokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_bpeish_tokens")
+      )),
+
+    "q_fingerprint" -> { (s, dir) =>
+      val rolling = expr(
+        "aggregate(transform(sequence(1, length(__norm)), i -> CAST(ascii(substr(__norm, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> (acc*31 + c) % 1000000007)")
+      docs(s, dir)
+        .withColumn("__norm", TextFunctions.normalizeForFingerprint(col("text")))
+        .select(
+          col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"),
+          when(length(col("__norm")) === 0, lit(0L)).otherwise(rolling).as("rolling")
+        )
+    },
+
+    // ------------------------------------------------- relational headline
+    "q1_pricing" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double").as("sum_disc_price"),
+          sum(dec((col("l_extendedprice") * (lit(1) - col("l_discount"))) * (lit(1) + col("l_tax"))))
+            .cast("double").as("sum_charge"),
+          sum(dec(col("l_discount"))).cast("double").as("__sum_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+        .withColumn("avg_disc", col("__sum_disc") / col("count_order"))
+        .drop("__sum_disc")
+    },
+
+    "q3_shipping" -> { (s, dir) =>
+      val cutoff = lit("1998-03-15").cast("timestamp")
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(38,6)"))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(20)
+    },
+
+    "q_top_customers" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(38,6)"))
+          .cast("double").as("revenue"))
+      rev
+        .withColumn("rank", row_number().over(Window.orderBy(col("revenue").desc, col("c_custkey").asc)).cast("long"))
+        .filter(col("rank") <= 10)
+    }
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  def oracleSql: Map[String, String] = {
+    val stop = stopwordSqlLists
+    Map(
+      "q_agg_code_metadata" ->
+        s"SELECT event_type AS code, $aggColsSql FROM events GROUP BY 1",
+
+      "q_agg_all_codes" ->
+        s"SELECT event_type AS code, $aggColsSql FROM events GROUP BY GROUPING SETS ((event_type), ())",
+
+      "q_filter_measurements" ->
+        """SELECT event_id, user_id AS patient_id, epoch_us(ts) AS time_us, event_type AS code, value AS numeric_value
+          |FROM events WHERE event_type IN (
+          |  SELECT event_type FROM events GROUP BY 1
+          |  HAVING count(DISTINCT user_id) >= 100 AND count(*) >= 2000)""".stripMargin,
+
+      "q_filter_patients_meas" ->
+        """SELECT event_id, user_id AS patient_id, epoch_us(ts) AS time_us, event_type AS code, value AS numeric_value
+          |FROM events WHERE user_id IN (
+          |  SELECT user_id FROM events WHERE ts IS NOT NULL GROUP BY 1 HAVING count(*) >= 60)""".stripMargin,
+
+      "q_filter_patients_events" ->
+        """SELECT event_id, user_id AS patient_id, epoch_us(ts) AS time_us, event_type AS code, value AS numeric_value
+          |FROM events WHERE user_id IN (
+          |  SELECT user_id FROM events GROUP BY 1 HAVING count(DISTINCT ts) >= 60)""".stripMargin,
+
+      "q_add_age" ->
+        """WITH u AS (SELECT DISTINCT user_id, ts FROM events WHERE ts IS NOT NULL),
+          |d AS (SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS dob FROM u)
+          |SELECT user_id AS patient_id, epoch_us(ts) AS time_us, 'AGE' AS code,
+          |  round((epoch_us(ts)-epoch_us(dob)) / (1000000*(86400*CAST(365.2422 AS DOUBLE))), 6) AS numeric_value
+          |FROM d WHERE epoch_us(ts) > epoch_us(dob)""".stripMargin,
+
+      "q_time_of_day" ->
+        """SELECT DISTINCT user_id AS patient_id, epoch_us(ts) AS time_us,
+          |  CASE WHEN hour(ts)<6 THEN 'time_of_day//[00,06)' WHEN hour(ts)<12 THEN 'time_of_day//[06,12)'
+          |       WHEN hour(ts)<18 THEN 'time_of_day//[12,18)' ELSE 'time_of_day//[18,24)' END AS code
+          |FROM events WHERE ts IS NOT NULL""".stripMargin,
+
+      "q_occlude_outliers" ->
+        s"""WITH $statsCtes
+           |SELECT e.event_id, e.user_id AS patient_id, epoch_us(e.ts) AS time_us, e.event_type AS code,
+           |  CASE WHEN abs(e.value-st.mean) <= 1.5*st.std THEN e.value END AS numeric_value,
+           |  abs(e.value-st.mean) <= 1.5*st.std AS "numeric_value/is_inlier"
+           |FROM events e LEFT JOIN st ON e.event_type = st.code""".stripMargin,
+
+      "q_normalize" ->
+        s"""WITH $statsCtes,
+           |v AS (SELECT code, mean, std, row_number() OVER (ORDER BY code) AS idx FROM st)
+           |SELECT e.user_id AS patient_id, epoch_us(e.ts) AS time_us, v.idx AS code,
+           |  round((e.value - v.mean)/v.std, 6) AS numeric_value
+           |FROM events e JOIN v ON e.event_type = v.code""".stripMargin,
+
+      "q_fit_vocab" ->
+        """SELECT event_type AS code, row_number() OVER (ORDER BY event_type) AS "code/vocab_index"
+          |FROM (SELECT DISTINCT event_type FROM events)""".stripMargin,
+
+      "q_reorder_measurements" ->
+        """WITH e AS (SELECT event_id, user_id, date_trunc('day', ts) AS t, event_type,
+          |  CASE WHEN regexp_matches(event_type,'^signup$') THEN 0
+          |       WHEN regexp_matches(event_type,'^purchase$') THEN 1
+          |       WHEN regexp_matches(event_type,'^error$') THEN 2 ELSE 3 END AS idx FROM events)
+          |SELECT event_id, user_id AS patient_id, epoch_us(t) AS time_us, event_type AS code,
+          |  CAST(row_number() OVER (PARTITION BY user_id, t ORDER BY idx, event_type, event_id) AS BIGINT) AS order_in_event
+          |FROM e""".stripMargin,
+
+      "q_tokenize_schema" ->
+        """WITH u AS (SELECT DISTINCT user_id, ts FROM events WHERE ts IS NOT NULL)
+          |SELECT user_id AS patient_id,
+          |  epoch_us(min(ts) OVER (PARTITION BY user_id)) AS start_time_us,
+          |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT) AS event_idx,
+          |  epoch_us(ts) AS time_us
+          |FROM u""".stripMargin,
+
+      "q_tokenize_seqs" ->
+        """WITH pe AS (SELECT user_id, ts, count(*) AS n_measurements,
+          |  array_to_string(list_sort(list(event_type)), ',') AS codes
+          |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+          |SELECT user_id AS patient_id, epoch_us(ts) AS time_us, n_measurements, codes,
+          |  round((epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts))/(86400.0*1000000.0), 6) AS time_delta_days
+          |FROM pe""".stripMargin,
+
+      "q_shard_assign" ->
+        """SELECT DISTINCT user_id AS patient_id,
+          |  CASE WHEN user_id%10 < 8 THEN 'train' WHEN user_id%10 < 9 THEN 'tuning' ELSE 'held_out' END AS split,
+          |  CAST(floor(user_id/10.0) AS BIGINT) % 4 AS shard
+          |FROM events""".stripMargin,
+
+      "q_convert_events" ->
+        """SELECT event_id, user_id AS patient_id, epoch_us(ts) AS time_us,
+          |  concat_ws('//', 'EVENT', coalesce(CAST(event_type AS VARCHAR), 'UNK')) AS code,
+          |  value AS numeric_value
+          |FROM events""".stripMargin,
+
+      "q_merge_sort" ->
+        """WITH p1 AS (SELECT user_id AS patient_id, ts AS t, event_type AS code, value AS numeric_value, 'web' AS channel
+          |            FROM events WHERE event_type IN ('click','view')),
+          |p2 AS (SELECT user_id, ts, event_type, value, NULL FROM events WHERE event_type = 'purchase'),
+          |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p2)
+          |SELECT DISTINCT patient_id, epoch_us(t) AS time_us, code, numeric_value, channel FROM u""".stripMargin,
+
+      "q_code_metadata_join" ->
+        """WITH c AS (SELECT event_type AS code, count(*) AS n_occurrences FROM events GROUP BY 1),
+          |m AS (SELECT * FROM (VALUES ('click','Click event'),('view','View event'),('purchase','Purchase'),('signup','Signup')) AS t(code, description))
+          |SELECT c.code, c.n_occurrences, m.description FROM c LEFT JOIN m ON c.code = m.code""".stripMargin,
+
+      "q_finalize" ->
+        """SELECT event_id, user_id AS patient_id, epoch_us(ts) AS time_us, event_type AS code,
+          |  CAST(value AS REAL) AS numeric_value
+          |FROM events""".stripMargin,
+
+      "q_dedup_exact" ->
+        """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+          |  min(doc_id) AS canonical_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1""".stripMargin,
+
+      "q_dedup_jaccard" ->
+        s"""WITH $shingleCtes,
+           |shh AS (SELECT id, ${h32("shingle")} AS sh FROM sh),
+           |filt AS (SELECT id, sh FROM (SELECT id, sh, count(*) OVER (PARTITION BY sh) AS df FROM shh) WHERE df <= 1000),
+           |cnt AS (SELECT id, count(*) AS n_sh FROM shh GROUP BY 1),
+           |com AS (SELECT a.id AS ia, b.id AS ib, count(*) AS nc FROM filt a JOIN filt b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+           |SELECT ia AS id_a, ib AS id_b, round(CAST(nc AS DOUBLE)/(ca.n_sh + cb.n_sh - nc), 6) AS jaccard
+           |FROM com JOIN cnt ca ON ia = ca.id JOIN cnt cb ON ib = cb.id
+           |WHERE CAST(nc AS DOUBLE)/(ca.n_sh + cb.n_sh - nc) >= 0.5""".stripMargin,
+
+      "q_minhash_sigs" ->
+        s"""WITH $shingleCtes
+           |SELECT id, ${(0 until 8).map(j => s"min(${h32(s"concat(shingle,'#$j')")}) AS minhash_$j").mkString(", ")}
+           |FROM sh GROUP BY 1""".stripMargin,
+
+      "q_dedup_minhash" ->
+        s"""WITH $shingleCtes,
+           |sg AS (SELECT id, ${(0 until 8).map(j => s"min(${h32(s"concat(shingle,'#$j')")}) AS m$j").mkString(", ")} FROM sh GROUP BY 1),
+           |bands AS (${(0 until 4).map(b => s"SELECT id, $b AS band, md5(concat(CAST(m${2 * b} AS VARCHAR),'|',CAST(m${2 * b + 1} AS VARCHAR))) AS sig FROM sg").mkString(" UNION ALL ")})
+           |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id""".stripMargin,
+
+      "q_simhash" ->
+        s"""WITH t AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'')) AS tok FROM documents),
+           |w AS (SELECT id, tok, count(*) AS w, ${h32("tok")} AS h FROM t GROUP BY 1, 2),
+           |v AS (SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS v
+           |      FROM w, (SELECT unnest(range(0, 32)) AS b) GROUP BY 1, 2)
+           |SELECT id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+           |FROM v GROUP BY 1""".stripMargin,
+
+      "q_embed_neardup" ->
+        s"""WITH c AS (SELECT vec_id, embedding, $cellSql AS cell FROM embeddings),
+           |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, ${cosSql("a.embedding", "b.embedding")} AS cos
+           |      FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+           |SELECT ia AS id_a, ib AS id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.25""".stripMargin,
+
+      "q_ann_topk" ->
+        s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 8),
+           |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.embedding", "c.embedding")} AS cos
+           |       FROM embeddings c JOIN q ON c.vec_id <> q.vec_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank",
+           |        round(cos, 6) AS cosine
+           |      FROM sc)
+           |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
+
+      "q_ann_ivf" ->
+        s"""WITH c AS (SELECT vec_id, embedding, $cellSql AS cell FROM embeddings),
+           |q AS (SELECT * FROM c WHERE vec_id < 8),
+           |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.embedding", "c.embedding")} AS cos
+           |       FROM c JOIN q ON c.cell = q.cell AND c.vec_id <> q.vec_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank",
+           |        round(cos, 6) AS cosine
+           |      FROM sc)
+           |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
+
+      "q_lang_id" -> {
+        val langs = TextFunctions.Stopwords.map(_._1)
+        val hitCols = langs.map(l => s"len(list_filter(toks, x -> list_contains(${stop(l)}, x))) AS h_$l").mkString(", ")
+        val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+        val pick = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
+        s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+           |h AS (SELECT doc_id, $hitCols FROM t)
+           |SELECT doc_id, CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred FROM h""".stripMargin
+      },
+
+      "q_quality" -> {
+        val allStop = TextFunctions.Stopwords.flatMap(_._2).distinct.map(w => s"'$w'").mkString("[", ",", "]")
+        s"""WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+           |f AS (SELECT doc_id,
+           |  CAST(len(text) AS BIGINT) AS n_chars,
+           |  CAST(len(toks) AS BIGINT) AS n_words,
+           |  round(CAST(len(regexp_replace(lower(text),'[^a-z]','','g')) AS DOUBLE)/greatest(len(toks),1), 6) AS mean_word_len,
+           |  round(CAST(len(regexp_replace(text,'[^.!?,;:]','','g')) AS DOUBLE)/greatest(len(text),1), 6) AS punct_ratio,
+           |  round(CAST(len(list_filter(toks, x -> list_contains($allStop, x))) AS DOUBLE)/greatest(len(toks),1), 6) AS stopword_ratio
+           |FROM t)
+           |SELECT doc_id, n_chars, n_words, mean_word_len, punct_ratio, stopword_ratio,
+           |  round(0.4*least(CAST(n_words AS DOUBLE)/100.0, 1.0) + 0.3*least(stopword_ratio*5.0, 1.0)
+           |    + 0.2*(CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+           |    + 0.1*(1.0 - least(punct_ratio*5.0, 1.0)), 6) AS quality_score
+           |FROM f""".stripMargin
+      },
+
+      "q_token_count" ->
+        """SELECT doc_id,
+          |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x<>'')) AS BIGINT) AS n_ws_tokens,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish_tokens
+          |FROM documents""".stripMargin,
+
+      "q_fingerprint" ->
+        """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s FROM documents)
+          |SELECT doc_id, md5(s) AS fp,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, len(s)+1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (acc, c) -> (acc*31 + c) % 1000000007) AS rolling
+          |FROM n""".stripMargin,
+
+      "q1_pricing" ->
+        """WITH a AS (SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+          |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+          |  CAST(sum(CAST((l_extendedprice*(1-l_discount))*(1+l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+          |  CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc,
+          |  count(*) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2)
+          |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, sum_charge, count_order,
+          |  sum_qty/count_order AS avg_qty, sum_base_price/count_order AS avg_price, sum_disc/count_order AS avg_disc
+          |FROM a""".stripMargin,
+
+      "q3_shipping" ->
+        """SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+          |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+          |FROM customer, orders, lineitem
+          |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+          |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+
+      "q_top_customers" ->
+        """WITH r AS (SELECT c.c_custkey, c.c_name,
+          |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+          |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          |  GROUP BY 1, 2),
+          |rr AS (SELECT c_custkey, c_name, revenue,
+          |  CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS "rank" FROM r)
+          |SELECT * FROM rr WHERE "rank" <= 10""".stripMargin
+    )
+  }
 }

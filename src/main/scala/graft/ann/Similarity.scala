@@ -1,0 +1,154 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`): brute-force
+  * cosine top-k as the exact baseline, and a coarse-quantized (IVF-style)
+  * variant as the scale path.
+  *
+  * Dot products use `aggregate(zip_with(...))` — pure Catalyst
+  * expressions, codegen-friendly, summed strictly left-to-right so results
+  * are bit-deterministic (same value in any engine that folds the list in
+  * order).
+  */
+object Similarity {
+
+  /** Strict left-to-right dot product of two float/double array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors of each query vector against the corpus.
+    *
+    * The query set is small by construction → broadcast; each corpus
+    * partition scores its rows against all queries and the per-query top-k
+    * is taken with a window. At cluster scale the ranking is
+    * partial-topk-friendly (rank ≤ k filter pushes into the window sort);
+    * no corpus shuffle beyond the final per-query k rows.
+    *
+    * Output: (query_id, neighbor_id, rank, cosine) with self-matches
+    * excluded and rank ties broken by neighbor id.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val scored = corpus.as("c")
+      .join(broadcast(queries.as("q")), col(s"c.$idCol") =!= col(s"q.$idCol"))
+      .select(
+        col(s"q.$idCol").as("query_id"),
+        col(s"c.$idCol").as("neighbor_id"),
+        cosine(col(s"q.$vecCol"), col(s"c.$vecCol")).as("cos")
+      )
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Coarse quantization cell id: sign bits of the vector's projection onto
+    * `nPlanes` deterministic pseudo-random hyperplanes (seeded per-plane
+    * md5-free arithmetic hash of the dimension index). This is
+    * random-hyperplane LSH — cells with matching ids hold vectors with
+    * similar direction.
+    */
+  def hyperplaneCell(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42): Column = {
+    // plane p component d = deterministic pseudo-random in [-1,1):
+    // frac(sin(seed + p*dim + d) * 43758.5453) * 2 - 1  (classic shader hash)
+    def planeDot(p: Int): Column =
+      aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, d) => {
+          val s = sin(lit(seed.toDouble) + lit(p.toDouble * dim) + d.cast("double")) * lit(43758.5453)
+          val r = (s - floor(s)) * 2.0 - 1.0
+          x.cast("double") * r
+        }),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+    (0 until nPlanes)
+      .map(p => when(planeDot(p) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Portable coarse-quantization cell: bit d set iff vec[d] > 0 —
+    * one-bit-per-dimension sign quantization over the first `nBits`
+    * dimensions. Well balanced when dimensions are roughly zero-centered,
+    * deterministic in ANY engine (no transcendental functions), so it's
+    * the cell used by the oracle-verified queries.
+    */
+  def signBitCell(vec: Column, nBits: Int = 8): Column =
+    (0 until nBits)
+      .map(d => when(element_at(vec, d + 1) > 0, lit(1L << d)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** IVF/LSH-bucketed approximate top-k: corpus and queries are assigned
+    * coarse cells; each query searches only corpus vectors in the same
+    * cell. Trades recall for a shuffle keyed on cells instead of a full
+    * scan per query — the 100 TB path. Output schema matches
+    * [[bruteForceTopK]].
+    */
+  def bucketedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      cell: Column => Column = signBitCell(_, 8),
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val cCell = corpus.withColumn("__cell", cell(col(vecCol)))
+    val qCell = queries.withColumn("__cell", cell(col(vecCol)))
+    val scored = cCell.as("c")
+      .join(broadcast(qCell.as("q")),
+        col("c.__cell") === col("q.__cell") && col(s"c.$idCol") =!= col(s"q.$idCol"))
+      .select(
+        col(s"q.$idCol").as("query_id"),
+        col(s"c.$idCol").as("neighbor_id"),
+        cosine(col(s"q.$vecCol"), col(s"c.$vecCol")).as("cos")
+      )
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, bucketed by
+    * coarse cell so candidate generation is an equi-join (exact within
+    * a cell; probabilistic recall across cells, standard LSH trade).
+    * Pass `cell = None` for exact all-pairs (test scale only).
+    */
+  def embeddingNearDupPairs(
+      vectors: DataFrame,
+      threshold: Double,
+      cell: Option[Column => Column] = Some(signBitCell(_, 8)),
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val withCell = cell match {
+      case Some(f) => vectors.withColumn("__cell", f(col(vecCol)))
+      case None    => vectors.withColumn("__cell", lit(0L))
+    }
+    withCell.as("a")
+      .join(withCell.as("b"),
+        col("a.__cell") === col("b.__cell") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("id_a"),
+        col(s"b.$idCol").as("id_b"),
+        round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cosine")
+      )
+      .filter(col("cosine") >= threshold)
+  }
+}

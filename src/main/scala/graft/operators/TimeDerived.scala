@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.meds.Meds
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-derived measurement generators (age, time-of-day) and the
+  * combinator that folds the generated events back into the cohort.
+  *
+  * Reference: src/MEDS_transforms/transforms/add_time_derived_measurements.py
+  */
+object TimeDerived {
+
+  /** Average-length time units in seconds
+    * (add_time_derived_measurements.py:105-113).
+    */
+  val TimeUnitSeconds: Map[String, Double] = Map(
+    "seconds" -> 1d,
+    "minutes" -> 60d,
+    "hours" -> 3600d,
+    "days" -> 86400d,
+    "weeks" -> 604800d,
+    "months" -> 86400d * 30.436875,
+    "years" -> 86400d * 365.2422
+  )
+
+  /** Emit one AGE event per (patient, unique non-null time), where age is
+    * the time elapsed since the patient's birth event in `ageUnit`s,
+    * keeping only strictly-positive ages
+    * (add_time_derived_measurements.py:250-265).
+    *
+    * `dobExpr` generalizes the reference's `DOB_code` lookup: pass
+    * `dobFromCode("DOB")` for reference semantics, or e.g. the patient's
+    * first observation time for datasets without explicit birth events.
+    * Computed with a patient-window min — single shuffle on patient_id.
+    */
+  def ageEvents(
+      df: DataFrame,
+      dobExpr: DataFrame => Column,
+      ageCode: String = "AGE",
+      ageUnit: String = "years"
+  ): DataFrame = {
+    val unitSec = TimeUnitSeconds.getOrElse(
+      ageUnit,
+      throw new IllegalArgumentException(s"Unknown time unit '$ageUnit'")
+    )
+    val microsInUnit = 1e6 * unitSec
+    val withDob = df
+      .filter(col(Meds.Time).isNotNull)
+      .withColumn("__dob", dobExpr(df))
+    withDob
+      .select(col(Meds.PatientId), col(Meds.Time), col("__dob"))
+      .dropDuplicates(Meds.PatientId, Meds.Time)
+      .select(
+        col(Meds.PatientId),
+        col(Meds.Time),
+        lit(ageCode).as(Meds.Code),
+        ((unix_micros(col(Meds.Time)) - unix_micros(col("__dob"))) / microsInUnit)
+          .as(Meds.NumericValue)
+      )
+      .filter(col(Meds.NumericValue).isNotNull && col(Meds.NumericValue) > 0)
+  }
+
+  /** DOB from an explicit birth-code event: min time of rows whose code is
+    * `dobCode`, per patient (add_time_derived_measurements.py:251).
+    */
+  def dobFromCode(dobCode: String): DataFrame => Column = { _ =>
+    min(when(col(Meds.Code) === dobCode, col(Meds.Time)))
+      .over(Window.partitionBy(Meds.PatientId))
+  }
+
+  /** Anchor ages at each patient's first observed time (for cohorts without
+    * birth events; an extension beyond the reference).
+    */
+  val dobFromFirstEvent: DataFrame => Column = { _ =>
+    min(col(Meds.Time)).over(Window.partitionBy(Meds.PatientId))
+  }
+
+  /** Emit one time-of-day bucket event per (patient, unique non-null time):
+    * code = s"$todCode//[HH,HH)" by hour endpoints
+    * (add_time_derived_measurements.py:342-361).
+    */
+  def timeOfDayEvents(
+      df: DataFrame,
+      endpoints: Seq[Int] = Seq(6, 12, 18),
+      todCode: String = "time_of_day"
+  ): DataFrame = {
+    require(endpoints.nonEmpty && endpoints == endpoints.sorted && endpoints.distinct == endpoints,
+      s"endpoints must be sorted and unique, got $endpoints")
+    require(endpoints.forall(e => e >= 0 && e <= 24), s"endpoints must be in [0,24], got $endpoints")
+    val hour = org.apache.spark.sql.functions.hour(col(Meds.Time))
+    def codeFor(a: Int, b: Int) = lit(f"$todCode//[$a%02d,$b%02d)")
+    val bounds = (0 +: endpoints) :+ 24
+    val codeExpr = bounds.sliding(2).foldLeft(lit(null).cast("string")) {
+      case (acc, Seq(a, b)) => when(hour >= a && hour < b, codeFor(a, b)).otherwise(acc)
+      case (acc, _)         => acc
+    }
+    df.filter(col(Meds.Time).isNotNull)
+      .select(col(Meds.PatientId), col(Meds.Time))
+      .dropDuplicates(Meds.PatientId, Meds.Time)
+      .select(col(Meds.PatientId), col(Meds.Time), codeExpr.as(Meds.Code))
+  }
+
+  /** Fold generated events back into the cohort in MEDS order, with new
+    * events sorting before the original rows at the same (patient, time)
+    * (add_time_derived_measurements.py:94-102: new events get row index 0).
+    */
+  def addNewEvents(df: DataFrame, newEvents: DataFrame): DataFrame = {
+    val cols = df.columns
+    val padded = cols.foldLeft(newEvents) { (acc, c) =>
+      if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null))
+    }
+    df.withColumn("__new", lit(1))
+      .unionByName(padded.select(cols.map(col): _*).withColumn("__new", lit(0)))
+      .repartition(col(Meds.PatientId))
+      .sortWithinPartitions(col(Meds.PatientId), col(Meds.Time), col("__new"))
+      .drop("__new")
+  }
+}

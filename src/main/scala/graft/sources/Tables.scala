@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * The `events` table carries a `TIMESTAMP(NANOS)` parquet column, which
+  * Spark's vectorized reader rejects by default; it is read as raw
+  * nanosecond longs (`spark.sql.legacy.parquet.nanosAsLong`) and converted
+  * to microsecond timestamps with exact integer division — the same
+  * truncation DuckDB applies, so cross-engine comparisons agree.
+  */
+object Tables {
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events with `ts` as a proper (microsecond) TimestampType column. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "documents")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "embeddings")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "lineitem")
+
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "orders")
+
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "customer")
+}

@@ -1,0 +1,127 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All are pure column expressions (whole-stage-codegen friendly, no UDFs)
+  * so they fuse into the scan and cost one pass over the corpus.
+  */
+object TextFunctions {
+
+  /** Lowercase word tokens: split on non-letter runs, dropping empties. */
+  def wordTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-hit
+    * language-ID heuristic. Deliberately small: language ID at corpus scale
+    * is a ratio game, not a dictionary game.
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "por"),
+    "de" -> Seq("der", "die", "und", "das", "von", "mit", "ist", "den", "im", "ein"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "une", "dans", "que"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "you", "zai", "ta", "men", "zhe")
+  )
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordHits(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(words)))
+
+  /** Language-ID: argmax over per-language stopword hit counts; ties and
+    * zero-hit docs resolve to "und" (undetermined). Deterministic: on equal
+    * counts the earlier language in [[Stopwords]] wins.
+    */
+  def langId(text: Column): Column = {
+    val toks = wordTokens(text)
+    val hits = Stopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = hits.foldRight(lit("und"): Column) { case ((lang, h), acc) =>
+      when(h === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight means the FIRST matching language in order wins: each
+    // earlier when(...) shadows later ones.
+    pick
+  }
+
+  /** Whitespace token count: runs of non-whitespace. */
+  def whitespaceTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /** BPE-ish token count: letter runs, single digits, and single
+    * non-alphanumeric glyphs each count as one token — an upper-bound proxy
+    * for byte-pair-encoded token counts without a vocabulary.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality features: doc length, word count, mean word length,
+    * punctuation ratio, stopword ratio (any language), all as one struct so
+    * a single projection computes them.
+    */
+  def qualityFeatures(text: Column): Column = {
+    val toks = wordTokens(text)
+    val nChars = length(text)
+    val nWords = size(toks)
+    val alphaChars = length(regexp_replace(lower(text), "[^a-z]", ""))
+    val punct = length(regexp_replace(text, "[^.!?,;:]", ""))
+    val allStop = Stopwords.flatMap(_._2).distinct
+    val stopHits = stopwordHits(toks, allStop)
+    struct(
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      round(alphaChars.cast("double") / greatest(nWords, lit(1)), 6).as("mean_word_len"),
+      round(punct.cast("double") / greatest(nChars, lit(1)), 6).as("punct_ratio"),
+      round(stopHits.cast("double") / greatest(nWords, lit(1)), 6).as("stopword_ratio")
+    )
+  }
+
+  /** Composite [0,1] quality score from the features: rewards stopword
+    * presence and sane word lengths, penalizes punctuation soup and
+    * ultra-short docs.
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenScore = least(f("n_words").cast("double") / 100.0, lit(1.0))
+    val stopScore = least(f("stopword_ratio") * 5.0, lit(1.0))
+    val punctPenalty = least(f("punct_ratio") * 5.0, lit(1.0))
+    val wordLenOk = when(f("mean_word_len").between(2.0, 12.0), 1.0).otherwise(0.0)
+    round(lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.2) * wordLenOk
+      + lit(0.1) * (lit(1.0) - punctPenalty), 6)
+  }
+
+  /** Canonical text normalization for fingerprinting: lowercase, strip
+    * non-alphanumerics to single spaces, trim.
+    */
+  def normalizeForFingerprint(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Content fingerprint: md5 of the normalized text — identical across
+    * engines, robust to whitespace/punctuation/case variation.
+    */
+  def fingerprint(text: Column): Column = md5(normalizeForFingerprint(text))
+
+  /** First-8-hex-chars of md5 as a long — the portable numeric hash used by
+    * minhash/simhash (same value computable in any engine with md5).
+    */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Word n-gram shingles of `n` tokens joined by single spaces; empty
+    * array when the doc has fewer than `n` tokens (sequence(0, negative)
+    * would count DOWN in Spark, so short docs are guarded explicitly).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = wordTokens(text)
+    when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+      )
+    ).otherwise(array().cast("array<string>"))
+  }
+}
