@@ -74,11 +74,20 @@ object SparkEntry {
        | FROM events GROUP BY 1),
        |st AS (SELECT code, s/n AS mean, sqrt(greatest(s2/n - (s/n)*(s/n), 0)) AS std FROM m)""".stripMargin
 
-  /** Distinct (id, shingle) 5-gram table over documents (tk, sh0, sh CTEs). */
+  /** Distinct (id, md5-derived shingle hash) 5-gram table over documents
+    * (tk, sh0, shh CTEs) — matches [[Dedup.shingleHashTable]].
+    */
   private val shingleCtes: String =
-    """tk AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
-      |sh0 AS (SELECT id, unnest(CASE WHEN len(toks)>=5 THEN list_transform(range(1, len(toks)-3), i -> array_to_string(toks[i:i+4],' ')) ELSE [] END) AS shingle FROM tk),
-      |sh AS (SELECT DISTINCT id, shingle FROM sh0)""".stripMargin
+    s"""tk AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+       |sh0 AS (SELECT id, unnest(CASE WHEN len(toks)>=5 THEN list_transform(range(1, len(toks)-3), i -> array_to_string(toks[i:i+4],' ')) ELSE [] END) AS shingle FROM tk),
+       |shh AS (SELECT DISTINCT id, ${h32("shingle")} AS sh FROM sh0)""".stripMargin
+
+  /** Universal-hash minhash aggregate list (matches [[Dedup.minhashSignatures]]). */
+  private def minhashAggSql(k: Int, alias: Int => String): String =
+    (0 until k).map { j =>
+      val (a, b) = Dedup.MinhashParams(j)
+      s"min((sh*$a + $b) % ${Dedup.MinhashPrime}) AS ${alias(j)}"
+    }.mkString(", ")
 
   /** md5-derived 32-bit hash (matches [[TextFunctions.md5Hash32]]). */
   private def h32(expr: String): String =
@@ -466,7 +475,6 @@ object SparkEntry {
 
       "q_dedup_jaccard" ->
         s"""WITH $shingleCtes,
-           |shh AS (SELECT id, ${h32("shingle")} AS sh FROM sh),
            |filt AS (SELECT id, sh FROM (SELECT id, sh, count(*) OVER (PARTITION BY sh) AS df FROM shh) WHERE df <= 1000),
            |cnt AS (SELECT id, count(*) AS n_sh FROM shh GROUP BY 1),
            |com AS (SELECT a.id AS ia, b.id AS ib, count(*) AS nc FROM filt a JOIN filt b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
@@ -476,12 +484,12 @@ object SparkEntry {
 
       "q_minhash_sigs" ->
         s"""WITH $shingleCtes
-           |SELECT id, ${(0 until 8).map(j => s"min(${h32(s"concat(shingle,'#$j')")}) AS minhash_$j").mkString(", ")}
-           |FROM sh GROUP BY 1""".stripMargin,
+           |SELECT id, ${minhashAggSql(8, j => s"minhash_$j")}
+           |FROM shh GROUP BY 1""".stripMargin,
 
       "q_dedup_minhash" ->
         s"""WITH $shingleCtes,
-           |sg AS (SELECT id, ${(0 until 8).map(j => s"min(${h32(s"concat(shingle,'#$j')")}) AS m$j").mkString(", ")} FROM sh GROUP BY 1),
+           |sg AS (SELECT id, ${minhashAggSql(8, j => s"m$j")} FROM shh GROUP BY 1),
            |bands AS (${(0 until 4).map(b => s"SELECT id, $b AS band, md5(concat(CAST(m${2 * b} AS VARCHAR),'|',CAST(m${2 * b + 1} AS VARCHAR))) AS sig FROM sg").mkString(" UNION ALL ")})
            |SELECT DISTINCT a.id AS id_a, b.id AS id_b
            |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id""".stripMargin,

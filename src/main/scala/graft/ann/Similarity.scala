@@ -141,8 +141,8 @@ object Similarity {
       case Some(f) => vectors.withColumn("__cell", f(col(vecCol)))
       case None    => vectors.withColumn("__cell", lit(0L))
     }
-    withCell.as("a")
-      .join(withCell.as("b"),
+    withCell.hint("MERGE").as("a")
+      .join(withCell.hint("MERGE").as("b"),
         col("a.__cell") === col("b.__cell") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(
         col(s"a.$idCol").as("id_a"),

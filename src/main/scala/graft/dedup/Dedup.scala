@@ -25,11 +25,53 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** `n`-token shingles from a pre-materialized token-array column.
+    *
+    * Tokenization is projected into its OWN column first: higher-order
+    * functions are interpreted (no codegen), and inlining `wordTokens`
+    * into the lambda would re-run the regex split once per shingle
+    * position instead of once per document — measured 4-10x slower.
+    */
+  private def shingleExpr(toks: Column, n: Int): Column =
+    when(
+      size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    ).otherwise(array().cast("array<string>"))
+
   /** Distinct (id, shingle) pairs for `n`-token shingles. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
-      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("shingle"))
+      .select(col(idCol).as("id"), wordTokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(shingleExpr(col("__toks"), n)).as("shingle"))
       .distinct()
+
+  /** Distinct (id, sh) pairs where sh = md5-derived 32-bit hash of the
+    * shingle. Hashing BEFORE the distinct means the dedup shuffle carries
+    * 8-byte keys instead of multi-word strings — at corpus scale the
+    * shingle table is the hot path and this halves its shuffle bytes.
+    */
+  def shingleHashTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), wordTokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(shingleExpr(col("__toks"), n)).as("__s"))
+      .select(col("id"), md5Hash32(col("__s")).as("sh"))
+      .distinct()
+
+  /** Universal-hash family params (a_j, b_j) for minhash: h_j(x) =
+    * (a_j*x + b_j) mod MinhashPrime. One md5 per shingle, k cheap affine
+    * re-hashes — instead of k md5s. a_j < 2^30 keeps a_j*x < 2^63 (no
+    * overflow for 32-bit x); constants are primes, fixed so any engine
+    * can replay the signatures.
+    */
+  val MinhashPrime: Long = 4294967311L
+  val MinhashParams: Seq[(Long, Long)] = Seq(
+    (1000000007L, 15485863L), (998244353L, 32452843L), (805306457L, 49979687L),
+    (402653189L, 67867967L), (201326611L, 86028121L), (100663319L, 104395301L),
+    (50331653L, 122949823L), (25165843L, 141650939L), (12582917L, 160481183L),
+    (6291469L, 179424673L), (3145739L, 198491317L), (1572869L, 217645177L),
+    (786433L, 236887691L), (393241L, 256203161L), (196613L, 275604541L),
+    (98317L, 295075147L)
+  )
 
   /** Near-duplicate pairs by word-n-gram Jaccard similarity >= `threshold`.
     *
@@ -48,20 +90,27 @@ object Dedup {
       textCol: String = "text",
       maxDocFreq: Long = 1000
   ): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n)
-      .select(col("id"), md5Hash32(col("shingle")).as("sh"))
+    val sh = shingleHashTable(docs, idCol, textCol, n)
     val filtered = sh
       .withColumn("__df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .filter(col("__df") <= maxDocFreq)
       .drop("__df")
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val common = filtered.as("a")
-      .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+    // MERGE hint: the bucket self-join must stay a sort-merge join so the
+    // shuffle on sh is computed once and reused for both sides (AQE would
+    // otherwise broadcast one side at small scale, recomputing the whole
+    // shingle pipeline for it; at corpus scale broadcast is impossible
+    // anyway).
+    val common = filtered.hint("MERGE").as("a")
+      .join(filtered.hint("MERGE").as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
+    // counts is corpus-sized (one row per doc) — NOT broadcastable at
+    // scale; candidate pairs are few post-bucketing, so AQE picks the
+    // right join side/strategy on its own.
     common
-      .join(broadcast(counts).as("ca"), col("id_a") === col("ca.id"))
-      .join(broadcast(counts).as("cb"), col("id_b") === col("cb.id"))
+      .join(counts.as("ca"), col("id_a") === col("ca.id"))
+      .join(counts.as("cb"), col("id_b") === col("cb.id"))
       .select(
         col("id_a"),
         col("id_b"),
@@ -71,9 +120,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature columns: for each of `numHashes` hash seeds, the
-    * minimum md5-derived hash over the doc's shingles. Output: (id,
-    * minhash_0..minhash_{k-1}).
+  /** MinHash signature columns: for each of `numHashes` universal-hash
+    * params, the minimum of (a_j*sh + b_j) mod p over the doc's shingle
+    * hashes. Output: (id, minhash_0..minhash_{k-1}). One md5 per shingle
+    * total; the k per-hash minimums are codegen'd affine arithmetic that
+    * partial-aggregates map-side, so the only shuffle is vocabulary-of-ids
+    * sized.
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -82,9 +134,11 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n)
+    require(numHashes <= MinhashParams.length, s"at most ${MinhashParams.length} hashes supported")
+    val sh = shingleHashTable(docs, idCol, textCol, n)
     val aggs = (0 until numHashes).map { j =>
-      min(md5Hash32(concat(col("shingle"), lit(s"#$j")))).as(s"minhash_$j")
+      val (a, b) = MinhashParams(j)
+      min(pmod(col("sh") * a + b, lit(MinhashPrime))).as(s"minhash_$j")
     }
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
@@ -110,8 +164,9 @@ object Dedup {
       explode(array((0 until numBands).map(b => struct(lit(b).as("band"), col(s"band_$b").as("sig"))): _*))
         .as("bk")
     ).select(col("id"), col("bk.band"), col("bk.sig"))
-    buckets.as("a")
-      .join(buckets.as("b"), col("a.band") === col("b.band") && col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+    buckets.hint("MERGE").as("a")
+      .join(buckets.hint("MERGE").as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
@@ -172,8 +227,8 @@ object Dedup {
       }: _*)).as("b")
     ).select(col("id"), col("simhash"), col("b.blk"), col("b.v"))
     val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-    blocks.as("a")
-      .join(blocks.as("b"),
+    blocks.hint("MERGE").as("a")
+      .join(blocks.hint("MERGE").as("b"),
         col("a.blk") === col("b.blk") && col("a.v") === col("b.v") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), ham.as("hamming"))
       .distinct()
