@@ -1,0 +1,114 @@
+package graft
+
+import graft.ann.Similarity
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the old river bank tonight"), // near-dup of 1
+    (3L, "The quick brown fox jumps over the lazy dog near the old river bank today!"), // exact dup of 1 modulo case/punct
+    (4L, "completely different content about distributed query engines and columnar storage formats"),
+    (5L, "yet another unrelated document mentioning vectorized execution and shuffle exchanges")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/punctuation-normalized duplicates") {
+    val out = Dedup.exact(corpus).collect()
+    assert(out.length == 4) // docs 1 and 3 share a fingerprint
+    val dup = out.filter(_.getLong(2) == 2)
+    assert(dup.length == 1 && dup(0).getLong(1) == 1L) // canonical = min id
+  }
+
+  test("ngram Jaccard finds near-dup pairs above threshold only") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, threshold = 0.5, n = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // a strict threshold excludes the near-dups with differing last token
+    val strict = Dedup.ngramJaccardPairs(corpus, threshold = 0.999, n = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(strict == Set((1L, 3L))) // only the exact-normalized pair survives
+  }
+
+  test("minhash signatures are equal for identical shingle sets and mostly differ otherwise") {
+    val sigs = Dedup.minhashSignatures(corpus, numHashes = 8, n = 3).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    assert(sigs(1L) == sigs(3L)) // identical after normalization
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("minhash LSH candidates include true near-dups and exclude unrelated docs") {
+    val sigs = Dedup.minhashSignatures(corpus, numHashes = 8, n = 3)
+    val cands = Dedup.minhashCandidatePairs(sigs, numHashes = 8, numBands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 3L)))
+    assert(!cands.contains((4L, 5L)))
+  }
+
+  test("simhash: identical docs share signatures; near-dups are close in hamming distance") {
+    val sigs = Dedup.simhash(corpus, bits = 32).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("simhash near-dup pairs via pigeonhole blocks match brute-force hamming") {
+    val sigs = Dedup.simhash(corpus, bits = 32)
+    val maxH = 6
+    val viaBlocks = Dedup.simhashNearDupPairs(sigs, bits = 32, maxHamming = maxH)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val raw = sigs.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, sa) <- raw; (ib, sb) <- raw if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= maxH
+    } yield (ia, ib)).toSet
+    assert(viaBlocks == brute)
+  }
+
+  test("cosine/dot are exact on hand-computed vectors") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 2.0f, 0.0f)),
+      (3L, Array(3.0f, 4.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = df.as("a").join(df.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .as[(Long, Long, Double)].collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(out((1L, 2L)) == 0.0)
+    assert(math.abs(out((1L, 3L)) - 0.6) < 1e-12)
+    assert(math.abs(out((2L, 3L)) - 0.8) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k nearest by cosine, excluding self, rank-tiebroken by id") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(out == Map(3L -> 1, 1L -> 2)) // 3 is closest to 0, then 1; self excluded
+  }
+
+  test("bucketedTopK searches only same-cell vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f)), (1L, Array(2.0f, 1.0f)),   // cell: both dims > 0
+      (2L, Array(-1.0f, 1.0f))                            // different cell
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bucketedTopK(vecs, vecs.filter(col("vec_id") === 0), k = 5,
+      cell = Similarity.signBitCell(_, 2))
+    assert(out.select("neighbor_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("embeddingNearDupPairs: exact mode finds all pairs above threshold") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.05f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingNearDupPairs(vecs, threshold = 0.9, cell = None)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+}

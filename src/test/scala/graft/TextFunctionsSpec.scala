@@ -1,0 +1,54 @@
+package graft
+
+import graft.text.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).collect()(0).getAs[T]("r")
+
+  test("wordTokens lowercases and splits on non-letter runs") {
+    assert(one[collection.Seq[String]](wordTokens(col("t")), "The cat, the DOG!") == Seq("the", "cat", "the", "dog"))
+    assert(one[collection.Seq[String]](wordTokens(col("t")), "123 456") == Seq())
+  }
+
+  test("wordShingles emits n-grams and guards short docs") {
+    assert(one[collection.Seq[String]](wordShingles(col("t"), 2), "a b c") == Seq("a b", "b c"))
+    assert(one[collection.Seq[String]](wordShingles(col("t"), 5), "a b c") == Seq())
+  }
+
+  test("langId picks the language with most stopword hits, und on zero hits") {
+    assert(one[String](langId(col("t")), "the cat and the dog is in that house") == "en")
+    assert(one[String](langId(col("t")), "el perro y la casa de los gatos") == "es")
+    assert(one[String](langId(col("t")), "xyzzy qwerty plugh") == "und")
+  }
+
+  test("token counts: whitespace and bpe-ish") {
+    assert(one[Int](whitespaceTokenCount(col("t")), "  two   words ") == 2)
+    // "ab 12 c!" -> [ab] [1] [2] [c] [!]
+    assert(one[Int](bpeishTokenCount(col("t")), "ab 12 c!") == 5)
+  }
+
+  test("fingerprint is invariant to case/punctuation/whitespace") {
+    val a = one[String](fingerprint(col("t")), "Hello,   World!")
+    val b = one[String](fingerprint(col("t")), "hello world")
+    val c = one[String](fingerprint(col("t")), "hello worlds")
+    assert(a == b && a != c)
+  }
+
+  test("md5Hash32 matches the first-8-hex-chars-of-md5 contract") {
+    // md5("a") = 0cc175b9c0f1b6a831c399e269772661 -> 0x0cc175b9 = 214005177
+    assert(one[Long](md5Hash32(col("t")), "a") == 214005177L)
+  }
+
+  test("qualityFeatures and score are bounded and favor natural text") {
+    val natural = "The quick brown fox jumps over the lazy dog and runs to the old barn."
+    val junk = "!!!??? ;;;;; ..... !!!!"
+    val qn = one[Double](qualityScore(col("t")), natural)
+    val qj = one[Double](qualityScore(col("t")), junk)
+    assert(qn > qj)
+    assert(qn >= 0.0 && qn <= 1.0 && qj >= 0.0 && qj <= 1.0)
+  }
+}
