@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured-Streaming ingest for the events stream: watermarked windowed
+  * aggregation and stateful sessionization.
+  *
+  * The reference is a batch ETL (per-shard map/reduce over files); graft
+  * extends the same operators to unbounded input: the shard map IS the
+  * micro-batch, the cross-shard reduce IS the stateful aggregation, and
+  * the watermark bounds state exactly where the reference's shard
+  * boundaries bound memory. All state is keyed (event-time window or
+  * patient), so it scales horizontally with the shuffle.
+  */
+object Streaming {
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long)
+  final case class SessionAcc(start: Long, last: Long, n: Long)
+
+  /** Tumbling-window per-code counts/sums with an event-time watermark.
+    * Works identically on a batch frame (windows close immediately) and a
+    * stream (late data beyond `watermarkDelay` is dropped, state evicted).
+    */
+  def windowedEventCounts(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Event-time sessionization: consecutive events of a user belong to one
+    * session while gaps stay under `gapMinutes`. Sessions are emitted when
+    * the watermark passes their close (append mode, exactly-once).
+    *
+    * State is one [[SessionAcc]] per open (user) session —
+    * `flatMapGroupsWithState` with event-time timeout, the canonical
+    * bounded-state pattern.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def fn(userId: Long, rows: Iterator[Event], state: GroupState[SessionAcc]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[Session]
+        var acc = state.getOption
+        for (e <- sorted) {
+          val t = e.ts.getTime
+          acc = acc match {
+            case Some(a) if t - a.last <= gapMs => Some(SessionAcc(a.start, math.max(a.last, t), a.n + 1))
+            case Some(a) =>
+              closed ::= Session(userId, new Timestamp(a.start), new Timestamp(a.last), a.n)
+              Some(SessionAcc(t, t, 1))
+            case None => Some(SessionAcc(t, t, 1))
+          }
+        }
+        acc.foreach { a =>
+          state.update(a)
+          state.setTimeoutTimestamp(a.last + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.operators.{Tensorize, Tokenize}
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+class TensorizeMultimodalStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tensorize: dense shapes, masks, truncation and padding") {
+    val seqs = Seq(
+      (1L, Seq(Double.NaN, 1.5), Seq(Seq(3L, 4L), Seq(5L)), Seq(Seq(0.5, 1.0), Seq(2.0))),
+      (2L, Seq(Double.NaN), Seq(Seq(7L)), Seq(Seq(Double.NaN)))
+    ).toDF("patient_id", "time_delta_days", "code", "numeric_value")
+    val out = Tensorize.toDense(seqs, maxEvents = 3, maxMeasurementsPerEvent = 2)
+      .sort("patient_id").collect()
+
+    val p1 = out(0)
+    assert(p1.getInt(1) == 2) // n_events
+    assert(p1.getSeq[Double](2).length == 3)            // padded to maxEvents
+    assert(p1.getSeq[Boolean](3) == Seq(true, true, false)) // event_mask
+    assert(p1.getSeq[Seq[Long]](4) == Seq(Seq(3L, 4L), Seq(5L, 0L), Seq(0L, 0L))) // 0-padded codes
+    assert(p1.getSeq[Seq[Boolean]](5) == Seq(Seq(true, true), Seq(true, false), Seq(false, false)))
+    assert(p1.getSeq[Seq[Double]](6) == Seq(Seq(0.5, 1.0), Seq(2.0, 0.0), Seq(0.0, 0.0)))
+
+    // schema is fixed-shape arrays, ready for collation
+    val schema = Tensorize.toDense(seqs, 3, 2).schema
+    assert(schema("code").dataType == ArrayType(ArrayType(LongType, false), false))
+  }
+
+  test("tensorize composes with tokenize on a literal cohort") {
+    val cohort = Seq(
+      (1L, Some(ts("2020-01-01 00:00:00")), 10L, Some(1.0)),
+      (1L, Some(ts("2020-01-02 00:00:00")), 11L, None),
+      (1L, None, 12L, Some(3.0))
+    ).toDF("patient_id", "time", "code", "numeric_value")
+    val dense = Tensorize.toDense(
+      Tokenize.seqOfPatientEvents(cohort.withColumn("numeric_value", col("numeric_value").cast("double"))),
+      maxEvents = 4, maxMeasurementsPerEvent = 2)
+    val r = dense.collect()(0)
+    assert(r.getInt(1) == 2)
+    assert(r.getSeq[collection.Seq[Boolean]](7)(0) == Seq(true, false))  // value mask: first event has a value
+    assert(r.getSeq[collection.Seq[Boolean]](7)(1) == Seq(false, false)) // second event's value was null
+  }
+
+  test("multimodal: format sniffing from magic bytes") {
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2, 3)
+    val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 9)
+    val other = Array[Byte](1, 2, 3, 4)
+    val df = Seq((1L, png), (2L, jpg), (3L, other)).toDF("media_id", "media")
+    val out = Multimodal.withMediaMeta(df).select("media_id", "media_meta.*")
+      .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "png", 7L, true)))
+    assert(out(1) == ((2L, "jpeg", 5L, true)))
+    assert(out(2) == ((3L, "unknown", 4L, false)))
+  }
+
+  test("multimodal: batched feature extraction is deterministic and shape-stable") {
+    val docs = (1L to 200L).map(i => (i, Array.fill(32)((i % 7).toByte))).toDF("media_id", "media")
+    val out = Multimodal.extractFeatures(docs, dim = 16, batchSize = 8)
+    assert(out.schema("feature").dataType == ArrayType(FloatType, containsNull = false))
+    val feats = out.as[(Long, Seq[Float])].collect().toMap
+    assert(feats.size == 200)
+    assert(feats(7L)(0) == 1.0f)  // bytes all 0 -> all mass in bin 0
+    assert(feats(8L)(1) == 1.0f)  // bytes all 1 -> all mass in bin 1
+    // rerun identical
+    val again = Multimodal.extractFeatures(docs, dim = 16, batchSize = 8).as[(Long, Seq[Float])].collect().toMap
+    assert(feats == again)
+  }
+
+  test("multimodal: frame sampling emits fixed-size strided windows") {
+    val media = Array.tabulate(64)(_.toByte)
+    val df = Seq((1L, media)).toDF("media_id", "media")
+    val frames = Multimodal.sampleFrames(df, frameBytes = 8, stride = 2)
+      .as[(Long, Int, Array[Byte])].collect().sortBy(_._2)
+    assert(frames.length == 4) // 64 bytes / (8*2) = 4 windows
+    assert(frames(0)._3.toSeq == (0 until 8).map(_.toByte))
+    assert(frames(1)._3.toSeq == (16 until 24).map(_.toByte))
+  }
+
+  test("streaming: windowed counts with watermark over a micro-batch stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.Event]
+    val query = Streaming.windowedEventCounts(input.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("win_counts").outputMode("update").start()
+    try {
+      input.addData(
+        Streaming.Event(1, ts("2024-01-01 10:05:00"), "click", 1.0),
+        Streaming.Event(2, ts("2024-01-01 10:55:00"), "click", 2.0),
+        Streaming.Event(1, ts("2024-01-01 11:05:00"), "view", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows.contains((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)))
+      assert(rows.contains((ts("2024-01-01 11:00:00"), "view", 1L, 5.0)))
+    } finally query.stop()
+  }
+
+  test("streaming: sessionization closes sessions after the gap via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.Event]
+    val query = Streaming.sessionize(input.toDS(), gapMinutes = 10)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // session 1: two events 5 min apart; then a 30-min gap (new session)
+      input.addData(
+        Streaming.Event(1, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Streaming.Event(1, ts("2024-01-01 10:05:00"), "click", 1.0))
+      query.processAllAvailable()
+      input.addData(Streaming.Event(1, ts("2024-01-01 10:35:00"), "click", 1.0))
+      query.processAllAvailable()
+      // push the watermark far forward so the open session times out
+      input.addData(Streaming.Event(2, ts("2024-01-01 12:00:00"), "click", 1.0))
+      query.processAllAvailable()
+      input.addData(Streaming.Event(2, ts("2024-01-01 13:00:00"), "click", 1.0))
+      query.processAllAvailable()
+      val sessions = spark.table("sessions").as[Streaming.Session].collect()
+        .filter(_.user_id == 1L).sortBy(_.start.getTime)
+      assert(sessions.length == 2)
+      assert(sessions(0).start == ts("2024-01-01 10:00:00"))
+      assert(sessions(0).end == ts("2024-01-01 10:05:00"))
+      assert(sessions(0).n_events == 2)
+      assert(sessions(1).start == ts("2024-01-01 10:35:00") && sessions(1).n_events == 1)
+    } finally query.stop()
+  }
+}
