@@ -15,13 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Strict left-to-right dot product of two float/double array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+  /** Strict left-to-right dot product of two float/double array columns.
+    * Backed by the native codegen'd [[graft.functions.DotProduct]]
+    * expression (bit-identical to the composable
+    * `aggregate(zip_with(...))` form, ~an order of magnitude faster in the
+    * ANN inner loop).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
