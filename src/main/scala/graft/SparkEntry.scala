@@ -331,8 +331,10 @@ object SparkEntry {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
       val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+      // no broadcast hint on customer: it's fact-sized at scale; the
+      // planner/AQE picks broadcast at small SF from stats on its own.
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(38,6)"))
           .cast("double").as("revenue"))
@@ -346,7 +348,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val rev = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(38,6)"))
           .cast("double").as("revenue"))

@@ -1,0 +1,36 @@
+package graft
+
+import graft.sources.MedsIO
+import graft.operators.Shard
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class MedsIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sharded write/read round-trips with partition pruning on split") {
+    val cohort = (1L to 40L).flatMap { p =>
+      Seq((p, java.sql.Timestamp.valueOf(f"2020-01-${p % 27 + 1}%02d 10:00:00"), "HR", p * 1.0))
+    }.toDF("patient_id", "time", "code", "numeric_value")
+    val assign = Shard.splitByModulo(cohort, Seq("train" -> 8, "tuning" -> 1, "held_out" -> 1), 2)
+    val dir = Files.createTempDirectory("meds_io").toString
+
+    MedsIO.writeSharded(cohort, assign, dir)
+    val back = MedsIO.readSharded(spark, dir)
+    assert(back.count() == 40)
+    assert(back.columns.toSet == Set("patient_id", "time", "code", "numeric_value", "split", "shard"))
+
+    // whole patients land in one (split, shard)
+    val spread = back.groupBy("patient_id")
+      .agg(countDistinct(col("split"), col("shard")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(spread == 0)
+
+    // split filter prunes to train partitions only and matches the assignment
+    val train = back.filter(col("split") === "train")
+    val expectTrain = assign.filter(col("split") === "train").count()
+    assert(train.select("patient_id").distinct().count() == expectTrain)
+    val pruned = train.queryExecution.executedPlan.toString
+    assert(pruned.contains("split") ) // partition column participates in planning
+  }
+}
