@@ -236,6 +236,29 @@ object SparkEntry {
         .finalizeData(medsE(s, dir))
         .select(col("event_id"), col("patient_id"), timeUs(), col("code"), col("numeric_value"))),
 
+    "q_finalize_metadata" -> { (s, dir) =>
+      val meta = meds(s, dir)
+        .select(col("code")).distinct()
+        .withColumn("description", upper(col("code")))
+        .withColumn("parent_codes", concat(lit("evt//"), col("code"))) // scalar -> wrapped in list
+      Meds.finalizeMetadata(meta)
+        .select(col("code"), col("description"), try_element_at(col("parent_codes"), lit(1)).as("parent_code"))
+    },
+
+    "q_extract_dsl" -> { (s, dir) =>
+      import EventParser._
+      ev(s, dir).select(
+        col("event_id"),
+        col("user_id").cast("long").as("patient_id"),
+        unix_micros(col("ts")).as("time_us"),
+        toColumn(Str("EVENT//{event_type}")).as("code"),
+        toColumn(FirstValid(Seq(
+          Guarded(Map("event_type" -> "purchase"), Col("value")),
+          Literal(-1.0)
+        ))).as("numeric_value")
+      )
+    },
+
     // --------------------------------------------- dedup (SURVEY §2 21-25)
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
@@ -468,6 +491,17 @@ object SparkEntry {
       "q_finalize" ->
         """SELECT event_id, user_id AS patient_id, epoch_us(ts) AS time_us, event_type AS code,
           |  CAST(value AS REAL) AS numeric_value
+          |FROM events""".stripMargin,
+
+      "q_finalize_metadata" ->
+        """SELECT DISTINCT event_type AS code, upper(event_type) AS description,
+          |  concat('evt//', event_type) AS parent_code
+          |FROM events""".stripMargin,
+
+      "q_extract_dsl" ->
+        """SELECT event_id, user_id AS patient_id, epoch_us(ts) AS time_us,
+          |  concat('EVENT//', CAST(event_type AS VARCHAR)) AS code,
+          |  coalesce(CASE WHEN event_type = 'purchase' THEN value END, -1.0) AS numeric_value
           |FROM events""".stripMargin,
 
       "q_dedup_exact" ->

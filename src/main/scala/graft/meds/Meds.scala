@@ -47,6 +47,32 @@ object Meds {
     df.select(mandatory ++ extras: _*)
   }
 
+  /** Canonical MEDS code-metadata schema cast
+    * (reference: extract/finalize_MEDS_metadata.py:28-118): `code` and
+    * `description` become strings, `parent_codes` becomes `array<string>`
+    * (scalar values are wrapped in a single-element list, doctest
+    * finalize_MEDS_metadata.py:56-74); missing mandatory columns are
+    * injected as nulls; extra columns are preserved after the mandatory
+    * ones.
+    */
+  def finalizeMetadata(df: DataFrame): DataFrame = {
+    val present = df.columns.toSet
+    val stringCols = Seq("code", "description").map { c =>
+      (if (present.contains(c)) col(c).cast(StringType) else lit(null).cast(StringType)).as(c)
+    }
+    val parents =
+      if (!present.contains("parent_codes")) lit(null).cast(ArrayType(StringType)).as("parent_codes")
+      else df.schema("parent_codes").dataType match {
+        case _: ArrayType => col("parent_codes").cast(ArrayType(StringType)).as("parent_codes")
+        case _ =>
+          when(col("parent_codes").isNotNull, array(col("parent_codes").cast(StringType)))
+            .as("parent_codes")
+      }
+    val mandatory = Seq("code", "description", "parent_codes")
+    val extras = df.columns.filterNot(mandatory.contains).map(col)
+    df.select((stringCols :+ parents) ++ extras: _*)
+  }
+
   /** Adapter: the driver's synthetic `events` table viewed as a MEDS
     * measurement table (user_id->patient_id, ts->time, event_type->code,
     * value->numeric_value).
