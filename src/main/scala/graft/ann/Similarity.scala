@@ -30,10 +30,12 @@ object Similarity {
   /** Exact top-k cosine neighbors of each query vector against the corpus.
     *
     * The query set is small by construction → broadcast; each corpus
-    * partition scores its rows against all queries and the per-query top-k
-    * is taken with a window. At cluster scale the ranking is
-    * partial-topk-friendly (rank ≤ k filter pushes into the window sort);
-    * no corpus shuffle beyond the final per-query k rows.
+    * partition scores its rows against all queries. Ranking runs through
+    * the bounded-heap [[graft.functions.TopKByScore]] aggregate, which
+    * partial-aggregates map-side: every partition reduces to ≤ k
+    * candidates per query BEFORE the exchange, so the shuffle carries
+    * k rows per (partition × query) instead of the full corpus×queries
+    * score set (a window row_number would shuffle everything).
     *
     * Output: (query_id, neighbor_id, rank, cosine) with self-matches
     * excluded and rank ties broken by neighbor id.
@@ -52,12 +54,23 @@ object Similarity {
         col(s"c.$idCol").as("neighbor_id"),
         cosine(col(s"q.$vecCol"), col(s"c.$vecCol")).as("cos")
       )
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cosine"))
+    topKFromScores(scored, k)
   }
+
+  /** Shared ranking tail: scored (query_id, neighbor_id, cos) → per-query
+    * top-k rows via the map-side-bounded aggregate.
+    */
+  private def topKFromScores(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topK(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(
+        col("query_id"),
+        col("entry.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("entry.score"), 6).as("cosine")
+      )
 
   /** Coarse quantization cell id: sign bits of the vector's projection onto
     * `nPlanes` deterministic pseudo-random hyperplanes (seeded per-plane
@@ -118,11 +131,7 @@ object Similarity {
         col(s"c.$idCol").as("neighbor_id"),
         cosine(col(s"q.$vecCol"), col(s"c.$vecCol")).as("cos")
       )
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cosine"))
+    topKFromScores(scored, k)
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, bucketed by
