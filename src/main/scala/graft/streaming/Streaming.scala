@@ -36,6 +36,39 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming form of the flagship code-metadata aggregation
+    * ([[graft.operators.CodeMetadata]]): per (event-time window, code)
+    * distribution stats over an unbounded MEDS-shaped stream. The same
+    * nine-aggregation algebra — all sums/counts/min/max are
+    * partial-aggregatable, so state per open window is one row per code,
+    * and the watermark evicts closed windows. countDistinct is not
+    * streamable (unbounded state); the patient-count aggregations use the
+    * approx_count_distinct sketch, the standard streaming trade.
+    */
+  def streamingCodeMetadata(
+      meds: DataFrame,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame = {
+    val v = col("numeric_value")
+    val present = v.isNotNull && !isnan(v)
+    meds
+      .withWatermark("time", watermarkDelay)
+      .groupBy(window(col("time"), windowDuration).as("w"), col("code"))
+      .agg(
+        approx_count_distinct("patient_id").as("code/n_patients~"),
+        count(lit(1)).as("code/n_occurrences"),
+        count(when(present, lit(1))).as("values/n_occurrences"),
+        coalesce(sum(when(present, v.cast("decimal(38,6)"))), lit(0)).cast("double").as("values/sum"),
+        coalesce(sum(when(present, (v * v).cast("decimal(38,6)"))), lit(0)).cast("double").as("values/sum_sqd"),
+        min(when(present, v)).as("values/min"),
+        max(when(present, v)).as("values/max")
+      )
+      .select(col("w.start").as("window_start") +: (Seq("code", "code/n_patients~",
+        "code/n_occurrences", "values/n_occurrences", "values/sum", "values/sum_sqd",
+        "values/min", "values/max").map(col)): _*)
+  }
+
   /** Event-time sessionization: consecutive events of a user belong to one
     * session while gaps stay under `gapMinutes`. Sessions are emitted when
     * the watermark passes their close (append mode, exactly-once).

@@ -103,6 +103,26 @@ class TensorizeMultimodalStreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming: code-metadata aggregation over a MEDS stream matches batch algebra") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Option[Double])]
+    val meds = input.toDF().toDF("patient_id", "time", "code", "numeric_value")
+    val query = Streaming.streamingCodeMetadata(meds, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("code_meta").outputMode("update").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:10:00"), "HR", Some(60.0)),
+        (2L, ts("2024-01-01 10:20:00"), "HR", Some(80.0)),
+        (1L, ts("2024-01-01 10:30:00"), "HR", None),
+        (1L, ts("2024-01-01 11:10:00"), "RR", Some(18.0)))
+      query.processAllAvailable()
+      val hr = spark.table("code_meta").filter(col("code") === "HR")
+        .select("code/n_occurrences", "values/n_occurrences", "values/sum", "values/min", "values/max")
+        .as[(Long, Long, Double, Double, Double)].collect()
+      assert(hr.toSeq == Seq((3L, 2L, 140.0, 60.0, 80.0)))
+    } finally query.stop()
+  }
+
   test("streaming: sessionization closes sessions after the gap via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.Event]
