@@ -120,6 +120,31 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** End-to-end near-duplicate removal: drop every document that pairs
+    * with a LOWER-id near-duplicate (exact-normalized duplicates always;
+    * n-gram Jaccard >= threshold). Greedy min-id-survivor policy: within
+    * any duplicate cluster the smallest id survives; no driver-side
+    * connected components — the victim set is (id_b of pairs) ∪ (non-
+    * canonical exact copies), removed with a single ANTI join.
+    */
+  def dropNearDuplicates(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      n: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val exactVictims = docs
+      .select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"))
+      .withColumn("__canon", min(col("id")).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("id") =!= col("__canon"))
+      .select(col("id"))
+    val jaccardVictims = ngramJaccardPairs(docs, threshold, n, idCol, textCol)
+      .select(col("id_b").as("id"))
+    val victims = exactVictims.union(jaccardVictims).distinct()
+    docs.join(victims, docs(idCol) === victims("id"), "left_anti")
+  }
+
   /** MinHash signature columns: for each of `numHashes` universal-hash
     * params, the minimum of (a_j*sh + b_j) mod p over the doc's shingle
     * hashes. Output: (id, minhash_0..minhash_{k-1}). One md5 per shingle

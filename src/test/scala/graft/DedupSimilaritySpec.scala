@@ -33,6 +33,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(strict == Set((1L, 3L))) // only the exact-normalized pair survives
   }
 
+  test("dropNearDuplicates keeps the min-id survivor of each duplicate cluster") {
+    val out = Dedup.dropNearDuplicates(corpus, threshold = 0.5, n = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // docs 2 and 3 are near/exact dups of 1 -> only 1 survives; 4, 5 untouched
+    assert(out == Seq(1L, 4L, 5L))
+  }
+
   test("minhash signatures are equal for identical shingle sets and mostly differ otherwise") {
     val sigs = Dedup.minhashSignatures(corpus, numHashes = 8, n = 3).collect()
       .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap

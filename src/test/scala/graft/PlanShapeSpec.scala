@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{Filters, Tokenize}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Plan-shape assertions for the scale-design claims in SURVEY §4: these
+  * fail if a future change silently adds an exchange to a path that must
+  * stay co-partitioned.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def countShuffles(df: DataFrame): Int = {
+    df.collect() // materialize so AQE finalizes the plan
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeExec | _: ShuffleQueryStageExec => 1
+        case _ => 0
+      }
+      val sub = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: ShuffleQueryStageExec => s.plan.children.map(walk).sum // below the exchange
+        case q: QueryStageExec => walk(q.plan)
+        case _ => 0
+      }
+      self + sub + p.children.map(walk).sum + p.subqueries.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private lazy val cohort = (1L to 50L).flatMap { p =>
+    (0 until 6).map(i => (p, Timestamp.valueOf(f"2020-01-0${i % 5 + 1} 10:00:00"), s"C$i", i * 1.0))
+  }.toDF("patient_id", "time", "code", "numeric_value")
+
+  test("patient-keyed chain (filter by #measurements -> tokenize seqs) shuffles exactly once") {
+    // The window's hash(patient_id) partitioning must satisfy both the
+    // (patient,time) and (patient) groupings downstream.
+    val out = Tokenize.seqsExploded(Filters.filterPatientsByNumMeasurements(cohort, 2))
+    assert(countShuffles(out) == 1)
+  }
+
+  test("metadata-joined operators add no fact-side shuffle") {
+    val meta = graft.operators.CodeMetadata.aggregate(cohort)
+    val out = graft.operators.Outliers.occludeOutliers(cohort, meta, 2.0)
+    // The only shuffle is the per-code stats aggregation on the (tiny)
+    // broadcast side — and column pruning drops meta's countDistinct aggs
+    // (2 exchanges standalone -> 1 here). The fact side reaches the
+    // broadcast join unshuffled.
+    assert(countShuffles(meta) == 2)
+    assert(countShuffles(out) == 1)
+  }
+}
