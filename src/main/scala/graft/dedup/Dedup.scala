@@ -90,32 +90,30 @@ object Dedup {
       textCol: String = "text",
       maxDocFreq: Long = 1000
   ): DataFrame = {
-    val sh = shingleHashTable(docs, idCol, textCol, n)
-    val filtered = sh
-      .withColumn("__df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("__df") <= maxDocFreq)
+    import org.apache.spark.sql.expressions.Window
+    // One evaluation of the (expensive) tokenize→shingle→hash pipeline:
+    // per-doc shingle counts and per-shingle doc frequencies both ride
+    // along as window aggregates instead of separate scan branches, so
+    // the join below needs no extra lookups of corpus-sized count tables.
+    val enriched = shingleHashTable(docs, idCol, textCol, n)
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("__df") <= maxDocFreq) // hot shingles: O(df^2) pairs, no signal
       .drop("__df")
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     // MERGE hint: the bucket self-join must stay a sort-merge join so the
     // shuffle on sh is computed once and reused for both sides (AQE would
     // otherwise broadcast one side at small scale, recomputing the whole
     // shingle pipeline for it; at corpus scale broadcast is impossible
     // anyway).
-    val common = filtered.hint("MERGE").as("a")
-      .join(filtered.hint("MERGE").as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+    enriched.hint("MERGE").as("a")
+      .join(enriched.hint("MERGE").as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    // counts is corpus-sized (one row per doc) — NOT broadcastable at
-    // scale; candidate pairs are few post-bucketing, so AQE picks the
-    // right join side/strategy on its own.
-    common
-      .join(counts.as("ca"), col("id_a") === col("ca.id"))
-      .join(counts.as("cb"), col("id_b") === col("cb.id"))
+      .agg(count(lit(1)).as("n_common"),
+        first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"))
       .select(
         col("id_a"),
         col("id_b"),
-        (col("n_common").cast("double") /
-          (col("ca.n_sh") + col("cb.n_sh") - col("n_common"))).as("jaccard")
+        (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard")
       )
       .filter(col("jaccard") >= threshold)
   }
