@@ -317,17 +317,12 @@ object SparkEntry {
         TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_bpeish_tokens")
       )),
 
-    "q_fingerprint" -> { (s, dir) =>
-      val rolling = expr(
-        "aggregate(transform(sequence(1, length(__norm)), i -> CAST(ascii(substr(__norm, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> (acc*31 + c) % 1000000007)")
-      docs(s, dir)
-        .withColumn("__norm", TextFunctions.normalizeForFingerprint(col("text")))
-        .select(
-          col("doc_id"),
-          TextFunctions.fingerprint(col("text")).as("fp"),
-          when(length(col("__norm")) === 0, lit(0L)).otherwise(rolling).as("rolling")
-        )
-    },
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.rollingFingerprint(col("text")).as("rolling")
+      )),
 
     // ------------------------------------------------- relational headline
     "q1_pricing" -> { (s, dir) =>

@@ -72,6 +72,29 @@ object Tensorize {
     )
   }
 
+  /** Smallest integral Spark type that can represent vocab indices in
+    * [0, maxIndex] (reference: utils.py:19-57 get_smallest_valid_uint_type;
+    * Spark has no unsigned types, so the signed type one notch wider is
+    * used where the reference picks uint8/16/32).
+    */
+  def narrowestIndexType(maxIndex: Long): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    if (maxIndex <= Byte.MaxValue) ByteType
+    else if (maxIndex <= Short.MaxValue) ShortType
+    else if (maxIndex <= Int.MaxValue) IntegerType
+    else LongType
+  }
+
+  /** Downcast the dense code tensor to the narrowest type that holds the
+    * vocabulary (tensorization.py stores codes at the smallest valid uint
+    * width — at 100 TB the code tensor dominates output bytes, so 8-bit
+    * vs 64-bit indices is an 8x storage/IO difference).
+    */
+  def withNarrowedCodes(dense: DataFrame, vocabSize: Long): DataFrame = {
+    val t = narrowestIndexType(vocabSize)
+    dense.withColumn(Meds.Code, col(Meds.Code).cast(s"array<array<${t.simpleString}>>"))
+  }
+
   /** Static (per-patient, time-independent) codes/values from
     * [[Tokenize.staticsAndSchema]] dense-encoded the same way.
     */

@@ -110,6 +110,14 @@ object TextFunctions {
   def md5Hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Polynomial rolling hash of the normalized text (base 31 mod 1e9+7),
+    * via the native codegen'd [[graft.functions.RollingHash]] expression.
+    * Normalization first ⇒ ASCII-only input ⇒ the value equals the
+    * ascii-code-point fold any engine computes.
+    */
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.RollingHash.rollingHash(normalizeForFingerprint(text))
+
   /** Word n-gram shingles of `n` tokens joined by single spaces; empty
     * array when the doc has fewer than `n` tokens (sequence(0, negative)
     * would count DOWN in Spark, so short docs are guarded explicitly).

@@ -43,6 +43,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Long](md5Hash32(col("t")), "a") == 214005177L)
   }
 
+  test("native rolling hash matches the per-char ascii fold and handles empty strings") {
+    val hofForm = expr(
+      "aggregate(transform(sequence(1, length(__n)), i -> CAST(ascii(substr(__n, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> (acc*31 + c) % 1000000007)")
+    val df = Seq("Hello, World!", "a", "", "The quick brown fox 123  jumps.").toDF("t")
+      .withColumn("__n", normalizeForFingerprint(col("t")))
+      .select(
+        rollingFingerprint(col("t")).as("native"),
+        when(length(col("__n")) === 0, lit(0L)).otherwise(hofForm).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    assert(df.filter(col("native").isNull).count() == 0)
+  }
+
+  test("tensor code narrowing picks the smallest sufficient type") {
+    import graft.operators.Tensorize
+    import org.apache.spark.sql.types._
+    assert(Tensorize.narrowestIndexType(100) == ByteType)
+    assert(Tensorize.narrowestIndexType(1000) == ShortType)
+    assert(Tensorize.narrowestIndexType(100000) == IntegerType)
+    assert(Tensorize.narrowestIndexType(1L << 40) == LongType)
+  }
+
   test("qualityFeatures and score are bounded and favor natural text") {
     val natural = "The quick brown fox jumps over the lazy dog and runs to the old barn."
     val junk = "!!!??? ;;;;; ..... !!!!"
