@@ -370,9 +370,14 @@ object SparkEntry {
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(38,6)"))
           .cast("double").as("revenue"))
-      rev
-        .withColumn("rank", row_number().over(Window.orderBy(col("revenue").desc, col("c_custkey").asc)).cast("long"))
-        .filter(col("rank") <= 10)
+      // orderBy+limit compiles to TakeOrderedAndProject: each partition
+      // keeps its local top 10, the driver merges — no global window over
+      // the customer table. The rank window that follows only ever sees
+      // the 10 surviving rows (bounded by the limit), which is the one
+      // legitimate use of a partition-less window.
+      rev.orderBy(col("revenue").desc, col("c_custkey").asc).limit(10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("revenue").desc, col("c_custkey").asc)).cast("long"))
     }
   )
 

@@ -4,12 +4,14 @@ import graft.meds.Meds
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Patient split & shard assignment, and event-level ingest sharding.
+/** Patient split & shard assignment.
   *
   * Reference: src/MEDS_transforms/extract/split_and_shard_patients.py
   * (seeded random assignment of patients to train/tuning/held_out splits,
-  * then fixed-size shards within splits) and extract/shard_events.py
-  * (row-chunking raw input files).
+  * then fixed-size shards within splits). The reference's
+  * extract/shard_events.py (row-chunking raw input files) maps to
+  * [[graft.sources.MedsIO.writeRowChunked]] — in Spark, ingest chunks are
+  * output files, not in-memory partitions.
   */
 object Shard {
 
@@ -17,15 +19,20 @@ object Shard {
     * must sum to ~1) and a shard id within the split.
     *
     * The reference shuffles patient ids with a seeded RNG and slices
-    * (split_and_shard_patients.py:16-153). Distributed analog: order
-    * patients by a seeded 64-bit hash (xxhash64 — stable across Spark
-    * versions and cluster layouts) and slice by cumulative fraction. This
-    * keeps assignment deterministic given (seed, patient set) without any
-    * driver-side collection; only the vocabulary-of-patients table is
-    * windowed, never the measurement table.
+    * (split_and_shard_patients.py:16-153). Distributed analog: a seeded
+    * 64-bit hash (xxhash64 — stable across Spark versions and cluster
+    * layouts) maps each patient to a uniform point in [0,1); the
+    * cumulative-fraction intervals of that unit line are the splits. This
+    * is embarrassingly parallel — no global sort, no window, no shuffle
+    * beyond the patient-distinct — and deterministic given (seed, patient
+    * id). Split sizes are binomially concentrated around the requested
+    * fractions (exact-fraction slicing would need a global rank, which at
+    * hundreds of millions of patients funnels the whole table through one
+    * task for zero semantic gain — the reference's seeded shuffle is just
+    * as approximate in spirit).
     *
-    * For oracle-friendly deterministic assignment, `byModulo` below avoids
-    * the engine-specific hash entirely.
+    * For oracle-friendly deterministic assignment, `splitByModulo` below
+    * avoids the engine-specific hash entirely.
     */
   def splitAndShardPatients(
       patients: DataFrame,
@@ -34,15 +41,11 @@ object Shard {
       seed: Long = 1
   ): DataFrame = {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
-    import org.apache.spark.sql.expressions.Window
-    val n = count(lit(1)).over(Window.partitionBy())
-    val rank = row_number().over(
-      Window.orderBy(xxhash64(col(Meds.PatientId), lit(seed)), col(Meds.PatientId))
-    )
-    val frac = (rank.cast("double") - 0.5) / n
+    // signed 64-bit hash -> uniform double in [0,1)
+    val u = xxhash64(col(Meds.PatientId), lit(seed)).cast("double") / lit(2.0 * Long.MaxValue) + lit(0.5)
     val cum = fractions.scanLeft(0.0)(_ + _._2).tail
     val splitExpr = fractions.zip(cum).foldRight(lit(fractions.last._1)) {
-      case (((name, _), hi), acc) => when(frac < hi, lit(name)).otherwise(acc)
+      case (((name, _), hi), acc) => when(u < hi, lit(name)).otherwise(acc)
     }
     patients
       .select(col(Meds.PatientId)).distinct()
@@ -70,13 +73,4 @@ object Shard {
       .withColumn("shard", pmod(floor(col(Meds.PatientId).cast("double") / denom).cast("long"), lit(nShardsPerSplit)))
   }
 
-  /** Ingest sharding (shard_events.py): split a raw table into ~`rowsPerShard`
-    * chunks. In Spark this is just a repartition-by-range write — the
-    * "shards" of the reference are Spark's native partitions.
-    */
-  def shardEvents(df: DataFrame, rowsPerShard: Long): DataFrame = {
-    val nRows = df.count()
-    val nShards = math.max(1, math.ceil(nRows.toDouble / rowsPerShard).toInt)
-    df.repartition(nShards)
-  }
 }

@@ -46,4 +46,20 @@ object MedsIO {
     */
   def readSharded(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Ingest row-chunking (reference: extract/shard_events.py — split raw
+    * input into ~`rowsPerShard`-row chunks so downstream map stages get
+    * bounded units of work).
+    *
+    * In Spark the chunk is an output FILE: the writer's `maxRecordsPerFile`
+    * option rolls files at the row bound inside each write task. This costs
+    * ZERO extra scans and ZERO shuffles — the count + repartition(ceil(n /
+    * rowsPerShard)) formulation would add one full scan (the count) and one
+    * full round-robin shuffle, both pure overhead at 100 TB.
+    */
+  def writeRowChunked(df: DataFrame, path: String, rowsPerShard: Long): Unit =
+    df.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerShard)
+      .parquet(path)
 }

@@ -33,4 +33,23 @@ class MedsIOSpec extends SparkSpec {
     val pruned = train.queryExecution.executedPlan.toString
     assert(pruned.contains("split") ) // partition column participates in planning
   }
+
+  test("writeRowChunked bounds file row counts with no extra scan or shuffle") {
+    val df = (1L to 100L).map(i => (i, s"row$i")).toDF("id", "payload").coalesce(1)
+    val dir = Files.createTempDirectory("row_chunked").toString
+    MedsIO.writeRowChunked(df, dir, rowsPerShard = 30)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100)
+    // 100 rows in one write task at <=30 rows/file -> 4 files
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 chunk files, got ${files.length}")
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getPath).count() <= 30)
+    }
+    // the chunking is a writer option: the plan may not contain a count or
+    // a repartition exchange (the anti-pattern this replaces)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }

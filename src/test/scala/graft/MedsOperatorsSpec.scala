@@ -198,13 +198,22 @@ class MedsOperatorsSpec extends SparkSpec {
     assert(out.except(again).count() == 0)
   }
 
-  test("splitAndShardPatients respects fractions deterministically") {
-    val patients = (0L until 1000L).toDF("patient_id")
-    val out = Shard.splitAndShardPatients(patients, Seq("train" -> 0.8, "tuning" -> 0.1, "held_out" -> 0.1), 3, seed = 7)
+  test("splitAndShardPatients respects fractions deterministically, without a global window") {
+    val patients = (0L until 10000L).toDF("patient_id")
+    val fr = Seq("train" -> 0.8, "tuning" -> 0.1, "held_out" -> 0.1)
+    val out = Shard.splitAndShardPatients(patients, fr, 3, seed = 7)
     val bySplit = out.groupBy("split").count().as[(String, Long)].collect().toMap
-    assert(bySplit("train") == 800L && bySplit("tuning") == 100L && bySplit("held_out") == 100L)
-    val again = Shard.splitAndShardPatients(patients, Seq("train" -> 0.8, "tuning" -> 0.1, "held_out" -> 0.1), 3, seed = 7)
+    // hash-threshold assignment is binomial around the target fraction:
+    // at n=10000 a 2% absolute tolerance is > 5 sigma for every split
+    fr.foreach { case (name, f) =>
+      assert(math.abs(bySplit(name) / 10000.0 - f) < 0.02, s"split $name off target: ${bySplit(name)}")
+    }
+    assert(out.filter(col("shard") < 0 || col("shard") >= 3).count() == 0)
+    val again = Shard.splitAndShardPatients(patients, fr, 3, seed = 7)
     assert(out.except(again).count() == 0)
+    // the scale contract: no window anywhere in the plan (the old global
+    // rank formulation funneled all patients through one task)
+    assert(!out.queryExecution.sparkPlan.toString.contains("Window"))
   }
 
   test("extractEvent assembles codes from literal+column parts with UNK fill") {
@@ -230,9 +239,4 @@ class MedsOperatorsSpec extends SparkSpec {
     assert(codes.toSeq == Seq("A", "C", "B")) // time-sorted within patient partition
   }
 
-  test("shardEvents repartitions to ceil(rows / rowsPerShard) shards") {
-    val df = (1 to 100).toDF("x")
-    assert(Shard.shardEvents(df, 30).rdd.getNumPartitions == 4)
-    assert(Shard.shardEvents(df, 1000).rdd.getNumPartitions == 1)
-  }
 }

@@ -43,6 +43,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(out) == 1)
   }
 
+  test("no query plan has an unbounded single-partition window") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    // A partition-less window funnels its whole input through ONE task.
+    // That is only acceptable when the input is provably bounded: either
+    // below a limit (top-k postprocessing) or vocabulary-sized by operator
+    // contract (the code dimension — allowlisted here, documented in
+    // Vocabulary.lexicographicIndices).
+    val vocabSizedByContract = Set("q_fit_vocab", "q_normalize")
+
+    def boundedBelow(p: SparkPlan): Boolean = p match {
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+      case other => other.children.exists(boundedBelow)
+    }
+    def offenders(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty && !w.children.exists(boundedBelow) =>
+          Seq(w.nodeName)
+        case _ => Nil
+      }
+      self ++ p.children.flatMap(offenders) ++ p.subqueries.flatMap(offenders)
+    }
+
+    val sf = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (vocabSizedByContract(name)) Nil
+      else offenders(fn(spark, sf).queryExecution.sparkPlan).map(n => s"$name: $n")
+    }
+    assert(bad.isEmpty, s"unbounded global windows found:\n${bad.mkString("\n")}")
+  }
+
   test("metadata-joined operators add no fact-side shuffle") {
     val meta = graft.operators.CodeMetadata.aggregate(cohort)
     val out = graft.operators.Outliers.occludeOutliers(cohort, meta, 2.0)
