@@ -403,10 +403,14 @@ object SparkEntry {
           |FROM events WHERE user_id IN (
           |  SELECT user_id FROM events WHERE ts IS NOT NULL GROUP BY 1 HAVING count(*) >= 60)""".stripMargin,
 
+      // NB: a null time counts as one distinct event (Polars n_unique
+      // parity — Filters.filterPatientsByNumEvents adds +1 when any null
+      // time exists), hence the max(CASE ...) term.
       "q_filter_patients_events" ->
         """SELECT event_id, user_id AS patient_id, epoch_us(ts) AS time_us, event_type AS code, value AS numeric_value
           |FROM events WHERE user_id IN (
-          |  SELECT user_id FROM events GROUP BY 1 HAVING count(DISTINCT ts) >= 60)""".stripMargin,
+          |  SELECT user_id FROM events GROUP BY 1
+          |  HAVING count(DISTINCT ts) + max(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) >= 60)""".stripMargin,
 
       "q_add_age" ->
         """WITH u AS (SELECT DISTINCT user_id, ts FROM events WHERE ts IS NOT NULL),

@@ -52,10 +52,14 @@ case class RollingHash(child: Expression, base: Long, modulus: Long) extends Una
       val bytes = ctx.freshName("bytes")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
-      // inline block expression via a private method for clarity
-      val method = ctx.addNewFunction("graftRollingHash",
+      // CodegenContext.addNewFunction dedups by NAME: two RollingHash
+      // instances with different (base, modulus) in one generated class
+      // would silently share one body under a fixed name. freshName gives
+      // each instance its own method.
+      val fnName = ctx.freshName("graftRollingHash")
+      val method = ctx.addNewFunction(fnName,
         s"""
-           |private long graftRollingHash(org.apache.spark.unsafe.types.UTF8String s) {
+           |private long $fnName(org.apache.spark.unsafe.types.UTF8String s) {
            |  byte[] $bytes = s.getBytes();
            |  long $acc = 0L;
            |  for (int $i = 0; $i < $bytes.length; $i++) {

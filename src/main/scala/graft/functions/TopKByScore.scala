@@ -42,6 +42,19 @@ case class TopKByScore(
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
+
+  // update() evals children as Double/Long directly; anything else would
+  // ClassCastException (or corrupt results) at EXECUTION time, so reject it
+  // at analysis time. The Column builder below inserts the casts for
+  // callers with float scores / int ids.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType != DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a DOUBLE score, got ${score.dataType.sql}")
+    else if (id.dataType != LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BIGINT id, got ${id.dataType.sql}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
     containsNull = false)
@@ -106,9 +119,12 @@ case class TopKByScore(
 
 object TopKByScore {
 
-  /** Column-API entry point: `topK(score, id, k)` as an aggregate column. */
+  /** Column-API entry point: `topK(score, id, k)` as an aggregate column.
+    * Casts are inserted here so float scores / int ids satisfy the
+    * expression's strict type check.
+    */
   def topK(score: Column, id: Column, k: Int): Column =
     Bridge.column(
-      TopKByScore(Bridge.expression(score), Bridge.expression(id), k)
+      TopKByScore(Bridge.expression(score.cast("double")), Bridge.expression(id.cast("long")), k)
         .toAggregateExpression())
 }

@@ -111,10 +111,14 @@ object Multimodal {
     df.select(
         col(idCol),
         posexplode(
-          transform(
-            sequence(lit(0), floor(length(col(mediaCol)) / (frameBytes * stride)).cast("int") - 1),
-            k => substring_index_bytes(col(mediaCol), k, frameBytes, stride)
-          )
+          // guard the stop: media shorter than one stride window would make
+          // it -1 and sequence(0, -1) counts DOWN — emit no frames instead
+          when(length(col(mediaCol)) >= frameBytes * stride,
+            transform(
+              sequence(lit(0), floor(length(col(mediaCol)) / (frameBytes * stride)).cast("int") - 1),
+              k => substring_index_bytes(col(mediaCol), k, frameBytes, stride)
+            )
+          ).otherwise(array().cast("array<binary>"))
         ).as(Seq("frame_idx", "frame"))
       )
       .filter(length(col("frame")) === frameBytes)

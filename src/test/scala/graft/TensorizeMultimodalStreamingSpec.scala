@@ -82,6 +82,10 @@ class TensorizeMultimodalStreamingSpec extends SparkSpec {
     assert(frames.length == 4) // 64 bytes / (8*2) = 4 windows
     assert(frames(0)._3.toSeq == (0 until 8).map(_.toByte))
     assert(frames(1)._3.toSeq == (16 until 24).map(_.toByte))
+    // media shorter than one stride window emits zero frames (regression:
+    // the unguarded sequence stop went to -1, counting DOWN)
+    val short = Seq((2L, Array.tabulate(5)(_.toByte))).toDF("media_id", "media")
+    assert(Multimodal.sampleFrames(short, frameBytes = 8, stride = 2).count() == 0)
   }
 
   test("streaming: windowed counts with watermark over a micro-batch stream") {

@@ -55,6 +55,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(df.filter(col("native").isNull).count() == 0)
   }
 
+  test("two rolling-hash parameterizations in one projection hash independently") {
+    // regression: codegen used a FIXED generated-function name, so two
+    // instances with different (base, modulus) in the same codegen class
+    // silently shared one body
+    import graft.functions.RollingHash.rollingHash
+    val row = Seq("abc").toDF("t").select(
+      rollingHash(col("t"), base = 31, modulus = 1000000007L).as("h31"),
+      rollingHash(col("t"), base = 131, modulus = 1000000007L).as("h131")
+    ).collect()(0)
+    // abc bytes: 97 98 99
+    def ref(base: Long) = ((97 * base + 98) * base + 99) % 1000000007L
+    assert(row.getLong(0) == ref(31))
+    assert(row.getLong(1) == ref(131))
+  }
+
   test("tensor code narrowing picks the smallest sufficient type") {
     import graft.operators.Tensorize
     import org.apache.spark.sql.types._

@@ -27,6 +27,16 @@ class TopKByScoreSpec extends SparkSpec {
     assert(viaWindow.except(viaAgg).count() == 0)
   }
 
+  test("builder casts float scores and int ids to the required double/long") {
+    // float score + int id would ClassCastException at execution without
+    // the builder-inserted casts (and the expression's type check would
+    // reject them if constructed raw)
+    val df = Seq((1, 10, 0.5f), (1, 11, 0.9f)).toDF("q", "id", "s")
+    val out = df.groupBy("q").agg(TopKByScore.topK(col("s"), col("id"), 1).as("top"))
+      .select(explode(col("top")).as("e")).select("e.id").as[Long].collect()
+    assert(out.toSeq == Seq(11L))
+  }
+
   test("groups smaller than k return all rows, best first") {
     val df = Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.9)).toDF("q", "id", "s")
     val out = df.groupBy("q").agg(TopKByScore.topK(col("s"), col("id"), 5).as("top"))
