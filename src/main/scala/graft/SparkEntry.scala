@@ -209,6 +209,32 @@ object SparkEntry {
       ).select(col("event_id"), col("patient_id"), timeUs(), col("code"), col("numeric_value"))
     },
 
+    // String timestamps in two different formats, parsed via the config's
+    // format list (reference in_format coalesce), plus text_value /
+    // categorical_value output columns.
+    "q_convert_multifmt" -> { (s, dir) =>
+      import Extract._
+      val raw = ev(s, dir).withColumn(
+        "ts_str",
+        when(col("event_id") % 2 === 0, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .otherwise(date_format(col("ts"), "MM/dd/yyyy HH:mm:ss.SSSSSS"))
+      )
+      extractEvent(
+        raw,
+        EventConfig(
+          patientId = "user_id",
+          time = Some("ts_str"),
+          code = Seq(CodeLit("EVENT"), CodeCol("event_type")),
+          numericValue = Some("value"),
+          timeFormat = Some(Seq("yyyy-MM-dd HH:mm:ss.SSSSSS", "MM/dd/yyyy HH:mm:ss.SSSSSS")),
+          textValue = Some("props"),
+          categoricalValue = Some("event_type"),
+          extraCols = Map("event_id" -> "event_id")
+        )
+      ).select(col("event_id"), col("patient_id"), timeUs(), col("code"),
+        col("text_value"), col("categorical_value"), col("numeric_value"))
+    },
+
     "q_merge_sort" -> { (s, dir) =>
       val m = meds(s, dir)
       val p1 = m.filter(col("code").isin("click", "view")).withColumn("channel", lit("web"))
@@ -229,6 +255,23 @@ object SparkEntry {
         ("purchase", "Purchase"), ("signup", "Signup")
       ).toDF("code", "description")
       Extract.attachCodeMetadata(codes, metadata)
+    },
+
+    // Two metadata sources with an overlapping code: descriptions concat
+    // with the separator, other metadata columns collect into sorted lists
+    // (emitted here as a joined string for engine-portable comparison).
+    "q_extract_metadata_multi" -> { (s, dir) =>
+      import s.implicits._
+      val codes = CodeMetadata.aggregate(meds(s, dir)).select(col("code"))
+      val m1 = Seq(("click", "Click event", 1), ("view", "View event", 2), ("purchase", "Purchase v1", 3))
+        .toDF("code", "description", "priority")
+      val m2 = Seq(("purchase", "Completed checkout"), ("signup", "Account created"))
+        .toDF("code", "description")
+      val multi = Extract.extractCodeMetadataMulti(Seq(m1, m2), descriptionSeparator = "; ")
+        .withColumn("priorities", array_join(col("priority").cast("array<string>"), ","))
+        .drop("priority")
+      Extract.attachCodeMetadata(codes, multi)
+        .select(col("code"), col("description"), col("priorities"))
     },
 
     "q_finalize" -> ((s, dir) =>
@@ -478,7 +521,21 @@ object SparkEntry {
         """SELECT event_id, user_id AS patient_id, epoch_us(ts) AS time_us,
           |  concat_ws('//', 'EVENT', coalesce(CAST(event_type AS VARCHAR), 'UNK')) AS code,
           |  value AS numeric_value
-          |FROM events""".stripMargin,
+          |FROM events WHERE ts IS NOT NULL""".stripMargin,
+
+      "q_convert_multifmt" ->
+        """WITH raw AS (SELECT *,
+          |  CASE WHEN event_id % 2 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+          |       ELSE strftime(ts, '%m/%d/%Y %H:%M:%S.%f') END AS ts_str FROM events),
+          |p AS (SELECT *,
+          |  coalesce(try_strptime(ts_str, '%Y-%m-%d %H:%M:%S.%f'),
+          |           try_strptime(ts_str, '%m/%d/%Y %H:%M:%S.%f')) AS t FROM raw)
+          |SELECT event_id, user_id AS patient_id, epoch_us(t) AS time_us,
+          |  concat_ws('//', 'EVENT', coalesce(CAST(event_type AS VARCHAR), 'UNK')) AS code,
+          |  CAST(props AS VARCHAR) AS text_value,
+          |  CAST(event_type AS VARCHAR) AS categorical_value,
+          |  value AS numeric_value
+          |FROM p WHERE t IS NOT NULL""".stripMargin,
 
       "q_merge_sort" ->
         """WITH p1 AS (SELECT user_id AS patient_id, ts AS t, event_type AS code, value AS numeric_value, 'web' AS channel
@@ -491,6 +548,19 @@ object SparkEntry {
         """WITH c AS (SELECT event_type AS code, count(*) AS n_occurrences FROM events GROUP BY 1),
           |m AS (SELECT * FROM (VALUES ('click','Click event'),('view','View event'),('purchase','Purchase'),('signup','Signup')) AS t(code, description))
           |SELECT c.code, c.n_occurrences, m.description FROM c LEFT JOIN m ON c.code = m.code""".stripMargin,
+
+      "q_extract_metadata_multi" ->
+        """WITH m1 AS (SELECT * FROM (VALUES ('click','Click event',1),('view','View event',2),
+          |                                  ('purchase','Purchase v1',3)) t(code, description, priority)),
+          |m2 AS (SELECT * FROM (VALUES ('purchase','Completed checkout'),('signup','Account created')) t(code, description)),
+          |u AS (SELECT DISTINCT * FROM (SELECT code, description, priority FROM m1
+          |                              UNION ALL SELECT code, description, NULL FROM m2)),
+          |multi AS (SELECT code,
+          |    string_agg(description, '; ' ORDER BY description) AS description,
+          |    coalesce(string_agg(CAST(priority AS VARCHAR), ',' ORDER BY priority), '') AS priorities
+          |  FROM u GROUP BY 1),
+          |c AS (SELECT DISTINCT event_type AS code FROM events)
+          |SELECT c.code, m.description, m.priorities FROM c LEFT JOIN multi m ON c.code = m.code""".stripMargin,
 
       "q_finalize" ->
         """SELECT event_id, user_id AS patient_id, epoch_us(ts) AS time_us, event_type AS code,

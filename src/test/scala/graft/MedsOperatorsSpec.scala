@@ -227,6 +227,51 @@ class MedsOperatorsSpec extends SparkSpec {
     assert(out(1).getString(2) == "ADMIT//UNK" && out(1).isNullAt(3))
   }
 
+  test("extractEvent parses string times via format list, emits text/categorical values, filters and dedups") {
+    import Extract._
+    val raw = Seq(
+      (1L, "2020-05-01 10:00:00", Some("A"), "hi", 1.0),   // format 1
+      (2L, "05/02/2020 11:30:00", Some("B"), "yo", 2.0),   // format 2
+      (3L, "not a time", Some("C"), "zz", 3.0),            // unparseable -> dropped
+      (4L, "2020-05-01 10:00:00", None, "nn", 4.0),        // null code col -> dropped
+      (5L, "2020-05-03 09:00:00", Some("D"), "dup", 5.0),
+      (5L, "2020-05-03 09:00:00", Some("D"), "dup", 5.0)   // exact dup -> deduped
+    ).toDF("subj", "when_", "kind", "note", "val")
+    val out = extractEvent(raw, EventConfig(
+      patientId = "subj", time = Some("when_"),
+      code = Seq(CodeCol("kind"), CodeLit("X")),
+      numericValue = Some("val"),
+      timeFormat = Some(Seq("yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss")),
+      textValue = Some("note"), categoricalValue = Some("kind"),
+      dedup = true
+    ))
+    val rows = out.sort("patient_id").collect()
+    assert(rows.length == 3) // unparseable + null-code dropped, dup collapsed
+    assert(rows(0).getString(2) == "A//X" && rows(0).getString(4) == "hi" && rows(0).getString(5) == "A")
+    assert(rows(1).getTimestamp(1) == ts("2020-05-02 11:30:00")) // second format won
+    assert(out.columns.toSeq ==
+      Seq("patient_id", "time", "code", "numeric_value", "text_value", "categorical_value"))
+  }
+
+  test("extractCodeMetadataMulti concats descriptions and flattens parent code lists per code") {
+    val m1 = Seq(
+      ("HR", "Heart rate", Seq("vitals//cardiac")),
+      ("BP", "Blood pressure", Seq("vitals//cardiac", "vitals//pressure"))
+    ).toDF("code", "description", "parent_codes")
+    val m2 = Seq(
+      ("HR", "Pulse", Seq("obs//continuous")),
+      ("RR", "Respiratory rate", Seq[String]())
+    ).toDF("code", "description", "parent_codes")
+    val out = Extract.extractCodeMetadataMulti(Seq(m1, m2), descriptionSeparator = "; ")
+      .sort("code").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("BP", "HR", "RR"))
+    val hr = out(1)
+    assert(hr.getString(1) == "Heart rate; Pulse") // sorted concat
+    assert(hr.getSeq[String](2) == Seq("obs//continuous", "vitals//cardiac")) // flattened+sorted
+    assert(out(0).getString(1) == "Blood pressure")
+    assert(out(2).getSeq[String](2) == Seq())
+  }
+
   test("mergeCohort unions diagonally, dedups on keys, and sorts within patients") {
     val a = Seq((1L, ts("2020-01-01 02:00:00"), "B", 1.0), (1L, ts("2020-01-01 01:00:00"), "A", 2.0))
       .toDF("patient_id", "time", "code", "numeric_value").withColumn("src", lit("a"))
