@@ -47,6 +47,54 @@ object MedsIO {
   def readSharded(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Identity of an extracted dataset, serialized to `metadata/dataset.json`
+    * (reference: extract/finalize_MEDS_metadata.py:117-123 key set).
+    */
+  final case class DatasetInfo(
+      datasetName: String,
+      datasetVersion: String,
+      etlName: String = "graft",
+      etlVersion: String = "0.1.0",
+      medsVersion: String = "0.3.2"
+  )
+
+  /** Write the final MEDS metadata artifacts
+    * (finalize_MEDS_metadata.py:110-156):
+    *   - `metadata/codes.parquet`: schema-finalized code metadata
+    *     (vocabulary-sized -> one file);
+    *   - `metadata/dataset.json`: dataset_name/version + etl name/version +
+    *     meds_version;
+    *   - `metadata/patient_splits.parquet`: (patient_id: long, split:
+    *     string). Patient-count sized — NOT coalesced to one file (at 100 TB
+    *     that's hundreds of millions of rows; the reference's single-file
+    *     layout is an artifact of single-node Polars, not a contract worth a
+    *     1-task bottleneck).
+    */
+  def writeMetadata(
+      codeMetadata: DataFrame,
+      patientSplits: DataFrame,
+      info: DatasetInfo,
+      path: String
+  ): Unit = {
+    val spark = codeMetadata.sparkSession
+    val metaDir = s"$path/metadata"
+    Meds.finalizeMetadata(codeMetadata)
+      .coalesce(1).write.mode("overwrite").parquet(s"$metaDir/codes.parquet")
+    patientSplits
+      .select(col(Meds.PatientId).cast("long").as(Meds.PatientId), col("split").cast("string").as("split"))
+      .write.mode("overwrite").parquet(s"$metaDir/patient_splits.parquet")
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    val json =
+      s"""{"dataset_name": "${esc(info.datasetName)}", "dataset_version": "${esc(info.datasetVersion)}", "etl_name": "${esc(info.etlName)}", "etl_version": "${esc(info.etlVersion)}", "meds_version": "${esc(info.medsVersion)}"}"""
+    // Hadoop FS API so the sink works on any cluster filesystem, not just local
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(metaDir), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$metaDir/dataset.json"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Ingest row-chunking (reference: extract/shard_events.py — split raw
     * input into ~`rowsPerShard`-row chunks so downstream map stages get
     * bounded units of work).

@@ -34,6 +34,31 @@ class MedsIOSpec extends SparkSpec {
     assert(pruned.contains("split") ) // partition column participates in planning
   }
 
+  test("writeMetadata emits codes.parquet, dataset.json, and patient_splits.parquet") {
+    val codeMeta = Seq(("HR", "Heart rate", "vitals"), ("BP", "Blood pressure", "vitals"))
+      .toDF("code", "description", "parent_codes") // scalar parent -> wrapped in list
+    val cohort = (1L to 20L).toDF("patient_id")
+    val splits = Shard.splitByModulo(cohort, Seq("train" -> 8, "tuning" -> 1, "held_out" -> 1), 2)
+    val dir = Files.createTempDirectory("meds_meta").toString
+
+    MedsIO.writeMetadata(codeMeta, splits, MedsIO.DatasetInfo("unit-test", "1.0"), dir)
+
+    val codes = spark.read.parquet(s"$dir/metadata/codes.parquet")
+    assert(codes.count() == 2)
+    assert(codes.schema("parent_codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+
+    val back = spark.read.parquet(s"$dir/metadata/patient_splits.parquet")
+    assert(back.columns.toSeq == Seq("patient_id", "split"))
+    assert(back.count() == 20)
+
+    val json = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/metadata/dataset.json")), "UTF-8")
+    Seq("dataset_name", "dataset_version", "etl_name", "etl_version", "meds_version")
+      .foreach(k => assert(json.contains(s""""$k""""), s"missing key $k in $json"))
+    assert(json.contains(""""dataset_name": "unit-test""""))
+  }
+
   test("writeRowChunked bounds file row counts with no extra scan or shuffle") {
     val df = (1L to 100L).map(i => (i, s"row$i")).toDF("id", "payload").coalesce(1)
     val dir = Files.createTempDirectory("row_chunked").toString
