@@ -73,14 +73,30 @@ object Dedup {
     (98317L, 295075147L)
   )
 
+  /** All ordered index pairs from a SORTED id array: (ids(i), ids(j)) for
+    * i < j — so `ia < ib` by construction. Runs post-shuffle on per-bucket
+    * arrays whose size is capped by the caller, never on corpus-sized data.
+    */
+  private def combinationPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y => struct(x.as("ia"), y.as("ib")))))
+
   /** Near-duplicate pairs by word-n-gram Jaccard similarity >= `threshold`.
     *
-    * Candidates come from an equi-join on shared shingles (never a cross
-    * join); Jaccard = |∩| / (|A|+|B|-|∩|) via per-doc shingle counts.
-    * At scale the shingle strings are first md5-hashed to longs so the
-    * shuffle carries 8-byte keys, and hot shingles (appearing in > maxDocFreq
-    * docs) are dropped — they generate O(df²) candidate pairs while carrying
-    * no discriminative signal.
+    * Candidates come from per-shingle buckets (never a cross join);
+    * Jaccard = |∩| / (|A|+|B|-|∩|) via per-doc shingle counts. Shingle
+    * strings are md5-hashed to longs before any shuffle (8-byte keys), and
+    * hot shingles (appearing in > maxDocFreq docs) are dropped — they
+    * generate O(df²) candidate pairs while carrying no discriminative
+    * signal. The cap is enforced INSIDE the aggregation by
+    * [[graft.functions.BoundedCollectLongs]], so a boilerplate shingle in
+    * millions of docs costs O(1) buffer memory, not O(df).
+    *
+    * Shuffle budget (the previous formulation spent two extra corpus-sized
+    * window sort-exchanges and a sort-merge self-join of the full shingle
+    * table): one distinct on (id, sh), one doc-sized count, one groupBy sh
+    * with in-group pair explosion, one candidate-pair count. The per-doc
+    * count joins touch only candidate-pair-sized tables.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -90,30 +106,23 @@ object Dedup {
       textCol: String = "text",
       maxDocFreq: Long = 1000
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // One evaluation of the (expensive) tokenize→shingle→hash pipeline:
-    // per-doc shingle counts and per-shingle doc frequencies both ride
-    // along as window aggregates instead of separate scan branches, so
-    // the join below needs no extra lookups of corpus-sized count tables.
-    val enriched = shingleHashTable(docs, idCol, textCol, n)
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("id")))
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("sh")))
-      .filter(col("__df") <= maxDocFreq) // hot shingles: O(df^2) pairs, no signal
-      .drop("__df")
-    // MERGE hint: the bucket self-join must stay a sort-merge join so the
-    // shuffle on sh is computed once and reused for both sides (AQE would
-    // otherwise broadcast one side at small scale, recomputing the whole
-    // shingle pipeline for it; at corpus scale broadcast is impossible
-    // anyway).
-    enriched.hint("MERGE").as("a")
-      .join(enriched.hint("MERGE").as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"),
-        first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"))
+    val sh = shingleHashTable(docs, idCol, textCol, n)
+    val cnt = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val buckets = sh
+      .groupBy("sh")
+      .agg(graft.functions.BoundedCollectLongs.boundedCollect(col("id"), maxDocFreq.toInt).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+    val com = buckets
+      .select(explode(combinationPairs(col("ids"))).as("p"))
+      .groupBy(col("p.ia").as("id_a"), col("p.ib").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    com
+      .join(cnt.as("ca"), col("id_a") === col("ca.id"))
+      .join(cnt.as("cb"), col("id_b") === col("cb.id"))
       .select(
         col("id_a"),
         col("id_b"),
-        (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard")
+        (col("n_common").cast("double") / (col("ca.n_sh") + col("cb.n_sh") - col("n_common"))).as("jaccard")
       )
       .filter(col("jaccard") >= threshold)
   }
