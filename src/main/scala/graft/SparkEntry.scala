@@ -336,6 +336,13 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"), col("cosine"))
     },
 
+    "q_ann_multiprobe" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity
+        .multiProbeTopK(e, e.filter(col("vec_id") < 8), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"), col("cosine"))
+    },
+
     // ----------------------------------------------- text (SURVEY §2 28-31)
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))),
@@ -631,6 +638,19 @@ object SparkEntry {
       "q_ann_ivf" ->
         s"""WITH c AS (SELECT vec_id, embedding, $cellSql AS cell FROM embeddings),
            |q AS (SELECT * FROM c WHERE vec_id < 8),
+           |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.embedding", "c.embedding")} AS cos
+           |       FROM c JOIN q ON c.cell = q.cell AND c.vec_id <> q.vec_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank",
+           |        round(cos, 6) AS cosine
+           |      FROM sc)
+           |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
+
+      "q_ann_multiprobe" ->
+        s"""WITH c AS (SELECT vec_id, embedding, $cellSql AS cell FROM embeddings),
+           |q0 AS (SELECT * FROM c WHERE vec_id < 8),
+           |q AS (SELECT vec_id, embedding, xor(cell, m) AS cell
+           |      FROM q0, (SELECT unnest([${0L +: (0 until 8).map(1L << _) mkString ","}]) AS m)),
            |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.embedding", "c.embedding")} AS cos
            |       FROM c JOIN q ON c.cell = q.cell AND c.vec_id <> q.vec_id),
            |r AS (SELECT query_id, neighbor_id,

@@ -134,6 +134,58 @@ object Similarity {
     topKFromScores(scored, k)
   }
 
+  /** XOR masks reaching every cell within hamming distance `radius` of a
+    * query's own cell (radius 0 = just the cell, 1 = +single-bit flips,
+    * 2 = +bit-pair flips). Distinct by construction.
+    */
+  def probeMasks(nBits: Int, radius: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= 2, s"probe radius $radius not in [0,2]")
+    val r0 = Seq(0L)
+    val r1 = if (radius >= 1) (0 until nBits).map(1L << _) else Nil
+    val r2 =
+      if (radius >= 2)
+        for { i <- 0 until nBits; j <- (i + 1) until nBits }
+          yield (1L << i) | (1L << j)
+      else Nil
+    r0 ++ r1 ++ r2
+  }
+
+  /** Multi-probe variant of [[bucketedTopK]]: each query searches its own
+    * sign-bit cell PLUS every cell within hamming distance `probeRadius`
+    * (sign bits flipped) — the standard multi-probe LSH recall fix for
+    * vectors near a quantization border, where the true neighbors sit
+    * across the hyperplane. Radius 1 costs nBits+1 probes per query,
+    * radius 2 adds nBits·(nBits−1)/2 more; the corpus side is still
+    * bucketed once and never duplicated. Probe cells are pairwise
+    * distinct, so each (query, corpus) pair scores at most once — no
+    * dedup needed before ranking. Size cells so 2^nBits ≈ √|corpus| for
+    * the usual IVF probe/recall balance.
+    */
+  def multiProbeTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nBits: Int = 8,
+      probeRadius: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val cCell = corpus.withColumn("__cell", signBitCell(col(vecCol), nBits))
+    val masks = array(probeMasks(nBits, probeRadius).map(lit): _*)
+    val qProbes = queries
+      .withColumn("__qcell", signBitCell(col(vecCol), nBits))
+      .withColumn("__cell", explode(transform(masks, m => col("__qcell").bitwiseXOR(m))))
+    val scored = cCell.as("c")
+      .join(broadcast(qProbes.as("q")),
+        col("c.__cell") === col("q.__cell") && col(s"c.$idCol") =!= col(s"q.$idCol"))
+      .select(
+        col(s"q.$idCol").as("query_id"),
+        col(s"c.$idCol").as("neighbor_id"),
+        cosine(col(s"q.$vecCol"), col(s"c.$vecCol")).as("cos")
+      )
+    topKFromScores(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, bucketed by
     * coarse cell so candidate generation is an equi-join (exact within
     * a cell; probabilistic recall across cells, standard LSH trade).

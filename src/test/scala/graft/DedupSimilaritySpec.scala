@@ -110,6 +110,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.select("neighbor_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("multiProbeTopK recall >= single-probe recall against brute force") {
+    // 500 random 64-dim vectors: cells sized 2^4 ≈ sqrt(N) per the IVF rule
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 20)
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    val exact = resultSet(Similarity.bruteForceTopK(e, q, k = 5))
+    val single = resultSet(Similarity.bucketedTopK(e, q, k = 5, cell = Similarity.signBitCell(_, 4)))
+    val multi1 = resultSet(Similarity.multiProbeTopK(e, q, k = 5, nBits = 4, probeRadius = 1))
+    val multi2 = resultSet(Similarity.multiProbeTopK(e, q, k = 5, nBits = 4, probeRadius = 2))
+    def recall(s: Set[(Long, Long)]): Double = (s intersect exact).size.toDouble / exact.size
+    val (rSingle, r1, r2) = (recall(single), recall(multi1), recall(multi2))
+    // widening the probe set strictly widens candidates, so recall is monotone
+    assert(r1 >= rSingle, s"radius-1 recall $r1 < single-probe $rSingle")
+    assert(r2 >= r1, s"radius-2 recall $r2 < radius-1 $r1")
+    assert(r2 > 0.4, s"radius-2 recall unexpectedly low on sqrt(N)-sized cells: $r2")
+    // every query still gets k rows (probes never drop a query's own cell)
+    assert(multi1.groupBy(_._1).forall(_._2.size == 5))
+  }
+
+  test("probeMasks: distinct, correct counts, correct hamming weights") {
+    val m1 = Similarity.probeMasks(8, 1)
+    val m2 = Similarity.probeMasks(8, 2)
+    assert(m1.size == 9 && m1.distinct.size == 9)
+    assert(m2.size == 1 + 8 + 28 && m2.distinct.size == m2.size)
+    assert(m2.forall(m => java.lang.Long.bitCount(m) <= 2))
+  }
+
   test("embeddingNearDupPairs: exact mode finds all pairs above threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.05f)), (3L, Array(0.0f, 1.0f))
