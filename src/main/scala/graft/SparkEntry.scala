@@ -148,6 +148,19 @@ object SparkEntry {
         .timeOfDayEvents(meds(s, dir))
         .select(col("patient_id"), timeUs(), col("code"))),
 
+    "q_time_derived_stage" -> { (s, dir) =>
+      import TimeDerived.{AgeConfig, TimeOfDayConfig}
+      // "yrs" exercises normalizeTimeUnit alias resolution
+      TimeDerived
+        .addTimeDerivedMeasurements(
+          meds(s, dir),
+          Seq(AgeConfig(TimeDerived.dobFromFirstEvent, "AGE", "yrs"), TimeOfDayConfig()))
+        .select(
+          col("patient_id"), timeUs(), col("code"),
+          when(col("code") === "AGE", round(col("numeric_value"), 6))
+            .otherwise(col("numeric_value")).as("numeric_value"))
+    },
+
     "q_occlude_outliers" -> { (s, dir) =>
       val meta = CodeMetadata.aggregate(meds(s, dir))
       Outliers
@@ -474,6 +487,21 @@ object SparkEntry {
           |  CASE WHEN hour(ts)<6 THEN 'time_of_day//[00,06)' WHEN hour(ts)<12 THEN 'time_of_day//[06,12)'
           |       WHEN hour(ts)<18 THEN 'time_of_day//[12,18)' ELSE 'time_of_day//[18,24)' END AS code
           |FROM events WHERE ts IS NOT NULL""".stripMargin,
+
+      "q_time_derived_stage" ->
+        """WITH u AS (SELECT DISTINCT user_id, ts FROM events WHERE ts IS NOT NULL),
+          |d AS (SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS dob FROM u),
+          |age AS (SELECT user_id AS patient_id, epoch_us(ts) AS time_us, 'AGE' AS code,
+          |  round((epoch_us(ts)-epoch_us(dob)) / (1000000*(86400*CAST(365.2422 AS DOUBLE))), 6) AS numeric_value
+          |  FROM d WHERE epoch_us(ts) > epoch_us(dob)),
+          |tod AS (SELECT DISTINCT user_id AS patient_id, epoch_us(ts) AS time_us,
+          |  CASE WHEN hour(ts)<6 THEN 'time_of_day//[00,06)' WHEN hour(ts)<12 THEN 'time_of_day//[06,12)'
+          |       WHEN hour(ts)<18 THEN 'time_of_day//[12,18)' ELSE 'time_of_day//[18,24)' END AS code,
+          |  CAST(NULL AS DOUBLE) AS numeric_value
+          |  FROM events WHERE ts IS NOT NULL),
+          |orig AS (SELECT user_id AS patient_id, epoch_us(ts) AS time_us, event_type AS code,
+          |  CAST(value AS DOUBLE) AS numeric_value FROM events)
+          |SELECT * FROM age UNION ALL SELECT * FROM tod UNION ALL SELECT * FROM orig""".stripMargin,
 
       "q_occlude_outliers" ->
         s"""WITH $statsCtes

@@ -12,18 +12,37 @@ import org.apache.spark.sql.functions._
   */
 object TimeDerived {
 
-  /** Average-length time units in seconds
-    * (add_time_derived_measurements.py:105-113).
+  /** Canonical time units with their accepted aliases and average length in
+    * seconds (add_time_derived_measurements.py:105-113). Average-length:
+    * a "month"/"year" is the mean calendar duration, not a local calendar
+    * offset — approximate durations over long spans, per the reference.
     */
-  val TimeUnitSeconds: Map[String, Double] = Map(
-    "seconds" -> 1d,
-    "minutes" -> 60d,
-    "hours" -> 3600d,
-    "days" -> 86400d,
-    "weeks" -> 604800d,
-    "months" -> 86400d * 30.436875,
-    "years" -> 86400d * 365.2422
+  val TimeDurationUnits: Seq[(String, Seq[String], Double)] = Seq(
+    ("seconds", Seq("s", "sec", "secs", "second", "seconds"), 1d),
+    ("minutes", Seq("m", "min", "mins", "minute", "minutes"), 60d),
+    ("hours", Seq("h", "hr", "hrs", "hour", "hours"), 3600d),
+    ("days", Seq("d", "day", "days"), 86400d),
+    ("weeks", Seq("w", "wk", "wks", "week", "weeks"), 604800d),
+    ("months", Seq("mo", "mos", "month", "months"), 86400d * 30.436875),
+    ("years", Seq("y", "yr", "yrs", "year", "years"), 86400d * 365.2422)
   )
+
+  /** Canonical-name → seconds view of [[TimeDurationUnits]]. */
+  val TimeUnitSeconds: Map[String, Double] =
+    TimeDurationUnits.map { case (name, _, sec) => name -> sec }.toMap
+
+  /** Normalize a unit string ("yrs", "min", …) to (canonical name,
+    * seconds) (add_time_derived_measurements.py:116-170).
+    */
+  def normalizeTimeUnit(unit: String): (String, Double) =
+    TimeDurationUnits
+      .collectFirst { case (name, aliases, sec) if aliases.contains(unit) => (name, sec) }
+      .getOrElse {
+        val valid = TimeDurationUnits
+          .map { case (name, aliases, _) => s"  * $name: ${aliases.mkString(", ")}" }
+          .mkString("\n")
+        throw new IllegalArgumentException(s"Unknown time unit '$unit'. Valid units include:\n$valid")
+      }
 
   /** Emit one AGE event per (patient, unique non-null time), where age is
     * the time elapsed since the patient's birth event in `ageUnit`s,
@@ -41,10 +60,7 @@ object TimeDerived {
       ageCode: String = "AGE",
       ageUnit: String = "years"
   ): DataFrame = {
-    val unitSec = TimeUnitSeconds.getOrElse(
-      ageUnit,
-      throw new IllegalArgumentException(s"Unknown time unit '$ageUnit'")
-    )
+    val (_, unitSec) = normalizeTimeUnit(ageUnit)
     val microsInUnit = 1e6 * unitSec
     val withDob = df
       .filter(col(Meds.Time).isNotNull)
@@ -100,6 +116,54 @@ object TimeDerived {
       .select(col(Meds.PatientId), col(Meds.Time))
       .dropDuplicates(Meds.PatientId, Meds.Time)
       .select(col(Meds.PatientId), col(Meds.Time), codeExpr.as(Meds.Code))
+  }
+
+  /** One time-derived generator's configuration — the Spark analog of the
+    * reference's per-feature stage config blocks
+    * (add_time_derived_measurements.py:366-380).
+    */
+  sealed trait TimeDerivedConfig
+  final case class AgeConfig(
+      dobExpr: DataFrame => Column,
+      ageCode: String = "AGE",
+      ageUnit: String = "years"
+  ) extends TimeDerivedConfig
+  final case class TimeOfDayConfig(
+      endpoints: Seq[Int] = Seq(6, 12, 18),
+      todCode: String = "time_of_day"
+  ) extends TimeDerivedConfig
+
+  /** Apply several time-derived generators as ONE stage
+    * (add_time_derived_measurements.py:366-391: compute_fns applied in
+    * sequence, each prepending its events at a (patient, time) key).
+    *
+    * The reference folds [[addNewEvents]] per generator — each fold re-sorts
+    * the whole frame. Because every generator reads only the (patient, time)
+    * key set, which no generator changes, generating all event frames from
+    * the input and unioning once is semantically identical and costs a
+    * single shuffle instead of one per generator. Sequential application
+    * puts the LAST generator's rows first within a time key, so generator
+    * `i` of `n` gets order rank `n-1-i` and original rows rank `n`.
+    */
+  def addTimeDerivedMeasurements(df: DataFrame, configs: Seq[TimeDerivedConfig]): DataFrame = {
+    require(configs.nonEmpty, "addTimeDerivedMeasurements needs at least one generator config")
+    val n = configs.size
+    val cols = df.columns
+    val tagged = configs.zipWithIndex.map { case (cfg, i) =>
+      val events = cfg match {
+        case AgeConfig(dob, code, unit)      => ageEvents(df, dob, code, unit)
+        case TimeOfDayConfig(endpoints, tod) => timeOfDayEvents(df, endpoints, tod)
+      }
+      val padded = cols.foldLeft(events) { (acc, c) =>
+        if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null))
+      }
+      padded.select(cols.map(col): _*).withColumn("__ord", lit(n - 1 - i))
+    }
+    tagged
+      .foldLeft(df.withColumn("__ord", lit(n)))(_ unionByName _)
+      .repartition(col(Meds.PatientId))
+      .sortWithinPartitions(col(Meds.PatientId), col(Meds.Time), col("__ord"))
+      .drop("__ord")
   }
 
   /** Fold generated events back into the cohort in MEDS order, with new

@@ -113,6 +113,35 @@ class MedsOperatorsSpec extends SparkSpec {
     ))
   }
 
+  test("normalizeTimeUnit resolves aliases and rejects unknown units") {
+    assert(TimeDerived.normalizeTimeUnit("s") == ("seconds", 1d))
+    assert(TimeDerived.normalizeTimeUnit("min") == ("minutes", 60d))
+    assert(TimeDerived.normalizeTimeUnit("hours") == ("hours", 3600d))
+    assert(TimeDerived.normalizeTimeUnit("day") == ("days", 86400d))
+    assert(TimeDerived.normalizeTimeUnit("wks") == ("weeks", 604800d))
+    assert(TimeDerived.normalizeTimeUnit("month")._2 == 86400d * 30.436875)
+    assert(TimeDerived.normalizeTimeUnit("yrs") == ("years", 86400d * 365.2422))
+    val err = intercept[IllegalArgumentException](TimeDerived.normalizeTimeUnit("fortnight"))
+    assert(err.getMessage.contains("fortnight") && err.getMessage.contains("weeks"))
+  }
+
+  test("addTimeDerivedMeasurements: one stage, later generators sort first at a time key") {
+    import TimeDerived.{AgeConfig, TimeOfDayConfig}
+    val out = TimeDerived
+      .addTimeDerivedMeasurements(
+        fixture,
+        Seq(AgeConfig(TimeDerived.dobFromCode("DOB"), "AGE", "yrs"), TimeOfDayConfig()))
+      .collect()
+    // 5 original + 2 age (patient 1 obs times) + 4 time_of_day
+    assert(out.length == 11)
+    // within (patient 1, 06:30): tod first (last generator), then AGE, then HR
+    val key = out.filter(r => r.getLong(0) == 1L && r.get(1) == ts("2010-01-01 06:30:00"))
+    assert(key.map(_.getString(2)).toSeq == Seq("time_of_day//[06,12)", "AGE", "HR"))
+    // "yrs" alias resolved to years: ages ~10
+    val ages = out.filter(_.getString(2) == "AGE").map(_.getDouble(3))
+    assert(ages.forall(a => a > 9.9 && a < 10.6))
+  }
+
   test("occludeOutliers nulls values beyond cutoff and flags inliers") {
     val df = Seq(
       (1L, "X", 10.0), (2L, "X", 10.0), (3L, "X", 10.0), (4L, "X", 100.0)
