@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import java.sql.Timestamp
 
 /** Structured-Streaming ingest for the events stream: watermarked windowed
@@ -68,6 +68,50 @@ object Streaming {
         "code/n_occurrences", "values/n_occurrences", "values/sum", "values/sum_sqd",
         "values/min", "values/max").map(col)): _*)
   }
+
+  /** Exactly-once parquet file sink for an append-mode stream (sessionize
+    * output, watermarked windowed aggregates past their close). The file
+    * sink's transaction log + the checkpoint give end-to-end exactly-once:
+    * a restarted query resumes from the checkpoint and never double-writes
+    * a batch. This is the streaming analog of the reference's per-shard
+    * mapper output files.
+    */
+  def parquetAppendSink(
+      df: DataFrame,
+      path: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)
+  ): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .start()
+
+  /** Complete-mode snapshot sink: after each trigger, atomically replaces
+    * `path` with the CURRENT full aggregation state (overwrite via
+    * foreachBatch — the file sink itself is append-only). This is the
+    * streaming analog of the reference's reducer output file: downstream
+    * batch stages (normalization, outlier occlusion) read the latest
+    * snapshot of code metadata while the stream keeps folding new shards
+    * in. State stays bounded by the aggregation keys, not the stream.
+    */
+  def snapshotSink(
+      aggregated: DataFrame,
+      path: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)
+  ): StreamingQuery =
+    aggregated.writeStream
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(path)
+      }
+      .start()
 
   /** Event-time sessionization: consecutive events of a user belong to one
     * session while gaps stay under `gapMinutes`. Sessions are emitted when

@@ -154,4 +154,58 @@ class TensorizeMultimodalStreamingSpec extends SparkSpec {
       assert(sessions(1).start == ts("2024-01-01 10:35:00") && sessions(1).n_events == 1)
     } finally query.stop()
   }
+
+  test("streaming: parquet append sink emits closed windows exactly-once and resumes from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.Event]
+    val out = java.nio.file.Files.createTempDirectory("sink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sink_ckpt").toString
+    val counts = Streaming.windowedEventCounts(input.toDF(), "1 hour", "30 minutes")
+    val query = Streaming.parquetAppendSink(counts, out, ckpt)
+    try {
+      input.addData(
+        Streaming.Event(1, ts("2024-01-01 10:05:00"), "click", 1.0),
+        Streaming.Event(2, ts("2024-01-01 10:55:00"), "click", 2.0))
+      query.processAllAvailable()
+      // advance the watermark past 11:00 so the 10:00 window closes
+      input.addData(Streaming.Event(1, ts("2024-01-01 11:45:00"), "view", 5.0))
+      query.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)))
+    } finally query.stop()
+    // restart against the same checkpoint: the closed window must NOT re-emit
+    val query2 = Streaming.parquetAppendSink(counts, out, ckpt)
+    try {
+      input.addData(Streaming.Event(1, ts("2024-01-01 13:00:00"), "view", 1.0))
+      query2.processAllAvailable()
+      val starts = spark.read.parquet(out).select("window_start")
+        .as[Timestamp].collect().toSeq
+      assert(starts.count(_ == ts("2024-01-01 10:00:00")) == 1, "file sink re-emitted a window after restart")
+      assert(starts.contains(ts("2024-01-01 11:00:00"))) // closed by the 13:00 event
+    } finally query2.stop()
+  }
+
+  test("streaming: snapshot sink overwrites with the full current aggregation state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Option[Double])]
+    val meds = input.toDF().toDF("patient_id", "time", "code", "numeric_value")
+    val out = java.nio.file.Files.createTempDirectory("snap_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("snap_ckpt").toString
+    val query = Streaming.snapshotSink(Streaming.streamingCodeMetadata(meds), out, ckpt)
+    try {
+      input.addData((1L, ts("2024-01-01 10:10:00"), "HR", Some(60.0)))
+      query.processAllAvailable()
+      val snap1 = spark.read.parquet(out).filter(col("code") === "HR")
+        .select(col("`code/n_occurrences`")).as[Long].collect().toSeq
+      assert(snap1 == Seq(1L))
+      // a second batch folds in: snapshot is REPLACED with updated totals
+      input.addData((2L, ts("2024-01-01 10:20:00"), "HR", Some(80.0)))
+      query.processAllAvailable()
+      val snap2 = spark.read.parquet(out).filter(col("code") === "HR")
+        .select(col("`code/n_occurrences`"), col("`values/sum`")).as[(Long, Double)].collect().toSeq
+      assert(snap2 == Seq((2L, 140.0)))
+    } finally query.stop()
+  }
 }
