@@ -75,6 +75,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(bad.isEmpty, s"unbounded global windows found:\n${bad.mkString("\n")}")
   }
 
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed fact-fact join on the bucket key is exchange-free") {
+    val dir = "/root/testdata/sf0.001"
+    graft.sources.Bucketed.bucketTpch(spark, dir, buckets = 4, prefix = "ps_")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"
+    ) {
+      val joined = spark.table("ps_lineitem")
+        .join(spark.table("ps_orders"), col("l_orderkey") === col("o_orderkey"))
+      assert(countShuffles(joined) == 0, "bucketed lineitem-orders join still shuffles")
+      val plain = graft.sources.Tables.lineitem(spark, dir)
+        .join(graft.sources.Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      assert(joined.count() == plain.count())
+    }
+  }
+
+  test("aggregation on the bucket key reads pre-clustered data without a shuffle") {
+    graft.sources.Bucketed.bucketEventsByPatient(spark, "/root/testdata/sf0.001", buckets = 4, table = "ps_events")
+    val agg = spark.table("ps_events").groupBy("user_id").count()
+    assert(countShuffles(agg) == 0, "groupBy on the bucket key shuffled")
+    assert(agg.count() > 0)
+  }
+
   test("metadata-joined operators add no fact-side shuffle") {
     val meta = graft.operators.CodeMetadata.aggregate(cohort)
     val out = graft.operators.Outliers.occludeOutliers(cohort, meta, 2.0)
