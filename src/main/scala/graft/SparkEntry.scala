@@ -323,6 +323,11 @@ object SparkEntry {
         .ngramJaccardPairs(docs(s, dir), threshold = 0.5, n = 5, maxDocFreq = 1000)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    "q_dedup_cluster" -> ((s, dir) =>
+      Dedup
+        .connectedComponents(Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5, n = 5, maxDocFreq = 1000))
+        .select(col("id"), col("label").as("cluster_id"))),
+
     "q_minhash_sigs" -> ((s, dir) => Dedup.minhashSignatures(docs(s, dir), numHashes = 8, n = 5)),
 
     "q_dedup_minhash" -> ((s, dir) =>
@@ -626,6 +631,18 @@ object SparkEntry {
            |SELECT ia AS id_a, ib AS id_b, round(CAST(nc AS DOUBLE)/(ca.n_sh + cb.n_sh - nc), 6) AS jaccard
            |FROM com JOIN cnt ca ON ia = ca.id JOIN cnt cb ON ib = cb.id
            |WHERE CAST(nc AS DOUBLE)/(ca.n_sh + cb.n_sh - nc) >= 0.5""".stripMargin,
+
+      // transitive closure of the jaccard pair graph; cluster = min reachable id
+      "q_dedup_cluster" ->
+        s"""WITH RECURSIVE $shingleCtes,
+           |filt AS (SELECT id, sh FROM (SELECT id, sh, count(*) OVER (PARTITION BY sh) AS df FROM shh) WHERE df <= 1000),
+           |cnt AS (SELECT id, count(*) AS n_sh FROM shh GROUP BY 1),
+           |com AS (SELECT a.id AS ia, b.id AS ib, count(*) AS nc FROM filt a JOIN filt b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+           |p AS (SELECT ia, ib FROM com JOIN cnt ca ON ia = ca.id JOIN cnt cb ON ib = cb.id
+           |      WHERE CAST(nc AS DOUBLE)/(ca.n_sh + cb.n_sh - nc) >= 0.5),
+           |e AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+           |reach AS (SELECT src AS id, src AS r FROM e UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+           |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
       "q_minhash_sigs" ->
         s"""WITH $shingleCtes

@@ -152,6 +152,85 @@ object Dedup {
     docs.join(victims, docs(idCol) === victims("id"), "left_anti")
   }
 
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation: every node repeatedly adopts the smallest
+    * label among itself and its neighbors until fixpoint. Output: (id,
+    * cluster_id) where cluster_id is the minimum id reachable from `id`.
+    *
+    * Rounds = graph diameter; near-duplicate clusters are dense and
+    * shallow (a doc family all pairing with each other), so convergence
+    * is a handful of rounds in practice. Every round is one equi-join +
+    * groupBy on node id — fully distributed, no driver-side graph. Each
+    * round's result is eagerly localCheckpoint'ed so the loop's lineage
+    * stays flat (no exponential plan growth). Throws if `maxIter` rounds
+    * don't converge rather than returning a partially-merged clustering.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 25
+  ): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val sym = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym
+      .select(col("src").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("nid"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, col("id") === col("nid"), "left")
+        .select(
+          col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (coalesce(col("nbr_min"), col("label")) < col("label")).as("__changed")
+        )
+        .localCheckpoint(true)
+      converged = next.filter(col("__changed")).limit(1).isEmpty
+      labels = next.select("id", "label")
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** [[dropNearDuplicates]] with proper cluster semantics: victims are
+    * every non-minimum member of each CONNECTED COMPONENT of the near-dup
+    * graph (exact-copy edges ∪ Jaccard edges), so transitive chains
+    * A~B~C keep exactly one survivor even when A and C never pair
+    * directly — the clustering the greedy min-id policy approximates.
+    */
+  def dropNearDuplicatesClustered(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      n: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val exactPairs = docs
+      .select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"))
+      .withColumn("__canon", min(col("id")).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("id") =!= col("__canon"))
+      .select(col("__canon").as("id_a"), col("id").as("id_b"))
+    val jaccardPairs = ngramJaccardPairs(docs, threshold, n, idCol, textCol)
+      .select(col("id_a"), col("id_b"))
+    val victims = connectedComponents(exactPairs.union(jaccardPairs))
+      .filter(col("label") =!= col("id"))
+      .select(col("id"))
+    docs.join(victims, docs(idCol) === victims("id"), "left_anti")
+  }
+
   /** MinHash signature columns: for each of `numHashes` universal-hash
     * params, the minimum of (a_j*sh + b_j) mod p over the doc's shingle
     * hashes. Output: (id, minhash_0..minhash_{k-1}). One md5 per shingle

@@ -40,6 +40,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq(1L, 4L, 5L))
   }
 
+  test("connectedComponents merges transitive chains to the min reachable id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    // chain 1-2-3-4: diameter 3, needs multiple propagation rounds
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+  }
+
+  test("dropNearDuplicatesClustered keeps one survivor per connected component") {
+    val out = Dedup.dropNearDuplicatesClustered(corpus, threshold = 0.5, n = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 4L, 5L))
+  }
+
   test("minhash signatures are equal for identical shingle sets and mostly differ otherwise") {
     val sigs = Dedup.minhashSignatures(corpus, numHashes = 8, n = 3).collect()
       .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
