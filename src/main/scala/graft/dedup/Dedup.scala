@@ -171,7 +171,11 @@ object Dedup {
       bCol: String = "id_b",
       maxIter: Int = 25
   ): DataFrame = {
-    val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // materialize the (possibly expensive) upstream pipeline ONCE before the
+    // self-referencing union — otherwise both union branches re-evaluate it
+    val e = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .localCheckpoint(true)
     val sym = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
