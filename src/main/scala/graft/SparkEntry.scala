@@ -4,8 +4,9 @@ import graft.ann.Similarity
 import graft.dedup.Dedup
 import graft.meds.Meds
 import graft.operators._
+import graft.pipeline.{Packing, Sampling, Selection}
 import graft.sources.Tables
-import graft.text.TextFunctions
+import graft.text.{TextFunctions, Tfidf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -392,6 +393,36 @@ object SparkEntry {
         TextFunctions.rollingFingerprint(col("text")).as("rolling")
       )),
 
+    // ------------------------------- pipeline: sample / select / pack / score
+    "q_sample_det" -> ((s, dir) =>
+      Sampling
+        .deterministicSample(docs(s, dir), "doc_id", frac = 0.3, seed = "s42")
+        .select(col("doc_id"), col("lang"))),
+
+    "q_sample_strat" -> ((s, dir) =>
+      Sampling
+        .stratifiedSample(docs(s, dir), "doc_id", "lang",
+          fracs = Map("en" -> 0.1, "de" -> 1.0), defaultFrac = 0.5, seed = "s42")
+        .select(col("doc_id"), col("lang"))),
+
+    "q_topk_per_group" -> ((s, dir) =>
+      Selection
+        .topKPerGroup(docs(s, dir), Seq("lang", "source"), "n_chars", k = 3, tieBreakCol = "doc_id")
+        .select(col("lang"), col("source"), col("doc_id"), col("n_chars"), col("rank"))),
+
+    "q_tfidf" -> ((s, dir) =>
+      Tfidf
+        .tfidf(docs(s, dir))
+        .select(col("id"), col("term"), col("tf"), round(col("tfidf"), 6).as("tfidf"))),
+
+    "q_pack" -> ((s, dir) =>
+      Packing
+        .packByTokenBudget(
+          docs(s, dir).select(col("doc_id"),
+            TextFunctions.whitespaceTokenCount(col("text")).cast("long").as("ntok")),
+          "doc_id", "ntok", budgetTokens = 2000, nShards = 8)
+        .select(col("doc_id"), col("ntok"), col("shard"), col("bin"))),
+
     // ------------------------------------------------- relational headline
     "q1_pricing" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir).filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -736,6 +767,41 @@ object SparkEntry {
           |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x<>'')) AS BIGINT) AS n_ws_tokens,
           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish_tokens
           |FROM documents""".stripMargin,
+
+      // md5-threshold sampling: hash space mod 1e6, keep below frac*1e6
+      "q_sample_det" ->
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE ${h32("concat('s42','|',CAST(doc_id AS VARCHAR))")} % 1000000 < 300000""".stripMargin,
+
+      "q_sample_strat" ->
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE ${h32("concat('s42','|',CAST(doc_id AS VARCHAR))")} % 1000000 <
+           |  CASE WHEN lang = 'en' THEN 100000 WHEN lang = 'de' THEN 1000000 ELSE 500000 END""".stripMargin,
+
+      "q_topk_per_group" ->
+        """SELECT lang, source, doc_id, n_chars, "rank" FROM (
+          |  SELECT lang, source, doc_id, n_chars,
+          |    CAST(row_number() OVER (PARTITION BY lang, source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS "rank"
+          |  FROM documents)
+          |WHERE "rank" <= 3""".stripMargin,
+
+      "q_tfidf" ->
+        """WITH t AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'')) AS term FROM documents),
+          |tf AS (SELECT id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+          |SELECT id, term, tf, round(tf * (ln((n_docs + 1.0)/(df + 1.0)) + 1), 6) AS tfidf
+          |FROM tf JOIN idf USING (term), n""".stripMargin,
+
+      "q_pack" ->
+        s"""WITH tc AS (SELECT doc_id,
+           |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x<>'')) AS BIGINT) AS ntok,
+           |    ${h32("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+           |  FROM documents)
+           |SELECT doc_id, ntok, shard,
+           |  CAST(floor(coalesce(sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS bin
+           |FROM tc""".stripMargin,
 
       "q_fingerprint" ->
         """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s FROM documents)

@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import graft.text.TextFunctions.md5Hash32
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed-token-budget bins (context
+  * windows / training batches) deterministically at corpus scale.
+  */
+object Packing {
+
+  /** Block packing by running token count: documents are hash-sharded
+    * (deterministic md5, so shard membership survives re-runs), ordered by
+    * id within their shard, and a document opens in the bin where the
+    * token count of everything BEFORE it lands: `bin = floor(prefix_sum /
+    * budget)`.
+    *
+    * Semantics trade: a document straddling a budget boundary overflows
+    * its bin — each bin's total is < `budgetTokens` + the largest single
+    * document — in exchange for the whole assignment being ONE partitioned
+    * window (prefix sum) with no sequential state. Exact next-fit packing
+    * (reset the counter at each new bin) is inherently sequential per
+    * shard; at 100 TB the bounded-overflow block form is the one that
+    * parallelizes, and the shard count caps each window partition's size.
+    *
+    * Output: input columns + `shard`, `bin` (both long). Bins are unique
+    * per (shard, bin).
+    */
+  def packByTokenBudget(
+      docs: DataFrame,
+      idCol: String,
+      tokenCountCol: String,
+      budgetTokens: Long,
+      nShards: Int
+  ): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = Window
+      .partitionBy(col("shard"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("shard", pmod(md5Hash32(col(idCol).cast("string")), lit(nShards.toLong)))
+      .withColumn(
+        "bin",
+        (coalesce(sum(col(tokenCountCol)).over(w), lit(0L)) / budgetTokens).cast("long"))
+  }
+}

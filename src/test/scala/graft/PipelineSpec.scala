@@ -1,0 +1,88 @@
+package graft
+
+import graft.pipeline.{Packing, Sampling, Selection}
+import graft.text.Tfidf
+import org.apache.spark.sql.functions._
+
+/** Semantics fixtures for the sampling / selection / packing / tf-idf
+  * pipeline operators.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 1000L)
+    .map(i => (i, if (i % 2 == 0) "en" else "de"))
+    .toDF("doc_id", "lang")
+
+  test("deterministicSample is stable, id-keyed, and close to the target fraction") {
+    val s1 = Sampling.deterministicSample(docs, "doc_id", 0.3, "seed1")
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(docs, "doc_id", 0.3, "seed1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "same seed must select the same rows")
+    assert(math.abs(s1.size - 300) < 60, s"sample size ${s1.size} far from 300")
+    // a different seed decorrelates membership
+    val s3 = Sampling.deterministicSample(docs, "doc_id", 0.3, "seed2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 != s3)
+    // growing the fraction only ADDS rows (thresholds nest)
+    val s4 = Sampling.deterministicSample(docs, "doc_id", 0.5, "seed1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.subsetOf(s4), "frac=0.3 sample must nest inside frac=0.5")
+  }
+
+  test("stratifiedSample applies per-stratum fractions") {
+    val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      fracs = Map("en" -> 1.0, "de" -> 0.0), defaultFrac = 0.5)
+    val langs = out.select("lang").as[String].collect()
+    assert(langs.forall(_ == "en") && langs.length == 500)
+  }
+
+  test("topKPerGroup ranks within each group with deterministic ties") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0), ("a", 4L, 5.0),
+      ("b", 5L, 1.0)
+    ).toDF("g", "id", "score")
+    val out = Selection.topKPerGroup(df, Seq("g"), "score", k = 2, tieBreakCol = "id")
+      .select("g", "id", "rank").as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("a", 2L, 1L), ("a", 3L, 2L), ("b", 5L, 1L)))
+  }
+
+  test("packByTokenBudget: bins respect prefix-sum boundaries with bounded overflow") {
+    val df = Seq((1L, 900L), (2L, 900L), (3L, 900L), (4L, 50L), (5L, 3000L))
+      .toDF("doc_id", "ntok")
+    val out = Packing.packByTokenBudget(df, "doc_id", "ntok", budgetTokens = 2000, nShards = 1)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // prefix sums before each doc: 0, 900, 1800, 2700, 2750
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+    // per-bin totals never exceed budget + the largest straddling doc
+    val totals = Packing.packByTokenBudget(df, "doc_id", "ntok", 2000, 1)
+      .groupBy("bin").agg(sum("ntok").as("t")).select("t").as[Long].collect()
+    assert(totals.forall(_ <= 2000 + 3000))
+  }
+
+  test("packByTokenBudget shards deterministically and bins independently per shard") {
+    val df = (1L to 200L).map(i => (i, 100L)).toDF("doc_id", "ntok")
+    val a = Packing.packByTokenBudget(df, "doc_id", "ntok", 500, nShards = 4)
+      .select("doc_id", "shard", "bin").as[(Long, Long, Long)].collect().toSet
+    val b = Packing.packByTokenBudget(df.repartition(7), "doc_id", "ntok", 500, nShards = 4)
+      .select("doc_id", "shard", "bin").as[(Long, Long, Long)].collect().toSet
+    assert(a == b, "pack assignment must not depend on input partitioning")
+    assert(a.size == 200 && a.map(_._2).size <= 4)
+  }
+
+  test("tfidf: corpus-wide terms score near tf*1.0, rare terms score higher") {
+    val df = Seq(
+      (1L, "spark spark rare"),
+      (2L, "spark common"),
+      (3L, "spark common")
+    ).toDF("doc_id", "text")
+    val out = Tfidf.tfidf(df).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // 'spark' in all 3 docs: idf = ln(4/4)+1 = 1 -> tfidf == tf
+    assert(out((1L, "spark"))._1 == 2L)
+    assert(math.abs(out((1L, "spark"))._2 - 2.0) < 1e-9)
+    // 'rare' in 1 doc: idf = ln(4/2)+1 > 1
+    assert(out((1L, "rare"))._2 > out((2L, "common"))._2)
+  }
+}
