@@ -1,6 +1,6 @@
 package graft
 
-import graft.ann.Similarity
+import graft.ann.{KMeans, Similarity}
 import graft.dedup.Dedup
 import graft.meds.Meds
 import graft.operators._
@@ -97,6 +97,16 @@ object SparkEntry {
   /** Strict left-to-right 64-dim dot product (matches [[Similarity.dot]]). */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))), (x,y) -> x+y)"
+
+  /** Strict left-to-right squared-L2 distance (matches [[KMeans.sqDist]]). */
+  private def sqDistSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1,65), i -> (CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))*(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE)))), (x,y) -> x+y)"
+
+  /** Hash-seeded k=8 init centroids (matches [[KMeans.initCentroids]]). */
+  private val kmeansInitCte: String =
+    s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid, embedding
+       |  FROM (SELECT vec_id, embedding, ${h32("concat('graft','|',CAST(vec_id AS VARCHAR))")} AS h
+       |        FROM embeddings ORDER BY h, vec_id LIMIT 8))""".stripMargin
 
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)}/(sqrt(${dotSql(a, a)})*sqrt(${dotSql(b, b)}))"
@@ -393,10 +403,30 @@ object SparkEntry {
         TextFunctions.rollingFingerprint(col("text")).as("rolling")
       )),
 
+    // ----------------------------------------------- k-means IVF (learned)
+    "q_kmeans_assign" -> { (s, dir) =>
+      val e = emb(s, dir)
+      KMeans
+        .assign(e, KMeans.initCentroids(e, k = 8))
+        .select(col("vec_id"), col("cid"), round(col("dist"), 6).as("dist"))
+    },
+
+    "q_ann_ivf_kmeans" -> { (s, dir) =>
+      val e = emb(s, dir)
+      KMeans
+        .ivfTopK(e, e.filter(col("vec_id") < 8), KMeans.initCentroids(e, k = 8), k = 5, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"), col("cosine"))
+    },
+
     // ------------------------------- pipeline: sample / select / pack / score
     "q_sample_det" -> ((s, dir) =>
       Sampling
         .deterministicSample(docs(s, dir), "doc_id", frac = 0.3, seed = "s42")
+        .select(col("doc_id"), col("lang"))),
+
+    "q_sample_n" -> ((s, dir) =>
+      Sampling
+        .deterministicSampleN(docs(s, dir), "doc_id", n = 100, seed = "s42")
         .select(col("doc_id"), col("lang"))),
 
     "q_sample_strat" -> ((s, dir) =>
@@ -768,10 +798,39 @@ object SparkEntry {
           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish_tokens
           |FROM documents""".stripMargin,
 
+      "q_kmeans_assign" ->
+        s"""WITH $kmeansInitCte,
+           |d AS (SELECT e.vec_id, c0.cid, ${sqDistSql("e.embedding", "c0.embedding")} AS dist
+           |      FROM embeddings e CROSS JOIN c0),
+           |r AS (SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)
+           |SELECT vec_id, cid, round(dist, 6) AS dist FROM r WHERE rn = 1""".stripMargin,
+
+      "q_ann_ivf_kmeans" ->
+        s"""WITH $kmeansInitCte,
+           |ca AS (SELECT vec_id, embedding, cid FROM (
+           |  SELECT e.vec_id, e.embedding, c0.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqDistSql("e.embedding", "c0.embedding")}, c0.cid) AS rn
+           |  FROM embeddings e CROSS JOIN c0) WHERE rn = 1),
+           |q AS (SELECT query_id, embedding, cid FROM (
+           |  SELECT e.vec_id AS query_id, e.embedding, c0.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqDistSql("e.embedding", "c0.embedding")}, c0.cid) AS rn
+           |  FROM embeddings e CROSS JOIN c0 WHERE e.vec_id < 8) WHERE rn <= 2),
+           |sc AS (SELECT q.query_id, ca.vec_id AS neighbor_id, ${cosSql("q.embedding", "ca.embedding")} AS cos
+           |       FROM ca JOIN q ON ca.cid = q.cid AND ca.vec_id <> q.query_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank",
+           |        round(cos, 6) AS cosine
+           |      FROM sc)
+           |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
+
       // md5-threshold sampling: hash space mod 1e6, keep below frac*1e6
       "q_sample_det" ->
         s"""SELECT doc_id, lang FROM documents
            |WHERE ${h32("concat('s42','|',CAST(doc_id AS VARCHAR))")} % 1000000 < 300000""".stripMargin,
+
+      "q_sample_n" ->
+        s"""SELECT doc_id, lang FROM documents
+           |ORDER BY ${h32("concat('s42','|',CAST(doc_id AS VARCHAR))")}, doc_id LIMIT 100""".stripMargin,
 
       "q_sample_strat" ->
         s"""SELECT doc_id, lang FROM documents

@@ -60,7 +60,7 @@ object Similarity {
   /** Shared ranking tail: scored (query_id, neighbor_id, cos) → per-query
     * top-k rows via the map-side-bounded aggregate.
     */
-  private def topKFromScores(scored: DataFrame, k: Int): DataFrame =
+  private[ann] def topKFromScores(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy("query_id")
       .agg(graft.functions.TopKByScore.topK(col("cos"), col("neighbor_id"), k).as("top"))

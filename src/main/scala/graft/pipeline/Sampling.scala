@@ -34,6 +34,19 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, frac: Double, seed: String): DataFrame =
     df.filter(sampleHash(col(idCol), frac, seed))
 
+  /** Exactly-`n` deterministic sample: the n rows whose (seed, id) hash is
+    * smallest (ties broken by id). Compiles to TakeOrderedAndProject —
+    * each partition keeps its local n, the driver merges heaps; no global
+    * sort, no RNG. The "give me exactly 10k eval docs, reproducibly" op.
+    */
+  def deterministicSampleN(df: DataFrame, idCol: String, n: Int, seed: String): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    df.withColumn("__h", md5Hash32(concat_ws("|", lit(seed), col(idCol).cast("string"))))
+      .orderBy(col("__h"), col(idCol))
+      .limit(n)
+      .drop("__h")
+  }
+
   /** Stratified deterministic sample: per-stratum keep fractions (e.g.
     * language quotas — downsample English, keep all low-resource), strata
     * not listed fall back to `defaultFrac`. One CASE expression; still a

@@ -31,6 +31,16 @@ class PipelineSpec extends SparkSpec {
     assert(s1.subsetOf(s4), "frac=0.3 sample must nest inside frac=0.5")
   }
 
+  test("deterministicSampleN returns exactly n stable rows via TakeOrderedAndProject") {
+    val out = Sampling.deterministicSampleN(docs, "doc_id", 50, "seed1")
+    assert(out.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "fixed-size sample must not global-sort")
+    val s1 = out.select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.deterministicSampleN(docs.repartition(13), "doc_id", 50, "seed1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.size == 50 && s1 == s2, "sample must be exact-size and partitioning-independent")
+  }
+
   test("stratifiedSample applies per-stratum fractions") {
     val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
       fracs = Map("en" -> 1.0, "de" -> 0.0), defaultFrac = 0.5)
