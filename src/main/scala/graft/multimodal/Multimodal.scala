@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * pipelines: media travels as an opaque `binary` column plus a typed
   * metadata struct; decode/feature-extraction runs batched per partition.
   *
-  * The actual codec step is STUBBED (this environment ships no image/audio
-  * libraries — see [[decodeStub]]); everything around it — schema,
-  * format sniffing, partition-batched UDF plumbing, deterministic output
-  * shape — is real and tested. Swapping the stub for a JNI/FFI decoder
-  * changes one function.
+  * Header-level decode is REAL: format sniffing and image dimensions
+  * (PNG/GIF/BMP/JPEG, [[imageDims]]) are parsed from raw bytes, no codec
+  * library needed. Only PIXEL decode is stubbed (this environment ships
+  * no image/audio codecs — see [[decodeStub]]); the surrounding schema,
+  * partition-batched plumbing, and deterministic output shape are real
+  * and tested. Swapping the stub for a JNI/FFI decoder changes one
+  * function.
   *
   * Scale notes: media bytes never pass through a driver collect; feature
   * extraction is mapPartitions over fixed-size batches (the same batch
@@ -25,7 +27,9 @@ object Multimodal {
   val MediaMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
     StructField("n_bytes", LongType),
-    StructField("is_supported", BooleanType)
+    StructField("is_supported", BooleanType),
+    StructField("width", LongType),
+    StructField("height", LongType)
   ))
 
   /** Sniff media format from magic bytes — pure column expressions (this
@@ -35,18 +39,88 @@ object Multimodal {
     val hexPrefix = hex(substring(bin, 1, 4))
     when(hexPrefix.startsWith("89504E47"), "png")
       .when(hexPrefix.startsWith("FFD8FF"), "jpeg")
+      .when(hexPrefix.startsWith("47494638"), "gif")
+      .when(hexPrefix.startsWith("424D"), "bmp")
       .when(hexPrefix.startsWith("52494646"), "riff") // wav/avi/webp container
       .when(hexPrefix.startsWith("494433"), "mp3")
       .otherwise("unknown")
   }
 
+  // ------------------------------------------- real header decode (no codec)
+
+  /** Big-endian unsigned int from `len` bytes at 1-based `pos`. */
+  private def be(bin: org.apache.spark.sql.Column, pos: Int, len: Int): org.apache.spark.sql.Column =
+    conv(hex(substring(bin, pos, len)), 16, 10).cast("long")
+
+  /** Little-endian unsigned int from `len` bytes at 1-based `pos`. */
+  private def le(bin: org.apache.spark.sql.Column, pos: Int, len: Int): org.apache.spark.sql.Column =
+    (0 until len).map(i => be(bin, pos + i, 1) * (1L << (8 * i))).reduce(_ + _)
+
+  final case class Dims(width: Long, height: Long)
+
+  /** JPEG dimensions by scanning segment markers for the first SOF frame
+    * header (the one image format whose dims sit at a VARIABLE offset).
+    * Bounded by the header segments actually walked — entropy-coded scan
+    * data is never touched. Returns None on truncated/non-JPEG bytes.
+    */
+  private[graft] def jpegDims(b: Array[Byte]): Option[Dims] = {
+    if (b == null || b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val marker = b(i + 1) & 0xff
+      // standalone markers (no length field): RSTn, TEM, another SOI
+      if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+      else if (marker == 0xd9 || marker == 0xda) return None // EOI / start-of-scan: no SOF seen
+      else {
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc // excl. DHT/JPG/DAC
+        if (isSof) {
+          if (i + 8 >= b.length) return None
+          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          return Some(Dims(w.toLong, h.toLong))
+        }
+        if (len < 2) return None
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  private lazy val jpegDimsUdf = udf((b: Array[Byte]) => jpegDims(b))
+
+  /** Image dimensions decoded from the raw bytes — REAL decode, no codec
+    * library: PNG (IHDR, big-endian), GIF (logical screen, little-endian)
+    * and BMP (DIB header, little-endian) dims sit at fixed offsets and are
+    * pure codegen'd column expressions; JPEG needs a marker walk
+    * ([[jpegDims]], the one non-codegen piece, gated to jpeg rows only).
+    * Null struct for non-image / truncated input.
+    */
+  def imageDims(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val fmt = sniffFormat(bin)
+    when(fmt === "png" && length(bin) >= 24,
+        struct(be(bin, 17, 4).as("width"), be(bin, 21, 4).as("height")))
+      .when(fmt === "gif" && length(bin) >= 10,
+        struct(le(bin, 7, 2).as("width"), le(bin, 9, 2).as("height")))
+      .when(fmt === "bmp" && length(bin) >= 26,
+        struct(le(bin, 19, 4).as("width"), le(bin, 23, 4).as("height")))
+      .when(fmt === "jpeg", jpegDimsUdf(bin))
+      .otherwise(lit(null).cast("struct<width:bigint,height:bigint>"))
+  }
+
   /** Attach the typed metadata struct for a binary media column. */
-  def withMediaMeta(df: DataFrame, mediaCol: String = "media"): DataFrame =
+  def withMediaMeta(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val dims = imageDims(col(mediaCol))
     df.withColumn("media_meta", struct(
       sniffFormat(col(mediaCol)).as("format"),
       length(col(mediaCol)).cast("long").as("n_bytes"),
-      sniffFormat(col(mediaCol)).isin("png", "jpeg", "riff", "mp3").as("is_supported")
+      sniffFormat(col(mediaCol)).isin("png", "jpeg", "gif", "bmp", "riff", "mp3").as("is_supported"),
+      dims.getField("width").as("width"),
+      dims.getField("height").as("height")
     ))
+  }
 
   /** STUB decode: a real decoder would turn bytes into pixels/samples here.
     * The deterministic fake emits a 16-bin byte histogram normalized to

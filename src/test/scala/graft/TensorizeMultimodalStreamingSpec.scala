@@ -54,11 +54,58 @@ class TensorizeMultimodalStreamingSpec extends SparkSpec {
     val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 9)
     val other = Array[Byte](1, 2, 3, 4)
     val df = Seq((1L, png), (2L, jpg), (3L, other)).toDF("media_id", "media")
-    val out = Multimodal.withMediaMeta(df).select("media_id", "media_meta.*")
+    val out = Multimodal.withMediaMeta(df)
+      .select("media_id", "media_meta.format", "media_meta.n_bytes", "media_meta.is_supported")
       .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
     assert(out(0) == ((1L, "png", 7L, true)))
     assert(out(1) == ((2L, "jpeg", 5L, true)))
     assert(out(2) == ((3L, "unknown", 4L, false)))
+  }
+
+  /** Minimal valid headers with known dimensions, built byte-by-byte. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0, 0, 0, 13) ++ "IHDR".getBytes ++
+      Array[Byte]((w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+        (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte, 8, 2, 0, 0, 0)
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes ++ Array[Byte](w.toByte, (w >> 8).toByte, h.toByte, (h >> 8).toByte, 0, 0, 0)
+  private def bmpBytes(w: Int, h: Int): Array[Byte] =
+    "BM".getBytes ++ new Array[Byte](12) ++ Array[Byte](40, 0, 0, 0,
+      w.toByte, (w >> 8).toByte, (w >> 16).toByte, (w >> 24).toByte,
+      h.toByte, (h >> 8).toByte, (h >> 16).toByte, (h >> 24).toByte)
+  private def jpegBytes(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++                               // SOI
+      (Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16) ++ new Array[Byte](14)) ++ // APP0 len 16
+      Array[Byte](0xff.toByte, 0xc0.toByte, 0, 17, 8,                      // SOF0 len 17, precision
+        (h >> 8).toByte, h.toByte, (w >> 8).toByte, w.toByte, 3)
+
+  test("multimodal: image dimensions decoded from real PNG/GIF/BMP/JPEG headers") {
+    val df = Seq(
+      (1L, pngBytes(640, 480)), (2L, gifBytes(320, 200)),
+      (3L, bmpBytes(800, 600)), (4L, jpegBytes(123, 456)),
+      (5L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+    ).toDF("media_id", "media")
+    val out = Multimodal.withMediaMeta(df)
+      .select("media_id", "media_meta.format", "media_meta.width", "media_meta.height")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(1L) == (("png", 640L, 480L)))
+    assert(out(2L) == (("gif", 320L, 200L)))
+    assert(out(3L) == (("bmp", 800L, 600L)))
+    assert(out(4L) == (("jpeg", 123L, 456L)))
+    assert(out(5L) == (("unknown", -1L, -1L)))
+  }
+
+  test("multimodal: jpegDims is robust to truncation and missing SOF") {
+    assert(Multimodal.jpegDims(null).isEmpty)
+    assert(Multimodal.jpegDims(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    // SOI then EOI: no frame header
+    assert(Multimodal.jpegDims(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)).isEmpty)
+    // truncated mid-segment
+    assert(Multimodal.jpegDims(jpegBytes(100, 100).take(10)).isEmpty)
+    // garbage after SOI
+    assert(Multimodal.jpegDims(Array[Byte](0xff.toByte, 0xd8.toByte, 1, 2, 3, 4)).isEmpty)
   }
 
   test("multimodal: batched feature extraction is deterministic and shape-stable") {
