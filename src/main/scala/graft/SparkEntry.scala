@@ -6,7 +6,7 @@ import graft.meds.Meds
 import graft.operators._
 import graft.pipeline.{Packing, Sampling, Selection}
 import graft.sources.Tables
-import graft.text.{TextFunctions, Tfidf}
+import graft.text.{Bm25, TextFunctions, Tfidf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -445,6 +445,11 @@ object SparkEntry {
         .tfidf(docs(s, dir))
         .select(col("id"), col("term"), col("tf"), round(col("tfidf"), 6).as("tfidf"))),
 
+    "q_bm25" -> ((s, dir) =>
+      Bm25
+        .score(docs(s, dir), Seq("spark", "hash", "merge"))
+        .select(col("id"), round(col("bm25"), 6).as("bm25"))),
+
     "q_pack" -> ((s, dir) =>
       Packing
         .packByTokenBudget(
@@ -851,6 +856,16 @@ object SparkEntry {
           |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
           |SELECT id, term, tf, round(tf * (ln((n_docs + 1.0)/(df + 1.0)) + 1), 6) AS tfidf
           |FROM tf JOIN idf USING (term), n""".stripMargin,
+
+      "q_bm25" ->
+        """WITH tok AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+          |t AS (SELECT id, unnest(toks) AS term FROM tok),
+          |dl AS (SELECT id, CAST(len(toks) AS DOUBLE) AS dl FROM tok),
+          |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+          |tf AS (SELECT id, term, count(*) AS tf FROM t WHERE term IN ('spark','hash','merge') GROUP BY 1, 2),
+          |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+          |SELECT id, round(sum(ln(1 + (n_docs - df + 0.5)/(df + 0.5)) * tf/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))), 6) AS bm25
+          |FROM tf JOIN idf USING (term) JOIN dl USING (id), st GROUP BY id""".stripMargin,
 
       "q_pack" ->
         s"""WITH tc AS (SELECT doc_id,

@@ -1,0 +1,71 @@
+package graft.text
+
+import graft.text.TextFunctions.wordTokens
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword relevance over a document corpus — the ranking half of a
+  * keyword-search / retrieval pass (e.g. mining training documents that
+  * match a topic query).
+  *
+  * Same shuffle shape as [[Tfidf]]: a (doc, term) aggregation, a
+  * vocabulary-sized (term, df) aggregation, equi-joins to attach stats,
+  * and the corpus-wide scalars (N, avgdl) riding a broadcast single-row
+  * frame. Restricting to the query's terms happens BEFORE the first
+  * aggregation, so the whole pipeline only ever shuffles rows containing
+  * query terms.
+  */
+object Bm25 {
+
+  /** Per-document BM25 scores for a bag of query terms:
+    * `sum_t idf(t) * tf / (tf + k1 * (1 - b + b * dl/avgdl))` with the
+    * Lucene-style non-negative idf `ln(1 + (N - df + 0.5)/(df + 0.5))`.
+    * Documents matching no query term are absent (score 0).
+    */
+  def score(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val dl = docs.select(
+      col(idCol).as("id"),
+      size(wordTokens(col(textCol))).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = docs
+      .select(col(idCol).as("id"), explode(wordTokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm =
+      col("tf") / (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf
+      .join(docFreq, "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), (idf * tfNorm).as("__s"))
+      .groupBy("id")
+      .agg(sum("__s").as("bm25"))
+  }
+
+  /** Top-`n` documents for the query, ranked by BM25 descending (ties by
+    * ascending id). orderBy+limit → TakeOrderedAndProject, no global sort.
+    */
+  def topN(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      n: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    score(docs, queryTerms, k1, b, idCol, textCol)
+      .orderBy(col("bm25").desc, col("id").asc)
+      .limit(n)
+}

@@ -81,6 +81,26 @@ class PipelineSpec extends SparkSpec {
     assert(a.size == 200 && a.map(_._2).size <= 4)
   }
 
+  test("bm25: more matching terms rank higher; non-matching docs absent; tf saturates") {
+    val df = Seq(
+      (1L, "spark hash merge join"),       // all 3 query terms
+      (2L, "spark spark spark spark spark filler filler filler"), // 1 term repeated
+      (3L, "spark hash other"),            // 2 terms
+      (4L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val out = graft.text.Bm25.score(df, Seq("spark", "hash", "merge"))
+      .as[(Long, Double)].collect().toMap
+    assert(!out.contains(4L), "doc without query terms must be absent")
+    assert(out(1L) > out(3L) && out(3L) > 0)
+    // saturation: 5x tf of one term scores below 3 distinct terms
+    assert(out(2L) < out(1L))
+    val top = graft.text.Bm25.topN(df, Seq("spark", "hash", "merge"), 2)
+      .select("id").as[Long].collect().toSeq
+    assert(top.head == 1L && top.size == 2)
+    assert(graft.text.Bm25.topN(df, Seq("spark"), 2).queryExecution.executedPlan
+      .toString.contains("TakeOrderedAndProject"))
+  }
+
   test("tfidf: corpus-wide terms score near tf*1.0, rare terms score higher") {
     val df = Seq(
       (1L, "spark spark rare"),
