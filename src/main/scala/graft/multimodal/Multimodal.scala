@@ -110,6 +110,23 @@ object Multimodal {
       .otherwise(lit(null).cast("struct<width:bigint,height:bigint>"))
   }
 
+  /** WAV audio metadata (channels, sample rate, bits per sample) from the
+    * canonical RIFF/WAVE layout ("fmt " as the first chunk — how every
+    * standard encoder writes it): fixed little-endian offsets, pure
+    * codegen'd expressions. Non-canonical chunk orders return null rather
+    * than mis-read offsets.
+    */
+  def audioMeta(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(
+      sniffFormat(bin) === "riff" && length(bin) >= 36 &&
+        hex(substring(bin, 9, 4)) === "57415645" && // "WAVE"
+        hex(substring(bin, 13, 4)) === "666D7420", // "fmt "
+      struct(
+        le(bin, 23, 2).as("channels"),
+        le(bin, 25, 4).as("sample_rate"),
+        le(bin, 35, 2).as("bits_per_sample"))
+    ).otherwise(lit(null).cast("struct<channels:bigint,sample_rate:bigint,bits_per_sample:bigint>"))
+
   /** Attach the typed metadata struct for a binary media column. */
   def withMediaMeta(df: DataFrame, mediaCol: String = "media"): DataFrame = {
     val dims = imageDims(col(mediaCol))

@@ -69,6 +69,26 @@ object Streaming {
         "values/min", "values/max").map(col)): _*)
   }
 
+  /** Unbounded file source: every parquet file that appears under `dir`
+    * becomes (part of) a micro-batch — the no-broker stand-in for a Kafka
+    * topic with the same contract (new data keeps arriving, the query
+    * never finishes). `maxFilesPerTrigger` bounds per-batch input the way
+    * `maxOffsetsPerTrigger` would on Kafka; the source tracks processed
+    * files in the checkpoint, so restarts resume exactly where they left
+    * off. Pair with [[parquetAppendSink]] for an end-to-end exactly-once
+    * file-to-file pipeline.
+    */
+  def parquetFileStream(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 1
+  ): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
   /** Exactly-once parquet file sink for an append-mode stream (sessionize
     * output, watermarked windowed aggregates past their close). The file
     * sink's transaction log + the checkpoint give end-to-end exactly-once:

@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 class TensorizeMultimodalStreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -95,6 +96,19 @@ class TensorizeMultimodalStreamingSpec extends SparkSpec {
     assert(out(3L) == (("bmp", 800L, 600L)))
     assert(out(4L) == (("jpeg", 123L, 456L)))
     assert(out(5L) == (("unknown", -1L, -1L)))
+  }
+
+  test("multimodal: WAV audio metadata from canonical RIFF headers") {
+    def leBytes(v: Long, n: Int): Array[Byte] = Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+    val wav = "RIFF".getBytes ++ leBytes(100, 4) ++ "WAVE".getBytes ++ "fmt ".getBytes ++
+      leBytes(16, 4) ++ leBytes(1, 2) ++ leBytes(2, 2) ++ leBytes(44100, 4) ++
+      leBytes(176400, 4) ++ leBytes(4, 2) ++ leBytes(16, 2)
+    val avi = "RIFF".getBytes ++ leBytes(100, 4) ++ "AVI ".getBytes ++ new Array[Byte](24)
+    val df = Seq((1L, wav), (2L, avi)).toDF("media_id", "media")
+    val out = df.select(col("media_id"), Multimodal.audioMeta(col("media")).as("a")).collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s => (s.getLong(0), s.getLong(1), s.getLong(2)))).toMap
+    assert(out(1L).contains((2L, 44100L, 16L)))
+    assert(out(2L).isEmpty, "non-WAVE RIFF must not parse as audio")
   }
 
   test("multimodal: jpegDims is robust to truncation and missing SOF") {
@@ -232,6 +246,33 @@ class TensorizeMultimodalStreamingSpec extends SparkSpec {
       assert(starts.count(_ == ts("2024-01-01 10:00:00")) == 1, "file sink re-emitted a window after restart")
       assert(starts.contains(ts("2024-01-01 11:00:00"))) // closed by the 13:00 event
     } finally query2.stop()
+  }
+
+  test("streaming: end-to-end file source -> windowed agg -> file sink") {
+    import org.apache.spark.sql.types._
+    val in = java.nio.file.Files.createTempDirectory("fs_in").toString
+    val out = java.nio.file.Files.createTempDirectory("fs_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fs_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    def writeFile(rows: Seq[(Long, Timestamp, String, Double)]): Unit =
+      spark.createDataFrame(rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)).asJava, schema)
+        .coalesce(1).write.mode("append").parquet(in)
+    writeFile(Seq((1L, ts("2024-01-01 10:05:00"), "click", 1.0), (2L, ts("2024-01-01 10:55:00"), "click", 2.0)))
+    val stream = Streaming.parquetFileStream(spark, in, schema)
+    val query = Streaming.parquetAppendSink(
+      Streaming.windowedEventCounts(stream, "1 hour", "30 minutes"), out, ckpt)
+    try {
+      query.processAllAvailable()
+      // a later file advances the watermark past 11:00 -> 10:00 window closes
+      writeFile(Seq((3L, ts("2024-01-01 11:45:00"), "view", 5.0)))
+      query.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)))
+    } finally query.stop()
   }
 
   test("streaming: snapshot sink overwrites with the full current aggregation state") {
