@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import graft.dedup.Dedup
+import graft.text.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composed pass a training-data pipeline
+  * runs over raw documents before tokenization. Each stage is one of the
+  * library's oracle-tested operators; this module only sequences them in
+  * the cost-correct order.
+  *
+  * Stage order matters at 100 TB: the cheap pure-filter stages (quality,
+  * language) run FIRST so the expensive shuffling stages (near-dup
+  * candidate joins) see the smallest possible corpus, and sampling runs
+  * LAST so dedup decisions are made on the full retained population (a
+  * sample-then-dedup order would under-detect duplicates).
+  */
+object Curation {
+
+  final case class CurationConfig(
+      minQuality: Double = 0.5,
+      keepLanguages: Set[String] = Set.empty, // empty = keep all
+      dedupThreshold: Double = 0.8,
+      shingleSize: Int = 5,
+      sampleFrac: Double = 1.0,
+      sampleSeed: String = "graft",
+      clusteredDedup: Boolean = false
+  )
+
+  /** Apply quality filter → language filter → near-dup removal →
+    * deterministic sample. Returns the surviving rows of `docs`
+    * unchanged in schema (plus nothing — all scoring is internal).
+    */
+  def curate(
+      docs: DataFrame,
+      config: CurationConfig = CurationConfig(),
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val quality = docs.filter(TextFunctions.qualityScore(col(textCol)) >= config.minQuality)
+    val langed =
+      if (config.keepLanguages.isEmpty) quality
+      else quality.filter(TextFunctions.langId(col(textCol)).isInCollection(config.keepLanguages))
+    val deduped =
+      if (config.clusteredDedup)
+        Dedup.dropNearDuplicatesClustered(langed, config.dedupThreshold, config.shingleSize, idCol, textCol)
+      else
+        Dedup.dropNearDuplicates(langed, config.dedupThreshold, config.shingleSize, idCol, textCol)
+    if (config.sampleFrac >= 1.0) deduped
+    else Sampling.deterministicSample(deduped, idCol, config.sampleFrac, config.sampleSeed)
+  }
+}

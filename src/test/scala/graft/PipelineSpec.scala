@@ -101,6 +101,28 @@ class PipelineSpec extends SparkSpec {
       .toString.contains("TakeOrderedAndProject"))
   }
 
+  test("curate: quality, language, dedup, and sample stages compose end-to-end") {
+    import graft.pipeline.Curation
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = Curation.curate(corpus, Curation.CurationConfig(minQuality = 0.0))
+    val filtered = Curation.curate(corpus,
+      Curation.CurationConfig(minQuality = 0.3, keepLanguages = Set("en"), sampleFrac = 0.5))
+    val nFull = full.count()
+    val nFiltered = filtered.count()
+    assert(nFull > 0 && nFiltered > 0 && nFiltered < nFull)
+    // schema passes through unchanged
+    assert(filtered.columns.toSeq == corpus.columns.toSeq)
+    // deterministic end-to-end
+    assert(Curation.curate(corpus,
+      Curation.CurationConfig(minQuality = 0.3, keepLanguages = Set("en"), sampleFrac = 0.5))
+      .select("doc_id").as[Long].collect().toSet ==
+      filtered.select("doc_id").as[Long].collect().toSet)
+    // clustered dedup keeps a subset of (or equal to) greedy-dedup survivors' count
+    val clustered = Curation.curate(corpus,
+      Curation.CurationConfig(minQuality = 0.0, clusteredDedup = true)).count()
+    assert(clustered <= nFull)
+  }
+
   test("tfidf: corpus-wide terms score near tf*1.0, rare terms score higher") {
     val df = Seq(
       (1L, "spark spark rare"),
