@@ -102,15 +102,48 @@ object GraftFunctions {
 }
 
 /** SQL-side registration: `spark.sql.extensions=graft.functions.GraftExtensions`
-  * (or `.withExtensions(new GraftExtensions)`) exposes `graft_dot(a, b)` to
-  * SQL users.
+  * (or `.withExtensions(new GraftExtensions)`) exposes the native graft
+  * expressions to SQL users: `graft_dot(a, b)`,
+  * `graft_rolling_hash(s[, base, mod])`, and the aggregates
+  * `graft_top_k(score, id, k)` / `graft_vector_sum(vec)` (the analyzer
+  * wraps raw AggregateFunctions in AggregateExpressions on resolution,
+  * same as the built-in registry's builders).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def foldedLong(e: Expression, what: String): Long = e match {
+    case f if f.foldable && f.eval() != null => f.eval().toString.toLong
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+      (children: Seq[Expression]) =>
+        children match {
+          case Seq(s)          => RollingHash(s, RollingHash.DefaultBase, RollingHash.DefaultModulus)
+          case Seq(s, b, m)    => RollingHash(s, foldedLong(b, "base"), foldedLong(m, "modulus"))
+          case other           => throw new IllegalArgumentException(
+            s"graft_rolling_hash takes 1 or 3 arguments, got ${other.size}")
+        }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "graft_top_k"),
+      (children: Seq[Expression]) =>
+        TopKByScore(children.head, children(1), foldedLong(children(2), "k").toInt)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vector_sum"),
+      new ExpressionInfo(classOf[VectorSum].getName, "graft_vector_sum"),
+      (children: Seq[Expression]) => VectorSum(children.head)
     ))
   }
 }

@@ -52,6 +52,19 @@ class DotProductSpec extends SparkSpec {
       val r = withExt.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
         .collect()(0).getDouble(0)
       assert(r == 11.0)
+      val rh = withExt.sql("SELECT graft_rolling_hash('abc') AS h, graft_rolling_hash('abc', 31, 1000000007) AS h2")
+        .collect()(0)
+      assert(rh.getLong(0) == rh.getLong(1))
+      val topk = withExt.sql(
+        """SELECT graft_top_k(CAST(s AS DOUBLE), CAST(i AS BIGINT), 2) AS t
+          |FROM VALUES (1.0, 1), (3.0, 2), (2.0, 3) AS v(s, i)""".stripMargin)
+        .selectExpr("transform(t, x -> x.id) AS ids").collect()(0).getSeq[Long](0)
+      assert(topk == Seq(2L, 3L))
+      val vs = withExt.sql(
+        """SELECT graft_vector_sum(v) AS s
+          |FROM VALUES (array(1.0D, 2.0D)), (array(3.0D, 4.0D)) AS t(v)""".stripMargin)
+        .collect()(0).getSeq[Double](0)
+      assert(vs == Seq(4.0, 6.0))
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(prev)
       org.apache.spark.sql.SparkSession.setActiveSession(prev)
