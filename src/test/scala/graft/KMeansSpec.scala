@@ -58,6 +58,22 @@ class KMeansSpec extends SparkSpec {
     assert(w(1) <= w(0) + 1e-9 && w(2) <= w(1) + 1e-9, s"WCSS increased: $w")
   }
 
+  test("IvfIO: round-trip index search matches in-memory ivfTopK and prunes partitions") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 10)
+    val centroids = KMeans.fit(e, k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    graft.ann.IvfIO.write(e, centroids, dir)
+    val fromIndex = graft.ann.IvfIO.search(spark, dir, q, k = 5, nProbe = 2)
+    val inMemory = KMeans.ivfTopK(e, q, centroids, k = 5, nProbe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(rows(fromIndex) == rows(inMemory))
+    // probed-cell literal filter reaches the scan as a partition filter
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"), s"no partition pruning in plan:\n$plan")
+  }
+
   test("ivfTopK: every query gets k rows and recall grows with nProbe") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 20)

@@ -101,6 +101,39 @@ class PipelineSpec extends SparkSpec {
       .toString.contains("TakeOrderedAndProject"))
   }
 
+  test("properties: packing conserves tokens, selection caps group sizes, sampling nests") {
+    val gen = org.scalacheck.Gen.listOfN(400,
+      for {
+        id <- org.scalacheck.Gen.choose(1L, 100000L)
+        tok <- org.scalacheck.Gen.choose(1L, 5000L)
+        g <- org.scalacheck.Gen.oneOf("a", "b", "c")
+        s <- org.scalacheck.Gen.choose(0.0, 1.0)
+      } yield (id, tok, g, s))
+    val rows = gen.sample.get.distinctBy(_._1)
+    val df = rows.toDF("doc_id", "ntok", "g", "score").cache()
+    try {
+      // packing: every row keeps its tokens, bins within a shard are contiguous from 0
+      val packed = Packing.packByTokenBudget(df, "doc_id", "ntok", 4000, 4)
+      assert(packed.agg(sum("ntok")).as[Long].head() == rows.map(_._2).sum)
+      assert(packed.count() == rows.size)
+      // every shard starts at bin 0 (gaps allowed: an over-budget doc skips
+      // indices), and no bin exceeds budget + its largest single doc
+      assert(packed.groupBy("shard").agg(min("bin").as("m")).select("m").as[Long].collect().forall(_ == 0L))
+      val binTotals = packed.groupBy("shard", "bin")
+        .agg(sum("ntok").as("t"), max("ntok").as("mx")).as[(Long, Long, Long, Long)].collect()
+      assert(binTotals.forall { case (_, _, t, mx) => t <= 4000 + mx })
+      // selection: never more than k rows per group, all ranks in 1..k
+      val sel = Selection.topKPerGroup(df, Seq("g"), "score", 7, "doc_id")
+      val perGroup = sel.groupBy("g").count().as[(String, Long)].collect()
+      assert(perGroup.forall(_._2 <= 7))
+      assert(sel.agg(max("rank")).as[Long].head() <= 7)
+      // sampling: fraction thresholds nest for ANY seed
+      val s30 = Sampling.deterministicSample(df, "doc_id", 0.3, "p").select("doc_id").as[Long].collect().toSet
+      val s70 = Sampling.deterministicSample(df, "doc_id", 0.7, "p").select("doc_id").as[Long].collect().toSet
+      assert(s30.subsetOf(s70))
+    } finally df.unpersist()
+  }
+
   test("curate: quality, language, dedup, and sample stages compose end-to-end") {
     import graft.pipeline.Curation
     val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
