@@ -35,17 +35,19 @@ object Bm25 {
       col(idCol).as("id"),
       size(wordTokens(col(textCol))).cast("double").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    // df via a term-partitioned window over the aggregated tf table — a
+    // second aggregation from the raw corpus would re-tokenize and
+    // re-shuffle everything (see the same note in [[Tfidf.tfidf]])
     val tf = docs
       .select(col(idCol).as("id"), explode(wordTokens(col(textCol))).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy("id", "term")
       .agg(count(lit(1)).as("tf"))
-    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm =
       col("tf") / (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
     tf
-      .join(docFreq, "term")
       .join(dl, "id")
       .crossJoin(broadcast(stats))
       .select(col("id"), (idf * tfNorm).as("__s"))

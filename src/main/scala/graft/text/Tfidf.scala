@@ -2,6 +2,7 @@ package graft.text
 
 import graft.text.TextFunctions.wordTokens
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** TF-IDF term scoring over a document corpus.
@@ -24,13 +25,21 @@ object Tfidf {
   /** (id, term, tf, tfidf) with the smooth idf variant
     * `idf = ln((N + 1) / (df + 1)) + 1` (df = #docs containing the term),
     * which never divides by zero and keeps corpus-wide terms at weight ~1.
+    *
+    * df comes from a count window PARTITIONED BY term over the aggregated
+    * tf table — NOT a second aggregation from the raw corpus: referencing
+    * the tf subtree twice would tokenize and shuffle the whole corpus
+    * twice (column pruning makes the two subtrees differ, so the exchange
+    * is not reused). The window shuffles the (doc, term)-sized tf table
+    * once on term, which the join it replaces would have done anyway. N
+    * is a metadata-cheap count scan (no tokenization) broadcast as one
+    * row.
     */
   def tfidf(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol)
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf
-      .join(docFreq, "term")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(n))
       .select(
         col("id"),
