@@ -81,6 +81,12 @@ object Dedup {
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)), y => struct(x.as("ia"), y.as("ib")))))
 
+  /** Bits reserved for the per-doc shingle count when (id, n_sh) rides one
+    * long through the bucket aggregation: ids < 2^36 (68 billion docs),
+    * counts < 2^27 (134M shingles/doc). Violations raise, never corrupt.
+    */
+  private val PackShift = 27
+
   /** Near-duplicate pairs by word-n-gram Jaccard similarity >= `threshold`.
     *
     * Candidates come from per-shingle buckets (never a cross join);
@@ -92,11 +98,15 @@ object Dedup {
     * [[graft.functions.BoundedCollectLongs]], so a boilerplate shingle in
     * millions of docs costs O(1) buffer memory, not O(df).
     *
-    * Shuffle budget (the previous formulation spent two extra corpus-sized
-    * window sort-exchanges and a sort-merge self-join of the full shingle
-    * table): one distinct on (id, sh), one doc-sized count, one groupBy sh
-    * with in-group pair explosion, one candidate-pair count. The per-doc
-    * count joins touch only candidate-pair-sized tables.
+    * The shingle pipeline (scan + tokenize + explode + md5 + distinct) is
+    * evaluated ONCE: each doc's shingle count is computed with an
+    * id-partitioned window and packed into the id long itself
+    * (`id << 27 | n_sh`), so bucket rows carry both values through the
+    * pair explosion and the final Jaccard needs NO joins back to a
+    * per-doc count table — the naive formulation evaluates the corpus
+    * pipeline three times (bucket side + one per join side). Packed
+    * values sort like ids (id in the high bits), which the in-bucket
+    * combination explosion relies on.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -107,22 +117,30 @@ object Dedup {
       maxDocFreq: Long = 1000
   ): DataFrame = {
     val sh = shingleHashTable(docs, idCol, textCol, n)
-    val cnt = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val buckets = sh
+    val packed = sh
+      .withColumn("__n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("id")))
+      .select(
+        col("sh"),
+        when(col("id") >= (1L << (63 - PackShift)) || col("id") < 0 || col("__n") >= (1L << PackShift),
+          raise_error(concat(lit("ngramJaccardPairs: id/count out of packable range for id "), col("id"))))
+          .otherwise(shiftleft(col("id"), PackShift) + col("__n"))
+          .as("pid")
+      )
+    val buckets = packed
       .groupBy("sh")
-      .agg(graft.functions.BoundedCollectLongs.boundedCollect(col("id"), maxDocFreq.toInt).as("ids"))
+      .agg(graft.functions.BoundedCollectLongs.boundedCollect(col("pid"), maxDocFreq.toInt).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+    val mask = (1L << PackShift) - 1
     val com = buckets
       .select(explode(combinationPairs(col("ids"))).as("p"))
-      .groupBy(col("p.ia").as("id_a"), col("p.ib").as("id_b"))
+      .groupBy(col("p.ia").as("pa"), col("p.ib").as("pb"))
       .agg(count(lit(1)).as("n_common"))
     com
-      .join(cnt.as("ca"), col("id_a") === col("ca.id"))
-      .join(cnt.as("cb"), col("id_b") === col("cb.id"))
       .select(
-        col("id_a"),
-        col("id_b"),
-        (col("n_common").cast("double") / (col("ca.n_sh") + col("cb.n_sh") - col("n_common"))).as("jaccard")
+        shiftright(col("pa"), PackShift).as("id_a"),
+        shiftright(col("pb"), PackShift).as("id_b"),
+        (col("n_common").cast("double") /
+          (col("pa").bitwiseAND(mask) + col("pb").bitwiseAND(mask) - col("n_common"))).as("jaccard")
       )
       .filter(col("jaccard") >= threshold)
   }
