@@ -277,13 +277,22 @@ object Dedup {
   }
 
   /** LSH candidate pairs: signatures banded into `numBands` groups; docs
-    * sharing any band bucket become candidates. Shuffle key = (band,
-    * md5-of-band-signature); bucket sizes bound the join fan-out.
+    * sharing any band bucket become candidates.
+    *
+    * Buckets are built with ONE groupBy on (band, md5-of-band-signature) +
+    * bounded in-group collect and an in-bucket combination explosion — not
+    * a self-join, which would (a) evaluate the whole upstream signature
+    * pipeline twice and (b) blow up O(n²) on a degenerate bucket (e.g.
+    * a boilerplate band value shared by millions of docs). Buckets larger
+    * than `maxBucketSize` are dropped whole: past the cap they are
+    * degenerate near-identical families better handled by exact dedup,
+    * and every other band still votes for the pair.
     */
   def minhashCandidatePairs(
       signatures: DataFrame,
       numHashes: Int,
-      numBands: Int
+      numBands: Int,
+      maxBucketSize: Int = 1000
   ): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must divide into numBands evenly")
     val rowsPerBand = numHashes / numBands
@@ -297,10 +306,12 @@ object Dedup {
       explode(array((0 until numBands).map(b => struct(lit(b).as("band"), col(s"band_$b").as("sig"))): _*))
         .as("bk")
     ).select(col("id"), col("bk.band"), col("bk.sig"))
-    buckets.hint("MERGE").as("a")
-      .join(buckets.hint("MERGE").as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    buckets
+      .groupBy("band", "sig")
+      .agg(graft.functions.BoundedCollectLongs.boundedCollect(col("id"), maxBucketSize).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(explode(combinationPairs(col("ids"))).as("p"))
+      .select(col("p.ia").as("id_a"), col("p.ib").as("id_b"))
       .distinct()
   }
 
