@@ -190,17 +190,35 @@ object Similarity {
     * coarse cell so candidate generation is an equi-join (exact within
     * a cell; probabilistic recall across cells, standard LSH trade).
     * Pass `cell = None` for exact all-pairs (test scale only).
+    *
+    * Unlike the id-only dedup buckets, both sides need the full vectors
+    * for the cosine, so candidates come from a cell-keyed self-join
+    * rather than an in-group collect. `maxCellSize` is the skew guard:
+    * cells above it are dropped whole (a cell should hold ~√N vectors by
+    * the nBits sizing rule — one vastly over-sized cell means degenerate
+    * embeddings, and joining it would be O(cell²)). Default unlimited, so
+    * small-scale results are exact.
     */
   def embeddingNearDupPairs(
       vectors: DataFrame,
       threshold: Double,
       cell: Option[Column => Column] = Some(signBitCell(_, 8)),
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      maxCellSize: Option[Long] = None
   ): DataFrame = {
-    val withCell = cell match {
+    val celled = cell match {
       case Some(f) => vectors.withColumn("__cell", f(col(vecCol)))
       case None    => vectors.withColumn("__cell", lit(0L))
+    }
+    val withCell = maxCellSize match {
+      case Some(cap) =>
+        celled
+          .withColumn("__csz",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__cell")))
+          .filter(col("__csz") <= cap)
+          .drop("__csz")
+      case None => celled
     }
     withCell.hint("MERGE").as("a")
       .join(withCell.hint("MERGE").as("b"),

@@ -349,17 +349,31 @@ object Dedup {
     * `maxHamming`, using block-permutation candidate buckets: the signature
     * is split into maxHamming+1 blocks; by pigeonhole, any pair within
     * distance shares at least one exact block — so candidates come from
-    * equi-joins on (block_idx, block_value), never all-pairs.
+    * per-(block_idx, block_value) buckets, never all-pairs.
+    *
+    * Single-pass like [[ngramJaccardPairs]]: each bucket element packs
+    * `id << bits | simhash` into one long (hence the `bits <= 32` /
+    * id < 2^(63-bits) contract, range-checked), so one bounded groupBy
+    * replaces the self-join — the upstream signature pipeline evaluates
+    * once and `maxBucketSize` caps degenerate buckets (a common block
+    * value cannot explode O(n²)).
     */
   def simhashNearDupPairs(
       signatures: DataFrame,
       bits: Int = 32,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000
   ): DataFrame = {
+    require(bits >= 1 && bits <= 32, "bits must be in [1,32]")
     val nBlocks = maxHamming + 1
     val blockSize = math.ceil(bits.toDouble / nBlocks).toInt
-    val blocks = signatures.select(
-      col("id"),
+    val idCap = 1L << (63 - bits)
+    val sigMask = if (bits == 32) 0xffffffffL else (1L << bits) - 1
+    val packed = signatures.select(
+      when(col("id") >= idCap || col("id") < 0,
+        raise_error(concat(lit(s"simhashNearDupPairs: id out of packable range for bits=$bits: "), col("id"))))
+        .otherwise(shiftleft(col("id"), bits) + col("simhash").bitwiseAND(sigMask))
+        .as("pid"),
       col("simhash"),
       explode(array((0 until nBlocks).map { i =>
         val width = math.min(blockSize, bits - i * blockSize)
@@ -369,12 +383,19 @@ object Dedup {
           shiftright(col("simhash"), i * blockSize).bitwiseAND(mask).as("v")
         )
       }: _*)).as("b")
-    ).select(col("id"), col("simhash"), col("b.blk"), col("b.v"))
-    val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-    blocks.hint("MERGE").as("a")
-      .join(blocks.hint("MERGE").as("b"),
-        col("a.blk") === col("b.blk") && col("a.v") === col("b.v") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), ham.as("hamming"))
+    ).select(col("pid"), col("b.blk"), col("b.v"))
+    val sigA = col("p.ia").bitwiseAND(sigMask)
+    val sigB = col("p.ib").bitwiseAND(sigMask)
+    packed
+      .groupBy("blk", "v")
+      .agg(graft.functions.BoundedCollectLongs.boundedCollect(col("pid"), maxBucketSize).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(explode(combinationPairs(col("ids"))).as("p"))
+      .select(
+        shiftright(col("p.ia"), bits).as("id_a"),
+        shiftright(col("p.ib"), bits).as("id_b"),
+        bit_count(sigA.bitwiseXOR(sigB)).as("hamming")
+      )
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
