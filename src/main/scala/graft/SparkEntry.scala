@@ -347,6 +347,11 @@ object SparkEntry {
 
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), bits = 32)),
 
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup
+        .simhashNearDupPairs(Dedup.simhash(docs(s, dir), bits = 32), bits = 32, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
+
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(emb(s, dir), threshold = 0.25)),
 
@@ -729,6 +734,22 @@ object SparkEntry {
            |      FROM w, (SELECT unnest(range(0, 32)) AS b) GROUP BY 1, 2)
            |SELECT id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
            |FROM v GROUP BY 1""".stripMargin,
+
+      // pigeonhole hamming blocks: 4 blocks x 8 bits; any pair within
+      // hamming 3 shares an exact block
+      "q_simhash_pairs" ->
+        s"""WITH t AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'')) AS tok FROM documents),
+           |w AS (SELECT id, tok, count(*) AS w, ${h32("tok")} AS h FROM t GROUP BY 1, 2),
+           |v AS (SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS v
+           |      FROM w, (SELECT unnest(range(0, 32)) AS b) GROUP BY 1, 2),
+           |sg AS (SELECT id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+           |       FROM v GROUP BY 1),
+           |bl AS (SELECT id, simhash, b AS blk, (simhash >> (b * 8)) & 255 AS v
+           |       FROM sg, (SELECT unnest(range(0, 4)) AS b))
+           |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM bl a JOIN bl b ON a.blk = b.blk AND a.v = b.v AND a.id < b.id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
       "q_embed_neardup" ->
         s"""WITH c AS (SELECT vec_id, embedding, $cellSql AS cell FROM embeddings),
