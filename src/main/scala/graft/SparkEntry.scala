@@ -450,6 +450,15 @@ object SparkEntry {
         .tfidf(docs(s, dir))
         .select(col("id"), col("term"), col("tf"), round(col("tfidf"), 6).as("tfidf"))),
 
+    "q_curation" -> { (s, dir) =>
+      import graft.pipeline.Curation
+      Curation
+        .curate(docs(s, dir), Curation.CurationConfig(
+          minQuality = 0.3, keepLanguages = Set("en"), dedupThreshold = 0.8,
+          shingleSize = 5, sampleFrac = 0.5, sampleSeed = "s42"))
+        .select(col("doc_id"), col("lang"))
+    },
+
     "q_bm25" -> ((s, dir) =>
       Bm25
         .score(docs(s, dir), Seq("spark", "hash", "merge"))
@@ -877,6 +886,42 @@ object SparkEntry {
           |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
           |SELECT id, term, tf, round(tf * (ln((n_docs + 1.0)/(df + 1.0)) + 1), 6) AS tfidf
           |FROM tf JOIN idf USING (term), n""".stripMargin,
+
+      // end-to-end curation: quality >= 0.3, lang 'en', greedy near-dup
+      // removal (exact fp + jaccard >= 0.8 on the FILTERED set), then a
+      // 50% deterministic sample — same stage order as Curation.curate
+      "q_curation" -> {
+        val allStop = TextFunctions.Stopwords.flatMap(_._2).distinct.map(w => s"'$w'").mkString("[", ",", "]")
+        val langs = TextFunctions.Stopwords.map(_._1)
+        val hitCols = langs.map(l => s"len(list_filter(toks, x -> list_contains(${stop(l)}, x))) AS h_$l").mkString(", ")
+        val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+        val pick = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
+        s"""WITH t0 AS (SELECT doc_id, text, lang, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+           |q AS (SELECT doc_id,
+           |  round(0.4*least(CAST(len(toks) AS DOUBLE)/100.0, 1.0)
+           |    + 0.3*least(round(CAST(len(list_filter(toks, x -> list_contains($allStop, x))) AS DOUBLE)/greatest(len(toks),1), 6)*5.0, 1.0)
+           |    + 0.2*(CASE WHEN round(CAST(len(regexp_replace(lower(text),'[^a-z]','','g')) AS DOUBLE)/greatest(len(toks),1), 6) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+           |    + 0.1*(1.0 - least(round(CAST(len(regexp_replace(text,'[^.!?,;:]','','g')) AS DOUBLE)/greatest(len(text),1), 6)*5.0, 1.0)), 6) AS score,
+           |  CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred
+           |  FROM (SELECT doc_id, text, $hitCols, toks FROM t0) base
+           |),
+           |kept AS (SELECT t0.doc_id, t0.text, t0.lang, t0.toks FROM t0 JOIN q USING (doc_id)
+           |         WHERE q.score >= 0.3 AND q.lang_pred = 'en'),
+           |fpv AS (SELECT doc_id FROM (
+           |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')))) AS canon
+           |  FROM kept) WHERE doc_id <> canon),
+           |sh0 AS (SELECT doc_id AS id, unnest(CASE WHEN len(toks)>=5 THEN list_transform(range(1, len(toks)-3), i -> array_to_string(toks[i:i+4],' ')) ELSE [] END) AS shingle FROM kept),
+           |shh AS (SELECT DISTINCT id, ${h32("shingle")} AS sh FROM sh0),
+           |filt AS (SELECT id, sh FROM (SELECT id, sh, count(*) OVER (PARTITION BY sh) AS df FROM shh) WHERE df <= 1000),
+           |cnt AS (SELECT id, count(*) AS n_sh FROM shh GROUP BY 1),
+           |com AS (SELECT a.id AS ia, b.id AS ib, count(*) AS nc FROM filt a JOIN filt b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+           |jv AS (SELECT DISTINCT ib AS doc_id FROM com JOIN cnt ca ON ia = ca.id JOIN cnt cb ON ib = cb.id
+           |       WHERE CAST(nc AS DOUBLE)/(ca.n_sh + cb.n_sh - nc) >= 0.8)
+           |SELECT doc_id, lang FROM kept
+           |WHERE doc_id NOT IN (SELECT doc_id FROM fpv)
+           |  AND doc_id NOT IN (SELECT doc_id FROM jv)
+           |  AND ${h32("concat('s42','|',CAST(doc_id AS VARCHAR))")} % 1000000 < 500000""".stripMargin
+      },
 
       "q_bm25" ->
         """WITH tok AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
