@@ -108,6 +108,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(agg.count() > 0)
   }
 
+  test("dedup/scoring pipelines evaluate the corpus scan a bounded number of times") {
+    // regression for the single-pass reworks: a second reference to the
+    // shingle/signature/tf subtree silently re-tokenizes the whole corpus
+    // (column pruning defeats exchange reuse)
+    val sf = "/root/testdata/sf0.001"
+    val maxScans = Map(
+      "q_dedup_jaccard" -> 1, // packed id+count: one shingle evaluation
+      "q_dedup_minhash" -> 1, // bounded bucket collect, no self-join
+      "q_simhash_pairs" -> 1, // packed id+sig buckets
+      "q_tfidf" -> 2,         // tf once + tokenization-free count scan
+      "q_bm25" -> 3           // tf once, dl once, stats re-derivation
+    )
+    val bad = maxScans.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      // AQE's toString repeats the plan under "== Initial Plan ==" — count
+      // scans in the final plan section only
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      if (scans > cap) Some(s"$name: $scans scans (cap $cap)") else None
+    }
+    assert(bad.isEmpty, s"corpus re-scan regressions:\n${bad.mkString("\n")}")
+  }
+
   test("metadata-joined operators add no fact-side shuffle") {
     val meta = graft.operators.CodeMetadata.aggregate(cohort)
     val out = graft.operators.Outliers.occludeOutliers(cohort, meta, 2.0)
