@@ -31,6 +31,26 @@ class ProductQuantizerSpec extends SparkSpec {
     assert((0L until 10L).forall(q => rank1(q) == q + 1000), s"rank1=$rank1")
   }
 
+  test("IvfPq: round-trip index finds exact duplicates through residual codes with pruned scan") {
+    val base = emb.filter(col("vec_id") < 50).select("vec_id", "embedding")
+    val dups = base.select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(dups)
+    val coarse = KMeans.fit(corpus, k = 4, iters = 2)
+    val pq = graft.ann.IvfPq.fitResidualPq(corpus, coarse, numBlocks = 8, k = 16, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    graft.ann.IvfPq.write(corpus, coarse, pq, dir)
+    // model round-trips through parquet
+    val reread = graft.ann.IvfPq.readPqModel(spark, dir, numBlocks = 8, k = 16, blockDim = 8)
+    assert(reread == pq)
+    val top = graft.ann.IvfPq.search(spark, dir, base.filter(col("vec_id") < 10), pq, kTop = 3, nProbe = 1)
+    // a duplicate shares cell AND residual codes -> ADC distance 0 -> rank 1
+    val rank1 = top.filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert((0L until 10L).forall(q => rank1(q) == q + 1000), s"rank1=$rank1")
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"), "codes scan not partition-pruned")
+  }
+
   test("ADC top-5 pairs are closer in true L2 than random pairs") {
     val model = PQ.fit(emb, numBlocks = 8, k = 16, iters = 2)
     val codes = PQ.encode(emb, model)
