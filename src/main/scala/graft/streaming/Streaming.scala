@@ -133,6 +133,27 @@ object Streaming {
       }
       .start()
 
+  /** Streaming exact dedup: keep the first document per content
+    * fingerprint, drop later copies. `dropDuplicatesWithinWatermark`
+    * bounds the fingerprint state by event time — a copy arriving within
+    * the watermark horizon of the original is dropped, state for expired
+    * fingerprints is evicted (infinite-retention dedup over an unbounded
+    * stream is unbounded state; the horizon is the correct streaming
+    * trade, and the batch [[graft.dedup.Dedup.exact]] owns full-history
+    * dedup).
+    */
+  def streamingExactDedup(
+      docs: DataFrame,
+      watermarkDelay: String,
+      tsCol: String = "ts",
+      textCol: String = "text"
+  ): DataFrame =
+    docs
+      .withColumn("__fp", graft.text.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Event-time sessionization: consecutive events of a user belong to one
     * session while gaps stay under `gapMinutes`. Sessions are emitted when
     * the watermark passes their close (append mode, exactly-once).

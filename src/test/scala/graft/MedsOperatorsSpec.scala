@@ -180,6 +180,17 @@ class MedsOperatorsSpec extends SparkSpec {
     assert(out == Map("DOB" -> 1L, "EYE//brown" -> 2L, "HR" -> 3L))
   }
 
+  test("lexicographicIndicesScalable matches the window form without a global window") {
+    val big = (1 to 5000).map(i => (f"CODE_$i%05d", i.toLong)).reverse
+      .toDF("code", "code/n_occurrences").repartition(8)
+    val window = Vocabulary.lexicographicIndices(big)
+      .select("code", "code/vocab_index").as[(String, Long)].collect().toSet
+    val scalable = Vocabulary.lexicographicIndicesScalable(big)
+      .select("code", "code/vocab_index").as[(String, Long)].collect().toSet
+    assert(scalable == window)
+    assert(scalable.size == 5000)
+  }
+
   test("reorderMeasurements orders codes within an event by first-matching pattern") {
     val df = Seq(
       (1L, ts("2020-01-01 00:00:00"), "b_code", 1.0),

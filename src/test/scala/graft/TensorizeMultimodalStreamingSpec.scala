@@ -275,6 +275,25 @@ class TensorizeMultimodalStreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming: exact dedup drops in-horizon copies and keeps first occurrences") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = Streaming.streamingExactDedup(docs, "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "Hello, world!"),
+        (2L, ts("2024-01-01 10:05:00"), "hello world"), // same normalized fp
+        (3L, ts("2024-01-01 10:10:00"), "something else"))
+      query.processAllAvailable()
+      input.addData((4L, ts("2024-01-01 10:20:00"), "HELLO  world")) // still a copy
+      query.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L), s"expected first occurrences only, got $ids")
+    } finally query.stop()
+  }
+
   test("streaming: snapshot sink overwrites with the full current aggregation state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Option[Double])]
