@@ -192,6 +192,11 @@ object SparkEntry {
         .lexicographicIndices(CodeMetadata.aggregate(meds(s, dir)))
         .select(col("code"), col("code/vocab_index"))),
 
+    "q_fit_vocab_scalable" -> ((s, dir) =>
+      Vocabulary
+        .lexicographicIndicesScalable(CodeMetadata.aggregate(meds(s, dir)))
+        .select(col("code"), col("code/vocab_index"))),
+
     "q_reorder_measurements" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val patterns = Seq("^signup$", "^purchase$", "^error$")
@@ -603,6 +608,10 @@ object SparkEntry {
            |FROM events e JOIN v ON e.event_type = v.code""".stripMargin,
 
       "q_fit_vocab" ->
+        """SELECT event_type AS code, row_number() OVER (ORDER BY event_type) AS "code/vocab_index"
+          |FROM (SELECT DISTINCT event_type FROM events)""".stripMargin,
+
+      "q_fit_vocab_scalable" ->
         """SELECT event_type AS code, row_number() OVER (ORDER BY event_type) AS "code/vocab_index"
           |FROM (SELECT DISTINCT event_type FROM events)""".stripMargin,
 
