@@ -39,9 +39,14 @@ object Curation {
       textCol: String = "text"
   ): DataFrame = {
     val quality = docs.filter(TextFunctions.qualityScore(col(textCol)) >= config.minQuality)
-    val langed =
+    val filtered =
       if (config.keepLanguages.isEmpty) quality
       else quality.filter(TextFunctions.langId(col(textCol)).isInCollection(config.keepLanguages))
+    // the dedup stage references the filtered corpus from three branches
+    // (exact victims, jaccard pairs, the anti-join base); a LAZY local
+    // checkpoint materializes the retained subset once at first action so
+    // the tokenize-heavy quality/language filters don't run three times
+    val langed = filtered.localCheckpoint(false)
     val deduped =
       if (config.clusteredDedup)
         Dedup.dropNearDuplicatesClustered(langed, config.dedupThreshold, config.shingleSize, idCol, textCol)
