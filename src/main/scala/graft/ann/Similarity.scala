@@ -186,18 +186,26 @@ object Similarity {
     topKFromScores(scored, k)
   }
 
+  /** All ordered element pairs from a SORTED struct array (a.id < b.id by
+    * the collect's id-ascending contract).
+    */
+  private def structPairs(xs: Column): Column =
+    flatten(transform(xs, (x, i) =>
+      transform(slice(xs, i + 2, size(xs)), y => struct(x.as("a"), y.as("b")))))
+
   /** Embedding near-duplicate pairs: cosine >= threshold, bucketed by
-    * coarse cell so candidate generation is an equi-join (exact within
-    * a cell; probabilistic recall across cells, standard LSH trade).
-    * Pass `cell = None` for exact all-pairs (test scale only).
+    * coarse cell so candidate generation never goes all-pairs (exact
+    * within a cell; probabilistic recall across cells, standard LSH
+    * trade). Pass `cell = None` for exact all-pairs (test scale only).
     *
-    * Unlike the id-only dedup buckets, both sides need the full vectors
-    * for the cosine, so candidates come from a cell-keyed self-join
-    * rather than an in-group collect. `maxCellSize` is the skew guard:
-    * cells above it are dropped whole (a cell should hold ~√N vectors by
-    * the nBits sizing rule — one vastly over-sized cell means degenerate
-    * embeddings, and joining it would be O(cell²)). Default unlimited, so
-    * small-scale results are exact.
+    * Single-pass like the id-only dedup pipelines: each cell's (id,
+    * vector) members are gathered with a bounded in-group collect
+    * ([[graft.functions.BoundedCollectVectors]]) and pairs explode
+    * in-bucket — no cell self-join (which would evaluate the corpus
+    * twice) and no O(cell²) blowup: cells larger than `maxCellSize` are
+    * dropped whole (a cell should hold ~√N vectors by the nBits sizing
+    * rule; one vastly over-sized cell means degenerate embeddings).
+    * Buffer memory per cell ≤ maxCellSize × dim × 4 B.
     */
   def embeddingNearDupPairs(
       vectors: DataFrame,
@@ -205,28 +213,22 @@ object Similarity {
       cell: Option[Column => Column] = Some(signBitCell(_, 8)),
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxCellSize: Option[Long] = None
+      maxCellSize: Int = 10000
   ): DataFrame = {
     val celled = cell match {
       case Some(f) => vectors.withColumn("__cell", f(col(vecCol)))
       case None    => vectors.withColumn("__cell", lit(0L))
     }
-    val withCell = maxCellSize match {
-      case Some(cap) =>
-        celled
-          .withColumn("__csz",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__cell")))
-          .filter(col("__csz") <= cap)
-          .drop("__csz")
-      case None => celled
-    }
-    withCell.hint("MERGE").as("a")
-      .join(withCell.hint("MERGE").as("b"),
-        col("a.__cell") === col("b.__cell") && col(s"a.$idCol") < col(s"b.$idCol"))
+    celled
+      .groupBy("__cell")
+      .agg(graft.functions.BoundedCollectVectors
+        .boundedCollectVectors(col(idCol), col(vecCol), maxCellSize).as("items"))
+      .filter(col("items").isNotNull && size(col("items")) >= 2)
+      .select(explode(structPairs(col("items"))).as("p"))
       .select(
-        col(s"a.$idCol").as("id_a"),
-        col(s"b.$idCol").as("id_b"),
-        round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cosine")
+        col("p.a.id").as("id_a"),
+        col("p.b.id").as("id_b"),
+        round(cosine(col("p.a.vec"), col("p.b.vec")), 6).as("cosine")
       )
       .filter(col("cosine") >= threshold)
   }

@@ -152,6 +152,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(m2.forall(m => java.lang.Long.bitCount(m) <= 2))
   }
 
+  test("embeddingNearDupPairs: over-cap cells are dropped whole, not exploded") {
+    val vecs = (1L to 10L).map(i => (i, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    // all 10 identical vectors land in one cell; cap 5 -> poisoned -> no pairs
+    val capped = graft.ann.Similarity.embeddingNearDupPairs(vecs, 0.5, maxCellSize = 5)
+    assert(capped.count() == 0)
+    val uncapped = graft.ann.Similarity.embeddingNearDupPairs(vecs, 0.5, maxCellSize = 100)
+    assert(uncapped.count() == 45) // C(10,2)
+  }
+
   test("embeddingNearDupPairs: exact mode finds all pairs above threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.05f)), (3L, Array(0.0f, 1.0f))

@@ -118,7 +118,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_dedup_minhash" -> 1, // bounded bucket collect, no self-join
       "q_simhash_pairs" -> 1, // packed id+sig buckets
       "q_tfidf" -> 2,         // tf once + tokenization-free count scan
-      "q_bm25" -> 3           // tf once, dl once, stats re-derivation
+      "q_bm25" -> 3,          // tf once, dl once, stats re-derivation
+      "q_embed_neardup" -> 1  // bounded vector collect, no cell self-join
     )
     val bad = maxScans.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val df = SparkEntry.queries(name)(spark, sf)
