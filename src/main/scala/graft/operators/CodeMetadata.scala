@@ -93,11 +93,15 @@ object CodeMetadata {
 
   /** Derived per-code mean/std from sum, sum_sqd and n_occurrences
     * (occlude_outliers.py:71-72). Population std; NaN-guarded at 0.
+    * Codes with NO numeric values (n = 0, e.g. generated categorical
+    * events like time_of_day) get null mean/std instead of an ANSI
+    * divide-by-zero — their rows then normalize/occlude to null values,
+    * matching the reference's null-propagating arithmetic.
     */
   def withMeanStd(codeMetadata: DataFrame): DataFrame = {
     val n = col(ValuesNOccurrences).cast("double")
-    val mean = col(ValuesSum) / n
-    val variance = col(ValuesSumSqd) / n - mean * mean
+    val mean = when(n > 0, col(ValuesSum) / n)
+    val variance = when(n > 0, col(ValuesSumSqd) / n - mean * mean)
     codeMetadata
       .withColumn("values/mean", mean)
       .withColumn("values/std", sqrt(greatest(variance, lit(0.0))))
