@@ -2,7 +2,7 @@ package graft
 
 import graft.ann.{KMeans, Similarity}
 import graft.dedup.Dedup
-import graft.meds.Meds
+import graft.meds.{Meds, MedsPipeline}
 import graft.operators._
 import graft.pipeline.{Packing, Sampling, Selection}
 import graft.sources.Tables
@@ -170,6 +170,18 @@ object SparkEntry {
           col("patient_id"), timeUs(), col("code"),
           when(col("code") === "AGE", round(col("numeric_value"), 6))
             .otherwise(col("numeric_value")).as("numeric_value"))
+    },
+
+    "q_meds_pipeline" -> { (s, dir) =>
+      import TimeDerived.{AgeConfig, TimeOfDayConfig}
+      MedsPipeline
+        .run(meds(s, dir), MedsPipeline.Config(
+          minMeasurementsPerPatient = Some(60),
+          timeDerived = Seq(AgeConfig(TimeDerived.dobFromFirstEvent, "AGE", "yrs"), TimeOfDayConfig()),
+          stddevCutoff = Some(3.0)))
+        .data
+        .select(col("patient_id"), timeUs(), col("code"),
+          round(col("numeric_value"), 6).as("numeric_value"))
     },
 
     "q_occlude_outliers" -> { (s, dir) =>
@@ -592,6 +604,46 @@ object SparkEntry {
           |orig AS (SELECT user_id AS patient_id, epoch_us(ts) AS time_us, event_type AS code,
           |  CAST(value AS DOUBLE) AS numeric_value FROM events)
           |SELECT * FROM age UNION ALL SELECT * FROM tod UNION ALL SELECT * FROM orig""".stripMargin,
+
+      // the full composed chain: patient filter -> time-derived -> stats
+      // -> occlude -> refit -> vocab -> normalize (MedsPipeline.run)
+      "q_meds_pipeline" ->
+        """WITH m AS (SELECT user_id AS patient_id, ts AS time, event_type AS code, CAST(value AS DOUBLE) AS v FROM events),
+          |pf AS (SELECT * FROM m WHERE patient_id IN (
+          |  SELECT patient_id FROM m WHERE time IS NOT NULL GROUP BY 1 HAVING count(*) >= 60)),
+          |u AS (SELECT DISTINCT patient_id, time FROM pf WHERE time IS NOT NULL),
+          |dd AS (SELECT patient_id, time, min(time) OVER (PARTITION BY patient_id) AS dob FROM u),
+          |age AS (SELECT patient_id, time, 'AGE' AS code,
+          |  (epoch_us(time)-epoch_us(dob))/(1000000*(86400*CAST(365.2422 AS DOUBLE))) AS v
+          |  FROM dd WHERE epoch_us(time) > epoch_us(dob)),
+          |tod AS (SELECT DISTINCT patient_id, time,
+          |  CASE WHEN hour(time)<6 THEN 'time_of_day//[00,06)' WHEN hour(time)<12 THEN 'time_of_day//[06,12)'
+          |       WHEN hour(time)<18 THEN 'time_of_day//[12,18)' ELSE 'time_of_day//[18,24)' END AS code,
+          |  CAST(NULL AS DOUBLE) AS v FROM pf WHERE time IS NOT NULL),
+          |wd AS (SELECT patient_id, time, code, v FROM pf
+          |       UNION ALL SELECT * FROM age UNION ALL SELECT * FROM tod),
+          |st0 AS (SELECT code,
+          |  count(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN 1 END) AS n,
+          |  CAST(coalesce(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN CAST(v AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s,
+          |  CAST(coalesce(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN CAST(v*v AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s2
+          |  FROM wd GROUP BY 1),
+          |ms0 AS (SELECT code, CASE WHEN n>0 THEN s/n END AS mean,
+          |        CASE WHEN n>0 THEN sqrt(greatest(s2/n - (s/n)*(s/n), 0)) END AS std FROM st0),
+          |oc AS (SELECT wd.patient_id, wd.time, wd.code,
+          |       CASE WHEN abs(wd.v - ms0.mean) <= 3.0*ms0.std THEN wd.v END AS v
+          |       FROM wd LEFT JOIN ms0 USING (code)),
+          |st1 AS (SELECT code,
+          |  count(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN 1 END) AS n,
+          |  CAST(coalesce(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN CAST(v AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s,
+          |  CAST(coalesce(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN CAST(v*v AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s2
+          |  FROM oc GROUP BY 1),
+          |ms1 AS (SELECT code, CASE WHEN n>0 THEN s/n END AS mean,
+          |        CASE WHEN n>0 THEN sqrt(greatest(s2/n - (s/n)*(s/n), 0)) END AS std FROM st1),
+          |vc AS (SELECT code, row_number() OVER (ORDER BY code) AS idx
+          |       FROM (SELECT DISTINCT code FROM oc))
+          |SELECT oc.patient_id, epoch_us(oc.time) AS time_us, CAST(vc.idx AS BIGINT) AS code,
+          |  round((oc.v - ms1.mean)/ms1.std, 6) AS numeric_value
+          |FROM oc JOIN vc USING (code) JOIN ms1 USING (code)""".stripMargin,
 
       "q_occlude_outliers" ->
         s"""WITH $statsCtes
