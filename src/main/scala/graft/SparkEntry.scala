@@ -527,6 +527,22 @@ object SparkEntry {
         .limit(20)
     },
 
+    // semi/anti joins: customers with a high-priority order but no
+    // returned lineitem — broadcast LeftSemi + LeftAnti, zero fact shuffle
+    "q_cust_semi_anti" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir)
+      val returned = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"))
+      val urgent = ord.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      cust
+        .join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_semi")
+        .join(returned, cust("c_custkey") === returned("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+
     "q_top_customers" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val rev = Tables.lineitem(s, dir)
@@ -662,6 +678,13 @@ object SparkEntry {
       "q_fit_vocab" ->
         """SELECT event_type AS code, row_number() OVER (ORDER BY event_type) AS "code/vocab_index"
           |FROM (SELECT DISTINCT event_type FROM events)""".stripMargin,
+
+      "q_cust_semi_anti" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+          |  AND c_custkey NOT IN (
+          |    SELECT o_custkey FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |    WHERE l_returnflag = 'R')""".stripMargin,
 
       "q_fit_vocab_scalable" ->
         """SELECT event_type AS code, row_number() OVER (ORDER BY event_type) AS "code/vocab_index"
