@@ -813,10 +813,12 @@ object SparkEntry {
            |SELECT id, ${minhashAggSql(8, j => s"minhash_$j")}
            |FROM shh GROUP BY 1""".stripMargin,
 
+      // buckets over the 1000 cap are dropped whole (mirrors maxBucketSize)
       "q_dedup_minhash" ->
         s"""WITH $shingleCtes,
            |sg AS (SELECT id, ${minhashAggSql(8, j => s"m$j")} FROM shh GROUP BY 1),
-           |bands AS (${(0 until 4).map(b => s"SELECT id, $b AS band, md5(concat(CAST(m${2 * b} AS VARCHAR),'|',CAST(m${2 * b + 1} AS VARCHAR))) AS sig FROM sg").mkString(" UNION ALL ")})
+           |bands0 AS (${(0 until 4).map(b => s"SELECT id, $b AS band, md5(concat(CAST(m${2 * b} AS VARCHAR),'|',CAST(m${2 * b + 1} AS VARCHAR))) AS sig FROM sg").mkString(" UNION ALL ")}),
+           |bands AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, sig) AS bsz FROM bands0) WHERE bsz <= 1000)
            |SELECT DISTINCT a.id AS id_a, b.id AS id_b
            |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id""".stripMargin,
 
@@ -837,15 +839,18 @@ object SparkEntry {
            |      FROM w, (SELECT unnest(range(0, 32)) AS b) GROUP BY 1, 2),
            |sg AS (SELECT id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
            |       FROM v GROUP BY 1),
-           |bl AS (SELECT id, simhash, b AS blk, (simhash >> (b * 8)) & 255 AS v
-           |       FROM sg, (SELECT unnest(range(0, 4)) AS b))
+           |bl0 AS (SELECT id, simhash, b AS blk, (simhash >> (b * 8)) & 255 AS v
+           |       FROM sg, (SELECT unnest(range(0, 4)) AS b)),
+           |bl AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY blk, v) AS bsz FROM bl0) WHERE bsz <= 1000)
            |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
            |FROM bl a JOIN bl b ON a.blk = b.blk AND a.v = b.v AND a.id < b.id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
+      // cells over the 10000 cap are dropped whole (mirrors BoundedCollectVectors)
       "q_embed_neardup" ->
-        s"""WITH c AS (SELECT vec_id, embedding, $cellSql AS cell FROM embeddings),
+        s"""WITH c0 AS (SELECT vec_id, embedding, $cellSql AS cell FROM embeddings),
+           |c AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY cell) AS csz FROM c0) WHERE csz <= 10000),
            |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, ${cosSql("a.embedding", "b.embedding")} AS cos
            |      FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id)
            |SELECT ia AS id_a, ib AS id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.25""".stripMargin,

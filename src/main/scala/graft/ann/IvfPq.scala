@@ -61,9 +61,13 @@ object IvfPq {
       .flatMap { case (cs, blk) => cs.zipWithIndex.map { case (c, cid) => (blk, cid, c) } }
       .toDF("blk", "cid", "centroid")
       .write.mode("overwrite").parquet(s"$dir/pq")
+    // materialize once: the encode branch and the cid join would otherwise
+    // each re-run the corpus-vs-centroids assignment (pruning defeats
+    // exchange reuse — same pattern as connectedComponents/Curation)
     val assigned = KMeans.assign(corpus, coarseCentroids, idCol, vecCol)
       .join(broadcast(coarseCentroids), "cid")
       .select(col(idCol), col("cid"), residual(col(vecCol), col("centroid")).as(vecCol))
+      .localCheckpoint(false)
     PQ.encode(assigned.select(col(idCol), col(vecCol)), pq, idCol, vecCol)
       .join(assigned.select(col(idCol).as("id"), col("cid")), "id")
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")

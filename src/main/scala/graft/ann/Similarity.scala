@@ -187,11 +187,10 @@ object Similarity {
   }
 
   /** All ordered element pairs from a SORTED struct array (a.id < b.id by
-    * the collect's id-ascending contract).
+    * the collect's id-ascending contract; [[graft.functions.Pairs]]).
     */
   private def structPairs(xs: Column): Column =
-    flatten(transform(xs, (x, i) =>
-      transform(slice(xs, i + 2, size(xs)), y => struct(x.as("a"), y.as("b")))))
+    graft.functions.Pairs.orderedPairs(xs, "a", "b")
 
   /** Embedding near-duplicate pairs: cosine >= threshold, bucketed by
     * coarse cell so candidate generation never goes all-pairs (exact
@@ -214,22 +213,32 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       maxCellSize: Int = 10000
-  ): DataFrame = {
-    val celled = cell match {
-      case Some(f) => vectors.withColumn("__cell", f(col(vecCol)))
-      case None    => vectors.withColumn("__cell", lit(0L))
-    }
-    celled
-      .groupBy("__cell")
-      .agg(graft.functions.BoundedCollectVectors
-        .boundedCollectVectors(col(idCol), col(vecCol), maxCellSize).as("items"))
-      .filter(col("items").isNotNull && size(col("items")) >= 2)
-      .select(explode(structPairs(col("items"))).as("p"))
-      .select(
-        col("p.a.id").as("id_a"),
-        col("p.b.id").as("id_b"),
-        round(cosine(col("p.a.vec"), col("p.b.vec")), 6).as("cosine")
-      )
-      .filter(col("cosine") >= threshold)
+  ): DataFrame = cell match {
+    case None =>
+      // exact all-pairs (test scale only): a bounded single-group collect
+      // would silently drop EVERYTHING past the cap — a plain self-join
+      // keeps the exact contract at any size
+      vectors.as("a")
+        .join(vectors.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(
+          col(s"a.$idCol").as("id_a"),
+          col(s"b.$idCol").as("id_b"),
+          round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cosine")
+        )
+        .filter(col("cosine") >= threshold)
+    case Some(f) =>
+      vectors
+        .withColumn("__cell", f(col(vecCol)))
+        .groupBy("__cell")
+        .agg(graft.functions.BoundedCollectVectors
+          .boundedCollectVectors(col(idCol), col(vecCol), maxCellSize).as("items"))
+        .filter(col("items").isNotNull && size(col("items")) >= 2)
+        .select(explode(structPairs(col("items"))).as("p"))
+        .select(
+          col("p.a.id").as("id_a"),
+          col("p.b.id").as("id_b"),
+          round(cosine(col("p.a.vec"), col("p.b.vec")), 6).as("cosine")
+        )
+        .filter(col("cosine") >= threshold)
   }
 }

@@ -74,12 +74,10 @@ object Dedup {
   )
 
   /** All ordered index pairs from a SORTED id array: (ids(i), ids(j)) for
-    * i < j — so `ia < ib` by construction. Runs post-shuffle on per-bucket
-    * arrays whose size is capped by the caller, never on corpus-sized data.
+    * i < j — so `ia < ib` by construction ([[graft.functions.Pairs]]).
     */
   private def combinationPairs(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)), y => struct(x.as("ia"), y.as("ib")))))
+    graft.functions.Pairs.orderedPairs(ids, "ia", "ib")
 
   /** Bits reserved for the per-doc shingle count when (id, n_sh) rides one
     * long through the bucket aggregation: ids < 2^36 (68 billion docs),

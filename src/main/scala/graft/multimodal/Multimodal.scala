@@ -68,6 +68,8 @@ object Multimodal {
     var i = 2
     while (i + 3 < b.length) {
       if ((b(i) & 0xff) != 0xff) return None
+      // runs of 0xFF are legal fill bytes before a marker — skip them
+      while (i + 3 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1
       val marker = b(i + 1) & 0xff
       // standalone markers (no length field): RSTn, TEM, another SOI
       if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
@@ -104,8 +106,13 @@ object Multimodal {
         struct(be(bin, 17, 4).as("width"), be(bin, 21, 4).as("height")))
       .when(fmt === "gif" && length(bin) >= 10,
         struct(le(bin, 7, 2).as("width"), le(bin, 9, 2).as("height")))
-      .when(fmt === "bmp" && length(bin) >= 26,
-        struct(le(bin, 19, 4).as("width"), le(bin, 23, 4).as("height")))
+      .when(fmt === "bmp" && length(bin) >= 26, {
+        // BMP height is SIGNED: negative = top-down row order, magnitude =
+        // pixel height. Undo two's complement instead of reporting ~2^32.
+        val rawH = le(bin, 23, 4)
+        val h = when(rawH >= (1L << 31), lit(1L << 32) - rawH).otherwise(rawH)
+        struct(le(bin, 19, 4).as("width"), h.as("height"))
+      })
       .when(fmt === "jpeg", jpegDimsUdf(bin))
       .otherwise(lit(null).cast("struct<width:bigint,height:bigint>"))
   }

@@ -161,6 +161,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(uncapped.count() == 45) // C(10,2)
   }
 
+  test("embeddingNearDupPairs: exact mode returns every pair regardless of corpus size cap") {
+    val vecs = (1L to 30L).map(i => (i, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    // cell=None must NOT go through the bounded collect (a single poisoned
+    // group would silently return zero pairs)
+    val out = graft.ann.Similarity.embeddingNearDupPairs(vecs, 0.5, cell = None, maxCellSize = 5)
+    assert(out.count() == 30L * 29 / 2)
+  }
+
   test("embeddingNearDupPairs: exact mode finds all pairs above threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.05f)), (3L, Array(0.0f, 1.0f))

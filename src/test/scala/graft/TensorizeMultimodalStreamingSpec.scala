@@ -111,6 +111,22 @@ class TensorizeMultimodalStreamingSpec extends SparkSpec {
     assert(out(2L).isEmpty, "non-WAVE RIFF must not parse as audio")
   }
 
+  test("multimodal: top-down BMP (negative height) and JPEG fill bytes decode correctly") {
+    // height -600 stored two's-complement -> must report 600
+    val topDown = "BM".getBytes ++ new Array[Byte](12) ++ Array[Byte](40, 0, 0, 0,
+      32, 3, 0, 0, // width 800
+      0xA8.toByte, 0xFD.toByte, 0xFF.toByte, 0xFF.toByte) // height -600
+    val df = Seq((1L, topDown)).toDF("media_id", "media")
+    val out = Multimodal.withMediaMeta(df)
+      .select("media_meta.width", "media_meta.height").collect()(0)
+    assert(out.getLong(0) == 800L && out.getLong(1) == 600L)
+    // fill bytes (extra 0xFFs) before the SOF marker are legal padding
+    val padded = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xc0.toByte, 0, 17, 8,
+      1, 0xC8.toByte, 0, 0x7B.toByte, 3) // h=456, w=123
+    assert(Multimodal.jpegDims(padded).contains(Multimodal.Dims(123, 456)))
+  }
+
   test("multimodal: jpegDims is robust to truncation and missing SOF") {
     assert(Multimodal.jpegDims(null).isEmpty)
     assert(Multimodal.jpegDims(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
