@@ -1,0 +1,68 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.meds.{Meds, MedsPipeline}
+import graft.operators._
+import graft.pipeline.{Packing, Sampling, Selection}
+import graft.text.{Bm25, TextFunctions, Tfidf}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Degenerate-input robustness: every operator must return an empty/sane
+  * result on empty or pathological input, not throw — at 100 TB some
+  * shard somewhere WILL be empty, all-null, or single-row.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emptyMeds = Seq.empty[(Long, Option[Timestamp], String, Option[Double])]
+    .toDF("patient_id", "time", "code", "numeric_value")
+  private lazy val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("MEDS operators tolerate an empty cohort") {
+    assert(CodeMetadata.aggregate(emptyMeds).count() == 0)
+    assert(Filters.filterPatientsByNumMeasurements(emptyMeds, 1).count() == 0)
+    assert(Filters.filterPatientsByNumEvents(emptyMeds, 1).count() == 0)
+    assert(TimeDerived.ageEvents(emptyMeds, TimeDerived.dobFromFirstEvent).count() == 0)
+    assert(TimeDerived.timeOfDayEvents(emptyMeds).count() == 0)
+    assert(Vocabulary.lexicographicIndices(CodeMetadata.aggregate(emptyMeds)).count() == 0)
+    assert(Vocabulary.lexicographicIndicesScalable(CodeMetadata.aggregate(emptyMeds)).count() == 0)
+    assert(Tokenize.seqOfPatientEvents(emptyMeds).count() == 0)
+    val r = MedsPipeline.run(emptyMeds, MedsPipeline.Config(stddevCutoff = Some(3.0)))
+    assert(r.data.count() == 0 && r.codeMetadata.count() == 0 && r.tokenized.count() == 0)
+  }
+
+  test("dedup and text operators tolerate an empty corpus") {
+    assert(Dedup.exact(emptyDocs).count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, 0.5).count() == 0)
+    assert(Dedup.minhashCandidatePairs(Dedup.minhashSignatures(emptyDocs, 8), 8, 4).count() == 0)
+    assert(Dedup.simhashNearDupPairs(Dedup.simhash(emptyDocs), maxHamming = 3).count() == 0)
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    assert(Dedup.dropNearDuplicates(emptyDocs).count() == 0)
+    assert(Tfidf.tfidf(emptyDocs).count() == 0)
+    assert(Bm25.score(emptyDocs, Seq("x")).count() == 0)
+  }
+
+  test("pipeline operators tolerate empty and single-row input") {
+    assert(Sampling.deterministicSample(emptyDocs, "doc_id", 0.5, "s").count() == 0)
+    assert(Sampling.deterministicSampleN(emptyDocs, "doc_id", 10, "s").count() == 0)
+    assert(Selection.topKPerGroup(emptyDocs.withColumn("s", lit(1.0)), Seq("text"), "s", 3, "doc_id").count() == 0)
+    assert(Packing.packByTokenBudget(emptyDocs.withColumn("n", lit(1L)), "doc_id", "n", 100, 4).count() == 0)
+    val one = Seq((1L, "only doc")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(one, 0.5).count() == 0)
+    assert(Packing.packByTokenBudget(one.withColumn("n", lit(5L)), "doc_id", "n", 100, 4)
+      .select("bin").as[Long].head() == 0L)
+  }
+
+  test("all-null and whitespace-only text columns don't break text functions") {
+    val weird = Seq((1L, null: String), (2L, ""), (3L, "   \t\n  "), (4L, "!!!???")).toDF("doc_id", "text")
+    val out = weird.select(
+      col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.whitespaceTokenCount(col("text")).as("nws"),
+      TextFunctions.qualityScore(col("text")).as("q"))
+    assert(out.count() == 4)
+    // non-null texts classify as undetermined; null text propagates null
+    assert(out.filter(col("doc_id") > 1).select("lang").as[String].collect().forall(_ == "und"))
+  }
+}
