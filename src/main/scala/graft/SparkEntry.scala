@@ -192,6 +192,12 @@ object SparkEntry {
           col("numeric_value"), col("numeric_value/is_inlier"))
     },
 
+    "q_winsorize" -> ((s, dir) =>
+      Outliers
+        .winsorize(medsE(s, dir), lowerQ = 0.05, upperQ = 0.95, exact = true)
+        .select(col("event_id"), col("patient_id"), timeUs(), col("code"),
+          round(col("numeric_value"), 6).as("numeric_value"))),
+
     "q_normalize" -> { (s, dir) =>
       val meta = Vocabulary.lexicographicIndices(CodeMetadata.aggregate(meds(s, dir)))
       Normalize
@@ -667,6 +673,15 @@ object SparkEntry {
            |  CASE WHEN abs(e.value-st.mean) <= 1.5*st.std THEN e.value END AS numeric_value,
            |  abs(e.value-st.mean) <= 1.5*st.std AS "numeric_value/is_inlier"
            |FROM events e LEFT JOIN st ON e.event_type = st.code""".stripMargin,
+
+      "q_winsorize" ->
+        """WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+          |           FROM events GROUP BY 1)
+          |SELECT e.event_id, e.user_id AS patient_id, epoch_us(e.ts) AS time_us, e.event_type AS code,
+          |  round(CASE WHEN e.value IS NULL THEN e.value
+          |             WHEN e.value < b.lo THEN b.lo
+          |             WHEN e.value > b.hi THEN b.hi ELSE e.value END, 6) AS numeric_value
+          |FROM events e LEFT JOIN b ON e.event_type = b.event_type""".stripMargin,
 
       "q_normalize" ->
         s"""WITH $statsCtes,

@@ -40,4 +40,40 @@ object Outliers {
       .withColumn(Meds.NumericValue, when(inlier, v))
       .drop("values/mean", "values/std")
   }
+
+  /** Winsorization: clamp each value into its code's [lower, upper]
+    * quantile band instead of nulling it — the outlier treatment most
+    * training-data pipelines prefer (keeps the row, caps its leverage).
+    *
+    * `exact = true` uses `percentile` (R-7 linear interpolation, the same
+    * definition as DuckDB's `quantile_cont` — cross-engine verifiable);
+    * at 100 TB pass `exact = false` for `approx_percentile`'s one-pass
+    * mergeable sketch — exact percentiles need the full sorted value set
+    * per code, the sketch needs O(1/accuracy) state. Bounds are
+    * vocabulary-sized either way → broadcast join, no fact-side shuffle.
+    */
+  def winsorize(
+      df: DataFrame,
+      lowerQ: Double = 0.01,
+      upperQ: Double = 0.99,
+      exact: Boolean = false,
+      codeModifiers: Seq[String] = Nil
+  ): DataFrame = {
+    require(lowerQ >= 0 && upperQ <= 1 && lowerQ < upperQ, s"bad quantile band [$lowerQ, $upperQ]")
+    val joinCols = Meds.Code +: codeModifiers
+    val v = col(Meds.NumericValue)
+    val (lo, hi) =
+      if (exact) (percentile(v, lit(lowerQ)), percentile(v, lit(upperQ)))
+      else (percentile_approx(v, lit(lowerQ), lit(10000)), percentile_approx(v, lit(upperQ), lit(10000)))
+    val bounds = df
+      .groupBy(joinCols.map(col): _*)
+      .agg(lo.as("__lo"), hi.as("__hi"))
+    df.join(broadcast(bounds), joinCols, "left")
+      .withColumn(Meds.NumericValue,
+        when(v.isNull, v)
+          .when(v < col("__lo"), col("__lo"))
+          .when(v > col("__hi"), col("__hi"))
+          .otherwise(v))
+      .drop("__lo", "__hi")
+  }
 }

@@ -191,6 +191,22 @@ class MedsOperatorsSpec extends SparkSpec {
     assert(scalable.size == 5000)
   }
 
+  test("winsorize clamps values into the per-code quantile band, keeps rows and nulls") {
+    val df = ((1 to 100).map(i => (i.toLong, "X", Some(i.toDouble))) :+ (101L, "X", None: Option[Double]))
+      .toDF("patient_id", "code", "numeric_value")
+      .withColumn("time", lit(ts("2020-01-01 00:00:00")))
+    val out = Outliers.winsorize(df, lowerQ = 0.1, upperQ = 0.9, exact = true)
+    assert(out.count() == 101) // winsorization never drops rows
+    val vals = out.filter(col("numeric_value").isNotNull).select("numeric_value").as[Double].collect()
+    // R-7: p10 of 1..100 = 10.9, p90 = 90.1
+    assert(math.abs(vals.min - 10.9) < 1e-9 && math.abs(vals.max - 90.1) < 1e-9)
+    assert(out.filter(col("numeric_value").isNull).count() == 1)
+    // approximate mode stays within a loose band of the exact bounds
+    val approx = Outliers.winsorize(df, 0.1, 0.9, exact = false)
+      .filter(col("numeric_value").isNotNull).select("numeric_value").as[Double].collect()
+    assert(approx.min >= 5 && approx.max <= 95)
+  }
+
   test("reorderMeasurements orders codes within an event by first-matching pattern") {
     val df = Seq(
       (1L, ts("2020-01-01 00:00:00"), "b_code", 1.0),
