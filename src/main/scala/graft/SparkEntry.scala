@@ -482,6 +482,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     },
 
+    "q_unigram_lm" -> ((s, dir) =>
+      Tfidf
+        .unigramLogProb(docs(s, dir))
+        .select(col("id"), round(col("mean_log_prob"), 6).as("mean_log_prob"))),
+
+    "q_contamination" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup
+        .contaminationFlags(d, d.filter(col("doc_id") < 50), n = 5, minCommon = 10)
+        .select(col("id"), col("n_common"), col("contaminated"))
+    },
+
     "q_bm25" -> ((s, dir) =>
       Bm25
         .score(docs(s, dir), Seq("spark", "hash", "merge"))
@@ -1026,6 +1038,22 @@ object SparkEntry {
            |  AND doc_id NOT IN (SELECT doc_id FROM jv)
            |  AND ${h32("concat('s42','|',CAST(doc_id AS VARCHAR))")} % 1000000 < 500000""".stripMargin
       },
+
+      "q_unigram_lm" ->
+        """WITH t AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'')) AS term FROM documents),
+          |tf AS (SELECT id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+          |tc AS (SELECT id, term, tf, sum(tf) OVER (PARTITION BY term) AS ct FROM tf),
+          |ds AS (SELECT id, sum(tf*ln(CAST(ct AS DOUBLE))) AS a, sum(tf) AS tt FROM tc GROUP BY 1),
+          |n AS (SELECT sum(tt) AS n_tokens FROM ds)
+          |SELECT id, round(a/tt - ln(CAST(n_tokens AS DOUBLE)), 6) AS mean_log_prob FROM ds, n""".stripMargin,
+
+      // benchmark = docs with id < 50 (a subset of the corpus, so those
+      // docs flag themselves — exactly what decontamination should find)
+      "q_contamination" ->
+        s"""WITH $shingleCtes,
+           |bs AS (SELECT DISTINCT sh FROM shh WHERE id < 50)
+           |SELECT shh.id, count(*) AS n_common, count(*) >= 10 AS contaminated
+           |FROM shh JOIN bs USING (sh) GROUP BY 1""".stripMargin,
 
       "q_bm25" ->
         """WITH tok AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),

@@ -168,6 +168,35 @@ object Dedup {
     docs.join(victims, docs(idCol) === victims("id"), "left_anti")
   }
 
+  /** Benchmark decontamination: count each corpus document's n-gram
+    * overlap with a benchmark/eval set and flag documents sharing at
+    * least `minCommon` shingles — the standard "did eval data leak into
+    * the training corpus" check.
+    *
+    * The benchmark side is small by nature (an eval set), so its hashed
+    * shingle table rides a BROADCAST semi-ish join against the corpus
+    * shingle table — the corpus shuffles zero bytes for candidate
+    * generation; the only shuffle is the per-doc overlap count. Output:
+    * every corpus doc with ≥ 1 shared shingle: (id, n_common,
+    * contaminated).
+    */
+  def contaminationFlags(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 5,
+      minCommon: Long = 1,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val corpusSh = shingleHashTable(corpus, idCol, textCol, n)
+    val benchSh = shingleHashTable(benchmark, idCol, textCol, n).select(col("sh")).distinct()
+    corpusSh
+      .join(broadcast(benchSh), "sh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("contaminated", col("n_common") >= minCommon)
+  }
+
   /** Connected components over an undirected pair list by iterative
     * min-label propagation: every node repeatedly adopts the smallest
     * label among itself and its neighbors until fixpoint. Output: (id,

@@ -48,4 +48,30 @@ object Tfidf {
         (col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1)).as("tfidf")
       )
   }
+
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram distribution — the cheap perplexity-style quality signal
+    * (very low scores = gibberish / OCR noise / wrong-language text;
+    * CCNet-style filtering thresholds on exactly this).
+    *
+    * Same shuffle shape as [[tfidf]]: one (doc, term) aggregation, term
+    * totals via a term-partitioned window (no second corpus pass), corpus
+    * token total as a broadcast row. score = Σ_t tf_t·ln(ct_t/N) / Σ_t tf_t.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+      .withColumn("ct", sum("tf").over(Window.partitionBy("term")))
+    // ln(ct/N) separates into ln(ct) − ln(N): fold the per-term part in ONE
+    // pass over tf, lazily checkpoint the doc-sized stats so the scalar
+    // total doesn't re-evaluate the corpus pipeline, subtract ln(N) at the end
+    val docStats = tf
+      .groupBy("id")
+      .agg(sum(col("tf") * log(col("ct").cast("double"))).as("__a"), sum("tf").as("__t"))
+      .localCheckpoint(false)
+    val total = docStats.agg(sum("__t").as("n_tokens"))
+    docStats
+      .crossJoin(broadcast(total))
+      .select(col("id"),
+        (col("__a") / col("__t") - log(col("n_tokens").cast("double"))).as("mean_log_prob"))
+  }
 }

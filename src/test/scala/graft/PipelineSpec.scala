@@ -156,6 +156,31 @@ class PipelineSpec extends SparkSpec {
     assert(clustered <= nFull)
   }
 
+  test("unigramLogProb: common-word docs score higher than rare-word docs") {
+    val df = Seq(
+      (1L, "the the the the"),   // only common tokens
+      (2L, "the zzyzx"),         // one rare token drags the mean down
+      (3L, "zzyzx qwfp vxjz")    // all rare
+    ).toDF("doc_id", "text")
+    val out = graft.text.Tfidf.unigramLogProb(df).as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(2L) && out(2L) > out(3L))
+    assert(out.values.forall(_ <= 0.0), "log-probs must be non-positive")
+  }
+
+  test("contaminationFlags counts shared shingles against a benchmark set") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally unrelated content with different words here now"),
+      (3L, "alpha beta gamma delta epsilon something else entirely")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((99L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.contaminationFlags(corpus, benchmark, n = 5, minCommon = 2)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._2, "verbatim benchmark doc must flag")
+    assert(out.contains(3L) && out(3L)._1 >= 1, "5-gram prefix overlap must count")
+    assert(!out.contains(2L), "unrelated doc must not appear")
+  }
+
   test("tfidf: corpus-wide terms score near tf*1.0, rare terms score higher") {
     val df = Seq(
       (1L, "spark spark rare"),
