@@ -482,6 +482,24 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     },
 
+    "q_repetition" -> { (s, dir) =>
+      val r = TextFunctions.repetitionSignals(col("text"))
+      docs(s, dir).select(col("doc_id"),
+        r.getField("dup_line_frac").as("dup_line_frac"),
+        r.getField("dup_token_frac").as("dup_token_frac"))
+    },
+
+    "q_top_bigram" -> ((s, dir) =>
+      TextFunctions.topBigramFraction(docs(s, dir))),
+
+    "q_pii" -> { (s, dir) =>
+      val p = TextFunctions.piiCounts(col("text"))
+      docs(s, dir).select(col("doc_id"),
+        p.getField("n_emails").as("n_emails"),
+        p.getField("n_ipv4").as("n_ipv4"),
+        p.getField("n_long_digit_runs").as("n_long_digit_runs"))
+    },
+
     "q_unigram_lm" -> ((s, dir) =>
       Tfidf
         .unigramLogProb(docs(s, dir))
@@ -1038,6 +1056,31 @@ object SparkEntry {
            |  AND doc_id NOT IN (SELECT doc_id FROM jv)
            |  AND ${h32("concat('s42','|',CAST(doc_id AS VARCHAR))")} % 1000000 < 500000""".stripMargin
       },
+
+      "q_repetition" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+          |  list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks
+          |FROM documents)
+          |SELECT doc_id,
+          |  round(CASE WHEN len(lines) > 0 THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines) ELSE 0.0 END, 6) AS dup_line_frac,
+          |  round(CASE WHEN len(toks) > 0 THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) ELSE 0.0 END, 6) AS dup_token_frac
+          |FROM t""".stripMargin,
+
+      "q_top_bigram" ->
+        """WITH t AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+          |bg AS (SELECT id, unnest(CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) ELSE [] END) AS bg FROM t),
+          |c AS (SELECT id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+          |a AS (SELECT t.id, c.c FROM t LEFT JOIN c ON t.id = c.id)
+          |SELECT id, round(CASE WHEN sum(c) > 0 THEN CAST(max(c) AS DOUBLE)/sum(c) ELSE 0.0 END, 6) AS top_bigram_frac
+          |FROM a GROUP BY 1""".stripMargin,
+
+      "q_pii" ->
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+          |  CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_long_digit_runs
+          |FROM documents""".stripMargin,
 
       "q_unigram_lm" ->
         """WITH t AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'')) AS term FROM documents),

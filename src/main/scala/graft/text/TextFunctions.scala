@@ -83,6 +83,58 @@ object TextFunctions {
     * presence and sane word lengths, penalizes punctuation soup and
     * ultra-short docs.
     */
+  /** Gopher/MassiveText-style repetition signals, pure column
+    * expressions: the duplicate-line fraction (1 − distinct/total lines)
+    * and the duplicate-token fraction (1 − distinct/total tokens). High
+    * values mean boilerplate / navigation junk / degenerate generation —
+    * the standard repetition filters threshold on these.
+    */
+  def repetitionSignals(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val toks = wordTokens(text)
+    def dupFrac(xs: Column): Column =
+      when(size(xs) > 0,
+        lit(1.0) - size(array_distinct(xs)).cast("double") / size(xs)).otherwise(0.0)
+    struct(
+      round(dupFrac(lines), 6).as("dup_line_frac"),
+      round(dupFrac(toks), 6).as("dup_token_frac")
+    )
+  }
+
+  /** Most-frequent-bigram fraction (the other Gopher repetition rule):
+    * occurrences of the doc's top 2-gram over all its 2-grams. Needs a
+    * per-doc mode, so it is a groupBy pass rather than a pure projection:
+    * explode bigrams → count per (doc, bigram) → max/sum per doc. Docs
+    * with < 2 tokens get 0.
+    */
+  def topBigramFraction(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = wordTokens(col(textCol))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col(idCol).as("id"), explode_outer(bigrams).as("bg"))
+      .groupBy("id", "bg")
+      .agg(count(when(col("bg").isNotNull, lit(1))).as("c"))
+      .groupBy("id")
+      .agg(round(
+        when(sum(col("c")) > 0, max(col("c")).cast("double") / sum(col("c"))).otherwise(lit(0.0)),
+        6).as("top_bigram_frac"))
+  }
+
+  /** PII pattern counts (emails, IPv4s, long digit runs) — the redaction
+    * pre-scan. Conservative portable regexes (RE2-safe, same semantics in
+    * DuckDB for cross-engine verification).
+    */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+      .cast("long").as("n_emails"),
+    size(regexp_extract_all(text, lit("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"), lit(0)))
+      .cast("long").as("n_ipv4"),
+    size(regexp_extract_all(text, lit("[0-9]{9,}"), lit(0)))
+      .cast("long").as("n_long_digit_runs")
+  )
+
   def qualityScore(text: Column): Column = {
     val f = qualityFeatures(text)
     val lenScore = least(f("n_words").cast("double") / 100.0, lit(1.0))

@@ -156,6 +156,34 @@ class PipelineSpec extends SparkSpec {
     assert(clustered <= nFull)
   }
 
+  test("repetition signals: duplicate lines/tokens and dominant bigrams are measured") {
+    import graft.text.TextFunctions
+    val df = Seq(
+      (1L, "spam spam spam spam"),          // one token repeated
+      (2L, "all words here are different"),
+      (3L, "a\nb\na\nb"),                   // duplicate lines
+      (4L, "")                               // empty
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), TextFunctions.repetitionSignals(col("text")).as("r"))
+      .select(col("doc_id"), col("r.dup_line_frac"), col("r.dup_token_frac"))
+      .as[(Long, Double, Double)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r(1L)._2 == 0.75)          // 4 tokens, 1 distinct
+    assert(r(2L)._2 == 0.0)
+    assert(r(3L)._1 == 0.5)           // 4 lines, 2 distinct
+    assert(r(4L) == ((0.0, 0.0)))
+    val bg = TextFunctions.topBigramFraction(df).as[(Long, Double)].collect().toMap
+    assert(bg(1L) == 1.0)             // "spam spam" is every bigram
+    assert(bg(2L) == 0.25 && bg(4L) == 0.0)
+  }
+
+  test("piiCounts finds emails, IPs, and long digit runs") {
+    import graft.text.TextFunctions
+    val df = Seq((1L, "mail me at a.b+c@test.org or 10.0.0.1, card 4111111111111111")).toDF("doc_id", "text")
+    val out = df.select(TextFunctions.piiCounts(col("text")).as("p"))
+      .select("p.n_emails", "p.n_ipv4", "p.n_long_digit_runs").as[(Long, Long, Long)].head()
+    assert(out == ((1L, 1L, 1L)))
+  }
+
   test("unigramLogProb: common-word docs score higher than rare-word docs") {
     val df = Seq(
       (1L, "the the the the"),   // only common tokens
