@@ -108,12 +108,17 @@ object TextFunctions {
     * with < 2 tokens get 0.
     */
   def topBigramFraction(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = wordTokens(col(textCol))
+    // tokens projected into their OWN column first: higher-order functions
+    // are interpreted, and inlining wordTokens into the lambda would re-run
+    // the regex split once per bigram position (same pitfall as
+    // Dedup.shingleExpr — measured ~4x slower inline)
+    val toks = col("__toks")
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(0), size(toks) - 2), i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
       .otherwise(array().cast("array<string>"))
     docs
-      .select(col(idCol).as("id"), explode_outer(bigrams).as("bg"))
+      .select(col(idCol).as("id"), wordTokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode_outer(bigrams).as("bg"))
       .groupBy("id", "bg")
       .agg(count(when(col("bg").isNotNull, lit(1))).as("c"))
       .groupBy("id")
