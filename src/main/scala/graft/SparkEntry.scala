@@ -512,6 +512,14 @@ object SparkEntry {
         .select(col("id"), col("n_common"), col("contaminated"))
     },
 
+    "q_pack_text" -> ((s, dir) =>
+      Packing
+        .materializePacks(
+          docs(s, dir).select(col("doc_id"), col("text"),
+            TextFunctions.whitespaceTokenCount(col("text")).cast("long").as("ntok")),
+          "doc_id", "text", "ntok", budgetTokens = 2000, nShards = 8)
+        .select(col("shard"), col("bin"), col("text"), col("n_tokens"))),
+
     "q_bm25" -> ((s, dir) =>
       Bm25
         .score(docs(s, dir), Seq("spark", "hash", "merge"))
@@ -1097,6 +1105,19 @@ object SparkEntry {
            |bs AS (SELECT DISTINCT sh FROM shh WHERE id < 50)
            |SELECT shh.id, count(*) AS n_common, count(*) >= 10 AS contaminated
            |FROM shh JOIN bs USING (sh) GROUP BY 1""".stripMargin,
+
+      "q_pack_text" ->
+        s"""WITH tc AS (SELECT doc_id, text,
+           |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x<>'')) AS BIGINT) AS ntok,
+           |    ${h32("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+           |  FROM documents),
+           |b AS (SELECT doc_id, text, ntok, shard,
+           |  CAST(floor(coalesce(sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS bin
+           |FROM tc)
+           |SELECT shard, bin, string_agg(text, '<|eod|>' ORDER BY doc_id) AS text,
+           |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+           |FROM b GROUP BY 1, 2""".stripMargin,
 
       "q_bm25" ->
         """WITH tok AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),

@@ -46,4 +46,35 @@ object Packing {
         "bin",
         (coalesce(sum(col(tokenCountCol)).over(w), lit(0L)) / budgetTokens).cast("long"))
   }
+
+  /** Materialize the packed batches: one row per (shard, bin) with the
+    * member documents' text concatenated in id order around `separator`
+    * (the end-of-document token), plus the member ids and the bin's token
+    * total — the frame a training-data exporter writes out. Documents
+    * within a bin are few by construction (budget / typical doc length),
+    * so the per-bin collect is bounded by the same budget that defines
+    * the bin.
+    */
+  def materializePacks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenCountCol: String,
+      budgetTokens: Long,
+      nShards: Int,
+      separator: String = "<|eod|>"
+  ): DataFrame =
+    packByTokenBudget(docs, idCol, tokenCountCol, budgetTokens, nShards)
+      .groupBy("shard", "bin")
+      .agg(
+        sort_array(collect_list(struct(col(idCol), col(textCol)))).as("__m"),
+        sum(col(tokenCountCol)).as("n_tokens")
+      )
+      .select(
+        col("shard"),
+        col("bin"),
+        col(s"__m.$idCol").as("doc_ids"),
+        array_join(col(s"__m.$textCol"), separator).as("text"),
+        col("n_tokens")
+      )
 }

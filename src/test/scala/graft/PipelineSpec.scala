@@ -71,6 +71,16 @@ class PipelineSpec extends SparkSpec {
     assert(totals.forall(_ <= 2000 + 3000))
   }
 
+  test("materializePacks concatenates bin members in id order with the separator") {
+    val df = Seq((1L, "aa", 900L), (2L, "bb", 900L), (3L, "cc", 900L))
+      .toDF("doc_id", "text", "ntok")
+    val out = Packing.materializePacks(df, "doc_id", "text", "ntok", 2000, nShards = 1, separator = "|")
+      .orderBy("bin").as[(Long, Long, Seq[Long], String, Long)].collect()
+    // prefix sums 0,900,1800 -> docs 1,2,3 all bin 0? 1800/2000=0 -> yes all bin 0
+    assert(out.length == 1)
+    assert(out(0)._3 == Seq(1L, 2L, 3L) && out(0)._4 == "aa|bb|cc" && out(0)._5 == 2700L)
+  }
+
   test("packByTokenBudget shards deterministically and bins independently per shard") {
     val df = (1L to 200L).map(i => (i, 100L)).toDF("doc_id", "ntok")
     val a = Packing.packByTokenBudget(df, "doc_id", "ntok", 500, nShards = 4)
