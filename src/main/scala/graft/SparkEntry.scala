@@ -505,6 +505,11 @@ object SparkEntry {
         .unigramLogProb(docs(s, dir))
         .select(col("id"), round(col("mean_log_prob"), 6).as("mean_log_prob"))),
 
+    "q_bigram_lm" -> ((s, dir) =>
+      Tfidf
+        .bigramLogProb(docs(s, dir))
+        .select(col("id"), round(col("mean_log_prob"), 6).as("mean_log_prob"))),
+
     "q_contamination" -> { (s, dir) =>
       val d = docs(s, dir)
       Dedup
@@ -1097,6 +1102,17 @@ object SparkEntry {
           |ds AS (SELECT id, sum(tf*ln(CAST(ct AS DOUBLE))) AS a, sum(tf) AS tt FROM tc GROUP BY 1),
           |n AS (SELECT sum(tt) AS n_tokens FROM ds)
           |SELECT id, round(a/tt - ln(CAST(n_tokens AS DOUBLE)), 6) AS mean_log_prob FROM ds, n""".stripMargin,
+
+      "q_bigram_lm" ->
+        """WITH t AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+          |b AS (SELECT id, unnest(CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i ->
+          |        struct_pack(prefix := toks[i], bg := array_to_string(toks[i:i+1], ' '))) ELSE [] END) AS s FROM t),
+          |tf AS (SELECT id, s.bg AS bg, any_value(s.prefix) AS prefix, count(*) AS tf FROM b GROUP BY 1, 2),
+          |w AS (SELECT id, tf,
+          |        sum(tf) OVER (PARTITION BY bg) AS ct_bg,
+          |        sum(tf) OVER (PARTITION BY prefix) AS ct_prefix FROM tf)
+          |SELECT id, round(sum(tf*ln(CAST(ct_bg AS DOUBLE)/ct_prefix))/sum(tf), 6) AS mean_log_prob
+          |FROM w GROUP BY 1""".stripMargin,
 
       // benchmark = docs with id < 50 (a subset of the corpus, so those
       // docs flag themselves — exactly what decontamination should find)

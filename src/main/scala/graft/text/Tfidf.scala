@@ -58,6 +58,33 @@ object Tfidf {
     * totals via a term-partitioned window (no second corpus pass), corpus
     * token total as a broadcast row. score = Σ_t tf_t·ln(ct_t/N) / Σ_t tf_t.
     */
+  /** Per-document mean bigram CONDITIONAL log-probability:
+    * mean over bigrams of ln(count(w₁w₂) / count(w₁·)) where the
+    * denominator is w₁'s count as a bigram PREFIX — so no corpus-total
+    * scalar is needed and the whole thing is one pass over the bigram
+    * table plus two partitioned count windows. Sharper than the unigram
+    * score at catching shuffled/templated text (tokens common, but
+    * transitions improbable).
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = col("__toks")
+    val bigramStructs = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        struct(element_at(toks, i + 1).as("prefix"),
+          concat_ws(" ", slice(toks, i + 1, lit(2))).as("bg"))))
+      .otherwise(array().cast("array<struct<prefix:string,bg:string>>"))
+    docs
+      .select(col(idCol).as("id"), wordTokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(bigramStructs).as("b"))
+      .groupBy(col("id"), col("b.bg").as("bg"))
+      .agg(first(col("b.prefix")).as("prefix"), count(lit(1)).as("tf"))
+      .withColumn("ct_bg", sum("tf").over(Window.partitionBy("bg")))
+      .withColumn("ct_prefix", sum("tf").over(Window.partitionBy("prefix")))
+      .groupBy("id")
+      .agg((sum(col("tf") * log(col("ct_bg").cast("double") / col("ct_prefix"))) / sum("tf"))
+        .as("mean_log_prob"))
+  }
+
   def unigramLogProb(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol)
       .withColumn("ct", sum("tf").over(Window.partitionBy("term")))

@@ -194,6 +194,18 @@ class PipelineSpec extends SparkSpec {
     assert(out == ((1L, 1L, 1L)))
   }
 
+  test("bigramLogProb: likely transitions score higher than shuffled ones") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "mat the on sat cat the") // same tokens, improbable transitions
+    ).toDF("doc_id", "text")
+    val out = graft.text.Tfidf.bigramLogProb(df).as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(4L), s"natural order ${out(1L)} should beat shuffled ${out(4L)}")
+    assert(out.values.forall(_ <= 1e-9))
+  }
+
   test("unigramLogProb: common-word docs score higher than rare-word docs") {
     val df = Seq(
       (1L, "the the the the"),   // only common tokens
