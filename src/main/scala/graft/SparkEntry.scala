@@ -1128,7 +1128,7 @@ object SparkEntry {
            |    ${h32("CAST(doc_id AS VARCHAR)")} % 8 AS shard
            |  FROM documents),
            |b AS (SELECT doc_id, text, ntok, shard,
-           |  CAST(floor(coalesce(sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+           |  CAST(floor(coalesce(sum(greatest(ntok, 1)) OVER (PARTITION BY shard ORDER BY doc_id
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS bin
            |FROM tc)
            |SELECT shard, bin, string_agg(text, '<|eod|>' ORDER BY doc_id) AS text,
@@ -1151,7 +1151,7 @@ object SparkEntry {
            |    ${h32("CAST(doc_id AS VARCHAR)")} % 8 AS shard
            |  FROM documents)
            |SELECT doc_id, ntok, shard,
-           |  CAST(floor(coalesce(sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+           |  CAST(floor(coalesce(sum(greatest(ntok, 1)) OVER (PARTITION BY shard ORDER BY doc_id
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS bin
            |FROM tc""".stripMargin,
 

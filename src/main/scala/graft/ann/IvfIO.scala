@@ -71,6 +71,10 @@ object IvfIO {
         Window.partitionBy(col(idCol)).orderBy(col("__d"), col("cid"))))
       .filter(col("__r") <= nProbe)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cid"))
+      // materialize once: the frame feeds both the driver-side probe-cell
+      // collect and the broadcast join below — without this the centroid
+      // cross join + window would run twice
+      .localCheckpoint(false)
     // queries × nProbe is small by construction: literalize for pruning
     val probedCells = queryCells.select("cid").distinct().collect().map(_.getLong(0))
     val scored = readCorpus(spark, dir)

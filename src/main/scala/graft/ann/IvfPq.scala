@@ -115,6 +115,10 @@ object IvfPq {
         Window.partitionBy(col("query_id")).orderBy(col("__d"), col("cid"))))
       .filter(col("__r") <= nProbe)
       .select(col("query_id"), col("cid"), col("__dt"))
+      // materialize once: the frame feeds both the driver-side probe-cell
+      // collect and the broadcast join below — without this the coarse cross
+      // join + window would run twice
+      .localCheckpoint(false)
     val probed = queryCells.select("cid").distinct().collect().map(_.getLong(0))
     val adc = aggregate(
       zip_with(col("codes"), col("__dt"), (code, table) => element_at(table, code + 1)),

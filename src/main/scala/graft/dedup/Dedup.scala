@@ -392,6 +392,9 @@ object Dedup {
       maxBucketSize: Int = 1000
   ): DataFrame = {
     require(bits >= 1 && bits <= 32, "bits must be in [1,32]")
+    require(maxHamming >= 0 && maxHamming + 1 <= bits,
+      s"need maxHamming in [0, bits-1]: maxHamming+1=${maxHamming + 1} blocks must each get >=1 of $bits bits, " +
+        "else trailing blocks degenerate to a single all-rows bucket")
     val nBlocks = maxHamming + 1
     val blockSize = math.ceil(bits.toDouble / nBlocks).toInt
     val idCap = 1L << (63 - bits)

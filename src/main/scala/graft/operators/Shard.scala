@@ -31,6 +31,17 @@ object Shard {
     * task for zero semantic gain — the reference's seeded shuffle is just
     * as approximate in spirit).
     *
+    * Small-cohort guard: binomial assignment can leave a low-fraction
+    * split EMPTY when the cohort is tiny (P(empty tune at frac 0.1,
+    * n=20) ≈ 12%), silently breaking consumers that assume every
+    * configured split is populated. So when the distinct-patient count is
+    * <= `exactBelow`, we fall back to the reference's exact semantics:
+    * rank patients by the seeded hash (the "shuffle") and slice at
+    * round(cum_frac * n) — every split gets its exact share, and the
+    * global rank window is cheap because n is bounded by `exactBelow`.
+    * The count that picks the path early-terminates at `exactBelow + 1`
+    * distinct ids, so the large-cohort cost is one bounded pre-pass.
+    *
     * For oracle-friendly deterministic assignment, `splitByModulo` below
     * avoids the engine-specific hash entirely.
     */
@@ -38,19 +49,38 @@ object Shard {
       patients: DataFrame,
       fractions: Seq[(String, Double)],
       nShardsPerSplit: Int,
-      seed: Long = 1
+      seed: Long = 1,
+      exactBelow: Int = 100000
   ): DataFrame = {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val distinctPatients = patients.select(col(Meds.PatientId)).distinct()
     // signed 64-bit hash -> uniform double in [0,1)
     val u = xxhash64(col(Meds.PatientId), lit(seed)).cast("double") / lit(2.0 * Long.MaxValue) + lit(0.5)
-    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
-    val splitExpr = fractions.zip(cum).foldRight(lit(fractions.last._1)) {
-      case (((name, _), hi), acc) => when(u < hi, lit(name)).otherwise(acc)
-    }
-    patients
-      .select(col(Meds.PatientId)).distinct()
-      .withColumn("split", splitExpr)
-      .withColumn("shard", pmod(xxhash64(col(Meds.PatientId), lit(seed + 1)), lit(nShardsPerSplit)))
+    val shard = pmod(xxhash64(col(Meds.PatientId), lit(seed + 1)), lit(nShardsPerSplit))
+    val nCapped = distinctPatients.limit(exactBelow + 1).count()
+    val assigned =
+      if (nCapped <= exactBelow) {
+        // exact path: seeded-hash rank = the reference's shuffled order;
+        // slice at cumulative round(frac * n). Window is global but bounded.
+        val n = nCapped
+        val bounds = fractions.scanLeft(0.0)(_ + _._2).tail.map(f => math.round(f * n))
+        val r = row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(u, col(Meds.PatientId)))
+        val splitExpr = fractions.map(_._1).zip(bounds).foldRight(lit(fractions.last._1)) {
+          case ((name, hi), acc) => when(col("__r") <= hi, lit(name)).otherwise(acc)
+        }
+        distinctPatients
+          .withColumn("__r", r)
+          .withColumn("split", splitExpr)
+          .drop("__r")
+      } else {
+        val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+        val splitExpr = fractions.zip(cum).foldRight(lit(fractions.last._1)) {
+          case (((name, _), hi), acc) => when(u < hi, lit(name)).otherwise(acc)
+        }
+        distinctPatients.withColumn("split", splitExpr)
+      }
+    assigned.withColumn("shard", shard)
   }
 
   /** Deterministic modulo-based split assignment (oracle-verifiable across

@@ -26,6 +26,13 @@ object Packing {
     *
     * Output: input columns + `shard`, `bin` (both long). Bins are unique
     * per (shard, bin).
+    *
+    * Token counts are clamped to >= 1 for the prefix sum: a zero-token
+    * document must still advance the running count, otherwise every
+    * zero-token document in a shard lands in the SAME bin and that bin's
+    * membership is unbounded (the degenerate-key hazard the dedup
+    * pipelines guard with bounded collects). The clamp bounds every bin
+    * at <= `budgetTokens` members regardless of input.
     */
   def packByTokenBudget(
       docs: DataFrame,
@@ -44,7 +51,7 @@ object Packing {
       .withColumn("shard", pmod(md5Hash32(col(idCol).cast("string")), lit(nShards.toLong)))
       .withColumn(
         "bin",
-        (coalesce(sum(col(tokenCountCol)).over(w), lit(0L)) / budgetTokens).cast("long"))
+        (coalesce(sum(greatest(col(tokenCountCol), lit(1L))).over(w), lit(0L)) / budgetTokens).cast("long"))
   }
 
   /** Materialize the packed batches: one row per (shard, bin) with the

@@ -60,15 +60,21 @@ object MedsIO {
 
   /** Write the final MEDS metadata artifacts
     * (finalize_MEDS_metadata.py:110-156):
-    *   - `metadata/codes.parquet`: schema-finalized code metadata
-    *     (vocabulary-sized -> one file);
+    *   - `metadata/codes.parquet`: schema-finalized code metadata,
+    *     vocabulary-sized -> written as a literal SINGLE parquet FILE (the
+    *     lone part-file is renamed onto the path), so strict MEDS readers
+    *     that open the path as a file (e.g. polars `read_parquet` on the
+    *     literal path) work;
     *   - `metadata/dataset.json`: dataset_name/version + etl name/version +
     *     meds_version;
     *   - `metadata/patient_splits.parquet`: (patient_id: long, split:
-    *     string). Patient-count sized — NOT coalesced to one file (at 100 TB
-    *     that's hundreds of millions of rows; the reference's single-file
-    *     layout is an artifact of single-node Polars, not a contract worth a
-    *     1-task bottleneck).
+    *     string). INTENTIONAL DEVIATION from the reference: this is a Spark
+    *     output DIRECTORY of part-files, not a single file — patient-count
+    *     sized data (hundreds of millions of rows at 100 TB) is not worth a
+    *     1-task coalesce bottleneck; the reference's single-file layout is
+    *     an artifact of single-node Polars. Readers should load the
+    *     directory (every parquet engine, including polars
+    *     `scan_parquet("<dir>/**/*.parquet")`, can).
     */
   def writeMetadata(
       codeMetadata: DataFrame,
@@ -78,8 +84,24 @@ object MedsIO {
   ): Unit = {
     val spark = codeMetadata.sparkSession
     val metaDir = s"$path/metadata"
+    // Hadoop FS API so the sink works on any cluster filesystem, not just local
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(metaDir), spark.sparkContext.hadoopConfiguration)
+    // codes.parquet must be a literal file: write the one-part directory to a
+    // temp path, then rename the part-file onto the final name
+    val codesTmp = s"$metaDir/.codes.parquet.tmp"
     Meds.finalizeMetadata(codeMetadata)
-      .coalesce(1).write.mode("overwrite").parquet(s"$metaDir/codes.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(codesTmp)
+    val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$codesTmp/part-*.parquet")) match {
+      case Array(one) => one.getPath
+      case other => throw new IllegalStateException(
+        s"expected exactly one part-file under $codesTmp, found ${other.length}")
+    }
+    val codesDest = new org.apache.hadoop.fs.Path(s"$metaDir/codes.parquet")
+    if (fs.exists(codesDest)) fs.delete(codesDest, true)
+    if (!fs.rename(part, codesDest))
+      throw new IllegalStateException(s"rename $part -> $codesDest failed")
+    fs.delete(new org.apache.hadoop.fs.Path(codesTmp), true)
     patientSplits
       .select(col(Meds.PatientId).cast("long").as(Meds.PatientId), col("split").cast("string").as("split"))
       .write.mode("overwrite").parquet(s"$metaDir/patient_splits.parquet")
@@ -87,9 +109,6 @@ object MedsIO {
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     val json =
       s"""{"dataset_name": "${esc(info.datasetName)}", "dataset_version": "${esc(info.datasetVersion)}", "etl_name": "${esc(info.etlName)}", "etl_version": "${esc(info.etlVersion)}", "meds_version": "${esc(info.medsVersion)}"}"""
-    // Hadoop FS API so the sink works on any cluster filesystem, not just local
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(metaDir), spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$metaDir/dataset.json"), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

@@ -89,6 +89,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaBlocks == brute)
   }
 
+  test("simhash near-dup pairs reject maxHamming too large for the bit width") {
+    // maxHamming+1 blocks must each get >= 1 bit; with bits=4, maxHamming=4
+    // the 5th block would get width 0 -> a degenerate all-rows bucket
+    val sigs = Dedup.simhash(corpus, bits = 4)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(sigs, bits = 4, maxHamming = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(sigs, bits = 32, maxHamming = -1)
+    }
+  }
+
   test("cosine/dot are exact on hand-computed vectors") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

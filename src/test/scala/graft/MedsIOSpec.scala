@@ -43,6 +43,10 @@ class MedsIOSpec extends SparkSpec {
 
     MedsIO.writeMetadata(codeMeta, splits, MedsIO.DatasetInfo("unit-test", "1.0"), dir)
 
+    // the MEDS contract: codes.parquet is a literal single FILE (strict
+    // readers open the path directly), not a Spark part-file directory
+    val codesFile = new java.io.File(s"$dir/metadata/codes.parquet")
+    assert(codesFile.isFile, s"codes.parquet should be a regular file, found ${codesFile.isDirectory}")
     val codes = spark.read.parquet(s"$dir/metadata/codes.parquet")
     assert(codes.count() == 2)
     assert(codes.schema("parent_codes").dataType ==

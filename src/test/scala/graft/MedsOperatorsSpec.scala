@@ -257,7 +257,8 @@ class MedsOperatorsSpec extends SparkSpec {
   test("splitAndShardPatients respects fractions deterministically, without a global window") {
     val patients = (0L until 10000L).toDF("patient_id")
     val fr = Seq("train" -> 0.8, "tuning" -> 0.1, "held_out" -> 0.1)
-    val out = Shard.splitAndShardPatients(patients, fr, 3, seed = 7)
+    // exactBelow=100 forces the large-cohort hash-threshold path at n=10000
+    val out = Shard.splitAndShardPatients(patients, fr, 3, seed = 7, exactBelow = 100)
     val bySplit = out.groupBy("split").count().as[(String, Long)].collect().toMap
     // hash-threshold assignment is binomial around the target fraction:
     // at n=10000 a 2% absolute tolerance is > 5 sigma for every split
@@ -265,11 +266,24 @@ class MedsOperatorsSpec extends SparkSpec {
       assert(math.abs(bySplit(name) / 10000.0 - f) < 0.02, s"split $name off target: ${bySplit(name)}")
     }
     assert(out.filter(col("shard") < 0 || col("shard") >= 3).count() == 0)
-    val again = Shard.splitAndShardPatients(patients, fr, 3, seed = 7)
+    val again = Shard.splitAndShardPatients(patients, fr, 3, seed = 7, exactBelow = 100)
     assert(out.except(again).count() == 0)
     // the scale contract: no window anywhere in the plan (the old global
     // rank formulation funneled all patients through one task)
     assert(!out.queryExecution.sparkPlan.toString.contains("Window"))
+  }
+
+  test("splitAndShardPatients small cohorts get exact non-empty splits") {
+    val patients = (0L until 20L).toDF("patient_id")
+    val fr = Seq("train" -> 0.8, "tuning" -> 0.1, "held_out" -> 0.1)
+    // default exactBelow (100k) -> exact rank-based slicing at n=20
+    val out = Shard.splitAndShardPatients(patients, fr, 2, seed = 7)
+    val bySplit = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    // exact slicing guarantees round(cum_frac * n) per split: 16 / 2 / 2 —
+    // no split can come up empty, the hazard of binomial assignment at tiny n
+    assert(bySplit == Map("train" -> 16L, "tuning" -> 2L, "held_out" -> 2L), bySplit.toString)
+    val again = Shard.splitAndShardPatients(patients, fr, 2, seed = 7)
+    assert(out.except(again).count() == 0)
   }
 
   test("extractEvent assembles codes from literal+column parts with UNK fill") {

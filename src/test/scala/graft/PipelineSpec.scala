@@ -81,6 +81,16 @@ class PipelineSpec extends SparkSpec {
     assert(out(0)._3 == Seq(1L, 2L, 3L) && out(0)._4 == "aa|bb|cc" && out(0)._5 == 2700L)
   }
 
+  test("packByTokenBudget: zero-token documents still advance bins (no unbounded bin)") {
+    // 5000 zero-token docs in one shard: without the >=1 clamp they all
+    // share bin 0 and the materialize collect is unbounded
+    val df = (1L to 5000L).map(i => (i, 0L)).toDF("doc_id", "ntok")
+    val sizes = Packing.packByTokenBudget(df, "doc_id", "ntok", budgetTokens = 100, nShards = 1)
+      .groupBy("bin").count().select("count").as[Long].collect()
+    assert(sizes.forall(_ <= 100), s"bin sizes must be capped by the budget, got max ${sizes.max}")
+    assert(sizes.length == 50)
+  }
+
   test("packByTokenBudget shards deterministically and bins independently per shard") {
     val df = (1L to 200L).map(i => (i, 100L)).toDF("doc_id", "ntok")
     val a = Packing.packByTokenBudget(df, "doc_id", "ntok", 500, nShards = 4)
