@@ -608,7 +608,36 @@ object SparkEntry {
       rev.orderBy(col("revenue").desc, col("c_custkey").asc).limit(10)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("revenue").desc, col("c_custkey").asc)).cast("long"))
-    }
+    },
+
+    // ------------------------------------------------ temporal operators
+    // as-of join: every event picks up the most recent purchase at or
+    // before its own time for the same user (DuckDB native ASOF LEFT JOIN
+    // oracle). Right side pre-aggregated to one row per (user, ts) so the
+    // tie winner is engine-independent.
+    "q_asof" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val purchases = e
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
+      AsofJoin
+        .asof(
+          e.select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+          purchases,
+          on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+          rightCols = Seq("value"), rightPrefix = "purchase_")
+        .select(
+          col("event_id"), col("user_id"), unix_micros(col("ts")).as("time_us"), col("event_type"),
+          unix_micros(col("purchase_ts")).as("purchase_time_us"),
+          col("purchase_value").as("purchase_value"))
+    },
+
+    "q_sessionize" -> ((s, dir) =>
+      Sessionize
+        .sessionSummaries(ev(s, dir), "user_id", "ts", gapUs = 1800L * 1000000L, tieBreakCol = "event_id")
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("start_us"), col("end_us"), col("duration_us")))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1189,7 +1218,27 @@ object SparkEntry {
           |  GROUP BY 1, 2),
           |rr AS (SELECT c_custkey, c_name, revenue,
           |  CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS "rank" FROM r)
-          |SELECT * FROM rr WHERE "rank" <= 10""".stripMargin
+          |SELECT * FROM rr WHERE "rank" <= 10""".stripMargin,
+
+      "q_asof" ->
+        """WITH p AS (SELECT user_id, ts, max(value) AS purchase_value
+          |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY 1, 2)
+          |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS time_us, e.event_type,
+          |  epoch_us(p.ts) AS purchase_time_us, p.purchase_value
+          |FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+
+      "q_sessionize" ->
+        """WITH t AS (SELECT user_id, ts, event_id,
+          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM events WHERE ts IS NOT NULL),
+          |s AS (SELECT user_id, ts,
+          |  CAST(sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END)
+          |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_seq
+          |  FROM t)
+          |SELECT user_id, session_seq, count(*) AS n_events,
+          |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+          |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+          |FROM s GROUP BY 1, 2""".stripMargin
     )
   }
 }

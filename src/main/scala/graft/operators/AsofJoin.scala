@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Temporal as-of join: attach to each left row the single right row with
+  * the greatest right-time <= left-time (backward, the default) or the
+  * least right-time >= left-time (forward), per join key. The semantics
+  * of pandas `merge_asof` / DuckDB `ASOF JOIN` — the standard way to
+  * align measurements with the most recent preceding state (last lab
+  * value before an event, last purchase before a click, ...).
+  *
+  * Spark has no native as-of join, and the naive formulations are scale
+  * traps: an inequality theta-join degenerates to broadcast-nested-loop
+  * (O(|L|·|R|) per key), and a per-key `collect_list` + UDF binary
+  * search buffers unboundedly on hot keys. This implementation instead
+  * uses the union-and-scan shape: tag both inputs, union them, and run
+  * ONE key-partitioned window ordered by (time, side) in which each left
+  * row picks up `last(right_payload, ignoreNulls)` over the preceding
+  * rows. Cost at any scale = one shuffle on the join key + one in-
+  * partition sort — identical to the patient-keyed window chains used by
+  * tokenization; no join, no per-key buffering beyond Spark's spillable
+  * window sort, skew handled the same way (AQE / salting a hot key).
+  *
+  * Contracts:
+  *   - right rows with NULL time are ignored; left rows with NULL time
+  *     get no match (window order puts nulls first, so they only ever
+  *     see other null-time rows).
+  *   - if several right rows share (key, time), the one with the
+  *     greatest payload struct wins (deterministic tie-break: the window
+  *     order includes the payload). Pre-aggregate the right side to one
+  *     row per (key, time) when a specific reducer is wanted.
+  *   - `toleranceUs`: matches farther than this from the left time are
+  *     nulled out (microseconds for timestamp time columns, native units
+  *     for numeric ones).
+  */
+object AsofJoin {
+
+  final val Backward = "backward"
+  final val Forward = "forward"
+
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightCols: Seq[String],
+      direction: String = Backward,
+      rightPrefix: String = "matched_",
+      toleranceUs: Option[Long] = None
+  ): DataFrame = {
+    require(on.nonEmpty, "asof join needs at least one equality key")
+    require(direction == Backward || direction == Forward, s"direction must be backward|forward, got $direction")
+    require(rightCols.nonEmpty, "rightCols: name the right-side payload columns to attach")
+
+    val backward = direction == Backward
+    // left rows must sort AFTER eligible right rows at equal time
+    // (inclusive match): backward scans preceding rows so right gets the
+    // smaller side tag; forward scans following rows so right gets the
+    // larger one.
+    val (leftTag, rightTag) = if (backward) (1, 0) else (0, 1)
+
+    val payloadFields = rightTimeCol +: rightCols.filterNot(_ == rightTimeCol)
+    val payloadStruct = struct(payloadFields.map(col): _*)
+    val payloadType = right.select(payloadStruct.as("__m")).schema("__m").dataType
+
+    val leftOther = left.columns.filterNot(on.contains).toSeq
+    val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    val lhs = left.select(
+      on.map(col) ++
+        Seq(col(leftTimeCol).as("__t"), lit(leftTag).as("__side"), lit(null).cast(payloadType).as("__m")) ++
+        leftOther.map(col): _*)
+    val rhs = right
+      .filter(col(rightTimeCol).isNotNull)
+      .select(
+        on.map(col) ++
+          Seq(col(rightTimeCol).as("__t"), lit(rightTag).as("__side"), payloadStruct.as("__m")) ++
+          leftOther.map(c => lit(null).cast(leftTypes(c)).as(c)): _*)
+
+    // payload struct as final order key = deterministic winner among
+    // right rows tied on (key, time)
+    val w0 = Window.partitionBy(on.map(col): _*).orderBy(col("__t"), col("__side"), col("__m"))
+    val (w, pick) =
+      if (backward) (w0.rowsBetween(Window.unboundedPreceding, Window.currentRow), last(col("__m"), ignoreNulls = true))
+      else (w0.rowsBetween(Window.currentRow, Window.unboundedFollowing), first(col("__m"), ignoreNulls = true))
+
+    val matchedRaw = lhs.unionByName(rhs)
+      .withColumn("__m_hit", pick.over(w))
+      .filter(col("__side") === leftTag)
+
+    val matched = toleranceUs match {
+      case None => matchedRaw.withColumn("__m_ok", col("__m_hit"))
+      case Some(tol) =>
+        val isTs = left.schema(leftTimeCol).dataType == TimestampType
+        def us(c: Column): Column = if (isTs) unix_micros(c) else c.cast("long")
+        val mt = col("__m_hit").getField(rightTimeCol)
+        val dist = if (backward) us(col("__t")) - us(mt) else us(mt) - us(col("__t"))
+        matchedRaw.withColumn("__m_ok", when(dist <= tol, col("__m_hit")))
+    }
+
+    matched.select(
+      left.columns.map(col).toSeq ++
+        payloadFields.map(f => col("__m_ok").getField(f).as(rightPrefix + f)): _*)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization: gap-based session assignment over an event
+  * stream, the batch twin of
+  * [[graft.streaming.Streaming]]'s flatMapGroupsWithState sessionizer —
+  * same semantics, but expressed as a declarative window chain so
+  * Catalyst plans it (and DuckDB can replay it for the oracle).
+  *
+  * A session breaks whenever the gap to the previous event of the same
+  * key exceeds `gapUs`. Assignment is the classic two-step:
+  * `lag(time)` marks session starts, then a running sum of start
+  * markers numbers the sessions 0-based per key. Both windows share one
+  * key-partitioned sort, so the whole operator costs a single shuffle
+  * on the session key — the same partitioning the patient-keyed MEDS
+  * chains reuse, and the right shape at 100 TB (no state store, no
+  * per-key buffering; the window sort spills).
+  *
+  * Null-time rows are dropped (a session is a time construct).
+  * `tieBreakCol` makes the in-key order — and therefore session
+  * numbering — deterministic when timestamps collide.
+  */
+object Sessionize {
+
+  /** Per-event session assignment: input columns + `session_seq`
+    * (0-based long per key).
+    */
+  def assignSessions(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      gapUs: Long,
+      tieBreakCol: String
+  ): DataFrame = {
+    require(gapUs > 0, "gapUs must be positive")
+    val order = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieBreakCol))
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(timeCol), 1).over(order)
+    val isStart = when(
+      prev.isNull || unix_micros(col(timeCol)) - unix_micros(prev) > gapUs, 1L
+    ).otherwise(0L)
+    events
+      .filter(col(timeCol).isNotNull)
+      .withColumn("__start", isStart)
+      .withColumn("session_seq", sum(col("__start")).over(running) - 1L)
+      .drop("__start")
+  }
+
+  /** Per-session summaries: (key, session_seq, n_events, start_us,
+    * end_us, duration_us). The summary groupBy runs on the already
+    * session-assigned rows; its shuffle is session-count sized after
+    * map-side partial aggregation.
+    */
+  def sessionSummaries(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      gapUs: Long,
+      tieBreakCol: String
+  ): DataFrame =
+    assignSessions(events, keyCol, timeCol, gapUs, tieBreakCol)
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col(timeCol))).as("start_us"),
+        max(unix_micros(col(timeCol))).as("end_us")
+      )
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+}
