@@ -102,19 +102,14 @@ object ProductQuantizer {
   private def centroidLit(model: Model): Column =
     typedlit(model.centroids.map(_.map(_.toSeq).toSeq).toSeq)
 
-  /** Encode vectors to (id, codes: array<int>) — codes(blk) = nearest
-    * sub-centroid, computed against the literal centroid array entirely
-    * inside one projection (no join, no shuffle).
+  /** codes(blk) = nearest sub-centroid of `vec`'s blk-th sub-vector,
+    * against the literal centroid array — a pure projection (no join,
+    * no shuffle).
     */
-  def encode(
-      vectors: DataFrame,
-      model: Model,
-      idCol: String = "vec_id",
-      vecCol: String = "embedding"
-  ): DataFrame = {
+  def codesColumn(model: Model, vec: Column): Column = {
     val cents = centroidLit(model)
-    val codes = transform(
-      subVectors(col(vecCol), model.numBlocks, model.blockDim),
+    transform(
+      subVectors(vec, model.numBlocks, model.blockDim),
       s => {
         val tables = element_at(cents, s.getField("blk") + 1)
         // argmin over k centroids: fold (bestDist, bestCid) through the table
@@ -129,8 +124,25 @@ object ProductQuantizer {
         folded.getField("c")
       }
     )
-    vectors.select(col(idCol).as("id"), codes.as("codes"))
   }
+
+  /** Reconstruction ŷ from PQ codes: concatenation of each block's
+    * centroid — again a pure literal-lookup projection.
+    */
+  def decodeColumn(model: Model, codes: Column): Column = {
+    val cents = centroidLit(model)
+    flatten(transform(codes, (code, blk) =>
+      element_at(element_at(cents, blk + 1), code + 1)))
+  }
+
+  /** Encode vectors to (id, codes: array<int>). */
+  def encode(
+      vectors: DataFrame,
+      model: Model,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    vectors.select(col(idCol).as("id"), codesColumn(model, col(vecCol)).as("codes"))
 
   /** Approximate top-k by ADC: per query, a (numBlocks × k) distance
     * table from the literal centroids; each corpus row's distance is the
