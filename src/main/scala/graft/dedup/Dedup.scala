@@ -303,6 +303,36 @@ object Dedup {
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-ROW minhash signature (array<long>, length `numHashes`; null when
+    * the document has no `n`-shingles). Same hash family as
+    * [[minhashSignatures]], but computed entirely inside one projection —
+    * no explode, no shuffle — because a document's shingle set is
+    * row-local data. This is the streaming-friendly form (stateless map);
+    * the batch [[minhashSignatures]] keeps the explode+groupBy shape,
+    * which spills better on pathological multi-hundred-MB documents.
+    */
+  def minhashSigColumn(text: Column, numHashes: Int, n: Int): Column = {
+    require(numHashes <= MinhashParams.length, s"at most ${MinhashParams.length} hashes supported")
+    val shs = array_distinct(transform(shingleExpr(wordTokens(text), n), s => md5Hash32(s)))
+    when(size(shs) > 0,
+      array((0 until numHashes).map { j =>
+        val (a, b) = MinhashParams(j)
+        array_min(transform(shs, sh => pmod(sh * a + b, lit(MinhashPrime))))
+      }: _*))
+  }
+
+  /** LSH band keys from a per-row signature: array of (band, md5-of-band)
+    * structs, matching [[minhashCandidatePairs]]'s banding.
+    */
+  def bandKeysColumn(sig: Column, numHashes: Int, numBands: Int): Column = {
+    require(numHashes % numBands == 0, "numHashes must divide into numBands evenly")
+    val rowsPerBand = numHashes / numBands
+    array((0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1).cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("sig"))
+    }: _*)
+  }
+
   /** LSH candidate pairs: signatures banded into `numBands` groups; docs
     * sharing any band bucket become candidates.
     *

@@ -154,6 +154,117 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming MINHASH dedup: suppress documents whose full minhash
+    * signature matches one already seen inside the watermark horizon.
+    *
+    * The signature is computed per-row with
+    * [[graft.dedup.Dedup.minhashSigColumn]] — a stateless projection, no
+    * shuffle — so the only stateful operator is the signature-keyed
+    * `dropDuplicatesWithinWatermark`, whose state is one row per distinct
+    * signature inside the horizon. Signature-identical means
+    * near-identical content (Jaccard ≈ 1); this is the sketch-level
+    * dedup. Band-level (lower-similarity) candidates are
+    * [[streamingLshCandidates]]'s job, and full-history dedup belongs to
+    * the batch [[graft.dedup.Dedup]] pipelines.
+    *
+    * Docs with no shingles (shorter than the shingle size) carry a null
+    * signature; they are all kept (null keys join nothing), not deduped
+    * against each other.
+    */
+  def streamingMinhashDedup(
+      docs: DataFrame,
+      watermarkDelay: String,
+      numHashes: Int = 8,
+      n: Int = 5,
+      tsCol: String = "ts",
+      textCol: String = "text"
+  ): DataFrame = {
+    val sig = graft.dedup.Dedup.minhashSigColumn(col(textCol), numHashes, n)
+    // explicit null branch: concat_ws maps a NULL array to "" (not null),
+    // which would fold every shingle-less doc into one dedup key
+    val sigKey = when(sig.isNotNull, md5(concat_ws(",", transform(sig, _.cast("string")))))
+      .otherwise(concat(lit("nosig:"), md5(col(textCol))))
+    docs
+      .withColumn("__sigkey", sigKey)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__sigkey")
+      .drop("__sigkey")
+  }
+
+  final case class BandHit(id: Long, band: Int, sig: String, tsMs: Long)
+  final case class BucketAcc(canonicalId: Long, lastMs: Long)
+  final case class CandidatePair(id_a: Long, id_b: Long, band: Int)
+
+  /** Streaming LSH candidate pairs: documents sharing any minhash band
+    * bucket with an earlier-seen document are emitted as (canonical,
+    * newcomer) pairs — the streaming twin of
+    * [[graft.dedup.Dedup.minhashCandidatePairs]].
+    *
+    * Bands explode per-row (numBands rows per doc, still stateless);
+    * the single stateful operator is `flatMapGroupsWithState` keyed by
+    * (band, band-signature), holding ONE (canonicalId, lastSeen) per
+    * active bucket — not the member list — so state is bucket-count
+    * sized and each newcomer pairs only against the bucket's canonical
+    * doc (the batch operator's min-id-survivor policy, not all-pairs).
+    * Buckets idle past the watermark horizon time out and evict.
+    * The same pair can surface from several bands; downstream distinct
+    * is the consumer's choice (exactly as in batch).
+    */
+  def streamingLshCandidates(
+      docs: DataFrame,
+      watermarkDelay: String,
+      numHashes: Int = 8,
+      numBands: Int = 4,
+      n: Int = 5,
+      idCol: String = "doc_id",
+      tsCol: String = "ts",
+      textCol: String = "text"
+  ): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    val sig = graft.dedup.Dedup.minhashSigColumn(col(textCol), numHashes, n)
+    val hits = docs
+      .withColumn("__sig", sig)
+      .filter(col("__sig").isNotNull)
+      .withColumn("__b", explode(graft.dedup.Dedup.bandKeysColumn(col("__sig"), numHashes, numBands)))
+      .select(
+        col(idCol).cast("long").as("id"),
+        col("__b.band").as("band"),
+        col("__b.sig").as("sig"),
+        unix_millis(col(tsCol)).as("tsMs"),
+        col(tsCol).as("__ts"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[BandHit]
+
+    def fn(key: (Int, String), rows: Iterator[BandHit], state: GroupState[BucketAcc]): Iterator[CandidatePair] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val batch = rows.toSeq.sortBy(h => (h.tsMs, h.id))
+        var acc = state.getOption
+        val out = Seq.newBuilder[CandidatePair]
+        for (h <- batch) {
+          acc match {
+            case None => acc = Some(BucketAcc(h.id, h.tsMs))
+            case Some(a) =>
+              if (h.id != a.canonicalId) out += CandidatePair(a.canonicalId, h.id, key._1)
+              acc = Some(a.copy(lastMs = math.max(a.lastMs, h.tsMs)))
+          }
+        }
+        acc.foreach { a =>
+          state.update(a)
+          // evict once the watermark passes the bucket's last activity;
+          // clamp above the current watermark (a late-but-accepted hit can
+          // carry lastMs already behind it, and timeouts must be ahead)
+          state.setTimeoutTimestamp(math.max(a.lastMs, state.getCurrentWatermarkMs()) + 1)
+        }
+        out.result().iterator
+      }
+    }
+
+    hits
+      .groupByKey(h => (h.band, h.sig))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** Event-time sessionization: consecutive events of a user belong to one
     * session while gaps stay under `gapMinutes`. Sessions are emitted when
     * the watermark passes their close (append mode, exactly-once).

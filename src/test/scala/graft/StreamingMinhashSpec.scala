@@ -1,0 +1,75 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingMinhashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val longA = "the quick brown fox jumps over the lazy dog again and again every day"
+  private val longB = "completely different content about spark shuffles and partition pruning at scale"
+
+  test("per-row minhash signature matches the batch explode+groupBy signatures") {
+    val docs = Seq(
+      (1L, longA),
+      (2L, longB),
+      (3L, "too short") // < n tokens -> no shingles
+    ).toDF("doc_id", "text")
+    val batch = Dedup.minhashSignatures(docs, numHashes = 8, n = 5)
+      .select(col("id"), array((0 until 8).map(j => col(s"minhash_$j")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val perRow = docs
+      .select(col("doc_id"), Dedup.minhashSigColumn(col("text"), 8, 5).as("sig"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(perRow(1L).get == batch(1L))
+    assert(perRow(2L).get == batch(2L))
+    assert(perRow(3L).isEmpty && !batch.contains(3L)) // batch has no row for shingle-less docs
+  }
+
+  test("streaming minhash dedup suppresses signature-identical docs within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = Streaming.streamingMinhashDedup(docs, "1 hour")
+      .writeStream.format("memory").queryName("mh_dedup").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), longA),
+        (2L, ts("2024-01-01 10:05:00"), longA), // identical -> suppressed
+        (3L, ts("2024-01-01 10:10:00"), longB),
+        (4L, ts("2024-01-01 10:12:00"), "tiny one"), // no shingles, kept
+        (5L, ts("2024-01-01 10:13:00"), "tiny two")) // no shingles, distinct text, kept
+      query.processAllAvailable()
+      input.addData((6L, ts("2024-01-01 10:20:00"), longA)) // later copy, still inside horizon
+      query.processAllAvailable()
+      val ids = spark.table("mh_dedup").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L, 4L, 5L), s"got $ids")
+    } finally query.stop()
+  }
+
+  test("streaming LSH candidates pair newcomers with the bucket canonical, never cross-content") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = Streaming.streamingLshCandidates(docs, "1 hour")
+      .writeStream.format("memory").queryName("lsh_cand").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), longA),
+        (3L, ts("2024-01-01 10:02:00"), longB))
+      query.processAllAvailable()
+      input.addData(
+        (2L, ts("2024-01-01 10:05:00"), longA), // same buckets as 1 -> pair (1,2)
+        (5L, ts("2024-01-01 10:06:00"), longA)) // -> pair (1,5)
+      query.processAllAvailable()
+      val pairs = spark.table("lsh_cand")
+        .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L), (1L, 5L)), s"got $pairs")
+    } finally query.stop()
+  }
+}
