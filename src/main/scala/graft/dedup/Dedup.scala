@@ -209,18 +209,30 @@ object Dedup {
     * round's result is eagerly localCheckpoint'ed so the loop's lineage
     * stays flat (no exponential plan growth). Throws if `maxIter` rounds
     * don't converge rather than returning a partially-merged clustering.
+    *
+    * Size-adaptive: the pair graph is victim-sized (orders smaller than
+    * the corpus that produced it), and when it has at most
+    * `maxDriverEdges` edges the multi-round distributed loop is pure
+    * scheduling overhead — a driver-side union-find labels it in
+    * milliseconds. The bounded `limit(n+1).count()` pre-pass picks the
+    * path (the same pattern as `Shard.splitAndShardPatients`'s
+    * small-cohort fallback); above the cap, the distributed loop carries
+    * arbitrarily large graphs.
     */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
-      maxIter: Int = 25
+      maxIter: Int = 25,
+      maxDriverEdges: Int = 1000000
   ): DataFrame = {
     // materialize the (possibly expensive) upstream pipeline ONCE before the
     // self-referencing union — otherwise both union branches re-evaluate it
     val e = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint(true)
+    if (e.limit(maxDriverEdges + 1).count() <= maxDriverEdges)
+      return unionFindLocal(e)
     val sym = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -252,6 +264,31 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(s"connectedComponents did not converge in $maxIter rounds")
     labels
+  }
+
+  /** Driver-side union-find over a collected edge list (path-halving +
+    * union-by-min so every root is its component's minimum id — the same
+    * labels the distributed loop converges to).
+    */
+  private def unionFindLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.as[(Long, Long)].collect().foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "label")
   }
 
   /** [[dropNearDuplicates]] with proper cluster semantics: victims are
@@ -373,9 +410,17 @@ object Dedup {
   }
 
   /** SimHash signatures: per token-bit vote (+1 if the md5-derived token
-    * hash has bit b set, else −1), signature bit b = 1 iff the weighted
-    * vote is positive. `bits` ≤ 32. One explode(tokens)×bits expansion —
-    * linear in corpus token count.
+    * hash has bit b set, else −1), signature bit b = 1 iff the
+    * frequency-weighted vote is positive. `bits` ≤ 32.
+    *
+    * ONE groupBy(id): voting ±1 per token OCCURRENCE is identical to
+    * voting ±count per distinct token, so no (id, token) pre-aggregation
+    * is needed — that formulation shuffles the whole token table, while
+    * this one's only exchange carries one 32-sum partial row per (id,
+    * map partition) thanks to map-side combine. The md5 runs per
+    * occurrence instead of per distinct token: compute local to the
+    * scan, traded for a corpus-sized shuffle — the right direction at
+    * any scale.
     */
   def simhash(
       docs: DataFrame,
@@ -384,18 +429,13 @@ object Dedup {
       textCol: String = "text"
   ): DataFrame = {
     require(bits >= 1 && bits <= 32, "bits must be in [1,32]")
-    val toks = docs.select(
-      col(idCol).as("id"),
-      explode(wordTokens(col(textCol))).as("tok")
-    )
-    val weighted = toks
-      .groupBy("id", "tok")
-      .agg(count(lit(1)).as("w"))
-      .withColumn("h", md5Hash32(col("tok")))
+    val toks = docs
+      .select(col(idCol).as("id"), explode(wordTokens(col(textCol))).as("tok"))
+      .select(col("id"), md5Hash32(col("tok")).as("h"))
     val votes = (0 until bits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"v_$b")
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v_$b")
     }
-    val voted = weighted.groupBy("id").agg(votes.head, votes.tail: _*)
+    val voted = toks.groupBy("id").agg(votes.head, votes.tail: _*)
     val sig = (0 until bits)
       .map(b => when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)

@@ -42,10 +42,15 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("connectedComponents merges transitive chains to the min reachable id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
-    val labels = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
-    // chain 1-2-3-4: diameter 3, needs multiple propagation rounds
-    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
-    assert(labels(10L) == 10L && labels(11L) == 10L)
+    // both paths must agree: driver union-find (default: graph under the
+    // cap) and the distributed propagation loop (forced via cap 0)
+    for (cap <- Seq(1000000, 0)) {
+      val labels = Dedup.connectedComponents(pairs, maxDriverEdges = cap)
+        .as[(Long, Long)].collect().toMap
+      // chain 1-2-3-4: diameter 3, needs multiple propagation rounds
+      assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L), s"cap=$cap")
+      assert(labels(10L) == 10L && labels(11L) == 10L, s"cap=$cap")
+    }
   }
 
   test("dropNearDuplicatesClustered keeps one survivor per connected component") {
