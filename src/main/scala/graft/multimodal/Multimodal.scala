@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * pipelines: media travels as an opaque `binary` column plus a typed
   * metadata struct; decode/feature-extraction runs batched per partition.
   *
-  * Header-level decode is REAL: format sniffing and image dimensions
-  * (PNG/GIF/BMP/JPEG, [[imageDims]]) are parsed from raw bytes, no codec
-  * library needed. Only PIXEL decode is stubbed (this environment ships
-  * no image/audio codecs — see [[decodeStub]]); the surrounding schema,
-  * partition-batched plumbing, and deterministic output shape are real
-  * and tested. Swapping the stub for a JNI/FFI decoder changes one
-  * function.
+  * Decode is REAL at two levels: format sniffing + image/audio header
+  * fields ([[imageDims]]/[[audioMeta]]) are parsed from raw bytes as
+  * codegen'd column expressions, and PIXEL decode ([[decodeImage]],
+  * [[extractFeatures]], [[resizeImages]]) uses the JDK's own
+  * `javax.imageio` codecs (PNG/GIF/BMP/JPEG ship in `java.desktop` — no
+  * external library). Formats with no JDK decoder (audio samples, video
+  * codecs) fall back to a deterministic byte-histogram feature so the
+  * pipeline shape stays total; swapping in a JNI/FFI decoder for those
+  * changes one function.
   *
   * Scale notes: media bytes never pass through a driver collect; feature
   * extraction is mapPartitions over fixed-size batches (the same batch
@@ -146,12 +148,13 @@ object Multimodal {
     ))
   }
 
-  /** STUB decode: a real decoder would turn bytes into pixels/samples here.
-    * The deterministic fake emits a 16-bin byte histogram normalized to
-    * [0,1] — stable across runs/engines, shaped like a real embedding so
-    * downstream operators (ANN, near-dup) are exercised end-to-end.
+  /** Fallback feature for media with no JDK decoder (audio/video/unknown
+    * bytes): a `dim`-bin byte histogram normalized to [0,1] —
+    * deterministic across runs/engines, shaped like a real embedding so
+    * downstream operators (ANN, near-dup) run end-to-end regardless of
+    * format.
     */
-  private[multimodal] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+  private[multimodal] def byteHistogram(bytes: Array[Byte], dim: Int): Array[Float] = {
     val hist = new Array[Float](dim)
     if (bytes != null && bytes.nonEmpty) {
       var i = 0
@@ -162,12 +165,51 @@ object Multimodal {
     hist
   }
 
+  /** REAL pixel decode via the JDK's own codecs (`javax.imageio` ships
+    * PNG/GIF/BMP/JPEG readers in `java.desktop` — no external library).
+    * Returns None for bytes no installed reader accepts.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    } catch { case _: Exception => None }
+  }
+
+  /** Luminance histogram over decoded pixels: Rec.601 grey level binned
+    * into `dim` buckets, normalized by pixel count. A real, deterministic
+    * pixel-level feature (all-dark images load bin 0, all-bright the top
+    * bin).
+    */
+  private[multimodal] def luminanceHistogram(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val hist = new Array[Float](dim)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+        hist(math.min(dim - 1, lum * dim / 256)) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    var j = 0
+    while (j < dim) { hist(j) /= n; j += 1 }
+    hist
+  }
+
   /** Batched per-partition feature extraction over a binary media column.
     *
-    * Real plumbing: rows stream through `mapPartitions` in `batchSize`
-    * groups (bounded memory, amortized per-batch decoder setup — exactly
-    * the mapInPandas batch contract); only the decode inside
-    * [[decodeStub]] is fake.
+    * Rows stream through `mapPartitions` in `batchSize` groups (bounded
+    * memory, amortized per-batch decoder setup — the mapInPandas batch
+    * contract). Image formats get a REAL pixel decode
+    * ([[decodeImage]], JDK ImageIO) and a luminance histogram; formats
+    * with no JDK decoder fall back to the byte histogram, so every row
+    * yields a fixed-`dim` feature either way.
     */
   def extractFeatures(
       df: DataFrame,
@@ -178,17 +220,64 @@ object Multimodal {
   ): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType),
-      StructField("feature", ArrayType(FloatType, containsNull = false))
+      StructField("feature", ArrayType(FloatType, containsNull = false)),
+      StructField("decoded", BooleanType)
     ))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val idIdx = df.schema.fieldIndex(idCol)
     val mediaIdx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // per-batch decoder context would be opened here
         batch.iterator.map { r =>
-          val feat = decodeStub(r.getAs[Array[Byte]](mediaIdx), dim)
-          Row(r.getLong(idIdx), feat.toSeq)
+          val bytes = r.getAs[Array[Byte]](mediaIdx)
+          decodeImage(bytes) match {
+            case Some(img) => Row(r.getLong(idIdx), luminanceHistogram(img, dim).toSeq, true)
+            case None      => Row(r.getLong(idIdx), byteHistogram(bytes, dim).toSeq, false)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Real image resize: decode (JDK ImageIO), scale with Graphics2D
+    * bilinear interpolation, re-encode as PNG. Output column `resized` is
+    * null for rows no reader accepts. Same bounded mapPartitions batching
+    * as [[extractFeatures]].
+    */
+  def resizeImages(
+      df: DataFrame,
+      targetW: Int,
+      targetH: Int,
+      idCol: String = "media_id",
+      mediaCol: String = "media",
+      batchSize: Int = 64
+  ): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("resized", BinaryType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val out = decodeImage(r.getAs[Array[Byte]](mediaIdx)).map { img =>
+            val dst = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, targetW, targetH, null)
+            } finally g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", buf)
+            buf.toByteArray
+          }
+          Row(r.getLong(idIdx), out.orNull)
         }
       }
     }(enc)

@@ -142,13 +142,56 @@ class TensorizeMultimodalStreamingSpec extends SparkSpec {
     val docs = (1L to 200L).map(i => (i, Array.fill(32)((i % 7).toByte))).toDF("media_id", "media")
     val out = Multimodal.extractFeatures(docs, dim = 16, batchSize = 8)
     assert(out.schema("feature").dataType == ArrayType(FloatType, containsNull = false))
-    val feats = out.as[(Long, Seq[Float])].collect().toMap
+    val feats = out.select("media_id", "feature").as[(Long, Seq[Float])].collect().toMap
     assert(feats.size == 200)
     assert(feats(7L)(0) == 1.0f)  // bytes all 0 -> all mass in bin 0
     assert(feats(8L)(1) == 1.0f)  // bytes all 1 -> all mass in bin 1
+    // non-image bytes: fallback path, flagged undecoded
+    assert(out.filter(col("decoded")).count() == 0)
     // rerun identical
-    val again = Multimodal.extractFeatures(docs, dim = 16, batchSize = 8).as[(Long, Seq[Float])].collect().toMap
+    val again = Multimodal.extractFeatures(docs, dim = 16, batchSize = 8)
+      .select("media_id", "feature").as[(Long, Seq[Float])].collect().toMap
     assert(feats == again)
+  }
+
+  /** Real PNG bytes via the JDK encoder, filled with one grey level. */
+  private def pngBytes(w: Int, h: Int, grey: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (grey << 16) | (grey << 8) | grey
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("multimodal: REAL pixel decode — luminance histograms reflect image content") {
+    val docs = Seq(
+      (1L, pngBytes(8, 6, 0)),    // black -> all mass in bin 0
+      (2L, pngBytes(8, 6, 255)),  // white -> all mass in top bin
+      (3L, Array.fill(32)(5.toByte)) // not an image -> fallback
+    ).toDF("media_id", "media")
+    val out = Multimodal.extractFeatures(docs, dim = 16, batchSize = 2)
+      .select("media_id", "feature", "decoded").as[(Long, Seq[Float], Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._2 && out(1L)._1.head == 1.0f, s"black image: ${out(1L)}")
+    assert(out(2L)._2 && out(2L)._1.last == 1.0f, s"white image: ${out(2L)}")
+    assert(!out(3L)._2, "raw bytes must take the fallback path")
+    // header dims agree with the decoded image
+    val meta = Multimodal.withMediaMeta(docs).select("media_id", "media_meta.width", "media_meta.height")
+      .as[(Long, Option[Long], Option[Long])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(meta(1L) == ((Some(8L), Some(6L))))
+  }
+
+  test("multimodal: REAL resize — output decodes to the target dims, bilinear-averaged") {
+    val docs = Seq((1L, pngBytes(16, 12, 100)), (2L, Array.fill(16)(9.toByte))).toDF("media_id", "media")
+    val out = Multimodal.resizeImages(docs, targetW = 4, targetH = 3)
+      .as[(Long, Option[Array[Byte]])].collect().toMap
+    assert(out(2L).isEmpty, "non-image rows resize to null")
+    val resized = Multimodal.decodeImage(out(1L).get).get
+    assert(resized.getWidth == 4 && resized.getHeight == 3)
+    // uniform grey stays uniform through bilinear scaling
+    val rgb = resized.getRGB(2, 1)
+    assert(((rgb >> 16) & 0xff) == 100 && (rgb & 0xff) == 100)
   }
 
   test("multimodal: frame sampling emits fixed-size strided windows") {
