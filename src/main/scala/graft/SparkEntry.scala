@@ -637,7 +637,26 @@ object SparkEntry {
       Sessionize
         .sessionSummaries(ev(s, dir), "user_id", "ts", gapUs = 1800L * 1000000L, tieBreakCol = "event_id")
         .select(col("user_id"), col("session_seq"), col("n_events"),
-          col("start_us"), col("end_us"), col("duration_us")))
+          col("start_us"), col("end_us"), col("duration_us"))),
+
+    // range join: events located inside per-user session intervals via the
+    // bin-bucketed interval join (DuckDB BETWEEN-join oracle). Sessions of
+    // one user never overlap (gap > threshold), so each event lands in
+    // exactly one interval.
+    "q_range_join" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val sessions = Sessionize
+        .sessionSummaries(e, "user_id", "ts", gapUs = 1800L * 1000000L, tieBreakCol = "event_id")
+        .select(col("user_id"), col("session_seq"), col("start_us"), col("end_us"))
+      val points = e
+        .filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("time_us"))
+      RangeJoin
+        .intervalJoin(points, sessions, on = Seq("user_id"),
+          tCol = "time_us", startCol = "start_us", endCol = "end_us",
+          binWidth = 6L * 3600 * 1000000) // 6h bins vs ~30min-gap sessions
+        .select(col("event_id"), col("user_id"), col("time_us"), col("session_seq"))
+    }
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1238,7 +1257,23 @@ object SparkEntry {
           |SELECT user_id, session_seq, count(*) AS n_events,
           |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
           |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
-          |FROM s GROUP BY 1, 2""".stripMargin
+          |FROM s GROUP BY 1, 2""".stripMargin,
+
+      "q_range_join" ->
+        """WITH t AS (SELECT user_id, ts, event_id,
+          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM events WHERE ts IS NOT NULL),
+          |sq AS (SELECT user_id, ts,
+          |  CAST(sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END)
+          |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_seq
+          |  FROM t),
+          |sessions AS (SELECT user_id, session_seq,
+          |    min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+          |  FROM sq GROUP BY 1, 2)
+          |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS time_us, s.session_seq
+          |FROM events e JOIN sessions s
+          |  ON e.user_id = s.user_id AND epoch_us(e.ts) BETWEEN s.start_us AND s.end_us
+          |WHERE e.ts IS NOT NULL""".stripMargin
     )
   }
 }

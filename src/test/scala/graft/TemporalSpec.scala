@@ -108,6 +108,59 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 2L, 600000000L), (1L, 1L, 0L)))
   }
 
+  test("intervalJoin: inclusive bounds, multi-bin intervals, exactly-once pairs") {
+    import graft.operators.RangeJoin
+    val points = Seq(
+      (1L, 10L, 100L),  // inside first interval
+      (2L, 10L, 250L),  // == interval end (inclusive)
+      (3L, 10L, 251L),  // just past -> no match
+      (4L, 10L, 5L),    // == interval start (inclusive)
+      (5L, 20L, 100L)   // right key, no intervals for key 20
+    ).toDF("pid", "key", "t")
+    val intervals = Seq(
+      (10L, 5L, 250L, "a"),   // spans bins 0..2 at width 100
+      (10L, 300L, 310L, "b")
+    ).toDF("key", "s", "e", "tag")
+    val out = RangeJoin.intervalJoin(points, intervals, Seq("key"), "t", "s", "e", binWidth = 100L)
+      .select("pid", "tag").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "a", 4L -> "a"))
+    // multi-bin interval must not duplicate pairs
+    val n = RangeJoin.intervalJoin(points, intervals, Seq("key"), "t", "s", "e", binWidth = 10L).count()
+    assert(n == 3)
+  }
+
+  test("intervalJoin: over-wide intervals raise instead of exploding silently") {
+    import graft.operators.RangeJoin
+    val points = Seq((1L, 10L, 100L)).toDF("pid", "key", "t")
+    val wide = Seq((10L, 0L, 10000000L)).toDF("key", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.intervalJoin(points, wide, Seq("key"), "t", "s", "e",
+        binWidth = 10L, maxBinsPerInterval = 100).count()
+    }
+    assert(ex.getMessage.contains("intervalJoin") ||
+      Option(ex.getCause).exists(_.getMessage.contains("intervalJoin")))
+  }
+
+  test("intervalJoin into session intervals agrees with direct session assignment") {
+    import graft.operators.RangeJoin
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")),
+      (2L, 10L, ts("2024-01-01 00:10:00")),
+      (3L, 10L, ts("2024-01-01 01:00:00")),
+      (4L, 20L, ts("2024-01-01 05:00:00"))
+    ).toDF("event_id", "user_id", "t")
+    val gap = 30L * 60 * 1000000
+    val direct = Sessionize.assignSessions(ev, "user_id", "t", gap, "event_id")
+      .select(col("event_id"), col("session_seq")).as[(Long, Long)].collect().toMap
+    val sessions = Sessionize.sessionSummaries(ev, "user_id", "t", gap, "event_id")
+      .select(col("user_id"), col("session_seq"), col("start_us"), col("end_us"))
+    val points = ev.select(col("event_id"), col("user_id"), unix_micros(col("t")).as("tu"))
+    val joined = RangeJoin.intervalJoin(points, sessions, Seq("user_id"), "tu", "start_us", "end_us",
+        binWidth = 3600L * 1000000)
+      .select(col("event_id"), col("session_seq")).as[(Long, Long)].collect().toMap
+    assert(joined == direct)
+  }
+
   test("sessionize matches the streaming sessionizer on a shared fixture") {
     // batch twin contract: same gap, same grouping of events into sessions
     val ev = Seq(
