@@ -128,6 +128,17 @@ object SparkEntry {
     // -------------------------------------------- MEDS core (SURVEY §2 1-20)
     "q_agg_code_metadata" -> ((s, dir) => CodeMetadata.aggregate(meds(s, dir))),
 
+    // the reference's explicit cross-shard REDUCE: aggregate two
+    // patient-disjoint shards separately, then merge the partials — must
+    // hash-match a direct whole-table aggregation (same oracle SQL).
+    "q_agg_merge" -> { (s, dir) =>
+      val m = meds(s, dir)
+      val shards = Seq(
+        m.filter(pmod(col("patient_id"), lit(2)) === 0),
+        m.filter(pmod(col("patient_id"), lit(2)) === 1))
+      CodeMetadata.mergePartials(shards.map(CodeMetadata.aggregate(_)))
+    },
+
     "q_agg_all_codes" -> ((s, dir) =>
       CodeMetadata.aggregate(meds(s, dir), summarizeOverAllCodes = true)),
 
@@ -665,6 +676,10 @@ object SparkEntry {
     val stop = stopwordSqlLists
     Map(
       "q_agg_code_metadata" ->
+        s"SELECT event_type AS code, $aggColsSql FROM events GROUP BY 1",
+
+      // merged partials must equal the direct aggregation — same SQL
+      "q_agg_merge" ->
         s"SELECT event_type AS code, $aggColsSql FROM events GROUP BY 1",
 
       "q_agg_all_codes" ->

@@ -91,6 +91,43 @@ object CodeMetadata {
     }
   }
 
+  /** Cross-shard REDUCE over pre-aggregated code-metadata partials — the
+    * reference's explicit reducer stage (aggregate_code_metadata.py maps
+    * each shard, then folds shard outputs with sum/min/max reducers).
+    * One `groupBy(code).agg` normally replaces both stages, but the
+    * explicit reduce matters operationally: INCREMENTAL ingest (merge
+    * yesterday's metadata with today's new shard without rescanning
+    * history) and federated aggregation (per-site partials).
+    *
+    * CONTRACT: partials must come from PATIENT-DISJOINT inputs — the
+    * MEDS sharding invariant. The patient-count aggregations reduce by
+    * SUM, which is only a distinct-count when no patient spans two
+    * partials (exactly why the reference shards by patient). Occurrence
+    * counts, sums, min/max reduce correctly under any partitioning.
+    *
+    * Sums re-pass through DECIMAL(38,6): the partials' double sums are
+    * decimal values rounded through binary, and the re-cast recovers
+    * them exactly for magnitudes < ~2^46 (the 6-decimal grid outresolves
+    * double ulp there), keeping merge output bit-identical to a direct
+    * aggregation for cross-engine verification.
+    */
+  def mergePartials(partials: Seq[DataFrame], codeModifiers: Seq[String] = Nil): DataFrame = {
+    require(partials.nonEmpty, "nothing to merge")
+    val merged = partials.reduce(_.unionByName(_))
+    val keys = (Meds.Code +: codeModifiers).map(col)
+    val counts = Set(CodeNPatients, CodeNOccurrences, ValuesNPatients, ValuesNOccurrences, ValuesNInts)
+    val present = merged.columns.filter(aggregationNames.contains)
+    require(present.nonEmpty, "partials carry none of the known aggregation columns")
+    val aggCols = present.map {
+      case n if counts(n)                    => sum(col(n)).cast("long").as(n)
+      case n @ (ValuesSum | ValuesSumSqd)    => sum(dec(col(n))).cast("double").as(n)
+      case n @ ValuesMin                     => min(col(n)).as(n)
+      case n @ ValuesMax                     => max(col(n)).as(n)
+      case n => throw new IllegalStateException(s"no reducer for $n")
+    }
+    merged.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
   /** Derived per-code mean/std from sum, sum_sqd and n_occurrences
     * (occlude_outliers.py:71-72). Population std; NaN-guarded at 0.
     * Codes with NO numeric values (n = 0, e.g. generated categorical

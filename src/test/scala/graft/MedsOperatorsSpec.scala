@@ -58,6 +58,24 @@ class MedsOperatorsSpec extends SparkSpec {
     assert(dob.getDouble(6) == 0.0 && dob.isNullAt(8) && dob.isNullAt(9))
   }
 
+  test("mergePartials over patient-disjoint shards equals direct aggregation") {
+    val byParity = Seq(0L, 1L).map(p => fixture.filter(pmod(col("patient_id"), lit(2)) === p))
+    val merged = CodeMetadata.mergePartials(byParity.map(CodeMetadata.aggregate(_)))
+    val direct = CodeMetadata.aggregate(fixture)
+    assert(merged.except(direct).count() == 0 && direct.except(merged).count() == 0)
+    // a code missing from one shard must still merge (EYE only on patient 2)
+    assert(merged.filter(col("code") === "EYE//brown").count() == 1)
+  }
+
+  test("mergePartials reduces a subset of aggregation columns") {
+    val some = Seq("code/n_occurrences", "values/sum", "values/max")
+    val byParity = Seq(0L, 1L).map(p => fixture.filter(pmod(col("patient_id"), lit(2)) === p))
+    val merged = CodeMetadata.mergePartials(byParity.map(CodeMetadata.aggregate(_, aggs = some)))
+    val direct = CodeMetadata.aggregate(fixture, aggs = some)
+    assert(merged.columns.toSeq == direct.columns.toSeq)
+    assert(merged.except(direct).count() == 0 && direct.except(merged).count() == 0)
+  }
+
   test("aggregate with summarizeOverAllCodes adds one all-codes row") {
     val out = CodeMetadata.aggregate(fixture, summarizeOverAllCodes = true)
     assert(out.count() == 4)
