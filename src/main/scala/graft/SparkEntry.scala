@@ -503,6 +503,13 @@ object SparkEntry {
     "q_top_bigram" -> ((s, dir) =>
       TextFunctions.topBigramFraction(docs(s, dir))),
 
+    // deflate compression ratio — no SQL-expressible oracle (DuckDB has no
+    // zlib function), so the driver records the weaker rows-only check;
+    // semantics are pinned by TextAnalysisSpec instead.
+    "q_compress" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        round(TextFunctions.deflateRatio(col("text")), 6).as("deflate_ratio"))),
+
     "q_pii" -> { (s, dir) =>
       val p = TextFunctions.piiCounts(col("text"))
       docs(s, dir).select(col("doc_id"),

@@ -127,6 +127,33 @@ object TextFunctions {
         6).as("top_bigram_frac"))
   }
 
+  /** Deflate compression ratio (compressed bytes / raw UTF-8 bytes) — the
+    * repetitiveness signal the dup-fraction heuristics approximate:
+    * boilerplate-heavy and template-generated text compresses far below
+    * natural prose (ratios ≲ 0.3 are a standard drop rule). Uses the
+    * JDK's zlib Deflater, so it must be a (deterministic, non-null-safe-
+    * wrapped) Scala UDF — compression is native code, not expressible as
+    * column algebra; same trade as the multimodal pixel decode. Fixed
+    * level 6, raw deflate (no gzip header) so the ratio is stable across
+    * JDKs. Empty/null text → ratio 1.0.
+    */
+  lazy val deflateRatio: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null || s.isEmpty) 1.0
+      else {
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6, true)
+        try {
+          d.setInput(bytes)
+          d.finish()
+          val buf = new Array[Byte](8192)
+          var total = 0L
+          while (!d.finished()) total += d.deflate(buf)
+          total.toDouble / bytes.length
+        } finally d.end()
+      }
+    } // UDFs are deterministic by default, which this one is
+
   /** PII pattern counts (emails, IPv4s, long digit runs) — the redaction
     * pre-scan. Conservative portable regexes (RE2-safe, same semantics in
     * DuckDB for cross-engine verification).

@@ -79,6 +79,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(Tensorize.narrowestIndexType(1L << 40) == LongType)
   }
 
+  test("deflateRatio separates repetitive text from varied text, deterministically") {
+    val repetitive = "spam ham " * 200
+    val varied = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val rr = one[Double](deflateRatio(col("t")), repetitive)
+    val rv = one[Double](deflateRatio(col("t")), varied)
+    assert(rr < 0.1, s"boilerplate should compress hard, got $rr")
+    assert(rv > rr * 3, s"varied text must compress far less: varied=$rv repetitive=$rr")
+    assert(rv <= 1.1, s"ratio should stay near <= 1, got $rv")
+    assert(one[Double](deflateRatio(col("t")), "") == 1.0)
+    // deterministic across evaluations
+    assert(one[Double](deflateRatio(col("t")), repetitive) == rr)
+  }
+
   test("qualityFeatures and score are bounded and favor natural text") {
     val natural = "The quick brown fox jumps over the lazy dog and runs to the old barn."
     val junk = "!!!??? ;;;;; ..... !!!!"
