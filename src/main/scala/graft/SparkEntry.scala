@@ -628,6 +628,11 @@ object SparkEntry {
           row_number().over(Window.orderBy(col("revenue").desc, col("c_custkey").asc)).cast("long"))
     },
 
+    // one-pass multi-column table profile (data-validation stage)
+    "q_profile" -> ((s, dir) =>
+      Profile.profile(
+        ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts")))),
+
     // ------------------------------------------------ temporal operators
     // as-of join: every event picks up the most recent purchase at or
     // before its own time for the same user (DuckDB native ASOF LEFT JOIN
@@ -1260,6 +1265,24 @@ object SparkEntry {
           |rr AS (SELECT c_custkey, c_name, revenue,
           |  CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS "rank" FROM r)
           |SELECT * FROM rr WHERE "rank" <= 10""".stripMargin,
+
+      "q_profile" -> {
+        def c(name: String, numExpr: Option[String], strExpr: Option[String]) =
+          s"""SELECT '$name' AS col_name, count(*) AS n,
+             |  count(*) - count($name) AS n_null, count(DISTINCT $name) AS n_distinct,
+             |  ${numExpr.map(e => s"CAST(min($e) AS DOUBLE)").getOrElse("CAST(NULL AS DOUBLE)")} AS min_num,
+             |  ${numExpr.map(e => s"CAST(max($e) AS DOUBLE)").getOrElse("CAST(NULL AS DOUBLE)")} AS max_num,
+             |  ${strExpr.map(e => s"min($e)").getOrElse("CAST(NULL AS VARCHAR)")} AS min_str,
+             |  ${strExpr.map(e => s"max($e)").getOrElse("CAST(NULL AS VARCHAR)")} AS max_str
+             |FROM events""".stripMargin
+        Seq(
+          c("event_id", Some("event_id"), None),
+          c("user_id", Some("user_id"), None),
+          c("event_type", None, Some("event_type")),
+          c("value", Some("value"), None),
+          c("ts", Some("epoch_us(ts)"), None)
+        ).mkString("\n", "\nUNION ALL\n", "")
+      },
 
       "q_asof" ->
         """WITH p AS (SELECT user_id, ts, max(value) AS purchase_value

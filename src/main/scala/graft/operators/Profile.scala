@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One-pass table profiling: per-column row/null/distinct counts and
+  * min/max — the data-validation stage that gates every production
+  * ingest (schema drift, null explosions, cardinality regressions).
+  *
+  * ALL columns profile in a SINGLE aggregation over one scan: the agg
+  * emits every per-column statistic in one row (Catalyst plans the
+  * multi-countDistinct with one Expand, still one pass over the data,
+  * partial-aggregated map-side), which is then unpivoted to one row per
+  * column. Profiling k columns costs one scan, not k.
+  *
+  * Output (long format, engine-neutral types): `col_name`, `n`,
+  * `n_null`, `n_distinct` (exact — it feeds the DuckDB oracle; swap in
+  * approx_count_distinct for quick looks at 100 TB), `min_num`/
+  * `max_num` (numeric and timestamp columns, as double / epoch-micros),
+  * `min_str`/`max_str` (string columns).
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    val specs = names.map { n =>
+      val dt = df.schema(n).dataType
+      val numeric = dt match {
+        case _: NumericType => Some(col(n).cast("double"))
+        case TimestampType  => Some(unix_micros(col(n)).cast("double"))
+        case _              => None
+      }
+      val str = dt match {
+        case StringType => Some(col(n))
+        case _          => None
+      }
+      (n, numeric, str)
+    }
+    val aggs = specs.flatMap { case (n, num, str) =>
+      Seq(
+        count(when(col(n).isNull, lit(1))).as(s"__null_$n"),
+        countDistinct(col(n)).as(s"__dist_$n"),
+        num.map(c => min(c)).getOrElse(lit(null).cast("double")).as(s"__minn_$n"),
+        num.map(c => max(c)).getOrElse(lit(null).cast("double")).as(s"__maxn_$n"),
+        str.map(c => min(c)).getOrElse(lit(null).cast("string")).as(s"__mins_$n"),
+        str.map(c => max(c)).getOrElse(lit(null).cast("string")).as(s"__maxs_$n")
+      )
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = array(specs.map { case (n, _, _) =>
+      struct(
+        lit(n).as("col_name"),
+        col("__n").as("n"),
+        col(s"__null_$n").as("n_null"),
+        col(s"__dist_$n").as("n_distinct"),
+        col(s"__minn_$n").as("min_num"),
+        col(s"__maxn_$n").as("max_num"),
+        col(s"__mins_$n").as("min_str"),
+        col(s"__maxs_$n").as("max_str"))
+    }: _*)
+    row.select(explode(perCol).as("p")).select("p.*")
+  }
+}
