@@ -154,6 +154,48 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Watermarked STREAM-STREAM interval join: enrich each left event
+    * with the right-stream events of the same key whose time falls in
+    * `[leftTs - lookBack, leftTs + lookAhead]` — the unbounded twin of
+    * [[graft.operators.RangeJoin]] (clicks joined to the purchases
+    * around them, measurements to nearby device readings, ...).
+    *
+    * Both sides carry watermarks and the join condition is an explicit
+    * event-time range, which is exactly what lets Spark bound the join
+    * state: each side buffers only rows inside watermark + range window,
+    * evicting as the watermark advances — the canonical stream-stream
+    * join recipe. State is keyed by the join key, so it scales
+    * horizontally with the shuffle like every other stateful op here.
+    *
+    * Column names must be disjoint across the sides except the key
+    * (enforced), because the joined row carries both. `joinType`
+    * "inner" or "leftOuter" (outer emits unmatched left rows once the
+    * watermark proves no match can arrive).
+    */
+  def streamStreamIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: String,
+      leftTs: String,
+      rightTs: String,
+      lookBack: String = "30 minutes",
+      lookAhead: String = "0 seconds",
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"
+  ): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet) - on
+    require(overlap.isEmpty, s"non-key columns appear on both sides: $overlap — rename before joining")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay).withColumnRenamed(on, "__rk")
+    l.join(
+      r,
+      col(on) === col("__rk") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookBack") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $lookAhead"),
+      joinType
+    ).drop("__rk")
+  }
+
   /** Streaming MINHASH dedup: suppress documents whose full minhash
     * signature matches one already seen inside the watermark horizon.
     *

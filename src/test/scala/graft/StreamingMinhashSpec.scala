@@ -52,6 +52,30 @@ class StreamingMinhashSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches only within the event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Streaming.streamStreamIntervalJoin(
+      clicks.toDF().toDF("user_id", "ts", "page"),
+      buys.toDF().toDF("user_id", "bts", "amount"),
+      on = "user_id", leftTs = "ts", rightTs = "bts",
+      lookBack = "30 minutes", lookAhead = "0 seconds")
+    val query = joined
+      .select(col("user_id"), col("page"), col("amount"))
+      .writeStream.format("memory").queryName("ssij").outputMode("append").start()
+    try {
+      buys.addData(
+        (1L, ts("2024-01-01 10:00:00"), 5.0),   // 10 min before click: in window
+        (1L, ts("2024-01-01 09:00:00"), 7.0),   // 70 min before: outside
+        (2L, ts("2024-01-01 10:05:00"), 9.0))   // other user
+      clicks.addData((1L, ts("2024-01-01 10:10:00"), "home"))
+      query.processAllAvailable()
+      val rows = spark.table("ssij").as[(Long, String, Double)].collect().toSet
+      assert(rows == Set((1L, "home", 5.0)), s"got $rows")
+    } finally query.stop()
+  }
+
   test("streaming LSH candidates pair newcomers with the bucket canonical, never cross-content") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
