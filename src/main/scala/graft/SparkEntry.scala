@@ -679,8 +679,86 @@ object SparkEntry {
           tCol = "time_us", startCol = "start_us", endCol = "end_us",
           binWidth = 6L * 3600 * 1000000) // 6h bins vs ~30min-gap sessions
         .select(col("event_id"), col("user_id"), col("time_us"), col("session_seq"))
-    }
+    },
+
+    // trailing 1-hour window features per user. RANGE frame on the
+    // microsecond value: timestamp peers share a frame in both engines,
+    // so no tie-break is needed for determinism.
+    "q_rolling" -> ((s, dir) =>
+      Rolling
+        .trailingAggregates(ev(s, dir), "user_id", "ts", "value", windowUs = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("time_us"),
+          col("n_trail"), col("sum_trail"))),
+
+    // forward-fill: carry each user's most recent value forward in
+    // (time, event_id) order.
+    "q_ffill" -> ((s, dir) =>
+      Rolling
+        .forwardFill(ev(s, dir), "user_id", "ts", "event_id", "value", "value_filled")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("time_us"),
+          col("value"), col("value_filled"))),
+
+    // --------------------------------------------- data-quality operators
+    // expectation suite over events: k rules, ONE scan. Two rules pass
+    // clean and two fire, so both count paths are exercised.
+    "q_expect" -> ((s, dir) =>
+      Validate.violations(ev(s, dir), expectRules).orderBy("rule")),
+
+    // snapshot diff vs a simulated next ingest: every 7th event deleted,
+    // values doubled for every 5th user. Fingerprints use engine-stable
+    // forms (epoch micros, 1e-6-scaled integer values).
+    "q_diff" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val next = e
+        .filter(col("event_id") % 7 =!= 0)
+        .withColumn("value",
+          when(col("user_id") % 5 === 0, col("value") * 2).otherwise(col("value")))
+      Diff
+        .snapshotDiff(e, next, Seq("event_id"), diffFingerprint)
+        .select(col("event_id"), col("status"))
+    },
+
+    // fuzzy join: part-name pairs within 4 edits, token-blocked (never
+    // all-pairs); the dictionary-level linkage step of record matching.
+    "q_fuzzy" -> ((s, dir) =>
+      FuzzyJoin
+        .fuzzyPairs(Tables.part(s, dir).select(col("p_name")), "p_name", maxDist = 4)
+        .select(col("a_name"), col("b_name"), col("dist")))
   )
+
+  /** Expectation suite shared by the Spark query and the oracle SQL
+    * generator — one definition, two renderings.
+    */
+  private val expectRules: Seq[Validate.Expectation] = Seq(
+    Validate.Expectation("known_core_type", col("event_type").isin("click", "view", "purchase")),
+    Validate.Expectation("ts_present", col("ts").isNotNull),
+    Validate.Expectation("user_id_present", col("user_id").isNotNull),
+    Validate.Expectation("value_finite", col("value").isNotNull && !isnan(col("value"))),
+    Validate.Expectation("value_le_100", col("value") <= 100)
+  )
+
+  /** DuckDB rendering of [[expectRules]] (same names, same order). */
+  private val expectRulesSql: Seq[(String, String)] = Seq(
+    "known_core_type" -> "event_type IN ('click','view','purchase')",
+    "ts_present" -> "ts IS NOT NULL",
+    "user_id_present" -> "user_id IS NOT NULL",
+    "value_finite" -> "value IS NOT NULL AND NOT isnan(value)",
+    "value_le_100" -> "value <= 100"
+  )
+
+  /** Engine-stable row fingerprint for [[Diff]]: nulls to sentinels,
+    * timestamps to epoch micros, doubles to 1e-6-scaled integers (NaN
+    * spelled out — DuckDB cannot cast NaN to BIGINT).
+    */
+  private def diffFingerprint: org.apache.spark.sql.Column =
+    md5(concat_ws("|",
+      coalesce(col("user_id").cast("string"), lit("~")),
+      coalesce(unix_micros(col("ts")).cast("string"), lit("~")),
+      coalesce(col("event_type"), lit("~")),
+      coalesce(
+        when(isnan(col("value")), lit("nan"))
+          .otherwise(floor(col("value") * 1000000).cast("string")),
+        lit("~"))))
 
   // ---------------------------------------------------------------- oracle
 
@@ -1318,7 +1396,58 @@ object SparkEntry {
           |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS time_us, s.session_seq
           |FROM events e JOIN sessions s
           |  ON e.user_id = s.user_id AND epoch_us(e.ts) BETWEEN s.start_us AND s.end_us
-          |WHERE e.ts IS NOT NULL""".stripMargin
+          |WHERE e.ts IS NOT NULL""".stripMargin,
+
+      "q_rolling" ->
+        """SELECT event_id, user_id, epoch_us(ts) AS time_us,
+          |  count(*) OVER w AS n_trail,
+          |  CAST(coalesce(sum(CASE WHEN NOT isnan(value) THEN CAST(value AS DECIMAL(38,6)) END) OVER w, 0) AS DOUBLE) AS sum_trail
+          |FROM events WHERE ts IS NOT NULL
+          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+      "q_ffill" ->
+        """SELECT event_id, user_id, epoch_us(ts) AS time_us, value,
+          |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+          |FROM events WHERE ts IS NOT NULL""".stripMargin,
+
+      "q_expect" ->
+        expectRulesSql.map { case (name, holds) =>
+          s"""SELECT '$name' AS rule, count(*) AS n_rows,
+             |  count(CASE WHEN NOT coalesce($holds, FALSE) THEN 1 END) AS n_violations,
+             |  round(count(CASE WHEN NOT coalesce($holds, FALSE) THEN 1 END) / greatest(count(*), 1), 6) AS violation_frac
+             |FROM events""".stripMargin
+        }.mkString("\n", "\nUNION ALL\n", "\nORDER BY rule"),
+
+      "q_diff" -> {
+        val fpSql =
+          """md5(concat_ws('|',
+            |  coalesce(CAST(user_id AS VARCHAR), '~'),
+            |  coalesce(CAST(epoch_us(ts) AS VARCHAR), '~'),
+            |  coalesce(event_type, '~'),
+            |  coalesce(CASE WHEN isnan(VALUE_EXPR) THEN 'nan'
+            |           ELSE CAST(CAST(floor(VALUE_EXPR * 1000000) AS BIGINT) AS VARCHAR) END, '~')))""".stripMargin
+        val oldFp = fpSql.replace("VALUE_EXPR", "value")
+        val newFp = fpSql.replace(
+          "VALUE_EXPR", "(CASE WHEN user_id % 5 = 0 THEN value * 2 ELSE value END)")
+        s"""WITH o AS (SELECT event_id, $oldFp AS fp FROM events),
+           |n AS (SELECT event_id, $newFp AS fp FROM events WHERE event_id % 7 <> 0),
+           |j AS (SELECT coalesce(o.event_id, n.event_id) AS event_id,
+           |  CASE WHEN o.event_id IS NULL THEN 'added'
+           |       WHEN n.event_id IS NULL THEN 'removed'
+           |       WHEN o.fp <> n.fp THEN 'changed' END AS status
+           |  FROM o FULL JOIN n ON o.event_id = n.event_id)
+           |SELECT event_id, status FROM j WHERE status IS NOT NULL""".stripMargin
+      },
+
+      "q_fuzzy" ->
+        """WITH t AS (SELECT DISTINCT lower(p_name) AS name FROM part WHERE lower(p_name) <> ''),
+          |tok AS (SELECT DISTINCT name, unnest(list_filter(string_split_regex(name, '[^a-z]+'), x -> x <> '')) AS tk FROM t),
+          |cand AS (SELECT DISTINCT a.name AS a_name, b.name AS b_name
+          |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.name < b.name)
+          |SELECT a_name, b_name, CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
+          |FROM cand WHERE levenshtein(a_name, b_name) <= 4""".stripMargin
     )
   }
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.Pairs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fuzzy string matching (record linkage): find pairs of values within
+  * a Levenshtein distance budget WITHOUT the all-pairs cross join —
+  * token blocking generates candidates (only pairs sharing ≥1 word are
+  * compared), and the expensive edit distance runs on candidates only.
+  *
+  * Scale shape, in order:
+  *   1. dedupe to the DISTINCT value dictionary first — record tables
+  *      repeat names heavily, and linkage is a property of the value,
+  *      not the row (dictionary ≪ corpus; match once, broadcast back);
+  *   2. block on tokens, with a document-frequency cap dropping
+  *      stopword-grade tokens whose buckets would explode (same
+  *      hot-shingle cap the Jaccard dedup uses);
+  *   3. `levenshtein()` (codegen'd) only inside blocks.
+  *
+  * Blocking is recall-lossy by construction: pairs sharing no token are
+  * never compared (at distance ≤ a few edits, real-world name pairs
+  * almost always share a token). The df cap adds a second, tunable
+  * recall cut — set `maxTokenDf` to corpus size to disable.
+  */
+object FuzzyJoin {
+
+  /** Distinct unordered candidate pairs (a_name < b_name) sharing at
+    * least one token with document frequency ≤ `maxTokenDf`.
+    *
+    * One shuffle: tokens groupBy-collect into per-token sorted buckets
+    * (bucket size == token df, since names are distinct), over-cap
+    * buckets drop whole, and [[graft.functions.Pairs.orderedPairs]]
+    * explodes in-bucket pairs — no self-join, no double evaluation of
+    * the tokenizer.
+    */
+  def candidatePairs(df: DataFrame, nameCol: String, maxTokenDf: Long): DataFrame = {
+    require(maxTokenDf > 0, "maxTokenDf must be positive")
+    val names = df.select(lower(col(nameCol)).as("name")).filter(col("name") =!= "").distinct()
+    val toks = names
+      .select(col("name"), explode(expr("filter(split(name, '[^a-z]+'), x -> x != '')")).as("tk"))
+      .distinct()
+    toks
+      .groupBy("tk")
+      .agg(sort_array(collect_list(col("name"))).as("ns"))
+      .filter(size(col("ns")).between(2, maxTokenDf))
+      .select(explode(Pairs.orderedPairs(col("ns"), "a_name", "b_name")).as("p"))
+      .select("p.*")
+      .distinct()
+  }
+
+  /** Candidate pairs within `maxDist` edits, with the distance. */
+  def fuzzyPairs(df: DataFrame, nameCol: String, maxDist: Int, maxTokenDf: Long = Long.MaxValue): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    candidatePairs(df, nameCol, maxTokenDf)
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Record-level linkage: every (a_id, b_id) pair of rows whose values
+    * fuzzy-match. The dictionary-level pair table (small) is joined
+    * back to the id mapping twice — each a fact⋈small join that AQE
+    * broadcasts when the pair table fits.
+    */
+  def linkRecords(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      maxDist: Int,
+      maxTokenDf: Long = Long.MaxValue
+  ): DataFrame = {
+    val pairs = fuzzyPairs(df, nameCol, maxDist, maxTokenDf)
+    val ids = df.select(col(idCol).as("id"), lower(col(nameCol)).as("name"))
+    pairs
+      .join(ids.withColumnRenamed("id", "a_id"), col("a_name") === col("name"))
+      .drop("name")
+      .join(ids.withColumnRenamed("id", "b_id"), col("b_name") === col("name"))
+      .drop("name")
+      .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"), col("dist"))
+  }
+}

@@ -37,4 +37,7 @@ object Tables {
 
   def customer(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "customer")
+
+  def part(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "part")
 }
