@@ -1,12 +1,12 @@
 package graft
 
-import graft.ann.{KMeans, Similarity}
+import graft.ann.{Embeddings, KMeans, Similarity}
 import graft.dedup.Dedup
 import graft.meds.{Meds, MedsPipeline}
 import graft.operators._
 import graft.pipeline.{Packing, Sampling, Selection}
 import graft.sources.Tables
-import graft.text.{Bm25, TextFunctions, Tfidf}
+import graft.text.{Bm25, InvertedIndex, TextFunctions, Tfidf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -723,7 +723,41 @@ object SparkEntry {
     "q_fuzzy" -> ((s, dir) =>
       FuzzyJoin
         .fuzzyPairs(Tables.part(s, dir).select(col("p_name")), "p_name", maxDist = 4)
-        .select(col("a_name"), col("b_name"), col("dist")))
+        .select(col("a_name"), col("b_name"), col("dist"))),
+
+    // resample events onto an hourly grid with gap rows + carry-forward
+    "q_resample" -> ((s, dir) =>
+      Rolling
+        .resampleLastValue(ev(s, dir), "user_id", "ts", "event_id", "value",
+          stepUs = 3600L * 1000000L)
+        .select(col("user_id"), col("bucket_us"), col("n_events"), col("value_last"))),
+
+    // per-label embedding centroids via the exact decimal path (the
+    // VectorSum native aggregate is the throughput twin, oracle-checked
+    // indirectly through q_kmeans_assign)
+    "q_embed_centroid" -> ((s, dir) =>
+      Embeddings
+        .labelCentroids(emb(s, dir), "label", "embedding")
+        .select(col("group").as("label"), col("pos"), col("centroid"))),
+
+    // bounded inverted-index postings: top-5 docs per term by tf
+    "q_postings" -> ((s, dir) =>
+      InvertedIndex
+        .postings(docs(s, dir), "doc_id", "text", k = 5, minDf = 2L, maxDf = 400L)
+        .select(col("term"), col("df"), col("doc_id"), col("tf"), col("rk"))),
+
+    // salted join must be indistinguishable from the plain join (the
+    // oracle IS the plain join) — parity proof for the skew-mitigation
+    // path
+    "q_salted" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_mktsegment"))
+      Skew
+        .saltedJoin(o, c, Seq("o_custkey"), salts = 8)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          col("c_name"), col("c_mktsegment"))
+    }
   )
 
   /** Expectation suite shared by the Spark query and the oracle SQL
@@ -1440,6 +1474,45 @@ object SparkEntry {
            |  FROM o FULL JOIN n ON o.event_id = n.event_id)
            |SELECT event_id, status FROM j WHERE status IS NOT NULL""".stripMargin
       },
+
+      "q_resample" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value, event_id
+          |    FROM events WHERE ts IS NOT NULL),
+          |b AS (SELECT user_id, (us // 3600000000) * 3600000000 AS bucket_us, count(*) AS n_events
+          |  FROM e GROUP BY 1, 2),
+          |v AS (SELECT user_id, (us // 3600000000) * 3600000000 AS bucket_us, value,
+          |    row_number() OVER (PARTITION BY user_id, (us // 3600000000)
+          |      ORDER BY us DESC, event_id DESC) AS rn
+          |  FROM e WHERE value IS NOT NULL),
+          |vb AS (SELECT user_id, bucket_us, value AS v_in_bucket FROM v WHERE rn = 1),
+          |s AS (SELECT user_id, min(bucket_us) AS lo, max(bucket_us) AS hi FROM b GROUP BY 1),
+          |g AS (SELECT user_id, unnest(range(lo, hi + 1, 3600000000)) AS bucket_us FROM s),
+          |j AS (SELECT g.user_id, g.bucket_us, coalesce(b.n_events, 0) AS n_events, vb.v_in_bucket
+          |  FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket_us = b.bucket_us
+          |         LEFT JOIN vb ON g.user_id = vb.user_id AND g.bucket_us = vb.bucket_us)
+          |SELECT user_id, bucket_us, n_events,
+          |  last_value(v_in_bucket IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_us
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_last
+          |FROM j""".stripMargin,
+
+      "q_embed_centroid" ->
+        """SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+          |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS centroid
+          |FROM embeddings, range(1, 65) t(i)
+          |GROUP BY 1, 2""".stripMargin,
+
+      "q_postings" ->
+        """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS term FROM documents),
+          |tf AS (SELECT term, doc_id, count(*) AS tf FROM tk GROUP BY 1, 2),
+          |d AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+          |r AS (SELECT term, df, doc_id, tf,
+          |    CAST(row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS BIGINT) AS rk
+          |  FROM d WHERE df BETWEEN 2 AND 400)
+          |SELECT term, df, doc_id, tf, rk FROM r WHERE rk <= 5""".stripMargin,
+
+      "q_salted" ->
+        """SELECT o_orderkey, o_custkey AS custkey, c_name, c_mktsegment
+          |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
       "q_fuzzy" ->
         """WITH t AS (SELECT DISTINCT lower(p_name) AS name FROM part WHERE lower(p_name) <> ''),

@@ -1,0 +1,52 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column-level embedding utilities shared by the similarity / ANN
+  * pipelines: per-group centroids and L2 normalization.
+  *
+  * Two centroid strategies exist in this codebase, by design:
+  *   - [[graft.functions.VectorSum]] (used by [[KMeans]]): one native
+  *     map-side-combined vector aggregate, no row explosion — the
+  *     throughput path for iterative training;
+  *   - `labelCentroids` here: posexplode → (group, pos) aggregate over
+  *     DECIMAL(38,6). The explode is transient (partial aggregation
+  *     collapses each upstream partition to groups×dims rows before the
+  *     exchange), and decimal summation is associative — bit-identical
+  *     under any partitioning, which is what an engine-neutral oracle
+  *     needs. Use it for one-shot, auditable statistics.
+  */
+object Embeddings {
+
+  /** Per-(group, dimension) centroid: (group, pos, centroid ROUND 6).
+    * Shuffled bytes per upstream partition = groups × dims, independent
+    * of corpus size.
+    */
+  def labelCentroids(emb: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    emb
+      .select(col(groupCol).as("group"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("group"), col("pos").cast("long").as("pos"))
+      .agg(
+        // float → double (exact) → decimal: both engines round the same
+        // double; a direct float→decimal cast is engine-dependent
+        sum(col("v").cast("double").cast("decimal(38,6)")).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(
+        col("group"), col("pos"),
+        round(col("__s").cast("double") / col("__n"), 6).as("centroid"))
+
+  /** Appends `outCol` = the L2-normalized copy of `vecCol` (unchanged
+    * zero vector when the norm is 0 — no NaN poisoning). Pure
+    * higher-order column functions; stays inside codegen.
+    */
+  def l2Normalize(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val norm = sqrt(aggregate(
+      col(vecCol), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    df.withColumn(
+      outCol,
+      when(norm > 0, transform(col(vecCol), x => x.cast("double") / norm))
+        .otherwise(transform(col(vecCol), x => x.cast("double"))))
+  }
+}

@@ -65,6 +65,69 @@ object Rolling {
       .drop("__us")
   }
 
+  /** Resample each key's event stream onto a regular `stepUs` grid:
+    * one row per (key, bucket) from the key's first to last bucket with
+    * `n_events` (0 for gap buckets) and `value_last` — the most recent
+    * non-null value at or before the bucket, carried forward across
+    * gaps (pandas `resample().last().ffill()`).
+    *
+    * Shapes: one groupBy collapses events to (key, bucket) BEFORE the
+    * grid join (the dense grid never meets raw events), the grid
+    * explodes from per-key [first, last] spans — guarded by
+    * `maxBucketsPerKey` with a loud error, since a mis-sized step times
+    * a years-long key is how grids explode — and the forward-fill
+    * window rides the same key partitioning. In-bucket "last" is
+    * max(struct(time, tieBreak, value)): (time, tieBreak) is unique, so
+    * the struct max is a deterministic arg-max.
+    *
+    * Bucket ids use `div` (truncating): exact floor for the
+    * non-negative epochs MEDS data carries.
+    */
+  def resampleLastValue(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      tieBreakCol: String,
+      valueCol: String,
+      stepUs: Long,
+      maxBucketsPerKey: Long = 1000000L
+  ): DataFrame = {
+    require(stepUs > 0, "stepUs must be positive")
+    // localCheckpoint: perBucket feeds BOTH the span scan and the grid
+    // join — without it, column pruning would split the two consumers
+    // into two full event scans (the double-evaluation trap the other
+    // multi-consumer pipelines here guard the same way).
+    val perBucket = events
+      .filter(col(timeCol).isNotNull)
+      .withColumn("__us", unix_micros(col(timeCol)))
+      .withColumn("bucket_us", expr(s"(__us div $stepUs) * $stepUs"))
+      .groupBy(col(keyCol), col("bucket_us"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(when(col(valueCol).isNotNull,
+          struct(col("__us"), col(tieBreakCol), col(valueCol).as("v"))))
+          .getField("v").as("__vb"))
+      .localCheckpoint(false)
+    val grid = perBucket
+      .groupBy(col(keyCol))
+      .agg(min("bucket_us").as("__lo"), max("bucket_us").as("__hi"))
+      .withColumn("bucket_us",
+        explode(when((col("__hi") - col("__lo")) / stepUs < maxBucketsPerKey,
+          sequence(col("__lo"), col("__hi"), lit(stepUs)))
+          .otherwise(raise_error(lit(
+            s"resampleLastValue: a key spans more than $maxBucketsPerKey buckets of $stepUs µs — widen stepUs or raise maxBucketsPerKey")))))
+      .select(col(keyCol), col("bucket_us"))
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("bucket_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(perBucket, Seq(keyCol, "bucket_us"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("value_last", last(col("__vb"), ignoreNulls = true).over(w))
+      .drop("__vb")
+  }
+
   /** Appends `outCol` = the most recent non-null `valueCol` at or
     * before each row's time (the row's own value when present) —
     * pandas `ffill` / Polars `forward_fill` per key.

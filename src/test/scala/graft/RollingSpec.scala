@@ -59,6 +59,50 @@ class RollingSpec extends SparkSpec {
     assert(out(5L).contains(11.0)) // never sees key 1's values
   }
 
+  test("resampleLastValue fills gap buckets and carries values forward") {
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 10:15:00"), Some(2.0)),
+      (2L, 1L, ts("2024-01-01 10:45:00"), Some(4.0)),
+      // 11:00 and 12:00 buckets empty
+      (3L, 1L, ts("2024-01-01 13:05:00"), None) // event but no value
+    ).toDF("id", "k", "t", "v")
+    val out = Rolling
+      .resampleLastValue(e, "k", "t", "id", "v", stepUs = 3600L * 1000000L)
+      .select("bucket_us", "n_events", "value_last")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    val hour = 3600L * 1000000L
+    val b0 = out.head._1
+    assert(out.map(_._1).toSeq == (0 to 3).map(b0 + _ * hour))
+    assert(out.map(_._2).toSeq == Seq(2L, 0L, 0L, 1L))
+    // in-bucket last = 4.0 (10:45 beats 10:15), carried through the gap
+    // and through the null-valued 13:05 event
+    assert(out.map(_._3).toSeq == Seq(Some(4.0), Some(4.0), Some(4.0), Some(4.0)))
+  }
+
+  test("resampleLastValue leaves buckets before the first value null") {
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), None: Option[Double]),
+      (2L, 1L, ts("2024-01-01 11:00:00"), Some(7.0))
+    ).toDF("id", "k", "t", "v")
+    val out = Rolling
+      .resampleLastValue(e, "k", "t", "id", "v", stepUs = 3600L * 1000000L)
+      .select("n_events", "value_last").as[(Long, Option[Double])].collect().toSet
+    assert(out == Set((1L, None), (1L, Some(7.0))))
+  }
+
+  test("resampleLastValue fails loudly when a key's grid explodes") {
+    val e = Seq(
+      (1L, 1L, ts("2000-01-01 00:00:00"), Some(1.0)),
+      (2L, 1L, ts("2024-01-01 00:00:00"), Some(2.0))
+    ).toDF("id", "k", "t", "v")
+    val ex = intercept[Exception] {
+      Rolling.resampleLastValue(e, "k", "t", "id", "v",
+        stepUs = 1000000L, maxBucketsPerKey = 1000L).collect()
+    }
+    assert(ex.getMessage.contains("widen stepUs") ||
+      Option(ex.getCause).exists(_.getMessage.contains("widen stepUs")))
+  }
+
   test("forwardFill leaves a leading null run null") {
     val lead = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00"), None: Option[Double]),
