@@ -6,7 +6,7 @@ import graft.meds.{Meds, MedsPipeline}
 import graft.operators._
 import graft.pipeline.{Packing, Sampling, Selection}
 import graft.sources.Tables
-import graft.text.{Bm25, InvertedIndex, TextFunctions, Tfidf}
+import graft.text.{Bm25, Collocations, InvertedIndex, TextFunctions, Tfidf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -757,8 +757,48 @@ object SparkEntry {
         .saltedJoin(o, c, Seq("o_custkey"), salts = 8)
         .select(col("o_orderkey"), col("o_custkey").as("custkey"),
           col("c_name"), col("c_mktsegment"))
-    }
+    },
+
+    // unicode canonicalization through the native codegen'd expression;
+    // a decomposed-accent + uppercase suffix forces real normalization
+    // work on every row (the corpus itself is ASCII)
+    "q_normalize_text" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(graft.functions.UnicodeNormalize.unicodeNormalize(
+          concat(col("text"), lit(normSuffix)), "NFC", caseFold = true))
+          .as("norm_hash"))),
+
+    // groupBy().pivot() with an explicit value list (no extra
+    // distinct-scan job) — long-to-wide reshaping
+    "q_pivot" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)),
+
+    // exactly-20-per-language deterministic cap (window per group, no
+    // global sort)
+    "q_sample_pergroup" -> ((s, dir) =>
+      Sampling
+        .deterministicNPerGroup(docs(s, dir), "doc_id", "lang", n = 20, seed = "s42")
+        .select(col("doc_id"), col("lang"))),
+
+    // bigram PMI collocations over the corpus
+    "q_pmi" -> ((s, dir) =>
+      Collocations.bigramPmi(docs(s, dir), "text", minCount = 30L)),
+
+    // fixed-width value histogram per event type
+    "q_histogram" -> ((s, dir) =>
+      Profile.histogram(ev(s, dir), "value", width = 50.0, by = Seq("event_type")))
   )
+
+  /** Decomposed-accent + uppercase suffix for the unicode-normalization
+    * query: "Cafe" + U+0301 combining acute, so NFC has real composition
+    * work to do. Shared verbatim by the Spark literal and the oracle SQL.
+    */
+  private val normSuffix = " Café FILE"
 
   /** Expectation suite shared by the Spark query and the oracle SQL
     * generator — one definition, two renderings.
@@ -1513,6 +1553,46 @@ object SparkEntry {
       "q_salted" ->
         """SELECT o_orderkey, o_custkey AS custkey, c_name, c_mktsegment
           |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+      "q_normalize_text" ->
+        s"SELECT doc_id, md5(lower(nfc_normalize(text || '$normSuffix'))) AS norm_hash FROM documents",
+
+      "q_pivot" ->
+        """SELECT user_id,
+          |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+          |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+          |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+          |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+          |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+          |FROM events GROUP BY 1""".stripMargin,
+
+      "q_sample_pergroup" ->
+        s"""SELECT doc_id, lang FROM (
+           |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+           |    ORDER BY ${h32("concat('s42','|',CAST(doc_id AS VARCHAR))")}, doc_id) AS rn
+           |  FROM documents) WHERE rn <= 20""".stripMargin,
+
+      "q_pmi" ->
+        """WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts FROM documents),
+          |u AS (SELECT unnest(ts) AS t FROM tk),
+          |uni AS (SELECT t, count(*) AS c FROM u GROUP BY 1),
+          |bgl AS (SELECT unnest(list_transform(range(1, len(ts)), i -> {'a': ts[i], 'b': ts[i+1]})) AS bg
+          |  FROM tk WHERE len(ts) >= 2),
+          |bi AS (SELECT bg.a AS a, bg.b AS b, count(*) AS c_ab FROM bgl GROUP BY 1, 2),
+          |tot AS (SELECT (SELECT sum(c) FROM uni) AS n_uni, (SELECT sum(c_ab) FROM bi) AS n_bi)
+          |SELECT bi.a, bi.b, bi.c_ab,
+          |  round(ln((CAST(bi.c_ab AS DOUBLE) * n_uni * n_uni) / (CAST(ua.c AS DOUBLE) * ub.c * n_bi)), 6) AS pmi
+          |FROM bi
+          |JOIN uni ua ON bi.a = ua.t
+          |JOIN uni ub ON bi.b = ub.t
+          |CROSS JOIN tot
+          |WHERE bi.c_ab >= 30""".stripMargin,
+
+      "q_histogram" ->
+        """SELECT event_type, CAST(floor(value/50) AS BIGINT) AS bin,
+          |  CAST(floor(value/50) AS BIGINT) * CAST(50.0 AS DOUBLE) AS bin_lo, count(*) AS n
+          |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+          |GROUP BY 1, 2, 3""".stripMargin,
 
       "q_fuzzy" ->
         """WITH t AS (SELECT DISTINCT lower(p_name) AS name FROM part WHERE lower(p_name) <> ''),

@@ -145,5 +145,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorSum].getName, "graft_vector_sum"),
       (children: Seq[Expression]) => VectorSum(children.head)
     ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_unicode_normalize"),
+      (children: Seq[Expression]) =>
+        children match {
+          case Seq(s) => UnicodeNormalize(s, "NFC", caseFold = false)
+          case Seq(s, f) =>
+            UnicodeNormalize(s, foldedString(f, "form"), caseFold = false)
+          case Seq(s, f, cf) =>
+            UnicodeNormalize(s, foldedString(f, "form"),
+              foldedString(cf, "caseFold").toBoolean)
+          case other => throw new IllegalArgumentException(
+            s"graft_unicode_normalize takes 1-3 arguments, got ${other.size}")
+        }
+    ))
+  }
+
+  private def foldedString(e: Expression, what: String): String = e match {
+    case f if f.foldable && f.eval() != null => f.eval().toString
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a literal, got $other")
   }
 }

@@ -22,6 +22,32 @@ import org.apache.spark.sql.types._
   */
 object Profile {
 
+  /** Fixed-width histogram of a numeric column, optionally per group:
+    * (group..., bin, bin_lo, n) where bin = floor(value / width). One
+    * groupBy (map-side combined to bins×groups rows per partition);
+    * null and NaN values are excluded. The distribution-drilldown
+    * companion to `profile`'s min/max.
+    */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      width: Double,
+      by: Seq[String] = Nil
+  ): DataFrame = {
+    require(width > 0, "width must be positive")
+    val v = col(valueCol).cast("double")
+    val keep = df.schema(valueCol).dataType match {
+      case DoubleType | FloatType => col(valueCol).isNotNull && !isnan(col(valueCol))
+      case _                      => col(valueCol).isNotNull
+    }
+    df.filter(keep)
+      .withColumn("bin", floor(v / width))
+      .groupBy(by.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", col("bin") * width)
+      .select(by.map(col) ++ Seq(col("bin"), col("bin_lo"), col("n")): _*)
+  }
+
   def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val names = if (cols.nonEmpty) cols else df.columns.toSeq
     val specs = names.map { n =>

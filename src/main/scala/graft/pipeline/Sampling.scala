@@ -47,6 +47,30 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Exactly-`n` per group, deterministically: each group keeps the n
+    * rows with the smallest (seed, id) hash (ties by id). A
+    * group-partitioned window — one shuffle on the group key, each
+    * partition sorts only its own groups; no global sort, no RNG. The
+    * "cap every language / source / domain at n docs" op where the
+    * stratified FRACTION sampler can't promise exact counts.
+    */
+  def deterministicNPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      n: Int,
+      seed: String
+  ): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", md5Hash32(concat_ws("|", lit(seed), col(idCol).cast("string"))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__h", "__rn")
+  }
+
   /** Stratified deterministic sample: per-stratum keep fractions (e.g.
     * language quotas — downsample English, keep all low-resource), strata
     * not listed fall back to `defaultFrac`. One CASE expression; still a

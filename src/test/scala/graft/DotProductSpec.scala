@@ -65,6 +65,10 @@ class DotProductSpec extends SparkSpec {
           |FROM VALUES (array(1.0D, 2.0D)), (array(3.0D, 4.0D)) AS t(v)""".stripMargin)
         .collect()(0).getSeq[Double](0)
       assert(vs == Seq(4.0, 6.0))
+      val un = withExt.sql(
+        "SELECT graft_unicode_normalize('ﬁle', 'NFKC', 'true') AS n, graft_unicode_normalize('ABC') AS p")
+        .collect()(0)
+      assert(un.getString(0) == "file" && un.getString(1) == "ABC")
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(prev)
       org.apache.spark.sql.SparkSession.setActiveSession(prev)

@@ -31,6 +31,17 @@ class PipelineSpec extends SparkSpec {
     assert(s1.subsetOf(s4), "frac=0.3 sample must nest inside frac=0.5")
   }
 
+  test("deterministicNPerGroup caps every group at n, stable under repartitioning") {
+    val out = Sampling.deterministicNPerGroup(docs, "doc_id", "lang", 5, "seed1")
+    val perGroup = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup.values.forall(_ <= 5))
+    val again = Sampling
+      .deterministicNPerGroup(docs.repartition(13), "doc_id", "lang", 5, "seed1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("deterministicSampleN returns exactly n stable rows via TakeOrderedAndProject") {
     val out = Sampling.deterministicSampleN(docs, "doc_id", 50, "seed1")
     assert(out.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),

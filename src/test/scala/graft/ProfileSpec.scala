@@ -26,6 +26,21 @@ class ProfileSpec extends SparkSpec {
     assert(s.isNullAt(4) && s.getString(6) == "a" && s.getString(7) == "b")
   }
 
+  test("histogram bins fixed-width, per group, excluding null/NaN") {
+    val df = Seq(
+      ("a", Some(10.0)), ("a", Some(49.9)), ("a", Some(50.0)),
+      ("a", Some(-0.1)), ("b", Some(10.0)), ("a", None),
+      ("a", Some(Double.NaN))
+    ).toDF("g", "v")
+    val out = Profile.histogram(df, "v", width = 50.0, by = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(out == Set(
+      ("a", 0L, 0.0, 2L),    // 10.0, 49.9
+      ("a", 1L, 50.0, 1L),   // boundary lands in the upper bin
+      ("a", -1L, -50.0, 1L), // negatives floor downward
+      ("b", 0L, 0.0, 1L)))
+  }
+
   test("profile: column subset and single-scan plan") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     val out = Profile.profile(df, Seq("s"))
