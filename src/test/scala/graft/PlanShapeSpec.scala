@@ -119,7 +119,11 @@ class PlanShapeSpec extends SparkSpec {
       "q_simhash_pairs" -> 1, // packed id+sig buckets
       "q_tfidf" -> 2,         // tf once + tokenization-free count scan
       "q_bm25" -> 3,          // tf once, dl once, stats re-derivation
-      "q_embed_neardup" -> 1  // bounded vector collect, no cell self-join
+      "q_embed_neardup" -> 1, // bounded vector collect, no cell self-join
+      "q_postings" -> 1,      // tf agg once; df+rank share its exchange
+      "q_pmi" -> 2,           // unigram scan + bigram scan (checkpointed)
+      "q_fuzzy" -> 1,         // dictionary groupBy-collect, no self-join
+      "q_diff" -> 2           // one scan per snapshot side, fp below join
     )
     val bad = maxScans.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val df = SparkEntry.queries(name)(spark, sf)
@@ -131,6 +135,17 @@ class PlanShapeSpec extends SparkSpec {
       if (scans > cap) Some(s"$name: $scans scans (cap $cap)") else None
     }
     assert(bad.isEmpty, s"corpus re-scan regressions:\n${bad.mkString("\n")}")
+  }
+
+  test("rolling features + forward-fill chain reuses ONE key exchange") {
+    val df = (1L to 40L).map { i =>
+      (i, i % 4, Timestamp.valueOf(f"2020-01-01 ${(i % 24)}%02d:00:00"), i * 1.0)
+    }.toDF("id", "k", "t", "v")
+    val out = graft.operators.Rolling.forwardFill(
+      graft.operators.Rolling.trailingAggregates(df, "k", "t", "v", 3600L * 1000000L),
+      "k", "t", "id", "v", "filled")
+    // same hash(k) partitioning serves both windows: 1 exchange, 2 sorts
+    assert(countShuffles(out) == 1)
   }
 
   test("metadata-joined operators add no fact-side shuffle") {
