@@ -791,7 +791,15 @@ object SparkEntry {
 
     // fixed-width value histogram per event type
     "q_histogram" -> ((s, dir) =>
-      Profile.histogram(ev(s, dir), "value", width = 50.0, by = Seq("event_type")))
+      Profile.histogram(ev(s, dir), "value", width = 50.0, by = Seq("event_type"))),
+
+    // mergeable HLL distinct-count sketches (rows-only: DuckDB's
+    // approx_distinct is a different estimator; the lossless
+    // partial-merge contract is pinned by SketchesSpec)
+    "q_hll" -> ((s, dir) =>
+      Sketches
+        .estimate(Sketches.distinctSketchPartials(ev(s, dir), Seq("event_type"), "user_id"))
+        .select(col("event_type"), col("n_distinct_est")))
   )
 
   /** Decomposed-accent + uppercase suffix for the unicode-normalization
