@@ -776,7 +776,9 @@ object SparkEntry {
         .groupBy("user_id")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .count()
-        .na.fill(0L)),
+        // fill ONLY the pivoted counts — an unscoped fill would also
+        // rewrite a NULL user_id group key to 0
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))),
 
     // exactly-20-per-language deterministic cap (window per group, no
     // global sort)

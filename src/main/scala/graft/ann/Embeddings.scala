@@ -37,16 +37,23 @@ object Embeddings {
         round(col("__s").cast("double") / col("__n"), 6).as("centroid"))
 
   /** Appends `outCol` = the L2-normalized copy of `vecCol` (unchanged
-    * zero vector when the norm is 0 — no NaN poisoning). Pure
-    * higher-order column functions; stays inside codegen.
+    * zero vector when the norm is 0 — no NaN poisoning).
+    *
+    * The norm is hoisted into its own projected column before the
+    * per-element transform: interpreted higher-order functions
+    * re-evaluate their lambda body per element, so an inlined norm
+    * would cost O(dim²) per row.
     */
   def l2Normalize(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
     val norm = sqrt(aggregate(
       col(vecCol), lit(0.0d),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
-    df.withColumn(
-      outCol,
-      when(norm > 0, transform(col(vecCol), x => x.cast("double") / norm))
-        .otherwise(transform(col(vecCol), x => x.cast("double"))))
+    df.withColumn("__l2norm", norm)
+      .withColumn(
+        outCol,
+        when(col("__l2norm") > 0,
+          transform(col(vecCol), x => x.cast("double") / col("__l2norm")))
+          .otherwise(transform(col(vecCol), x => x.cast("double"))))
+      .drop("__l2norm")
   }
 }

@@ -340,22 +340,34 @@ object Dedup {
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Per-ROW minhash signature (array<long>, length `numHashes`; null when
-    * the document has no `n`-shingles). Same hash family as
-    * [[minhashSignatures]], but computed entirely inside one projection —
-    * no explode, no shuffle — because a document's shingle set is
-    * row-local data. This is the streaming-friendly form (stateless map);
-    * the batch [[minhashSignatures]] keeps the explode+groupBy shape,
-    * which spills better on pathological multi-hundred-MB documents.
+  /** Projects `outCol` = the per-ROW minhash signature (array<long>,
+    * length `numHashes`; null when the document has no `n`-shingles).
+    * Same hash family as [[minhashSignatures]], but computed entirely
+    * row-locally — no explode, no shuffle — the streaming-friendly form
+    * (stateless map); the batch [[minhashSignatures]] keeps the
+    * explode+groupBy shape, which spills better on pathological
+    * multi-hundred-MB documents.
+    *
+    * Takes and returns a DataFrame (not a Column) so the token array
+    * and hashed shingle set can be hoisted into their own projected
+    * columns: interpreted higher-order functions re-evaluate their
+    * lambda bodies per element, so inlining the shingle subtree into
+    * the `numHashes` min-lambdas would re-tokenize the document
+    * numHashes × positions times (the measured 4-10× trap
+    * [[shingleExpr]]'s contract warns about).
     */
-  def minhashSigColumn(text: Column, numHashes: Int, n: Int): Column = {
+  def withMinhashSig(df: DataFrame, text: Column, outCol: String, numHashes: Int, n: Int): DataFrame = {
     require(numHashes <= MinhashParams.length, s"at most ${MinhashParams.length} hashes supported")
-    val shs = array_distinct(transform(shingleExpr(wordTokens(text), n), s => md5Hash32(s)))
-    when(size(shs) > 0,
-      array((0 until numHashes).map { j =>
-        val (a, b) = MinhashParams(j)
-        array_min(transform(shs, sh => pmod(sh * a + b, lit(MinhashPrime))))
-      }: _*))
+    df.withColumn("__mh_toks", wordTokens(text))
+      .withColumn("__mh_shs",
+        array_distinct(transform(shingleExpr(col("__mh_toks"), n), s => md5Hash32(s))))
+      .withColumn(outCol,
+        when(size(col("__mh_shs")) > 0,
+          array((0 until numHashes).map { j =>
+            val (a, b) = MinhashParams(j)
+            array_min(transform(col("__mh_shs"), sh => pmod(sh * a + b, lit(MinhashPrime))))
+          }: _*)))
+      .drop("__mh_toks", "__mh_shs")
   }
 
   /** LSH band keys from a per-row signature: array of (band, md5-of-band)

@@ -19,10 +19,9 @@ import org.apache.spark.sql.types._
   * changes one function.
   *
   * Scale notes: media bytes never pass through a driver collect; feature
-  * extraction is mapPartitions over fixed-size batches (the same batch
-  * shape a pandas_udf / mapInPandas pipeline would see), so executor
-  * memory is bounded by batchSize × maxMediaBytes regardless of partition
-  * row count.
+  * extraction streams row-by-row through mapPartitions (the decoder
+  * holds ONE image at a time), so executor memory is bounded by
+  * maxMediaBytes regardless of partition row count.
   */
 object Multimodal {
 
@@ -169,12 +168,18 @@ object Multimodal {
     * PNG/GIF/BMP/JPEG readers in `java.desktop` — no external library).
     * Returns None for bytes no installed reader accepts.
     */
+  // JVM-global ImageIO temp-file cache switch: flip ONCE per executor
+  // (lazy val), not per decoded row
+  private lazy val imageIoCacheDisabled: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     if (bytes == null || bytes.length < 8) return None
-    try {
-      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    } catch { case _: Exception => None }
+    imageIoCacheDisabled
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
   }
 
   /** Luminance histogram over decoded pixels: Rec.601 grey level binned
@@ -202,21 +207,19 @@ object Multimodal {
     hist
   }
 
-  /** Batched per-partition feature extraction over a binary media column.
-    *
-    * Rows stream through `mapPartitions` in `batchSize` groups (bounded
-    * memory, amortized per-batch decoder setup — the mapInPandas batch
-    * contract). Image formats get a REAL pixel decode
-    * ([[decodeImage]], JDK ImageIO) and a luminance histogram; formats
-    * with no JDK decoder fall back to the byte histogram, so every row
-    * yields a fixed-`dim` feature either way.
+  /** Per-partition feature extraction over a binary media column: rows
+    * STREAM through `mapPartitions` one at a time (the decode holds one
+    * image in memory at once — bounded regardless of partition size).
+    * Image formats get a REAL pixel decode ([[decodeImage]], JDK
+    * ImageIO) and a luminance histogram; formats with no JDK decoder
+    * fall back to the byte histogram, so every row yields a
+    * fixed-`dim` feature either way.
     */
   def extractFeatures(
       df: DataFrame,
       idCol: String = "media_id",
       mediaCol: String = "media",
-      dim: Int = 16,
-      batchSize: Int = 64
+      dim: Int = 16
   ): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType),
@@ -227,13 +230,11 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val mediaIdx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val bytes = r.getAs[Array[Byte]](mediaIdx)
-          decodeImage(bytes) match {
-            case Some(img) => Row(r.getLong(idIdx), luminanceHistogram(img, dim).toSeq, true)
-            case None      => Row(r.getLong(idIdx), byteHistogram(bytes, dim).toSeq, false)
-          }
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        decodeImage(bytes) match {
+          case Some(img) => Row(r.getLong(idIdx), luminanceHistogram(img, dim).toSeq, true)
+          case None      => Row(r.getLong(idIdx), byteHistogram(bytes, dim).toSeq, false)
         }
       }
     }(enc)
@@ -241,7 +242,7 @@ object Multimodal {
 
   /** Real image resize: decode (JDK ImageIO), scale with Graphics2D
     * bilinear interpolation, re-encode as PNG. Output column `resized` is
-    * null for rows no reader accepts. Same bounded mapPartitions batching
+    * null for rows no reader accepts. Same streaming mapPartitions shape
     * as [[extractFeatures]].
     */
   def resizeImages(
@@ -249,8 +250,7 @@ object Multimodal {
       targetW: Int,
       targetH: Int,
       idCol: String = "media_id",
-      mediaCol: String = "media",
-      batchSize: Int = 64
+      mediaCol: String = "media"
   ): DataFrame = {
     require(targetW > 0 && targetH > 0, "target dims must be positive")
     val outSchema = StructType(Seq(
@@ -261,24 +261,22 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val mediaIdx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val out = decodeImage(r.getAs[Array[Byte]](mediaIdx)).map { img =>
-            val dst = new java.awt.image.BufferedImage(
-              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = dst.createGraphics()
-            try {
-              g.setRenderingHint(
-                java.awt.RenderingHints.KEY_INTERPOLATION,
-                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-              g.drawImage(img, 0, 0, targetW, targetH, null)
-            } finally g.dispose()
-            val buf = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(dst, "png", buf)
-            buf.toByteArray
-          }
-          Row(r.getLong(idIdx), out.orNull)
+      rows.map { r =>
+        val out = decodeImage(r.getAs[Array[Byte]](mediaIdx)).map { img =>
+          val dst = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+          } finally g.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", buf)
+          buf.toByteArray
         }
+        Row(r.getLong(idIdx), out.orNull)
       }
     }(enc)
   }

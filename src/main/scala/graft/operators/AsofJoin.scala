@@ -26,12 +26,18 @@ import org.apache.spark.sql.types.TimestampType
   *
   * Contracts:
   *   - right rows with NULL time are ignored; left rows with NULL time
-  *     get no match (window order puts nulls first, so they only ever
-  *     see other null-time rows).
-  *   - if several right rows share (key, time), the one with the
-  *     greatest payload struct wins (deterministic tie-break: the window
-  *     order includes the payload). Pre-aggregate the right side to one
-  *     row per (key, time) when a specific reducer is wanted.
+  *     get no match (guarded explicitly — in the forward direction the
+  *     nulls-first sort would otherwise hand them the earliest right
+  *     row).
+  *   - NULL join keys never match, same as every equality join here and
+  *     in pandas/DuckDB: null-key right rows are dropped, null-key left
+  *     rows pass through unmatched.
+  *   - if several right rows share (key, time), the tie-break is
+  *     deterministic via the payload struct in the window order:
+  *     backward picks the GREATEST payload struct, forward the LEAST
+  *     (each direction takes the frame row nearest the left row).
+  *     Pre-aggregate the right side to one row per (key, time) when a
+  *     specific reducer is wanted.
   *   - `toleranceUs`: matches farther than this from the left time are
   *     nulled out (microseconds for timestamp time columns, native units
   *     for numeric ones).
@@ -75,7 +81,7 @@ object AsofJoin {
         Seq(col(leftTimeCol).as("__t"), lit(leftTag).as("__side"), lit(null).cast(payloadType).as("__m")) ++
         leftOther.map(col): _*)
     val rhs = right
-      .filter(col(rightTimeCol).isNotNull)
+      .filter(col(rightTimeCol).isNotNull && on.map(col(_).isNotNull).reduce(_ && _))
       .select(
         on.map(col) ++
           Seq(col(rightTimeCol).as("__t"), lit(rightTag).as("__side"), payloadStruct.as("__m")) ++
@@ -88,8 +94,11 @@ object AsofJoin {
       if (backward) (w0.rowsBetween(Window.unboundedPreceding, Window.currentRow), last(col("__m"), ignoreNulls = true))
       else (w0.rowsBetween(Window.currentRow, Window.unboundedFollowing), first(col("__m"), ignoreNulls = true))
 
+    // null-time left rows must not match (forward frames would otherwise
+    // see every following right row); null-key right rows are already
+    // filtered, so null-key left rows fall through to null here too.
     val matchedRaw = lhs.unionByName(rhs)
-      .withColumn("__m_hit", pick.over(w))
+      .withColumn("__m_hit", when(col("__t").isNotNull, pick.over(w)))
       .filter(col("__side") === leftTag)
 
     val matched = toleranceUs match {

@@ -33,14 +33,18 @@ object Diff {
       fingerprint: Column
   ): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
-    val o = oldDf.select(keyCols.map(col) :+ fingerprint.as("__fp_old"): _*)
-    val n = newDf.select(keyCols.map(col) :+ fingerprint.as("__fp_new"): _*)
+    // explicit presence markers: a NULL fingerprint (nullable payload
+    // hashed to null) must not masquerade as an absent row
+    val o = oldDf.select(
+      keyCols.map(col) ++ Seq(fingerprint.as("__fp_old"), lit(1).as("__in_old")): _*)
+    val n = newDf.select(
+      keyCols.map(col) ++ Seq(fingerprint.as("__fp_new"), lit(1).as("__in_new")): _*)
     o.join(n, keyCols, "full_outer")
       .withColumn(
         "status",
-        when(col("__fp_old").isNull, lit("added"))
-          .when(col("__fp_new").isNull, lit("removed"))
-          .when(col("__fp_old") =!= col("__fp_new"), lit("changed")))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(!(col("__fp_old") <=> col("__fp_new")), lit("changed")))
       .filter(col("status").isNotNull)
       .select(keyCols.map(col) :+ col("status"): _*)
   }

@@ -39,8 +39,9 @@ object Shard {
     * rank patients by the seeded hash (the "shuffle") and slice at
     * round(cum_frac * n) — every split gets its exact share, and the
     * global rank window is cheap because n is bounded by `exactBelow`.
-    * The count that picks the path early-terminates at `exactBelow + 1`
-    * distinct ids, so the large-cohort cost is one bounded pre-pass.
+    * The distinct patient set is localCheckpoint'ed once: the
+    * path-picking count and the assignment projection reuse the same
+    * materialization instead of re-running the distinct per consumer.
     *
     * For oracle-friendly deterministic assignment, `splitByModulo` below
     * avoids the engine-specific hash entirely.
@@ -53,7 +54,7 @@ object Shard {
       exactBelow: Int = 100000
   ): DataFrame = {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
-    val distinctPatients = patients.select(col(Meds.PatientId)).distinct()
+    val distinctPatients = patients.select(col(Meds.PatientId)).distinct().localCheckpoint(false)
     // signed 64-bit hash -> uniform double in [0,1)
     val u = xxhash64(col(Meds.PatientId), lit(seed)).cast("double") / lit(2.0 * Long.MaxValue) + lit(0.5)
     val shard = pmod(xxhash64(col(Meds.PatientId), lit(seed + 1)), lit(nShardsPerSplit))

@@ -200,7 +200,7 @@ object Streaming {
     * signature matches one already seen inside the watermark horizon.
     *
     * The signature is computed per-row with
-    * [[graft.dedup.Dedup.minhashSigColumn]] — a stateless projection, no
+    * [[graft.dedup.Dedup.withMinhashSig]] — a stateless projection, no
     * shuffle — so the only stateful operator is the signature-keyed
     * `dropDuplicatesWithinWatermark`, whose state is one row per distinct
     * signature inside the horizon. Signature-identical means
@@ -209,9 +209,10 @@ object Streaming {
     * [[streamingLshCandidates]]'s job, and full-history dedup belongs to
     * the batch [[graft.dedup.Dedup]] pipelines.
     *
-    * Docs with no shingles (shorter than the shingle size) carry a null
-    * signature; they are all kept (null keys join nothing), not deduped
-    * against each other.
+    * Docs with no shingles (shorter than the shingle size) fall back to
+    * an exact-text key: byte-identical short docs inside the horizon DO
+    * dedupe, distinct short docs are all kept (near-duplicate detection
+    * below the shingle size is undefined, exact-duplicate still isn't).
     */
   def streamingMinhashDedup(
       docs: DataFrame,
@@ -221,16 +222,16 @@ object Streaming {
       tsCol: String = "ts",
       textCol: String = "text"
   ): DataFrame = {
-    val sig = graft.dedup.Dedup.minhashSigColumn(col(textCol), numHashes, n)
     // explicit null branch: concat_ws maps a NULL array to "" (not null),
     // which would fold every shingle-less doc into one dedup key
-    val sigKey = when(sig.isNotNull, md5(concat_ws(",", transform(sig, _.cast("string")))))
+    val sigKey = when(col("__sig").isNotNull,
+      md5(concat_ws(",", transform(col("__sig"), _.cast("string")))))
       .otherwise(concat(lit("nosig:"), md5(col(textCol))))
-    docs
+    graft.dedup.Dedup.withMinhashSig(docs, col(textCol), "__sig", numHashes, n)
       .withColumn("__sigkey", sigKey)
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__sigkey")
-      .drop("__sigkey")
+      .drop("__sigkey", "__sig")
   }
 
   final case class BandHit(id: Long, band: Int, sig: String, tsMs: Long)
@@ -263,9 +264,8 @@ object Streaming {
       textCol: String = "text"
   ): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
-    val sig = graft.dedup.Dedup.minhashSigColumn(col(textCol), numHashes, n)
-    val hits = docs
-      .withColumn("__sig", sig)
+    val hits = graft.dedup.Dedup
+      .withMinhashSig(docs, col(textCol), "__sig", numHashes, n)
       .filter(col("__sig").isNotNull)
       .withColumn("__b", explode(graft.dedup.Dedup.bandKeysColumn(col("__sig"), numHashes, numBands)))
       .select(

@@ -29,6 +29,17 @@ class DiffSpec extends SparkSpec {
     assert(out == Set((1L, 1L, "removed"), (1L, 2L, "added")))
   }
 
+  test("a NULL fingerprint on a present row is not mistaken for absence") {
+    val fpNullable = md5(col("a")) // null payload -> null fingerprint
+    val old = Seq((1L, Option.empty[String]), (2L, Option("x"))).toDF("k", "a")
+    val neu = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("k", "a")
+    val out = Diff.snapshotDiff(old, neu, Seq("k"), fpNullable)
+      .as[(Long, String)].collect().toSet
+    // k=1: present in both with null fp on both sides -> unchanged, not added
+    // k=2: fp x -> null is a real change
+    assert(out == Set((2L, "changed")))
+  }
+
   test("null keys never match: they surface as removed+added, not changed") {
     val old = Seq((Option.empty[Long], "x", 1L)).toDF("k", "a", "b")
     val neu = Seq((Option.empty[Long], "x", 1L)).toDF("k", "a", "b")

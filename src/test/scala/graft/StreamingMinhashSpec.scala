@@ -24,7 +24,8 @@ class StreamingMinhashSpec extends SparkSpec {
       .select(col("id"), array((0 until 8).map(j => col(s"minhash_$j")): _*).as("sig"))
       .as[(Long, Seq[Long])].collect().toMap
     val perRow = docs
-      .select(col("doc_id"), Dedup.minhashSigColumn(col("text"), 8, 5).as("sig"))
+      .transform(d => Dedup.withMinhashSig(d, col("text"), "sig", 8, 5))
+      .select(col("doc_id"), col("sig"))
       .as[(Long, Option[Seq[Long]])].collect().toMap
     assert(perRow(1L).get == batch(1L))
     assert(perRow(2L).get == batch(2L))

@@ -48,6 +48,38 @@ class TemporalSpec extends SparkSpec {
     assert(out(2L) == Some(200.0)) // next at-or-after 01:00 is 01:30
     assert(out(3L) == None) // nothing after 02:00
     assert(out(4L) == None)
+    assert(out(5L) == None) // null left time must NOT grab the earliest right row
+  }
+
+  test("asof: NULL join keys never match (equality-join semantics)") {
+    val l = Seq(
+      (1L, Option(10L), ts("2024-01-01 01:00:00")),
+      (2L, Option.empty[Long], ts("2024-01-01 01:00:00"))
+    ).toDF("id", "key", "t")
+    val r = Seq(
+      (Option(10L), ts("2024-01-01 00:00:00"), 1.0),
+      (Option.empty[Long], ts("2024-01-01 00:00:00"), -1.0)
+    ).toDF("key", "rt", "v")
+    for (dir <- Seq(AsofJoin.Backward, AsofJoin.Forward)) {
+      val out = AsofJoin
+        .asof(l, r, Seq("key"), "t", "rt", Seq("v"), direction = dir, rightPrefix = "m_")
+        .select(col("id"), col("m_v")).as[(Long, Option[Double])].collect().toMap
+      assert(out(2L).isEmpty, s"$dir: null-key left row matched a null-key right row")
+      if (dir == AsofJoin.Backward) assert(out(1L).contains(1.0))
+    }
+  }
+
+  test("asof forward ties on (key, time) resolve to the LEAST payload deterministically") {
+    val l = Seq((1L, 10L, ts("2024-01-01 00:00:00"))).toDF("id", "key", "t")
+    val r = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 5.0),
+      (10L, ts("2024-01-01 00:00:00"), 9.0)
+    ).toDF("key", "rt", "v")
+    val out = AsofJoin
+      .asof(l, r, Seq("key"), "t", "rt", Seq("v"),
+        direction = AsofJoin.Forward, rightPrefix = "m_")
+      .select("m_v").as[Double].collect()
+    assert(out.toSeq == Seq(5.0))
   }
 
   test("asof tolerance nulls out too-distant matches") {

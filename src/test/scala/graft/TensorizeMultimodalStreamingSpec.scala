@@ -140,7 +140,7 @@ class TensorizeMultimodalStreamingSpec extends SparkSpec {
 
   test("multimodal: batched feature extraction is deterministic and shape-stable") {
     val docs = (1L to 200L).map(i => (i, Array.fill(32)((i % 7).toByte))).toDF("media_id", "media")
-    val out = Multimodal.extractFeatures(docs, dim = 16, batchSize = 8)
+    val out = Multimodal.extractFeatures(docs, dim = 16)
     assert(out.schema("feature").dataType == ArrayType(FloatType, containsNull = false))
     val feats = out.select("media_id", "feature").as[(Long, Seq[Float])].collect().toMap
     assert(feats.size == 200)
@@ -149,7 +149,7 @@ class TensorizeMultimodalStreamingSpec extends SparkSpec {
     // non-image bytes: fallback path, flagged undecoded
     assert(out.filter(col("decoded")).count() == 0)
     // rerun identical
-    val again = Multimodal.extractFeatures(docs, dim = 16, batchSize = 8)
+    val again = Multimodal.extractFeatures(docs, dim = 16)
       .select("media_id", "feature").as[(Long, Seq[Float])].collect().toMap
     assert(feats == again)
   }
@@ -170,7 +170,7 @@ class TensorizeMultimodalStreamingSpec extends SparkSpec {
       (2L, pngBytes(8, 6, 255)),  // white -> all mass in top bin
       (3L, Array.fill(32)(5.toByte)) // not an image -> fallback
     ).toDF("media_id", "media")
-    val out = Multimodal.extractFeatures(docs, dim = 16, batchSize = 2)
+    val out = Multimodal.extractFeatures(docs, dim = 16)
       .select("media_id", "feature", "decoded").as[(Long, Seq[Float], Boolean)]
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out(1L)._2 && out(1L)._1.head == 1.0f, s"black image: ${out(1L)}")
