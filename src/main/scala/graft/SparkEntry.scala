@@ -662,6 +662,13 @@ object SparkEntry {
         .select(col("user_id"), col("session_seq"), col("n_events"),
           col("start_us"), col("end_us"), col("duration_us"))),
 
+    // the same sessions through Spark's built-in session_window
+    // aggregation (batch/streaming-shared plan; >= gap boundary)
+    "q_session_window" -> ((s, dir) =>
+      Sessionize
+        .sessionWindowSummaries(ev(s, dir), "user_id", "ts", gap = "30 minutes")
+        .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))),
+
     // range join: events located inside per-user session intervals via the
     // bin-bucketed interval join (DuckDB BETWEEN-join oracle). Sessions of
     // one user never overlap (gap > threshold), so each event lands in
@@ -1465,6 +1472,20 @@ object SparkEntry {
           |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
           |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
           |FROM s GROUP BY 1, 2""".stripMargin,
+
+      // session_window boundary == the lag-based rule: a new session
+      // starts only when the gap is strictly > the window (spec-pinned)
+      "q_session_window" ->
+        """WITH t AS (SELECT user_id, ts,
+          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          |  FROM events WHERE ts IS NOT NULL),
+          |s AS (SELECT user_id, ts,
+          |  CAST(sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END)
+          |    OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          |  FROM t)
+          |SELECT user_id, count(*) AS n_events,
+          |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+          |FROM s GROUP BY user_id, session_seq""".stripMargin,
 
       "q_range_join" ->
         """WITH t AS (SELECT user_id, ts, event_id,

@@ -49,6 +49,32 @@ object Sessionize {
       .drop("__start")
   }
 
+  /** Declarative twin of [[sessionSummaries]] built on Spark's own
+    * `session_window` aggregation: (key, n_events, start_us, end_us).
+    * ONE expression works in batch AND in Structured Streaming (add a
+    * watermark upstream and the same plan runs incrementally with
+    * session-merge state) — the Spark-first answer when per-session
+    * ordinals aren't needed.
+    *
+    * Boundary semantics match [[assignSessions]] exactly (spec-pinned):
+    * an event extends the session while the gap is <= `gap` — events
+    * spaced EXACTLY `gap` apart share a session in both forms.
+    */
+  def sessionWindowSummaries(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      gap: String
+  ): DataFrame =
+    events
+      .filter(col(timeCol).isNotNull)
+      .groupBy(col(keyCol), session_window(col(timeCol), gap).as("__w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col(timeCol))).as("start_us"),
+        max(unix_micros(col(timeCol))).as("end_us"))
+      .drop("__w")
+
   /** Per-session summaries: (key, session_seq, n_events, start_us,
     * end_us, duration_us). The summary groupBy runs on the already
     * session-assigned rows; its shuffle is session-count sized after

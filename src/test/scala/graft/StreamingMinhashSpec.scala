@@ -77,6 +77,25 @@ class StreamingMinhashSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session_window summaries run the SAME plan incrementally under a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val agg = graft.operators.Sessionize.sessionWindowSummaries(
+      input.toDF().toDF("user_id", "ts").withWatermark("ts", "10 minutes"),
+      "user_id", "ts", "30 minutes")
+    val query = agg.writeStream.format("memory").queryName("ssw").outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")))
+      query.processAllAvailable()
+      // advance the watermark far past the session to finalize it
+      input.addData((1L, ts("2024-01-01 13:00:00")))
+      query.processAllAvailable()
+      val rows = spark.table("ssw").as[(Long, Long, Long, Long)].collect().toSet
+      val us = (s: String) => ts(s).getTime * 1000L
+      assert(rows == Set((1L, 2L, us("2024-01-01 10:00:00"), us("2024-01-01 10:10:00"))))
+    } finally query.stop()
+  }
+
   test("streaming LSH candidates pair newcomers with the bucket canonical, never cross-content") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]

@@ -112,6 +112,32 @@ class TemporalSpec extends SparkSpec {
       s"asof should shuffle only on the key:\n$plan")
   }
 
+  test("sessionWindowSummaries agrees with the lag-based sessionizer away from exact-gap ties") {
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 1L, ts("2024-01-01 10:10:00")),
+      (3L, 1L, ts("2024-01-01 11:00:00")), // 50min gap -> new session
+      (4L, 2L, ts("2024-01-01 10:05:00"))
+    ).toDF("id", "k", "t")
+    val viaWindow = Sessionize.sessionWindowSummaries(e, "k", "t", "30 minutes")
+      .select("k", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaLag = Sessionize.sessionSummaries(e, "k", "t", 1800L * 1000000L, "id")
+      .select("k", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaWindow == viaLag)
+  }
+
+  test("sessionWindowSummaries: a gap of exactly the window EXTENDS the session (lag-rule parity)") {
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 1L, ts("2024-01-01 10:30:00")), // exactly 30min later: merged
+      (3L, 1L, ts("2024-01-01 11:00:01"))  // 30min 1s later: new session
+    ).toDF("id", "k", "t")
+    assert(Sessionize.sessionWindowSummaries(e, "k", "t", "30 minutes").count() == 2)
+    assert(Sessionize.sessionSummaries(e, "k", "t", 1800L * 1000000L, "id").count() == 2)
+  }
+
   test("sessionize: gaps split sessions, 0-based per key, deterministic ties") {
     val ev = Seq(
       (1L, 10L, ts("2024-01-01 00:00:00")),
