@@ -6,7 +6,7 @@ import graft.meds.{Meds, MedsPipeline}
 import graft.operators._
 import graft.pipeline.{Packing, Sampling, Selection}
 import graft.sources.Tables
-import graft.text.{Bm25, Collocations, InvertedIndex, TextFunctions, Tfidf}
+import graft.text.{Bm25, Collocations, InvertedIndex, TextFunctions, Tfidf, WordVocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -802,6 +802,20 @@ object SparkEntry {
     "q_histogram" -> ((s, dir) =>
       Profile.histogram(ev(s, dir), "value", width = 50.0, by = Seq("event_type"))),
 
+    // word-vocabulary fit: top-N words by count with deterministic ids
+    "q_vocab_words" -> ((s, dir) =>
+      WordVocab.fit(docs(s, dir), "text", maxSize = 1000, minCount = 2L)),
+
+    // corpus encoding against the fitted vocabulary (first 50 docs,
+    // exploded positions; OOV -> 0)
+    "q_encode" -> { (s, dir) =>
+      val d = docs(s, dir)
+      WordVocab
+        .encode(d.filter(col("doc_id") < 50), "doc_id", "text",
+          WordVocab.fit(d, "text", maxSize = 20, minCount = 2L))
+        .select(col("id").as("doc_id"), col("pos"), col("word_id"))
+    },
+
     // mergeable HLL distinct-count sketches (rows-only: DuckDB's
     // approx_distinct is a different estimator; the lossless
     // partial-merge contract is pinned by SketchesSpec)
@@ -1587,6 +1601,24 @@ object SparkEntry {
 
       "q_normalize_text" ->
         s"SELECT doc_id, md5(lower(nfc_normalize(text || '$normSuffix'))) AS norm_hash FROM documents",
+
+      "q_vocab_words" ->
+        """WITH tk AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word FROM documents),
+          |c AS (SELECT word, count(*) AS n FROM tk GROUP BY 1),
+          |top AS (SELECT word, n FROM c WHERE n >= 2 ORDER BY n DESC, word LIMIT 1000)
+          |SELECT word, n, CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS word_id FROM top""".stripMargin,
+
+      "q_encode" ->
+        """WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts FROM documents),
+          |tk AS (SELECT unnest(ts) AS word FROM d),
+          |c AS (SELECT word, count(*) AS n FROM tk GROUP BY 1),
+          |top AS (SELECT word, n FROM c WHERE n >= 2 ORDER BY n DESC, word LIMIT 20),
+          |v AS (SELECT word, CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS word_id FROM top),
+          |p AS (SELECT doc_id, CAST(unnest(range(1, len(ts) + 1)) - 1 AS BIGINT) AS pos,
+          |    unnest(ts) AS word
+          |  FROM d WHERE doc_id < 50)
+          |SELECT p.doc_id, p.pos, coalesce(v.word_id, 0) AS word_id
+          |FROM p LEFT JOIN v USING (word)""".stripMargin,
 
       "q_pivot" ->
         """SELECT user_id,

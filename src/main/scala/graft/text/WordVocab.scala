@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus word-vocabulary fitting + encoding — the word-level analog of
+  * `fit_vocabulary_indices` (reference ranks the code dimension; a
+  * training-data pipeline also ranks the token dimension to build a
+  * fixed-size tokenizer vocabulary with an OOV bucket).
+  *
+  * Shapes: the count table is vocab-sized after one map-side-combined
+  * groupBy; the top-`maxSize` cut compiles to TakeOrderedAndProject
+  * (per-partition heaps, no global sort), and the id-assigning window
+  * runs below that limit, so it is bounded by `maxSize` — the only
+  * global window family the plan specs allow. Encoding is a
+  * broadcast join of the (small) vocabulary against exploded token
+  * positions; unknown words map to id 0 (reserved, same convention as
+  * the code vocabulary).
+  */
+object WordVocab {
+
+  private def toks(textCol: String) =
+    expr(s"filter(split(lower($textCol), '[^a-z]+'), x -> x != '')")
+
+  /** (word, n, word_id): ids 1..maxSize by (count desc, word asc); 0 is
+    * reserved for OOV.
+    */
+  def fit(docs: DataFrame, textCol: String, maxSize: Int, minCount: Long = 1L): DataFrame = {
+    require(maxSize > 0, "maxSize must be positive")
+    require(minCount >= 1, "minCount must be >= 1")
+    docs
+      .select(explode(toks(textCol)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("word"))
+      .limit(maxSize)
+      .withColumn("word_id",
+        row_number().over(Window.orderBy(col("n").desc, col("word"))).cast("long"))
+  }
+
+  /** Exploded encoding: (id, pos, word_id) per token position, OOV = 0.
+    * `vocab` is a [[fit]] result (or any (word, word_id) frame).
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String, vocab: DataFrame): DataFrame =
+    docs
+      .select(col(idCol).as("id"), posexplode(toks(textCol)).as(Seq("pos", "word")))
+      .join(broadcast(vocab.select(col("word"), col("word_id"))), Seq("word"), "left")
+      .select(
+        col("id"), col("pos").cast("long").as("pos"),
+        coalesce(col("word_id"), lit(0L)).as("word_id"))
+}
