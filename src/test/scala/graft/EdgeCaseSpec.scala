@@ -54,6 +54,34 @@ class EdgeCaseSpec extends SparkSpec {
       .select("bin").as[Long].head() == 0L)
   }
 
+  test("round-3 operators tolerate empty input") {
+    val emptyEvents = Seq.empty[(Long, Long, Option[Timestamp], Option[Double])]
+      .toDF("event_id", "user_id", "ts", "value")
+    assert(Rolling.trailingAggregates(emptyEvents, "user_id", "ts", "value", 1000000L).count() == 0)
+    assert(Rolling.forwardFill(emptyEvents, "user_id", "ts", "event_id", "value", "f").count() == 0)
+    assert(Rolling.resampleLastValue(emptyEvents, "user_id", "ts", "event_id", "value", 1000000L).count() == 0)
+    assert(Sessionize.sessionWindowSummaries(emptyEvents, "user_id", "ts", "30 minutes").count() == 0)
+    assert(AsofJoin.asof(emptyEvents, emptyEvents.withColumnRenamed("ts", "rt"),
+      Seq("user_id"), "ts", "rt", Seq("value")).count() == 0)
+    assert(FuzzyJoin.fuzzyPairs(emptyDocs.withColumnRenamed("text", "name"), "name", 3).count() == 0)
+    assert(Diff.snapshotDiff(emptyEvents, emptyEvents, Seq("event_id"),
+      md5(concat_ws("|", col("user_id")))).count() == 0)
+    assert(graft.text.InvertedIndex.postings(emptyDocs, "doc_id", "text", 5).count() == 0)
+    assert(graft.text.Collocations.bigramPmi(emptyDocs, "text").count() == 0)
+    assert(graft.text.WordVocab.encode(emptyDocs, "doc_id", "text",
+      graft.text.WordVocab.fit(emptyDocs, "text", 10)).count() == 0)
+    assert(graft.ann.Embeddings.labelCentroids(
+      Seq.empty[(Int, Array[Float])].toDF("label", "vec"), "label", "vec").count() == 0)
+    assert(Profile.histogram(emptyEvents, "value", 10.0, Seq("user_id")).count() == 0)
+    assert(Sketches.estimate(Sketches.mergeSketchPartials(
+      Sketches.distinctSketchPartials(emptyEvents, Seq("user_id"), "event_id"),
+      Seq("user_id"))).count() == 0)
+    // violations still reports every rule on an empty frame (n_rows 0)
+    val v = Validate.violations(emptyEvents,
+      Seq(Validate.Expectation("r", col("value").isNotNull)))
+    assert(v.select("n_rows", "n_violations").as[(Long, Long)].collect().toSeq == Seq((0L, 0L)))
+  }
+
   test("all-null and whitespace-only text columns don't break text functions") {
     val weird = Seq((1L, null: String), (2L, ""), (3L, "   \t\n  "), (4L, "!!!???")).toDF("doc_id", "text")
     val out = weird.select(
