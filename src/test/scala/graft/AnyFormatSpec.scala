@@ -1,0 +1,44 @@
+package graft
+
+import graft.sources.AnyFormat
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+import org.apache.spark.sql.types._
+
+class AnyFormatSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_anyformat").toString
+
+  private val csvBody = "id,name,v\n1,a,1.5\n2,b,2.5\n"
+
+  test("reads csv with header, and csv.gz transparently") {
+    val dir = tmpDir()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/plain.csv"), csvBody)
+    val gz = new GZIPOutputStream(new java.io.FileOutputStream(s"$dir/zipped.csv.gz"))
+    gz.write(csvBody.getBytes("UTF-8")); gz.close()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType), StructField("v", DoubleType)))
+    for (prefix <- Seq("plain", "zipped")) {
+      val df = AnyFormat.read(spark, dir, prefix, Some(schema))
+      assert(df.schema == schema)
+      assert(df.count() == 2)
+    }
+  }
+
+  test("prefers parquet over csv when both exist") {
+    val dir = tmpDir()
+    import spark.implicits._
+    Seq((10L, "p")).toDF("id", "name").write.parquet(s"$dir/t.parquet")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"), "id,name\n99,c\n")
+    val df = AnyFormat.read(spark, dir, "t")
+    assert(df.select("id").collect().map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
+  test("missing input fails loudly with the searched extensions") {
+    val ex = intercept[IllegalArgumentException] {
+      AnyFormat.read(spark, tmpDir(), "nope")
+    }
+    assert(ex.getMessage.contains("parquet") && ex.getMessage.contains("csv.gz"))
+  }
+}
