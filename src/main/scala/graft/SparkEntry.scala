@@ -6,7 +6,7 @@ import graft.meds.{Meds, MedsPipeline}
 import graft.operators._
 import graft.pipeline.{Packing, Sampling, Selection}
 import graft.sources.Tables
-import graft.text.{Bm25, Collocations, InvertedIndex, TextFunctions, Tfidf, WordVocab}
+import graft.text.{Bm25, Chunker, Collocations, InvertedIndex, TextFunctions, Tfidf, WordVocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,21 @@ object SparkEntry {
     s"""tk AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
        |sh0 AS (SELECT id, unnest(CASE WHEN len(toks)>=5 THEN list_transform(range(1, len(toks)-3), i -> array_to_string(toks[i:i+4],' ')) ELSE [] END) AS shingle FROM tk),
        |shh AS (SELECT DISTINCT id, ${h32("shingle")} AS sh FROM sh0)""".stripMargin
+
+  /** Recursive transitive closure of the 0.5-jaccard pair graph with a
+    * final `clusters(id, cluster_id)` CTE — shared by the clustering and
+    * survivor-policy oracles.
+    */
+  private val closureCtes: String =
+    s"""$shingleCtes,
+       |filt AS (SELECT id, sh FROM (SELECT id, sh, count(*) OVER (PARTITION BY sh) AS df FROM shh) WHERE df <= 1000),
+       |cnt AS (SELECT id, count(*) AS n_sh FROM shh GROUP BY 1),
+       |com AS (SELECT a.id AS ia, b.id AS ib, count(*) AS nc FROM filt a JOIN filt b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+       |p AS (SELECT ia, ib FROM com JOIN cnt ca ON ia = ca.id JOIN cnt cb ON ib = cb.id
+       |      WHERE CAST(nc AS DOUBLE)/(ca.n_sh + cb.n_sh - nc) >= 0.5),
+       |e AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+       |reach AS (SELECT src AS id, src AS r FROM e UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+       |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   /** Universal-hash minhash aggregate list (matches [[Dedup.minhashSignatures]]). */
   private def minhashAggSql(k: Int, alias: Int => String): String =
@@ -372,6 +387,24 @@ object SparkEntry {
       Dedup
         .connectedComponents(Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5, n = 5, maxDocFreq = 1000))
         .select(col("id"), col("label").as("cluster_id"))),
+
+    // retention policy composed on the cluster graph: survivors are the
+    // LONGEST doc per cluster, not the min-id canonical
+    "q_dedup_survivors" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(d, threshold = 0.5, n = 5, maxDocFreq = 1000))
+      Dedup
+        .keepBestPerCluster(
+          d.select(col("doc_id").as("id"), col("n_chars").cast("long").as("score")),
+          clusters, "score")
+        .select(col("cluster_id"), col("id"), col("score"))
+    },
+
+    // sliding-window document chunking (30-token windows, 10 overlap —
+    // sized so the corpus genuinely multi-chunks)
+    "q_chunk" -> ((s, dir) =>
+      Chunker.chunkByTokens(docs(s, dir), "doc_id", "text", chunkTokens = 30, overlapTokens = 10)),
 
     "q_minhash_sigs" -> ((s, dir) => Dedup.minhashSignatures(docs(s, dir), numHashes = 8, n = 5)),
 
@@ -1114,15 +1147,18 @@ object SparkEntry {
 
       // transitive closure of the jaccard pair graph; cluster = min reachable id
       "q_dedup_cluster" ->
-        s"""WITH RECURSIVE $shingleCtes,
-           |filt AS (SELECT id, sh FROM (SELECT id, sh, count(*) OVER (PARTITION BY sh) AS df FROM shh) WHERE df <= 1000),
-           |cnt AS (SELECT id, count(*) AS n_sh FROM shh GROUP BY 1),
-           |com AS (SELECT a.id AS ia, b.id AS ib, count(*) AS nc FROM filt a JOIN filt b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
-           |p AS (SELECT ia, ib FROM com JOIN cnt ca ON ia = ca.id JOIN cnt cb ON ib = cb.id
-           |      WHERE CAST(nc AS DOUBLE)/(ca.n_sh + cb.n_sh - nc) >= 0.5),
-           |e AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
-           |reach AS (SELECT src AS id, src AS r FROM e UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
-           |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+        s"WITH RECURSIVE $closureCtes\nSELECT id, cluster_id FROM clusters",
+
+      // retention policy: keep the longest doc per near-dup cluster
+      // (tie -> smallest id); un-clustered docs are their own singleton
+      "q_dedup_survivors" ->
+        s"""WITH RECURSIVE $closureCtes,
+           |d AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS score FROM documents),
+           |withc AS (SELECT d.id, coalesce(c.cluster_id, d.id) AS cluster_id, d.score
+           |  FROM d LEFT JOIN clusters c ON d.id = c.id),
+           |r AS (SELECT cluster_id, id, score,
+           |    row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, id) AS rn FROM withc)
+           |SELECT cluster_id, id, score FROM r WHERE rn = 1""".stripMargin,
 
       "q_minhash_sigs" ->
         s"""WITH $shingleCtes
@@ -1601,6 +1637,18 @@ object SparkEntry {
 
       "q_normalize_text" ->
         s"SELECT doc_id, md5(lower(nfc_normalize(text || '$normSuffix'))) AS norm_hash FROM documents",
+
+      // stride = 30 - 10 = 20; chunk k covers ts[k*20+1 .. k*20+30]
+      "q_chunk" ->
+        """WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts FROM documents),
+          |n AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS L FROM d WHERE len(ts) > 0),
+          |c AS (SELECT doc_id, ts, L,
+          |    unnest(range(0, CASE WHEN L <= 30 THEN 1 ELSE (L - 30 + 19) // 20 + 1 END)) AS chunk_seq
+          |  FROM n)
+          |SELECT doc_id, chunk_seq,
+          |  array_to_string(ts[chunk_seq*20 + 1 : least(chunk_seq*20 + 30, L)], ' ') AS chunk_text,
+          |  least(L - chunk_seq*20, 30) AS n_tokens
+          |FROM c""".stripMargin,
 
       "q_vocab_words" ->
         """WITH tk AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word FROM documents),

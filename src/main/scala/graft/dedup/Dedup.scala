@@ -317,6 +317,36 @@ object Dedup {
     docs.join(victims, docs(idCol) === victims("id"), "left_anti")
   }
 
+  /** Retention policy over near-dup clusters: keep the BEST-scoring
+    * document per cluster (highest `scoreCol`, ties to the smallest id)
+    * instead of the smallest-id canonical — "keep the longest / highest-
+    * quality copy" is what curation pipelines actually want when near
+    * duplicates differ in completeness. Documents in no cluster are
+    * their own singleton (survive unconditionally).
+    *
+    * `scored` is (id, score...); `clusters` is a [[connectedComponents]]
+    * result (id, label). The arg-max is a cluster-partitioned window —
+    * cluster sizes are bounded by the candidate generator's bucket caps,
+    * so no degenerate partitions.
+    */
+  def keepBestPerCluster(
+      scored: DataFrame,
+      clusters: DataFrame,
+      scoreCol: String,
+      idCol: String = "id"
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored
+      .join(clusters.select(col("id").as(idCol), col("label")), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col(idCol)))
+      .drop("label")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** MinHash signature columns: for each of `numHashes` universal-hash
     * params, the minimum of (a_j*sh + b_j) mod p over the doc's shingle
     * hashes. Output: (id, minhash_0..minhash_{k-1}). One md5 per shingle

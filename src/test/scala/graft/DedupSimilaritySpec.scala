@@ -178,6 +178,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(uncapped.count() == 45) // C(10,2)
   }
 
+  test("keepBestPerCluster keeps the highest score per cluster; singletons survive") {
+    import org.apache.spark.sql.functions.col
+    val scored = Seq(
+      (1L, 10L), (2L, 99L), (3L, 99L), // cluster A: 2 and 3 tie at 99 -> min id 2
+      (9L, 1L) // no cluster
+    ).toDF("id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "label")
+    val out = Dedup.keepBestPerCluster(scored, clusters, "score")
+      .select(col("cluster_id"), col("id"), col("score"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 99L), (9L, 9L, 1L)))
+  }
+
   test("embeddingNearDupPairs: exact mode returns every pair regardless of corpus size cap") {
     val vecs = (1L to 30L).map(i => (i, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
     // cell=None must NOT go through the bounded collect (a single poisoned
