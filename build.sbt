@@ -14,6 +14,10 @@ run / fork := true
 // Pass the forked app's stdout through raw (no "[info] " logger prefix) so
 // Bench's one-line metric JSON is machine-parseable from the sbt output.
 run / outputStrategy := Some(StdoutOutput)
+// ... and keep it the LAST stdout line: suppress sbt's trailing
+// "[success] Total time: ..." epilogue, which lands after the metric
+// line and breaks last-line JSON parsing (BENCH_r03 "parsed": null).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

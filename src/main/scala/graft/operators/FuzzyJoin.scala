@@ -58,9 +58,15 @@ object FuzzyJoin {
   }
 
   /** Record-level linkage: every (a_id, b_id) pair of rows whose values
-    * fuzzy-match. The dictionary-level pair table (small) is joined
-    * back to the id mapping twice — each a fact⋈small join that AQE
-    * broadcasts when the pair table fits.
+    * fuzzy-match — INCLUDING rows with identical values (distance 0,
+    * the most common linkage case), which the distinct dictionary
+    * collapses and the a_name < b_name candidate shape would otherwise
+    * never pair. Same-name row pairs come from a per-name groupBy (one
+    * shuffle on the value, in-bucket pair explosion — no self-join);
+    * cross-name pairs from the dictionary-level fuzzy table joined back
+    * to the id mapping twice, each a fact⋈small join that AQE
+    * broadcasts when the pair table fits. Within a pair a_id < b_id for
+    * same-name rows; cross-name pairs keep a_name < b_name.
     */
   def linkRecords(
       df: DataFrame,
@@ -71,11 +77,20 @@ object FuzzyJoin {
   ): DataFrame = {
     val pairs = fuzzyPairs(df, nameCol, maxDist, maxTokenDf)
     val ids = df.select(col(idCol).as("id"), lower(col(nameCol)).as("name"))
-    pairs
+    val crossName = pairs
       .join(ids.withColumnRenamed("id", "a_id"), col("a_name") === col("name"))
       .drop("name")
       .join(ids.withColumnRenamed("id", "b_id"), col("b_name") === col("name"))
       .drop("name")
       .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"), col("dist"))
+    val sameName = ids
+      .filter(col("name").isNotNull && col("name") =!= "")
+      .groupBy("name")
+      .agg(sort_array(collect_list(col("id"))).as("is"))
+      .filter(size(col("is")) >= 2)
+      .select(col("name"), explode(Pairs.orderedPairs(col("is"), "a_id", "b_id")).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("name").as("a_name"),
+        col("name").as("b_name"), lit(0L).as("dist"))
+    crossName.unionByName(sameName)
   }
 }

@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   */
 object Rolling {
 
-  /** Appends `n_trail` (events in `(t - windowUs, t]`, peer-inclusive)
+  /** Appends `n_trail` (events in `[t - windowUs, t]`, both bounds
+    * inclusive — `rangeBetween(-windowUs, currentRow)` counts an event
+    * exactly `windowUs` old, matching DuckDB `RANGE ... PRECEDING`)
     * and `sum_trail` (sum of non-null `valueCol` in the same frame,
     * 0 when empty) to every row.
     *

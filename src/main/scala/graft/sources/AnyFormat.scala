@@ -18,7 +18,11 @@ import org.apache.spark.sql.types.StructType
   */
 object AnyFormat {
 
-  val Extensions: Seq[String] = Seq("parquet", "csv", "csv.gz")
+  /** Resolution priority mirrors the reference exactly: parquet, then
+    * csv.gz, then csv — when both `<prefix>.csv` and `<prefix>.csv.gz`
+    * exist the two systems must pick the SAME file.
+    */
+  val Extensions: Seq[String] = Seq("parquet", "csv.gz", "csv")
 
   /** The first existing `<dir>/<prefix>.<ext>`, or None. */
   def resolve(spark: SparkSession, dir: String, prefix: String): Option[String] = {

@@ -213,6 +213,8 @@ object Streaming {
     * an exact-text key: byte-identical short docs inside the horizon DO
     * dedupe, distinct short docs are all kept (near-duplicate detection
     * below the shingle size is undefined, exact-duplicate still isn't).
+    * Null-text docs bypass the dedup entirely (all kept): they carry no
+    * comparable content, and a NULL key would collapse them into one.
     */
   def streamingMinhashDedup(
       docs: DataFrame,
@@ -227,11 +229,19 @@ object Streaming {
     val sigKey = when(col("__sig").isNotNull,
       md5(concat_ws(",", transform(col("__sig"), _.cast("string")))))
       .otherwise(concat(lit("nosig:"), md5(col(textCol))))
-    graft.dedup.Dedup.withMinhashSig(docs, col(textCol), "__sig", numHashes, n)
+    val withSig =
+      graft.dedup.Dedup.withMinhashSig(docs, col(textCol), "__sig", numHashes, n)
+    // null-text rows carry no comparable content: md5(NULL) would hand
+    // them all ONE (null) dedup key and keep only the first. Route them
+    // around the stateful operator entirely — every null-text row passes
+    // through; dedup applies to rows that have text.
+    val deduped = withSig
+      .filter(col(textCol).isNotNull)
       .withColumn("__sigkey", sigKey)
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__sigkey")
       .drop("__sigkey", "__sig")
+    deduped.unionByName(withSig.filter(col(textCol).isNull).drop("__sig"))
   }
 
   final case class BandHit(id: Long, band: Int, sig: String, tsMs: Long)

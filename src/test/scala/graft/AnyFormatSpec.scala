@@ -35,6 +35,17 @@ class AnyFormatSpec extends SparkSpec {
     assert(df.select("id").collect().map(_.getLong(0)).toSeq == Seq(10L))
   }
 
+  test("prefers csv.gz over csv, matching the reference's priority") {
+    // extract/utils.py get_supported_fp: parquet, then csv.gz, then csv
+    assert(AnyFormat.Extensions == Seq("parquet", "csv.gz", "csv"))
+    val dir = tmpDir()
+    val gz = new GZIPOutputStream(new java.io.FileOutputStream(s"$dir/t.csv.gz"))
+    gz.write("id,name\n1,zipped\n".getBytes("UTF-8")); gz.close()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"), "id,name\n2,plain\n")
+    val df = AnyFormat.read(spark, dir, "t")
+    assert(df.select("name").collect().map(_.getString(0)).toSeq == Seq("zipped"))
+  }
+
   test("missing input fails loudly with the searched extensions") {
     val ex = intercept[IllegalArgumentException] {
       AnyFormat.read(spark, tmpDir(), "nope")

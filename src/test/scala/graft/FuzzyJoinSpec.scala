@@ -40,7 +40,20 @@ class FuzzyJoinSpec extends SparkSpec {
       .toDF("id", "nm")
     val out = FuzzyJoin.linkRecords(recs, "id", "nm", maxDist = 2)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    // both spellings of "red widget" link to 20
-    assert(out == Set((10L, 20L), (11L, 20L)))
+    // both spellings of "red widget" link to 20, AND the two identical
+    // values link to each other at distance 0
+    assert(out == Set((10L, 20L), (11L, 20L), (10L, 11L)))
+  }
+
+  test("linkRecords pairs rows with identical values at distance 0") {
+    val recs = Seq(
+      (3L, "ivory bolt"), (1L, "ivory bolt"), (2L, "ivory bolt"), (9L, "lone name"))
+      .toDF("id", "nm")
+    val out = FuzzyJoin.linkRecords(recs, "id", "nm", maxDist = 0)
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, "ivory bolt", "ivory bolt", 0L),
+      (1L, 3L, "ivory bolt", "ivory bolt", 0L),
+      (2L, 3L, "ivory bolt", "ivory bolt", 0L)))
   }
 }

@@ -53,6 +53,25 @@ class StreamingMinhashSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("null-text docs are all kept, not collapsed into one NULL dedup key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Option[String])]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = Streaming.streamingMinhashDedup(docs, "1 hour")
+      .writeStream.format("memory").queryName("mh_dedup_null").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), None),
+        (2L, ts("2024-01-01 10:05:00"), None), // null text carries no
+        // comparable content; md5(NULL) must not merge it with doc 1
+        (3L, ts("2024-01-01 10:06:00"), Some("")),
+        (4L, ts("2024-01-01 10:07:00"), Some(longA)))
+      query.processAllAvailable()
+      val ids = spark.table("mh_dedup_null").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 3L, 4L), s"got $ids")
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches only within the event-time window") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, String)]
