@@ -538,7 +538,10 @@ object Dedup {
         shiftright(col("p.ib"), bits).as("id_b"),
         bit_count(sigA.bitwiseXOR(sigB)).as("hamming")
       )
-      .distinct()
+      // hamming filter BEFORE the distinct: most bucket-mates are NOT
+      // within the radius, so filtering first shrinks the dedup shuffle
+      // from all candidate pairs to true near-dups only
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
