@@ -168,6 +168,34 @@ object Dedup {
     docs.join(victims, docs(idCol) === victims("id"), "left_anti")
   }
 
+  /** Cross-corpus exact deduplication: drop every document of `docs`
+    * whose normalized text already appears in `reference` — the "new
+    * crawl minus everything we already have" incremental-ingest step
+    * (and the exact-match big sibling of [[contaminationFlags]]'s n-gram
+    * overlap check).
+    *
+    * Both sides reduce to their md5 fingerprint BEFORE the anti-join, so
+    * the shuffle carries (id, 32-char digest) / (digest) — never text.
+    * No broadcast assumption: the reference corpus is typically
+    * fact-sized too (yesterday's crawl), so this is a plain shuffled
+    * LEFT ANTI on the digest; when the reference IS small, AQE
+    * broadcasts it at runtime. Unlike in-corpus dedup, `docs`-internal
+    * duplicates are all kept — compose with [[exact]]-based dedup for
+    * that.
+    */
+  def dedupAgainst(
+      docs: DataFrame,
+      reference: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val refFp = reference.select(fingerprint(col(textCol)).as("__fp")).distinct()
+    docs
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .join(refFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Benchmark decontamination: count each corpus document's n-gram
     * overlap with a benchmark/eval set and flag documents sharing at
     * least `minCommon` shingles — the standard "did eval data leak into

@@ -32,4 +32,28 @@ object Selection {
     df.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Per-group quantile bins: `ntile(n)` of `valueCol` within each group
+    * (bin 1 = lowest values), ties broken by `tieBreakCol` so the
+    * assignment is deterministic and engine-portable (ntile's
+    * equal-size-with-remainder-to-early-buckets rule is the same in
+    * Spark and DuckDB, but only the ORDER makes it reproducible).
+    * The standard discretization for quality scores — "drop the bottom
+    * decile per language" composes this with a bin filter. One shuffle
+    * on the group key, like [[topKPerGroup]]; no global window.
+    */
+  def ntilePerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      n: Int,
+      tieBreakCol: String
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "ntilePerGroup needs at least one group column")
+    require(n > 0, s"n must be positive, got $n")
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol).asc, col(tieBreakCol).asc)
+    df.withColumn("bin", ntile(n).over(w).cast("long"))
+  }
 }

@@ -1,0 +1,134 @@
+package graft
+
+import graft.ann.{KMeans, SemDedup}
+import graft.dedup.Dedup
+import graft.operators.{BloomJoin, ZOrder}
+import graft.pipeline.Selection
+import graft.text.UrlFunctions
+import org.apache.spark.sql.functions._
+
+class Round4OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ semantic dedup
+
+  test("semDedup drops vectors with a lower-id near-identical cluster-mate, keeps the rest") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),
+      (2L, Array(0.999, 0.01, 0.0)), // ~= vec 1 -> victim
+      (3L, Array(0.0, 1.0, 0.0)), // same cluster half-space is irrelevant: cosine too low
+      (4L, Array(-1.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(-1.0, 0.0, 0.0))
+    ).toDF("cid", "centroid")
+    val out = SemDedup.semDedup(vecs, centroids, threshold = 0.95)
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L), (3L, 0L), (4L, 1L)))
+  }
+
+  test("semDedup over-cap clusters are exempt from pruning, not deleted") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0)), (3L, Array(1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq((0L, Array(1.0, 0.0))).toDF("cid", "centroid")
+    val out = SemDedup.semDedup(vecs, centroids, threshold = 0.9, maxClusterSize = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L)) // bucket over cap -> everyone survives
+  }
+
+  // -------------------------------------------------------- cross-corpus dedup
+
+  test("dedupAgainst drops docs whose normalized text exists in the reference") {
+    val corpus = Seq(
+      (1L, "Hello, World!"), (2L, "fresh content"), (3L, "fresh content")
+    ).toDF("doc_id", "text")
+    val ref = Seq((100L, "hello world")).toDF("doc_id", "text") // normalizes equal to doc 1
+    val out = Dedup.dedupAgainst(corpus, ref).select("doc_id").as[Long].collect().toSet
+    // doc 1 matches the reference after normalization; internal dups both survive
+    assert(out == Set(2L, 3L))
+  }
+
+  // ------------------------------------------------------------- bloom join
+
+  test("bloom semi join equals the plain semi join (parity contract)") {
+    val fact = (1L to 200L).map(i => (i, i % 7)).toDF("k", "payload")
+    val build = Seq(3L, 9L, 400L).toDF("bk")
+    val expected = fact.join(build.select(col("bk").as("k")), Seq("k"), "left_semi")
+      .as[(Long, Long)].collect().toSet
+    val got = BloomJoin.semiJoin(fact, build, "k", "bk", expectedKeys = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected && got.map(_._1) == Set(3L, 9L))
+  }
+
+  test("bloom pre-filter never loses true matches at any fpp") {
+    val fact = (1L to 500L).toDF("k")
+    val build = (1L to 500L by 50).toDF("bk")
+    val pre = BloomJoin.bloomFilterRows(fact, build, "k", "bk", expectedKeys = 10, fpp = 0.5)
+      .as[Long].collect().toSet
+    assert((1L to 500L by 50).toSet.subsetOf(pre)) // no false negatives, ever
+  }
+
+  // ---------------------------------------------------------------- z-order
+
+  test("interleave produces the Morton code") {
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L))
+      .toDF("x", "y")
+      .select(ZOrder.interleave(col("x"), col("y"), bits = 4).as("z"))
+      .as[Long].collect().toSeq
+    // z(5,3) : x=0101, y=0011 -> bits x0,y0,x1,y1,... = 1,1,0,1,1,0,0,0 -> 0b00011011 = 27
+    assert(out == Seq(0L, 1L, 2L, 3L, 27L))
+  }
+
+  test("z-order clustered write yields files with tight min/max on BOTH keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/t"
+    val n = 32
+    val df = (0 until 1024).map(i => (i % n, i / n)).toDF("x", "y")
+    ZOrder.clusteredWrite(df, dir, "x", "y", numFiles = 16, bits = 5)
+    val stats = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+      .as[(String, Int, Int, Int, Int)].collect()
+    assert(stats.length > 1)
+    // every file must cover far less than the full domain on both axes —
+    // the whole point of z-clustering (a single-column sort would leave
+    // one axis spanning [0, n) in every file)
+    assert(stats.forall { case (_, x0, x1, y0, y1) => (x1 - x0) <= n / 2 && (y1 - y0) <= n / 2 })
+  }
+
+  // ------------------------------------------------------------------ ntile
+
+  test("ntilePerGroup bins each group independently with deterministic ties") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("a", 4L, 40.0),
+      ("b", 5L, 5.0), ("b", 6L, 5.0), ("b", 7L, 9.0)
+    ).toDF("g", "id", "v")
+    val out = Selection.ntilePerGroup(df, Seq("g"), "v", n = 2, tieBreakCol = "id")
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 1L, 6L -> 1L, 7L -> 2L)) // remainder bucket goes early; tie by id
+  }
+
+  // -------------------------------------------------------------------- URL
+
+  test("host and registeredDomain parse the URL shapes that matter") {
+    val urls = Seq(
+      "https://docs.example.com/a/b?q=1",
+      "http://user:pw@Sub.Site.co.uk:8080/path",
+      "ftp://plain.host",
+      "not a url",
+      null
+    ).toDF("url")
+    val out = urls.select(
+      UrlFunctions.host(col("url")).as("h"),
+      UrlFunctions.registeredDomain(col("url")).as("d")
+    ).as[(Option[String], Option[String])].collect().toSeq
+    assert(out == Seq(
+      (Some("docs.example.com"), Some("example.com")),
+      (Some("sub.site.co.uk"), Some("co.uk")), // 2-label heuristic, PSL caveat documented
+      (Some("plain.host"), Some("plain.host")),
+      (None, None),
+      (None, None)))
+  }
+}
