@@ -855,8 +855,80 @@ object SparkEntry {
     "q_hll" -> ((s, dir) =>
       Sketches
         .estimate(Sketches.distinctSketchPartials(ev(s, dir), Seq("event_type"), "user_id"))
-        .select(col("event_type"), col("n_distinct_est")))
+        .select(col("event_type"), col("n_distinct_est"))),
+
+    // corpus-wide line dedup + reassembly; the corpus has no newlines,
+    // so multi-line docs are derived deterministically in both engines
+    // (every " table " becomes a line break)
+    "q_line_dedup" -> ((s, dir) =>
+      graft.text.LineDedup.dedupLines(
+        docs(s, dir).select(col("doc_id"),
+          replace(col("text"), lit(" table "), lit("\n")).as("text")),
+        "doc_id", "text")),
+
+    // incremental-ingest cross-corpus dedup: everything whose normalized
+    // text already appears among docs 0..99 is dropped (including those
+    // docs themselves — they match the reference verbatim)
+    "q_cross_dedup" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup
+        .dedupAgainst(d, d.filter(col("doc_id") < 100))
+        .select(col("doc_id"), col("lang"))
+    },
+
+    // semantic dedup: hash-seeded k=8 clusters, min-id survivor within
+    // cosine 0.25 (the corpus's near-dup band, cf. q_embed_neardup)
+    "q_semdedup" -> { (s, dir) =>
+      val e = emb(s, dir)
+      graft.ann.SemDedup.semDedup(e, KMeans.initCentroids(e, k = 8), threshold = 0.25)
+    },
+
+    // bloom-pre-filtered semi join; parity contract — the oracle is the
+    // PLAIN semi join, the sketch only thins the shuffle
+    "q_bloom" -> ((s, dir) =>
+      BloomJoin
+        .semiJoin(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber")),
+          Tables.orders(s, dir).filter(col("o_totalprice") > 400000).select(col("o_orderkey")),
+          "l_orderkey", "o_orderkey", expectedKeys = 100000)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))),
+
+    // Morton z-value for two-dimensional layout clustering
+    "q_zorder" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        ZOrder.interleave(col("l_partkey"), col("l_suppkey"), bits = ZOrderBits).as("zvalue"))),
+
+    // per-event-type value quartiles (deterministic ntile)
+    "q_ntile" -> ((s, dir) =>
+      Selection
+        .ntilePerGroup(
+          ev(s, dir).filter(col("value").isNotNull && !isnan(col("value"))),
+          Seq("event_type"), "value", n = 4, tieBreakCol = "event_id")
+        .select(col("event_id"), col("event_type"), col("bin"))),
+
+    // per-domain quota over URLs derived from the source column: parse
+    // host, cap at 10 docs per host deterministically
+    "q_domain_cap" -> ((s, dir) =>
+      Sampling
+        .deterministicNPerGroup(
+          docs(s, dir).withColumn("host",
+            graft.text.UrlFunctions.host(
+              concat(lit("https://"), col("source"), lit(".example.com/d/"), col("doc_id")))),
+          "doc_id", "host", n = 10, seed = "s42")
+        .select(col("doc_id"), col("host"))),
+
+    // BPE merge table (rows-only: iterative argmax is not
+    // SQL-expressible; semantics pinned by BpeSpec)
+    "q_bpe_merges" -> ((s, dir) =>
+      graft.text.Bpe.fitMerges(docs(s, dir), numMerges = 20))
   )
+
+  /** Interleave width shared by the q_zorder Spark column and its
+    * generated oracle SQL.
+    */
+  private val ZOrderBits = 16
 
   /** Decomposed-accent + uppercase suffix for the unicode-normalization
     * query: "Cafe" + U+0301 combining acute, so NFC has real composition
@@ -1711,7 +1783,61 @@ object SparkEntry {
           |cand AS (SELECT DISTINCT a.name AS a_name, b.name AS b_name
           |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.name < b.name)
           |SELECT a_name, b_name, CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
-          |FROM cand WHERE levenshtein(a_name, b_name) <= 4""".stripMargin
+          |FROM cand WHERE levenshtein(a_name, b_name) <= 4""".stripMargin,
+
+      "q_line_dedup" ->
+        """WITH dd AS (SELECT doc_id, replace(text, ' table ', chr(10)) AS text FROM documents),
+          |l0 AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+          |       unnest(range(0, len(string_split(text, chr(10))))) AS pos FROM dd),
+          |l AS (SELECT doc_id, pos, line FROM l0 WHERE trim(line) <> ''),
+          |k AS (SELECT doc_id, pos, line FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM l) WHERE rn = 1)
+          |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM k GROUP BY doc_id""".stripMargin,
+
+      "q_cross_dedup" ->
+        s"""SELECT doc_id, lang FROM documents dd WHERE NOT EXISTS (
+           |  SELECT 1 FROM documents r WHERE r.doc_id < 100
+           |  AND md5(trim(regexp_replace(lower(r.text), '[^a-z0-9]+', ' ', 'g')))
+           |    = md5(trim(regexp_replace(lower(dd.text), '[^a-z0-9]+', ' ', 'g'))))""".stripMargin,
+
+      "q_semdedup" ->
+        s"""WITH $kmeansInitCte,
+           |a AS (SELECT vec_id, embedding, cid FROM (
+           |  SELECT e.vec_id, e.embedding, c0.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqDistSql("e.embedding", "c0.embedding")}, c0.cid) AS rn
+           |  FROM embeddings e CROSS JOIN c0) WHERE rn = 1),
+           |v AS (SELECT DISTINCT b.vec_id FROM a x JOIN a b ON x.cid = b.cid AND x.vec_id < b.vec_id
+           |      AND round(${cosSql("x.embedding", "b.embedding")}, 6) >= 0.25)
+           |SELECT vec_id, cid FROM a WHERE vec_id NOT IN (SELECT vec_id FROM v)""".stripMargin,
+
+      "q_bloom" ->
+        """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem
+          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
+
+      "q_zorder" -> {
+        val terms = (0 until ZOrderBits).flatMap { i =>
+          Seq(
+            s"(((l_partkey >> $i) & 1) << ${2 * i})",
+            s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")
+        }.mkString(" + ")
+        s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           |CAST($terms AS BIGINT) AS zvalue FROM lineitem""".stripMargin
+      },
+
+      "q_ntile" ->
+        """SELECT event_id, event_type,
+          |  CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS bin
+          |FROM events WHERE value IS NOT NULL AND NOT isnan(value)""".stripMargin,
+
+      "q_domain_cap" ->
+        s"""WITH u AS (SELECT doc_id,
+           |  lower(regexp_extract(concat('https://', source, '.example.com/d/', CAST(doc_id AS VARCHAR)),
+           |    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host
+           |  FROM documents)
+           |SELECT doc_id, host FROM (
+           |  SELECT doc_id, host, row_number() OVER (PARTITION BY host
+           |    ORDER BY ${h32("concat('s42','|',CAST(doc_id AS VARCHAR))")}, doc_id) AS rn
+           |  FROM u) WHERE rn <= 10""".stripMargin
     )
   }
 }
