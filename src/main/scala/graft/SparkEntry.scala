@@ -920,9 +920,12 @@ object SparkEntry {
         .select(col("doc_id"), col("host"))),
 
     // BPE merge table (rows-only: iterative argmax is not
-    // SQL-expressible; semantics pinned by BpeSpec)
+    // SQL-expressible; semantics pinned by BpeSpec). 12 merges: each
+    // round is two vocab-sized jobs, and the bench corpus has 31
+    // distinct words — more rounds would measure scheduler latency,
+    // not the operator
     "q_bpe_merges" -> ((s, dir) =>
-      graft.text.Bpe.fitMerges(docs(s, dir), numMerges = 20))
+      graft.text.Bpe.fitMerges(docs(s, dir), numMerges = 12))
   )
 
   /** Interleave width shared by the q_zorder Spark column and its

@@ -148,6 +148,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(out) == 1)
   }
 
+  test("z-order value is a pure projection — zero shuffles, zero extra scans") {
+    val df = graft.operators.ZOrder.withZValue(
+      graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001"), "l_partkey", "l_suppkey")
+    assert(countShuffles(df) == 0)
+  }
+
+  test("line dedup runs exactly its two inherent shuffles (line rank, doc reassembly)") {
+    val docs = (1L to 30L).map(i => (i, s"common header\nbody $i\nfooter ${i % 3}"))
+      .toDF("doc_id", "text")
+    val out = graft.text.LineDedup.dedupLines(docs, "doc_id", "text")
+    assert(countShuffles(out) == 2)
+  }
+
+  test("per-group ntile binning shuffles once, on the group key") {
+    val df = (1L to 40L).map(i => (i, s"g${i % 4}", i * 1.5)).toDF("id", "g", "v")
+    assert(countShuffles(graft.pipeline.Selection.ntilePerGroup(df, Seq("g"), "v", 4, "id")) == 1)
+  }
+
+  test("bloom pre-filter adds no shuffle ahead of the exact join") {
+    val fact = (1L to 100L).map(i => (i, i % 7)).toDF("k", "payload")
+    val build = Seq(3L, 9L).toDF("bk")
+    val pre = graft.operators.BloomJoin.bloomFilterRows(fact, build, "k", "bk", expectedKeys = 10)
+    assert(countShuffles(pre) == 0) // the sketch build is a separate driver-side pass
+  }
+
   test("metadata-joined operators add no fact-side shuffle") {
     val meta = graft.operators.CodeMetadata.aggregate(cohort)
     val out = graft.operators.Outliers.occludeOutliers(cohort, meta, 2.0)
