@@ -925,7 +925,38 @@ object SparkEntry {
     // distinct words — more rounds would measure scheduler latency,
     // not the operator
     "q_bpe_merges" -> ((s, dir) =>
-      graft.text.Bpe.fitMerges(docs(s, dir), numMerges = 12))
+      graft.text.Bpe.fitMerges(docs(s, dir), numMerges = 12)),
+
+    // two-pass exact heavy hitters: MG sketch candidates (k=512 clears
+    // the miss bound through sf0.1 and beyond) + broadcast recount;
+    // oracle is the plain exact GROUP BY ... HAVING
+    "q_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.exactHeavyHitters(
+        docs(s, dir).select(explode(graft.text.TextFunctions.wordTokens(col("text"))).as("tok")),
+        "tok", k = 512, threshold = 900L)),
+
+    // CDC log compaction: latest event per (user, type) via max-struct
+    // (one partial-aggregated shuffle, not a window over every version)
+    "q_compact" -> ((s, dir) =>
+      Compact
+        .latestPerKey(ev(s, dir), Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))),
+
+    // 3-round damped PageRank over the word-adjacency graph (parallel
+    // edges weight naturally); oracle is the same 3 rounds unrolled
+    "q_pagerank" -> { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(graft.text.TextFunctions.wordTokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val edges = toks.select(explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+      PageRank.pageRank(edges, iters = 3)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+    }
   )
 
   /** Interleave width shared by the q_zorder Spark column and its
@@ -1840,7 +1871,36 @@ object SparkEntry {
            |SELECT doc_id, host FROM (
            |  SELECT doc_id, host, row_number() OVER (PARTITION BY host
            |    ORDER BY ${h32("concat('s42','|',CAST(doc_id AS VARCHAR))")}, doc_id) AS rn
-           |  FROM u) WHERE rn <= 10""".stripMargin
+           |  FROM u) WHERE rn <= 10""".stripMargin,
+
+      "q_heavy_hitters" ->
+        """WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '')) AS tok FROM documents)
+          |SELECT tok, count(*) AS n FROM t GROUP BY 1 HAVING count(*) >= 900""".stripMargin,
+
+      "q_compact" ->
+        """SELECT user_id, event_type, event_id, ts_us, value FROM (
+          |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+          |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events) WHERE rn = 1""".stripMargin,
+
+      "q_pagerank" -> {
+        val contrib = (r: String, c: String) =>
+          s"""$c AS (SELECT e.dst AS node, sum(CAST($r.rank / deg.deg AS DECIMAL(38,12))) AS m
+             |  FROM e JOIN $r ON e.src = $r.node JOIN deg ON e.src = deg.src GROUP BY 1)""".stripMargin
+        val relax = (rPrev: String, c: String, r: String) =>
+          s"""$r AS (SELECT n.node, 0.15 + 0.85 * CAST(coalesce($c.m, 0) AS DOUBLE) AS rank
+             |  FROM n LEFT JOIN $c ON n.node = $c.node)""".stripMargin
+        s"""WITH tk AS (SELECT list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '') AS ts FROM documents),
+           |e AS (SELECT unnest(list_slice(ts, 1, len(ts)-1)) AS src, unnest(list_slice(ts, 2, len(ts))) AS dst
+           |      FROM tk WHERE len(ts) >= 2),
+           |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+           |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM n),
+           |${contrib("r0", "c1")}, ${relax("r0", "c1", "r1")},
+           |${contrib("r1", "c2")}, ${relax("r1", "c2", "r2")},
+           |${contrib("r2", "c3")}, ${relax("r2", "c3", "r3")}
+           |SELECT node, round(rank, 6) AS rank FROM r3""".stripMargin
+      }
     )
   }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative PageRank over an edge table — the link-graph scorer a
+  * web-corpus curation pipeline uses for document authority (domain
+  * ranks feeding quality priors). Pure DataFrame iteration, the same
+  * execution shape as [[graft.dedup.Dedup]]'s label propagation:
+  *
+  *   per round: ranks ⋈ edges on src (one shuffle on src — or zero when
+  *   both sides are pre-partitioned on src), groupBy dst (one shuffle on
+  *   dst), then a left join back onto the node table for dangling nodes.
+  *   Rank frames are node-sized (≪ edges) and eagerly checkpointed so
+  *   the loop's lineage stays flat.
+  *
+  * Semantics: standard damped PageRank with UNIFORM (1−d) teleport mass
+  * per node. Dangling nodes (no out-edges) keep only teleport mass —
+  * their rank is not redistributed (the common simplification; the
+  * redistribution variant adds one scalar agg per round). Deterministic
+  * up to double-summation order; contributions are summed in
+  * DECIMAL(38,12) so partial-aggregation order cannot wiggle the low
+  * bits and the result is engine-portable at round(6).
+  */
+object PageRank {
+
+  /** `iters` rounds over `edges` (srcCol, dstCol; parallel edges count
+    * multiply). Output: (node, rank) for every node appearing as src or
+    * dst. `d` is the damping factor.
+    */
+  def pageRank(
+      edges: DataFrame,
+      iters: Int,
+      d: Double = 0.85,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    require(d >= 0 && d <= 1, s"damping must be in [0,1], got $d")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
+    for (_ <- 0 until iters) {
+      val contrib = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(outDeg, "src")
+        .select(col("dst").as("node"),
+          (col("rank") / col("deg")).cast("decimal(38,12)").as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("in_mass"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - d) + lit(d) * coalesce(col("in_mass").cast("double"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}
