@@ -956,8 +956,30 @@ object SparkEntry {
         .select(col("e.src"), col("e.dst"))
       PageRank.pageRank(edges, iters = 3)
         .select(col("node"), round(col("rank"), 6).as("rank"))
-    }
+    },
+
+    // data mixing: target source proportions under a 60-row budget,
+    // membership a pure (seed, id) hash filter
+    "q_mixture" -> ((s, dir) =>
+      Sampling
+        .mixtureSample(docs(s, dir), "source", "doc_id", MixtureWeights,
+          totalBudget = 60, seed = "m42")
+        .select(col("doc_id"), col("source"))),
+
+    // per-code robust scaling (median/IQR) with exact R-7 percentiles;
+    // approx sketch is the 100 TB path, oracle-checked here exactly
+    "q_robust_scale" -> ((s, dir) =>
+      Outliers
+        .robustScale(medsE(s, dir), exact = true)
+        .select(col("event_id"), col("patient_id"), col("code"),
+          round(col("scaled_value"), 6).as("scaled_value")))
   )
+
+  /** Mixture weights shared by the q_mixture Spark call and its oracle
+    * VALUES list. Sources absent here are dropped (weight 0).
+    */
+  private val MixtureWeights: Map[String, Double] =
+    Map("src0" -> 0.30, "src1" -> 0.20, "src2" -> 0.15, "src3" -> 0.05)
 
   /** Interleave width shared by the q_zorder Spark column and its
     * generated oracle SQL.
@@ -1900,7 +1922,25 @@ object SparkEntry {
            |${contrib("r1", "c2")}, ${relax("r1", "c2", "r2")},
            |${contrib("r2", "c3")}, ${relax("r2", "c3", "r3")}
            |SELECT node, round(rank, 6) AS rank FROM r3""".stripMargin
-      }
+      },
+
+      "q_mixture" -> {
+        val values = MixtureWeights.toSeq.sorted
+          .map { case (s, w) => s"('$s', CAST($w AS DOUBLE))" }.mkString(", ")
+        s"""WITH w(source, w) AS (VALUES $values),
+           |n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1)
+           |SELECT doc_id, source FROM documents JOIN n USING (source) JOIN w USING (source)
+           |WHERE ${h32("concat('m42','|',CAST(doc_id AS VARCHAR))")} % 1000000
+           |  < CAST(round(least(1.0, 60 * w / n) * 1000000) AS BIGINT)""".stripMargin
+      },
+
+      "q_robust_scale" ->
+        """WITH b AS (SELECT event_type, quantile_cont(value, 0.25) AS q1,
+          |  quantile_cont(value, 0.5) AS med, quantile_cont(value, 0.75) AS q3
+          |  FROM events GROUP BY 1)
+          |SELECT e.event_id, e.user_id AS patient_id, e.event_type AS code,
+          |  round((e.value - b.med) / nullif(b.q3 - b.q1, 0), 6) AS scaled_value
+          |FROM events e LEFT JOIN b ON e.event_type = b.event_type""".stripMargin
     )
   }
 }

@@ -76,4 +76,31 @@ object Outliers {
           .otherwise(v))
       .drop("__lo", "__hi")
   }
+
+  /** Robust scaling: (x − median) / IQR per code — the z-score's
+    * outlier-resistant sibling (median/IQR instead of mean/σ, so a few
+    * corrupt readings cannot drag the scale). Same machinery as
+    * [[winsorize]]: exact R-7 percentiles for cross-engine verification,
+    * `exact = false` for the one-pass mergeable sketch at 100 TB; the
+    * per-code bounds table is vocab-sized and broadcast — the fact side
+    * never shuffles. Constant codes (IQR = 0) scale to NULL, not a
+    * division error.
+    */
+  def robustScale(
+      df: DataFrame,
+      exact: Boolean = false,
+      codeModifiers: Seq[String] = Nil
+  ): DataFrame = {
+    val joinCols = Meds.Code +: codeModifiers
+    val v = col(Meds.NumericValue)
+    def q(p: Double) =
+      if (exact) percentile(v, lit(p)) else percentile_approx(v, lit(p), lit(10000))
+    val bounds = df
+      .groupBy(joinCols.map(col): _*)
+      .agg(q(0.25).as("__q1"), q(0.5).as("__med"), q(0.75).as("__q3"))
+    df.join(broadcast(bounds), joinCols, "left")
+      .withColumn("scaled_value",
+        (v - col("__med")) / nullif(col("__q3") - col("__q1"), lit(0.0)))
+      .drop("__q1", "__med", "__q3")
+  }
 }

@@ -47,6 +47,44 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Mixture sampling: hit target per-group PROPORTIONS under a global
+    * row budget — the data-mixing step of LLM corpus assembly ("30%
+    * web, 20% code, ..." over N training documents). Group g keeps a
+    * deterministic ~min(1, budget·w_g / n_g) fraction, so expected
+    * output composition matches `weights` up to groups that run out of
+    * rows (frac caps at 1 — undersupplied groups deliver everything
+    * they have rather than silently re-weighting the rest; callers
+    * re-normalize if they want strict proportions).
+    *
+    * Pure plan, no driver loop: group counts are ONE vocab-sized agg,
+    * weights ride a literal frame, and both broadcast-join onto the
+    * corpus ahead of the same hash filter [[deterministicSample]] uses —
+    * membership still depends only on (seed, id). Groups absent from
+    * `weights` are dropped (weight 0).
+    */
+  def mixtureSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weights: Map[String, Double],
+      totalBudget: Long,
+      seed: String
+  ): DataFrame = {
+    require(weights.nonEmpty, "mixtureSample needs at least one weighted group")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val w = weights.toSeq.toDF(groupCol, "__w")
+    val frac = least(lit(1.0), lit(totalBudget.toDouble) * col("__w") / col("__n"))
+    df.join(broadcast(n.join(w, groupCol)), groupCol)
+      .filter(
+        pmod(md5Hash32(concat_ws("|", lit(seed), col(idCol).cast("string"))), lit(Scale)) <
+          round(frac * Scale).cast("long"))
+      .drop("__n", "__w")
+  }
+
   /** Exactly-`n` per group, deterministically: each group keeps the n
     * rows with the smallest (seed, id) hash (ties by id). A
     * group-partitioned window — one shuffle on the group key, each

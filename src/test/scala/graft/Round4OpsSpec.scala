@@ -110,6 +110,44 @@ class Round4OpsSpec extends SparkSpec {
       5L -> 1L, 6L -> 1L, 7L -> 2L)) // remainder bucket goes early; tie by id
   }
 
+  // ---------------------------------------------------------------- mixture
+
+  test("mixtureSample tracks target proportions, caps at full groups, drops unweighted") {
+    val df = (1L to 1000L).map(i => (i, if (i <= 400) "web" else if (i <= 800) "code" else "junk"))
+      .toDF("id", "src")
+    val out = graft.pipeline.Sampling.mixtureSample(
+      df, "src", "id", Map("web" -> 0.75, "code" -> 0.25, "books" -> 1.0),
+      totalBudget = 200, seed = "t")
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(!out.contains("junk")) // weight 0 -> dropped
+    assert(!out.contains("books")) // weighted but absent from the corpus
+    // targets: web 150 of 400 (frac .375), code 50 of 400 (frac .125)
+    assert(math.abs(out("web") - 150L) < 40, s"web ${out("web")}")
+    assert(math.abs(out("code") - 50L) < 25, s"code ${out("code")}")
+  }
+
+  test("mixtureSample delivers the whole group when the target exceeds it") {
+    val df = (1L to 50L).map(i => (i, "only")).toDF("id", "src")
+    val out = graft.pipeline.Sampling.mixtureSample(
+      df, "src", "id", Map("only" -> 1.0), totalBudget = 500, seed = "t")
+    assert(out.count() == 50L) // frac caps at 1
+  }
+
+  // ------------------------------------------------------------ robust scale
+
+  test("robustScale centers by median, scales by IQR, nulls constant codes") {
+    val df = Seq(
+      (1L, 1L, "a", 1.0), (2L, 1L, "a", 2.0), (3L, 1L, "a", 3.0),
+      (4L, 1L, "a", 4.0), (5L, 1L, "a", 5.0),
+      (6L, 2L, "k", 7.0), (7L, 2L, "k", 7.0) // IQR 0 -> NULL, not an error
+    ).toDF("event_id", "patient_id", "code", "numeric_value")
+    val out = graft.operators.Outliers.robustScale(df, exact = true)
+      .select("event_id", "scaled_value").as[(Long, Option[Double])].collect().toMap
+    // code a: median 3, q1 2, q3 4 (R-7) -> IQR 2
+    assert(out(1L).contains(-1.0) && out(3L).contains(0.0) && out(5L).contains(1.0))
+    assert(out(6L).isEmpty && out(7L).isEmpty)
+  }
+
   // -------------------------------------------------------------------- URL
 
   test("host and registeredDomain parse the URL shapes that matter") {
