@@ -154,6 +154,28 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming log compaction: maintain the latest row per key over an
+    * unbounded CDC/upsert stream — the incremental twin of
+    * [[graft.operators.Compact.latestPerKey]], same max-struct
+    * aggregate, run in update/complete mode (pair with [[snapshotSink]]
+    * to materialize the current state table each trigger). State is one
+    * struct per key — the compacted table itself, the minimum any
+    * upsert view must hold. Ties and null order values resolve exactly
+    * as in the batch operator, so a backfill and the live stream agree.
+    */
+  def streamingLatestPerKey(
+      log: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String]
+  ): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty, "need key and order columns")
+    val payload = log.columns.filterNot(keyCols.contains).toSeq
+    log
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(orderCols.map(col) ++ Seq(struct(payload.map(col): _*).as("__p")): _*)).as("__m"))
+      .select(keyCols.map(col) ++ payload.map(c => col(s"__m.__p.`$c`").as(c)): _*)
+  }
+
   /** Watermarked STREAM-STREAM interval join: enrich each left event
     * with the right-stream events of the same key whose time falls in
     * `[leftTs - lookBack, leftTs + lookAhead]` — the unbounded twin of

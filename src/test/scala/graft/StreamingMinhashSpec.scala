@@ -72,6 +72,40 @@ class StreamingMinhashSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming latest-per-key maintains the same state the batch compactor computes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Timestamp, Double)]
+    val log = input.toDF().toDF("user_id", "event_type", "event_id", "ts", "value")
+    val query = Streaming.streamingLatestPerKey(log, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+      .writeStream.format("memory").queryName("compacted").outputMode("complete").start()
+    try {
+      input.addData(
+        (1L, "a", 10L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, "a", 11L, ts("2024-01-01 12:00:00"), 2.0))
+      query.processAllAvailable()
+      input.addData(
+        (1L, "a", 12L, ts("2024-01-01 11:00:00"), 9.0), // older than current state -> ignored
+        (2L, "b", 20L, ts("2024-01-01 09:00:00"), 3.0))
+      query.processAllAvailable()
+      val state = spark.table("compacted")
+        .select("user_id", "event_type", "event_id", "value")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(state == Set((1L, "a", 11L, 2.0), (2L, "b", 20L, 3.0)))
+      // parity with the batch compactor over the full replayed log
+      val batch = graft.operators.Compact.latestPerKey(
+        Seq(
+          (1L, "a", 10L, ts("2024-01-01 10:00:00"), 1.0),
+          (1L, "a", 11L, ts("2024-01-01 12:00:00"), 2.0),
+          (1L, "a", 12L, ts("2024-01-01 11:00:00"), 9.0),
+          (2L, "b", 20L, ts("2024-01-01 09:00:00"), 3.0)
+        ).toDF("user_id", "event_type", "event_id", "ts", "value"),
+        Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        .select("user_id", "event_type", "event_id", "value")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(state == batch)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches only within the event-time window") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, String)]
