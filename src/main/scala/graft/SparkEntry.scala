@@ -877,10 +877,14 @@ object SparkEntry {
     },
 
     // semantic dedup: hash-seeded k=8 clusters, min-id survivor within
-    // cosine 0.25 (the corpus's near-dup band, cf. q_embed_neardup)
+    // cosine 0.25 (the corpus's near-dup band, cf. q_embed_neardup).
+    // Cap disabled explicitly: the oracle prunes EVERY cluster, and the
+    // operator's over-cap exemption would diverge once a cluster grows
+    // past the default at larger scale factors
     "q_semdedup" -> { (s, dir) =>
       val e = emb(s, dir)
-      graft.ann.SemDedup.semDedup(e, KMeans.initCentroids(e, k = 8), threshold = 0.25)
+      graft.ann.SemDedup.semDedup(e, KMeans.initCentroids(e, k = 8), threshold = 0.25,
+        maxClusterSize = Int.MaxValue)
     },
 
     // bloom-pre-filtered semi join; parity contract — the oracle is the
@@ -927,13 +931,14 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, dir) =>
       graft.text.Bpe.fitMerges(docs(s, dir), numMerges = 12)),
 
-    // two-pass exact heavy hitters: MG sketch candidates (k=512 clears
-    // the miss bound through sf0.1 and beyond) + broadcast recount;
-    // oracle is the plain exact GROUP BY ... HAVING
+    // two-pass exact heavy hitters: MG sketch candidates + broadcast
+    // recount; oracle is the plain exact GROUP BY ... HAVING. k=4096
+    // keeps threshold*(k+1) ≈ 3.7M tokens above sf1's ~2.7M, so the
+    // loud miss-bound guard stays clear at every driver scale factor
     "q_heavy_hitters" -> ((s, dir) =>
       HeavyHitters.exactHeavyHitters(
         docs(s, dir).select(explode(graft.text.TextFunctions.wordTokens(col("text"))).as("tok")),
-        "tok", k = 512, threshold = 900L)),
+        "tok", k = 4096, threshold = 900L)),
 
     // CDC log compaction: latest event per (user, type) via max-struct
     // (one partial-aggregated shuffle, not a window over every version)
@@ -1886,8 +1891,11 @@ object SparkEntry {
           |FROM events WHERE value IS NOT NULL AND NOT isnan(value)""".stripMargin,
 
       "q_domain_cap" ->
+        // || not concat: DuckDB's concat SKIPS null arguments while
+        // Spark's returns NULL — || propagates NULL in both engines, so
+        // a NULL source yields a NULL host on both sides
         s"""WITH u AS (SELECT doc_id,
-           |  lower(regexp_extract(concat('https://', source, '.example.com/d/', CAST(doc_id AS VARCHAR)),
+           |  lower(regexp_extract('https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR),
            |    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host
            |  FROM documents)
            |SELECT doc_id, host FROM (

@@ -116,11 +116,19 @@ case class FrequentItems(
     })
   }
 
+  // length-prefixed UTF-8, NOT writeUTF: items are arbitrary strings
+  // (lines, URLs, shingles) and writeUTF throws past 65,535 encoded
+  // bytes — an opaque task failure exactly when items get interesting
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (s, w) => out.writeUTF(s); out.writeLong(w) }
+    buf.foreach { case (s, w) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(w)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -130,7 +138,13 @@ case class FrequentItems(
     val buf = createAggregationBuffer()
     val n = in.readInt()
     var j = 0
-    while (j < n) { buf.update(in.readUTF(), in.readLong()); j += 1 }
+    while (j < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      j += 1
+    }
     buf
   }
 

@@ -38,7 +38,19 @@ object BloomJoin {
   ): DataFrame = {
     require(expectedKeys > 0, "expectedKeys must be positive")
     require(fpp > 0 && fpp < 1, "fpp must be in (0,1)")
-    val bf: BloomFilter = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
+    // the probe path hashes LONGS (mightContainLong); a string build key
+    // would be hashed as bytes by stat.bloomFilter and never match the
+    // long-hashed probes — true matches silently dropped. Integral keys
+    // only, checked loudly here.
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    for ((df, c) <- Seq((fact, factKey), (build, buildKey))) {
+      val dt = df.schema(c).dataType
+      require(integral.contains(dt),
+        s"BloomJoin requires an integral key; '$c' is ${dt.sql} — hash it to a long first")
+    }
+    val bf: BloomFilter = build.stat.bloomFilter(col(buildKey).cast("long"), expectedKeys, fpp)
     val bcast = fact.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
     fact.filter(col(factKey).isNotNull && mightContain(col(factKey)))

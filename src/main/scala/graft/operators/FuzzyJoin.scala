@@ -67,13 +67,21 @@ object FuzzyJoin {
     * to the id mapping twice, each a fact⋈small join that AQE
     * broadcasts when the pair table fits. Within a pair a_id < b_id for
     * same-name rows; cross-name pairs keep a_name < b_name.
+    *
+    * Same-name pairing is inherently quadratic in a value's duplicate
+    * count, so `maxSameNameRows` caps it the way every other in-bucket
+    * pipeline here does: a name with more duplicate rows than the cap is
+    * dropped from SAME-NAME pairing whole (its rows still cross-name
+    * link) — a hot junk value ("unknown", "") must not materialize 10^12
+    * pairs from one group.
     */
   def linkRecords(
       df: DataFrame,
       idCol: String,
       nameCol: String,
       maxDist: Int,
-      maxTokenDf: Long = Long.MaxValue
+      maxTokenDf: Long = Long.MaxValue,
+      maxSameNameRows: Int = 10000
   ): DataFrame = {
     val pairs = fuzzyPairs(df, nameCol, maxDist, maxTokenDf)
     val ids = df.select(col(idCol).as("id"), lower(col(nameCol)).as("name"))
@@ -87,7 +95,7 @@ object FuzzyJoin {
       .filter(col("name").isNotNull && col("name") =!= "")
       .groupBy("name")
       .agg(sort_array(collect_list(col("id"))).as("is"))
-      .filter(size(col("is")) >= 2)
+      .filter(size(col("is")).between(2, maxSameNameRows))
       .select(col("name"), explode(Pairs.orderedPairs(col("is"), "a_id", "b_id")).as("p"))
       .select(col("p.a_id"), col("p.b_id"), col("name").as("a_name"),
         col("name").as("b_name"), lit(0L).as("dist"))

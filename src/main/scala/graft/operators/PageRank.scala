@@ -37,7 +37,10 @@ object PageRank {
   ): DataFrame = {
     require(iters >= 0, s"iters must be non-negative, got $iters")
     require(d >= 0 && d <= 1, s"damping must be in [0,1], got $d")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // materialize the edge table ONCE: it feeds every iteration (plus
+    // nodes/outDeg), and without this the whole upstream derivation
+    // (tokenization, explosion, ...) re-runs per round
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()

@@ -37,7 +37,10 @@ object Selection {
     * (bin 1 = lowest values), ties broken by `tieBreakCol` so the
     * assignment is deterministic and engine-portable (ntile's
     * equal-size-with-remainder-to-early-buckets rule is the same in
-    * Spark and DuckDB, but only the ORDER makes it reproducible).
+    * Spark and DuckDB, but only the ORDER makes it reproducible; NULLs
+    * sort LAST explicitly — Spark's ascending default is nulls-first,
+    * DuckDB's is nulls-last, and leaving it implicit silently shifts
+    * every bin in groups containing NULLs).
     * The standard discretization for quality scores — "drop the bottom
     * decile per language" composes this with a bin filter. One shuffle
     * on the group key, like [[topKPerGroup]]; no global window.
@@ -53,7 +56,7 @@ object Selection {
     require(n > 0, s"n must be positive, got $n")
     val w = Window
       .partitionBy(groupCols.map(col): _*)
-      .orderBy(col(valueCol).asc, col(tieBreakCol).asc)
+      .orderBy(col(valueCol).asc_nulls_last, col(tieBreakCol).asc_nulls_last)
     df.withColumn("bin", ntile(n).over(w).cast("long"))
   }
 }

@@ -167,14 +167,11 @@ object Streaming {
       log: DataFrame,
       keyCols: Seq[String],
       orderCols: Seq[String]
-  ): DataFrame = {
-    require(keyCols.nonEmpty && orderCols.nonEmpty, "need key and order columns")
-    val payload = log.columns.filterNot(keyCols.contains).toSeq
-    log
-      .groupBy(keyCols.map(col): _*)
-      .agg(max(struct(orderCols.map(col) ++ Seq(struct(payload.map(col): _*).as("__p")): _*)).as("__m"))
-      .select(keyCols.map(col) ++ payload.map(c => col(s"__m.__p.`$c`").as(c)): _*)
-  }
+  ): DataFrame =
+    // delegate to the batch compactor — ONE implementation is the parity
+    // guarantee (the same plan runs incrementally under a streaming
+    // source, like sessionWindowSummaries)
+    graft.operators.Compact.latestPerKey(log, keyCols, orderCols)
 
   /** Watermarked STREAM-STREAM interval join: enrich each left event
     * with the right-stream events of the same key whose time falls in

@@ -56,4 +56,12 @@ class FuzzyJoinSpec extends SparkSpec {
       (1L, 3L, "ivory bolt", "ivory bolt", 0L),
       (2L, 3L, "ivory bolt", "ivory bolt", 0L)))
   }
+
+  test("hot identical values past the cap are dropped from same-name pairing whole") {
+    val recs = ((1L to 5L).map(i => (i, "unknown")) :+ (9L -> "rare") :+ (10L -> "rare"))
+      .toDF("id", "nm")
+    val out = FuzzyJoin.linkRecords(recs, "id", "nm", maxDist = 0, maxSameNameRows = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((9L, 10L))) // "unknown" x5 exceeds the cap of 4
+  }
 }

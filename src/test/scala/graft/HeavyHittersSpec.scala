@@ -29,6 +29,15 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got.contains("hot") && got("hot") <= 30)
   }
 
+  test("sketch buffers round-trip items past the 64KB writeUTF limit") {
+    val big = "x" * 70000 // would throw UTFDataFormatException under writeUTF
+    val items = Seq.fill(6)(big) ++ Seq("small")
+    val cand = items.toDF("x").repartition(3)
+      .agg(frequentItems(col("x"), 2).as("c"))
+      .select(explode(col("c")).as("c")).select("c.item").as[String].collect()
+    assert(cand.contains(big))
+  }
+
   test("exactHeavyHitters returns exact counts and only items over the threshold") {
     val items = Seq.fill(12)("x") ++ Seq.fill(9)("y") ++ Seq.fill(3)("z")
     val out = HeavyHitters.exactHeavyHitters(

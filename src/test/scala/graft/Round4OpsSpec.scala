@@ -62,6 +62,15 @@ class Round4OpsSpec extends SparkSpec {
     assert(got == expected && got.map(_._1) == Set(3L, 9L))
   }
 
+  test("bloom join rejects non-integral keys loudly instead of silently dropping matches") {
+    val fact = Seq("a", "b").toDF("k")
+    val build = Seq("a").toDF("bk")
+    val ex = intercept[IllegalArgumentException] {
+      BloomJoin.semiJoin(fact, build, "k", "bk", expectedKeys = 10)
+    }
+    assert(ex.getMessage.contains("integral key"))
+  }
+
   test("bloom pre-filter never loses true matches at any fpp") {
     val fact = (1L to 500L).toDF("k")
     val build = (1L to 500L by 50).toDF("bk")
