@@ -977,7 +977,14 @@ object SparkEntry {
       Outliers
         .robustScale(medsE(s, dir), exact = true)
         .select(col("event_id"), col("patient_id"), col("code"),
-          round(col("scaled_value"), 6).as("scaled_value")))
+          round(col("scaled_value"), 6).as("scaled_value"))),
+
+    // distinctive terms per language: P(term|group)/P(term) from ONE
+    // corpus pass (marginals derived from the vocab-sized count table)
+    "q_term_lift" -> ((s, dir) =>
+      graft.text.Keywords.termLift(docs(s, dir), "lang", minCount = 25L)
+        .select(col("group").as("lang"), col("term"), col("n"),
+          round(col("lift"), 6).as("lift")))
   )
 
   /** Mixture weights shared by the q_mixture Spark call and its oracle
@@ -1948,7 +1955,16 @@ object SparkEntry {
           |  FROM events GROUP BY 1)
           |SELECT e.event_id, e.user_id AS patient_id, e.event_type AS code,
           |  round((e.value - b.med) / nullif(b.q3 - b.q1, 0), 6) AS scaled_value
-          |FROM events e LEFT JOIN b ON e.event_type = b.event_type""".stripMargin
+          |FROM events e LEFT JOIN b ON e.event_type = b.event_type""".stripMargin,
+
+      "q_term_lift" ->
+        """WITH t AS (SELECT lang, unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '')) AS term FROM documents),
+          |lt AS (SELECT lang, term, count(*) AS n FROM t GROUP BY 1, 2),
+          |pg AS (SELECT lang, sum(n) AS ng FROM lt GROUP BY 1),
+          |pt AS (SELECT term, sum(n) AS nt FROM lt GROUP BY 1),
+          |tot AS (SELECT sum(n) AS nn FROM lt)
+          |SELECT lang, term, n, round((CAST(n AS DOUBLE)/CAST(ng AS DOUBLE)) / (CAST(nt AS DOUBLE)/CAST(nn AS DOUBLE)), 6) AS lift
+          |FROM lt JOIN pg USING (lang) JOIN pt USING (term), tot WHERE n >= 25""".stripMargin
     )
   }
 }

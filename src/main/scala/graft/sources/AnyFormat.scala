@@ -51,4 +51,33 @@ object AnyFormat {
       schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
     }
   }
+
+  /** LLM-corpus resolution order: the reference's formats plus JSON
+    * Lines (the dominant crawl/corpus interchange format), compressed
+    * variants preferred like csv.gz. Same gzip caveat: one .gz file =
+    * one task; re-chunk with `MedsIO.writeRowChunked` right after.
+    */
+  val CorpusExtensions: Seq[String] =
+    Seq("parquet", "jsonl.gz", "jsonl", "csv.gz", "csv")
+
+  /** [[read]] over [[CorpusExtensions]]: jsonl/jsonl.gz handled via
+    * `spark.read.json` (schema strongly recommended — inference is a
+    * full extra pass and unions ragged records into wide nullables).
+    */
+  def readCorpus(
+      spark: SparkSession,
+      dir: String,
+      prefix: String,
+      schema: Option[StructType] = None
+  ): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = CorpusExtensions.map(e => new org.apache.hadoop.fs.Path(s"$dir/$prefix.$e"))
+      .find(p => p.getFileSystem(conf).exists(p))
+      .map(_.toString)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $dir/$prefix.{${CorpusExtensions.mkString(",")}} exists"))
+    if (path.contains(".jsonl"))
+      schema.fold(spark.read)(s => spark.read.schema(s)).json(path)
+    else read(spark, dir, prefix, schema)
+  }
 }

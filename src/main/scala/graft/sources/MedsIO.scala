@@ -129,4 +129,26 @@ object MedsIO {
       .mode("overwrite")
       .option("maxRecordsPerFile", rowsPerShard)
       .parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into ~`targetFiles`
+    * files — the periodic maintenance pass every long-lived ingest needs
+    * (streaming sinks and per-shard writers accrete kilobyte files whose
+    * open/footer overhead eventually dominates scan time). One
+    * `coalesce` (NOT repartition: no shuffle — existing partitions are
+    * concatenated) and one rewrite to a temp dir, swapped in only after
+    * the write commits, so a mid-compaction failure leaves the original
+    * data untouched.
+    */
+  def compactFiles(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    spark.read.parquet(path).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    fs.rename(hadoopPath, old)
+    fs.rename(tmp, hadoopPath)
+    fs.delete(old, true)
+  }
 }

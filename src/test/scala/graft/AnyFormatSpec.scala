@@ -46,6 +46,30 @@ class AnyFormatSpec extends SparkSpec {
     assert(df.select("name").collect().map(_.getString(0)).toSeq == Seq("zipped"))
   }
 
+  test("readCorpus resolves jsonl and jsonl.gz between parquet and csv") {
+    val dir = tmpDir()
+    val jsonBody = "{\"id\":1,\"name\":\"a\"}\n{\"id\":2,\"name\":\"b\"}\n"
+    Files.writeString(java.nio.file.Paths.get(s"$dir/t.jsonl"), jsonBody)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"), "id,name\n9,c\n")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val df = AnyFormat.readCorpus(spark, dir, "t", Some(schema))
+    assert(df.count() == 2) // jsonl wins over csv
+    val gz = new GZIPOutputStream(new java.io.FileOutputStream(s"$dir/z.jsonl.gz"))
+    gz.write(jsonBody.getBytes("UTF-8")); gz.close()
+    assert(AnyFormat.readCorpus(spark, dir, "z", Some(schema)).count() == 2)
+  }
+
+  test("compactFiles rewrites many small files into few, preserving rows") {
+    import spark.implicits._
+    val dir = tmpDir() + "/frag"
+    (1L to 100L).toDF("id").repartition(20).write.parquet(dir)
+    def parts = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts >= 10)
+    graft.sources.MedsIO.compactFiles(spark, dir, targetFiles = 2)
+    assert(parts <= 2)
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
   test("missing input fails loudly with the searched extensions") {
     val ex = intercept[IllegalArgumentException] {
       AnyFormat.read(spark, tmpDir(), "nope")

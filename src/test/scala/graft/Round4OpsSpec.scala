@@ -157,6 +157,22 @@ class Round4OpsSpec extends SparkSpec {
     assert(out(6L).isEmpty && out(7L).isEmpty)
   }
 
+  // ---------------------------------------------------------------- keywords
+
+  test("termLift is >1 for group-specific terms and 1 for uniformly-spread terms") {
+    val docs = Seq(
+      ("en", "common alpha alpha"), ("en", "common alpha"),
+      ("de", "common beta beta"), ("de", "common beta")
+    ).toDF("lang", "text")
+    val out = graft.text.Keywords.termLift(docs, "lang", minCount = 1L)
+      .as[(String, String, Long, Double)].collect()
+      .map { case (g, t, n, l) => (g, t) -> (n, l) }.toMap
+    // alpha: P(t|en)=3/5, P(t)=3/10 -> lift 2; common en: (2/5)/(4/10) -> 1
+    assert(math.abs(out(("en", "alpha"))._2 - 2.0) < 1e-9)
+    assert(math.abs(out(("en", "common"))._2 - 1.0) < 1e-9)
+    assert(!out.contains(("en", "beta"))) // zero count never appears
+  }
+
   // -------------------------------------------------------------------- URL
 
   test("host and registeredDomain parse the URL shapes that matter") {
