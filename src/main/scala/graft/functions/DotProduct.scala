@@ -105,7 +105,8 @@ object GraftFunctions {
   * (or `.withExtensions(new GraftExtensions)`) exposes the native graft
   * expressions to SQL users: `graft_dot(a, b)`,
   * `graft_rolling_hash(s[, base, mod])`, and the aggregates
-  * `graft_top_k(score, id, k)` / `graft_vector_sum(vec)` (the analyzer
+  * `graft_top_k(score, id, k)` / `graft_vector_sum(vec)` /
+  * `graft_frequent_items(item, k)` (the analyzer
   * wraps raw AggregateFunctions in AggregateExpressions on resolution,
   * same as the built-in registry's builders).
   */
@@ -144,6 +145,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_vector_sum"),
       new ExpressionInfo(classOf[VectorSum].getName, "graft_vector_sum"),
       (children: Seq[Expression]) => VectorSum(children.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_frequent_items"),
+      new ExpressionInfo(classOf[FrequentItems].getName, "graft_frequent_items"),
+      (children: Seq[Expression]) =>
+        FrequentItems(children.head, foldedLong(children(1), "k").toInt)
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_unicode_normalize"),

@@ -69,6 +69,11 @@ class DotProductSpec extends SparkSpec {
         "SELECT graft_unicode_normalize('ﬁle', 'NFKC', 'true') AS n, graft_unicode_normalize('ABC') AS p")
         .collect()(0)
       assert(un.getString(0) == "file" && un.getString(1) == "ABC")
+      val fi = withExt.sql(
+        """SELECT graft_frequent_items(x, 2) AS c
+          |FROM VALUES ('a'), ('a'), ('a'), ('b'), ('b'), ('c') AS t(x)""".stripMargin)
+        .selectExpr("transform(c, i -> i.item) AS items").collect()(0).getSeq[String](0)
+      assert(fi.contains("a"))
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(prev)
       org.apache.spark.sql.SparkSession.setActiveSession(prev)

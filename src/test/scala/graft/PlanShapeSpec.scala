@@ -154,6 +154,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(df) == 0)
   }
 
+  test("q_zorder's parquet scan is pruned to the four referenced columns") {
+    val df = SparkEntry.queries("q_zorder")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(read.exists(_.split(",").length == 4), s"expected a 4-column scan, got $read")
+  }
+
   test("line dedup runs exactly its two inherent shuffles (line rank, doc reassembly)") {
     val docs = (1L to 30L).map(i => (i, s"common header\nbody $i\nfooter ${i % 3}"))
       .toDF("doc_id", "text")
