@@ -1,87 +1,95 @@
 package graft
 
-import graft.meds.Meds
-import graft.operators._
+import graft.operators.ZOrder
+import graft.pipeline.Sampling
+import graft.text.{Bpe, LineDedup}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
-import java.sql.Timestamp
+import org.scalacheck.rng.Seed
 
-/** Property-style checks over generated cohorts (SURVEY §6): structural
-  * invariants that must hold for ANY input, complementing the fixture
-  * specs.
+/** Property-style invariants over ScalaCheck-generated data. Each
+  * property is evaluated over ONE generated dataset in ONE Spark job
+  * (not forAll-per-case, which would pay job-launch latency per
+  * sample) — the row count is the sample count.
   */
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
-  private val cohortGen: Gen[List[(Long, Option[Timestamp], String, Option[Double])]] = {
-    val row = for {
-      p <- Gen.choose(1L, 12L)
-      t <- Gen.option(Gen.choose(0L, 400L).map(d => new Timestamp(1577836800000L + d * 3600 * 1000)))
-      c <- Gen.oneOf("HR", "RR", "BP//sys", "DOB", "LAB//na")
-      v <- Gen.option(Gen.choose(-50.0, 150.0))
-    } yield (p, t, c, v)
-    Gen.listOfN(300, row)
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    Iterator.iterate((Seed(seed), Option.empty[A])) { case (s, _) =>
+      val (v, s2) = (g.apply(Gen.Parameters.default, s), s.next)
+      (s2, v)
+    }.drop(1).take(n).flatMap(_._2).toSeq
+
+  test("z-order interleave round-trips: de-interleaving recovers both inputs exactly") {
+    val bits = 12
+    val gen = Gen.zip(Gen.chooseNum(0L, (1L << bits) - 1), Gen.chooseNum(0L, (1L << bits) - 1))
+    val pairs = sample(gen, 600, seed = 7L)
+    val x = col("z") // de-interleave: gather even (x) and odd (y) bits
+    val xBack = (0 until bits).map(i => shiftleft(shiftright(x, 2 * i).bitwiseAND(1), i)).reduce(_ + _)
+    val yBack = (0 until bits).map(i => shiftleft(shiftright(x, 2 * i + 1).bitwiseAND(1), i)).reduce(_ + _)
+    val bad = pairs.toDF("a", "b")
+      .withColumn("z", ZOrder.interleave(col("a"), col("b"), bits))
+      .filter(xBack =!= col("a") || yBack =!= col("b"))
+      .count()
+    assert(bad == 0L)
   }
 
-  private def sample() = cohortGen.sample.get
-    .toDF("patient_id", "time", "code", "numeric_value")
-
-  test("patient filters are monotone in k and never invent rows") {
-    val df = sample().cache()
-    try {
-      val n = df.count()
-      val k2 = Filters.filterPatientsByNumMeasurements(df, 10)
-      val k1 = Filters.filterPatientsByNumMeasurements(df, 5)
-      assert(k2.count() <= k1.count() && k1.count() <= n)
-      assert(k2.except(k1).count() == 0) // stricter result ⊆ looser result
-      val e2 = Filters.filterPatientsByNumEvents(df, 10)
-      val e1 = Filters.filterPatientsByNumEvents(df, 5)
-      assert(e2.except(e1).count() == 0)
-    } finally df.unpersist()
+  test("BPE encoding always reassembles to the original word, for any merge budget") {
+    val word = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val doc = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docs = sample(doc, 40, seed = 11L).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (merges <- Seq(0, 3, 10)) {
+      val m = Bpe.fitMerges(docs, numMerges = merges)
+        .as[(Long, String, String)].collect().sortBy(_._1).map(t => (t._2, t._3)).toSeq
+      val bad = Bpe.encode(docs, m)
+        .groupBy("id", "pos")
+        .agg(concat_ws("", sort_array(collect_list(struct(col("tpos"), col("tok"))))
+          .cast("array<struct<tpos:long,tok:string>>").getField("tok")).as("rebuilt"))
+        .join(docs.select(col("doc_id").as("id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word"))), Seq("id", "pos"))
+        .filter(col("rebuilt") =!= col("word"))
+        .count()
+      assert(bad == 0L, s"merge budget $merges broke word reassembly")
+    }
   }
 
-  test("occludeOutliers preserves row count and only nulls flagged values") {
-    val df = sample()
-    val meta = CodeMetadata.aggregate(df)
-    val out = Outliers.occludeOutliers(df, meta, stddevCutoff = 1.0).cache()
-    try {
-      assert(out.count() == df.count())
-      // every non-null output value is an inlier and appears unchanged
-      assert(out.filter(col("numeric_value").isNotNull &&
-        !col("numeric_value/is_inlier")).count() == 0)
-    } finally out.unpersist()
+  test("deterministic sample membership is identical under any repartitioning") {
+    val ids = sample(Gen.chooseNum(0L, 1000000L), 800, seed = 13L).distinct
+    val df = ids.toDF("id")
+    val base = df.filter(Sampling.sampleHash(col("id"), 0.37, "seedX"))
+      .as[Long].collect().toSet
+    for (parts <- Seq(1, 5, 13)) {
+      val again = df.repartition(parts)
+        .filter(Sampling.sampleHash(col("id"), 0.37, "seedX"))
+        .as[Long].collect().toSet
+      assert(again == base, s"membership changed at $parts partitions")
+    }
+    assert(base.nonEmpty && base.size < ids.size)
   }
 
-  test("aggregate counts are consistent: values/n_occurrences <= code/n_occurrences, min <= max") {
-    val meta = CodeMetadata.aggregate(sample())
-    assert(meta.filter(col(CodeMetadata.ValuesNOccurrences) > col(CodeMetadata.CodeNOccurrences)).count() == 0)
-    assert(meta.filter(col(CodeMetadata.ValuesNPatients) > col(CodeMetadata.CodeNPatients)).count() == 0)
-    assert(meta.filter(col(CodeMetadata.ValuesMin) > col(CodeMetadata.ValuesMax)).count() == 0)
-  }
-
-  test("tokenization preserves measurement counts (dynamic rows = sum of event list sizes)") {
-    val df = sample()
-    val dynamicRows = df.filter(col("time").isNotNull).count()
-    val seqs = Tokenize.seqOfPatientEvents(df)
-    val total = seqs.select(sum(aggregate(
-      transform(col("code"), e => size(e)), lit(0), (a, x) => a + x)).cast("long")).as[Long].head()
-    assert(total == dynamicRows)
-  }
-
-  test("aggregate with modifier columns + rollup keeps only full-key and grand-total rows") {
-    val df = sample().withColumn("unit", when(col("code").startsWith("LAB"), "mmol").otherwise("raw"))
-    val out = CodeMetadata.aggregate(df, codeModifiers = Seq("unit"), summarizeOverAllCodes = true)
-    val perKey = df.select("code", "unit").distinct().count()
-    assert(out.count() == perKey + 1) // no intermediate rollup levels survive
-    val total = out.filter(col("code").isNull && col("unit").isNull)
-    assert(total.count() == 1)
-    assert(total.select(col(CodeMetadata.CodeNOccurrences)).as[Long].head() == df.count())
-  }
-
-  test("finalizeData is idempotent") {
-    val once = Meds.finalizeData(sample())
-    val twice = Meds.finalizeData(once)
-    assert(once.schema == twice.schema)
-    assert(once.except(twice).count() == 0)
+  test("line dedup output contains every distinct line exactly once, order preserved") {
+    val line = Gen.oneOf("header", "footer", "alpha beta", "gamma", "delta five", "unique")
+    val doc = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, line).map(_.mkString("\n")))
+    val docs = sample(doc, 60, seed = 17L).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = LineDedup.dedupLines(docs, "doc_id", "text").as[(Long, String)].collect()
+    val allLines = out.flatMap(_._2.split("\n"))
+    // every distinct input line appears exactly once across the corpus
+    val distinctIn = docs.as[(Long, String)].collect().flatMap(_._2.split("\n"))
+      .filter(_.trim.nonEmpty).toSet
+    assert(allLines.toSet == distinctIn && allLines.length == allLines.toSet.size)
+    // and each output doc's lines form a subsequence of its original
+    // lines (intra-doc duplicates collapse to the first occurrence, so
+    // a plain contains-filter would be wrong)
+    def isSubseq(xs: Seq[String], ys: Seq[String]): Boolean = {
+      var i = 0
+      for (y <- ys if i < xs.length) if (xs(i) == y) i += 1
+      i == xs.length
+    }
+    val orig = docs.as[(Long, String)].collect().toMap
+    for ((id, text) <- out)
+      assert(isSubseq(text.split("\n").toSeq, orig(id).split("\n").toSeq), s"doc $id reordered")
   }
 }
