@@ -82,6 +82,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(v.select("n_rows", "n_violations").as[(Long, Long)].collect().toSeq == Seq((0L, 0L)))
   }
 
+  test("round-4 operators tolerate empty input") {
+    val emptyEvents = Seq.empty[(Long, Long, Option[Timestamp], Option[Double])]
+      .toDF("event_id", "user_id", "ts", "value")
+    val emptyVecs = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    val oneCentroid = Seq((0L, Array(1.0, 0.0))).toDF("cid", "centroid")
+    assert(graft.text.LineDedup.dedupLines(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.dedupAgainst(emptyDocs, emptyDocs).count() == 0)
+    assert(graft.ann.SemDedup.semDedup(emptyVecs, oneCentroid, 0.9).count() == 0)
+    assert(BloomJoin.semiJoin(
+      emptyEvents.select("event_id"),
+      Seq(1L).toDF("k"), "event_id", "k", expectedKeys = 10).count() == 0)
+    assert(ZOrder.withZValue(emptyEvents, "event_id", "user_id").count() == 0)
+    assert(Selection.ntilePerGroup(emptyEvents, Seq("user_id"), "value", 4, "event_id").count() == 0)
+    assert(graft.text.Bpe.fitMerges(emptyDocs, numMerges = 5).count() == 0)
+    assert(graft.text.Bpe.encode(emptyDocs, Seq(("a", "b"))).count() == 0)
+    assert(HeavyHitters.exactHeavyHitters(
+      emptyDocs.select(col("text").as("tok")), "tok", k = 4, threshold = 1L).count() == 0)
+    assert(Compact.latestPerKey(emptyEvents, Seq("user_id"), Seq("ts")).count() == 0)
+    assert(PageRank.pageRank(Seq.empty[(String, String)].toDF("src", "dst"), iters = 2).count() == 0)
+    assert(Sampling.mixtureSample(emptyDocs, "text", "doc_id", Map("x" -> 1.0), 10, "s").count() == 0)
+    assert(Outliers.robustScale(emptyMeds, exact = true).count() == 0)
+    assert(graft.text.Keywords.termLift(emptyDocs, "text").count() == 0)
+  }
+
   test("all-null and whitespace-only text columns don't break text functions") {
     val weird = Seq((1L, null: String), (2L, ""), (3L, "   \t\n  "), (4L, "!!!???")).toDF("doc_id", "text")
     val out = weird.select(

@@ -106,6 +106,27 @@ class StreamingMinhashSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("frequent-items sketch runs as streaming aggregation state across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val query = input.toDF().toDF("item")
+      .agg(graft.functions.FrequentItems.frequentItems(col("item"), 3).as("c"))
+      .writeStream.format("memory").queryName("fi_stream").outputMode("complete").start()
+    try {
+      input.addData(Seq.fill(10)("hot") ++ Seq("a", "b"): _*)
+      query.processAllAvailable()
+      input.addData(Seq.fill(15)("hot2") ++ Seq("c"): _*)
+      query.processAllAvailable()
+      // the buffer survived the trigger boundary: both epochs' heavy
+      // items are present with their full cross-trigger weight floor
+      val items = spark.table("fi_stream")
+        .select(explode(col("c")).as("c")).select("c.item", "c.weight")
+        .as[(String, Long)].collect().toMap
+      assert(items.contains("hot") && items.contains("hot2"), s"got $items")
+      assert(items("hot") >= 8 && items("hot2") >= 13)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches only within the event-time window") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, String)]
