@@ -178,7 +178,7 @@ object SparkEntry {
     "q_add_age" -> ((s, dir) =>
       TimeDerived
         .ageEvents(meds(s, dir), TimeDerived.dobFromFirstEvent, "AGE", "years")
-        .select(col("patient_id"), timeUs(), col("code"), round(col("numeric_value"), 6).as("numeric_value"))),
+        .select(col("patient_id"), timeUs(), col("code"), graft.functions.Portable.r6(col("numeric_value")).as("numeric_value"))),
 
     "q_time_of_day" -> ((s, dir) =>
       TimeDerived
@@ -194,7 +194,7 @@ object SparkEntry {
           Seq(AgeConfig(TimeDerived.dobFromFirstEvent, "AGE", "yrs"), TimeOfDayConfig()))
         .select(
           col("patient_id"), timeUs(), col("code"),
-          when(col("code") === "AGE", round(col("numeric_value"), 6))
+          when(col("code") === "AGE", graft.functions.Portable.r6(col("numeric_value")))
             .otherwise(col("numeric_value")).as("numeric_value"))
     },
 
@@ -207,7 +207,7 @@ object SparkEntry {
           stddevCutoff = Some(3.0)))
         .data
         .select(col("patient_id"), timeUs(), col("code"),
-          round(col("numeric_value"), 6).as("numeric_value"))
+          graft.functions.Portable.r6(col("numeric_value")).as("numeric_value"))
     },
 
     "q_occlude_outliers" -> { (s, dir) =>
@@ -222,13 +222,13 @@ object SparkEntry {
       Outliers
         .winsorize(medsE(s, dir), lowerQ = 0.05, upperQ = 0.95, exact = true)
         .select(col("event_id"), col("patient_id"), timeUs(), col("code"),
-          round(col("numeric_value"), 6).as("numeric_value"))),
+          graft.functions.Portable.r6(col("numeric_value")).as("numeric_value"))),
 
     "q_normalize" -> { (s, dir) =>
       val meta = Vocabulary.lexicographicIndices(CodeMetadata.aggregate(meds(s, dir)))
       Normalize
         .normalize(meds(s, dir), meta)
-        .select(col("patient_id"), timeUs(), col("code"), round(col("numeric_value"), 6).as("numeric_value"))
+        .select(col("patient_id"), timeUs(), col("code"), graft.functions.Portable.r6(col("numeric_value")).as("numeric_value"))
     },
 
     "q_fit_vocab" -> ((s, dir) =>
@@ -263,7 +263,7 @@ object SparkEntry {
       Tokenize
         .seqsExploded(meds(s, dir))
         .select(col("patient_id"), timeUs(), col("n_measurements"), col("codes"),
-          round(col("time_delta_days"), 6).as("time_delta_days"))),
+          graft.functions.Portable.r6(col("time_delta_days")).as("time_delta_days"))),
 
     "q_shard_assign" -> ((s, dir) =>
       Shard.splitByModulo(meds(s, dir), Seq("train" -> 8, "tuning" -> 1, "held_out" -> 1), 4)),
@@ -381,7 +381,7 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup
         .ngramJaccardPairs(docs(s, dir), threshold = 0.5, n = 5, maxDocFreq = 1000)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+        .select(col("id_a"), col("id_b"), graft.functions.Portable.r6(col("jaccard")).as("jaccard"))),
 
     "q_dedup_cluster" -> ((s, dir) =>
       Dedup
@@ -480,7 +480,7 @@ object SparkEntry {
       val e = emb(s, dir)
       KMeans
         .assign(e, KMeans.initCentroids(e, k = 8))
-        .select(col("vec_id"), col("cid"), round(col("dist"), 6).as("dist"))
+        .select(col("vec_id"), col("cid"), graft.functions.Portable.r6(col("dist")).as("dist"))
     },
 
     "q_ann_ivf_kmeans" -> { (s, dir) =>
@@ -515,7 +515,7 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       Tfidf
         .tfidf(docs(s, dir))
-        .select(col("id"), col("term"), col("tf"), round(col("tfidf"), 6).as("tfidf"))),
+        .select(col("id"), col("term"), col("tf"), graft.functions.Portable.r6(col("tfidf")).as("tfidf"))),
 
     "q_curation" -> { (s, dir) =>
       import graft.pipeline.Curation
@@ -541,7 +541,7 @@ object SparkEntry {
     // semantics are pinned by TextAnalysisSpec instead.
     "q_compress" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        round(TextFunctions.deflateRatio(col("text")), 6).as("deflate_ratio"))),
+        graft.functions.Portable.r6(TextFunctions.deflateRatio(col("text"))).as("deflate_ratio"))),
 
     "q_pii" -> { (s, dir) =>
       val p = TextFunctions.piiCounts(col("text"))
@@ -554,12 +554,12 @@ object SparkEntry {
     "q_unigram_lm" -> ((s, dir) =>
       Tfidf
         .unigramLogProb(docs(s, dir))
-        .select(col("id"), round(col("mean_log_prob"), 6).as("mean_log_prob"))),
+        .select(col("id"), graft.functions.Portable.r6(col("mean_log_prob")).as("mean_log_prob"))),
 
     "q_bigram_lm" -> ((s, dir) =>
       Tfidf
         .bigramLogProb(docs(s, dir))
-        .select(col("id"), round(col("mean_log_prob"), 6).as("mean_log_prob"))),
+        .select(col("id"), graft.functions.Portable.r6(col("mean_log_prob")).as("mean_log_prob"))),
 
     "q_contamination" -> { (s, dir) =>
       val d = docs(s, dir)
@@ -579,7 +579,7 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       Bm25
         .score(docs(s, dir), Seq("spark", "hash", "merge"))
-        .select(col("id"), round(col("bm25"), 6).as("bm25"))),
+        .select(col("id"), graft.functions.Portable.r6(col("bm25")).as("bm25"))),
 
     "q_pack" -> ((s, dir) =>
       Packing
@@ -960,7 +960,7 @@ object SparkEntry {
         (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
         .select(col("e.src"), col("e.dst"))
       PageRank.pageRank(edges, iters = 3)
-        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .select(col("node"), graft.functions.Portable.r6(col("rank")).as("rank"))
     },
 
     // data mixing: target source proportions under a 60-row budget,
@@ -977,14 +977,14 @@ object SparkEntry {
       Outliers
         .robustScale(medsE(s, dir), exact = true)
         .select(col("event_id"), col("patient_id"), col("code"),
-          round(col("scaled_value"), 6).as("scaled_value"))),
+          graft.functions.Portable.r6(col("scaled_value")).as("scaled_value"))),
 
     // distinctive terms per language: P(term|group)/P(term) from ONE
     // corpus pass (marginals derived from the vocab-sized count table)
     "q_term_lift" -> ((s, dir) =>
       graft.text.Keywords.termLift(docs(s, dir), "lang", minCount = 25L)
         .select(col("group").as("lang"), col("term"), col("n"),
-          round(col("lift"), 6).as("lift")))
+          graft.functions.Portable.r6(col("lift")).as("lift")))
   )
 
   /** Mixture weights shared by the q_mixture Spark call and its oracle
@@ -1077,7 +1077,7 @@ object SparkEntry {
         """WITH u AS (SELECT DISTINCT user_id, ts FROM events WHERE ts IS NOT NULL),
           |d AS (SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS dob FROM u)
           |SELECT user_id AS patient_id, epoch_us(ts) AS time_us, 'AGE' AS code,
-          |  round((epoch_us(ts)-epoch_us(dob)) / (1000000*(86400*CAST(365.2422 AS DOUBLE))), 6) AS numeric_value
+          |  floor(((epoch_us(ts)-epoch_us(dob)) / (1000000*(86400*CAST(365.2422 AS DOUBLE)))) * 1000000 + 0.5) / 1000000 AS numeric_value
           |FROM d WHERE epoch_us(ts) > epoch_us(dob)""".stripMargin,
 
       "q_time_of_day" ->
@@ -1090,7 +1090,7 @@ object SparkEntry {
         """WITH u AS (SELECT DISTINCT user_id, ts FROM events WHERE ts IS NOT NULL),
           |d AS (SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS dob FROM u),
           |age AS (SELECT user_id AS patient_id, epoch_us(ts) AS time_us, 'AGE' AS code,
-          |  round((epoch_us(ts)-epoch_us(dob)) / (1000000*(86400*CAST(365.2422 AS DOUBLE))), 6) AS numeric_value
+          |  floor(((epoch_us(ts)-epoch_us(dob)) / (1000000*(86400*CAST(365.2422 AS DOUBLE)))) * 1000000 + 0.5) / 1000000 AS numeric_value
           |  FROM d WHERE epoch_us(ts) > epoch_us(dob)),
           |tod AS (SELECT DISTINCT user_id AS patient_id, epoch_us(ts) AS time_us,
           |  CASE WHEN hour(ts)<6 THEN 'time_of_day//[00,06)' WHEN hour(ts)<12 THEN 'time_of_day//[06,12)'
@@ -1138,7 +1138,7 @@ object SparkEntry {
           |vc AS (SELECT code, row_number() OVER (ORDER BY code) AS idx
           |       FROM (SELECT DISTINCT code FROM oc))
           |SELECT oc.patient_id, epoch_us(oc.time) AS time_us, CAST(vc.idx AS BIGINT) AS code,
-          |  round((oc.v - ms1.mean)/ms1.std, 6) AS numeric_value
+          |  floor(((oc.v - ms1.mean)/ms1.std) * 1000000 + 0.5) / 1000000 AS numeric_value
           |FROM oc JOIN vc USING (code) JOIN ms1 USING (code)""".stripMargin,
 
       "q_occlude_outliers" ->
@@ -1152,16 +1152,16 @@ object SparkEntry {
         """WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
           |           FROM events GROUP BY 1)
           |SELECT e.event_id, e.user_id AS patient_id, epoch_us(e.ts) AS time_us, e.event_type AS code,
-          |  round(CASE WHEN e.value IS NULL THEN e.value
+          |  floor((CASE WHEN e.value IS NULL THEN e.value
           |             WHEN e.value < b.lo THEN b.lo
-          |             WHEN e.value > b.hi THEN b.hi ELSE e.value END, 6) AS numeric_value
+          |             WHEN e.value > b.hi THEN b.hi ELSE e.value END) * 1000000 + 0.5) / 1000000 AS numeric_value
           |FROM events e LEFT JOIN b ON e.event_type = b.event_type""".stripMargin,
 
       "q_normalize" ->
         s"""WITH $statsCtes,
            |v AS (SELECT code, mean, std, row_number() OVER (ORDER BY code) AS idx FROM st)
            |SELECT e.user_id AS patient_id, epoch_us(e.ts) AS time_us, v.idx AS code,
-           |  round((e.value - v.mean)/v.std, 6) AS numeric_value
+           |  floor(((e.value - v.mean)/v.std) * 1000000 + 0.5) / 1000000 AS numeric_value
            |FROM events e JOIN v ON e.event_type = v.code""".stripMargin,
 
       "q_fit_vocab" ->
@@ -1201,7 +1201,7 @@ object SparkEntry {
           |  array_to_string(list_sort(list(event_type)), ',') AS codes
           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
           |SELECT user_id AS patient_id, epoch_us(ts) AS time_us, n_measurements, codes,
-          |  round((epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts))/(86400.0*1000000.0), 6) AS time_delta_days
+          |  floor(((epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts))/(86400.0*1000000.0)) * 1000000 + 0.5) / 1000000 AS time_delta_days
           |FROM pe""".stripMargin,
 
       "q_shard_assign" ->
@@ -1281,7 +1281,7 @@ object SparkEntry {
            |filt AS (SELECT id, sh FROM (SELECT id, sh, count(*) OVER (PARTITION BY sh) AS df FROM shh) WHERE df <= 1000),
            |cnt AS (SELECT id, count(*) AS n_sh FROM shh GROUP BY 1),
            |com AS (SELECT a.id AS ia, b.id AS ib, count(*) AS nc FROM filt a JOIN filt b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
-           |SELECT ia AS id_a, ib AS id_b, round(CAST(nc AS DOUBLE)/(ca.n_sh + cb.n_sh - nc), 6) AS jaccard
+           |SELECT ia AS id_a, ib AS id_b, floor((CAST(nc AS DOUBLE)/(ca.n_sh + cb.n_sh - nc)) * 1000000 + 0.5) / 1000000 AS jaccard
            |FROM com JOIN cnt ca ON ia = ca.id JOIN cnt cb ON ib = cb.id
            |WHERE CAST(nc AS DOUBLE)/(ca.n_sh + cb.n_sh - nc) >= 0.5""".stripMargin,
 
@@ -1345,7 +1345,7 @@ object SparkEntry {
            |c AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY cell) AS csz FROM c0) WHERE csz <= 10000),
            |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, ${cosSql("a.embedding", "b.embedding")} AS cos
            |      FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id)
-           |SELECT ia AS id_a, ib AS id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.25""".stripMargin,
+           |SELECT ia AS id_a, ib AS id_b, floor((cos) * 1000000 + 0.5) / 1000000 AS cosine FROM p WHERE cos >= 0.25""".stripMargin,
 
       "q_ann_topk" ->
         s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 8),
@@ -1353,7 +1353,7 @@ object SparkEntry {
            |       FROM embeddings c JOIN q ON c.vec_id <> q.vec_id),
            |r AS (SELECT query_id, neighbor_id,
            |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank",
-           |        round(cos, 6) AS cosine
+           |        floor((cos) * 1000000 + 0.5) / 1000000 AS cosine
            |      FROM sc)
            |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
 
@@ -1364,7 +1364,7 @@ object SparkEntry {
            |       FROM c JOIN q ON c.cell = q.cell AND c.vec_id <> q.vec_id),
            |r AS (SELECT query_id, neighbor_id,
            |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank",
-           |        round(cos, 6) AS cosine
+           |        floor((cos) * 1000000 + 0.5) / 1000000 AS cosine
            |      FROM sc)
            |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
 
@@ -1377,7 +1377,7 @@ object SparkEntry {
            |       FROM c JOIN q ON c.cell = q.cell AND c.vec_id <> q.vec_id),
            |r AS (SELECT query_id, neighbor_id,
            |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank",
-           |        round(cos, 6) AS cosine
+           |        floor((cos) * 1000000 + 0.5) / 1000000 AS cosine
            |      FROM sc)
            |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
 
@@ -1397,14 +1397,14 @@ object SparkEntry {
            |f AS (SELECT doc_id,
            |  CAST(len(text) AS BIGINT) AS n_chars,
            |  CAST(len(toks) AS BIGINT) AS n_words,
-           |  round(CAST(len(regexp_replace(lower(text),'[^a-z]','','g')) AS DOUBLE)/greatest(len(toks),1), 6) AS mean_word_len,
-           |  round(CAST(len(regexp_replace(text,'[^.!?,;:]','','g')) AS DOUBLE)/greatest(len(text),1), 6) AS punct_ratio,
-           |  round(CAST(len(list_filter(toks, x -> list_contains($allStop, x))) AS DOUBLE)/greatest(len(toks),1), 6) AS stopword_ratio
+           |  floor((CAST(len(regexp_replace(lower(text),'[^a-z]','','g')) AS DOUBLE)/greatest(len(toks),1)) * 1000000 + 0.5) / 1000000 AS mean_word_len,
+           |  floor((CAST(len(regexp_replace(text,'[^.!?,;:]','','g')) AS DOUBLE)/greatest(len(text),1)) * 1000000 + 0.5) / 1000000 AS punct_ratio,
+           |  floor((CAST(len(list_filter(toks, x -> list_contains($allStop, x))) AS DOUBLE)/greatest(len(toks),1)) * 1000000 + 0.5) / 1000000 AS stopword_ratio
            |FROM t)
            |SELECT doc_id, n_chars, n_words, mean_word_len, punct_ratio, stopword_ratio,
-           |  round(0.4*least(CAST(n_words AS DOUBLE)/100.0, 1.0) + 0.3*least(stopword_ratio*5.0, 1.0)
+           |  floor((0.4*least(CAST(n_words AS DOUBLE)/100.0, 1.0) + 0.3*least(stopword_ratio*5.0, 1.0)
            |    + 0.2*(CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-           |    + 0.1*(1.0 - least(punct_ratio*5.0, 1.0)), 6) AS quality_score
+           |    + 0.1*(1.0 - least(punct_ratio*5.0, 1.0))) * 1000000 + 0.5) / 1000000 AS quality_score
            |FROM f""".stripMargin
       },
 
@@ -1419,7 +1419,7 @@ object SparkEntry {
            |d AS (SELECT e.vec_id, c0.cid, ${sqDistSql("e.embedding", "c0.embedding")} AS dist
            |      FROM embeddings e CROSS JOIN c0),
            |r AS (SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)
-           |SELECT vec_id, cid, round(dist, 6) AS dist FROM r WHERE rn = 1""".stripMargin,
+           |SELECT vec_id, cid, floor((dist) * 1000000 + 0.5) / 1000000 AS dist FROM r WHERE rn = 1""".stripMargin,
 
       "q_ann_ivf_kmeans" ->
         s"""WITH $kmeansInitCte,
@@ -1435,7 +1435,7 @@ object SparkEntry {
            |       FROM ca JOIN q ON ca.cid = q.cid AND ca.vec_id <> q.query_id),
            |r AS (SELECT query_id, neighbor_id,
            |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank",
-           |        round(cos, 6) AS cosine
+           |        floor((cos) * 1000000 + 0.5) / 1000000 AS cosine
            |      FROM sc)
            |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
 
@@ -1465,7 +1465,7 @@ object SparkEntry {
           |tf AS (SELECT id, term, count(*) AS tf FROM t GROUP BY 1, 2),
           |n AS (SELECT count(*) AS n_docs FROM documents),
           |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
-          |SELECT id, term, tf, round(tf * (ln((n_docs + 1.0)/(df + 1.0)) + 1), 6) AS tfidf
+          |SELECT id, term, tf, floor((tf * (ln((n_docs + 1.0)/(df + 1.0)) + 1)) * 1000000 + 0.5) / 1000000 AS tfidf
           |FROM tf JOIN idf USING (term), n""".stripMargin,
 
       // end-to-end curation: quality >= 0.3, lang 'en', greedy near-dup
@@ -1479,10 +1479,10 @@ object SparkEntry {
         val pick = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
         s"""WITH t0 AS (SELECT doc_id, text, lang, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
            |q AS (SELECT doc_id,
-           |  round(0.4*least(CAST(len(toks) AS DOUBLE)/100.0, 1.0)
-           |    + 0.3*least(round(CAST(len(list_filter(toks, x -> list_contains($allStop, x))) AS DOUBLE)/greatest(len(toks),1), 6)*5.0, 1.0)
-           |    + 0.2*(CASE WHEN round(CAST(len(regexp_replace(lower(text),'[^a-z]','','g')) AS DOUBLE)/greatest(len(toks),1), 6) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-           |    + 0.1*(1.0 - least(round(CAST(len(regexp_replace(text,'[^.!?,;:]','','g')) AS DOUBLE)/greatest(len(text),1), 6)*5.0, 1.0)), 6) AS score,
+           |  floor((0.4*least(CAST(len(toks) AS DOUBLE)/100.0, 1.0)
+           |    + 0.3*least(floor((CAST(len(list_filter(toks, x -> list_contains($allStop, x))) AS DOUBLE)/greatest(len(toks),1)) * 1000000 + 0.5) / 1000000*5.0, 1.0)
+           |    + 0.2*(CASE WHEN floor((CAST(len(regexp_replace(lower(text),'[^a-z]','','g')) AS DOUBLE)/greatest(len(toks),1)) * 1000000 + 0.5) / 1000000 BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+           |    + 0.1*(1.0 - least(floor((CAST(len(regexp_replace(text,'[^.!?,;:]','','g')) AS DOUBLE)/greatest(len(text),1)) * 1000000 + 0.5) / 1000000*5.0, 1.0))) * 1000000 + 0.5) / 1000000 AS score,
            |  CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred
            |  FROM (SELECT doc_id, text, $hitCols, toks FROM t0) base
            |),
@@ -1510,8 +1510,8 @@ object SparkEntry {
           |  list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks
           |FROM documents)
           |SELECT doc_id,
-          |  round(CASE WHEN len(lines) > 0 THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines) ELSE 0.0 END, 6) AS dup_line_frac,
-          |  round(CASE WHEN len(toks) > 0 THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) ELSE 0.0 END, 6) AS dup_token_frac
+          |  floor((CASE WHEN len(lines) > 0 THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS dup_line_frac,
+          |  floor((CASE WHEN len(toks) > 0 THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS dup_token_frac
           |FROM t""".stripMargin,
 
       "q_top_bigram" ->
@@ -1519,7 +1519,7 @@ object SparkEntry {
           |bg AS (SELECT id, unnest(CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) ELSE [] END) AS bg FROM t),
           |c AS (SELECT id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
           |a AS (SELECT t.id, c.c FROM t LEFT JOIN c ON t.id = c.id)
-          |SELECT id, round(CASE WHEN sum(c) > 0 THEN CAST(max(c) AS DOUBLE)/sum(c) ELSE 0.0 END, 6) AS top_bigram_frac
+          |SELECT id, floor((CASE WHEN sum(c) > 0 THEN CAST(max(c) AS DOUBLE)/sum(c) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS top_bigram_frac
           |FROM a GROUP BY 1""".stripMargin,
 
       "q_pii" ->
@@ -1535,7 +1535,7 @@ object SparkEntry {
           |tc AS (SELECT id, term, tf, sum(tf) OVER (PARTITION BY term) AS ct FROM tf),
           |ds AS (SELECT id, sum(tf*ln(CAST(ct AS DOUBLE))) AS a, sum(tf) AS tt FROM tc GROUP BY 1),
           |n AS (SELECT sum(tt) AS n_tokens FROM ds)
-          |SELECT id, round(a/tt - ln(CAST(n_tokens AS DOUBLE)), 6) AS mean_log_prob FROM ds, n""".stripMargin,
+          |SELECT id, floor((a/tt - ln(CAST(n_tokens AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS mean_log_prob FROM ds, n""".stripMargin,
 
       "q_bigram_lm" ->
         """WITH t AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
@@ -1545,7 +1545,7 @@ object SparkEntry {
           |w AS (SELECT id, tf,
           |        sum(tf) OVER (PARTITION BY bg) AS ct_bg,
           |        sum(tf) OVER (PARTITION BY prefix) AS ct_prefix FROM tf)
-          |SELECT id, round(sum(tf*ln(CAST(ct_bg AS DOUBLE)/ct_prefix))/sum(tf), 6) AS mean_log_prob
+          |SELECT id, floor((sum(tf*ln(CAST(ct_bg AS DOUBLE)/ct_prefix))/sum(tf)) * 1000000 + 0.5) / 1000000 AS mean_log_prob
           |FROM w GROUP BY 1""".stripMargin,
 
       // benchmark = docs with id < 50 (a subset of the corpus, so those
@@ -1576,7 +1576,7 @@ object SparkEntry {
           |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
           |tf AS (SELECT id, term, count(*) AS tf FROM t WHERE term IN ('spark','hash','merge') GROUP BY 1, 2),
           |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
-          |SELECT id, round(sum(ln(1 + (n_docs - df + 0.5)/(df + 0.5)) * tf/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))), 6) AS bm25
+          |SELECT id, floor((sum(ln(1 + (n_docs - df + 0.5)/(df + 0.5)) * tf/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl)))) * 1000000 + 0.5) / 1000000 AS bm25
           |FROM tf JOIN idf USING (term) JOIN dl USING (id), st GROUP BY id""".stripMargin,
 
       "q_pack" ->
@@ -1711,7 +1711,7 @@ object SparkEntry {
         expectRulesSql.map { case (name, holds) =>
           s"""SELECT '$name' AS rule, count(*) AS n_rows,
              |  count(CASE WHEN NOT coalesce($holds, FALSE) THEN 1 END) AS n_violations,
-             |  round(count(CASE WHEN NOT coalesce($holds, FALSE) THEN 1 END) / greatest(count(*), 1), 6) AS violation_frac
+             |  floor((count(CASE WHEN NOT coalesce($holds, FALSE) THEN 1 END) / greatest(count(*), 1)) * 1000000 + 0.5) / 1000000 AS violation_frac
              |FROM events""".stripMargin
         }.mkString("\n", "\nUNION ALL\n", "\nORDER BY rule"),
 
@@ -1758,7 +1758,7 @@ object SparkEntry {
 
       "q_embed_centroid" ->
         """SELECT label, CAST(i - 1 AS BIGINT) AS pos,
-          |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS centroid
+          |  floor((CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS centroid
           |FROM embeddings, range(1, 65) t(i)
           |GROUP BY 1, 2""".stripMargin,
 
@@ -1832,7 +1832,7 @@ object SparkEntry {
           |bi AS (SELECT bg.a AS a, bg.b AS b, count(*) AS c_ab FROM bgl GROUP BY 1, 2),
           |tot AS (SELECT (SELECT sum(c) FROM uni) AS n_uni, (SELECT sum(c_ab) FROM bi) AS n_bi)
           |SELECT bi.a, bi.b, bi.c_ab,
-          |  round(ln((CAST(bi.c_ab AS DOUBLE) * n_uni * n_uni) / (CAST(ua.c AS DOUBLE) * ub.c * n_bi)), 6) AS pmi
+          |  floor((ln((CAST(bi.c_ab AS DOUBLE) * n_uni * n_uni) / (CAST(ua.c AS DOUBLE) * ub.c * n_bi))) * 1000000 + 0.5) / 1000000 AS pmi
           |FROM bi
           |JOIN uni ua ON bi.a = ua.t
           |JOIN uni ub ON bi.b = ub.t
@@ -1875,7 +1875,7 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqDistSql("e.embedding", "c0.embedding")}, c0.cid) AS rn
            |  FROM embeddings e CROSS JOIN c0) WHERE rn = 1),
            |v AS (SELECT DISTINCT b.vec_id FROM a x JOIN a b ON x.cid = b.cid AND x.vec_id < b.vec_id
-           |      AND round(${cosSql("x.embedding", "b.embedding")}, 6) >= 0.25)
+           |      AND floor((${cosSql("x.embedding", "b.embedding")}) * 1000000 + 0.5) / 1000000 >= 0.25)
            |SELECT vec_id, cid FROM a WHERE vec_id NOT IN (SELECT vec_id FROM v)""".stripMargin,
 
       "q_bloom" ->
@@ -1936,7 +1936,7 @@ object SparkEntry {
            |${contrib("r0", "c1")}, ${relax("r0", "c1", "r1")},
            |${contrib("r1", "c2")}, ${relax("r1", "c2", "r2")},
            |${contrib("r2", "c3")}, ${relax("r2", "c3", "r3")}
-           |SELECT node, round(rank, 6) AS rank FROM r3""".stripMargin
+           |SELECT node, floor((rank) * 1000000 + 0.5) / 1000000 AS rank FROM r3""".stripMargin
       },
 
       "q_mixture" -> {
@@ -1954,7 +1954,7 @@ object SparkEntry {
           |  quantile_cont(value, 0.5) AS med, quantile_cont(value, 0.75) AS q3
           |  FROM events GROUP BY 1)
           |SELECT e.event_id, e.user_id AS patient_id, e.event_type AS code,
-          |  round((e.value - b.med) / nullif(b.q3 - b.q1, 0), 6) AS scaled_value
+          |  floor(((e.value - b.med) / nullif(b.q3 - b.q1, 0)) * 1000000 + 0.5) / 1000000 AS scaled_value
           |FROM events e LEFT JOIN b ON e.event_type = b.event_type""".stripMargin,
 
       "q_term_lift" ->
@@ -1963,7 +1963,7 @@ object SparkEntry {
           |pg AS (SELECT lang, sum(n) AS ng FROM lt GROUP BY 1),
           |pt AS (SELECT term, sum(n) AS nt FROM lt GROUP BY 1),
           |tot AS (SELECT sum(n) AS nn FROM lt)
-          |SELECT lang, term, n, round((CAST(n AS DOUBLE)/CAST(ng AS DOUBLE)) / (CAST(nt AS DOUBLE)/CAST(nn AS DOUBLE)), 6) AS lift
+          |SELECT lang, term, n, floor(((CAST(n AS DOUBLE)/CAST(ng AS DOUBLE)) / (CAST(nt AS DOUBLE)/CAST(nn AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS lift
           |FROM lt JOIN pg USING (lang) JOIN pt USING (term), tot WHERE n >= 25""".stripMargin
     )
   }

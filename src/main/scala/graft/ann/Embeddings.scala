@@ -34,7 +34,7 @@ object Embeddings {
         count(lit(1)).as("__n"))
       .select(
         col("group"), col("pos"),
-        round(col("__s").cast("double") / col("__n"), 6).as("centroid"))
+        graft.functions.Portable.r6(col("__s").cast("double") / col("__n")).as("centroid"))
 
   /** Appends `outCol` = the L2-normalized copy of `vecCol` (unchanged
     * zero vector when the norm is 0 — no NaN poisoning).

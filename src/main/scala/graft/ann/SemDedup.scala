@@ -47,7 +47,7 @@ object SemDedup {
         .boundedCollectVectors(col(idCol), col(vecCol), maxClusterSize).as("items"))
       .filter(col("items").isNotNull && size(col("items")) >= 2)
       .select(explode(graft.functions.Pairs.orderedPairs(col("items"), "a", "b")).as("p"))
-      .filter(round(cosine(col("p.a.vec"), col("p.b.vec")), 6) >= threshold)
+      .filter(graft.functions.Portable.r6(cosine(col("p.a.vec"), col("p.b.vec"))) >= threshold)
       .select(col("p.b.id").as(idCol))
       .distinct()
 

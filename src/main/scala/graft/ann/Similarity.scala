@@ -69,7 +69,7 @@ object Similarity {
         col("query_id"),
         col("entry.id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"),
-        round(col("entry.score"), 6).as("cosine")
+        graft.functions.Portable.r6(col("entry.score")).as("cosine")
       )
 
   /** Coarse quantization cell id: sign bits of the vector's projection onto
@@ -223,7 +223,7 @@ object Similarity {
         .select(
           col(s"a.$idCol").as("id_a"),
           col(s"b.$idCol").as("id_b"),
-          round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cosine")
+          graft.functions.Portable.r6(cosine(col(s"a.$vecCol"), col(s"b.$vecCol"))).as("cosine")
         )
         .filter(col("cosine") >= threshold)
     case Some(f) =>
@@ -237,7 +237,7 @@ object Similarity {
         .select(
           col("p.a.id").as("id_a"),
           col("p.b.id").as("id_b"),
-          round(cosine(col("p.a.vec"), col("p.b.vec")), 6).as("cosine")
+          graft.functions.Portable.r6(cosine(col("p.a.vec"), col("p.b.vec"))).as("cosine")
         )
         .filter(col("cosine") >= threshold)
   }

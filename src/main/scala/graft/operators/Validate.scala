@@ -39,7 +39,7 @@ object Validate {
         lit(r.name).as("rule"),
         col("__n").as("n_rows"),
         col(s"__v_${r.name}").as("n_violations"),
-        round(col(s"__v_${r.name}") / greatest(col("__n"), lit(1L)), 6)
+        graft.functions.Portable.r6(col(s"__v_${r.name}") / greatest(col("__n"), lit(1L)))
           .as("violation_frac"))
     }: _*)
     row.select(explode(perRule).as("p")).select("p.*")

@@ -73,9 +73,9 @@ object TextFunctions {
     struct(
       nChars.as("n_chars"),
       nWords.as("n_words"),
-      round(alphaChars.cast("double") / greatest(nWords, lit(1)), 6).as("mean_word_len"),
-      round(punct.cast("double") / greatest(nChars, lit(1)), 6).as("punct_ratio"),
-      round(stopHits.cast("double") / greatest(nWords, lit(1)), 6).as("stopword_ratio")
+      graft.functions.Portable.r6(alphaChars.cast("double") / greatest(nWords, lit(1))).as("mean_word_len"),
+      graft.functions.Portable.r6(punct.cast("double") / greatest(nChars, lit(1))).as("punct_ratio"),
+      graft.functions.Portable.r6(stopHits.cast("double") / greatest(nWords, lit(1))).as("stopword_ratio")
     )
   }
 
@@ -96,8 +96,8 @@ object TextFunctions {
       when(size(xs) > 0,
         lit(1.0) - size(array_distinct(xs)).cast("double") / size(xs)).otherwise(0.0)
     struct(
-      round(dupFrac(lines), 6).as("dup_line_frac"),
-      round(dupFrac(toks), 6).as("dup_token_frac")
+      graft.functions.Portable.r6(dupFrac(lines)).as("dup_line_frac"),
+      graft.functions.Portable.r6(dupFrac(toks)).as("dup_token_frac")
     )
   }
 
@@ -173,8 +173,8 @@ object TextFunctions {
     val stopScore = least(f("stopword_ratio") * 5.0, lit(1.0))
     val punctPenalty = least(f("punct_ratio") * 5.0, lit(1.0))
     val wordLenOk = when(f("mean_word_len").between(2.0, 12.0), 1.0).otherwise(0.0)
-    round(lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.2) * wordLenOk
-      + lit(0.1) * (lit(1.0) - punctPenalty), 6)
+    graft.functions.Portable.r6(lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.2) * wordLenOk
+      + lit(0.1) * (lit(1.0) - punctPenalty))
   }
 
   /** Canonical text normalization for fingerprinting: lowercase, strip
