@@ -984,7 +984,13 @@ object SparkEntry {
     "q_term_lift" -> ((s, dir) =>
       graft.text.Keywords.termLift(docs(s, dir), "lang", minCount = 25L)
         .select(col("group").as("lang"), col("term"), col("n"),
-          graft.functions.Portable.r6(col("lift")).as("lift")))
+          graft.functions.Portable.r6(col("lift")).as("lift"))),
+
+    // per-source KL divergence from the corpus unigram distribution
+    // (slice-drift signal; DECIMAL term sums for portable reduction)
+    "q_kl" -> ((s, dir) =>
+      graft.text.Keywords.groupDivergence(docs(s, dir), "source")
+        .select(col("group").as("source"), graft.functions.Portable.r6(col("kl")).as("kl")))
   )
 
   /** Mixture weights shared by the q_mixture Spark call and its oracle
@@ -1964,7 +1970,19 @@ object SparkEntry {
           |pt AS (SELECT term, sum(n) AS nt FROM lt GROUP BY 1),
           |tot AS (SELECT sum(n) AS nn FROM lt)
           |SELECT lang, term, n, floor(((CAST(n AS DOUBLE)/CAST(ng AS DOUBLE)) / (CAST(nt AS DOUBLE)/CAST(nn AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS lift
-          |FROM lt JOIN pg USING (lang) JOIN pt USING (term), tot WHERE n >= 25""".stripMargin
+          |FROM lt JOIN pg USING (lang) JOIN pt USING (term), tot WHERE n >= 25""".stripMargin,
+
+      "q_kl" ->
+        """WITH t AS (SELECT source, unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '')) AS term FROM documents),
+          |lt AS (SELECT source, term, count(*) AS n FROM t GROUP BY 1, 2),
+          |pg AS (SELECT source, sum(n) AS ng FROM lt GROUP BY 1),
+          |pt AS (SELECT term, sum(n) AS nt FROM lt GROUP BY 1),
+          |tot AS (SELECT sum(n) AS nn FROM lt)
+          |SELECT source, floor(CAST(sum(CAST(
+          |  (CAST(n AS DOUBLE)/CAST(ng AS DOUBLE)) *
+          |  ln((CAST(n AS DOUBLE)/CAST(ng AS DOUBLE)) / (CAST(nt AS DOUBLE)/CAST(nn AS DOUBLE)))
+          |  AS DECIMAL(38,12))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS kl
+          |FROM lt JOIN pg USING (source) JOIN pt USING (term), tot GROUP BY source""".stripMargin
     )
   }
 }

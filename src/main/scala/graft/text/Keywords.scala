@@ -50,4 +50,40 @@ object Keywords {
         ((col("n").cast("double") / col("__ng").cast("double")) /
           (col("__nt").cast("double") / col("__nn").cast("double"))).as("lift"))
   }
+
+  /** Per-group KL divergence from the corpus unigram distribution:
+    * KL(P_g ‖ P) = Σ_t P_g(t) · ln(P_g(t) / P(t)) — the scalar "how far
+    * has this slice drifted from the whole" signal (source skew, split
+    * leakage, crawl-batch drift). Zero-count terms contribute nothing
+    * (0·ln0 = 0 by continuity), and P(t) > 0 whenever P_g(t) > 0 since
+    * the corpus contains the group, so the sum is always finite.
+    *
+    * Same execution shape as [[termLift]]: the (group, term) table is
+    * the one corpus pass; the divergence is a vocab-sized aggregation
+    * over it, with sums in DECIMAL(38,12) so the reduction order cannot
+    * wiggle low bits across engines or partitionings.
+    */
+  def groupDivergence(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String = "text"
+  ): DataFrame = {
+    val lt = docs
+      .select(col(groupCol).as("group"), explode(wordTokens(col(textCol))).as("term"))
+      .groupBy("group", "term")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val perGroup = lt.groupBy("group").agg(sum(col("n")).as("__ng"))
+    val perTerm = lt.groupBy("term").agg(sum(col("n")).as("__nt"))
+    val total = lt.agg(sum(col("n")).as("__nn"))
+    val pg = col("n").cast("double") / col("__ng").cast("double")
+    val p = col("__nt").cast("double") / col("__nn").cast("double")
+    lt
+      .join(broadcast(perGroup), "group")
+      .join(broadcast(perTerm), "term")
+      .crossJoin(broadcast(total))
+      .select(col("group"), (pg * log(pg / p)).cast("decimal(38,12)").as("__kl"))
+      .groupBy("group")
+      .agg(sum(col("__kl")).cast("double").as("kl"))
+  }
 }

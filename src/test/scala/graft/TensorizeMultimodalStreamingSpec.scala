@@ -111,6 +111,33 @@ class TensorizeMultimodalStreamingSpec extends SparkSpec {
     assert(out(2L).isEmpty, "non-WAVE RIFF must not parse as audio")
   }
 
+  test("multimodal: REAL audio decode — RMS/duration/peak from synthesized PCM") {
+    // 16-bit mono 8kHz WAV: 0.5s of a full-scale square wave (|s|≈1,
+    // rms≈1) and 0.5s of silence → rms ≈ sqrt(1/2), peak ≈ 1
+    import javax.sound.sampled._
+    val rate = 8000f
+    val n = 8000
+    val samples = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(samples).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until n / 2) bb.putShort(i * 2, (if (i % 2 == 0) 32767 else -32767).toShort)
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(samples), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wavBytes = bos.toByteArray
+    val df = Seq((1L, wavBytes), (2L, Array[Byte](1, 2, 3))).toDF("media_id", "media")
+    val out = Multimodal.audioFeatures(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ok = out(1L)
+    assert(ok.getBoolean(5), "WAV must decode")
+    assert(ok.getLong(1) == n.toLong)
+    assert(math.abs(ok.getDouble(2) - 1.0) < 1e-6) // 8000 samples @ 8kHz = 1s
+    assert(math.abs(ok.getDouble(3) - math.sqrt(0.5)) < 0.01)
+    assert(math.abs(ok.getDouble(4) - 1.0) < 0.01)
+    assert(!out(2L).getBoolean(5) && out(2L).isNullAt(3))
+  }
+
   test("multimodal: top-down BMP (negative height) and JPEG fill bytes decode correctly") {
     // height -600 stored two's-complement -> must report 600
     val topDown = "BM".getBytes ++ new Array[Byte](12) ++ Array[Byte](40, 0, 0, 0,
