@@ -990,7 +990,16 @@ object SparkEntry {
     // (slice-drift signal; DECIMAL term sums for portable reduction)
     "q_kl" -> ((s, dir) =>
       graft.text.Keywords.groupDivergence(docs(s, dir), "source")
-        .select(col("group").as("source"), graft.functions.Portable.r6(col("kl")).as("kl")))
+        .select(col("group").as("source"), graft.functions.Portable.r6(col("kl")).as("kl"))),
+
+    // uint8 scalar quantization (first 20 vectors, exploded codes):
+    // broadcast per-dim bounds, zero corpus shuffle
+    "q_squant" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Embeddings.scalarQuantize(e)
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("pos"), col("code"))
+    })
   )
 
   /** Mixture weights shared by the q_mixture Spark call and its oracle
@@ -1982,7 +1991,15 @@ object SparkEntry {
           |  (CAST(n AS DOUBLE)/CAST(ng AS DOUBLE)) *
           |  ln((CAST(n AS DOUBLE)/CAST(ng AS DOUBLE)) / (CAST(nt AS DOUBLE)/CAST(nn AS DOUBLE)))
           |  AS DECIMAL(38,12))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS kl
-          |FROM lt JOIN pg USING (source) JOIN pt USING (term), tot GROUP BY source""".stripMargin
+          |FROM lt JOIN pg USING (source) JOIN pt USING (term), tot GROUP BY source""".stripMargin,
+
+      "q_squant" ->
+        """WITH x AS (SELECT vec_id, unnest(embedding) AS v, unnest(range(0, len(embedding))) AS pos FROM embeddings),
+          |b AS (SELECT pos, min(CAST(v AS DOUBLE)) AS lo, max(CAST(v AS DOUBLE)) AS hi FROM x GROUP BY 1)
+          |SELECT vec_id, pos, CASE WHEN hi > lo
+          |  THEN least(255, greatest(0, CAST(floor((CAST(v AS DOUBLE) - lo)/(hi - lo) * 255) AS BIGINT)))
+          |  ELSE 0 END AS code
+          |FROM x JOIN b USING (pos) WHERE vec_id < 20""".stripMargin
     )
   }
 }

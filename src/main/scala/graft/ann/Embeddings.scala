@@ -56,4 +56,36 @@ object Embeddings {
           .otherwise(transform(col(vecCol), x => x.cast("double"))))
       .drop("__l2norm")
   }
+
+  /** Per-dimension min/max bounds for scalar quantization: ONE
+    * map-side-combined aggregate; output is dims rows — broadcast-sized
+    * however large the corpus.
+    */
+  def dimensionBounds(emb: DataFrame, vecCol: String, idCol: String): DataFrame =
+    emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(min(col("v").cast("double")).as("lo"), max(col("v").cast("double")).as("hi"))
+
+  /** Scalar (uint8) quantization: code = floor((v − lo_d)/(hi_d − lo_d)
+    * · 255), clamped to [0, 255]; constant dimensions code to 0. 4× the
+    * compression of float32 with none of PQ's training — the first rung
+    * of the quantization ladder ([[ProductQuantizer]] is the next).
+    * The bounds table broadcasts; the corpus is a pure projection over
+    * it — zero corpus shuffle. Output: (id, pos, code) exploded (callers
+    * re-pack with collect_list when they want the array form).
+    */
+  def scalarQuantize(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bounds = dimensionBounds(emb, vecCol, idCol)
+    emb
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("v").cast("double").as("v"))
+      .join(broadcast(bounds), "pos")
+      .select(
+        col(idCol), col("pos"),
+        when(col("hi") > col("lo"),
+          least(lit(255L), greatest(lit(0L),
+            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * 255.0))))
+          .otherwise(lit(0L)).as("code"))
+  }
 }

@@ -157,6 +157,22 @@ class Round4OpsSpec extends SparkSpec {
     assert(out(6L).isEmpty && out(7L).isEmpty)
   }
 
+  // ------------------------------------------------------ scalar quantization
+
+  test("scalarQuantize maps min->0, max->255, constant dims->0") {
+    val e = Seq(
+      (1L, Array(0.0, 5.0, 7.0)),
+      (2L, Array(10.0, 5.0, 3.0)),
+      (3L, Array(5.0, 5.0, 5.0))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ann.Embeddings.scalarQuantize(e)
+      .as[(Long, Long, Long)].collect().map { case (id, p, c) => (id, p) -> c }.toMap
+    assert(out((1L, 0L)) == 0L && out((2L, 0L)) == 255L) // dim 0: [0,10]
+    assert(out((3L, 0L)) == 127L) // midpoint floors to 127
+    assert(out((1L, 1L)) == 0L && out((2L, 1L)) == 0L) // constant dim -> 0
+    assert(out((2L, 2L)) == 0L && out((1L, 2L)) == 255L) // dim 2: [3,7]
+  }
+
   // ---------------------------------------------------------------- keywords
 
   test("termLift is >1 for group-specific terms and 1 for uniformly-spread terms") {
