@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+
+/** Static plan linting: walk a physical plan and flag the shapes that
+  * work at test scale and melt at 100 TB. The same checks the repo's
+  * `PlanShapeSpec` pins for its own queries, packaged as an API so a
+  * pipeline can gate ANY DataFrame before launching it on a cluster
+  * (`require(PlanLint.lint(df).isEmpty, ...)` in CI, or log-and-proceed
+  * in production).
+  *
+  * Findings, not verdicts: each hit names the operator and why it can
+  * bite. A partition-less window below a limit is fine (top-k
+  * postprocessing) and is NOT flagged; everything else that funnels
+  * unbounded data through one task is.
+  */
+object PlanLint {
+
+  final case class Finding(rule: String, node: String, why: String) {
+    override def toString: String = s"[$rule] $node — $why"
+  }
+
+  /** Lint the ANALYZED (pre-AQE) physical plan of `df`. Runs no job. */
+  def lint(df: DataFrame): Seq[Finding] = walk(df.queryExecution.sparkPlan)
+
+  /** Lint the final executed plan (call after an action for AQE truth). */
+  def lintExecuted(df: DataFrame): Seq[Finding] = walk(df.queryExecution.executedPlan)
+
+  private def boundedBelow(p: SparkPlan): Boolean = p match {
+    case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+    case other => other.children.exists(boundedBelow)
+  }
+
+  private def walk(p: SparkPlan): Seq[Finding] = {
+    val self: Seq[Finding] = p match {
+      case w: WindowExec if w.partitionSpec.isEmpty && !w.children.exists(boundedBelow) =>
+        Seq(Finding("global-window", w.nodeName,
+          "partition-less window funnels every row through ONE task; rank via " +
+            "a bounded-heap aggregate or partition the window"))
+      case c: CartesianProductExec =>
+        Seq(Finding("cartesian", c.nodeName,
+          "O(n×m) cross join with no key; add a join condition or broadcast+bucket"))
+      case j: BroadcastNestedLoopJoinExec =>
+        Seq(Finding("nested-loop-join", j.nodeName,
+          "non-equi broadcast loop join scans the broadcast per row; bin the range " +
+            "condition into an equi-join key (see RangeJoin) if the build side grows"))
+      case s: ShuffleExchangeExec if s.outputPartitioning.numPartitions == 1 =>
+        Seq(Finding("single-partition-exchange", s.nodeName,
+          "exchange into ONE partition serializes the job; usually a repartition(1) " +
+            "or global sort that should be a write option or TakeOrdered"))
+      case _ => Nil
+    }
+    val sub = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case m: InMemoryTableScanExec => walk(m.relation.cachedPlan)
+      case _ => Nil
+    }
+    self ++ sub ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+  }
+}
