@@ -999,7 +999,23 @@ object SparkEntry {
       Embeddings.scalarQuantize(e)
         .filter(col("vec_id") < 20)
         .select(col("vec_id"), col("pos"), col("code"))
-    })
+    }),
+
+    // composed training-data ASSEMBLY: mixture-sample to target source
+    // proportions → sliding-window chunking → token-budget packing, one
+    // lazy plan end-to-end (the round-4 twin of q_curation/q_meds_pipeline)
+    "q_assembly" -> { (s, dir) =>
+      val mixed = Sampling.mixtureSample(docs(s, dir), "source", "doc_id",
+        MixtureWeights, totalBudget = 120, seed = "a42")
+      val chunks = Chunker
+        .chunkByTokens(mixed, "doc_id", "text", chunkTokens = 30, overlapTokens = 10)
+        .withColumn("cid", col("doc_id") * 100 + col("chunk_seq"))
+      Packing
+        .packByTokenBudget(
+          chunks.select(col("cid"), col("doc_id"), col("chunk_seq"), col("n_tokens")),
+          "cid", "n_tokens", budgetTokens = 500, nShards = 4)
+        .select(col("doc_id"), col("chunk_seq"), col("n_tokens"), col("shard"), col("bin"))
+    }
   )
 
   /** Mixture weights shared by the q_mixture Spark call and its oracle
@@ -1999,7 +2015,29 @@ object SparkEntry {
           |SELECT vec_id, pos, CASE WHEN hi > lo
           |  THEN least(255, greatest(0, CAST(floor((CAST(v AS DOUBLE) - lo)/(hi - lo) * 255) AS BIGINT)))
           |  ELSE 0 END AS code
-          |FROM x JOIN b USING (pos) WHERE vec_id < 20""".stripMargin
+          |FROM x JOIN b USING (pos) WHERE vec_id < 20""".stripMargin,
+
+      "q_assembly" -> {
+        val values = MixtureWeights.toSeq.sorted
+          .map { case (s, w) => s"('$s', CAST($w AS DOUBLE))" }.mkString(", ")
+        s"""WITH w(source, w) AS (VALUES $values),
+           |cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+           |m AS (SELECT doc_id, text FROM documents JOIN cnt USING (source) JOIN w USING (source)
+           |  WHERE ${h32("concat('a42','|',CAST(doc_id AS VARCHAR))")} % 1000000
+           |    < CAST(round(least(1.0, 120 * w / n) * 1000000) AS BIGINT)),
+           |d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts FROM m),
+           |nn AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS L FROM d WHERE len(ts) > 0),
+           |c AS (SELECT doc_id, L,
+           |    unnest(range(0, CASE WHEN L <= 30 THEN 1 ELSE (L - 30 + 19) // 20 + 1 END)) AS chunk_seq
+           |  FROM nn),
+           |ch AS (SELECT doc_id, chunk_seq, least(L - chunk_seq*20, 30) AS n_tokens,
+           |       doc_id*100 + chunk_seq AS cid FROM c),
+           |tc AS (SELECT *, ${h32("CAST(cid AS VARCHAR)")} % 4 AS shard FROM ch)
+           |SELECT doc_id, chunk_seq, n_tokens, shard,
+           |  CAST(floor(coalesce(sum(greatest(n_tokens, 1)) OVER (PARTITION BY shard ORDER BY cid
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500.0) AS BIGINT) AS bin
+           |FROM tc""".stripMargin
+      }
     )
   }
 }
