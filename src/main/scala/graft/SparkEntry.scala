@@ -1015,7 +1015,78 @@ object SparkEntry {
           chunks.select(col("cid"), col("doc_id"), col("chunk_seq"), col("n_tokens")),
           "cid", "n_tokens", budgetTokens = 500, nShards = 4)
         .select(col("doc_id"), col("chunk_seq"), col("n_tokens"), col("shard"), col("bin"))
-    }
+    },
+
+    // CDC MERGE/upsert: a derived change batch (every 10th event updated,
+    // a sparse set of brand-new keys) applied onto the event log — one
+    // key-anti-join + union, never a full-outer join of wide rows
+    "q_upsert" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val updates = e.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") * 2)
+        .withColumn("event_type", lit("upd"))
+      val inserts = e.filter(col("event_id") % 1000 === 1)
+        .withColumn("event_id", col("event_id") + 20000000L)
+        .withColumn("event_type", lit("ins"))
+      Merge.upsert(e, updates.unionByName(inserts), Seq("event_id"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+    },
+
+    // SCD2 validity intervals per (user, type) version chain: valid_to =
+    // next version's timestamp, open interval while current
+    "q_scd2" -> ((s, dir) =>
+      Scd2
+        .history(ev(s, dir).filter(col("ts").isNotNull),
+          Seq("user_id", "event_type"), "ts", "event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current").cast("long").as("is_current"))),
+
+    // per-(returnflag, linestatus) Pearson correlation of quantity vs
+    // extendedprice from one scan (exact decimal moment sums)
+    "q_corr" -> ((s, dir) =>
+      Stats
+        .groupedCorrelation(Tables.lineitem(s, dir),
+          Seq("l_returnflag", "l_linestatus"), "l_quantity", "l_extendedprice")
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          graft.functions.Portable.r6(col("corr")).as("corr"))),
+
+    // per-event-type value-over-time trend (OLS slope/intercept); x is
+    // days since epoch, centered to keep the double magnitudes tame
+    "q_linreg" -> ((s, dir) =>
+      Stats
+        .groupedLinReg(
+          ev(s, dir)
+            .filter(col("ts").isNotNull)
+            .withColumn("x",
+              unix_micros(col("ts")).cast("double") / lit(86400000000.0) - lit(19700.0)),
+          Seq("event_type"), "x", "value")
+        .select(col("event_type"), col("n"),
+          graft.functions.Portable.r6(col("slope")).as("slope"),
+          graft.functions.Portable.r6(col("intercept")).as("intercept"))),
+
+    // degree-ordered triangle enumeration over the word-adjacency graph
+    // (same edge table as q_pagerank); each triangle once, a < b < c
+    "q_triangles" -> { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(TextFunctions.wordTokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val edges = toks.select(explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+      Graph.triangles(edges)
+    },
+
+    // per-doc n-gram novelty: fraction of a doc's distinct shingles
+    // unique to it in the corpus (the anti-boilerplate selection signal)
+    "q_novelty" -> ((s, dir) =>
+      graft.text.Novelty.noveltyScore(docs(s, dir))
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_unique"),
+          graft.functions.Portable.r6(col("novelty")).as("novelty")))
   )
 
   /** Mixture weights shared by the q_mixture Spark call and its oracle
@@ -2037,7 +2108,74 @@ object SparkEntry {
            |  CAST(floor(coalesce(sum(greatest(n_tokens, 1)) OVER (PARTITION BY shard ORDER BY cid
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500.0) AS BIGINT) AS bin
            |FROM tc""".stripMargin
-      }
+      },
+
+      "q_upsert" ->
+        """WITH upd AS (
+          |  SELECT event_id, user_id, ts, 'upd' AS event_type, value * 2 AS value
+          |  FROM events WHERE event_id % 10 = 0
+          |  UNION ALL
+          |  SELECT event_id + 20000000, user_id, ts, 'ins' AS event_type, value
+          |  FROM events WHERE event_id % 1000 = 1)
+          |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type, e.value
+          |FROM events e WHERE e.event_id NOT IN (SELECT event_id FROM upd)
+          |UNION ALL
+          |SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM upd""".stripMargin,
+
+      "q_scd2" ->
+        """SELECT event_id, user_id, event_type,
+          |  epoch_us(ts) AS valid_from_us,
+          |  epoch_us(lead(ts) OVER w) AS valid_to_us,
+          |  CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+          |FROM events WHERE ts IS NOT NULL
+          |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)""".stripMargin,
+
+      "q_corr" ->
+        """WITH m AS (SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(38,6))), 0) AS DOUBLE) AS sx,
+          |  CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 0) AS DOUBLE) AS sy,
+          |  CAST(coalesce(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))), 0) AS DOUBLE) AS sxy,
+          |  CAST(coalesce(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))), 0) AS DOUBLE) AS sxx,
+          |  CAST(coalesce(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))), 0) AS DOUBLE) AS syy
+          |  FROM lineitem GROUP BY 1, 2)
+          |SELECT l_returnflag, l_linestatus, n,
+          |  floor(((CAST(n AS DOUBLE) * sxy - sx * sy) /
+          |    nullif(sqrt(greatest((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy), 0.0)), 0.0))
+          |    * 1000000 + 0.5) / 1000000 AS corr
+          |FROM m""".stripMargin,
+
+      "q_linreg" ->
+        """WITH v AS (SELECT event_type,
+          |  CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 - 19700.0 AS x, value AS y
+          |  FROM events WHERE ts IS NOT NULL),
+          |m AS (SELECT event_type,
+          |  count(CASE WHEN y IS NOT NULL AND NOT isnan(y) THEN 1 END) AS n,
+          |  CAST(coalesce(sum(CASE WHEN y IS NOT NULL AND NOT isnan(y) THEN CAST(x AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sx,
+          |  CAST(coalesce(sum(CASE WHEN y IS NOT NULL AND NOT isnan(y) THEN CAST(y AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sy,
+          |  CAST(coalesce(sum(CASE WHEN y IS NOT NULL AND NOT isnan(y) THEN CAST(x * y AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sxy,
+          |  CAST(coalesce(sum(CASE WHEN y IS NOT NULL AND NOT isnan(y) THEN CAST(x * x AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sxx
+          |  FROM v GROUP BY 1)
+          |SELECT event_type, n,
+          |  floor(((CAST(n AS DOUBLE) * sxy - sx * sy) / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0)) * 1000000 + 0.5) / 1000000 AS slope,
+          |  floor(((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0)) * sx) / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS intercept
+          |FROM m""".stripMargin,
+
+      "q_triangles" ->
+        """WITH tk AS (SELECT list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '') AS ts FROM documents),
+          |ed AS (SELECT unnest(list_slice(ts, 1, len(ts)-1)) AS src, unnest(list_slice(ts, 2, len(ts))) AS dst
+          |       FROM tk WHERE len(ts) >= 2),
+          |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed WHERE src <> dst)
+          |SELECT e1.a AS a, e1.b AS b, e2.b AS c
+          |FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+          |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin,
+
+      "q_novelty" ->
+        s"""WITH $shingleCtes,
+           |dft AS (SELECT sh, count(*) AS df FROM shh GROUP BY 1)
+           |SELECT id AS doc_id, count(*) AS n_shingles,
+           |  count(CASE WHEN df = 1 THEN 1 END) AS n_unique,
+           |  floor((CAST(count(CASE WHEN df = 1 THEN 1 END) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS novelty
+           |FROM shh JOIN dft USING (sh) GROUP BY id""".stripMargin
     )
   }
 }

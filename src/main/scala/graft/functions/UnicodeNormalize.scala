@@ -39,11 +39,15 @@ case class UnicodeNormalize(child: Expression, form: String, caseFold: Boolean)
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
 
   override def nullSafeEval(input: Any): Any =
-    UnicodeNormalize.apply(input.asInstanceOf[UTF8String], form, caseFold)
+    UnicodeNormalize.normalize(input.asInstanceOf[UTF8String], form, caseFold)
 
+  // NB: the helper must NOT be named `apply` — the case class inherits
+  // TreeNode.apply(Int), which suppresses the companion's static
+  // forwarder, and the generated Java then fails to compile and the
+  // whole stage silently falls back to interpreted execution.
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"""graft.functions.UnicodeNormalize.apply($c, "$form", $caseFold)""")
+      s"""graft.functions.UnicodeNormalize.normalize($c, "$form", $caseFold)""")
 
   override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
     copy(child = newChild)
@@ -58,7 +62,7 @@ object UnicodeNormalize {
     "NFKD" -> Normalizer.Form.NFKD)
 
   /** Shared by interpreted eval and generated code. */
-  def apply(s: UTF8String, form: String, caseFold: Boolean): UTF8String = {
+  def normalize(s: UTF8String, form: String, caseFold: Boolean): UTF8String = {
     val f = Forms(form)
     val str = s.toString
     val normalized =

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-group bivariate statistics — Pearson correlation and closed-form
+  * least-squares regression — from ONE scan of the fact table. The
+  * drift/trend analytics a curation pipeline runs over signal columns
+  * (does quality score drift with time? does length correlate with
+  * perplexity?).
+  *
+  * Both reduce to the five moment sums (n, Σx, Σy, Σxy, Σx², Σy²),
+  * which partial-aggregate map-side and combine associatively — the
+  * groups×6 result frame is all that crosses the exchange, never the
+  * facts. Built-in `corr`/`regr_slope` sum DOUBLES, whose value depends
+  * on partition order; these sums go through DECIMAL(38,6) instead
+  * (exact, partitioning-independent, engine-portable — the same
+  * convention as [[CodeMetadata]]), and the final scalar arithmetic on
+  * the sums is identical IEEE double math in any engine.
+  *
+  * Rows where either coordinate is NULL or NaN are excluded pairwise.
+  */
+object Stats {
+
+  private def ok(c: Column): Column = c.isNotNull && !isnan(c)
+
+  /** The shared moment-sum aggregate: by..., n, sx, sy, sxy, sxx, syy
+    * (sums as DOUBLE, exact through DECIMAL(38,6)).
+    */
+  private def moments(df: DataFrame, by: Seq[String], xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val p = ok(x) && ok(y)
+    def dsum(e: Column): Column =
+      coalesce(sum(when(p, e.cast("decimal(38,6)"))), lit(0).cast("decimal(38,6)")).cast("double")
+    df.groupBy(by.map(col): _*)
+      .agg(
+        count(when(p, lit(1))).as("n"),
+        dsum(x).as("sx"),
+        dsum(y).as("sy"),
+        dsum(x * y).as("sxy"),
+        dsum(x * x).as("sxx"),
+        dsum(y * y).as("syy")
+      )
+  }
+
+  /** (by..., n, corr): Pearson r per group; NULL when either variance
+    * is zero (constant column) or the group has no valid pairs.
+    */
+  def groupedCorrelation(df: DataFrame, by: Seq[String], xCol: String, yCol: String): DataFrame = {
+    val m = moments(df, by, xCol, yCol)
+    val n = col("n").cast("double")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val vy = n * col("syy") - col("sy") * col("sy")
+    m.select(
+      (by.map(col) :+ col("n") :+
+        (cov / nullif(sqrt(greatest(vx * vy, lit(0.0))), lit(0.0))).as("corr")): _*
+    )
+  }
+
+  /** (by..., n, slope, intercept): least-squares fit y = slope·x +
+    * intercept per group; NULL slope when x is constant.
+    */
+  def groupedLinReg(df: DataFrame, by: Seq[String], xCol: String, yCol: String): DataFrame = {
+    val m = moments(df, by, xCol, yCol)
+    val n = col("n").cast("double")
+    val slope = (n * col("sxy") - col("sx") * col("sy")) /
+      nullif(n * col("sxx") - col("sx") * col("sx"), lit(0.0))
+    m.select(
+      (by.map(col) :+ col("n") :+ slope.as("slope") :+
+        ((col("sy") - slope * col("sx")) / n).as("intercept")): _*
+    )
+  }
+}
