@@ -1086,8 +1086,59 @@ object SparkEntry {
     "q_novelty" -> ((s, dir) =>
       graft.text.Novelty.noveltyScore(docs(s, dir))
         .select(col("id").as("doc_id"), col("n_shingles"), col("n_unique"),
-          graft.functions.Portable.r6(col("novelty")).as("novelty")))
+          graft.functions.Portable.r6(col("novelty")).as("novelty"))),
+
+    // ordered funnel: signup -> view (after it) -> purchase (after that);
+    // one type-filtered shuffle + a single-pass HOF fold per user
+    "q_funnel" -> ((s, dir) =>
+      Funnel
+        .funnel(ev(s, dir), "user_id", "ts", "event_type",
+          Seq("signup", "view", "purchase"))
+        .withColumnRenamed("key", "user_id")),
+
+    // weekly cohort retention triangle over the events stream
+    "q_retention" -> ((s, dir) =>
+      Retention.cohortRetention(ev(s, dir), "user_id", "ts", WeekUs)),
+
+    // deterministic weighted sample (priority sampling): 100 docs,
+    // inclusion odds proportional to n_chars; TakeOrderedAndProject
+    "q_sample_weighted" -> ((s, dir) =>
+      Sampling
+        .weightedSampleN(docs(s, dir), "doc_id", "n_chars", 100, "w42")
+        .select(col("doc_id"), col("n_chars"))),
+
+    // association rules over (user, event_type) co-occurrence
+    "q_assoc" -> ((s, dir) =>
+      Assoc.rules(ev(s, dir), "user_id", "event_type", 5L)
+        .select(col("ante"), col("cons"), col("n_both"),
+          graft.functions.Portable.r6(col("support")).as("support"),
+          graft.functions.Portable.r6(col("confidence")).as("confidence"),
+          graft.functions.Portable.r6(col("lift")).as("lift"))),
+
+    // per-doc word-distribution entropy (repetitiveness signal)
+    "q_entropy" -> ((s, dir) =>
+      graft.text.Importance.wordEntropy(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          graft.functions.Portable.r6(col("entropy")).as("entropy"))),
+
+    // DSIR-style importance weights: target slice = lang 'en'
+    "q_dsir" -> ((s, dir) =>
+      graft.text.Importance
+        .importanceScore(docs(s, dir), "doc_id", "text", col("lang") === "en")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          graft.functions.Portable.r6(col("llr")).as("llr"))),
+
+    // per-event-type percentile rank of value (portable percent_rank)
+    "q_pct_rank" -> ((s, dir) =>
+      Stats.percentileRank(ev(s, dir), Seq("event_type"), "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          graft.functions.Portable.r6(col("pct")).as("pct")))
   )
+
+  /** Retention bucket width (one week of epoch micros), shared by the
+    * q_retention Spark call and its oracle SQL.
+    */
+  private val WeekUs = 604800000000L
 
   /** Mixture weights shared by the q_mixture Spark call and its oracle
     * VALUES list. Sources absent here are dropped (weight 0).
@@ -2175,7 +2226,74 @@ object SparkEntry {
            |SELECT id AS doc_id, count(*) AS n_shingles,
            |  count(CASE WHEN df = 1 THEN 1 END) AS n_unique,
            |  floor((CAST(count(CASE WHEN df = 1 THEN 1 END) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS novelty
-           |FROM shh JOIN dft USING (sh) GROUP BY id""".stripMargin
+           |FROM shh JOIN dft USING (sh) GROUP BY id""".stripMargin,
+
+      "q_funnel" ->
+        """WITH f AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+          |  WHERE ts IS NOT NULL AND event_type IN ('signup','view','purchase')),
+          |s1 AS (SELECT user_id, min(t) AS t1 FROM f WHERE event_type = 'signup' GROUP BY 1),
+          |s2 AS (SELECT f.user_id, min(t) AS t2 FROM f JOIN s1 USING (user_id)
+          |       WHERE event_type = 'view' AND t > t1 GROUP BY 1),
+          |s3 AS (SELECT f.user_id, min(t) AS t3 FROM f JOIN s2 USING (user_id)
+          |       WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+          |SELECT s1.user_id,
+          |  CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+          |         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS reached,
+          |  t1 AS step_1_us, t2 AS step_2_us, t3 AS step_3_us
+          |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+      "q_retention" ->
+        s"""WITH b AS (SELECT user_id, epoch_us(ts) // $WeekUs AS bucket
+           |  FROM events WHERE ts IS NOT NULL),
+           |c AS (SELECT user_id, min(bucket) AS cohort FROM b GROUP BY 1)
+           |SELECT cohort, bucket - cohort AS offset, count(DISTINCT user_id) AS n_active
+           |FROM b JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+      "q_sample_weighted" ->
+        s"""WITH p AS (SELECT doc_id, n_chars,
+           |  CAST(n_chars AS DOUBLE) /
+           |    ((${h32("concat('w42','|',CAST(doc_id AS VARCHAR))")} % 1000000 + 1) / 1000001.0) AS pri
+           |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+           |SELECT doc_id, n_chars FROM p ORDER BY pri DESC, doc_id LIMIT 100""".stripMargin,
+
+      "q_assoc" ->
+        """WITH d AS (SELECT DISTINCT user_id AS e, event_type AS i FROM events WHERE event_type IS NOT NULL),
+          |n AS (SELECT count(DISTINCT e) AS nu FROM d),
+          |s AS (SELECT i, count(*) AS n1 FROM d GROUP BY 1),
+          |p AS (SELECT a.i AS a, b.i AS b, count(*) AS n_both
+          |      FROM d a JOIN d b ON a.e = b.e AND a.i < b.i GROUP BY 1, 2 HAVING count(*) >= 5),
+          |r AS (SELECT a AS ante, b AS cons, n_both FROM p UNION ALL SELECT b, a, n_both FROM p)
+          |SELECT ante, cons, n_both,
+          |  floor((CAST(n_both AS DOUBLE) / CAST(nu AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS support,
+          |  floor((CAST(n_both AS DOUBLE) / CAST(sa.n1 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS confidence,
+          |  floor((CAST(n_both AS DOUBLE) * CAST(nu AS DOUBLE) / (CAST(sa.n1 AS DOUBLE) * CAST(sc.n1 AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS lift
+          |FROM r JOIN s sa ON sa.i = r.ante JOIN s sc ON sc.i = r.cons, n""".stripMargin,
+
+      "q_entropy" ->
+        """WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '')) AS term FROM documents),
+          |c AS (SELECT doc_id, term, count(*) AS n FROM t GROUP BY 1, 2),
+          |a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+          |  CAST(sum(CAST(n * ln(CAST(n AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS snln
+          |  FROM c GROUP BY 1)
+          |SELECT doc_id, n_tokens,
+          |  floor((ln(CAST(n_tokens AS DOUBLE)) - snln / CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS entropy
+          |FROM a""".stripMargin,
+
+      "q_dsir" ->
+        """WITH t AS (SELECT doc_id, (lang = 'en') AS tgt, unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '')) AS term FROM documents),
+          |c AS (SELECT term, count(*) AS nc, count(CASE WHEN tgt THEN 1 END) AS nt FROM t GROUP BY 1),
+          |tot AS (SELECT sum(nc) AS tc, sum(nt) AS tt, count(*) AS v FROM c),
+          |r AS (SELECT term,
+          |  ln(CAST(nt + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE)) -
+          |  ln(CAST(nc + 1 AS DOUBLE) / CAST(tc + v AS DOUBLE)) AS lr FROM c, tot)
+          |SELECT doc_id, count(*) AS n_tokens,
+          |  floor((CAST(sum(CAST(lr AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS llr
+          |FROM t JOIN r USING (term) GROUP BY 1""".stripMargin,
+
+      "q_pct_rank" ->
+        """SELECT event_id, event_type, value,
+          |  floor(percent_rank() OVER (PARTITION BY event_type ORDER BY value) * 1000000 + 0.5) / 1000000 AS pct
+          |FROM events WHERE value IS NOT NULL AND NOT isnan(value)""".stripMargin
     )
   }
 }

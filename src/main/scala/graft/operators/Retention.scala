@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cohort retention: bucket each key by its FIRST event ("the week-12
+  * signup cohort") and count how many distinct keys from each cohort
+  * are still active 0, 1, 2, … buckets later. The standard activity-
+  * retention triangle, and for corpus work the "how long do crawled
+  * domains keep producing documents" decay curve.
+  *
+  * Shape at scale: the first-event time is a `min` window over the key
+  * partition — ONE shuffle on the key, reused by nothing else — then
+  * the (cohort, offset) roll-up partial-aggregates map-side to a frame
+  * of at most cohorts × offsets rows. `count_distinct` in the final
+  * agg re-shuffles (cohort, offset, key) triples, but those are already
+  * deduplicated per partition by the partial aggregate, so what crosses
+  * the wire is bounded by active (cohort, offset, key) combinations —
+  * the retention triangle's own cells times cohort sizes, not the raw
+  * event count.
+  */
+object Retention {
+
+  /** (cohort, offset, n_active): cohort and offset are bucket indexes
+    * (floor of epoch-micros / bucketUs); n_active counts distinct keys
+    * from that cohort with ≥1 event at that offset. Null-time rows are
+    * ignored (they carry no activity date).
+    */
+  def cohortRetention(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    events
+      .filter(col(timeCol).isNotNull)
+      .select(
+        col(keyCol).as("key"),
+        floorDiv(unix_micros(col(timeCol)), bucketUs).as("bucket"))
+      .withColumn("cohort", min(col("bucket")).over(w))
+      .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("offset"))
+      .agg(count_distinct(col("key")).as("n_active"))
+  }
+
+  /** Exact integer floor division (negative-safe: -1 us lands in bucket
+    * -1, not 0 — long `/` truncates toward zero). Pure integer math so
+    * any engine computes the identical bucket.
+    */
+  private def floorDiv(c: org.apache.spark.sql.Column, d: Long) =
+    ((c - pmod(c, lit(d))) / d).cast("long")
+}

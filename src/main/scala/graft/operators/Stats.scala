@@ -44,6 +44,22 @@ object Stats {
       )
   }
 
+  /** Append `pct` — each row's percent rank of `valueCol` within its
+    * group ((rank − 1)/(n − 1); 0 for singleton groups, the SQL-standard
+    * definition both Spark and DuckDB implement identically, ties
+    * sharing a rank). NULL/NaN values are dropped first: engines
+    * disagree on where they sort, so they have no portable rank.
+    * One group-partitioned window — a single shuffle on the group key,
+    * each group ranked independently; no global sort.
+    */
+  def percentileRank(df: DataFrame, by: Seq[String], valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(by.map(col): _*)
+      .orderBy(col(valueCol))
+    df.filter(ok(col(valueCol).cast("double")))
+      .withColumn("pct", percent_rank().over(w))
+  }
+
   /** (by..., n, corr): Pearson r per group; NULL when either variance
     * is zero (constant column) or the group has no valid pairs.
     */

@@ -109,6 +109,39 @@ object Sampling {
       .drop("__h", "__rn")
   }
 
+  /** Weighted sample of exactly n rows WITHOUT replacement, deterministic:
+    * priority sampling (Duffield/Lund/Thorup) — each row draws a
+    * deterministic uniform u in (0,1] from its (seed, id) hash and the n
+    * rows with the largest weight/u survive. Inclusion probability is
+    * proportional to weight (upweighted documents make the training mix
+    * more often), yet membership still depends only on (seed, id, weight)
+    * — reproducible, partitioning-independent, engine-replayable.
+    *
+    * weight/u is a single IEEE division of two exactly-representable
+    * doubles, so every engine orders rows identically — no `ln`/`pow`
+    * (the exponential-race formulation), whose libm rounding differs
+    * across engines. Compiles to TakeOrderedAndProject: per-partition
+    * bounded heaps, driver merge, no global sort.
+    *
+    * Non-positive / null weights are excluded (they can never win).
+    */
+  def weightedSampleN(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      n: Int,
+      seed: String
+  ): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val u = (pmod(md5Hash32(concat_ws("|", lit(seed), col(idCol).cast("string"))), lit(Scale)) +
+      lit(1L)).cast("double") / lit((Scale + 1).toDouble)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__pri", col(weightCol).cast("double") / u)
+      .orderBy(col("__pri").desc, col(idCol))
+      .limit(n)
+      .drop("__pri")
+  }
+
   /** Stratified deterministic sample: per-stratum keep fractions (e.g.
     * language quotas — downsample English, keep all low-resource), strata
     * not listed fall back to `defaultFrac`. One CASE expression; still a
