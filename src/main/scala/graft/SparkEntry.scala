@@ -1132,8 +1132,64 @@ object SparkEntry {
     "q_pct_rank" -> ((s, dir) =>
       Stats.percentileRank(ev(s, dir), Seq("event_type"), "value")
         .select(col("event_id"), col("event_type"), col("value"),
-          graft.functions.Portable.r6(col("pct")).as("pct")))
+          graft.functions.Portable.r6(col("pct")).as("pct"))),
+
+    // hashing-trick features: 64-dim signed hashed bag of words
+    "q_feature_hash" -> ((s, dir) =>
+      graft.text.FeatureHash.hashedFeatures(docs(s, dir), "doc_id", "text", 64)
+        .select(col("id").as("doc_id"), col("bucket"), col("w"))),
+
+    // count-min sketch (4x64) point estimates of per-user event counts
+    "q_cms" -> { (s, dir) =>
+      val sk = Sketches.countMinTable(ev(s, dir), "user_id", 4, 64)
+      Sketches.countMinEstimate(sk, ev(s, dir), "user_id", 4, 64)
+        .select(col("i").as("user_id"), col("est"))
+    },
+
+    // debounce: drop same-(user,type) repeats within 1h of the previous
+    "q_debounce" -> ((s, dir) =>
+      Debounce.debounce(ev(s, dir), Seq("user_id", "event_type"), "ts",
+          3600000000L, "event_id")
+        .select(col("event_id"), col("user_id"), timeUs("ts").as("ts_us"),
+          col("event_type"))),
+
+    // per-code mean imputation over deterministically nulled values
+    "q_impute" -> ((s, dir) =>
+      Impute
+        .meanImpute(
+          medsE(s, dir).withColumn("numeric_value",
+            when(col("event_id") % 97 === 0, lit(null)).otherwise(col("numeric_value"))),
+          Seq("code"), "numeric_value")
+        .select(col("event_id"), col("code"),
+          graft.functions.Portable.r6(col("numeric_value")).as("numeric_value"),
+          col("numeric_value/imputed").as("imputed"))),
+
+    // per-code exact R-7 quantile summary (p25/p50/p75/p90/p99)
+    "q_quantiles" -> ((s, dir) =>
+      Profile.quantileSummary(medsE(s, dir), Seq("code"), "numeric_value", QuantilePs)
+        .select(col("code"), col("p"),
+          graft.functions.Portable.r6(col("q")).as("q"))),
+
+    // chi-square contingency: is lang independent of source?
+    "q_chi2" -> ((s, dir) =>
+      Stats.chiSquare(docs(s, dir), "lang", "source")
+        .select(col("a").as("lang"), col("b").as("source"), col("observed"),
+          graft.functions.Portable.r6(col("expected")).as("expected"),
+          graft.functions.Portable.r6(col("chi2")).as("chi2"))),
+
+    // split-leakage audit: near-dup pairs crossing a train/eval split
+    "q_leakage" -> ((s, dir) =>
+      Dedup
+        .crossSplitLeakage(
+          docs(s, dir).withColumn("split",
+            when(col("doc_id") % 10 < 8, lit("train")).otherwise(lit("eval"))),
+          "split", threshold = 0.5, n = 5)
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+          graft.functions.Portable.r6(col("jaccard")).as("jaccard")))
   )
+
+  /** Quantile probes shared by the q_quantiles Spark call and oracle. */
+  private val QuantilePs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
 
   /** Retention bucket width (one week of epoch micros), shared by the
     * q_retention Spark call and its oracle SQL.
@@ -2293,7 +2349,85 @@ object SparkEntry {
       "q_pct_rank" ->
         """SELECT event_id, event_type, value,
           |  floor(percent_rank() OVER (PARTITION BY event_type ORDER BY value) * 1000000 + 0.5) / 1000000 AS pct
-          |FROM events WHERE value IS NOT NULL AND NOT isnan(value)""".stripMargin
+          |FROM events WHERE value IS NOT NULL AND NOT isnan(value)""".stripMargin,
+
+      "q_feature_hash" ->
+        s"""WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '')) AS term FROM documents),
+           |h AS (SELECT doc_id, ${h32("term")} AS h FROM t)
+           |SELECT doc_id, h % 64 AS bucket, CAST(sum((h // 64) % 2 * 2 - 1) AS BIGINT) AS w
+           |FROM h GROUP BY 1, 2""".stripMargin,
+
+      "q_cms" ->
+        s"""WITH d AS (SELECT unnest([0, 1, 2, 3]) AS j),
+           |s AS (SELECT j, ${h32("concat(j, '#', CAST(user_id AS VARCHAR))")} % 64 AS b, count(*) AS n
+           |  FROM events, d GROUP BY 1, 2),
+           |k AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS i FROM events),
+           |e AS (SELECT i, j, ${h32("concat(j, '#', i)")} % 64 AS b FROM k, d)
+           |SELECT i AS user_id, CAST(min(coalesce(n, 0)) AS BIGINT) AS est
+           |FROM e LEFT JOIN s USING (j, b) GROUP BY 1""".stripMargin,
+
+      "q_debounce" ->
+        """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+          |FROM (SELECT event_id, user_id, ts, event_type,
+          |        lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+          |                                ORDER BY ts, event_id) AS prev
+          |      FROM events WHERE ts IS NOT NULL)
+          |WHERE prev IS NULL OR epoch_us(ts) - prev > 3600000000
+          |UNION ALL
+          |SELECT event_id, user_id, NULL, event_type FROM events WHERE ts IS NULL""".stripMargin,
+
+      "q_impute" ->
+        """WITH v AS (SELECT event_id, event_type AS code,
+          |  CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value FROM events),
+          |m AS (SELECT code,
+          |  count(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN 1 END) AS n,
+          |  CAST(coalesce(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN CAST(value AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS s
+          |  FROM v GROUP BY 1)
+          |SELECT event_id, code,
+          |  floor(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value
+          |             WHEN n > 0 THEN s / n END * 1000000 + 0.5) / 1000000 AS numeric_value,
+          |  CAST(CASE WHEN (value IS NULL OR isnan(value)) AND n > 0 THEN 1 ELSE 0 END AS BIGINT) AS imputed
+          |FROM v JOIN m USING (code)""".stripMargin,
+
+      "q_quantiles" -> {
+        // DOUBLE-cast probes: DuckDB decimal literals would interpolate
+        // on exact 0.9 while Spark interpolates on double 0.9
+        val ps = QuantilePs.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
+        s"""WITH q AS (SELECT event_type AS code, quantile_cont(value, $ps) AS qs
+           |  FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1)
+           |SELECT code, unnest($ps) AS p,
+           |  floor(unnest(qs) * 1000000 + 0.5) / 1000000 AS q
+           |FROM q""".stripMargin
+      },
+
+      "q_chi2" ->
+        """WITH c AS (SELECT lang, source, count(*) AS obs FROM documents
+          |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+          |ra AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS na FROM c GROUP BY 1),
+          |rb AS (SELECT source, CAST(sum(obs) AS BIGINT) AS nb FROM c GROUP BY 1),
+          |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM c)
+          |SELECT lang, source, observed,
+          |  floor(e * 1000000 + 0.5) / 1000000 AS expected,
+          |  floor(((CAST(observed AS DOUBLE) - e) * (CAST(observed AS DOUBLE) - e) / e) * 1000000 + 0.5) / 1000000 AS chi2
+          |FROM (SELECT ra.lang, rb.source, CAST(coalesce(obs, 0) AS BIGINT) AS observed,
+          |        CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE) AS e
+          |      FROM ra CROSS JOIN rb LEFT JOIN c ON c.lang = ra.lang AND c.source = rb.source, t)""".stripMargin,
+
+      "q_leakage" ->
+        s"""WITH $shingleCtes,
+           |filt AS (SELECT id, sh FROM (SELECT id, sh, count(*) OVER (PARTITION BY sh) AS df FROM shh) WHERE df <= 1000),
+           |cnt AS (SELECT id, count(*) AS n_sh FROM shh GROUP BY 1),
+           |com AS (SELECT a.id AS ia, b.id AS ib, count(*) AS nc FROM filt a JOIN filt b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+           |pr AS (SELECT ia AS id_a, ib AS id_b, floor((CAST(nc AS DOUBLE)/(ca.n_sh + cb.n_sh - nc)) * 1000000 + 0.5) / 1000000 AS jaccard
+           |  FROM com JOIN cnt ca ON ia = ca.id JOIN cnt cb ON ib = cb.id
+           |  WHERE CAST(nc AS DOUBLE)/(ca.n_sh + cb.n_sh - nc) >= 0.5)
+           |SELECT id_a, id_b,
+           |  CASE WHEN id_a % 10 < 8 THEN 'train' ELSE 'eval' END AS split_a,
+           |  CASE WHEN id_b % 10 < 8 THEN 'train' ELSE 'eval' END AS split_b,
+           |  jaccard
+           |FROM pr
+           |WHERE (CASE WHEN id_a % 10 < 8 THEN 'train' ELSE 'eval' END) <>
+           |      (CASE WHEN id_b % 10 < 8 THEN 'train' ELSE 'eval' END)""".stripMargin
     )
   }
 }

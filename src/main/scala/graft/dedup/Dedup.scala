@@ -225,6 +225,37 @@ object Dedup {
       .withColumn("contaminated", col("n_common") >= minCommon)
   }
 
+  /** Train/eval split-leakage audit: the near-duplicate pairs that CROSS
+    * a split boundary — eval docs whose near-twin sits in train, the
+    * leak [[contaminationFlags]] can't see because both sides live in
+    * the same corpus. Runs the same bucketed candidate generator as
+    * [[ngramJaccardPairs]] (one pipeline, no second corpus pass), then
+    * keeps only pairs whose docs carry different `splitCol` values.
+    * Output: (id_a, id_b, split_a, split_b, jaccard) — row-level
+    * evidence to quarantine, not a score.
+    *
+    * The split labels join back by id AFTER pair generation: the pair
+    * frame is victim-sized, so the two id-keyed label joins touch
+    * orders less data than tagging every shingle would.
+    */
+  def crossSplitLeakage(
+      docs: DataFrame,
+      splitCol: String,
+      threshold: Double,
+      n: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDocFreq: Long = 1000
+  ): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, threshold, n, idCol, textCol, maxDocFreq)
+    val labels = docs.select(col(idCol).as("__lid"), col(splitCol).as("__split"))
+    pairs
+      .join(labels.withColumnRenamed("__lid", "id_a").withColumnRenamed("__split", "split_a"), "id_a")
+      .join(labels.withColumnRenamed("__lid", "id_b").withColumnRenamed("__split", "split_b"), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"), col("jaccard"))
+  }
+
   /** Connected components over an undirected pair list by iterative
     * min-label propagation: every node repeatedly adopts the smallest
     * label among itself and its neighbors until fixpoint. Output: (id,

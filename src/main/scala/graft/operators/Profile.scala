@@ -48,6 +48,32 @@ object Profile {
       .select(by.map(col) ++ Seq(col("bin"), col("bin_lo"), col("n")): _*)
   }
 
+  /** Per-group quantile summary: one row per (group, p) with the exact
+    * R-7 (linear-interpolation) quantile — the five-number-summary
+    * companion to [[histogram]], and the fit step [[Outliers.winsorize]]
+    * / robust scaling specialize. ONE group aggregate; `percentile`
+    * takes the whole probe list in a single pass. Exact quantiles hold
+    * a group's sorted values — fine for vocabulary-sized groups (the
+    * oracle case); at 100 TB swap `percentile_approx`'s mergeable
+    * KLL-style sketch, same call shape.
+    */
+  def quantileSummary(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      ps: Seq[Double]
+  ): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad probe list $ps")
+    val v = col(valueCol).cast("double")
+    df.filter(v.isNotNull && !isnan(v))
+      .groupBy(by.map(col): _*)
+      .agg(percentile(v, array(ps.map(lit): _*)).as("__qs"))
+      .select(by.map(col) :+ posexplode(col("__qs")): _*)
+      .select(by.map(col) :+
+        element_at(array(ps.map(lit): _*), col("pos") + 1).as("p") :+
+        col("col").as("q"): _*)
+  }
+
   def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val names = if (cols.nonEmpty) cols else df.columns.toSeq
     val specs = names.map { n =>

@@ -44,6 +44,38 @@ object Stats {
       )
   }
 
+  /** Chi-square contingency analysis of two categorical columns: per
+    * cell (a, b) the observed count, the independence-expected count
+    * row·col/N, and the cell's χ² contribution (o−e)²/e — which cells
+    * drive the dependence (is `lang` independent of `source`? where do
+    * splits leak label signal?). Callers sum `chi2` for the statistic.
+    *
+    * One fact scan to the |A|×|B| cell frame; marginals re-aggregate
+    * from the CELLS (vocab-sized, not the facts) and broadcast back on.
+    * NULL categories are excluded (they're missingness, not a level).
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("__obs"))
+    val ra = cells.groupBy("a").agg(sum(col("__obs")).as("na"))
+    val rb = cells.groupBy("b").agg(sum(col("__obs")).as("nb"))
+    val tot = cells.agg(sum(col("__obs")).as("n"))
+    val e = col("na").cast("double") * col("nb").cast("double") / col("n").cast("double")
+    // Full |A|x|B| grid, not just observed cells: a ZERO cell still
+    // contributes its expected count to the statistic (o=0 -> (0-e)^2/e
+    // = e), and perfectly-dependent columns are exactly the case where
+    // most of the grid is empty.
+    ra.crossJoin(broadcast(rb))
+      .join(cells, Seq("a", "b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"),
+        coalesce(col("__obs"), lit(0L)).as("observed"), e.as("expected"),
+        ((coalesce(col("__obs"), lit(0L)).cast("double") - e) *
+          (coalesce(col("__obs"), lit(0L)).cast("double") - e) / e).as("chi2"))
+  }
+
   /** Append `pct` — each row's percent rank of `valueCol` within its
     * group ((rank − 1)/(n − 1); 0 for singleton groups, the SQL-standard
     * definition both Spark and DuckDB implement identically, ties
