@@ -1185,7 +1185,31 @@ object SparkEntry {
             when(col("doc_id") % 10 < 8, lit("train")).otherwise(lit("eval"))),
           "split", threshold = 0.5, n = 5)
         .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
-          graft.functions.Portable.r6(col("jaccard")).as("jaccard")))
+          graft.functions.Portable.r6(col("jaccard")).as("jaccard"))),
+
+    // trending: top-3 event types per day by count
+    "q_trending" -> ((s, dir) =>
+      Trending.topItemsPerBucket(ev(s, dir), "ts", "event_type", 86400000000L, 3)
+        .withColumn("rnk", col("rnk").cast("long"))),
+
+    // per-language Gini concentration of document sizes
+    "q_gini" -> ((s, dir) =>
+      Stats.gini(docs(s, dir), Seq("lang"), "n_chars")
+        .select(col("lang"), col("n"),
+          graft.functions.Portable.r6(col("gini")).as("gini"))),
+
+    // budgeted selection: biggest docs per source until 50k chars each
+    "q_budget_select" -> ((s, dir) =>
+      Selection
+        .selectUnderBudget(docs(s, dir), Seq("source"), "n_chars", "n_chars",
+          4000L, "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
+    // first-order event-type transition matrix (counts + cond. prob)
+    "q_transitions" -> ((s, dir) =>
+      Transitions.transitionCounts(ev(s, dir), "user_id", "ts", "event_type", "event_id")
+        .select(col("prev"), col("next"), col("n"),
+          graft.functions.Portable.r6(col("p")).as("p")))
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -2427,7 +2451,43 @@ object SparkEntry {
            |  jaccard
            |FROM pr
            |WHERE (CASE WHEN id_a % 10 < 8 THEN 'train' ELSE 'eval' END) <>
-           |      (CASE WHEN id_b % 10 < 8 THEN 'train' ELSE 'eval' END)""".stripMargin
+           |      (CASE WHEN id_b % 10 < 8 THEN 'train' ELSE 'eval' END)""".stripMargin,
+
+      "q_trending" ->
+        """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS bucket, event_type AS item, count(*) AS n
+          |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT bucket, item, n, CAST(rnk AS BIGINT) AS rnk
+          |FROM (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY n DESC, item) AS rnk FROM c)
+          |WHERE rnk <= 3""".stripMargin,
+
+      "q_gini" ->
+        """WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS x,
+          |  row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS i
+          |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+          |a AS (SELECT lang, count(*) AS n,
+          |  CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS s,
+          |  CAST(sum(CAST(i * x AS DECIMAL(38,6))) AS DOUBLE) AS si FROM v GROUP BY 1)
+          |SELECT lang, n, CASE WHEN s > 0 THEN
+          |  floor((2.0 * si / (CAST(n AS DOUBLE) * s) - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000
+          |END AS gini FROM a""".stripMargin,
+
+      "q_budget_select" ->
+        """SELECT doc_id, source, n_chars FROM (
+          |  SELECT doc_id, source, n_chars,
+          |    sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+          |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM documents)
+          |WHERE cum <= 4000""".stripMargin,
+
+      "q_transitions" ->
+        """WITH s AS (SELECT event_type AS prev,
+          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+          |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+          |c AS (SELECT prev, next, count(*) AS n FROM s WHERE next IS NOT NULL GROUP BY 1, 2),
+          |t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY 1)
+          |SELECT prev, next, n,
+          |  floor((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p
+          |FROM c JOIN t USING (prev)""".stripMargin
     )
   }
 }

@@ -44,6 +44,38 @@ object Stats {
       )
   }
 
+  /** Per-group Gini concentration of a non-negative quantity: 0 = the
+    * group's mass is spread evenly across its rows, →1 = a few rows
+    * hold everything. The corpus-diversity alarm ("90% of this
+    * language's tokens come from one domain") that decides whether a
+    * source needs down-weighting before training.
+    *
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted x (i
+    * 1-based). Tie order among equal x doesn't change Σ i·xᵢ, so no
+    * tie-break is needed for portability. One group-partitioned sort
+    * window + one aggregate sharing the same single shuffle; the
+    * rank-weighted sums go through DECIMAL so the result is
+    * partitioning-independent. Groups with zero total mass are NULL.
+    */
+  def gini(df: DataFrame, by: Seq[String], valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(by.map(col): _*)
+      .orderBy(v)
+    df.filter(ok(v) && v >= 0)
+      .withColumn("__i", row_number().over(w))
+      .groupBy(by.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(v.cast("decimal(38,6)")).cast("double").as("__s"),
+        sum((col("__i") * v).cast("decimal(38,6)")).cast("double").as("__is"))
+      .select(by.map(col) :+ col("n") :+
+        when(col("__s") > 0,
+          lit(2.0) * col("__is") / (col("n").cast("double") * col("__s")) -
+            (col("n") + 1).cast("double") / col("n").cast("double"))
+          .as("gini"): _*)
+  }
+
   /** Chi-square contingency analysis of two categorical columns: per
     * cell (a, b) the observed count, the independence-expected count
     * row·col/N, and the cell's χ² contribution (o−e)²/e — which cells

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** First-order Markov transition statistics over per-key event
+  * sequences: how often does `prev` hand off to `next`, and with what
+  * conditional probability — the sequence-level counterpart of
+  * [[Assoc]]'s set-level co-occurrence, and the summary a
+  * next-event-prediction training set is built from.
+  *
+  * ONE key-partitioned window (lead) pairs each event with its
+  * successor; the (prev, next) roll-up partial-aggregates to a ≤vocab²
+  * frame, and row totals re-aggregate from THAT frame (no second fact
+  * pass, no broadcast of anything fact-sized).
+  */
+object Transitions {
+
+  /** (prev, next, n, p): transition counts and row-conditional
+    * probabilities. Each key's last event has no successor and drops
+    * out; null-time rows carry no sequence position and are excluded.
+    * Ties at equal times order by `tieCol` so sequences — and thus
+    * transitions — are deterministic.
+    */
+  def transitionCounts(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      typeCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(unix_micros(col(timeCol)), col(tieCol))
+    val pairs = events
+      .filter(col(timeCol).isNotNull && col(typeCol).isNotNull)
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("prev"), col("__next").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = pairs.groupBy("prev").agg(sum(col("n")).as("nt"))
+    pairs
+      .join(broadcast(rowTot), "prev")
+      .select(col("prev"), col("next"), col("n"),
+        (col("n").cast("double") / col("nt").cast("double")).as("p"))
+  }
+}

@@ -33,6 +33,35 @@ object Selection {
       .filter(col("rank") <= k)
   }
 
+  /** Greedy selection under a per-group COST budget: walk each group
+    * best-score-first and keep rows while the running cost (including
+    * the current row) stays within `budget` — "the best documents from
+    * every source up to N tokens each", the budgeted refinement of
+    * [[topKPerGroup]]'s count quota. Prefix semantics: the first row
+    * that overflows the budget cuts the group there (no skip-and-keep-
+    * scanning — that's a knapsack policy, order-sensitive and not
+    * portable as one window expression). One group-partitioned window;
+    * the running sum is a ROWS frame over longs, O(n) per group.
+    */
+  def selectUnderBudget(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      costCol: String,
+      budget: Long,
+      tieBreakCol: String
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "selectUnderBudget needs at least one group column")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(tieBreakCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(costCol).cast("long")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Per-group quantile bins: `ntile(n)` of `valueCol` within each group
     * (bin 1 = lowest values), ties broken by `tieBreakCol` so the
     * assignment is deterministic and engine-portable (ntile's

@@ -73,12 +73,18 @@ object Tfidf {
         struct(element_at(toks, i + 1).as("prefix"),
           concat_ws(" ", slice(toks, i + 1, lit(2))).as("bg"))))
       .otherwise(array().cast("array<struct<prefix:string,bg:string>>"))
+    // Both corpus totals ride ONE exchange: hash-partitioning by prefix
+    // already co-locates every (prefix, bg) group (bg starts with its
+    // prefix), so Spark satisfies the (prefix, bg) window's clustering
+    // from the prefix partitioning — two WindowExecs, one shuffle, where
+    // partitioning the windows by bg and prefix separately would shuffle
+    // the bigram frame twice.
     docs
       .select(col(idCol).as("id"), wordTokens(col(textCol)).as("__toks"))
       .select(col("id"), explode(bigramStructs).as("b"))
       .groupBy(col("id"), col("b.bg").as("bg"))
       .agg(first(col("b.prefix")).as("prefix"), count(lit(1)).as("tf"))
-      .withColumn("ct_bg", sum("tf").over(Window.partitionBy("bg")))
+      .withColumn("ct_bg", sum("tf").over(Window.partitionBy("prefix", "bg")))
       .withColumn("ct_prefix", sum("tf").over(Window.partitionBy("prefix")))
       .groupBy("id")
       .agg((sum(col("tf") * log(col("ct_bg").cast("double") / col("ct_prefix"))) / sum("tf"))

@@ -181,6 +181,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(pre) == 0) // the sketch build is a separate driver-side pass
   }
 
+  test("bigram LM shares one exchange between the bg and prefix windows") {
+    val docs = (1L to 30L).map(i => (i, s"the quick fox $i jumps over the dog"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Tfidf.bigramLogProb(docs)
+    // (id,bg) count agg + prefix window (satisfies the (prefix,bg) window's
+    // clustering too) + final per-doc agg = exactly 3; a per-bg window
+    // partitioning would make it 4
+    assert(countShuffles(out) == 3)
+  }
+
   test("metadata-joined operators add no fact-side shuffle") {
     val meta = graft.operators.CodeMetadata.aggregate(cohort)
     val out = graft.operators.Outliers.occludeOutliers(cohort, meta, 2.0)
