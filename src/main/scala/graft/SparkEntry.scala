@@ -1209,7 +1209,15 @@ object SparkEntry {
     "q_transitions" -> ((s, dir) =>
       Transitions.transitionCounts(ev(s, dir), "user_id", "ts", "event_type", "event_id")
         .select(col("prev"), col("next"), col("n"),
-          graft.functions.Portable.r6(col("p")).as("p")))
+          graft.functions.Portable.r6(col("p")).as("p"))),
+
+    // Poisson bootstrap: per-type mean value with bootstrap SE (16 reps)
+    "q_bootstrap" -> ((s, dir) =>
+      Bootstrap.bootstrapMeanSE(ev(s, dir), Seq("event_type"), "value", "event_id",
+          replicas = 16, seed = "b42")
+        .select(col("event_type").as("code"), col("n"),
+          graft.functions.Portable.r6(col("mean_boot")).as("mean_boot"),
+          graft.functions.Portable.r6(col("se_boot")).as("se_boot")))
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -2487,7 +2495,44 @@ object SparkEntry {
           |t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY 1)
           |SELECT prev, next, n,
           |  floor((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p
-          |FROM c JOIN t USING (prev)""".stripMargin
+          |FROM c JOIN t USING (prev)""".stripMargin,
+
+      "q_bootstrap" ->
+        s"""WITH r AS (SELECT unnest(range(0, 16)) AS b),
+           |x AS (SELECT event_type, value, event_id, b FROM events, r
+           |      WHERE value IS NOT NULL AND NOT isnan(value)),
+           |u AS (SELECT event_type, b, value,
+           |        ((${h32("concat('b42', '|', CAST(event_id AS VARCHAR), '|', CAST(b AS VARCHAR))")} % 1000000)
+           |          + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS u
+           |      FROM x),
+           |w AS (SELECT event_type, b, value,
+           |        CASE WHEN u < CAST(0.36787944117144233 AS DOUBLE) THEN 0
+           |             WHEN u < CAST(0.7357588823428847 AS DOUBLE) THEN 1
+           |             WHEN u < CAST(0.9196986029286058 AS DOUBLE) THEN 2
+           |             WHEN u < CAST(0.9810118431238462 AS DOUBLE) THEN 3
+           |             WHEN u < CAST(0.9963401531726563 AS DOUBLE) THEN 4
+           |             WHEN u < CAST(0.9994058151824183 AS DOUBLE) THEN 5
+           |             WHEN u < CAST(0.9999167588507119 AS DOUBLE) THEN 6
+           |             ELSE 7 END AS w
+           |      FROM u),
+           |c AS (SELECT event_type, b,
+           |        CAST(sum(CAST(w * value AS DECIMAL(38,6))) AS DOUBLE) AS wx,
+           |        CAST(sum(w) AS BIGINT) AS wn
+           |      FROM w GROUP BY 1, 2),
+           |m AS (SELECT event_type, b, CASE WHEN wn > 0 THEN wx / CAST(wn AS DOUBLE) END AS m FROM c),
+           |g AS (SELECT event_type, count(m) AS bn,
+           |        CAST(sum(CAST(m AS DECIMAL(38,12))) AS DOUBLE) AS sm,
+           |        CAST(sum(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE) AS sm2
+           |      FROM m GROUP BY 1),
+           |n AS (SELECT event_type, count(*) AS n FROM events
+           |      WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1)
+           |SELECT g.event_type AS code, n,
+           |  floor((sm / CAST(bn AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mean_boot,
+           |  CASE WHEN bn > 1 THEN
+           |    floor(sqrt(greatest((sm2 - sm * sm / CAST(bn AS DOUBLE)) / CAST(bn - 1 AS DOUBLE),
+           |                        CAST(0 AS DOUBLE))) * 1000000 + 0.5) / 1000000
+           |  END AS se_boot
+           |FROM g JOIN n USING (event_type)""".stripMargin
     )
   }
 }

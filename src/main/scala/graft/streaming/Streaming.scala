@@ -380,4 +380,51 @@ object Streaming {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  /** Streaming debounce: the incremental twin of
+    * [[graft.operators.Debounce.debounce]] — emit an event iff it is at
+    * least `gapUs` after the key's previous event. State is ONE long
+    * (the last seen event time) per live key, evicted by event-time
+    * timeout once a key has been quiet past the watermark plus gap —
+    * the minimum any debouncer must remember.
+    *
+    * Parity contract: within a trigger, events sort by event time (tie:
+    * value order doesn't matter — identical times debounce to one), and
+    * ACROSS triggers the batch lag semantics are reproduced only for
+    * in-order arrival (an event older than the last seen one is judged
+    * against that newer time — late data was already "shadowed" by the
+    * event that beat it in). Same contract the minhash dedup documents.
+    */
+  def streamingDebounce(
+      events: Dataset[Event],
+      gapUs: Long,
+      watermarkDelay: String
+  ): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    require(gapUs >= 0, s"gapUs must be >= 0, got $gapUs")
+
+    def fn(key: (Long, String), rows: Iterator[Event], state: GroupState[Long]): Iterator[Event] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+        var last = state.getOption
+        val kept = sorted.filter { e =>
+          val t = e.ts.getTime * 1000L
+          val keep = last.forall(p => t - p > gapUs)
+          last = Some(last.fold(t)(math.max(_, t)))
+          keep
+        }
+        last.foreach { l =>
+          state.update(l)
+          state.setTimeoutTimestamp(l / 1000L + gapUs / 1000L + 1L)
+        }
+        kept.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
 }
