@@ -765,6 +765,15 @@ object SparkEntry {
         .fuzzyPairs(Tables.part(s, dir).select(col("p_name")), "p_name", maxDist = 4)
         .select(col("a_name"), col("b_name"), col("dist"))),
 
+    // same blocking, Jaro-Winkler scorer (native codegen'd expression,
+    // oracle = DuckDB's jaro_winkler_similarity)
+    "q_fuzzy_jw" -> ((s, dir) =>
+      FuzzyJoin
+        .fuzzyPairsJaroWinkler(Tables.part(s, dir).select(col("p_name")), "p_name",
+          minSim = 0.88)
+        .select(col("a_name"), col("b_name"),
+          graft.functions.Portable.r6(col("sim")).as("sim"))),
+
     // resample events onto an hourly grid with gap rows + carry-forward
     "q_resample" -> ((s, dir) =>
       Rolling
@@ -2093,6 +2102,15 @@ object SparkEntry {
           |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.name < b.name)
           |SELECT a_name, b_name, CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
           |FROM cand WHERE levenshtein(a_name, b_name) <= 4""".stripMargin,
+
+      "q_fuzzy_jw" ->
+        """WITH t AS (SELECT DISTINCT lower(p_name) AS name FROM part WHERE lower(p_name) <> ''),
+          |tok AS (SELECT DISTINCT name, unnest(list_filter(string_split_regex(name, '[^a-z]+'), x -> x <> '')) AS tk FROM t),
+          |cand AS (SELECT DISTINCT a.name AS a_name, b.name AS b_name
+          |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.name < b.name)
+          |SELECT a_name, b_name,
+          |  floor(jaro_winkler_similarity(a_name, b_name) * 1000000 + 0.5) / 1000000 AS sim
+          |FROM cand WHERE jaro_winkler_similarity(a_name, b_name) >= 0.88""".stripMargin,
 
       "q_line_dedup" ->
         """WITH dd AS (SELECT doc_id, replace(text, ' table ', chr(10)) AS text FROM documents),

@@ -153,6 +153,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FrequentItems(children.head, foldedLong(children(1), "k").toInt)
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinkler(children.head, children(1))
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_unicode_normalize"),
       (children: Seq[Expression]) =>

@@ -57,6 +57,24 @@ object FuzzyJoin {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Candidate pairs scored by native Jaro-Winkler (see
+    * [[graft.functions.JaroWinkler]]) at or above `minSim` — the
+    * similarity that forgives transpositions and rewards shared
+    * prefixes, usually the better linkage scorer for names. Identical
+    * blocking; only the in-block scorer changes.
+    */
+  def fuzzyPairsJaroWinkler(
+      df: DataFrame,
+      nameCol: String,
+      minSim: Double,
+      maxTokenDf: Long = Long.MaxValue): DataFrame = {
+    require(minSim >= 0 && minSim <= 1, s"minSim $minSim not in [0,1]")
+    candidatePairs(df, nameCol, maxTokenDf)
+      .withColumn("sim",
+        graft.functions.JaroWinkler.jaroWinkler(col("a_name"), col("b_name")))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Record-level linkage: every (a_id, b_id) pair of rows whose values
     * fuzzy-match — INCLUDING rows with identical values (distance 0,
     * the most common linkage case), which the distinct dictionary
