@@ -1220,6 +1220,25 @@ object SparkEntry {
         .select(col("prev"), col("next"), col("n"),
           graft.functions.Portable.r6(col("p")).as("p"))),
 
+    // per-user EWMA of value (alpha 0.3): one key shuffle + HOF fold
+    "q_ewma" -> ((s, dir) =>
+      Ewma.ewmaLast(ev(s, dir), "user_id", "ts", "value", "event_id", 0.3)
+        .select(col("key").as("user_id"), col("n"),
+          graft.functions.Portable.r6(col("ewma")).as("ewma"))),
+
+    // asymmetric containment pairs (quote/subset detection)
+    "q_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(docs(s, dir), threshold = 0.4, n = 5)
+        .select(col("id_a"), col("id_b"),
+          graft.functions.Portable.r6(col("cont_a")).as("cont_a"),
+          graft.functions.Portable.r6(col("cont_b")).as("cont_b"))),
+
+    // week-over-week active users with relative change
+    "q_wow" -> ((s, dir) =>
+      Retention.periodOverPeriod(ev(s, dir), "user_id", "ts", WeekUs)
+        .select(col("bucket"), col("n_active"), col("prev_active"),
+          graft.functions.Portable.r6(col("pct_change")).as("pct_change"))),
+
     // Poisson bootstrap: per-type mean value with bootstrap SE (16 reps)
     "q_bootstrap" -> ((s, dir) =>
       Bootstrap.bootstrapMeanSE(ev(s, dir), Seq("event_type"), "value", "event_id",
@@ -2514,6 +2533,36 @@ object SparkEntry {
           |SELECT prev, next, n,
           |  floor((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p
           |FROM c JOIN t USING (prev)""".stripMargin,
+
+      "q_ewma" ->
+        """WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+          |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+          |  GROUP BY 1)
+          |SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+          |  floor(list_reduce(vs, (acc, x) -> CAST(0.3 AS DOUBLE) * x +
+          |    (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * acc) * 1000000 + 0.5) / 1000000 AS ewma
+          |FROM s""".stripMargin,
+
+      "q_containment" ->
+        s"""WITH $shingleCtes,
+           |filt AS (SELECT id, sh FROM (SELECT id, sh, count(*) OVER (PARTITION BY sh) AS df FROM shh) WHERE df <= 1000),
+           |cnt AS (SELECT id, count(*) AS n_sh FROM shh GROUP BY 1),
+           |com AS (SELECT a.id AS ia, b.id AS ib, count(*) AS nc FROM filt a JOIN filt b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+           |SELECT ia AS id_a, ib AS id_b,
+           |  floor((CAST(nc AS DOUBLE) / ca.n_sh) * 1000000 + 0.5) / 1000000 AS cont_a,
+           |  floor((CAST(nc AS DOUBLE) / cb.n_sh) * 1000000 + 0.5) / 1000000 AS cont_b
+           |FROM com JOIN cnt ca ON ia = ca.id JOIN cnt cb ON ib = cb.id
+           |WHERE greatest(CAST(nc AS DOUBLE) / ca.n_sh, CAST(nc AS DOUBLE) / cb.n_sh) >= 0.4""".stripMargin,
+
+      "q_wow" ->
+        s"""WITH b AS (SELECT user_id, epoch_us(ts) // $WeekUs AS bucket
+           |  FROM events WHERE ts IS NOT NULL),
+           |w AS (SELECT bucket, count(DISTINCT user_id) AS n_active FROM b GROUP BY 1)
+           |SELECT w.bucket, w.n_active, p.n_active AS prev_active,
+           |  CASE WHEN p.n_active IS NOT NULL THEN
+           |    floor(((CAST(w.n_active AS DOUBLE) - CAST(p.n_active AS DOUBLE)) / CAST(p.n_active AS DOUBLE)) * 1000000 + 0.5) / 1000000
+           |  END AS pct_change
+           |FROM w LEFT JOIN w p ON p.bucket = w.bucket - 1""".stripMargin,
 
       "q_bootstrap" ->
         s"""WITH r AS (SELECT unnest(range(0, 16)) AS b),

@@ -85,34 +85,34 @@ object Dedup {
     */
   private val PackShift = 27
 
-  /** Near-duplicate pairs by word-n-gram Jaccard similarity >= `threshold`.
+  /** Shared candidate generator: (id_a, id_b, n_a, n_b, n_common) for
+    * every doc pair sharing ≥1 shingle. [[ngramJaccardPairs]] and
+    * [[ngramContainmentPairs]] are projections of this one pipeline.
     *
-    * Candidates come from per-shingle buckets (never a cross join);
-    * Jaccard = |∩| / (|A|+|B|-|∩|) via per-doc shingle counts. Shingle
-    * strings are md5-hashed to longs before any shuffle (8-byte keys), and
-    * hot shingles (appearing in > maxDocFreq docs) are dropped — they
-    * generate O(df²) candidate pairs while carrying no discriminative
-    * signal. The cap is enforced INSIDE the aggregation by
-    * [[graft.functions.BoundedCollectLongs]], so a boilerplate shingle in
-    * millions of docs costs O(1) buffer memory, not O(df).
+    * Candidates come from per-shingle buckets (never a cross join).
+    * Shingle strings are md5-hashed to longs before any shuffle (8-byte
+    * keys), and hot shingles (appearing in > maxDocFreq docs) are
+    * dropped — they generate O(df²) candidate pairs while carrying no
+    * discriminative signal. The cap is enforced INSIDE the aggregation
+    * by [[graft.functions.BoundedCollectLongs]], so a boilerplate
+    * shingle in millions of docs costs O(1) buffer memory, not O(df).
     *
     * The shingle pipeline (scan + tokenize + explode + md5 + distinct) is
     * evaluated ONCE: each doc's shingle count is computed with an
     * id-partitioned window and packed into the id long itself
     * (`id << 27 | n_sh`), so bucket rows carry both values through the
-    * pair explosion and the final Jaccard needs NO joins back to a
+    * pair explosion and the final similarity needs NO joins back to a
     * per-doc count table — the naive formulation evaluates the corpus
     * pipeline three times (bucket side + one per join side). Packed
     * values sort like ids (id in the high bits), which the in-bucket
     * combination explosion relies on.
     */
-  def ngramJaccardPairs(
+  def commonShinglePairs(
       docs: DataFrame,
-      threshold: Double,
-      n: Int = 3,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      maxDocFreq: Long = 1000
+      n: Int,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Long
   ): DataFrame = {
     val sh = shingleHashTable(docs, idCol, textCol, n)
     val packed = sh
@@ -129,19 +129,52 @@ object Dedup {
       .agg(graft.functions.BoundedCollectLongs.boundedCollect(col("pid"), maxDocFreq.toInt).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
     val mask = (1L << PackShift) - 1
-    val com = buckets
+    buckets
       .select(explode(combinationPairs(col("ids"))).as("p"))
       .groupBy(col("p.ia").as("pa"), col("p.ib").as("pb"))
       .agg(count(lit(1)).as("n_common"))
-    com
       .select(
         shiftright(col("pa"), PackShift).as("id_a"),
         shiftright(col("pb"), PackShift).as("id_b"),
-        (col("n_common").cast("double") /
-          (col("pa").bitwiseAND(mask) + col("pb").bitwiseAND(mask) - col("n_common"))).as("jaccard")
-      )
-      .filter(col("jaccard") >= threshold)
+        col("pa").bitwiseAND(mask).as("n_a"),
+        col("pb").bitwiseAND(mask).as("n_b"),
+        col("n_common"))
   }
+
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      threshold: Double,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDocFreq: Long = 1000
+  ): DataFrame =
+    commonShinglePairs(docs, n, idCol, textCol, maxDocFreq)
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Asymmetric n-gram CONTAINMENT pairs: how much of the SMALLER doc's
+    * shingle set lives inside the other — the quote/subset/boilerplate-
+    * wrapper detector Jaccard misses (a paragraph quoted inside a long
+    * page has tiny Jaccard but containment ≈ 1). Emits both directions'
+    * scores; keeps pairs where either direction reaches `threshold`.
+    * Same one-pass bucketed pipeline as [[ngramJaccardPairs]].
+    */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      threshold: Double,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDocFreq: Long = 1000
+  ): DataFrame =
+    commonShinglePairs(docs, n, idCol, textCol, maxDocFreq)
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") / col("n_a")).as("cont_a"),
+        (col("n_common").cast("double") / col("n_b")).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
 
   /** End-to-end near-duplicate removal: drop every document that pairs
     * with a LOWER-id near-duplicate (exact-normalized duplicates always;

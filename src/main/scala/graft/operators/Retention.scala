@@ -43,6 +43,35 @@ object Retention {
       .agg(count_distinct(col("key")).as("n_active"))
   }
 
+  /** Period-over-period actives: per bucket the distinct-key count, the
+    * previous bucket's count, and the relative change — the WoW/MoM
+    * health metric. The bucket frame is tiny (weeks, not rows), so the
+    * previous-period lookup is a broadcast self-join on bucket−1 rather
+    * than a partition-less lag window (which would funnel the frame —
+    * however small — through one task and trip the plan linter's
+    * global-window rule for no benefit).
+    */
+  def periodOverPeriod(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val weekly = events
+      .filter(col(timeCol).isNotNull)
+      .groupBy(floorDiv(unix_micros(col(timeCol)), bucketUs).as("bucket"))
+      .agg(count_distinct(col(keyCol)).as("n_active"))
+    weekly
+      .join(
+        broadcast(weekly.select((col("bucket") + 1).as("bucket"),
+          col("n_active").as("prev_active"))),
+        Seq("bucket"), "left")
+      .withColumn("pct_change",
+        when(col("prev_active").isNotNull,
+          (col("n_active").cast("double") - col("prev_active").cast("double")) /
+            col("prev_active").cast("double")))
+  }
+
   /** Exact integer floor division (negative-safe: -1 us lands in bucket
     * -1, not 0 — long `/` truncates toward zero). Pure integer math so
     * any engine computes the identical bucket.
