@@ -1220,6 +1220,12 @@ object SparkEntry {
         .select(col("prev"), col("next"), col("n"),
           graft.functions.Portable.r6(col("p")).as("p"))),
 
+    // entity resolution: fuzzy-link graph -> connected components
+    "q_entity" -> ((s, dir) =>
+      FuzzyJoin.resolveEntities(
+        Tables.part(s, dir).select(col("p_partkey"), col("p_name")),
+        "p_partkey", "p_name", maxDist = 4)),
+
     // per-user EWMA of value (alpha 0.3): one key shuffle + HOF fold
     "q_ewma" -> ((s, dir) =>
       Ewma.ewmaLast(ev(s, dir), "user_id", "ts", "value", "event_id", 0.3)
@@ -2533,6 +2539,25 @@ object SparkEntry {
           |SELECT prev, next, n,
           |  floor((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p
           |FROM c JOIN t USING (prev)""".stripMargin,
+
+      "q_entity" ->
+        """WITH RECURSIVE t AS (SELECT DISTINCT lower(p_name) AS name FROM part WHERE lower(p_name) <> ''),
+          |tok AS (SELECT DISTINCT name, unnest(list_filter(string_split_regex(name, '[^a-z]+'), x -> x <> '')) AS tk FROM t),
+          |cand AS (SELECT DISTINCT a.name AS a_name, b.name AS b_name
+          |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.name < b.name),
+          |pr AS (SELECT a_name, b_name FROM cand WHERE levenshtein(a_name, b_name) <= 4),
+          |ids AS (SELECT p_partkey AS id, lower(p_name) AS name FROM part),
+          |ce AS (SELECT a.id AS ia, b.id AS ib FROM pr JOIN ids a ON a.name = pr.a_name
+          |       JOIN ids b ON b.name = pr.b_name),
+          |se AS (SELECT a.id AS ia, b.id AS ib FROM ids a JOIN ids b
+          |       ON a.name = b.name AND a.id < b.id WHERE a.name <> ''),
+          |e AS (SELECT ia AS src, ib AS dst FROM ce UNION SELECT ib, ia FROM ce
+          |      UNION SELECT ia, ib FROM se UNION SELECT ib, ia FROM se),
+          |reach AS (SELECT src AS id, src AS r FROM e
+          |          UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+          |clusters AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id)
+          |SELECT ids.id, coalesce(lbl, ids.id) AS entity_id
+          |FROM ids LEFT JOIN clusters ON clusters.id = ids.id""".stripMargin,
 
       "q_ewma" ->
         """WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs

@@ -75,6 +75,32 @@ object FuzzyJoin {
       .filter(col("sim") >= minSim)
   }
 
+  /** Entity resolution: collapse records whose values fuzzy-match into
+    * entities — the transitive closure OVER [[linkRecords]]'s pair graph
+    * ("Jon Smith" ↔ "John Smith" ↔ "John Smyth" are one entity even
+    * though the ends don't match each other directly). Composes the
+    * blocked linkage pipeline with
+    * [[graft.dedup.Dedup.connectedComponents]]'s distributed min-label
+    * propagation; records linked to nothing are their own entity.
+    * Output: (id, entity_id) for EVERY input record, entity_id = the
+    * smallest record id in the component.
+    */
+  def resolveEntities(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      maxDist: Int,
+      maxTokenDf: Long = Long.MaxValue,
+      maxSameNameRows: Int = 10000
+  ): DataFrame = {
+    val links = linkRecords(df, idCol, nameCol, maxDist, maxTokenDf, maxSameNameRows)
+      .select(col("a_id"), col("b_id"))
+    val labels = graft.dedup.Dedup.connectedComponents(links, "a_id", "b_id")
+    df.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("entity_id"))
+  }
+
   /** Record-level linkage: every (a_id, b_id) pair of rows whose values
     * fuzzy-match — INCLUDING rows with identical values (distance 0,
     * the most common linkage case), which the distinct dictionary
