@@ -1207,7 +1207,7 @@ object SparkEntry {
         .select(col("lang"), col("n"),
           graft.functions.Portable.r6(col("gini")).as("gini"))),
 
-    // budgeted selection: biggest docs per source until 50k chars each
+    // budgeted selection: biggest docs per source until 4k chars each
     "q_budget_select" -> ((s, dir) =>
       Selection
         .selectUnderBudget(docs(s, dir), Seq("source"), "n_chars", "n_chars",
@@ -2458,11 +2458,11 @@ object SparkEntry {
           |  count(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN 1 END) AS n,
           |  CAST(coalesce(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN CAST(value AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS s
           |  FROM v GROUP BY 1)
-          |SELECT event_id, code,
+          |SELECT event_id, v.code AS code,
           |  floor(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value
           |             WHEN n > 0 THEN s / n END * 1000000 + 0.5) / 1000000 AS numeric_value,
           |  CAST(CASE WHEN (value IS NULL OR isnan(value)) AND n > 0 THEN 1 ELSE 0 END AS BIGINT) AS imputed
-          |FROM v JOIN m USING (code)""".stripMargin,
+          |FROM v JOIN m ON v.code IS NOT DISTINCT FROM m.code""".stripMargin,
 
       "q_quantiles" -> {
         // DOUBLE-cast probes: DuckDB decimal literals would interpolate
@@ -2624,7 +2624,7 @@ object SparkEntry {
            |    floor(sqrt(greatest((sm2 - sm * sm / CAST(bn AS DOUBLE)) / CAST(bn - 1 AS DOUBLE),
            |                        CAST(0 AS DOUBLE))) * 1000000 + 0.5) / 1000000
            |  END AS se_boot
-           |FROM g JOIN n USING (event_type)""".stripMargin
+           |FROM g JOIN n ON g.event_type IS NOT DISTINCT FROM n.event_type""".stripMargin
     )
   }
 }

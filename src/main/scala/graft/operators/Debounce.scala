@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Debounce {
 
-  /** Rows whose previous same-key event is at least `gapUs` older (the
-    * key's first event always survives). Null-time rows are passed
+  /** Rows whose previous same-key event is MORE than `gapUs` older —
+    * strictly: an event exactly `gapUs` after its predecessor is still a
+    * repeat (the key's first event always survives). Null-time rows are
+    * passed
     * through untouched — they carry no position in the stream. Ties
     * are ordered by `tieCol` so "simultaneous" duplicates debounce
     * deterministically (the lowest tie survives).

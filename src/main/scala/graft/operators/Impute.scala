@@ -28,12 +28,18 @@ object Impute {
         count(when(valid, lit(1))).as("__n"),
         coalesce(sum(when(valid, v.cast("decimal(38,6)"))), lit(0).cast("decimal(38,6)"))
           .cast("double").as("__s"))
-      .select((by.map(col) :+ when(col("__n") > 0, col("__s") / col("__n")).as("__mean")): _*)
+      .select((by.map(c => col(c).as(s"__k_$c")) :+
+        when(col("__n") > 0, col("__s") / col("__n")).as("__mean")): _*)
+    // null-SAFE key match: a NULL group is a real group with a real mean
+    // (and the oracle's IS NOT DISTINCT FROM join agrees); a plain USING
+    // join would silently leave NULL-group rows unimputed
+    val cond = by.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
     df
-      .join(broadcast(means), by, "left")
+      .join(broadcast(means), cond, "left")
       .withColumn(s"$valueCol/imputed",
         when(!valid && col("__mean").isNotNull, lit(1L)).otherwise(lit(0L)))
       .withColumn(valueCol, when(valid, col(valueCol)).otherwise(col("__mean")))
       .drop("__mean")
+      .drop(by.map(c => s"__k_$c"): _*)
   }
 }

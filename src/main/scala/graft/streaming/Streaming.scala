@@ -403,20 +403,29 @@ object Streaming {
     import events.sparkSession.implicits._
     require(gapUs >= 0, s"gapUs must be >= 0, got $gapUs")
 
+    // Full microsecond precision: Timestamp.getTime truncates to millis,
+    // which would collapse sub-millisecond gaps the batch twin (unix_micros)
+    // resolves — breaking the parity contract for small gapUs.
+    def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
     def fn(key: (Long, String), rows: Iterator[Event], state: GroupState[Long]): Iterator[Event] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
-        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+        val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.value))
         var last = state.getOption
         val kept = sorted.filter { e =>
-          val t = e.ts.getTime * 1000L
+          val t = micros(e.ts)
           val keep = last.forall(p => t - p > gapUs)
           last = Some(last.fold(t)(math.max(_, t)))
           keep
         }
         last.foreach { l =>
           state.update(l)
-          state.setTimeoutTimestamp(l / 1000L + gapUs / 1000L + 1L)
+          // timeouts must be ahead of the CURRENT watermark: a late-but-
+          // accepted event (filtered with the previous batch's watermark,
+          // validated against this one) would otherwise crash the query
+          state.setTimeoutTimestamp(
+            math.max(l / 1000L + gapUs / 1000L, state.getCurrentWatermarkMs()) + 1L)
         }
         kept.iterator
       }

@@ -15,8 +15,6 @@ class AssocImportanceSpec extends SparkSpec {
       (3L, "a"), (3L, "b"), (3L, "b"), // duplicate (3,b) must not double-count
       (4L, "a")
     ).toDF("u", "i")
-    val out = Assoc.rules(df, "u", "i", 1L).collect()
-      .map(r => ((r.getString(1), r.getString(0)), r)).toMap // keyed (ante, cons)... fixed below
     val byDir = Assoc.rules(df, "u", "i", 1L).collect()
       .map(r => ((r.getAs[String]("ante"), r.getAs[String]("cons")), r)).toMap
     val ab = byDir(("a", "b"))
@@ -27,7 +25,7 @@ class AssocImportanceSpec extends SparkSpec {
     assert(math.abs(ab.getAs[Double]("lift") - 1.0) < 1e-12)
     val ba = byDir(("b", "a"))
     assert(math.abs(ba.getAs[Double]("confidence") - 1.0) < 1e-12)
-    assert(out.nonEmpty)
+    assert(byDir.nonEmpty)
   }
 
   test("association rules honor minCount") {

@@ -74,6 +74,9 @@ class DotProductSpec extends SparkSpec {
           |FROM VALUES ('a'), ('a'), ('a'), ('b'), ('b'), ('c') AS t(x)""".stripMargin)
         .selectExpr("transform(c, i -> i.item) AS items").collect()(0).getSeq[String](0)
       assert(fi.contains("a"))
+      val jwv = withExt.sql("SELECT graft_jaro_winkler('martha', 'marhta') AS s")
+        .collect()(0).getDouble(0)
+      assert(math.abs(jwv - 0.9611111111111111) < 1e-12)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(prev)
       org.apache.spark.sql.SparkSession.setActiveSession(prev)

@@ -47,6 +47,19 @@ class Round4bOpsSpec extends SparkSpec {
     assert(out.count(r => r._1 == "a" && r._3 == 0L) == 2)
   }
 
+  test("mean imputation treats a NULL group key as a real group") {
+    val df = Seq(
+      (Option("a"), Some(2.0)),
+      (Option.empty[String], Some(6.0)), (Option.empty[String], Some(8.0)),
+      (Option.empty[String], Option.empty[Double])
+    ).toDF("code", "v")
+    val out = Impute.meanImpute(df, Seq("code"), "v")
+      .filter(col("code").isNull).collect()
+      .map(r => (Option(r.get(1)), r.getAs[Long]("v/imputed")))
+    assert(out.count(_._2 == 1L) == 1)
+    assert(out.find(_._2 == 1L).get._1.contains(7.0)) // NULL group's own mean
+  }
+
   test("count-min estimates upper-bound exact counts, tight at large width") {
     val df = (1 to 1000).map(i => s"k${i % 37}").toDF("k")
     val exact = df.groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
