@@ -1220,6 +1220,31 @@ object SparkEntry {
         .select(col("prev"), col("next"), col("n"),
           graft.functions.Portable.r6(col("p")).as("p"))),
 
+    // Spearman rank correlation (average ranks; contrast with q_corr)
+    "q_spearman" -> ((s, dir) =>
+      Stats
+        .spearman(Tables.lineitem(s, dir),
+          Seq("l_returnflag", "l_linestatus"), "l_quantity", "l_extendedprice")
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          graft.functions.Portable.r6(col("rho")).as("rho"))),
+
+    // OLAP cube over (lang, source) with grouping id
+    "q_cube" -> ((s, dir) =>
+      docs(s, dir)
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("n_chars").cast("decimal(38,6)")), lit(0).cast("decimal(38,6)"))
+            .cast("double").as("chars"),
+          grouping_id().as("gid"))),
+
+    // equi-depth histogram: per-language quartile bins of doc size
+    "q_eqdepth" -> ((s, dir) =>
+      Selection
+        .ntilePerGroup(docs(s, dir), Seq("lang"), "n_chars", n = 4, tieBreakCol = "doc_id")
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("n_chars")).as("lo"),
+          max(col("n_chars")).as("hi"))),
+
     // entity resolution: fuzzy-link graph -> connected components
     "q_entity" -> ((s, dir) =>
       FuzzyJoin.resolveEntities(
@@ -2540,6 +2565,44 @@ object SparkEntry {
           |  floor((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p
           |FROM c JOIN t USING (prev)""".stripMargin,
 
+      "q_spearman" ->
+        """WITH v AS (SELECT l_returnflag, l_linestatus,
+          |    CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y
+          |  FROM lineitem
+          |  WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
+          |    AND l_extendedprice IS NOT NULL AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+          |r AS (SELECT l_returnflag, l_linestatus,
+          |    CAST(rank() OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY x) AS DOUBLE)
+          |      + CAST(count(*) OVER (PARTITION BY l_returnflag, l_linestatus, x) - 1 AS DOUBLE) / 2.0 AS rx,
+          |    CAST(rank() OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY y) AS DOUBLE)
+          |      + CAST(count(*) OVER (PARTITION BY l_returnflag, l_linestatus, y) - 1 AS DOUBLE) / 2.0 AS ry
+          |  FROM v),
+          |m AS (SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  CAST(coalesce(sum(CAST(rx AS DECIMAL(38,6))), 0) AS DOUBLE) AS sx,
+          |  CAST(coalesce(sum(CAST(ry AS DECIMAL(38,6))), 0) AS DOUBLE) AS sy,
+          |  CAST(coalesce(sum(CAST(rx * ry AS DECIMAL(38,6))), 0) AS DOUBLE) AS sxy,
+          |  CAST(coalesce(sum(CAST(rx * rx AS DECIMAL(38,6))), 0) AS DOUBLE) AS sxx,
+          |  CAST(coalesce(sum(CAST(ry * ry AS DECIMAL(38,6))), 0) AS DOUBLE) AS syy
+          |  FROM r GROUP BY 1, 2)
+          |SELECT l_returnflag, l_linestatus, n,
+          |  floor(((CAST(n AS DOUBLE) * sxy - sx * sy) /
+          |    nullif(sqrt(greatest((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy), 0.0)), 0.0))
+          |    * 1000000 + 0.5) / 1000000 AS rho
+          |FROM m""".stripMargin,
+
+      "q_cube" ->
+        """SELECT lang, source, count(*) AS n,
+          |  CAST(coalesce(sum(CAST(n_chars AS DECIMAL(38,6))), 0) AS DOUBLE) AS chars,
+          |  GROUPING_ID(lang, source) AS gid
+          |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+
+      "q_eqdepth" ->
+        """WITH b AS (SELECT lang, n_chars,
+          |    CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS bin
+          |  FROM documents)
+          |SELECT lang, bin, count(*) AS n, min(n_chars) AS lo, max(n_chars) AS hi
+          |FROM b GROUP BY 1, 2""".stripMargin,
+
       "q_entity" ->
         """WITH RECURSIVE t AS (SELECT DISTINCT lower(p_name) AS name FROM part WHERE lower(p_name) <> ''),
           |tok AS (SELECT DISTINCT name, unnest(list_filter(string_split_regex(name, '[^a-z]+'), x -> x <> '')) AS tk FROM t),
@@ -2547,17 +2610,16 @@ object SparkEntry {
           |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.name < b.name),
           |pr AS (SELECT a_name, b_name FROM cand WHERE levenshtein(a_name, b_name) <= 4),
           |ids AS (SELECT p_partkey AS id, lower(p_name) AS name FROM part),
-          |ce AS (SELECT a.id AS ia, b.id AS ib FROM pr JOIN ids a ON a.name = pr.a_name
-          |       JOIN ids b ON b.name = pr.b_name),
-          |se AS (SELECT a.id AS ia, b.id AS ib FROM ids a JOIN ids b
-          |       ON a.name = b.name AND a.id < b.id WHERE a.name <> ''),
-          |e AS (SELECT ia AS src, ib AS dst FROM ce UNION SELECT ib, ia FROM ce
-          |      UNION SELECT ia, ib FROM se UNION SELECT ib, ia FROM se),
+          |nm AS (SELECT name, min(id) AS nid FROM ids WHERE name <> '' GROUP BY 1),
+          |e0 AS (SELECT a.nid AS ia, b.nid AS ib FROM pr JOIN nm a ON a.name = pr.a_name
+          |       JOIN nm b ON b.name = pr.b_name),
+          |e AS (SELECT ia AS src, ib AS dst FROM e0 UNION SELECT ib, ia FROM e0),
           |reach AS (SELECT src AS id, src AS r FROM e
           |          UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
-          |clusters AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id)
-          |SELECT ids.id, coalesce(lbl, ids.id) AS entity_id
-          |FROM ids LEFT JOIN clusters ON clusters.id = ids.id""".stripMargin,
+          |clusters AS (SELECT id AS nid, min(r) AS lbl FROM reach GROUP BY 1)
+          |SELECT ids.id, coalesce(lbl, nm.nid, ids.id) AS entity_id
+          |FROM ids LEFT JOIN nm ON nm.name = ids.name
+          |LEFT JOIN clusters ON clusters.nid = nm.nid""".stripMargin,
 
       "q_ewma" ->
         """WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs

@@ -76,29 +76,47 @@ object FuzzyJoin {
   }
 
   /** Entity resolution: collapse records whose values fuzzy-match into
-    * entities — the transitive closure OVER [[linkRecords]]'s pair graph
+    * entities — the transitive closure over the fuzzy-match graph
     * ("Jon Smith" ↔ "John Smith" ↔ "John Smyth" are one entity even
-    * though the ends don't match each other directly). Composes the
-    * blocked linkage pipeline with
-    * [[graft.dedup.Dedup.connectedComponents]]'s distributed min-label
-    * propagation; records linked to nothing are their own entity.
-    * Output: (id, entity_id) for EVERY input record, entity_id = the
-    * smallest record id in the component.
+    * though the ends don't match each other directly). Records linked
+    * to nothing are their own entity. Output: (id, entity_id) for EVERY
+    * input record, entity_id = the smallest record id in the component.
+    *
+    * The closure runs on the NAME graph, never the record graph: each
+    * distinct value becomes one node (keyed by the min record id that
+    * carries it), fuzzy pairs become dictionary-sized edges, and
+    * [[graft.dedup.Dedup.connectedComponents]] labels that tiny graph.
+    * Expanding to record-level edges first would be quadratic in each
+    * value's duplicate count (a value shared by 300 records → 45k
+    * same-name edges, a fuzzy pair of two such values → 90k cross
+    * edges) for an identical clustering — same-name records are fully
+    * connected through their shared node by construction, so the record
+    * component IS the name component's record set and the min record id
+    * is the min over member names' min ids.
     */
   def resolveEntities(
       df: DataFrame,
       idCol: String,
       nameCol: String,
       maxDist: Int,
-      maxTokenDf: Long = Long.MaxValue,
-      maxSameNameRows: Int = 10000
+      maxTokenDf: Long = Long.MaxValue
   ): DataFrame = {
-    val links = linkRecords(df, idCol, nameCol, maxDist, maxTokenDf, maxSameNameRows)
-      .select(col("a_id"), col("b_id"))
-    val labels = graft.dedup.Dedup.connectedComponents(links, "a_id", "b_id")
-    df.select(col(idCol).cast("long").as("id"))
-      .join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("label"), col("id")).as("entity_id"))
+    val rows = df.select(col(idCol).cast("long").as("id"), lower(col(nameCol)).as("name"))
+    // one row-level shuffle: each distinct value's node id = its min record id
+    val nameMin = rows
+      .filter(col("name").isNotNull && col("name") =!= "")
+      .groupBy("name")
+      .agg(min(col("id")).as("nid"))
+      .localCheckpoint(false)
+    val edges = fuzzyPairs(df, nameCol, maxDist, maxTokenDf)
+      .join(nameMin.select(col("name").as("a_name"), col("nid").as("ia")), "a_name")
+      .join(nameMin.select(col("name").as("b_name"), col("nid").as("ib")), "b_name")
+      .select(col("ia").as("id_a"), col("ib").as("id_b"))
+    val labels = graft.dedup.Dedup.connectedComponents(edges)
+    rows
+      .join(broadcast(nameMin), Seq("name"), "left")
+      .join(broadcast(labels.withColumnRenamed("id", "nid")), Seq("nid"), "left")
+      .select(col("id"), coalesce(col("label"), col("nid"), col("id")).as("entity_id"))
   }
 
   /** Record-level linkage: every (a_id, b_id) pair of rows whose values

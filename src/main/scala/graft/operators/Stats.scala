@@ -44,6 +44,35 @@ object Stats {
       )
   }
 
+  /** Per-group Spearman rank correlation: Pearson over AVERAGE ranks
+    * (the standard tie treatment — tied values share the mean of the
+    * positions they span), the monotonic-association measure that
+    * ignores scale and outliers ("does quality rank track length rank"
+    * where Pearson would chase the heavy tail).
+    *
+    * All four rank/tie windows share ONE exchange: they partition by
+    * the group (sorts differ, partitioning doesn't), and the tie-count
+    * windows over (group, value) are satisfied by the group clustering
+    * — same reuse as the bigram-LM windows. Ranks are exact halves, so
+    * the moment sums stay exact through DECIMAL and the result is
+    * engine-portable. Pairwise-valid rows only.
+    */
+  def spearman(df: DataFrame, by: Seq[String], xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val wg = Window.partitionBy(by.map(col): _*)
+    def avgRank(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      rank().over(wg.orderBy(v)).cast("double") +
+        (count(lit(1)).over(Window.partitionBy((by.map(col) :+ v): _*)) - 1).cast("double") / 2.0
+    val ranked = df
+      .filter(ok(x) && ok(y))
+      .withColumn("__rx", avgRank(x))
+      .withColumn("__ry", avgRank(y))
+    groupedCorrelation(ranked, by, "__rx", "__ry")
+      .withColumnRenamed("corr", "rho")
+  }
+
   /** Per-group Gini concentration of a non-negative quantity: 0 = the
     * group's mass is spread evenly across its rows, →1 = a few rows
     * hold everything. The corpus-diversity alarm ("90% of this
