@@ -4,7 +4,7 @@ import graft.ann.{Embeddings, KMeans, Similarity}
 import graft.dedup.Dedup
 import graft.meds.{Meds, MedsPipeline}
 import graft.operators._
-import graft.pipeline.{Packing, Sampling, Selection}
+import graft.pipeline.{Curation, Packing, Sampling, Selection}
 import graft.sources.Tables
 import graft.text.{Bm25, Chunker, Collocations, InvertedIndex, TextFunctions, Tfidf, WordVocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1219,6 +1219,16 @@ object SparkEntry {
       Transitions.transitionCounts(ev(s, dir), "user_id", "ts", "event_type", "event_id")
         .select(col("prev"), col("next"), col("n"),
           graft.functions.Portable.r6(col("p")).as("p"))),
+
+    // composed targeted selection: DSIR score -> target-like filter ->
+    // per-source budget fill, one lazy plan (composition twin of
+    // q_curation / q_assembly with the round-4 scoring ops)
+    "q_select_pipeline" -> ((s, dir) =>
+      Curation
+        .selectTargetLike(docs(s, dir), col("lang") === "en",
+          minLlr = 0.0, budgetPerSource = 1500L)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          graft.functions.Portable.r6(col("llr")).as("llr"))),
 
     // Spearman rank correlation (average ranks; contrast with q_corr)
     "q_spearman" -> ((s, dir) =>
@@ -2564,6 +2574,25 @@ object SparkEntry {
           |SELECT prev, next, n,
           |  floor((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p
           |FROM c JOIN t USING (prev)""".stripMargin,
+
+      "q_select_pipeline" ->
+        """WITH t AS (SELECT doc_id, (lang = 'en') AS tgt, unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '')) AS term FROM documents),
+          |c AS (SELECT term, count(*) AS nc, count(CASE WHEN tgt THEN 1 END) AS nt FROM t GROUP BY 1),
+          |tot AS (SELECT sum(nc) AS tc, sum(nt) AS tt, count(*) AS v FROM c),
+          |r AS (SELECT term,
+          |  ln(CAST(nt + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE)) -
+          |  ln(CAST(nc + 1 AS DOUBLE) / CAST(tc + v AS DOUBLE)) AS lr FROM c, tot),
+          |sc AS (SELECT doc_id,
+          |  CAST(sum(CAST(lr AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS llr
+          |  FROM t JOIN r USING (term) GROUP BY 1),
+          |j AS (SELECT d.doc_id, d.source, d.n_chars, llr
+          |      FROM documents d JOIN sc USING (doc_id) WHERE llr > 0.0),
+          |w AS (SELECT *, sum(n_chars) OVER (PARTITION BY source ORDER BY llr DESC, doc_id
+          |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |      FROM j)
+          |SELECT doc_id, source, n_chars,
+          |  floor(llr * 1000000 + 0.5) / 1000000 AS llr
+          |FROM w WHERE cum <= 1500""".stripMargin,
 
       "q_spearman" ->
         """WITH v AS (SELECT l_returnflag, l_linestatus,

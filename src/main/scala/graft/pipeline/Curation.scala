@@ -55,4 +55,34 @@ object Curation {
     if (config.sampleFrac >= 1.0) deduped
     else Sampling.deterministicSample(deduped, idCol, config.sampleFrac, config.sampleSeed)
   }
+
+  /** Targeted selection: score the corpus against a target slice (DSIR
+    * importance, [[graft.text.Importance.importanceScore]]), keep
+    * target-like documents (llr > `minLlr`), then fill a per-source
+    * cost budget best-score-first ([[Selection.selectUnderBudget]]) —
+    * the "make the mix look like the target, balanced across sources,
+    * under a token budget" assembly step, composed as ONE lazy plan.
+    *
+    * The scores join back to the corpus on the doc id — both sides are
+    * doc-keyed, one co-partitioned shuffle join; everything after
+    * operates on the filtered survivor frame.
+    */
+  def selectTargetLike(
+      docs: DataFrame,
+      targetPred: org.apache.spark.sql.Column,
+      minLlr: Double,
+      budgetPerSource: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source",
+      costCol: String = "n_chars"
+  ): DataFrame = {
+    val scores = graft.text.Importance
+      .importanceScore(docs, idCol, textCol, targetPred)
+      .withColumnRenamed("id", idCol)
+      .filter(col("llr") > minLlr)
+    Selection.selectUnderBudget(
+      docs.join(scores.select(col(idCol), col("llr")), idCol),
+      Seq(sourceCol), "llr", costCol, budgetPerSource, idCol)
+  }
 }
