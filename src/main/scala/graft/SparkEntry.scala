@@ -1220,6 +1220,21 @@ object SparkEntry {
         .select(col("prev"), col("next"), col("n"),
           graft.functions.Portable.r6(col("p")).as("p"))),
 
+    // per-user inter-arrival gap stats (burstiness profile)
+    "q_interarrival" -> ((s, dir) =>
+      Transitions.interArrivalStats(ev(s, dir), "user_id", "ts", "event_id")
+        .select(col("user_id"), col("n_gaps"),
+          graft.functions.Portable.r6(col("mean_gap_s")).as("mean_gap_s"),
+          col("max_gap_us"))),
+
+    // row-local sentence segmentation stats (zero shuffle)
+    "q_sentences" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextFunctions.sentenceStats(col("text")).as("st"))
+        .select(col("doc_id"), col("st.n_sentences").as("n_sentences"),
+          col("st.n_words").as("n_words"),
+          graft.functions.Portable.r6(col("st.avg_sentence_len")).as("avg_sentence_len"))),
+
     // composed targeted selection: DSIR score -> target-like filter ->
     // per-source budget fill, one lazy plan (composition twin of
     // q_curation / q_assembly with the round-4 scoring ops)
@@ -2574,6 +2589,29 @@ object SparkEntry {
           |SELECT prev, next, n,
           |  floor((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p
           |FROM c JOIN t USING (prev)""".stripMargin,
+
+      "q_interarrival" ->
+        """WITH g AS (SELECT user_id,
+          |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          |  FROM events WHERE ts IS NOT NULL)
+          |SELECT user_id, count(*) AS n_gaps,
+          |  floor((CAST(sum(CAST(gap AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) / CAST(1000000 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mean_gap_s,
+          |  max(gap) AS max_gap_us
+          |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
+
+      "q_sentences" ->
+        """WITH s AS (SELECT doc_id,
+          |    list_filter(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)), x -> x <> '') AS sents
+          |  FROM documents),
+          |w AS (SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+          |    CAST(coalesce(list_sum(list_transform(sents,
+          |      x -> len(list_filter(string_split_regex(lower(x), '[^a-z]+'), t -> t <> '')))), 0) AS BIGINT) AS n_words
+          |  FROM s)
+          |SELECT doc_id, n_sentences, n_words,
+          |  CASE WHEN n_sentences > 0 THEN
+          |    floor((CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) * 1000000 + 0.5) / 1000000
+          |  END AS avg_sentence_len
+          |FROM w""".stripMargin,
 
       "q_select_pipeline" ->
         """WITH t AS (SELECT doc_id, (lang = 'en') AS tgt, unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '')) AS term FROM documents),

@@ -23,6 +23,35 @@ object Transitions {
     * Ties at equal times order by `tieCol` so sequences — and thus
     * transitions — are deterministic.
     */
+  /** Per-key inter-arrival statistics: (key, n_gaps, mean_gap_us,
+    * max_gap_us) over consecutive event gaps — the burstiness /
+    * heartbeat-health profile of a stream (a crawler that slows down, a
+    * device that goes quiet). Gaps come from the same lag window shape
+    * as [[transitionCounts]] (one key shuffle); the roll-up is a plain
+    * partial aggregate with DECIMAL gap sums, so the mean is exact and
+    * engine-portable. Keys with a single event have no gap and drop out.
+    */
+  def interArrivalStats(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(unix_micros(col(timeCol)), col(tieCol))
+    events
+      .filter(col(timeCol).isNotNull)
+      .withColumn("__gap", unix_micros(col(timeCol)) - lag(unix_micros(col(timeCol)), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        // mean in SECONDS: a micros-scale mean (~1e10) would push the
+        // r6 verification convention past 2^53 where floor(x*1e6)
+        // quantizes differently per engine
+        (sum(col("__gap").cast("decimal(38,6)")).cast("double") /
+          count(lit(1)).cast("double") / lit(1000000.0)).as("mean_gap_s"),
+        max(col("__gap")).as("max_gap_us"))
+  }
+
   def transitionCounts(
       events: DataFrame,
       keyCol: String,

@@ -167,6 +167,25 @@ object TextFunctions {
       .cast("long").as("n_long_digit_runs")
   )
 
+  /** Sentence segmentation stats as pure row-local column expressions
+    * (zero shuffle, fuses into the scan): sentences split on [.!?]+
+    * runs, words per sentence via the same [a-z]+ tokenizer as
+    * [[wordTokens]]. Returns a struct (n_sentences, n_words,
+    * avg_sentence_len) — NULL average for sentence-less text. The
+    * readability / fragment-detection signal ("avg 2-word sentences"
+    * = menu/list scrape, "80-word sentences" = OCR run-on).
+    */
+  def sentenceStats(text: Column): Column = {
+    val sents = filter(transform(split(text, "[.!?]+"), s => trim(s)), s => s =!= "")
+    val wps = transform(sents, s => size(filter(split(lower(s), "[^a-z]+"), t => t =!= "")))
+    val nSent = size(sents).cast("long")
+    val nWords = aggregate(wps, lit(0L), (acc, x) => acc + x)
+    struct(
+      nSent.as("n_sentences"),
+      nWords.as("n_words"),
+      when(nSent > 0, nWords.cast("double") / nSent.cast("double")).as("avg_sentence_len"))
+  }
+
   def qualityScore(text: Column): Column = {
     val f = qualityFeatures(text)
     val lenScore = least(f("n_words").cast("double") / 100.0, lit(1.0))

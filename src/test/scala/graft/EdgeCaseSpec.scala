@@ -106,6 +106,45 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.text.Keywords.termLift(emptyDocs, "text").count() == 0)
   }
 
+  test("round-4 session-2 operators tolerate empty and degenerate input") {
+    val emptyEvents = Seq.empty[(Long, Long, Option[Timestamp], Option[Double], String)]
+      .toDF("event_id", "user_id", "ts", "value", "event_type")
+    assert(Funnel.funnel(emptyEvents, "user_id", "ts", "event_type", Seq("a", "b")).count() == 0)
+    assert(Retention.cohortRetention(emptyEvents, "user_id", "ts", 1000L).count() == 0)
+    assert(Retention.periodOverPeriod(emptyEvents, "user_id", "ts", 1000L).count() == 0)
+    assert(Sampling.weightedSampleN(emptyDocs.withColumn("w", lit(1.0)), "doc_id", "w", 5, "s").count() == 0)
+    assert(Assoc.rules(emptyEvents, "user_id", "event_type", 1L).count() == 0)
+    assert(graft.text.Importance.importanceScore(emptyDocs, "doc_id", "text", lit(true)).count() == 0)
+    assert(graft.text.Importance.wordEntropy(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Stats.percentileRank(emptyEvents, Seq("event_type"), "value").count() == 0)
+    assert(Stats.chiSquare(emptyDocs.withColumn("b", lit("x")), "text", "b").count() == 0)
+    assert(Stats.gini(emptyEvents, Seq("event_type"), "value").count() == 0)
+    assert(Stats.spearman(emptyEvents, Seq("event_type"), "value", "value").count() == 0)
+    assert(graft.text.FeatureHash.hashedFeatures(emptyDocs, "doc_id", "text", 8).count() == 0)
+    assert(Sketches.countMinTable(emptyDocs, "text", 2, 16).count() == 0)
+    assert(Sketches.countMinEstimate(
+      Sketches.countMinTable(emptyDocs, "text", 2, 16), emptyDocs, "text", 2, 16).count() == 0)
+    assert(Debounce.debounce(emptyEvents, Seq("user_id"), "ts", 100L, "event_id").count() == 0)
+    assert(Impute.meanImpute(emptyEvents, Seq("event_type"), "value").count() == 0)
+    assert(Profile.quantileSummary(emptyEvents, Seq("event_type"), "value", Seq(0.5)).count() == 0)
+    assert(Trending.topItemsPerBucket(emptyEvents, "ts", "event_type", 1000L, 3).count() == 0)
+    assert(Selection.selectUnderBudget(
+      emptyEvents.withColumn("c", lit(1L)), Seq("event_type"), "value", "c", 10L, "event_id").count() == 0)
+    assert(Transitions.transitionCounts(emptyEvents, "user_id", "ts", "event_type", "event_id").count() == 0)
+    assert(Transitions.interArrivalStats(emptyEvents, "user_id", "ts", "event_id").count() == 0)
+    assert(Bootstrap.bootstrapMeanSE(emptyEvents, Seq("event_type"), "value", "event_id").count() == 0)
+    assert(Ewma.ewmaLast(emptyEvents, "user_id", "ts", "value", "event_id", 0.5).count() == 0)
+    assert(Dedup.ngramContainmentPairs(emptyDocs, 0.5).count() == 0)
+    assert(Dedup.crossSplitLeakage(emptyDocs.withColumn("sp", lit("t")), "sp", 0.5).count() == 0)
+    assert(FuzzyJoin.resolveEntities(emptyDocs, "doc_id", "text", 2).count() == 0)
+    // single-row input: windows and folds degrade to identity, not errors
+    val one = Seq((1L, 1L, Some(Timestamp.valueOf("2024-01-01 00:00:00")), Some(2.0), "a"))
+      .toDF("event_id", "user_id", "ts", "value", "event_type")
+    assert(Ewma.ewmaLast(one, "user_id", "ts", "value", "event_id", 0.5).head().getDouble(2) == 2.0)
+    assert(Transitions.interArrivalStats(one, "user_id", "ts", "event_id").count() == 0)
+    assert(Stats.gini(one, Seq("event_type"), "value").head().getDouble(2) == 0.0)
+  }
+
   test("all-null and whitespace-only text columns don't break text functions") {
     val weird = Seq((1L, null: String), (2L, ""), (3L, "   \t\n  "), (4L, "!!!???")).toDF("doc_id", "text")
     val out = weird.select(
