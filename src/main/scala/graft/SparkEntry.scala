@@ -2595,7 +2595,7 @@ object SparkEntry {
           |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
           |  FROM events WHERE ts IS NOT NULL)
           |SELECT user_id, count(*) AS n_gaps,
-          |  floor((CAST(sum(CAST(gap AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) / CAST(1000000 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mean_gap_s,
+          |  floor((CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE) / CAST(1000000 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mean_gap_s,
           |  max(gap) AS max_gap_us
           |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
 

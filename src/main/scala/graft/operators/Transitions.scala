@@ -44,10 +44,12 @@ object Transitions {
       .groupBy(col(keyCol))
       .agg(
         count(lit(1)).as("n_gaps"),
-        // mean in SECONDS: a micros-scale mean (~1e10) would push the
-        // r6 verification convention past 2^53 where floor(x*1e6)
-        // quantizes differently per engine
-        (sum(col("__gap").cast("decimal(38,6)")).cast("double") /
+        // plain INTEGER sum, not the DECIMAL(38,6) convention: gaps are
+        // exact longs, and a decimal sum of micros-scale values puts the
+        // scaled int128 past 2^53 where DuckDB's decimal->double cast
+        // (scaled-int divide) rounds differently than Spark's
+        // BigDecimal path. Mean in SECONDS keeps r6's x*1e6 within 2^53.
+        (sum(col("__gap")).cast("double") /
           count(lit(1)).cast("double") / lit(1000000.0)).as("mean_gap_s"),
         max(col("__gap")).as("max_gap_us"))
   }
