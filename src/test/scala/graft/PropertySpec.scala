@@ -69,6 +69,53 @@ class PropertySpec extends SparkSpec {
     assert(base.nonEmpty && base.size < ids.size)
   }
 
+  test("funnel reached-counts are antitone in the step list: adding a step never raises anyone's progress") {
+    val ev = Gen.zip(Gen.chooseNum(1L, 40L), Gen.chooseNum(0L, 500000L),
+      Gen.oneOf("a", "b", "c", "d"))
+    val rows = sample(ev, 500, seed = 19L).zipWithIndex.map { case ((u, t, tp), i) =>
+      (u, new java.sql.Timestamp(1700000000000L + t), tp, i.toLong)
+    }.toDF("user_id", "ts", "event_type", "event_id")
+    def reached(steps: Seq[String]): Map[Long, Long] =
+      graft.operators.Funnel.funnel(rows, "user_id", "ts", "event_type", steps)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = reached(Seq("a", "b"))
+    val three = reached(Seq("a", "b", "c"))
+    // same users enter (step 1 identical), nobody's progress through the
+    // shared prefix changes
+    assert(two.keySet == three.keySet)
+    for ((u, r3) <- three) assert(math.min(r3, 2L) == math.min(two(u), 2L), s"user $u")
+  }
+
+  test("weighted sampling with uniform weights equals the n smallest-hash rows' count and respects n") {
+    val ids = sample(Gen.chooseNum(0L, 1000000L), 400, seed = 23L).distinct
+    val df = ids.toDF("id").withColumn("w", lit(1.0))
+    for (n <- Seq(1, 17, 100)) {
+      val out = Sampling.weightedSampleN(df, "id", "w", n, "s").collect()
+      assert(out.length == math.min(n, ids.size))
+    }
+    // heavier rows win against uniform: double one row's weight vs all-1
+    val boosted = df.withColumn("w", when(col("id") === ids.head, 1e9).otherwise(1.0))
+    val picked = Sampling.weightedSampleN(boosted, "id", "w", 1, "s")
+      .head().getLong(0)
+    assert(picked == ids.head)
+  }
+
+  test("containment dominates jaccard on every candidate pair") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val doc = Gen.chooseNum(6, 14).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docs = sample(doc, 50, seed = 29L).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val jac = graft.dedup.Dedup.ngramJaccardPairs(docs, threshold = 0.0, n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val cont = graft.dedup.Dedup.ngramContainmentPairs(docs, threshold = 0.0, n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(jac.keySet == cont.keySet && jac.nonEmpty)
+    for ((k, j) <- jac) {
+      val (ca, cb) = cont(k)
+      assert(ca >= j - 1e-12 && cb >= j - 1e-12, s"pair $k")
+    }
+  }
+
   test("line dedup output contains every distinct line exactly once, order preserved") {
     val line = Gen.oneOf("header", "footer", "alpha beta", "gamma", "delta five", "unique")
     val doc = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, line).map(_.mkString("\n")))
