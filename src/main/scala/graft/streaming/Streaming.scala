@@ -381,6 +381,60 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  final case class FunnelHit(user_id: Long, reached: Int, ts: Timestamp)
+
+  /** Streaming funnel: the incremental twin of
+    * [[graft.operators.Funnel.funnel]] — emit a [[FunnelHit]] each time
+    * a key advances one step (greedy earliest-first, strictly-after
+    * matching, identical to the batch fold on in-order arrival). State
+    * is the matched-times array (≤ steps.length longs per live key, the
+    * funnel's own definition of minimal state); completed keys keep
+    * their state until the idle timeout so re-occurring step types
+    * don't restart a second funnel instance, then evict by event-time
+    * timeout — eviction trades memory for the ability to resume a
+    * dormant key's funnel, the same horizon trade the LSH bucket state
+    * documents.
+    */
+  def streamingFunnel(
+      events: Dataset[Event],
+      steps: Seq[String],
+      watermarkDelay: String,
+      idleTimeoutMs: Long = 24L * 3600 * 1000
+  ): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty && steps.distinct.size == steps.size, s"bad step list $steps")
+
+    def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+    def fn(key: Long, rows: Iterator[Event], state: GroupState[Seq[Long]]): Iterator[FunnelHit] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var matched = state.getOption.getOrElse(Seq.empty)
+        val sorted = rows.filter(e => steps.contains(e.event_type)).toSeq.sortBy(e => micros(e.ts))
+        val hits = Seq.newBuilder[FunnelHit]
+        for (e <- sorted) {
+          val t = micros(e.ts)
+          if (matched.size < steps.size && e.event_type == steps(matched.size) &&
+              (matched.isEmpty || t > matched.last)) {
+            matched = matched :+ t
+            hits += FunnelHit(key, matched.size, e.ts)
+          }
+        }
+        if (matched.nonEmpty) {
+          state.update(matched)
+          state.setTimeoutTimestamp(
+            math.max(matched.last / 1000L + idleTimeoutMs, state.getCurrentWatermarkMs()) + 1L)
+        }
+        hits.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** Streaming debounce: the incremental twin of
     * [[graft.operators.Debounce.debounce]] — emit an event iff it is at
     * least `gapUs` after the key's previous event. State is ONE long

@@ -68,6 +68,36 @@ class BootstrapStreamingDebounceSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming funnel matches the batch funnel's reached counts across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "signup", 0.0),
+      (1L, ts("2024-01-01 10:05:00"), "view", 0.0),
+      (2L, ts("2024-01-01 10:01:00"), "view", 0.0),   // view before signup: no entry
+      (3L, ts("2024-01-01 10:02:00"), "signup", 0.0))
+    val t2 = Seq(
+      (1L, ts("2024-01-01 10:10:00"), "purchase", 0.0), // completes across triggers
+      (2L, ts("2024-01-01 10:11:00"), "signup", 0.0),
+      (3L, ts("2024-01-01 10:12:00"), "purchase", 0.0)) // skips 'view': stuck at 1
+    val steps = Seq("signup", "view", "purchase")
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "event_type", "value").as[Streaming.Event]
+    val query = Streaming.streamingFunnel(events, steps, "1 hour")
+      .writeStream.format("memory").queryName("funl").outputMode("append").start()
+    try {
+      input.addData(t1: _*); query.processAllAvailable()
+      input.addData(t2: _*); query.processAllAvailable()
+      val streamed = spark.table("funl").as[Streaming.FunnelHit].collect()
+        .groupBy(_.user_id).view.mapValues(_.map(_.reached).max).toMap
+      val batch = graft.operators.Funnel
+        .funnel((t1 ++ t2).toDF("user_id", "ts", "event_type", "value"),
+          "user_id", "ts", "event_type", steps)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(streamed == batch)
+      assert(streamed == Map(1L -> 3, 2L -> 1, 3L -> 1))
+    } finally query.stop()
+  }
+
   test("streaming debounce state carries across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]
