@@ -1220,6 +1220,12 @@ object SparkEntry {
         .select(col("prev"), col("next"), col("n"),
           graft.functions.Portable.r6(col("p")).as("p"))),
 
+    // source-overlap matrix from MERGED minhash sketches (union = min)
+    "q_source_sim" -> ((s, dir) =>
+      Dedup.groupMinhashSimilarity(docs(s, dir), "source", numHashes = 16, n = 3)
+        .select(col("g_a"), col("g_b"), col("n_agree"),
+          graft.functions.Portable.r6(col("est_jaccard")).as("est_jaccard"))),
+
     // per-user inter-arrival gap stats (burstiness profile)
     "q_interarrival" -> ((s, dir) =>
       Transitions.interArrivalStats(ev(s, dir), "user_id", "ts", "event_id")
@@ -2589,6 +2595,21 @@ object SparkEntry {
           |SELECT prev, next, n,
           |  floor((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p
           |FROM c JOIN t USING (prev)""".stripMargin,
+
+      "q_source_sim" -> {
+        val unions = (0 until 16).map(j => s"SELECT g, $j AS j, m$j AS v FROM sigw")
+          .mkString(" UNION ALL ")
+        s"""WITH tk AS (SELECT source AS g, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '') AS toks FROM documents),
+           |sh0 AS (SELECT g, unnest(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2],' ')) ELSE [] END) AS shingle FROM tk),
+           |shh AS (SELECT DISTINCT g, ${h32("shingle")} AS sh FROM sh0),
+           |sigw AS (SELECT g, ${minhashAggSql(16, j => s"m$j")} FROM shh GROUP BY 1),
+           |lng AS ($unions),
+           |p AS (SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_agree
+           |      FROM lng a JOIN lng b ON a.j = b.j AND a.v = b.v AND a.g < b.g GROUP BY 1, 2)
+           |SELECT g_a, g_b, n_agree,
+           |  floor((CAST(n_agree AS DOUBLE) / 16) * 1000000 + 0.5) / 1000000 AS est_jaccard
+           |FROM p""".stripMargin
+      },
 
       "q_interarrival" ->
         """WITH g AS (SELECT user_id,

@@ -462,6 +462,38 @@ object Dedup {
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** GROUP-level similarity matrix from merged minhash sketches: treat
+    * each group (source, domain, language) as the UNION of its
+    * documents' shingle sets and estimate pairwise Jaccard between
+    * groups — "which crawl sources overlap", the source-dedup /
+    * mixture-design signal. The union costs nothing extra: min over the
+    * group's shingles IS the minhash merge (the same mergeability
+    * [[graft.operators.Sketches]] leans on for HLL/count-min), so the
+    * per-group signature is one vocabulary-sized aggregate away.
+    *
+    * Pairs come from a (j, sig-value) equi-join on the groups×k long
+    * frame — never a cross join — so only hash positions that AGREE
+    * generate join rows; group pairs sharing no position (est 0) are
+    * absent from the output by construction.
+    */
+  def groupMinhashSimilarity(
+      docs: DataFrame,
+      groupCol: String,
+      numHashes: Int,
+      n: Int = 3,
+      textCol: String = "text"
+  ): DataFrame = {
+    val sigs = minhashSignatures(docs, numHashes, n, idCol = groupCol, textCol = textCol)
+    val long = sigs.select(col("id").as("g"),
+      posexplode(array((0 until numHashes).map(j => col(s"minhash_$j")): _*)).as(Seq("j", "v")))
+    long.as("a")
+      .join(long.as("b"),
+        col("a.j") === col("b.j") && col("a.v") === col("b.v") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g_a"), col("b.g").as("g_b"))
+      .agg(count(lit(1)).as("n_agree"))
+      .withColumn("est_jaccard", col("n_agree").cast("double") / numHashes)
+  }
+
   /** Projects `outCol` = the per-ROW minhash signature (array<long>,
     * length `numHashes`; null when the document has no `n`-shingles).
     * Same hash family as [[minhashSignatures]], but computed entirely

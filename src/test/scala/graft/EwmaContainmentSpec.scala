@@ -48,6 +48,19 @@ class EwmaContainmentSpec extends SparkSpec {
     assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L)) // jaccard blind to it
   }
 
+  test("group minhash similarity: identical groups ~1, disjoint groups absent") {
+    val textA = "the quick brown fox jumps over the lazy dog again today"
+    val textB = "entirely unrelated legal boilerplate about contracts and clauses here"
+    val docs = Seq(
+      (1L, textA, "s1"), (2L, textA, "s2"),   // same content, two sources
+      (3L, textB, "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.groupMinhashSimilarity(docs, "source", numHashes = 16, n = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    assert(out(("s1", "s2")) == 1.0) // identical shingle sets -> identical sketch
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")))
+  }
+
   test("period-over-period computes prev bucket and relative change") {
     val day = 86400000000L
     val df = Seq(
