@@ -1220,6 +1220,12 @@ object SparkEntry {
         .select(col("prev"), col("next"), col("n"),
           graft.functions.Portable.r6(col("p")).as("p"))),
 
+    // self-calibrating anomaly signal: z vs trailing 10 PRIOR events
+    "q_roll_z" -> ((s, dir) =>
+      Rolling.trailingZScore(ev(s, dir), "user_id", "ts", "value", "event_id", frame = 10)
+        .select(col("event_id"),
+          graft.functions.Portable.r6(col("z_trail")).as("z_trail"))),
+
     // source-overlap matrix from MERGED minhash sketches (union = min)
     "q_source_sim" -> ((s, dir) =>
       Dedup.groupMinhashSimilarity(docs(s, dir), "source", numHashes = 16, n = 3)
@@ -2595,6 +2601,23 @@ object SparkEntry {
           |SELECT prev, next, n,
           |  floor((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p
           |FROM c JOIN t USING (prev)""".stripMargin,
+
+      "q_roll_z" ->
+        s"""WITH b AS (SELECT event_id, value,
+           |    count(CASE WHEN $P THEN 1 END) OVER w AS n,
+           |    CAST(coalesce(sum(CASE WHEN $P THEN CAST(value AS DECIMAL(38,6)) END) OVER w, 0) AS DOUBLE) AS s,
+           |    CAST(coalesce(sum(CASE WHEN $P THEN CAST(value * value AS DECIMAL(38,6)) END) OVER w, 0) AS DOUBLE) AS s2
+           |  FROM events WHERE ts IS NOT NULL
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           |               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+           |SELECT event_id,
+           |  CASE WHEN 3 <= CAST(n AS DOUBLE) AND $P
+           |        AND sqrt(greatest(s2 / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)), 0.0)) > 0
+           |  THEN floor(((value - s / CAST(n AS DOUBLE)) /
+           |    sqrt(greatest(s2 / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)), 0.0)))
+           |    * 1000000 + 0.5) / 1000000
+           |  END AS z_trail
+           |FROM b""".stripMargin,
 
       "q_source_sim" -> {
         val unions = (0 until 16).map(j => s"SELECT g, $j AS j, m$j AS v FROM sigw")

@@ -67,6 +67,49 @@ object Rolling {
       .drop("__us")
   }
 
+  /** Appends `z_trail`: each row's z-score against the trailing `frame`
+    * PRIOR observations on its key (current row excluded — the score
+    * must not test a point against a baseline that contains it). The
+    * self-calibrating anomaly signal for sensor/rate streams: no global
+    * thresholds, each key is its own baseline. NULL until `minPrior`
+    * observations exist and whenever the baseline variance is 0.
+    *
+    * One key-partitioned window; mean and variance come from DECIMAL
+    * frame sums (segment-tree window evaluation reorders double sums —
+    * DECIMAL makes the frame aggregate order-free, so any engine gets
+    * the identical baseline). Ties order by `tieCol` so "prior" is
+    * well-defined at equal timestamps.
+    */
+  def trailingZScore(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      tieCol: String,
+      frame: Int,
+      minPrior: Int = 3
+  ): DataFrame = {
+    require(frame >= minPrior && minPrior >= 2, s"bad frame=$frame minPrior=$minPrior")
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(timeCol)), col(tieCol))
+      .rowsBetween(-frame, -1)
+    val v = col(valueCol).cast("double")
+    val ok = v.isNotNull && !isnan(v)
+    val n = count(when(ok, lit(1))).over(w).cast("double")
+    val s = coalesce(sum(when(ok, v.cast("decimal(38,6)"))).over(w),
+      lit(0).cast("decimal(38,6)")).cast("double")
+    val s2 = coalesce(sum(when(ok, (v * v).cast("decimal(38,6)"))).over(w),
+      lit(0).cast("decimal(38,6)")).cast("double")
+    val mean = s / n
+    val variance = greatest(s2 / n - mean * mean, lit(0.0))
+    events
+      .filter(col(timeCol).isNotNull)
+      .withColumn("z_trail",
+        when(lit(minPrior) <= n && ok && sqrt(variance) > 0,
+          (v - mean) / sqrt(variance)))
+  }
+
   /** Resample each key's event stream onto a regular `stepUs` grid:
     * one row per (key, bucket) from the key's first to last bucket with
     * `n_events` (0 for gap buckets) and `value_last` — the most recent
