@@ -1220,6 +1220,12 @@ object SparkEntry {
         .select(col("prev"), col("next"), col("n"),
           graft.functions.Portable.r6(col("p")).as("p"))),
 
+    // per-source exact-duplication triage report
+    "q_dup_stats" -> ((s, dir) =>
+      Dedup.duplicationStats(docs(s, dir), "source")
+        .select(col("g").as("source"), col("n_docs"), col("n_dups"),
+          graft.functions.Portable.r6(col("dup_rate")).as("dup_rate"))),
+
     // self-calibrating anomaly signal: z vs trailing 10 PRIOR events
     "q_roll_z" -> ((s, dir) =>
       Rolling.trailingZScore(ev(s, dir), "user_id", "ts", "value", "event_id", frame = 10)
@@ -2601,6 +2607,17 @@ object SparkEntry {
           |SELECT prev, next, n,
           |  floor((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p
           |FROM c JOIN t USING (prev)""".stripMargin,
+
+      "q_dup_stats" ->
+        """WITH f AS (SELECT doc_id, source,
+          |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+          |  FROM documents),
+          |v AS (SELECT source,
+          |    CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS vict
+          |  FROM f)
+          |SELECT source, count(*) AS n_docs, CAST(sum(vict) AS BIGINT) AS n_dups,
+          |  floor((CAST(sum(vict) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS dup_rate
+          |FROM v GROUP BY 1""".stripMargin,
 
       "q_roll_z" ->
         s"""WITH b AS (SELECT event_id, value,

@@ -462,6 +462,30 @@ object Dedup {
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-group duplication report: how much of each source/domain/
+    * language is exact-duplicate content — the triage number that
+    * decides which source needs the expensive near-dup pass (a 40%-dup
+    * crawl source is a different problem than a 0.1% one). A doc is a
+    * victim when a LOWER-id doc carries the same normalized
+    * fingerprint, corpus-WIDE (cross-source copies count against the
+    * source holding the later copy). One fingerprint-partitioned
+    * window + a groups-sized roll-up — two shuffles, no joins.
+    */
+  def duplicationStats(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+    docs
+      .select(col(groupCol).as("g"), col(idCol).as("id"), fingerprint(col(textCol)).as("__fp"))
+      .withColumn("__vict", when(col("id") =!= min(col("id")).over(w), lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__vict")).as("n_dups"))
+      .withColumn("dup_rate", col("n_dups").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** GROUP-level similarity matrix from merged minhash sketches: treat
     * each group (source, domain, language) as the UNION of its
     * documents' shingle sets and estimate pairwise Jaccard between

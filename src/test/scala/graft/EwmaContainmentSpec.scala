@@ -61,6 +61,37 @@ class EwmaContainmentSpec extends SparkSpec {
     assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")))
   }
 
+  test("group minhash estimate tracks exact jaccard within sketch error") {
+    // two sources sharing roughly half their content
+    val shared = (1 to 30).map(i => s"shared sentence number $i about the corpus")
+    val aOnly = (1 to 30).map(i => s"alpha exclusive line $i with words")
+    val bOnly = (1 to 30).map(i => s"beta exclusive line $i with words")
+    val docs = ((shared ++ aOnly).map(t => (t, "sa")) ++ (shared ++ bOnly).map(t => (t, "sb")))
+      .zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+      .toDF("doc_id", "text", "source")
+    val est = Dedup.groupMinhashSimilarity(docs, "source", numHashes = 16, n = 3)
+      .head().getDouble(3)
+    // exact jaccard of the two shingle sets
+    val sh = Dedup.shingleHashTable(docs, "source", "text", 3)
+    val sets = sh.collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    val exact = sets("sa").intersect(sets("sb")).size.toDouble / sets("sa").union(sets("sb")).size
+    assert(math.abs(est - exact) < 0.3, s"est $est vs exact $exact") // 16 hashes: ~1/4 std err
+    assert(est > 0.1 && est < 0.9)
+  }
+
+  test("duplication stats count cross-source copies against the later holder") {
+    val docs = Seq(
+      (1L, "same content here", "s1"),
+      (2L, "same content here", "s2"),  // dup of 1 -> victim in s2
+      (3L, "unique one", "s1"),
+      (4L, "same content here", "s1")   // dup of 1 -> victim in s1
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.duplicationStats(docs, "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("s1") == (3L, 1L))
+    assert(out("s2") == (1L, 1L))
+  }
+
   test("period-over-period computes prev bucket and relative change") {
     val day = 86400000000L
     val df = Seq(
