@@ -30,7 +30,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per-query map goes to a side file (and an earlier stdout line): with 140+
+    // queries the combined JSON overflows the driver's tail capture, leaving the
+    // headline unparseable (round-4 verdict). The FINAL line is compact,
+    // total-only, and always parseable.
+    val perQuery = s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_QUERIES.json"),
+        perQuery.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(perQuery)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -2684,13 +2684,14 @@ object SparkEntry {
           |sc AS (SELECT doc_id,
           |  CAST(sum(CAST(lr AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS llr
           |  FROM t JOIN r USING (term) GROUP BY 1),
-          |j AS (SELECT d.doc_id, d.source, d.n_chars, llr
-          |      FROM documents d JOIN sc USING (doc_id) WHERE llr > 0.0),
+          |j AS (SELECT d.doc_id, d.source, d.n_chars,
+          |        floor(llr * 1000000 + 0.5) / 1000000 AS llr
+          |      FROM documents d JOIN sc USING (doc_id)
+          |      WHERE floor(llr * 1000000 + 0.5) / 1000000 > 0.0),
           |w AS (SELECT *, sum(n_chars) OVER (PARTITION BY source ORDER BY llr DESC, doc_id
           |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           |      FROM j)
-          |SELECT doc_id, source, n_chars,
-          |  floor(llr * 1000000 + 0.5) / 1000000 AS llr
+          |SELECT doc_id, source, n_chars, llr
           |FROM w WHERE cum <= 1500""".stripMargin,
 
       "q_spearman" ->

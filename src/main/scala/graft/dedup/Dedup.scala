@@ -508,8 +508,11 @@ object Dedup {
       textCol: String = "text"
   ): DataFrame = {
     val sigs = minhashSignatures(docs, numHashes, n, idCol = groupCol, textCol = textCol)
+    // localCheckpoint (lazy): `long` is self-joined, so without it the whole
+    // corpus-scan + minhash aggregation runs twice for a groups-sized frame.
     val long = sigs.select(col("id").as("g"),
       posexplode(array((0 until numHashes).map(j => col(s"minhash_$j")): _*)).as(Seq("j", "v")))
+      .localCheckpoint(false)
     long.as("a")
       .join(long.as("b"),
         col("a.j") === col("b.j") && col("a.v") === col("b.v") && col("a.g") < col("b.g"))

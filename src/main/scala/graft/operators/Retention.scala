@@ -57,10 +57,13 @@ object Retention {
       timeCol: String,
       bucketUs: Long): DataFrame = {
     require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    // localCheckpoint (lazy): the bucket frame self-joins, so without it the
+    // full event scan + distinct-count runs twice for a weeks-sized result.
     val weekly = events
       .filter(col(timeCol).isNotNull)
       .groupBy(floorDiv(unix_micros(col(timeCol)), bucketUs).as("bucket"))
       .agg(count_distinct(col(keyCol)).as("n_active"))
+      .localCheckpoint(false)
     weekly
       .join(
         broadcast(weekly.select((col("bucket") + 1).as("bucket"),

@@ -116,10 +116,14 @@ object Stats {
     * NULL categories are excluded (they're missingness, not a level).
     */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // localCheckpoint (lazy): four consumers (ra, rb, tot, the join) would
+    // otherwise each re-run the fact scan + aggregate; the cell frame is
+    // vocab-sized (|A|x|B| observed), cheap to pin.
     val cells = df
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("__obs"))
+      .localCheckpoint(false)
     val ra = cells.groupBy("a").agg(sum(col("__obs")).as("na"))
     val rb = cells.groupBy("b").agg(sum(col("__obs")).as("nb"))
     val tot = cells.agg(sum(col("__obs")).as("n"))

@@ -77,9 +77,13 @@ object Curation {
       sourceCol: String = "source",
       costCol: String = "n_chars"
   ): DataFrame = {
+    // The llr comes out of ln(); filter and budget-window on an r6-rounded
+    // value (with the doc-id tiebreak) so a 1-ulp libm difference can't flip
+    // a document at the threshold or the budget boundary across engines.
     val scores = graft.text.Importance
       .importanceScore(docs, idCol, textCol, targetPred)
       .withColumnRenamed("id", idCol)
+      .withColumn("llr", graft.functions.Portable.r6(col("llr")))
       .filter(col("llr") > minLlr)
     Selection.selectUnderBudget(
       docs.join(scores.select(col(idCol), col("llr")), idCol),

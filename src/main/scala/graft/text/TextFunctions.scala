@@ -179,7 +179,10 @@ object TextFunctions {
     val sents = filter(transform(split(text, "[.!?]+"), s => trim(s)), s => s =!= "")
     val wps = transform(sents, s => size(filter(split(lower(s), "[^a-z]+"), t => t =!= "")))
     val nSent = size(sents).cast("long")
-    val nWords = aggregate(wps, lit(0L), (acc, x) => acc + x)
+    // NULL text => NULL sents => the aggregate yields NULL; coalesce to 0 so
+    // n_words means "words counted" in every engine (DuckDB's list_sum needs
+    // the same coalesce for the empty-sentence case).
+    val nWords = coalesce(aggregate(wps, lit(0L), (acc, x) => acc + x), lit(0L))
     struct(
       nSent.as("n_sentences"),
       nWords.as("n_words"),
