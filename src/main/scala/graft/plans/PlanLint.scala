@@ -1,13 +1,15 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.Exchange
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
-import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.{FilterExec, GlobalLimitExec, InputAdapter, ProjectExec, SortExec, SparkPlan, TakeOrderedAndProjectExec, WholeStageCodegenExec}
 
 /** Static plan linting: walk a physical plan and flag the shapes that
   * work at test scale and melt at 100 TB. The same checks the repo's
@@ -38,6 +40,25 @@ object PlanLint {
     case other => other.children.exists(boundedBelow)
   }
 
+  /** Provably at most one row: a grouping-less final aggregate (one global
+    * summary row), seen through row-preserving/reducing unaries only.
+    * `GenerateExec` and joins are deliberately NOT passed through — they
+    * can expand. Used to auto-pass the `crossJoin(broadcast(totals))`
+    * shape: scanning a one-row broadcast per probe row is free at any
+    * scale, unlike a genuine nested-loop build side.
+    */
+  private def provablySingleRow(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+    case u @ (_: ProjectExec | _: FilterExec | _: SortExec | _: Exchange |
+              _: WholeStageCodegenExec | _: InputAdapter) =>
+      provablySingleRow(u.children.head)
+    case q: QueryStageExec => provablySingleRow(q.plan)
+    // a join of two <=1-row sides is <=1 row (the totals-x-totals shape)
+    case j @ (_: BroadcastNestedLoopJoinExec | _: CartesianProductExec) =>
+      j.children.forall(provablySingleRow)
+    case _ => false
+  }
+
   private def walk(p: SparkPlan): Seq[Finding] = {
     val self: Seq[Finding] = p match {
       case w: WindowExec if w.partitionSpec.isEmpty && !w.children.exists(boundedBelow) =>
@@ -48,7 +69,12 @@ object PlanLint {
         Seq(Finding("cartesian", c.nodeName,
           "O(n×m) cross join with no key; add a join condition or broadcast+bucket"))
       case j: BroadcastNestedLoopJoinExec =>
-        Seq(Finding("nested-loop-join", j.nodeName,
+        val build = j.buildSide match {
+          case BuildLeft  => j.left
+          case BuildRight => j.right
+        }
+        if (provablySingleRow(build)) Nil
+        else Seq(Finding("nested-loop-join", j.nodeName,
           "non-equi broadcast loop join scans the broadcast per row; bin the range " +
             "condition into an equi-join key (see RangeJoin) if the build side grows"))
       case s: ShuffleExchangeExec if s.outputPartitioning.numPartitions == 1 =>
