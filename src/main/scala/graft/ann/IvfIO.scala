@@ -1,5 +1,6 @@
 package graft.ann
 
+import graft.plans.Materialize.PinOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -74,7 +75,7 @@ object IvfIO {
       // materialize once: the frame feeds both the driver-side probe-cell
       // collect and the broadcast join below — without this the centroid
       // cross join + window would run twice
-      .localCheckpoint(false)
+      .pin(false)
     // queries × nProbe is small by construction: literalize for pruning
     val probedCells = queryCells.select("cid").distinct().collect().map(_.getLong(0))
     val scored = readCorpus(spark, dir)

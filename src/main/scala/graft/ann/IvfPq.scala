@@ -1,5 +1,6 @@
 package graft.ann
 
+import graft.plans.Materialize.PinOps
 import graft.ann.{ProductQuantizer => PQ}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -67,7 +68,7 @@ object IvfPq {
     val assigned = KMeans.assign(corpus, coarseCentroids, idCol, vecCol)
       .join(broadcast(coarseCentroids), "cid")
       .select(col(idCol), col("cid"), residual(col(vecCol), col("centroid")).as(vecCol))
-      .localCheckpoint(false)
+      .pin(false)
     PQ.encode(assigned.select(col(idCol), col(vecCol)), pq, idCol, vecCol)
       .join(assigned.select(col(idCol).as("id"), col("cid")), "id")
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
@@ -118,7 +119,7 @@ object IvfPq {
       // materialize once: the frame feeds both the driver-side probe-cell
       // collect and the broadcast join below — without this the coarse cross
       // join + window would run twice
-      .localCheckpoint(false)
+      .pin(false)
     val probed = queryCells.select("cid").distinct().collect().map(_.getLong(0))
     val adc = aggregate(
       zip_with(col("codes"), col("__dt"), (code, table) => element_at(table, code + 1)),

@@ -1,5 +1,6 @@
 package graft.ann
 
+import graft.plans.Materialize.PinOps
 import graft.functions.VectorSum.vectorSum
 import graft.text.TextFunctions.md5Hash32
 import org.apache.spark.sql.{Column, DataFrame}
@@ -94,7 +95,7 @@ object KMeans {
       seed: String = "graft"
   ): DataFrame = {
     require(iters >= 0, s"iters must be non-negative, got $iters")
-    var centroids = initCentroids(vectors, k, idCol, vecCol, seed).localCheckpoint(true)
+    var centroids = initCentroids(vectors, k, idCol, vecCol, seed).pin(true)
     for (_ <- 0 until iters) {
       val means = assign(vectors, centroids, idCol, vecCol)
         .groupBy("cid")
@@ -103,7 +104,7 @@ object KMeans {
       centroids = centroids.as("old")
         .join(means.as("new"), Seq("cid"), "left")
         .select(col("cid"), coalesce(col("new.centroid"), col("old.centroid")).as("centroid"))
-        .localCheckpoint(true)
+        .pin(true)
     }
     centroids
   }

@@ -1,5 +1,6 @@
 package graft.ann
 
+import graft.plans.Materialize.PinOps
 import graft.functions.VectorSum.vectorSum
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -89,7 +90,7 @@ object Opq {
     // the alternation re-reads the corpus every round: materialize the
     // (typically upstream-expensive) input once
     val x = vectors.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("x"))
-      .localCheckpoint(false)
+      .pin(false)
     for (_ <- 0 until opqIters) {
       val rotated = x.select(col("id"), col("x"), rotateColumn(col("x"), rotation).as("y"))
       val pq = ProductQuantizer.fit(rotated, numBlocks, k, pqIters, dim, "id", "y", seed)

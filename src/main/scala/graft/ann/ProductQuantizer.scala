@@ -1,5 +1,6 @@
 package graft.ann
 
+import graft.plans.Materialize.PinOps
 import graft.functions.VectorSum.vectorSum
 import graft.text.TextFunctions.md5Hash32
 import org.apache.spark.sql.{Column, DataFrame}
@@ -69,7 +70,7 @@ object ProductQuantizer {
       .withColumn("__r", row_number().over(Window.partitionBy("blk").orderBy(col("__h"), col("id"))))
       .filter(col("__r") <= k)
       .select(col("blk"), (col("__r") - 1).cast("long").as("cid"), col("sub").as("centroid"))
-      .localCheckpoint(true)
+      .pin(true)
 
     for (_ <- 0 until iters) {
       val assigned = subs
@@ -87,7 +88,7 @@ object ProductQuantizer {
         .join(means.as("new"), Seq("blk", "cid"), "left")
         .select(col("blk"), col("cid"),
           coalesce(col("new.centroid"), col("old.centroid")).as("centroid"))
-        .localCheckpoint(true)
+        .pin(true)
     }
 
     val collected = centroids

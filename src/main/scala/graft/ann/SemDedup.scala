@@ -1,5 +1,6 @@
 package graft.ann
 
+import graft.plans.Materialize.PinOps
 import graft.ann.Similarity.cosine
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -66,7 +67,7 @@ object SemDedup {
     // the assignment feeds both the pruning agg and the anti-join's left
     // side; materialize it ONCE (it is the same artifact an IVF build
     // persists) instead of re-running the broadcast-argmin per branch
-    val assigned = KMeans.assign(vectors, centroids, idCol, vecCol).localCheckpoint(true)
+    val assigned = KMeans.assign(vectors, centroids, idCol, vecCol).pin(true)
     assigned
       .join(victims(assigned, threshold, idCol, vecCol, maxClusterSize),
         Seq(idCol), "left_anti")

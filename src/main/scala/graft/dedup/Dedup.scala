@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.plans.Materialize.PinOps
 import graft.text.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -322,18 +323,18 @@ object Dedup {
     // self-referencing union — otherwise both union branches re-evaluate it
     val e = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .localCheckpoint(true)
+      .pin(true)
     if (e.limit(maxDriverEdges + 1).count() <= maxDriverEdges)
       return unionFindLocal(e)
     val sym = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .pin(true)
     var labels = sym
       .select(col("src").as("id"))
       .distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .pin(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -348,7 +349,7 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
           (coalesce(col("nbr_min"), col("label")) < col("label")).as("__changed")
         )
-        .localCheckpoint(true)
+        .pin(true)
       converged = next.filter(col("__changed")).limit(1).isEmpty
       labels = next.select("id", "label")
       iter += 1
@@ -512,7 +513,7 @@ object Dedup {
     // corpus-scan + minhash aggregation runs twice for a groups-sized frame.
     val long = sigs.select(col("id").as("g"),
       posexplode(array((0 until numHashes).map(j => col(s"minhash_$j")): _*)).as(Seq("j", "v")))
-      .localCheckpoint(false)
+      .pin(false)
     long.as("a")
       .join(long.as("b"),
         col("a.j") === col("b.j") && col("a.v") === col("b.v") && col("a.g") < col("b.g"))

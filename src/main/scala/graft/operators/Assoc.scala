@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Materialize.PinOps
 import graft.functions.Pairs
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -43,7 +44,7 @@ object Assoc {
       .select(col(entityCol).as("e"), col(itemCol).as("i"))
       .groupBy("e")
       .agg(sort_array(collect_set(col("i"))).as("is"))
-      .localCheckpoint(true)
+      .pin(true)
 
     val pairCounts = sets
       .select(explode(Pairs.orderedPairs(col("is"), "a", "b")).as("p"))

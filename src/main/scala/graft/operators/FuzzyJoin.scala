@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Materialize.PinOps
 import graft.functions.Pairs
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -107,7 +108,7 @@ object FuzzyJoin {
       .filter(col("name").isNotNull && col("name") =!= "")
       .groupBy("name")
       .agg(min(col("id")).as("nid"))
-      .localCheckpoint(false)
+      .pin(false)
     val edges = fuzzyPairs(df, nameCol, maxDist, maxTokenDf)
       .join(nameMin.select(col("name").as("a_name"), col("nid").as("ia")), "a_name")
       .join(nameMin.select(col("name").as("b_name"), col("nid").as("ib")), "b_name")

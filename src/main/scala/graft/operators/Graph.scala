@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Materialize.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -36,7 +37,7 @@ object Graph {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull && col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("a"), greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .pin(true)
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node")
@@ -51,7 +52,7 @@ object Graph {
       .select(
         when(aFirst, col("a")).otherwise(col("b")).as("lo"),
         when(aFirst, col("b")).otherwise(col("a")).as("hi"))
-      .localCheckpoint(true)
+      .pin(true)
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Materialize.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -40,12 +41,12 @@ object PageRank {
     // materialize the edge table ONCE: it feeds every iteration (plus
     // nodes/outDeg), and without this the whole upstream derivation
     // (tokenization, explosion, ...) re-runs per round
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).pin(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+      .pin(true)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg")).pin(true)
     var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
     for (_ <- 0 until iters) {
       val contrib = e
@@ -59,7 +60,7 @@ object PageRank {
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - d) + lit(d) * coalesce(col("in_mass").cast("double"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+        .pin(true)
     }
     ranks
   }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Materialize.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -63,7 +64,7 @@ object Retention {
       .filter(col(timeCol).isNotNull)
       .groupBy(floorDiv(unix_micros(col(timeCol)), bucketUs).as("bucket"))
       .agg(count_distinct(col(keyCol)).as("n_active"))
-      .localCheckpoint(false)
+      .pin(false)
     weekly
       .join(
         broadcast(weekly.select((col("bucket") + 1).as("bucket"),

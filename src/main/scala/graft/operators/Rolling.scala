@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Materialize.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -152,7 +153,7 @@ object Rolling {
         max(when(col(valueCol).isNotNull,
           struct(col("__us"), col(tieBreakCol), col(valueCol).as("v"))))
           .getField("v").as("__vb"))
-      .localCheckpoint(false)
+      .pin(false)
     val grid = perBucket
       .groupBy(col(keyCol))
       .agg(min("bucket_us").as("__lo"), max("bucket_us").as("__hi"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Materialize.PinOps
 import graft.meds.Meds
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -54,7 +55,7 @@ object Shard {
       exactBelow: Int = 100000
   ): DataFrame = {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
-    val distinctPatients = patients.select(col(Meds.PatientId)).distinct().localCheckpoint(false)
+    val distinctPatients = patients.select(col(Meds.PatientId)).distinct().pin(false)
     // signed 64-bit hash -> uniform double in [0,1)
     val u = xxhash64(col(Meds.PatientId), lit(seed)).cast("double") / lit(2.0 * Long.MaxValue) + lit(0.5)
     val shard = pmod(xxhash64(col(Meds.PatientId), lit(seed + 1)), lit(nShardsPerSplit))

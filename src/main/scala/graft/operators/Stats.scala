@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Materialize.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -123,7 +124,7 @@ object Stats {
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("__obs"))
-      .localCheckpoint(false)
+      .pin(false)
     val ra = cells.groupBy("a").agg(sum(col("__obs")).as("na"))
     val rb = cells.groupBy("b").agg(sum(col("__obs")).as("nb"))
     val tot = cells.agg(sum(col("__obs")).as("n"))

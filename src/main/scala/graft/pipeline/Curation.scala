@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.plans.Materialize.PinOps
 import graft.dedup.Dedup
 import graft.text.TextFunctions
 import org.apache.spark.sql.DataFrame
@@ -46,7 +47,7 @@ object Curation {
     // (exact victims, jaccard pairs, the anti-join base); a LAZY local
     // checkpoint materializes the retained subset once at first action so
     // the tokenize-heavy quality/language filters don't run three times
-    val langed = filtered.localCheckpoint(false)
+    val langed = filtered.pin(false)
     val deduped =
       if (config.clusteredDedup)
         Dedup.dropNearDuplicatesClustered(langed, config.dedupThreshold, config.shingleSize, idCol, textCol)

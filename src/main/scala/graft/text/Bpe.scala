@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.plans.Materialize.PinOps
 import graft.text.TextFunctions.wordTokens
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -68,7 +69,7 @@ object Bpe {
     import spark.implicits._
     var words = wordCounts(docs, textCol)
       .select(split(col("word"), "").as("syms"), col("cnt"))
-      .localCheckpoint(true)
+      .pin(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
     var rank = 0
     var exhausted = false
@@ -87,7 +88,7 @@ object Bpe {
           merges += ((rank, a, b))
           words = words
             .select(mergeOnce(col("syms"), lit(a), lit(b)).as("syms"), col("cnt"))
-            .localCheckpoint(true)
+            .pin(true)
           rank += 1
       }
     }

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.plans.Materialize.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,7 +35,7 @@ object Collocations {
     val uni = docs
       .select(explode(toks).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .pin(false)
     val biAll = docs
       .select(toks.as("ts"))
       .filter(size(col("ts")) >= 2)
@@ -42,7 +43,7 @@ object Collocations {
         "transform(slice(ts, 1, size(ts) - 1), (x, i) -> struct(x as a, ts[i + 1] as b))")).as("bg"))
       .select(col("bg.a"), col("bg.b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-      .localCheckpoint(false)
+      .pin(false)
     // P(ab) normalizes over ALL bigram slots (pre-filter), P(a)/P(b)
     // over all token slots.
     val totals = uni.agg(sum(col("c")).as("n_uni"))

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.plans.Materialize.PinOps
 import graft.text.TextFunctions.wordTokens
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -36,7 +37,7 @@ object Keywords {
       .select(col(groupCol).as("group"), explode(wordTokens(col(textCol))).as("term"))
       .groupBy("group", "term")
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .pin(true)
     val perGroup = lt.groupBy("group").agg(sum(col("n")).as("__ng"))
     val perTerm = lt.groupBy("term").agg(sum(col("n")).as("__nt"))
     val total = lt.agg(sum(col("n")).as("__nn"))
@@ -72,7 +73,7 @@ object Keywords {
       .select(col(groupCol).as("group"), explode(wordTokens(col(textCol))).as("term"))
       .groupBy("group", "term")
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .pin(true)
     val perGroup = lt.groupBy("group").agg(sum(col("n")).as("__ng"))
     val perTerm = lt.groupBy("term").agg(sum(col("n")).as("__nt"))
     val total = lt.agg(sum(col("n")).as("__nn"))

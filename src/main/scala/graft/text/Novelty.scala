@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.plans.Materialize.PinOps
 import graft.dedup.Dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -32,7 +33,7 @@ object Novelty {
       textCol: String = "text",
       n: Int = 5
   ): DataFrame = {
-    val sh = Dedup.shingleHashTable(docs, idCol, textCol, n).localCheckpoint(true)
+    val sh = Dedup.shingleHashTable(docs, idCol, textCol, n).pin(true)
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     sh.join(df, "sh")
       .groupBy("id")

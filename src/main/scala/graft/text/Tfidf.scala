@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.plans.Materialize.PinOps
 import graft.text.TextFunctions.wordTokens
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -100,7 +101,7 @@ object Tfidf {
     val docStats = tf
       .groupBy("id")
       .agg(sum(col("tf") * log(col("ct").cast("double"))).as("__a"), sum("tf").as("__t"))
-      .localCheckpoint(false)
+      .pin(false)
     val total = docStats.agg(sum("__t").as("n_tokens"))
     docStats
       .crossJoin(broadcast(total))
