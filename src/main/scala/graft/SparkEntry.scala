@@ -139,6 +139,33 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_code_metadata")(spark, "/root/testdata/sf0.001")
 
+  /** Reference-shaped declarative stage list (configs/preprocess.yaml
+    * structure) reproducing exactly what q_meds_pipeline composes in code;
+    * checked in as configs/preprocess_example.yaml for users.
+    */
+  private val MedsPipelineYaml: String =
+    """stages:
+      |  - filter_patients
+      |  - add_time_derived_measurements
+      |  - fit_outlier_detection
+      |  - occlude_outliers
+      |  - fit_normalization
+      |  - fit_vocabulary_indices
+      |  - normalization
+      |stage_configs:
+      |  filter_patients:
+      |    min_measurements_per_patient: 60
+      |  add_time_derived_measurements:
+      |    age:
+      |      age_code: "AGE"
+      |      age_unit: "yrs"
+      |    time_of_day:
+      |      endpoints: [6, 12, 18]
+      |  occlude_outliers:
+      |    stddev_cutoff: 3.0
+      |    drop_is_inlier: true
+      |""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -------------------------------------------- MEDS core (SURVEY §2 1-20)
     "q_agg_code_metadata" -> ((s, dir) => CodeMetadata.aggregate(meds(s, dir))),
@@ -205,6 +232,18 @@ object SparkEntry {
           minMeasurementsPerPatient = Some(60),
           timeDerived = Seq(AgeConfig(TimeDerived.dobFromFirstEvent, "AGE", "yrs"), TimeOfDayConfig()),
           stddevCutoff = Some(3.0)))
+        .data
+        .select(col("patient_id"), timeUs(), col("code"),
+          graft.functions.Portable.r6(col("numeric_value")).as("numeric_value"))
+    },
+
+    // the SAME pipeline as q_meds_pipeline, but composed from a declarative
+    // reference-shaped YAML stage list through ConfigPipeline instead of
+    // Scala — proves the config interface reproduces the code-composed
+    // (oracle-verified) result bit-for-bit
+    "q_pipeline_config" -> { (s, dir) =>
+      graft.meds.ConfigPipeline
+        .run(meds(s, dir), MedsPipelineYaml)
         .data
         .select(col("patient_id"), timeUs(), col("code"),
           graft.functions.Portable.r6(col("numeric_value")).as("numeric_value"))
@@ -1383,6 +1422,44 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- oracle
 
+  private val medsPipelineOracleSql: String =
+    """WITH m AS (SELECT user_id AS patient_id, ts AS time, event_type AS code, CAST(value AS DOUBLE) AS v FROM events),
+          |pf AS (SELECT * FROM m WHERE patient_id IN (
+          |  SELECT patient_id FROM m WHERE time IS NOT NULL GROUP BY 1 HAVING count(*) >= 60)),
+          |u AS (SELECT DISTINCT patient_id, time FROM pf WHERE time IS NOT NULL),
+          |dd AS (SELECT patient_id, time, min(time) OVER (PARTITION BY patient_id) AS dob FROM u),
+          |age AS (SELECT patient_id, time, 'AGE' AS code,
+          |  (epoch_us(time)-epoch_us(dob))/(1000000*(86400*CAST(365.2422 AS DOUBLE))) AS v
+          |  FROM dd WHERE epoch_us(time) > epoch_us(dob)),
+          |tod AS (SELECT DISTINCT patient_id, time,
+          |  CASE WHEN hour(time)<6 THEN 'time_of_day//[00,06)' WHEN hour(time)<12 THEN 'time_of_day//[06,12)'
+          |       WHEN hour(time)<18 THEN 'time_of_day//[12,18)' ELSE 'time_of_day//[18,24)' END AS code,
+          |  CAST(NULL AS DOUBLE) AS v FROM pf WHERE time IS NOT NULL),
+          |wd AS (SELECT patient_id, time, code, v FROM pf
+          |       UNION ALL SELECT * FROM age UNION ALL SELECT * FROM tod),
+          |st0 AS (SELECT code,
+          |  count(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN 1 END) AS n,
+          |  CAST(coalesce(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN CAST(v AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s,
+          |  CAST(coalesce(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN CAST(v*v AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s2
+          |  FROM wd GROUP BY 1),
+          |ms0 AS (SELECT code, CASE WHEN n>0 THEN s/n END AS mean,
+          |        CASE WHEN n>0 THEN sqrt(greatest(s2/n - (s/n)*(s/n), 0)) END AS std FROM st0),
+          |oc AS (SELECT wd.patient_id, wd.time, wd.code,
+          |       CASE WHEN abs(wd.v - ms0.mean) <= 3.0*ms0.std THEN wd.v END AS v
+          |       FROM wd LEFT JOIN ms0 USING (code)),
+          |st1 AS (SELECT code,
+          |  count(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN 1 END) AS n,
+          |  CAST(coalesce(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN CAST(v AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s,
+          |  CAST(coalesce(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN CAST(v*v AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s2
+          |  FROM oc GROUP BY 1),
+          |ms1 AS (SELECT code, CASE WHEN n>0 THEN s/n END AS mean,
+          |        CASE WHEN n>0 THEN sqrt(greatest(s2/n - (s/n)*(s/n), 0)) END AS std FROM st1),
+          |vc AS (SELECT code, row_number() OVER (ORDER BY code) AS idx
+          |       FROM (SELECT DISTINCT code FROM oc))
+          |SELECT oc.patient_id, epoch_us(oc.time) AS time_us, CAST(vc.idx AS BIGINT) AS code,
+          |  floor(((oc.v - ms1.mean)/ms1.std) * 1000000 + 0.5) / 1000000 AS numeric_value
+          |FROM oc JOIN vc USING (code) JOIN ms1 USING (code)""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val stop = stopwordSqlLists
     Map(
@@ -1446,43 +1523,11 @@ object SparkEntry {
 
       // the full composed chain: patient filter -> time-derived -> stats
       // -> occlude -> refit -> vocab -> normalize (MedsPipeline.run)
-      "q_meds_pipeline" ->
-        """WITH m AS (SELECT user_id AS patient_id, ts AS time, event_type AS code, CAST(value AS DOUBLE) AS v FROM events),
-          |pf AS (SELECT * FROM m WHERE patient_id IN (
-          |  SELECT patient_id FROM m WHERE time IS NOT NULL GROUP BY 1 HAVING count(*) >= 60)),
-          |u AS (SELECT DISTINCT patient_id, time FROM pf WHERE time IS NOT NULL),
-          |dd AS (SELECT patient_id, time, min(time) OVER (PARTITION BY patient_id) AS dob FROM u),
-          |age AS (SELECT patient_id, time, 'AGE' AS code,
-          |  (epoch_us(time)-epoch_us(dob))/(1000000*(86400*CAST(365.2422 AS DOUBLE))) AS v
-          |  FROM dd WHERE epoch_us(time) > epoch_us(dob)),
-          |tod AS (SELECT DISTINCT patient_id, time,
-          |  CASE WHEN hour(time)<6 THEN 'time_of_day//[00,06)' WHEN hour(time)<12 THEN 'time_of_day//[06,12)'
-          |       WHEN hour(time)<18 THEN 'time_of_day//[12,18)' ELSE 'time_of_day//[18,24)' END AS code,
-          |  CAST(NULL AS DOUBLE) AS v FROM pf WHERE time IS NOT NULL),
-          |wd AS (SELECT patient_id, time, code, v FROM pf
-          |       UNION ALL SELECT * FROM age UNION ALL SELECT * FROM tod),
-          |st0 AS (SELECT code,
-          |  count(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN 1 END) AS n,
-          |  CAST(coalesce(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN CAST(v AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s,
-          |  CAST(coalesce(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN CAST(v*v AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s2
-          |  FROM wd GROUP BY 1),
-          |ms0 AS (SELECT code, CASE WHEN n>0 THEN s/n END AS mean,
-          |        CASE WHEN n>0 THEN sqrt(greatest(s2/n - (s/n)*(s/n), 0)) END AS std FROM st0),
-          |oc AS (SELECT wd.patient_id, wd.time, wd.code,
-          |       CASE WHEN abs(wd.v - ms0.mean) <= 3.0*ms0.std THEN wd.v END AS v
-          |       FROM wd LEFT JOIN ms0 USING (code)),
-          |st1 AS (SELECT code,
-          |  count(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN 1 END) AS n,
-          |  CAST(coalesce(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN CAST(v AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s,
-          |  CAST(coalesce(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN CAST(v*v AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s2
-          |  FROM oc GROUP BY 1),
-          |ms1 AS (SELECT code, CASE WHEN n>0 THEN s/n END AS mean,
-          |        CASE WHEN n>0 THEN sqrt(greatest(s2/n - (s/n)*(s/n), 0)) END AS std FROM st1),
-          |vc AS (SELECT code, row_number() OVER (ORDER BY code) AS idx
-          |       FROM (SELECT DISTINCT code FROM oc))
-          |SELECT oc.patient_id, epoch_us(oc.time) AS time_us, CAST(vc.idx AS BIGINT) AS code,
-          |  floor(((oc.v - ms1.mean)/ms1.std) * 1000000 + 0.5) / 1000000 AS numeric_value
-          |FROM oc JOIN vc USING (code) JOIN ms1 USING (code)""".stripMargin,
+      "q_meds_pipeline" -> medsPipelineOracleSql,
+
+      // the config-driven runner reproduces the code-composed pipeline
+      "q_pipeline_config" -> medsPipelineOracleSql,
+
 
       "q_occlude_outliers" ->
         s"""WITH $statsCtes

@@ -52,7 +52,7 @@ class PlanShapeSpec extends SparkSpec {
     // below a limit (top-k postprocessing) or vocabulary-sized by operator
     // contract (the code dimension — allowlisted here, documented in
     // Vocabulary.lexicographicIndices).
-    val vocabSizedByContract = Set("q_fit_vocab", "q_normalize", "q_meds_pipeline")
+    val vocabSizedByContract = Set("q_fit_vocab", "q_normalize", "q_meds_pipeline", "q_pipeline_config")
 
     def boundedBelow(p: SparkPlan): Boolean = p match {
       case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
