@@ -26,16 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Strict left-to-right squared-L2 distance between two array columns. */
-  def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+  /** Strict left-to-right squared-L2 distance between two array columns.
+    * Backed by the native codegen'd [[graft.functions.SqDist]] expression
+    * — bit-identical to the interpreted `aggregate(zip_with(...))` fold
+    * (same accumulation order), but it runs inside whole-stage codegen,
+    * which dominates the corpus × k assignment loop.
+    */
+  def sqDist(a: Column, b: Column): Column = graft.functions.GraftFunctions.sqDist(a, b)
 
   /** Deterministic init: the k vectors with the smallest (seed, id) hash
     * (ties by id), numbered 0..k-1 in that order. The hash spreads the

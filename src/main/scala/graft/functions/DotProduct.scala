@@ -99,6 +99,10 @@ object GraftFunctions {
     */
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-API entry point for [[SqDist]]. */
+  def sqDist(a: Column, b: Column): Column =
+    ExpressionUtils.column(SqDist(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
 /** SQL-side registration: `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -123,6 +127,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SqDist].getName, "graft_sqdist"),
+      (children: Seq[Expression]) => SqDist(children.head, children(1))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_rolling_hash"),

@@ -21,6 +21,28 @@ class DotProductSpec extends SparkSpec {
     assert(both.filter(col("native").isNull).count() == 0)
   }
 
+  test("native sqdist is bit-identical to the composable HOF form") {
+    val hof = aggregate(
+      zip_with(col("a.v"), col("b.v"), (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    val both = vecs.as("a").join(vecs.as("b"), col("a.id") <= col("b.id"))
+      .select(GraftFunctions.sqDist(col("a.v"), col("b.v")).as("native"), hof.as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.filter(col("native").isNull).count() == 0)
+  }
+
+  test("sqdist null semantics match dot (length mismatch, null element, null array)") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    assert(df.select(GraftFunctions.sqDist(col("a"), col("b"))).collect()(0).isNullAt(0))
+    val withNullElem = spark.sql("SELECT array(1.0D, NULL) AS a, array(1.0D, 2.0D) AS b")
+    assert(withNullElem.select(GraftFunctions.sqDist(col("a"), col("b"))).collect()(0).isNullAt(0))
+    assert(spark.sql("SELECT array(CAST(1 AS FLOAT)) a, array(3.0D) b")
+      .select(GraftFunctions.sqDist(col("a"), col("b"))).as[Double].head() == 4.0)
+  }
+
   test("null semantics: length mismatch and null elements yield null") {
     val df = Seq(
       (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)) // length mismatch
