@@ -931,7 +931,12 @@ object SparkEntry {
     // past the default at larger scale factors
     "q_semdedup" -> { (s, dir) =>
       val e = emb(s, dir)
-      graft.ann.SemDedup.semDedup(e, KMeans.initCentroids(e, k = 8), threshold = 0.25,
+      // k scales with the corpus (~250 vectors/cluster, floor 8): fixed k
+      // makes in-cluster pair work QUADRATIC in data size (measured 26x at
+      // 10x data). At the oracle scales (sf0.01: 200 vecs, sf0.1: 2000)
+      // this is exactly k = 8, matching the fixed-k oracle SQL.
+      val k = math.max(8L, e.count() / 250L).toInt
+      graft.ann.SemDedup.semDedup(e, KMeans.initCentroids(e, k), threshold = 0.25,
         maxClusterSize = Int.MaxValue)
     },
 

@@ -41,16 +41,19 @@ object SemDedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       maxClusterSize: Int = 10000
-  ): DataFrame =
-    assigned
+  ): DataFrame = {
+    val clusters = assigned
       .groupBy("cid")
       .agg(graft.functions.BoundedCollectVectors
         .boundedCollectVectors(col(idCol), col(vecCol), maxClusterSize).as("items"))
       .filter(col("items").isNotNull && size(col("items")) >= 2)
-      .select(explode(graft.functions.Pairs.orderedPairs(col("items"), "a", "b")).as("p"))
-      .filter(graft.functions.Portable.r6(cosine(col("p.a.vec"), col("p.b.vec"))) >= threshold)
-      .select(col("p.b.id").as(idCol))
+    // streamed two-stage pair explosion: the one-shot pair array is a
+    // memory cliff with vector payloads (see Pairs.explodeOrderedPairs)
+    graft.functions.Pairs.explodeOrderedPairs(clusters, "items", "a", "b")
+      .filter(graft.functions.Portable.r6(cosine(col("a.vec"), col("b.vec"))) >= threshold)
+      .select(col("b.id").as(idCol))
       .distinct()
+  }
 
   /** Survivors of semantic dedup: (idCol, cid) for every vector with no
     * lower-id cluster-mate at cosine ≥ `threshold`. `centroids` is a

@@ -186,12 +186,6 @@ object Similarity {
     topKFromScores(scored, k)
   }
 
-  /** All ordered element pairs from a SORTED struct array (a.id < b.id by
-    * the collect's id-ascending contract; [[graft.functions.Pairs]]).
-    */
-  private def structPairs(xs: Column): Column =
-    graft.functions.Pairs.orderedPairs(xs, "a", "b")
-
   /** Embedding near-duplicate pairs: cosine >= threshold, bucketed by
     * coarse cell so candidate generation never goes all-pairs (exact
     * within a cell; probabilistic recall across cells, standard LSH
@@ -227,17 +221,19 @@ object Similarity {
         )
         .filter(col("cosine") >= threshold)
     case Some(f) =>
-      vectors
+      val cells = vectors
         .withColumn("__cell", f(col(vecCol)))
         .groupBy("__cell")
         .agg(graft.functions.BoundedCollectVectors
           .boundedCollectVectors(col(idCol), col(vecCol), maxCellSize).as("items"))
         .filter(col("items").isNotNull && size(col("items")) >= 2)
-        .select(explode(structPairs(col("items"))).as("p"))
+      // streamed two-stage pair explosion: the one-shot pair array is a
+      // memory cliff with vector payloads (see Pairs.explodeOrderedPairs)
+      graft.functions.Pairs.explodeOrderedPairs(cells, "items", "a", "b")
         .select(
-          col("p.a.id").as("id_a"),
-          col("p.b.id").as("id_b"),
-          graft.functions.Portable.r6(cosine(col("p.a.vec"), col("p.b.vec"))).as("cosine")
+          col("a.id").as("id_a"),
+          col("b.id").as("id_b"),
+          graft.functions.Portable.r6(cosine(col("a.vec"), col("b.vec"))).as("cosine")
         )
         .filter(col("cosine") >= threshold)
   }
