@@ -18,10 +18,22 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events with `ts` as a proper (microsecond) TimestampType column. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events with `ts` as a proper (microsecond) TimestampType column,
+    * whatever the file encodes: TIMESTAMP(NANOS) arrives as a long (see
+    * above) and is integer-divided to micros; micros TIMESTAMP /
+    * TIMESTAMP_NTZ (what Spark itself writes, e.g. the scaled-up bench
+    * data) casts directly — the session is pinned to UTC so both paths
+    * yield identical instants.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   def documents(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "documents")

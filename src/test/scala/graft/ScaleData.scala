@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (not a test): scale the sf0.1 testdata by an integer factor
+  * into single-file parquet tables, for plan-dominated benchmarking where
+  * sf0.1 is scheduler-bound.
+  *
+  *   Test/runMain graft.ScaleData /root/testdata/sf0.1 /root/repo/testdata_sf1 10
+  *
+  * Scaling preserves the semantic shape of each table instead of blowing
+  * up duplicate structure:
+  *   - fact/dimension keys get a per-copy stride offset, so FK joins keep
+  *     their exact selectivity and per-key row counts (no 10x-hot keys);
+  *   - document TEXT is word-salted per copy (a deterministic hash picks
+  *     ~20% of tokens to suffix), so within-copy duplicate/near-dup rates
+  *     match the generator's but copies do NOT pair with each other —
+  *     dedup candidate volume scales linearly, the way a real corpus
+  *     grows, not quadratically in the copy count;
+  *   - embeddings are cyclically rotated by copy index (norm and
+  *     coordinate distribution preserved, direction decorrelated) so ANN
+  *     and cosine-dedup don't see every point 10 times;
+  *   - events keep their timestamps (density grows 10x, the realistic
+  *     shape for a busier service) with ids/users stride-offset;
+  *   - region/nation stay fixed (bounded real-world cardinalities).
+  *
+  * `events.ts` is written as micros TIMESTAMP_NTZ (Spark cannot write the
+  * original TIMESTAMP(NANOS)); [[graft.sources.Tables.events]] reads both.
+  */
+object ScaleData {
+
+  def main(args: Array[String]): Unit = {
+    val (in, out, factor) = args match {
+      case Array(i, o)    => (i, o, 10)
+      case Array(i, o, f) => (i, o, f.toInt)
+      case _ => sys.error("usage: ScaleData <inDir> <outDir> [factor]")
+    }
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(out).mkdirs()
+
+    def copies(base: DataFrame)(transform: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => transform(base, i)).reduce(_ unionByName _)
+
+    /** Write as ONE parquet file named `$out/$name.parquet` (the layout
+      * the readers and the DuckDB oracle expect).
+      */
+    def writeSingle(df: DataFrame, name: String): Unit = {
+      val tmp = s"$out/__tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $name"))
+      val target = java.nio.file.Paths.get(s"$out/$name.parquet")
+      java.nio.file.Files.deleteIfExists(target)
+      java.nio.file.Files.move(part.toPath, target)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      println(s"[scale] $name: ${java.nio.file.Files.size(target) / 1024 / 1024} MiB")
+    }
+
+    def rd(name: String): DataFrame = graft.sources.Tables.read(spark, in, name)
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).collect()(0).getLong(0) + 1L
+
+    // fixed-cardinality dimensions: copy through unchanged
+    Seq("region", "nation").foreach(t => writeSingle(rd(t), t))
+
+    val cust = rd("customer")
+    val cStride = stride(cust, "c_custkey")
+    writeSingle(copies(cust) { (d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(i * cStride))
+    }, "customer")
+
+    val supp = rd("supplier")
+    val sStride = stride(supp, "s_suppkey")
+    writeSingle(copies(supp) { (d, i) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(i * sStride))
+    }, "supplier")
+
+    val part = rd("part")
+    val pStride = stride(part, "p_partkey")
+    writeSingle(copies(part) { (d, i) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(i * pStride))
+    }, "part")
+
+    val orders = rd("orders")
+    val oStride = stride(orders, "o_orderkey")
+    writeSingle(copies(orders) { (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * oStride))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * cStride))
+    }, "orders")
+
+    writeSingle(copies(rd("lineitem")) { (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * oStride))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * pStride))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * sStride))
+    }, "lineitem")
+
+    // events: ts arrives as nano longs; emit micros TIMESTAMP_NTZ
+    val ev = rd("events")
+    val eStride = stride(ev, "event_id")
+    val uStride = stride(ev, "user_id")
+    writeSingle(copies(ev) { (d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * eStride))
+        .withColumn("user_id", col("user_id") + lit(i * uStride))
+    }.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")),
+      "events")
+
+    // documents: word-salt ~20% of tokens per copy (deterministic md5
+    // pick), recompute n_chars; copy 0 is the original corpus verbatim
+    val docs = rd("documents")
+    val dStride = stride(docs, "doc_id")
+    writeSingle(copies(docs) { (d, i) =>
+      val salted =
+        if (i == 0) d
+        else d.withColumn("text", expr(
+          s"""array_join(transform(split(text, ' '),
+             |  t -> CASE WHEN pmod(xxhash64(t, $i), 5) = 0
+             |            THEN concat(t, 'x$i') ELSE t END), ' ')""".stripMargin))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      salted.withColumn("doc_id", col("doc_id") + lit(i * dStride))
+    }, "documents")
+
+    // embeddings: rotate dims by copy index (norms/coordinates preserved,
+    // directions decorrelated across copies)
+    val emb = rd("embeddings")
+    val vStride = stride(emb, "vec_id")
+    writeSingle(copies(emb) { (d, i) =>
+      val rotated =
+        if (i == 0) d
+        else d.withColumn("embedding", expr(
+          s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), slice(embedding, 1, $i))"))
+      rotated.withColumn("vec_id", col("vec_id") + lit(i * vStride))
+    }, "embeddings")
+
+    println(s"[scale] done: $out at ${factor}x $in")
+    spark.stop()
+  }
+}
