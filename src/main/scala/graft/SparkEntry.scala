@@ -631,7 +631,14 @@ object SparkEntry {
     // ------------------------------------------------- relational headline
     "q1_pricing" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir).filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+      // r6 in DOUBLE space before the decimal cast: the engines' native
+      // double->decimal rounding disagrees at 10^-6 boundaries, and at
+      // millions of rows those per-row diffs accumulate past one ulp of
+      // the ~1e10 totals (caught by the sf1 spot-run). floor(x*1e6+0.5)
+      // is identical IEEE arithmetic everywhere, so every row's decimal
+      // is bit-identical and the exact sums match at any scale.
+      def dec(c: org.apache.spark.sql.Column) =
+        graft.functions.Portable.r6(c).cast("decimal(38,6)")
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
@@ -1990,11 +1997,11 @@ object SparkEntry {
 
       "q1_pricing" ->
         """WITH a AS (SELECT l_returnflag, l_linestatus,
-          |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-          |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-          |  CAST(sum(CAST((l_extendedprice*(1-l_discount))*(1+l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-          |  CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc,
+          |  CAST(CAST(sum(CAST(floor((l_quantity) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+          |  CAST(CAST(sum(CAST(floor((l_extendedprice) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+          |  CAST(CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+          |  CAST(CAST(sum(CAST(floor(((l_extendedprice*(1-l_discount))*(1+l_tax)) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+          |  CAST(CAST(sum(CAST(floor((l_discount) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_disc,
           |  count(*) AS count_order
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2)
           |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, sum_charge, count_order,
