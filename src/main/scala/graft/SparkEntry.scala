@@ -123,6 +123,16 @@ object SparkEntry {
        |  FROM (SELECT vec_id, embedding, ${h32("concat('graft','|',CAST(vec_id AS VARCHAR))")} AS h
        |        FROM embeddings ORDER BY h, vec_id LIMIT 8))""".stripMargin
 
+  /** [[kmeansInitCte]] with q_semdedup's corpus-scaled k (~250 vectors
+    * per cluster, floor 8) — identical to LIMIT 8 at the driver's oracle
+    * scales, and keeps the oracle contract valid on scaled bench data.
+    */
+  private val kmeansInitScaledCte: String =
+    s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid, embedding
+       |  FROM (SELECT vec_id, embedding, ${h32("concat('graft','|',CAST(vec_id AS VARCHAR))")} AS h
+       |        FROM embeddings ORDER BY h, vec_id
+       |        LIMIT greatest(8, (SELECT count(*) FROM embeddings) // 250)))""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)}/(sqrt(${dotSql(a, a)})*sqrt(${dotSql(b, b)}))"
 
@@ -2278,7 +2288,7 @@ object SparkEntry {
            |    = md5(trim(regexp_replace(lower(dd.text), '[^a-z0-9]+', ' ', 'g'))))""".stripMargin,
 
       "q_semdedup" ->
-        s"""WITH $kmeansInitCte,
+        s"""WITH $kmeansInitScaledCte,
            |a AS (SELECT vec_id, embedding, cid FROM (
            |  SELECT e.vec_id, e.embedding, c0.cid,
            |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqDistSql("e.embedding", "c0.embedding")}, c0.cid) AS rn
