@@ -19,6 +19,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the bench tables are single parquet files; at the default 128 MiB
+      // split size a 100 MiB lineitem scans as ONE task and every
+      // zero-shuffle pipeline runs serial until its first exchange. 8 MiB
+      // emulates the multi-file layout any real dataset has.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -47,16 +47,22 @@ object Dedup {
       .distinct()
 
   /** Distinct (id, sh) pairs where sh = md5-derived 32-bit hash of the
-    * shingle. Hashing BEFORE the distinct means the dedup shuffle carries
-    * 8-byte keys instead of multi-word strings — at corpus scale the
-    * shingle table is the hot path and this halves its shuffle bytes.
+    * shingle (requires `idCol` unique per row, which every corpus frame
+    * here satisfies).
+    *
+    * The whole shingle step — window join, md5, per-doc dedup — runs
+    * row-locally in the native codegen'd
+    * [[graft.functions.ShingleHashes]] expression + `array_distinct`,
+    * so this is a ZERO-SHUFFLE projection: the old explode→hash→distinct
+    * shape paid a corpus-sized exchange and interpreted per-shingle
+    * lambdas for the same output (the dominant cost of every text-dedup
+    * query at bench scale).
     */
   def shingleHashTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
       .select(col(idCol).as("id"), wordTokens(col(textCol)).as("__toks"))
-      .select(col("id"), explode(shingleExpr(col("__toks"), n)).as("__s"))
-      .select(col("id"), md5Hash32(col("__s")).as("sh"))
-      .distinct()
+      .select(col("id"), explode(array_distinct(
+        graft.functions.ShingleHashes.shingleHashes(col("__toks"), n))).as("sh"))
 
   /** Universal-hash family params (a_j, b_j) for minhash: h_j(x) =
     * (a_j*x + b_j) mod MinhashPrime. One md5 per shingle, k cheap affine
@@ -115,9 +121,17 @@ object Dedup {
       textCol: String,
       maxDocFreq: Long
   ): DataFrame = {
-    val sh = shingleHashTable(docs, idCol, textCol, n)
-    val packed = sh
-      .withColumn("__n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("id")))
+    // per-doc distinct shingle hashes as ONE row-local array (native
+    // ShingleHashes + array_distinct): the shingle count is just size(),
+    // so the pack needs neither the old id-partitioned count window nor
+    // shingleHashTable's distinct — the whole candidate input is a
+    // ZERO-SHUFFLE projection and the groupBy(sh) below is the
+    // pipeline's first (and only corpus-sized) exchange.
+    val packed = docs
+      .select(col(idCol).as("id"), wordTokens(col(textCol)).as("__toks"))
+      .select(col("id"), array_distinct(
+        graft.functions.ShingleHashes.shingleHashes(col("__toks"), n)).as("__shs"))
+      .select(col("id"), size(col("__shs")).cast("long").as("__n"), explode(col("__shs")).as("sh"))
       .select(
         col("sh"),
         when(col("id") >= (1L << (63 - PackShift)) || col("id") < 0 || col("__n") >= (1L << PackShift),
@@ -542,7 +556,7 @@ object Dedup {
     require(numHashes <= MinhashParams.length, s"at most ${MinhashParams.length} hashes supported")
     df.withColumn("__mh_toks", wordTokens(text))
       .withColumn("__mh_shs",
-        array_distinct(transform(shingleExpr(col("__mh_toks"), n), s => md5Hash32(s))))
+        array_distinct(graft.functions.ShingleHashes.shingleHashes(col("__mh_toks"), n)))
       .withColumn(outCol,
         when(size(col("__mh_shs")) > 0,
           array((0 until numHashes).map { j =>

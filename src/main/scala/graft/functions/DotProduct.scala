@@ -134,6 +134,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => SqDist(children.head, children(1))
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) =>
+        ShingleHashes(children.head, foldedLong(children(1), "n").toInt)
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (children: Seq[Expression]) =>

@@ -33,7 +33,15 @@ object Novelty {
       textCol: String = "text",
       n: Int = 5
   ): DataFrame = {
-    val sh = Dedup.shingleHashTable(docs, idCol, textCol, n).pin(true)
+    // repartition BY sh before pinning: shingleHashTable is now a
+    // zero-shuffle projection, so an un-repartitioned pin would capture
+    // the scan's parallelism (one partition per smallish file) and both
+    // consumers would start serial. Hashing on sh gives the pinned frame
+    // a layout BOTH consumers reuse — the df groupBy needs no exchange
+    // and the sh-join is co-partitioned, so this single exchange replaces
+    // the two the old (id,sh)-distinct layout forced downstream.
+    val sh = Dedup.shingleHashTable(docs, idCol, textCol, n)
+      .repartition(col("sh")).pin(true)
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     sh.join(df, "sh")
       .groupBy("id")

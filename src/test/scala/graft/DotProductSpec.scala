@@ -77,6 +77,10 @@ class DotProductSpec extends SparkSpec {
       val rh = withExt.sql("SELECT graft_rolling_hash('abc') AS h, graft_rolling_hash('abc', 31, 1000000007) AS h2")
         .collect()(0)
       assert(rh.getLong(0) == rh.getLong(1))
+      val sh = withExt.sql(
+        "SELECT graft_shingle_hashes(array('a','b','c'), 2) AS hs, graft_sqdist(array(1.0D), array(3.0D)) AS d2")
+        .collect()(0)
+      assert(sh.getSeq[Long](0).length == 2 && sh.getDouble(1) == 4.0)
       val topk = withExt.sql(
         """SELECT graft_top_k(CAST(s AS DOUBLE), CAST(i AS BIGINT), 2) AS t
           |FROM VALUES (1.0, 1), (3.0, 2), (2.0, 3) AS v(s, i)""".stripMargin)
