@@ -38,22 +38,34 @@ object PageRank {
   ): DataFrame = {
     require(iters >= 0, s"iters must be non-negative, got $iters")
     require(d >= 0 && d <= 1, s"damping must be in [0,1], got $d")
-    // materialize the edge table ONCE: it feeds every iteration (plus
-    // nodes/outDeg), and without this the whole upstream derivation
-    // (tokenization, explosion, ...) re-runs per round
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).pin(true)
+    // collapse parallel edges to WEIGHTED edges once, then pin: the
+    // iteration cost becomes O(distinct (src,dst)) instead of O(raw
+    // edges) — on dense multigraphs (word adjacency, clickstreams) that
+    // is orders less work per round, and w * round(rank/deg, 12) is
+    // bit-identical to decimal-summing rank/deg once per parallel edge,
+    // so the semantics (parallel edges count multiply) are unchanged.
+    // One corpus-sized groupBy replaces the raw-edge materialization.
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .pin(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .pin(true)
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg")).pin(true)
+    val outDeg = e.groupBy("src").agg(sum(col("w")).as("deg")).pin(true)
     var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
     for (_ <- 0 until iters) {
       val contrib = e
         .join(ranks, e("src") === ranks("node"))
         .join(outDeg, "src")
         .select(col("dst").as("node"),
-          (col("rank") / col("deg")).cast("decimal(38,12)").as("c"))
+          // (27,12) x (10,0) -> decimal(38,12) EXACT. A bare bigint w
+          // would push the product past precision 38 and Spark silently
+          // reduces the scale (rounds) — measured 1e-6 drift vs the
+          // per-parallel-edge sum this must replicate bit-for-bit.
+          ((col("rank") / col("deg")).cast("decimal(27,12)") *
+            col("w").cast("decimal(10,0)")).as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("in_mass"))
       ranks = nodes
