@@ -637,17 +637,17 @@ object Dedup {
       textCol: String = "text"
   ): DataFrame = {
     require(bits >= 1 && bits <= 32, "bits must be in [1,32]")
-    val toks = docs
-      .select(col(idCol).as("id"), explode(wordTokens(col(textCol))).as("tok"))
-      .select(col("id"), md5Hash32(col("tok")).as("h"))
-    val votes = (0 until bits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v_$b")
-    }
-    val voted = toks.groupBy("id").agg(votes.head, votes.tail: _*)
-    val sig = (0 until bits)
-      .map(b => when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    voted.select(col("id"), sig.as("simhash"))
+    // fully row-local: ShingleHashes(toks, 1) IS md5Hash32 per token
+    // occurrence, SimhashSig folds the +-1 bit votes in one native loop —
+    // bit-exact vs the old explode + corpus-wide 32-sum aggregate
+    // (integer votes are order-free), with ZERO shuffle. Token-less docs
+    // are excluded, matching the groupBy formulation (no rows, no group).
+    docs
+      .select(col(idCol).as("id"), wordTokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("id"),
+        graft.functions.SimhashSig.simhashSig(
+          graft.functions.ShingleHashes.shingleHashes(col("__toks"), 1), bits).as("simhash"))
   }
 
   /** Near-dup pairs among simhash signatures with hamming distance <=
