@@ -47,7 +47,13 @@ object Bench {
             // loud on stderr — a swallowed failure reads as a fast query
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           }
-          name -> (System.nanoTime() - t0) / 1e9
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          // drop this query's localCheckpoint blocks NOW: queries never
+          // share frames, and relying on GC + ContextCleaner lets 140+
+          // queries of dead blocks pile up — measured 17x degradation on
+          // the heavy dedup queries late in a full-session run
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          name -> elapsed
         }
     val results = runAll(sfDir, only)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
