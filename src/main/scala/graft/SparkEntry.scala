@@ -427,6 +427,8 @@ object SparkEntry {
     // --------------------------------------------- dedup (SURVEY §2 21-25)
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
+    "q_dup_spans" -> ((s, dir) => Dedup.duplicateSpans(docs(s, dir), w = 10)),
+
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup
         .ngramJaccardPairs(docs(s, dir), threshold = 0.5, n = 5, maxDocFreq = 1000)
@@ -471,6 +473,14 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(emb(s, dir), threshold = 0.25)),
 
+    "q_srp_lsh" -> ((s, dir) =>
+      // 4 bands x 4 bits keeps buckets ~n/16 per band (scale-safe under
+      // the 1000 cap through 10x data). The LSH S-curve centers near
+      // cosine ~0.8; at this corpus's max pair cosine (~0.51) the output
+      // is the deterministic bucketed subset of the >=0.25 pairs — the
+      // honest LSH trade, identical in both engines.
+      graft.ann.Srp.srpLshPairs(emb(s, dir), threshold = 0.25)),
+
     // ----------------------------------------- similarity (SURVEY §2 26-27)
     "q_ann_topk" -> { (s, dir) =>
       val e = emb(s, dir)
@@ -507,6 +517,21 @@ object SparkEntry {
         f.getField("punct_ratio").as("punct_ratio"),
         f.getField("stopword_ratio").as("stopword_ratio"),
         TextFunctions.qualityScore(col("text")).as("quality_score")
+      )
+    },
+
+    "q_gopher_rules" -> { (s, dir) =>
+      val g = TextFunctions.gopherRules(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        g.getField("n_words").as("n_words"),
+        g.getField("mean_word_len").as("mean_word_len"),
+        g.getField("symbol_ratio").as("symbol_ratio"),
+        g.getField("bullet_frac").as("bullet_frac"),
+        g.getField("ellipsis_frac").as("ellipsis_frac"),
+        g.getField("alpha_word_frac").as("alpha_word_frac"),
+        g.getField("n_stopwords").as("n_stopwords"),
+        g.getField("passes").as("passes")
       )
     },
 
@@ -1686,6 +1711,22 @@ object SparkEntry {
           |  min(doc_id) AS canonical_id, count(*) AS n_copies
           |FROM documents GROUP BY 1""".stripMargin,
 
+      "q_dup_spans" ->
+        s"""WITH tk AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+           |sp AS (SELECT id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  unnest(CASE WHEN len(toks)>=10 THEN list_transform(range(1, len(toks)-8), i -> {'pos': i, 'g': array_to_string(toks[i:i+9],' ')}) ELSE [] END) AS s
+           |  FROM tk),
+           |sh AS (SELECT id, n_tokens, CAST(s.pos AS BIGINT) AS pos, ${h32("s.g")} AS sh FROM sp),
+           |hot AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1) WHERE df > 1),
+           |d AS (SELECT id, n_tokens, pos FROM sh WHERE sh IN (SELECT sh FROM hot)),
+           |b AS (SELECT id, n_tokens, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) <= 10 THEN 0 ELSE 1 END AS brk FROM d),
+           |isl AS (SELECT id, n_tokens, pos, sum(brk) OVER (PARTITION BY id ORDER BY pos) AS g FROM b),
+           |spans AS (SELECT id, g, any_value(n_tokens) AS n_tokens, min(pos) AS s, max(pos)+9 AS e FROM isl GROUP BY 1,2),
+           |agg AS (SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(e-s+1) AS BIGINT) AS dup_tokens, any_value(n_tokens) AS n_tokens FROM spans GROUP BY 1)
+           |SELECT doc_id, n_spans, dup_tokens, n_tokens,
+           |  ${graft.functions.Portable.r6Sql("CAST(dup_tokens AS DOUBLE)/CAST(n_tokens AS DOUBLE)")} AS dup_frac
+           |FROM agg""".stripMargin,
+
       "q_dedup_jaccard" ->
         s"""WITH $shingleCtes,
            |filt AS (SELECT id, sh FROM (SELECT id, sh, count(*) OVER (PARTITION BY sh) AS df FROM shh) WHERE df <= 1000),
@@ -1757,6 +1798,27 @@ object SparkEntry {
            |      FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id)
            |SELECT ia AS id_a, ib AS id_b, floor((cos) * 1000000 + 0.5) / 1000000 AS cosine FROM p WHERE cos >= 0.25""".stripMargin,
 
+      // SRP planes re-derived in SQL from the same md5 parity as
+      // Srp.planeSign; banding mirrors minhashCandidatePairs exactly
+      // (md5 of '|'-joined bit strings, buckets > 1000 dropped whole).
+      "q_srp_lsh" ->
+        s"""WITH pl AS (SELECT p.i AS p,
+           |  list_transform(range(0,64), d -> CASE WHEN CAST(concat('0x', substr(md5(concat('srp:', p.i, ':', d)),1,8)) AS BIGINT) % 2 = 0
+           |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS pv
+           |  FROM range(0,16) p(i)),
+           |sg AS (SELECT e.vec_id, pl.p,
+           |  CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1,65), i -> CAST(e.embedding[i] AS DOUBLE) * pl.pv[i])), (x,y) -> x+y) >= 0
+           |    THEN 1 ELSE 0 END AS bit
+           |  FROM embeddings e, pl),
+           |bl AS (SELECT vec_id, list(CAST(bit AS VARCHAR) ORDER BY p) AS bits FROM sg GROUP BY 1),
+           |bd AS (SELECT vec_id, b.i AS band, md5(array_to_string(bits[b.i*4+1:b.i*4+4], '|')) AS sig FROM bl, range(0,4) b(i)),
+           |bok AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, sig) AS bsz FROM bd) WHERE bsz <= 1000),
+           |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+           |         FROM bok a JOIN bok b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+           |ver AS (SELECT ia, ib, ${graft.functions.Portable.r6Sql(cosSql("ea.embedding", "eb.embedding"))} AS cosine
+           |        FROM cand JOIN embeddings ea ON ia = ea.vec_id JOIN embeddings eb ON ib = eb.vec_id)
+           |SELECT ia AS id_a, ib AS id_b, cosine FROM ver WHERE cosine >= 0.25""".stripMargin,
+
       "q_ann_topk" ->
         s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 8),
            |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.embedding", "c.embedding")} AS cos
@@ -1815,6 +1877,33 @@ object SparkEntry {
            |  floor((0.4*least(CAST(n_words AS DOUBLE)/100.0, 1.0) + 0.3*least(stopword_ratio*5.0, 1.0)
            |    + 0.2*(CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
            |    + 0.1*(1.0 - least(punct_ratio*5.0, 1.0))) * 1000000 + 0.5) / 1000000 AS quality_score
+           |FROM f""".stripMargin
+      },
+
+      "q_gopher_rules" -> {
+        val stop = TextFunctions.GopherStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH t AS (SELECT doc_id, text,
+           |  list_filter(string_split_regex(text, '\\s+'), x -> x<>'') AS words,
+           |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l<>'') AS lines,
+           |  list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks
+           |  FROM documents),
+           |f AS (SELECT doc_id,
+           |  CAST(len(words) AS BIGINT) AS n_words,
+           |  CAST(greatest(len(words),1) AS DOUBLE) AS wden,
+           |  CAST(greatest(len(lines),1) AS DOUBLE) AS lden,
+           |  ${r6("CAST(len(regexp_replace(text,'\\s','','g')) AS DOUBLE)/CAST(greatest(len(words),1) AS DOUBLE)")} AS mean_word_len,
+           |  ${r6("CAST(len(regexp_extract_all(text,'#')) + len(regexp_extract_all(text,'\\.\\.\\.|…')) AS DOUBLE)/CAST(greatest(len(words),1) AS DOUBLE)")} AS symbol_ratio,
+           |  ${r6("CAST(len(list_filter(lines, l -> regexp_matches(l,'^[-*•]'))) AS DOUBLE)/CAST(greatest(len(lines),1) AS DOUBLE)")} AS bullet_frac,
+           |  ${r6("CAST(len(list_filter(lines, l -> regexp_matches(l,'(\\.\\.\\.|…)$'))) AS DOUBLE)/CAST(greatest(len(lines),1) AS DOUBLE)")} AS ellipsis_frac,
+           |  ${r6("CAST(len(list_filter(words, w -> regexp_matches(w,'[A-Za-z]'))) AS DOUBLE)/CAST(greatest(len(words),1) AS DOUBLE)")} AS alpha_word_frac,
+           |  CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS BIGINT) AS n_stopwords
+           |FROM t)
+           |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac,
+           |  alpha_word_frac, n_stopwords,
+           |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+           |   AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+           |   AND alpha_word_frac > 0.8 AND n_stopwords >= 2) AS passes
            |FROM f""".stripMargin
       },
 

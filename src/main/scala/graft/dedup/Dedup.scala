@@ -64,6 +64,61 @@ object Dedup {
       .select(col("id"), explode(array_distinct(
         graft.functions.ShingleHashes.shingleHashes(col("__toks"), n))).as("sh"))
 
+  /** Span-level substring dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"; the reference has no equivalent —
+    * LLM-pipeline extension surface): every `w`-token span whose hashed
+    * content occurs MORE THAN ONCE corpus-wide (including twice in one
+    * document) is marked duplicated; overlapping/adjacent duplicated spans
+    * within a document merge into maximal islands; the result is one row
+    * per document that contains at least one duplicated span:
+    * `(doc_id, n_spans, dup_tokens, n_tokens, dup_frac)`.
+    *
+    * Shape at scale: span hashes come from the row-local codegen'd
+    * [[graft.functions.ShingleHashes]] (zero shuffle to produce), the
+    * occurrence count is ONE partial-aggregated groupBy on the 8-byte
+    * hash, and positions rejoin the `count > 1` set by hash equi-join.
+    * The island merge is a per-document window (doc-sized partitions).
+    * The position frame is a pure projection of the scan, so its two
+    * consumers (count + join) recompute it rather than materialize a
+    * corpus-sized cache — scan + row-local hashing is cheaper than
+    * writing the frame out at 100 TB.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 10
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .select(col(idCol).as("id"), wordTokens(col(textCol)).as("__toks"))
+      .select(
+        col("id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        posexplode(graft.functions.ShingleHashes.shingleHashes(col("__toks"), w)))
+      .select(col("id"), col("n_tokens"), (col("pos") + 1).cast("long").as("pos"), col("col").as("sh"))
+    val hot = pos.groupBy("sh").agg(count(lit(1)).as("__df")).filter(col("__df") > 1)
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val islands = pos
+      .join(hot, "sh")
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= w, lit(0)).otherwise(lit(1)))
+      .withColumn("__isl", sum(col("__brk")).over(byDoc))
+    islands
+      .groupBy(col("id"), col("__isl"))
+      .agg(
+        first(col("n_tokens")).as("n_tokens"),
+        min(col("pos")).as("__s"),
+        (max(col("pos")) + (w - 1)).as("__e"))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("__e") - col("__s") + 1).cast("long").as("dup_tokens"),
+        first(col("n_tokens")).as("n_tokens"))
+      .withColumn("dup_frac",
+        graft.functions.Portable.r6(col("dup_tokens").cast("double") / col("n_tokens").cast("double")))
+  }
+
   /** Universal-hash family params (a_j, b_j) for minhash: h_j(x) =
     * (a_j*x + b_j) mod MinhashPrime. One md5 per shingle, k cheap affine
     * re-hashes — instead of k md5s. a_j < 2^30 keeps a_j*x < 2^63 (no

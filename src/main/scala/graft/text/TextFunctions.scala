@@ -224,6 +224,63 @@ object TextFunctions {
   def rollingFingerprint(text: Column): Column =
     graft.functions.RollingHash.rollingHash(normalizeForFingerprint(text))
 
+  /** Gopher's tiny high-frequency English word list (MassiveText quality
+    * rule 7: "contains at least 2 of ..."). Public list from Rae et al.
+    * 2021, appendix A1.1.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher/MassiveText-style rule-based quality measures + composite
+    * pass flag (Rae et al. 2021 §A1.1; the reference has no equivalent —
+    * this is part of the LLM-pipeline extension surface, like
+    * [[qualityFeatures]]). One pure-column struct so the whole filter is a
+    * single projection fused into the scan:
+    *
+    *   1. 50 <= n_words <= 100000          (whitespace words)
+    *   2. 3 <= mean_word_len <= 10         (non-ws chars / words)
+    *   3. symbol_ratio < 0.1               (# and ellipsis per word)
+    *   4. bullet_frac  < 0.9               (lines starting with a bullet)
+    *   5. ellipsis_frac < 0.3              (lines ending with an ellipsis)
+    *   6. alpha_word_frac > 0.8            (words containing a letter)
+    *   7. n_stopwords >= 2                 ([[GopherStopwords]] hits)
+    *
+    * Ratios are r6-rounded BEFORE thresholding so the pass flag is
+    * ULP-insensitive across engines (§5 convention).
+    */
+  def gopherRules(text: Column): Column = {
+    import graft.functions.Portable.r6
+    val words = filter(split(text, "\\s+"), t => t =!= "")
+    val nWords = size(words).cast("long")
+    val wDen = greatest(nWords, lit(1L)).cast("double")
+    // sum(len(word)) == count of non-whitespace chars: one regexp, no fold
+    val meanWordLen = r6(length(regexp_replace(text, "\\s", "")).cast("double") / wDen)
+    val symbolRatio = r6((regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\.|…"))).cast("double") / wDen)
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val lDen = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = r6(size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") / lDen)
+    val ellipsisFrac = r6(size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / lDen)
+    val alphaWordFrac = r6(size(filter(words, t => t.rlike("[A-Za-z]"))).cast("double") / wDen)
+    val nStop = stopwordHits(wordTokens(text), GopherStopwords).cast("long")
+    val passes = nWords.between(50L, 100000L) &&
+      meanWordLen.between(3.0, 10.0) &&
+      symbolRatio < 0.1 &&
+      bulletFrac < 0.9 &&
+      ellipsisFrac < 0.3 &&
+      alphaWordFrac > 0.8 &&
+      nStop >= 2L
+    struct(
+      nWords.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      alphaWordFrac.as("alpha_word_frac"),
+      nStop.as("n_stopwords"),
+      passes.as("passes"))
+  }
+
   /** Word n-gram shingles of `n` tokens joined by single spaces; empty
     * array when the doc has fewer than `n` tokens (sequence(0, negative)
     * would count DOWN in Spark, so short docs are guarded explicitly).

@@ -207,4 +207,53 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L)))
   }
+
+  test("SRP planes are deterministic Rademacher vectors; LSH pairs scale-invariant dups") {
+    import graft.ann.Srp
+    val p1 = Srp.planes(4, 8)
+    val p2 = Srp.planes(4, 8)
+    assert(p1.flatten.toSeq == p2.flatten.toSeq)
+    assert(p1.flatten.forall(v => v == 1.0f || v == -1.0f))
+    // a mix of signs, not degenerate all-ones
+    assert(p1.flatten.toSet == Set(1.0f, -1.0f))
+
+    // deterministic 64-dim vectors: v2 = 2*v1 has the SAME signature
+    // (sign(dot) is scale-invariant) and cosine exactly 1; v3 has ~half
+    // its components flipped => low cosine, filtered even when bucketed
+    val v1 = Array.tabulate(64)(d => ((d % 7) - 3).toFloat / 3.0f)
+    val v2 = v1.map(_ * 2.0f)
+    val v3 = Array.tabulate(64)(d => if (d % 2 == 0) v1(d) else -v1(d))
+    val vecs = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val out = Srp.srpLshPairs(vecs, threshold = 0.5)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("duplicateSpans merges overlapping spans into islands, splits on gaps > w") {
+    val spanCorpus = Seq(
+      // grams at w=3: abc bcd cde def; abc+bcd are shared with doc 2 ->
+      // one island [1, 4]
+      (1L, "a b c d e f"),
+      // shared abc(pos3) + bcd(pos4) -> island [3, 6]
+      (2L, "x y a b c d z"),
+      // nothing shared, absent from the output
+      (3L, "p q r s t pu pv pw"),
+      // internal repetition: every gram occurs >1x corpus-wide (within
+      // ONE doc) -> island [1, 9], dup_frac 1.0
+      (4L, "m n o m n o m n o"),
+      // two shared spans (abc..., uvw) separated by a 7-position gap > w
+      // -> TWO islands: [1,3] and [8,10]
+      (5L, "a b c fa fb fc fd u v w"),
+      (6L, "a b c ga gb gc gd ge u v w")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(spanCorpus, w = 3)
+      .select("doc_id", "n_spans", "dup_tokens", "n_tokens", "dup_frac")
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(3L))
+    assert(out(1L) == ((1L, 1L, 4L, 6L, 0.666667)))
+    assert(out(2L) == ((2L, 1L, 4L, 7L, 0.571429)))
+    assert(out(4L) == ((4L, 1L, 9L, 9L, 1.0)))
+    assert(out(5L) == ((5L, 2L, 6L, 10L, 0.6)))
+    assert(out(6L) == ((6L, 2L, 6L, 11L, 0.545455)))
+  }
 }

@@ -100,4 +100,44 @@ class TextFunctionsSpec extends SparkSpec {
     assert(qn > qj)
     assert(qn >= 0.0 && qn <= 1.0 && qj >= 0.0 && qj <= 1.0)
   }
+
+  test("gopherRules: each rule fires on its pathology, natural prose passes") {
+    def g(text: String): org.apache.spark.sql.Row =
+      Seq(text).toDF("t").select(gopherRules(col("t")).as("g")).select("g.*").collect()(0)
+
+    // 60 natural words with stopword hits -> passes
+    val prose = (("the quick brown fox jumps over that lazy dog of mine " +
+      "and it will have run with great speed to be near the barn ") * 3).trim
+    val ok = g(prose)
+    assert(ok.getAs[Boolean]("passes"), s"natural prose should pass: $ok")
+    assert(ok.getAs[Long]("n_words") >= 50L)
+
+    // too short
+    assert(!g("the cat and that dog have fun with it").getAs[Boolean]("passes"))
+
+    // bullet-dominated doc fails rule 4 even with enough words
+    val bullets = (1 to 60).map(i => s"- item $i of the list that we have").mkString("\n")
+    val bg = g(bullets)
+    assert(bg.getAs[Double]("bullet_frac") >= 0.9 && !bg.getAs[Boolean]("passes"))
+
+    // ellipsis-heavy lines fail rule 5
+    val ell = (1 to 60).map(i => s"teaser number $i of the story that we have...").mkString("\n")
+    val eg = g(ell)
+    assert(eg.getAs[Double]("ellipsis_frac") >= 0.3 && !eg.getAs[Boolean]("passes"))
+
+    // symbol soup fails rule 3: '#' per word >= 0.1
+    val hashy = prose + " " + ("#tag " * 20).trim
+    val hg = g(hashy)
+    assert(hg.getAs[Double]("symbol_ratio") >= 0.1 && !hg.getAs[Boolean]("passes"))
+
+    // numeric tokens fail rule 6 (alpha word fraction)
+    val nums = ("the of and that " + (1 to 60).map(_.toString).mkString(" "))
+    val ng = g(nums)
+    assert(ng.getAs[Double]("alpha_word_frac") <= 0.8 && !ng.getAs[Boolean]("passes"))
+
+    // empty text: denominators guard, no NaN/null, fails on word count
+    val z = g("")
+    assert(z.getAs[Long]("n_words") == 0L && !z.getAs[Boolean]("passes"))
+    assert(!z.anyNull)
+  }
 }
