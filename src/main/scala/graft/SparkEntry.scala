@@ -535,6 +535,52 @@ object SparkEntry {
       )
     },
 
+    "q_c4_rules" -> { (s, dir) =>
+      val c = TextFunctions.c4Rules(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        c.getField("n_lines").as("n_lines"),
+        c.getField("n_kept").as("n_kept"),
+        c.getField("kept_frac").as("kept_frac"),
+        c.getField("has_lorem").as("has_lorem"),
+        c.getField("has_brace").as("has_brace"),
+        c.getField("passes").as("passes")
+      )
+    },
+
+    "q_redact_pii" -> { (s, dir) =>
+      val r = TextFunctions.redactPii(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        r.getField("redacted").as("redacted"),
+        r.getField("n_redacted").as("n_redacted")
+      )
+    },
+
+    "q_mojibake" -> { (s, dir) =>
+      val a = TextFunctions.encodingArtifacts(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        a.getField("n_replacement").as("n_replacement"),
+        a.getField("n_ctrl").as("n_ctrl"),
+        a.getField("n_mojibake").as("n_mojibake"),
+        a.getField("artifact_frac").as("artifact_frac"),
+        a.getField("is_clean").as("is_clean")
+      )
+    },
+
+    "q_psi" -> ((s, dir) =>
+      Stats
+        .psi(ev(s, dir), Seq("event_type"), "value", isRef = col("event_id") % 2 === 0)
+        .select(col("event_type"), graft.functions.Portable.r6(col("psi")).as("psi"))),
+
+    "q_fk_audit" -> ((s, dir) =>
+      Integrity.fkAuditAll(Seq(
+        ("lineitem.orderkey", Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey"),
+        ("orders.custkey", Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey"),
+        ("customer.nationkey", Tables.customer(s, dir), "c_nationkey", Tables.nation(s, dir), "n_nationkey")
+      ))),
+
     "q_token_count" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -1912,6 +1958,88 @@ object SparkEntry {
           |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x<>'')) AS BIGINT) AS n_ws_tokens,
           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish_tokens
           |FROM documents""".stripMargin,
+
+      "q_c4_rules" ->
+        """WITH t AS (SELECT doc_id, text,
+          |  list_filter(list_transform(string_split(regexp_replace(text, '\r', '', 'g'), chr(10)), l -> trim(l)), l -> l<>'') AS lines
+          |  FROM documents),
+          |f AS (SELECT doc_id, text,
+          |  CAST(len(lines) AS BIGINT) AS n_lines,
+          |  CAST(len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+          |    AND len(list_filter(string_split_regex(l, '\s+'), w -> w<>'')) >= 3)) AS BIGINT) AS n_kept
+          |  FROM t)
+          |SELECT doc_id, n_lines, n_kept,
+          |  floor((CAST(n_kept AS DOUBLE)/CAST(greatest(n_lines,1) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS kept_frac,
+          |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+          |  contains(text, '{') AS has_brace,
+          |  (n_kept >= 5 AND NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')) AS passes
+          |FROM f""".stripMargin,
+
+      "q_redact_pii" ->
+        """WITH s1 AS (SELECT doc_id, text,
+          |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+          |  FROM documents),
+          |s2 AS (SELECT doc_id, text, t1,
+          |  regexp_replace(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS t2
+          |  FROM s1)
+          |SELECT doc_id,
+          |  regexp_replace(t2, '[0-9]{9,}', '<NUM>', 'g') AS redacted,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |     + len(regexp_extract_all(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+          |     + len(regexp_extract_all(t2, '[0-9]{9,}')) AS BIGINT) AS n_redacted
+          |FROM s2""".stripMargin,
+
+      "q_mojibake" ->
+        """WITH f AS (SELECT doc_id, len(text) AS n_chars,
+          |  CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement,
+          |  CAST(len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) AS n_ctrl,
+          |  CAST(len(regexp_extract_all(text, 'Ã[©¨¤¶¼±‰]|â€|Â[«»]')) AS BIGINT) AS n_mojibake
+          |  FROM documents)
+          |SELECT doc_id, n_replacement, n_ctrl, n_mojibake,
+          |  floor((CAST(n_replacement + n_ctrl + n_mojibake AS DOUBLE)/CAST(greatest(n_chars,1) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS artifact_frac,
+          |  (n_replacement + n_ctrl + n_mojibake = 0) AS is_clean
+          |FROM f""".stripMargin,
+
+      "q_psi" ->
+        """WITH f AS (SELECT event_type, CAST(value AS DOUBLE) AS v, (event_id % 2 = 0) AS ref
+          |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+          |r AS (SELECT event_type, min(v) AS lo, max(v) AS hi FROM f GROUP BY 1),
+          |b AS (SELECT f.event_type, ref,
+          |    CASE WHEN r.hi = r.lo THEN 0
+          |         ELSE CAST(least(floor((v - r.lo) / ((r.hi - r.lo)/10.0)), 9.0) AS INT) END AS bin
+          |  FROM f JOIN r ON f.event_type = r.event_type),
+          |c AS (SELECT event_type, ref, bin, count(*) AS n FROM b GROUP BY 1,2,3),
+          |tt AS (SELECT event_type, ref, sum(n) AS tot FROM c GROUP BY 1,2),
+          |grid AS (SELECT event_type, CAST(range AS INT) AS bin
+          |  FROM (SELECT DISTINCT event_type FROM c) CROSS JOIN range(10)),
+          |j AS (SELECT grid.event_type,
+          |    (CAST(COALESCE(cr.n,0) AS DOUBLE)+0.5)/(CAST(COALESCE(tr.tot,0) AS DOUBLE)+5.0) AS p,
+          |    (CAST(COALESCE(cc.n,0) AS DOUBLE)+0.5)/(CAST(COALESCE(tc.tot,0) AS DOUBLE)+5.0) AS q
+          |  FROM grid
+          |  LEFT JOIN c cr ON cr.event_type = grid.event_type AND cr.bin = grid.bin AND cr.ref
+          |  LEFT JOIN c cc ON cc.event_type = grid.event_type AND cc.bin = grid.bin AND NOT cc.ref
+          |  LEFT JOIN tt tr ON tr.event_type = grid.event_type AND tr.ref
+          |  LEFT JOIN tt tc ON tc.event_type = grid.event_type AND NOT tc.ref)
+          |SELECT event_type,
+          |  floor(CAST(sum(CAST((p - q) * ln(p / q) AS DECIMAL(38,12))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS psi
+          |FROM j GROUP BY 1""".stripMargin,
+
+      "q_fk_audit" ->
+        """WITH a AS (SELECT 'lineitem.orderkey' AS relation, count(*) AS n_rows,
+          |    CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+          |    CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+          |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l.l_orderkey = o.o_orderkey),
+          |b AS (SELECT 'orders.custkey' AS relation, count(*) AS n_rows,
+          |    CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+          |    CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+          |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey),
+          |cta AS (SELECT 'customer.nationkey' AS relation, count(*) AS n_rows,
+          |    CAST(sum(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+          |    CAST(sum(CASE WHEN c.c_nationkey IS NOT NULL AND n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+          |  FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n ON c.c_nationkey = n.n_nationkey)
+          |SELECT relation, n_rows, n_null_fk, n_orphans,
+          |  floor((CAST(n_orphans AS DOUBLE)/CAST(greatest(n_rows,1) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS orphan_frac
+          |FROM (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM cta)""".stripMargin,
 
       "q_kmeans_assign" ->
         s"""WITH $kmeansInitCte,

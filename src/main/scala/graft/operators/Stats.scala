@@ -186,4 +186,76 @@ object Stats {
         ((col("sy") - slope * col("sx")) / n).as("intercept")): _*
     )
   }
+
+  /** Population stability index of `valueCol`'s distribution per group,
+    * comparing the rows where `isRef` is true (reference period) against
+    * the rest (current period) — the standard drift gate a training-data
+    * refresh runs per feature before accepting a new snapshot.
+    *
+    * Values are bucketed into `nBins` FIXED-WIDTH bins spanning the
+    * group's overall [min, max] (exact min/max — identical in every
+    * engine, unlike quantile edges), each side's proportions are
+    * add-half smoothed ((n + 0.5)/(N + nBins/2), so empty bins
+    * contribute finitely), and PSI = Σ_bins (p − q)·ln(p/q).
+    *
+    * Execution shape: ONE scan of the facts to the (group, side, bin)
+    * count frame (partial-agg map-side); everything after — the full
+    * group×bin grid, side totals, the ln terms — is vocab-sized and
+    * broadcast. ln terms sum in DECIMAL(38,12) so reduction order
+    * cannot wiggle low bits (the [[groupDivergence]] convention).
+    */
+  def psi(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      isRef: Column,
+      nBins: Int = 10
+  ): DataFrame = {
+    require(nBins >= 2, "psi needs at least 2 bins")
+    val v = col(valueCol).cast("double")
+    val facts = df.filter(ok(v)).select((by.map(col) :+ v.as("__v") :+ isRef.as("__ref")): _*)
+    val rng = facts
+      .groupBy(by.map(col): _*)
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val width = (col("__hi") - col("__lo")) / nBins.toDouble
+    val bin = when(col("__hi") === col("__lo"), lit(0))
+      .otherwise(least(floor((col("__v") - col("__lo")) / width), lit(nBins - 1.0)))
+      .cast("int")
+    // one fact scan -> (group, side, bin) counts; vocab-sized thereafter
+    val counts = facts
+      .join(broadcast(rng), by)
+      .groupBy((by.map(col) :+ col("__ref") :+ bin.as("__bin")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .pin(false)
+    val totals = counts.groupBy((by.map(col) :+ col("__ref")): _*).agg(sum(col("__n")).as("__tot"))
+    val grid = counts
+      .select(by.map(col): _*)
+      .distinct()
+      .crossJoin(broadcast(spark_range_bins(nBins)))
+    def side(ref: Boolean, cn: String, tn: String) = {
+      val c = counts.filter(col("__ref") === ref).drop("__ref").withColumnRenamed("__n", cn)
+      val t = totals.filter(col("__ref") === ref).drop("__ref").withColumnRenamed("__tot", tn)
+      (c, t)
+    }
+    val (cr, tr) = side(ref = true, "__nr", "__tr")
+    val (cc, tc) = side(ref = false, "__nc", "__tc")
+    val p = (coalesce(col("__nr"), lit(0L)).cast("double") + 0.5) /
+      (coalesce(col("__tr"), lit(0L)).cast("double") + nBins / 2.0)
+    val q = (coalesce(col("__nc"), lit(0L)).cast("double") + 0.5) /
+      (coalesce(col("__tc"), lit(0L)).cast("double") + nBins / 2.0)
+    grid
+      .join(cr, by :+ "__bin", "left")
+      .join(cc, by :+ "__bin", "left")
+      .join(broadcast(tr), by, "left")
+      .join(broadcast(tc), by, "left")
+      .select((by.map(col) :+ ((p - q) * log(p / q)).cast("decimal(38,12)").as("__term")): _*)
+      .groupBy(by.map(col): _*)
+      .agg(sum(col("__term")).cast("double").as("psi"))
+  }
+
+  /** Tiny (nBins-row) bin-index frame for the PSI grid. */
+  private def spark_range_bins(nBins: Int): DataFrame = {
+    val s = org.apache.spark.sql.SparkSession.active
+    s.range(nBins).select(col("id").cast("int").as("__bin"))
+  }
 }

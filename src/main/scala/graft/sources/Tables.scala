@@ -52,4 +52,7 @@ object Tables {
 
   def part(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "part")
+
+  def nation(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "nation")
 }

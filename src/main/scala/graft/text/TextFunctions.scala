@@ -281,6 +281,85 @@ object TextFunctions {
       passes.as("passes"))
   }
 
+  /** C4-style line-level cleaning stats (Raffel et al. 2020, the T5/C4
+    * heuristics; cf. the quality-filter stage family the reference's
+    * `filters/` module plays for MEDS data — `filters/filter_measurements.py:1`).
+    * A line is KEPT when it ends in terminal punctuation and has ≥ 3
+    * whitespace tokens; a doc `passes` when it keeps ≥ 5 lines and
+    * contains neither "lorem ipsum" nor a curly brace (the code/boiler-
+    * plate markers C4 blocklists). Pure column expressions — fuses into
+    * the scan, zero shuffle.
+    */
+  def c4Rules(text: Column): Column = {
+    import graft.functions.Portable.r6
+    // \r is stripped BEFORE splitting: Java's unanchored `$` also matches
+    // before a final \r (RE2's does not), so lines must hold no terminator
+    // for the end-punctuation test to agree across engines.
+    val lines =
+      filter(transform(split(regexp_replace(text, "\r", ""), "\n"), l => trim(l)), l => l =!= "")
+    val kept = filter(
+      lines,
+      l =>
+        l.rlike("[.!?\"]$") &&
+          size(filter(split(l, "\\s+"), w => w =!= "")) >= 3)
+    val nLines = size(lines).cast("long")
+    val nKept = size(kept).cast("long")
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    struct(
+      nLines.as("n_lines"),
+      nKept.as("n_kept"),
+      r6(nKept.cast("double") / greatest(nLines, lit(1L)).cast("double")).as("kept_frac"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (nKept >= 5L && !hasLorem && !hasBrace).as("passes"))
+  }
+
+  /** PII regexes shared by detection ([[piiCounts]]) and redaction
+    * ([[redactPii]]) — RE2-safe so the DuckDB oracle runs the SAME
+    * patterns.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val LongDigitRe = "[0-9]{9,}"
+
+  /** PII redaction: emails → `<EMAIL>`, IPv4s → `<IP>`, 9+-digit runs →
+    * `<NUM>`, applied in that order (emails can contain digit runs; each
+    * count is taken on the text AS THE STAGE SEES IT so `n_redacted` is
+    * exactly the number of replacements performed). Returns a struct
+    * (redacted, n_redacted). One projection, zero shuffle.
+    */
+  def redactPii(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    val afterNum = regexp_replace(afterIp, LongDigitRe, "<NUM>")
+    val n = regexp_count(text, lit(EmailRe)) +
+      regexp_count(afterEmail, lit(Ipv4Re)) +
+      regexp_count(afterIp, lit(LongDigitRe))
+    struct(afterNum.as("redacted"), n.cast("long").as("n_redacted"))
+  }
+
+  /** Encoding-artifact stats — the mojibake / binary-junk pre-filter a
+    * web corpus needs before tokenization: U+FFFD replacement chars,
+    * C0 control chars (excluding \t \n \r), and classic UTF-8-read-as-
+    * Latin-1 sequences ("Ã©", "â€™", …). `artifact_frac` is per-char;
+    * `is_clean` flags docs safe to tokenize. Pure expressions, zero
+    * shuffle.
+    */
+  def encodingArtifacts(text: Column): Column = {
+    import graft.functions.Portable.r6
+    val nRepl = regexp_count(text, lit("�")).cast("long")
+    val nCtrl = regexp_count(text, lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")).cast("long")
+    val nMoji = regexp_count(text, lit("Ã[©¨¤¶¼±‰]|â€|Â[«»]")).cast("long")
+    val total = nRepl + nCtrl + nMoji
+    struct(
+      nRepl.as("n_replacement"),
+      nCtrl.as("n_ctrl"),
+      nMoji.as("n_mojibake"),
+      r6(total.cast("double") / greatest(length(text), lit(1)).cast("double")).as("artifact_frac"),
+      (total === 0L).as("is_clean"))
+  }
+
   /** Word n-gram shingles of `n` tokens joined by single spaces; empty
     * array when the doc has fewer than `n` tokens (sequence(0, negative)
     * would count DOWN in Spark, so short docs are guarded explicitly).
