@@ -701,6 +701,39 @@ object SparkEntry {
         .score(docs(s, dir), Seq("spark", "hash", "merge"))
         .select(col("id"), graft.functions.Portable.r6(col("bm25")).as("bm25"))),
 
+    // batch retrieval: 3 probe queries, one corpus pass, top-10 each
+    "q_bm25_retrieve" -> ((s, dir) =>
+      Bm25
+        .retrieveTopK(
+          docs(s, dir),
+          Seq(
+            "q_joins"  -> Seq("join", "hash", "merge"),
+            "q_scan"   -> Seq("scan", "filter", "column"),
+            "q_stream" -> Seq("stream", "window", "batch")),
+          k = 10)
+        .select(col("query_id"), col("id").as("doc_id"), col("rank"), col("bm25"))),
+
+    // leakage-proof splits: every near-dup cluster rides one die roll
+    "q_split_groupaware" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val clusters = Dedup
+        .connectedComponents(Dedup.ngramJaccardPairs(d, threshold = 0.5, n = 5, maxDocFreq = 1000))
+        .select(col("id"), col("label").as("cluster_id"))
+      graft.pipeline.Splits
+        .groupAwareSplit(d, clusters, Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .select(col("doc_id"), col("split"))
+    },
+
+    // MAD robust outliers; flag recomputed on the r6-rounded z so a 1-ulp
+    // percentile-interpolation difference can't flip the 3.5 boundary
+    "q_mad" -> ((s, dir) =>
+      Outliers
+        .madOutliers(ev(s, dir), Seq("event_type"), "value", k = 3.5, exact = true)
+        .withColumn("robust_z", graft.functions.Portable.r6(col("robust_z")))
+        .select(
+          col("event_id"), col("event_type"), col("robust_z"),
+          coalesce(abs(col("robust_z")) > 3.5, lit(false)).as("is_outlier"))),
+
     "q_pack" -> ((s, dir) =>
       Packing
         .packByTokenBudget(
@@ -2205,6 +2238,46 @@ object SparkEntry {
           |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
           |SELECT id, floor((sum(ln(1 + (n_docs - df + 0.5)/(df + 0.5)) * tf/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl)))) * 1000000 + 0.5) / 1000000 AS bm25
           |FROM tf JOIN idf USING (term) JOIN dl USING (id), st GROUP BY id""".stripMargin,
+
+      // rank over the r6-rounded score (ties by id) — mirrors retrieveTopK
+      "q_bm25_retrieve" ->
+        """WITH qt(query_id, term) AS (VALUES
+          |  ('q_joins','join'), ('q_joins','hash'), ('q_joins','merge'),
+          |  ('q_scan','scan'), ('q_scan','filter'), ('q_scan','column'),
+          |  ('q_stream','stream'), ('q_stream','window'), ('q_stream','batch')),
+          |tok AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+          |t AS (SELECT id, unnest(toks) AS term FROM tok),
+          |dl AS (SELECT id, CAST(len(toks) AS DOUBLE) AS dl FROM tok),
+          |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+          |tf AS (SELECT id, term, count(*) AS tf FROM t WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+          |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |sc AS (SELECT qt.query_id, tf.id,
+          |    floor((sum(ln(1 + (n_docs - df + 0.5)/(df + 0.5)) * tf/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl)))) * 1000000 + 0.5) / 1000000 AS bm25
+          |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl USING (id), st GROUP BY 1, 2),
+          |r AS (SELECT query_id, id AS doc_id, bm25,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, id) AS rank FROM sc)
+          |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, bm25 FROM r WHERE rank <= 10""".stripMargin,
+
+      // split by the hash of the cluster representative (singletons: own id)
+      "q_split_groupaware" ->
+        s"""WITH RECURSIVE $closureCtes,
+           |rep AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+           |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id),
+           |h AS (SELECT doc_id, ${h32("concat('split','|',CAST(rep AS VARCHAR))")} % 10 AS h FROM rep)
+           |SELECT doc_id, CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'val' ELSE 'test' END AS split
+           |FROM h""".stripMargin,
+
+      "q_mad" ->
+        s"""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+           |mad AS (SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+           |  FROM events e JOIN med m USING (event_type) WHERE e.value IS NOT NULL GROUP BY 1),
+           |z AS (SELECT e.event_id, e.event_type,
+           |    ${graft.functions.Portable.r6Sql("(e.value - m.med) / (1.4826 * nullif(d.mad, 0))")} AS robust_z
+           |  FROM events e LEFT JOIN med m USING (event_type) LEFT JOIN mad d USING (event_type))
+           |SELECT event_id, event_type, robust_z,
+           |  coalesce(abs(robust_z) > 3.5, false) AS is_outlier
+           |FROM z""".stripMargin,
 
       "q_pack" ->
         s"""WITH tc AS (SELECT doc_id,

@@ -378,4 +378,117 @@ object Multimodal {
       bin: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column,
       frameBytes: Int, stride: Int): org.apache.spark.sql.Column =
     bin.substr((k * (frameBytes * stride) + 1).cast("int"), lit(frameBytes))
+
+  /** 64-bit perceptual difference hash (dHash) of a decoded image:
+    * bilinear-downscale to 9x8, Rec.601 grayscale, then one bit per
+    * horizontal luminance gradient (`lum(x,y) > lum(x+1,y)`). Stable
+    * under re-encode / resize / mild noise — near-identical images land
+    * within a few bits of Hamming distance, which is what makes
+    * cross-format image dedup possible without comparing pixels.
+    */
+  private[multimodal] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val dst = new java.awt.image.BufferedImage(9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+    } finally g.dispose()
+    def lum(x: Int, y: Int): Int = {
+      val rgb = dst.getRGB(x, y)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(x, y) > lum(x + 1, y)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Per-image dHash over a binary media column — same streaming
+    * mapPartitions shape as [[extractFeatures]] (one decoded image in
+    * memory at a time). Undecodable rows get a null hash, never a task
+    * failure, so one corrupt blob can't kill a 100 TB scan.
+    */
+  def imageDHash(
+      df: DataFrame,
+      idCol: String = "media_id",
+      mediaCol: String = "media"
+  ): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("dhash", LongType),
+      StructField("decoded", BooleanType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        decodeImage(r.getAs[Array[Byte]](mediaIdx)) match {
+          case Some(img) => Row(r.getLong(idIdx), dHash64(img), true)
+          case None      => Row(r.getLong(idIdx), null, false)
+        }
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate image pairs from 64-bit dHashes by pigeonhole
+    * banding: split the hash into `maxHamming + 1` blocks — any pair
+    * within the radius agrees EXACTLY on at least one block — bucket by
+    * (block, value), and equi-join within buckets. Same candidate shape
+    * as text simhash ([[graft.dedup.Dedup.simhashNearDupPairs]]) but
+    * join-based rather than packed-collect, because 64-bit signatures
+    * don't fit the (id | sig) single-long packing.
+    *
+    * Scale: candidates come only from the banded equi-join (never an
+    * all-pairs cross), and degenerate buckets (e.g. millions of
+    * identical flat-color thumbnails) are dropped WHOLE once they pass
+    * `maxBucketSize` — the honest recall trade the text pipelines make,
+    * applied to images.
+    */
+  def dhashNearDupPairs(
+      signatures: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000,
+      idCol: String = "media_id"
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val nBlocks = maxHamming + 1
+    val blockSize = math.ceil(64.0 / nBlocks).toInt
+    val banded = signatures
+      .filter(col("dhash").isNotNull)
+      .select(
+        col(idCol).as("id"),
+        col("dhash"),
+        explode(array((0 until nBlocks).map { i =>
+          val width = math.min(blockSize, 64 - i * blockSize)
+          val mask = if (width >= 64) -1L else (1L << width) - 1
+          struct(
+            lit(i).as("blk"),
+            shiftrightunsigned(col("dhash"), i * blockSize).bitwiseAND(mask).as("v"))
+        }: _*)).as("b"))
+      .select(col("id"), col("dhash"), col("b.blk"), col("b.v"))
+      .withColumn("__bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("blk", "v")))
+      .filter(col("__bsz") <= maxBucketSize)
+    val a = banded.select(col("blk"), col("v"), col("id").as("id_a"), col("dhash").as("__ha"))
+    val b = banded.select(col("blk"), col("v"), col("id").as("id_b"), col("dhash").as("__hb"))
+    a.join(b, Seq("blk", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      // radius filter BEFORE the distinct shuffle (same ordering win as
+      // the text simhash pipeline: most bucket-mates are not near-dups)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -103,4 +103,47 @@ object Outliers {
         (v - col("__med")) / nullif(col("__q3") - col("__q1"), lit(0.0)))
       .drop("__q1", "__med", "__q3")
   }
+
+  /** MAD-based robust outlier flag: `|x − median| / (1.4826·MAD) > k`,
+    * the median-absolute-deviation z-score (1.4826 rescales MAD to σ for
+    * a normal population). Unlike the mean/σ flag in [[occludeOutliers]],
+    * a handful of wild values cannot move the baseline they are judged
+    * against — the standard tail-trimming gate for sensor/lab data.
+    *
+    * MAD needs the median FIRST, so this is inherently two passes over
+    * the facts (median, then median of |x − median|); both group frames
+    * are vocab-sized and broadcast back, the facts never shuffle.
+    * `exact = true` gives R-7 interpolated percentiles for cross-engine
+    * verification; the default approx sketch is the one-pass-per-stage
+    * 100 TB path. Constant groups (MAD = 0) yield NULL robust_z and are
+    * never flagged; NULL values are excluded from the baselines and
+    * flagged false.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Double = 3.5,
+      exact: Boolean = false
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "madOutliers needs at least one group column")
+    require(k > 0, s"k must be positive, got $k")
+    val v = col(valueCol)
+    def q(c: org.apache.spark.sql.Column) =
+      if (exact) percentile(c, lit(0.5)) else percentile_approx(c, lit(0.5), lit(10000))
+    val med = df
+      .filter(v.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(q(v).as("__med"))
+    val mad = df
+      .filter(v.isNotNull)
+      .join(broadcast(med), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(q(abs(v - col("__med"))).as("__mad"))
+    df.join(broadcast(med), groupCols, "left")
+      .join(broadcast(mad), groupCols, "left")
+      .withColumn("robust_z", (v - col("__med")) / (lit(1.4826) * nullif(col("__mad"), lit(0.0))))
+      .withColumn("is_outlier", coalesce(abs(col("robust_z")) > k, lit(false)))
+      .drop("__med", "__mad")
+  }
 }

@@ -228,10 +228,14 @@ object Stats {
       .agg(count(lit(1)).as("__n"))
       .pin(false)
     val totals = counts.groupBy((by.map(col) :+ col("__ref")): _*).agg(sum(col("__n")).as("__tot"))
+    // (group x bin) grid by exploding a literal bin sequence onto the
+    // distinct groups — a projection, not a join (a crossJoin here shows
+    // up as a BroadcastNestedLoopJoin and costs a broadcast for 10 ints)
     val grid = counts
       .select(by.map(col): _*)
       .distinct()
-      .crossJoin(broadcast(spark_range_bins(nBins)))
+      .select((by.map(col) :+
+        explode(sequence(lit(0), lit(nBins - 1))).as("__bin")): _*)
     def side(ref: Boolean, cn: String, tn: String) = {
       val c = counts.filter(col("__ref") === ref).drop("__ref").withColumnRenamed("__n", cn)
       val t = totals.filter(col("__ref") === ref).drop("__ref").withColumnRenamed("__tot", tn)
@@ -251,11 +255,5 @@ object Stats {
       .select((by.map(col) :+ ((p - q) * log(p / q)).cast("decimal(38,12)").as("__term")): _*)
       .groupBy(by.map(col): _*)
       .agg(sum(col("__term")).cast("double").as("psi"))
-  }
-
-  /** Tiny (nBins-row) bin-index frame for the PSI grid. */
-  private def spark_range_bins(nBins: Int): DataFrame = {
-    val s = org.apache.spark.sql.SparkSession.active
-    s.range(nBins).select(col("id").cast("int").as("__bin"))
   }
 }

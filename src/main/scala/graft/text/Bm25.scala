@@ -70,4 +70,61 @@ object Bm25 {
     score(docs, queryTerms, k1, b, idCol, textCol)
       .orderBy(col("bm25").desc, col("id").asc)
       .limit(n)
+
+  /** Batch retrieval: top-`k` documents for EACH of many queries in one
+    * corpus pass — the shape of RAG-index evaluation or topic-targeted
+    * data mining, where thousands of probe queries hit the same corpus.
+    *
+    * One (doc, term) aggregation covers every query: the tf table is
+    * filtered to the UNION of all query terms before its groupBy, the
+    * tiny (query, term) frame broadcasts onto it, and per-(query, doc)
+    * scores aggregate from there. Per-query ranking is a window over
+    * frames already partitioned by query — corpus rows not matching any
+    * query's terms never shuffle at all.
+    *
+    * Ranking uses the r6-rounded score (ties by ascending doc id): a
+    * 1-ulp libm difference in `ln` must not reorder a result list across
+    * engines (same convention as Curation.selectTargetLike).
+    */
+  def retrieveTopK(
+      docs: DataFrame,
+      queries: Seq[(String, Seq[String])],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "each query needs terms")
+    require(k > 0, s"k must be positive, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val dl = docs.select(
+      col(idCol).as("id"),
+      size(wordTokens(col(textCol))).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = docs
+      .select(col(idCol).as("id"), explode(wordTokens(col(textCol))).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm =
+      col("tf") / (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(qt), "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("id"), (idf * tfNorm).as("__s"))
+      .groupBy("query_id", "id")
+      .agg(graft.functions.Portable.r6(sum("__s")).as("bm25"))
+    graft.pipeline.Selection
+      .topKPerGroup(scored, Seq("query_id"), "bm25", k, tieBreakCol = "id")
+  }
 }
