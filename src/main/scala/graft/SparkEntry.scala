@@ -734,6 +734,99 @@ object SparkEntry {
           col("event_id"), col("event_type"), col("robust_z"),
           coalesce(abs(col("robust_z")) > 3.5, lit(false)).as("is_outlier"))),
 
+    // Flesch reading ease: row-local sentence/word/vowel-run counts
+    "q_readability" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextFunctions.readability(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_sentences").as("n_sentences"),
+          col("r.n_words").as("n_words"), col("r.n_syllables").as("n_syllables"),
+          graft.functions.Portable.r6(col("r.flesch")).as("flesch"))),
+
+    // lexical diversity: unigram + bigram type-token ratios, row-local
+    "q_lexdiv" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextFunctions.lexicalDiversity(col("text")).as("l"))
+        .select(col("doc_id"), col("l.n_tokens").as("n_tokens"),
+          col("l.n_types").as("n_types"),
+          graft.functions.Portable.r6(col("l.ttr")).as("ttr"),
+          col("l.n_bigram_types").as("n_bigram_types"),
+          graft.functions.Portable.r6(col("l.bigram_ttr")).as("bigram_ttr"))),
+
+    // winnowing (MOSS) fingerprint selection stats, row-local
+    "q_winnow" -> ((s, dir) =>
+      graft.text.Winnow.fingerprintStats(docs(s, dir), k = 5, w = 4)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_fingerprints"),
+          graft.functions.Portable.r6(col("density")).as("density"))),
+
+    // first/last-touch attribution for purchase conversions; both
+    // windows share one (user, time, tie) exchange + sort
+    "q_attribution" -> ((s, dir) =>
+      Attribution
+        .touchAttribution(ev(s, dir), "user_id", "ts", "event_type", "event_id", "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("first_touch"), col("last_touch"), col("n_prior"))),
+
+    // Welch two-sample z-test between a deterministic md5 A/B user split
+    "q_ab_test" -> { (s, dir) =>
+      val arm = TextFunctions.md5Hash32(
+        concat(lit("ab:"), col("user_id").cast("string"))) % 2 === 1
+      Stats
+        .welchTest(ev(s, dir).withColumn("__b", arm), Seq("event_type"), "value", col("__b"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          graft.functions.Portable.r6(col("mean_a")).as("mean_a"),
+          graft.functions.Portable.r6(col("mean_b")).as("mean_b"),
+          graft.functions.Portable.r6(col("delta")).as("delta"),
+          graft.functions.Portable.r6(col("se")).as("se"),
+          graft.functions.Portable.r6(col("z")).as("z"))
+    },
+
+    // Kaplan–Meier time-to-purchase curve (day granularity; log-survival)
+    "q_km_survival" -> ((s, dir) =>
+      Survival
+        .kaplanMeier(ev(s, dir), "user_id", "ts", "event_type", "purchase")
+        .select(col("t_day"), col("n_risk"), col("d_events"), col("c_censored"),
+          graft.functions.Portable.r6(col("log_s")).as("log_s"))),
+
+    // local clustering coefficient over the word-adjacency graph
+    // (same edge derivation as q_triangles / q_pagerank)
+    "q_clustering_coef" -> { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(TextFunctions.wordTokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val edges = toks.select(explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+      Graph.clusteringCoefficient(edges)
+        .select(col("node"), col("degree"), col("n_triangles"),
+          graft.functions.Portable.r6(col("coef")).as("coef"))
+    },
+
+    // TPC-H Q5 shape: local-supplier revenue per nation — a 6-table
+    // join where every dimension broadcasts and the fact never shuffles
+    // before the final vocab-sized aggregate
+    "q5_local_supplier" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val cust = Tables.customer(s, dir)
+      val supp = Tables.supplier(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(graft.functions.Portable.r6(
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(38,6)"))
+          .cast("double").as("revenue"))
+    },
+
     "q_pack" -> ((s, dir) =>
       Packing
         .packByTokenBudget(
@@ -2278,6 +2371,135 @@ object SparkEntry {
            |SELECT event_id, event_type, robust_z,
            |  coalesce(abs(robust_z) > 3.5, false) AS is_outlier
            |FROM z""".stripMargin,
+
+      "q_readability" ->
+        s"""WITH s AS (SELECT doc_id,
+           |    list_filter(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)), x -> x <> '') AS sents,
+           |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks,
+           |    regexp_extract_all(lower(text), '[aeiouy]+') AS syl
+           |  FROM documents),
+           |w AS (SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+           |    CAST(len(toks) AS BIGINT) AS n_words, CAST(len(syl) AS BIGINT) AS n_syllables FROM s)
+           |SELECT doc_id, n_sentences, n_words, n_syllables,
+           |  CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+           |    ${graft.functions.Portable.r6Sql(
+                  "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) " +
+                    "- 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))")}
+           |  END AS flesch
+           |FROM w""".stripMargin,
+
+      "q_lexdiv" ->
+        s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '') AS toks FROM documents),
+           |b AS (SELECT doc_id, toks,
+           |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS bgs
+           |  FROM tk)
+           |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+           |  CASE WHEN len(toks) > 0 THEN ${graft.functions.Portable.r6Sql(
+                "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")} END AS ttr,
+           |  CAST(len(list_distinct(bgs)) AS BIGINT) AS n_bigram_types,
+           |  CASE WHEN len(toks) >= 2 THEN ${graft.functions.Portable.r6Sql(
+                "CAST(len(list_distinct(bgs)) AS DOUBLE) / CAST(len(toks) - 1 AS DOUBLE)")} END AS bigram_ttr
+           |FROM b""".stripMargin,
+
+      "q_winnow" ->
+        s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '') AS toks FROM documents),
+           |hs AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN list_transform(range(1, len(toks)-3), i -> ${h32("array_to_string(toks[i:i+4],' ')")}) ELSE [] END AS h FROM tk),
+           |wm AS (SELECT doc_id, len(h) AS n_sh,
+           |    CASE WHEN len(h) = 0 THEN [] ELSE list_transform(range(1, greatest(len(h)-3, 1)+1), i -> list_min(h[i:i+3])) END AS wmins
+           |  FROM hs)
+           |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+           |  CAST(len(list_distinct(wmins)) AS BIGINT) AS n_fingerprints,
+           |  CASE WHEN n_sh > 0 THEN ${graft.functions.Portable.r6Sql(
+                "CAST(len(list_distinct(wmins)) AS DOUBLE) / CAST(n_sh AS DOUBLE)")} END AS density
+           |FROM wm""".stripMargin,
+
+      "q_attribution" ->
+        """WITH w AS (SELECT event_id, user_id, event_type,
+          |    first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_touch,
+          |    CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_prior
+          |  FROM events WHERE ts IS NOT NULL)
+          |SELECT event_id, user_id, first_touch, last_touch, n_prior
+          |FROM w WHERE event_type = 'purchase'""".stripMargin,
+
+      "q_ab_test" ->
+        s"""WITH e AS (SELECT event_type, value,
+           |    coalesce(${h32("'ab:' || CAST(user_id AS VARCHAR)")} % 2 = 1, false) AS b
+           |  FROM events),
+           |m AS (SELECT event_type,
+           |    count(CASE WHEN $P AND NOT b THEN 1 END) AS n_a,
+           |    count(CASE WHEN $P AND b THEN 1 END) AS n_b,
+           |    CAST(coalesce(sum(CASE WHEN $P AND NOT b THEN CAST(value AS DECIMAL(38,6)) END),0) AS DOUBLE) AS sa,
+           |    CAST(coalesce(sum(CASE WHEN $P AND b THEN CAST(value AS DECIMAL(38,6)) END),0) AS DOUBLE) AS sb,
+           |    CAST(coalesce(sum(CASE WHEN $P AND NOT b THEN CAST(value*value AS DECIMAL(38,6)) END),0) AS DOUBLE) AS sa2,
+           |    CAST(coalesce(sum(CASE WHEN $P AND b THEN CAST(value*value AS DECIMAL(38,6)) END),0) AS DOUBLE) AS sb2
+           |  FROM e GROUP BY 1),
+           |d AS (SELECT event_type, n_a, n_b,
+           |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb, sa, sb, sa2, sb2,
+           |    CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+           |      sqrt(greatest(sa2 / CAST(n_a AS DOUBLE) - (sa / CAST(n_a AS DOUBLE)) * (sa / CAST(n_a AS DOUBLE)), 0.0) * CAST(n_a AS DOUBLE) / (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE)
+           |         + greatest(sb2 / CAST(n_b AS DOUBLE) - (sb / CAST(n_b AS DOUBLE)) * (sb / CAST(n_b AS DOUBLE)), 0.0) * CAST(n_b AS DOUBLE) / (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE))
+           |    END AS se0
+           |  FROM m)
+           |SELECT event_type, n_a, n_b,
+           |  CASE WHEN n_a > 0 THEN ${graft.functions.Portable.r6Sql("sa / na")} END AS mean_a,
+           |  CASE WHEN n_b > 0 THEN ${graft.functions.Portable.r6Sql("sb / nb")} END AS mean_b,
+           |  CASE WHEN n_a > 0 AND n_b > 0 THEN ${graft.functions.Portable.r6Sql("sb / nb - sa / na")} END AS delta,
+           |  CASE WHEN se0 IS NOT NULL THEN ${graft.functions.Portable.r6Sql("se0")} END AS se,
+           |  CASE WHEN se0 > 0 THEN ${graft.functions.Portable.r6Sql("(sb / nb - sa / na) / se0")} END AS z
+           |FROM d""".stripMargin,
+
+      "q_km_survival" ->
+        s"""WITH sp AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+           |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS te,
+           |    max(epoch_us(ts)) AS tl
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+           |dur AS (SELECT CAST(floor(CAST(coalesce(te, tl) - t0 AS DOUBLE) / 86400000000.0) AS BIGINT) AS t_day,
+           |    te IS NOT NULL AS obs FROM sp),
+           |cv AS (SELECT t_day, count(CASE WHEN obs THEN 1 END) AS d_events,
+           |    count(CASE WHEN NOT obs THEN 1 END) AS c_censored FROM dur GROUP BY 1),
+           |tot AS (SELECT sum(d_events + c_censored) AS total FROM cv),
+           |r AS (SELECT t_day, d_events, c_censored,
+           |    total - coalesce(sum(d_events + c_censored) OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+           |  FROM cv, tot),
+           |h AS (SELECT t_day, d_events, c_censored, n_risk,
+           |    CASE WHEN d_events > 0 AND d_events < n_risk THEN
+           |      ${graft.functions.Portable.r6Sql("ln(1 - CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE))")}
+           |    ELSE 0.0 END AS term
+           |  FROM r)
+           |SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, CAST(d_events AS BIGINT) AS d_events,
+           |  CAST(c_censored AS BIGINT) AS c_censored,
+           |  CASE WHEN d_events = n_risk THEN NULL ELSE
+           |    ${graft.functions.Portable.r6Sql("CAST(sum(CAST(term AS DECIMAL(38,6))) OVER (ORDER BY t_day) AS DOUBLE)")}
+           |  END AS log_s
+           |FROM h""".stripMargin,
+
+      "q_clustering_coef" ->
+        s"""WITH tk AS (SELECT list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '') AS ts FROM documents),
+           |ed AS (SELECT unnest(list_slice(ts, 1, len(ts)-1)) AS src, unnest(list_slice(ts, 2, len(ts))) AS dst
+           |       FROM tk WHERE len(ts) >= 2),
+           |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed WHERE src <> dst),
+           |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+           |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+           |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+           |tc AS (SELECT node, count(*) AS n_triangles FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1),
+           |dg AS (SELECT node, count(*) AS d FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+           |SELECT dg.node AS node, CAST(d AS BIGINT) AS degree,
+           |  CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+           |  CASE WHEN d >= 2 THEN ${graft.functions.Portable.r6Sql(
+                "2.0 * CAST(coalesce(n_triangles, 0) AS DOUBLE) / (CAST(d AS DOUBLE) * (CAST(d AS DOUBLE) - 1.0))")} END AS coef
+           |FROM dg LEFT JOIN tc USING (node)""".stripMargin,
+
+      "q5_local_supplier" ->
+        """SELECT n_name,
+          |  CAST(CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
+          |FROM lineitem, orders, supplier, customer, nation, region
+          |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND o_custkey = c_custkey
+          |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |  AND r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          |GROUP BY 1""".stripMargin,
 
       "q_pack" ->
         s"""WITH tc AS (SELECT doc_id,

@@ -27,21 +27,31 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Every triangle exactly once as (a, b, c) with a < b < c. */
-  def triangles(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    // canonical undirected edge set; it feeds the degree count, the
-    // orientation join, and the closing semi-join, so materialize once
-    // (persist/checkpoint on a cluster — same reasoning as PageRank's
-    // per-round rank frames)
-    val und = edges
+  /** Canonical undirected simple-edge set (a < b, deduped, loops
+    * dropped); pinned — it feeds the degree count, the orientation
+    * join, and the closing semi-join.
+    */
+  private def undirected(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull && col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("a"), greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
       .pin(true)
-    val deg = und.select(col("a").as("node"))
+
+  private def degrees(und: DataFrame): DataFrame =
+    und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node")
       .agg(count(lit(1)).as("d"))
+
+  /** Every triangle exactly once as (a, b, c) with a < b < c. */
+  def triangles(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+    trianglesOf(und, degrees(und))
+  }
+
+  /** Degree-ordered enumeration over a prebuilt canonical edge set. */
+  private def trianglesOf(und: DataFrame, deg: DataFrame): DataFrame = {
     val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
     // oriented edges lo→hi (lo = lower (degree, name)); referenced twice
     // by the wedge self-join, so materialize to evaluate the degree
@@ -74,5 +84,42 @@ object Graph {
     t.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node")
       .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Local clustering coefficient per node: 2·T / (d·(d−1)) — what
+    * fraction of a node's neighbor pairs are themselves connected. The
+    * per-node "is this neighborhood a clique or a star" signal behind
+    * the graph-level triangle count (template farms ≈ 1, organic hubs
+    * ≈ 0). Returns (node, degree, n_triangles, coef); degree-1 nodes
+    * have no neighbor pair, so coef is NULL there, and nodes in no
+    * triangle get coef 0.
+    *
+    * The canonical edge set and degree frame are built ONCE and shared
+    * with the triangle enumeration (the edge table is pinned; on a
+    * cluster set `spark.graft.checkpointDir` for a reliable
+    * materialization, as everywhere else). Triangle counts join onto
+    * the node-sized degree frame — never onto edges or facts.
+    */
+  def clusteringCoefficient(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+    // consumed by both orientation joins AND the final coefficient join —
+    // pin the node-sized frame (lazy) per the multi-consumer convention
+    val deg = degrees(und).pin(false)
+    val tri = trianglesOf(und, deg)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_triangles"))
+    deg
+      .join(tri, Seq("node"), "left")
+      .select(
+        col("node"),
+        col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double") /
+            (col("d").cast("double") * (col("d").cast("double") - 1.0))).as("coef"))
   }
 }

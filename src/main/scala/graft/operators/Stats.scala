@@ -256,4 +256,56 @@ object Stats {
       .groupBy(by.map(col): _*)
       .agg(sum(col("__term")).cast("double").as("psi"))
   }
+
+  /** Two-sample Welch z-test per group — the A/B experiment readout:
+    * per group, each arm's count/mean, the mean difference, its Welch
+    * standard error (se = √(s²ᴀ/nᴀ + s²ʙ/nʙ), sample variances), and
+    * the z statistic. `armB` marks treatment rows (false/NULL =
+    * control).
+    *
+    * One scan: arm-conditional DECIMAL moment sums in a single
+    * aggregate (no split-into-two-frames self-join), so the fact table
+    * shuffles once and partial aggregation does the heavy lifting —
+    * identical cost profile to [[groupedCorrelation]]. Groups need
+    * n ≥ 2 in BOTH arms for se/z (NULL otherwise); everything after the
+    * moment sums is plain IEEE double arithmetic in a fixed expression
+    * order, so results are engine-portable.
+    */
+  def welchTest(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      armB: Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val p = ok(v)
+    val isB = coalesce(armB, lit(false))
+    def dsum(cond: Column, e: Column): Column =
+      coalesce(sum(when(p && cond, e.cast("decimal(38,6)"))), lit(0).cast("decimal(38,6)"))
+        .cast("double")
+    val m = df
+      .groupBy(by.map(col): _*)
+      .agg(
+        count(when(p && !isB, lit(1))).as("n_a"),
+        count(when(p && isB, lit(1))).as("n_b"),
+        dsum(!isB, v).as("__sa"),
+        dsum(isB, v).as("__sb"),
+        dsum(!isB, v * v).as("__sa2"),
+        dsum(isB, v * v).as("__sb2"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val meanA = col("__sa") / na
+    val meanB = col("__sb") / nb
+    // sample variance from the raw moments: (Σx² / n − mean²) · n/(n−1)
+    def svar(s2: Column, mean: Column, n: Column): Column =
+      greatest(s2 / n - mean * mean, lit(0.0)) * n / (n - 1.0)
+    val se = when(col("n_a") >= 2 && col("n_b") >= 2,
+      sqrt(svar(col("__sa2"), meanA, na) / na + svar(col("__sb2"), meanB, nb) / nb))
+    m.select((by.map(col) ++ Seq(
+      col("n_a"), col("n_b"),
+      when(col("n_a") > 0, meanA).as("mean_a"),
+      when(col("n_b") > 0, meanB).as("mean_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, meanB - meanA).as("delta"),
+      se.as("se"),
+      when(se > 0, (meanB - meanA) / se).as("z"))): _*)
+  }
 }

@@ -55,4 +55,10 @@ object Tables {
 
   def nation(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "nation")
+
+  def supplier(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "supplier")
+
+  def region(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "region")
 }

@@ -374,4 +374,59 @@ object TextFunctions {
       )
     ).otherwise(array().cast("array<string>"))
   }
+
+  /** Flesch reading-ease readability: struct (n_sentences, n_words,
+    * n_syllables, flesch). Sentences and words use the same conventions
+    * as [[sentenceStats]]/[[wordTokens]]; syllables are approximated as
+    * vowel-group runs (`[aeiouy]+` in the lowercased text) — the standard
+    * dictionary-free heuristic, and since vowel runs can only occur
+    * inside `[a-z]+` word runs, one corpus-wide regex count needs no
+    * per-word loop. flesch = 206.835 − 1.015·(W/S) − 84.6·(Syl/W), NULL
+    * when either denominator is zero (the caller thresholds it; a
+    * sentence-less scrape has no defined grade). Pure column
+    * expressions: zero shuffle, fuses into the scan.
+    */
+  def readability(text: Column): Column = {
+    val sents = filter(transform(split(text, "[.!?]+"), s => trim(s)), s => s =!= "")
+    val nS = size(sents).cast("long")
+    val nW = size(wordTokens(text)).cast("long")
+    val nSyl = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0))).cast("long")
+    val flesch = when(nS > 0 && nW > 0,
+      lit(206.835)
+        - lit(1.015) * (nW.cast("double") / nS.cast("double"))
+        - lit(84.6) * (nSyl.cast("double") / nW.cast("double")))
+    struct(
+      nS.as("n_sentences"),
+      nW.as("n_words"),
+      nSyl.as("n_syllables"),
+      flesch.as("flesch"))
+  }
+
+  /** Lexical-diversity signals: struct (n_tokens, n_types, ttr,
+    * n_bigram_types, bigram_ttr). `ttr` is the type-token ratio
+    * (distinct words / words) — the low-cost repetition complement to
+    * [[repetitionSignals]]'s dup fractions; `bigram_ttr` is the same
+    * over adjacent word pairs, which catches "the cat the cat the cat"
+    * (unigram TTR ≈ legitimate prose, bigram TTR collapses). NULL
+    * ratios for token-less text. Row-local, zero shuffle.
+    */
+  def lexicalDiversity(text: Column): Column = {
+    val toks = wordTokens(text)
+    val nTok = size(toks).cast("long")
+    val nTyp = size(array_distinct(toks)).cast("long")
+    val bigrams = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b))
+    ).otherwise(array().cast("array<string>"))
+    val nBg = greatest(nTok - 1L, lit(0L))
+    val nBgTyp = size(array_distinct(bigrams)).cast("long")
+    struct(
+      nTok.as("n_tokens"),
+      nTyp.as("n_types"),
+      when(nTok > 0, nTyp.cast("double") / nTok.cast("double")).as("ttr"),
+      nBgTyp.as("n_bigram_types"),
+      when(nBg > 0, nBgTyp.cast("double") / nBg.cast("double")).as("bigram_ttr"))
+  }
 }

@@ -52,7 +52,10 @@ class PlanLintSpec extends SparkSpec {
     //    the corpus — the build side is parameter- or cardinality-bounded,
     //    and the scan per probe row is the algorithm (argmin over k), not
     //    an accident. One-row totals broadcasts auto-pass in the linter.
+    //  - q_km_survival's windows run over the DAY-granularity KM curve —
+    //    bounded by the observation horizon (days), never by keys or rows.
     val allowed: Map[String, Set[String]] = Map(
+      "q_km_survival"    -> Set("global-window"),
       "q_fit_vocab"      -> Set("global-window"),
       "q_normalize"      -> Set("global-window"),
       "q_meds_pipeline"  -> Set("global-window"),

@@ -103,14 +103,17 @@ object ScaleData {
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * sStride))
     }, "lineitem")
 
-    // events: ts arrives as nano longs; emit micros TIMESTAMP_NTZ
-    val ev = rd("events")
+    // events: go through Tables.events, which normalizes ts to micros
+    // TimestampType whatever the file encodes (the driver has shipped
+    // both TIMESTAMP(NANOS) and plain micros across rounds); emit
+    // micros TIMESTAMP_NTZ
+    val ev = graft.sources.Tables.events(spark, in)
     val eStride = stride(ev, "event_id")
     val uStride = stride(ev, "user_id")
     writeSingle(copies(ev) { (d, i) =>
       d.withColumn("event_id", col("event_id") + lit(i * eStride))
         .withColumn("user_id", col("user_id") + lit(i * uStride))
-    }.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")),
+    }.withColumn("ts", col("ts").cast("timestamp_ntz")),
       "events")
 
     // documents: word-salt ~20% of tokens per copy (deterministic md5
