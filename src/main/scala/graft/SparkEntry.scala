@@ -827,6 +827,77 @@ object SparkEntry {
           .cast("double").as("revenue"))
     },
 
+    // line-level language mixing (lines synthesized at sentence breaks —
+    // the corpus text is single-line)
+    "q_lang_mix" -> ((s, dir) =>
+      graft.text.LangMix
+        .languageMixture(
+          docs(s, dir).withColumn("text", regexp_replace(col("text"), "\\. ", ".\n")))
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_langs"), col("main_lang"),
+          graft.functions.Portable.r6(col("main_frac")).as("main_frac"))),
+
+    // Holt double exponential smoothing (level + trend; contrast q_ewma)
+    "q_holt" -> ((s, dir) =>
+      Ewma.holtLast(ev(s, dir), "user_id", "ts", "value", "event_id", 0.5, 0.3)
+        .select(col("key").as("user_id"), col("n"),
+          graft.functions.Portable.r6(col("level")).as("level"),
+          graft.functions.Portable.r6(col("trend")).as("trend"),
+          graft.functions.Portable.r6(col("forecast")).as("forecast"))),
+
+    // content-defined chunking: cross-doc duplicated-block report
+    "q_cdc_chunks" -> ((s, dir) =>
+      graft.text.ContentChunks.chunkDupStats(docs(s, dir), k = 5, divisor = 8)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          graft.functions.Portable.r6(col("dup_frac")).as("dup_frac"))),
+
+    // Benford first-digit audit over event values
+    "q_benford" -> ((s, dir) =>
+      Benford.firstDigitAudit(ev(s, dir), Seq("event_type"), "value")
+        .select(col("event_type"), col("digit"), col("n"),
+          graft.functions.Portable.r6(col("obs_frac")).as("obs_frac"),
+          graft.functions.Portable.r6(col("exp_frac")).as("exp_frac"),
+          graft.functions.Portable.r6(col("chi2")).as("chi2"))),
+
+    // difference-in-differences: md5 A/B arms x mid-stream cutover
+    "q_did" -> { (s, dir) =>
+      val arm = TextFunctions.md5Hash32(
+        concat(lit("ab:"), col("user_id").cast("string"))) % 2 === 1
+      val post = col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp")
+      Stats
+        .didTest(ev(s, dir).withColumn("__b", arm).withColumn("__p", post),
+          Seq("event_type"), "value", col("__b"), col("__p"))
+        .select(col("event_type"),
+          col("n_a_pre"), col("n_a_post"), col("n_b_pre"), col("n_b_post"),
+          graft.functions.Portable.r6(col("did")).as("did"),
+          graft.functions.Portable.r6(col("se")).as("se"),
+          graft.functions.Portable.r6(col("z")).as("z"))
+    },
+
+    // reciprocal-rank fusion: BM25 relevance x doc-length prior
+    "q_rrf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bm = Bm25
+        .retrieveTopK(
+          docs(s, dir),
+          Seq(
+            "q_joins"  -> Seq("join", "hash", "merge"),
+            "q_scan"   -> Seq("scan", "filter", "column"),
+            "q_stream" -> Seq("stream", "window", "batch")),
+          k = 50)
+        .select(col("query_id"), col("id").as("doc_id"), col("rank"))
+      // query-independent length prior; the limit bounds the rank window
+      val top = docs(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .limit(50)
+      val prior = top
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+        .select(explode(array(lit("q_joins"), lit("q_scan"), lit("q_stream"))).as("query_id"),
+          col("doc_id"), col("rank"))
+      graft.pipeline.Fusion.reciprocalRankFusion(Seq(bm, prior), k = 60, topK = 10)
+    },
+
     "q_pack" -> ((s, dir) =>
       Packing
         .packByTokenBudget(
@@ -2500,6 +2571,144 @@ object SparkEntry {
           |  AND r_name = 'ASIA'
           |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
           |GROUP BY 1""".stripMargin,
+
+      "q_lang_mix" -> {
+        val langs = TextFunctions.Stopwords.map(_._1)
+        val hitCols = langs.map(l => s"len(list_filter(toks, x -> list_contains(${stop(l)}, x))) AS h_$l").mkString(", ")
+        val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+        val pick = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
+        s"""WITH lx AS (SELECT doc_id, regexp_replace(text, '\\. ', '.' || chr(10), 'g') AS text FROM documents),
+           |ln0 AS (SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')) AS line FROM lx),
+           |t AS (SELECT doc_id, list_filter(string_split_regex(lower(line),'[^a-z]+'), x -> x<>'') AS toks FROM ln0),
+           |h AS (SELECT doc_id, $hitCols FROM t),
+           |lg AS (SELECT doc_id, CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang FROM h),
+           |c AS (SELECT doc_id, lang, count(*) AS c FROM lg GROUP BY 1, 2),
+           |r AS (SELECT doc_id, lang, c,
+           |    sum(c) OVER (PARTITION BY doc_id) AS n_lines,
+           |    count(*) OVER (PARTITION BY doc_id) AS n_langs,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang) AS rn FROM c)
+           |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, CAST(n_langs AS BIGINT) AS n_langs,
+           |  lang AS main_lang,
+           |  ${graft.functions.Portable.r6Sql("CAST(c AS DOUBLE) / CAST(n_lines AS DOUBLE)")} AS main_frac
+           |FROM r WHERE rn = 1""".stripMargin
+      },
+
+      "q_holt" ->
+        s"""WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+           |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+           |  GROUP BY 1),
+           |f AS (SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+           |  list_reduce(
+           |    list_prepend([vs[1], CAST(0 AS DOUBLE)], list_transform(vs[2:], v -> [CAST(v AS DOUBLE), CAST(0 AS DOUBLE)])),
+           |    (acc, x) -> [
+           |      CAST(0.5 AS DOUBLE)*x[1] + (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE))*(acc[1]+acc[2]),
+           |      CAST(0.3 AS DOUBLE)*((CAST(0.5 AS DOUBLE)*x[1] + (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE))*(acc[1]+acc[2])) - acc[1])
+           |        + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE))*acc[2]]) AS st
+           |  FROM s)
+           |SELECT user_id, n,
+           |  ${graft.functions.Portable.r6Sql("st[1]")} AS level,
+           |  ${graft.functions.Portable.r6Sql("st[2]")} AS trend,
+           |  ${graft.functions.Portable.r6Sql("st[1] + st[2]")} AS forecast
+           |FROM f""".stripMargin,
+
+      "q_cdc_chunks" ->
+        s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '') AS toks FROM documents),
+           |hs AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 5 THEN list_transform(range(1, len(toks)-3), i -> ${h32("array_to_string(toks[i:i+4],' ')")}) ELSE [] END AS h FROM tk),
+           |ct AS (SELECT doc_id, toks, list_transform(list_filter(range(1, len(h)+1), i -> h[i] % 8 = 0), i -> i + 4) AS cutt FROM hs),
+           |bd AS (SELECT doc_id, toks, list_concat(list_concat([0], cutt), [len(toks)]) AS bounds FROM ct),
+           |cl AS (SELECT doc_id, list_filter(list_transform(range(1, len(bounds)), j -> toks[bounds[j]+1 : bounds[j+1]]), c -> len(c) > 0) AS chunks FROM bd),
+           |pr AS (SELECT DISTINCT doc_id, ${h32("array_to_string(c, ' ')")} AS chash
+           |  FROM (SELECT doc_id, unnest(chunks) AS c FROM cl)),
+           |dfc AS (SELECT chash, count(*) AS nd FROM pr GROUP BY 1)
+           |SELECT doc_id, count(*) AS n_chunks,
+           |  count(CASE WHEN nd > 1 THEN 1 END) AS n_dup_chunks,
+           |  ${graft.functions.Portable.r6Sql(
+                "CAST(count(CASE WHEN nd > 1 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS dup_frac
+           |FROM pr JOIN dfc USING (chash) GROUP BY 1""".stripMargin,
+
+      "q_benford" ->
+        s"""WITH f AS (SELECT event_type,
+           |    CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           |  FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 1),
+           |c AS (SELECT event_type, digit, count(*) AS n FROM f GROUP BY 1, 2),
+           |grid AS (SELECT event_type, unnest(range(1, 10)) AS digit FROM (SELECT DISTINCT event_type FROM c)),
+           |fu AS (SELECT grid.event_type, CAST(grid.digit AS INTEGER) AS digit, CAST(coalesce(n, 0) AS BIGINT) AS n
+           |  FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.digit = c.digit),
+           |t AS (SELECT *, sum(n) OVER (PARTITION BY event_type) AS total,
+           |    ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE)/CAST(digit AS DOUBLE)) / ln(CAST(10 AS DOUBLE)) AS ef
+           |  FROM fu),
+           |h AS (SELECT *, ${graft.functions.Portable.r6Sql(
+                "(CAST(n AS DOUBLE) - ef * CAST(total AS DOUBLE)) * (CAST(n AS DOUBLE) - ef * CAST(total AS DOUBLE)) / (ef * CAST(total AS DOUBLE))")} AS term FROM t)
+           |SELECT event_type, digit, n,
+           |  ${graft.functions.Portable.r6Sql("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)")} AS obs_frac,
+           |  ${graft.functions.Portable.r6Sql("ef")} AS exp_frac,
+           |  ${graft.functions.Portable.r6Sql(
+                "CAST(sum(CAST(term AS DECIMAL(38,6))) OVER (PARTITION BY event_type) AS DOUBLE)")} AS chi2
+           |FROM h""".stripMargin,
+
+      "q_did" ->
+        s"""WITH e AS (SELECT event_type, value,
+           |    coalesce(${h32("'ab:' || CAST(user_id AS VARCHAR)")} % 2 = 1, false) AS b,
+           |    coalesce(ts >= TIMESTAMP '2024-01-16 00:00:00', false) AS p
+           |  FROM events),
+           |m AS (SELECT event_type,
+           |    count(CASE WHEN $P AND NOT b AND NOT p THEN 1 END) AS n_a_pre,
+           |    count(CASE WHEN $P AND NOT b AND p THEN 1 END) AS n_a_post,
+           |    count(CASE WHEN $P AND b AND NOT p THEN 1 END) AS n_b_pre,
+           |    count(CASE WHEN $P AND b AND p THEN 1 END) AS n_b_post,
+           |    CAST(coalesce(sum(CASE WHEN $P AND NOT b AND NOT p THEN CAST(value AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s_ape,
+           |    CAST(coalesce(sum(CASE WHEN $P AND NOT b AND p THEN CAST(value AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s_apo,
+           |    CAST(coalesce(sum(CASE WHEN $P AND b AND NOT p THEN CAST(value AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s_bpe,
+           |    CAST(coalesce(sum(CASE WHEN $P AND b AND p THEN CAST(value AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s_bpo,
+           |    CAST(coalesce(sum(CASE WHEN $P AND NOT b AND NOT p THEN CAST(value*value AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s2_ape,
+           |    CAST(coalesce(sum(CASE WHEN $P AND NOT b AND p THEN CAST(value*value AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s2_apo,
+           |    CAST(coalesce(sum(CASE WHEN $P AND b AND NOT p THEN CAST(value*value AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s2_bpe,
+           |    CAST(coalesce(sum(CASE WHEN $P AND b AND p THEN CAST(value*value AS DECIMAL(38,6)) END),0) AS DOUBLE) AS s2_bpo
+           |  FROM e GROUP BY 1),
+           |d AS (SELECT event_type, n_a_pre, n_a_post, n_b_pre, n_b_post,
+           |    (s_bpo / CAST(n_b_post AS DOUBLE) - s_bpe / CAST(n_b_pre AS DOUBLE))
+           |      - (s_apo / CAST(n_a_post AS DOUBLE) - s_ape / CAST(n_a_pre AS DOUBLE)) AS did0,
+           |    CASE WHEN n_a_pre >= 2 AND n_a_post >= 2 AND n_b_pre >= 2 AND n_b_post >= 2 THEN
+           |      sqrt(greatest(s2_ape / CAST(n_a_pre AS DOUBLE) - (s_ape / CAST(n_a_pre AS DOUBLE)) * (s_ape / CAST(n_a_pre AS DOUBLE)), 0.0) * CAST(n_a_pre AS DOUBLE) / (CAST(n_a_pre AS DOUBLE) - 1.0) / CAST(n_a_pre AS DOUBLE)
+           |         + greatest(s2_apo / CAST(n_a_post AS DOUBLE) - (s_apo / CAST(n_a_post AS DOUBLE)) * (s_apo / CAST(n_a_post AS DOUBLE)), 0.0) * CAST(n_a_post AS DOUBLE) / (CAST(n_a_post AS DOUBLE) - 1.0) / CAST(n_a_post AS DOUBLE)
+           |         + greatest(s2_bpe / CAST(n_b_pre AS DOUBLE) - (s_bpe / CAST(n_b_pre AS DOUBLE)) * (s_bpe / CAST(n_b_pre AS DOUBLE)), 0.0) * CAST(n_b_pre AS DOUBLE) / (CAST(n_b_pre AS DOUBLE) - 1.0) / CAST(n_b_pre AS DOUBLE)
+           |         + greatest(s2_bpo / CAST(n_b_post AS DOUBLE) - (s_bpo / CAST(n_b_post AS DOUBLE)) * (s_bpo / CAST(n_b_post AS DOUBLE)), 0.0) * CAST(n_b_post AS DOUBLE) / (CAST(n_b_post AS DOUBLE) - 1.0) / CAST(n_b_post AS DOUBLE))
+           |    END AS se0
+           |  FROM m)
+           |SELECT event_type, n_a_pre, n_a_post, n_b_pre, n_b_post,
+           |  CASE WHEN n_a_pre >= 2 AND n_a_post >= 2 AND n_b_pre >= 2 AND n_b_post >= 2
+           |    THEN ${graft.functions.Portable.r6Sql("did0")} END AS did,
+           |  CASE WHEN se0 IS NOT NULL THEN ${graft.functions.Portable.r6Sql("se0")} END AS se,
+           |  CASE WHEN se0 > 0 THEN ${graft.functions.Portable.r6Sql("did0 / se0")} END AS z
+           |FROM d""".stripMargin,
+
+      "q_rrf" ->
+        """WITH qt(query_id, term) AS (VALUES
+          |  ('q_joins','join'), ('q_joins','hash'), ('q_joins','merge'),
+          |  ('q_scan','scan'), ('q_scan','filter'), ('q_scan','column'),
+          |  ('q_stream','stream'), ('q_stream','window'), ('q_stream','batch')),
+          |tok AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+          |t AS (SELECT id, unnest(toks) AS term FROM tok),
+          |dl AS (SELECT id, CAST(len(toks) AS DOUBLE) AS dl FROM tok),
+          |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+          |tf AS (SELECT id, term, count(*) AS tf FROM t WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+          |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |sc AS (SELECT qt.query_id, tf.id,
+          |    floor((sum(ln(1 + (n_docs - df + 0.5)/(df + 0.5)) * tf/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl)))) * 1000000 + 0.5) / 1000000 AS bm25
+          |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl USING (id), st GROUP BY 1, 2),
+          |b AS (SELECT query_id, id AS doc_id, rank FROM (SELECT query_id, id, bm25,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, id) AS rank FROM sc) WHERE rank <= 50),
+          |lp AS (SELECT doc_id, rank FROM (SELECT doc_id,
+          |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank FROM documents) WHERE rank <= 50),
+          |pq AS (SELECT q.query_id, lp.doc_id, lp.rank
+          |  FROM (SELECT unnest(['q_joins','q_scan','q_stream']) AS query_id) q, lp),
+          |fu AS (SELECT coalesce(b.query_id, p.query_id) AS query_id, coalesce(b.doc_id, p.doc_id) AS doc_id,
+          |    floor((coalesce(CAST(1 AS DOUBLE)/(CAST(60 AS DOUBLE) + CAST(b.rank AS DOUBLE)), CAST(0 AS DOUBLE))
+          |      + coalesce(CAST(1 AS DOUBLE)/(CAST(60 AS DOUBLE) + CAST(p.rank AS DOUBLE)), CAST(0 AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS rrf
+          |  FROM b FULL OUTER JOIN pq p ON b.query_id = p.query_id AND b.doc_id = p.doc_id),
+          |r AS (SELECT query_id, doc_id, rrf,
+          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank FROM fu)
+          |SELECT query_id, doc_id, rrf, rank FROM r WHERE rank <= 10""".stripMargin,
 
       "q_pack" ->
         s"""WITH tc AS (SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exponentially-weighted moving average per key — the recursive
@@ -50,5 +50,66 @@ object Ewma {
         col("es").getItem(0).getField("v"),
         (acc, e) => lit(alpha) * e.getField("v") + lit(1.0 - alpha) * acc
       ).as("ewma"))
+  }
+
+  /** Holt double exponential smoothing per key — EWMA plus a smoothed
+    * linear TREND, the recursive pair
+    * `l_i = α·x_i + (1−α)·(l_{i−1} + t_{i−1})`,
+    * `t_i = β·(l_i − l_{i−1}) + (1−β)·t_{i−1}`
+    * that level-only smoothing lags behind on drifting series. Returns
+    * (key, n, level, trend, forecast) where forecast = level + trend is
+    * the one-step-ahead prediction — the drift-aware rate baseline.
+    *
+    * Same shape and portability contract as [[ewmaLast]]: ONE key
+    * shuffle, a sorted-array fold with the state held as a 2-element
+    * double array, fixed fold order (time, then `tieCol`), plain IEEE
+    * arithmetic — the oracle replays the identical fold with DuckDB's
+    * `list_reduce`. Seeds: l₀ = x₀, t₀ = 0 (the parameter-free
+    * convention; a trend seed of x₁−x₀ would need a 2-element
+    * lookahead and buys nothing at corpus scale).
+    *
+    * NOTE the smoothing factors appear as (1 − α) computed HERE in
+    * Scala and as `1 − CAST(α AS DOUBLE)` in the oracle — both are the
+    * same IEEE subtraction, so 0.3-style factors that have no exact
+    * binary form still agree bit-for-bit.
+    */
+  def holtLast(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      tieCol: String,
+      alpha: Double,
+      beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha not in (0,1]")
+    require(beta >= 0 && beta <= 1, s"beta $beta not in [0,1]")
+    val v = col(valueCol).cast("double")
+    val sorted = events
+      .filter(col(timeCol).isNotNull && v.isNotNull && !isnan(v))
+      .select(col(keyCol).as("key"),
+        struct(unix_micros(col(timeCol)).as("t"), col(tieCol).as("tb"), v.as("v")).as("e"))
+      .groupBy("key")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+    def newLevel(acc: Column, x: Column): Column =
+      lit(alpha) * x + lit(1.0 - alpha) * (element_at(acc, 1) + element_at(acc, 2))
+    val state = aggregate(
+      expr("slice(es, 2, size(es))"),
+      array(col("es").getItem(0).getField("v"), lit(0.0)),
+      (acc, e) => {
+        val x = e.getField("v")
+        array(
+          newLevel(acc, x),
+          lit(beta) * (newLevel(acc, x) - element_at(acc, 1))
+            + lit(1.0 - beta) * element_at(acc, 2))
+      })
+    sorted.select(
+      col("key"),
+      size(col("es")).cast("long").as("n"),
+      state.as("st"))
+      .select(
+        col("key"), col("n"),
+        element_at(col("st"), 1).as("level"),
+        element_at(col("st"), 2).as("trend"),
+        (element_at(col("st"), 1) + element_at(col("st"), 2)).as("forecast"))
   }
 }

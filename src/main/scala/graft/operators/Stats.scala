@@ -308,4 +308,58 @@ object Stats {
       se.as("se"),
       when(se > 0, (meanB - meanA) / se).as("z"))): _*)
   }
+
+  /** Difference-in-differences per group — the causal readout when
+    * treatment lands mid-stream: did = (meanB_post − meanB_pre) −
+    * (meanA_post − meanA_pre), its pooled standard error
+    * √(Σ_cells s²/n) over the four (arm × period) cells, and the z
+    * statistic. Subtracting each arm's own pre-period mean nets out
+    * level differences between arms AND the shared time trend that a
+    * plain post-only [[welchTest]] confounds.
+    *
+    * Same cost shape as [[welchTest]]: ONE scan, four-way conditional
+    * DECIMAL moment sums in a single aggregate. All four cells need
+    * n ≥ 2 for se/z (NULL otherwise); fixed IEEE expression order =
+    * engine-portable.
+    */
+  def didTest(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      armB: Column,
+      isPost: Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val p = ok(v)
+    val isB = coalesce(armB, lit(false))
+    val post = coalesce(isPost, lit(false))
+    val cells = Seq(
+      "a_pre" -> (!isB && !post), "a_post" -> (!isB && post),
+      "b_pre" -> (isB && !post), "b_post" -> (isB && post))
+    def dsum(cond: Column, e: Column): Column =
+      coalesce(sum(when(p && cond, e.cast("decimal(38,6)"))), lit(0).cast("decimal(38,6)"))
+        .cast("double")
+    val aggs = cells.flatMap { case (nm, cond) =>
+      Seq(
+        count(when(p && cond, lit(1))).as(s"n_$nm"),
+        dsum(cond, v).as(s"__s_$nm"),
+        dsum(cond, v * v).as(s"__s2_$nm"))
+    }
+    val m = df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    def mean(nm: String): Column = col(s"__s_$nm") / col(s"n_$nm").cast("double")
+    // per-cell variance-of-the-mean contribution: s²/n with the sample
+    // variance from raw moments
+    def varOverN(nm: String): Column = {
+      val n = col(s"n_$nm").cast("double")
+      greatest(col(s"__s2_$nm") / n - mean(nm) * mean(nm), lit(0.0)) * n / (n - 1.0) / n
+    }
+    val allCells = cells.map(_._1)
+    val enough = allCells.map(nm => col(s"n_$nm") >= 2).reduce(_ && _)
+    val did = (mean("b_post") - mean("b_pre")) - (mean("a_post") - mean("a_pre"))
+    val se = when(enough,
+      sqrt(allCells.map(varOverN).reduce(_ + _)))
+    m.select((by.map(col) ++ allCells.map(nm => col(s"n_$nm")) ++ Seq(
+      when(enough, did).as("did"),
+      se.as("se"),
+      when(se > 0, did / se).as("z"))): _*)
+  }
 }
