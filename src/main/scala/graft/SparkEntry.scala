@@ -898,6 +898,37 @@ object SparkEntry {
       graft.pipeline.Fusion.reciprocalRankFusion(Seq(bm, prior), k = 60, topK = 10)
     },
 
+    // golden-record survivorship over the fuzzy part-name entities
+    "q_golden" -> ((s, dir) =>
+      FuzzyJoin
+        .goldenRecords(
+          Tables.part(s, dir).select(col("p_partkey"), col("p_name"), col("p_retailprice")),
+          "p_partkey", "p_name", maxDist = 4,
+          extraAggs = Seq(max(col("p_retailprice")).as("max_price")))
+        .select(col("entity_id"), col("n_members"), col("first_id"), col("canonical_name"),
+          graft.functions.Portable.r6(col("max_price")).as("max_price"))),
+
+    // bounded k-core peel over the word-adjacency graph (k=3, 3 rounds)
+    "q_kcore" -> { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(TextFunctions.wordTokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val edges = toks.select(explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+      Graph.kCorePeel(edges, k = 3, rounds = 3)
+        .select(col("node"), col("d").as("degree"))
+    },
+
+    // hopping windows: 10-minute windows sliding every 5 minutes
+    "q_hopping" -> ((s, dir) =>
+      Rolling
+        .hoppingAgg(ev(s, dir), Seq("event_type"), "ts", "value",
+          windowUs = 600000000L, slideUs = 300000000L)
+        .select(col("event_type"), col("win_start_us"), col("n"), col("sum_value"))),
+
     "q_pack" -> ((s, dir) =>
       Packing
         .packByTokenBudget(
@@ -2709,6 +2740,52 @@ object SparkEntry {
           |r AS (SELECT query_id, doc_id, rrf,
           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank FROM fu)
           |SELECT query_id, doc_id, rrf, rank FROM r WHERE rank <= 10""".stripMargin,
+
+      "q_golden" ->
+        """WITH RECURSIVE t AS (SELECT DISTINCT lower(p_name) AS name FROM part WHERE lower(p_name) <> ''),
+          |tok AS (SELECT DISTINCT name, unnest(list_filter(string_split_regex(name, '[^a-z]+'), x -> x <> '')) AS tk FROM t),
+          |cand AS (SELECT DISTINCT a.name AS a_name, b.name AS b_name
+          |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.name < b.name),
+          |pr AS (SELECT a_name, b_name FROM cand WHERE levenshtein(a_name, b_name) <= 4),
+          |ids AS (SELECT p_partkey AS id, lower(p_name) AS name, p_retailprice AS price FROM part),
+          |nm AS (SELECT name, min(id) AS nid FROM ids WHERE name <> '' GROUP BY 1),
+          |e0 AS (SELECT a.nid AS ia, b.nid AS ib FROM pr JOIN nm a ON a.name = pr.a_name
+          |       JOIN nm b ON b.name = pr.b_name),
+          |e AS (SELECT ia AS src, ib AS dst FROM e0 UNION SELECT ib, ia FROM e0),
+          |reach AS (SELECT src AS id, src AS r FROM e
+          |          UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+          |clusters AS (SELECT id AS nid, min(r) AS lbl FROM reach GROUP BY 1),
+          |ent AS (SELECT ids.id, coalesce(lbl, nm.nid, ids.id) AS entity_id, ids.name, ids.price
+          |  FROM ids LEFT JOIN nm ON nm.name = ids.name
+          |  LEFT JOIN clusters ON clusters.nid = nm.nid),
+          |rk AS (SELECT entity_id, name, row_number() OVER (PARTITION BY entity_id ORDER BY len(name) DESC, name DESC) AS rn FROM ent),
+          |g AS (SELECT entity_id, count(*) AS n_members, min(id) AS first_id, max(price) AS mp FROM ent GROUP BY 1)
+          |SELECT g.entity_id, g.n_members, g.first_id, rk.name AS canonical_name,
+          |  floor((mp) * 1000000 + 0.5) / 1000000 AS max_price
+          |FROM g JOIN (SELECT entity_id, name FROM rk WHERE rn = 1) rk USING (entity_id)""".stripMargin,
+
+      "q_kcore" -> {
+        val rounds = (1 to 3).map { r =>
+          s"""d$r AS (SELECT node, count(*) AS d FROM (SELECT a AS node FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
+             |k$r AS (SELECT node FROM d$r WHERE d >= 3),
+             |e$r AS (SELECT e${r - 1}.* FROM e${r - 1} WHERE a IN (SELECT node FROM k$r) AND b IN (SELECT node FROM k$r))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH tk AS (SELECT list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '') AS ts FROM documents),
+           |ed AS (SELECT unnest(list_slice(ts, 1, len(ts)-1)) AS src, unnest(list_slice(ts, 2, len(ts))) AS dst
+           |       FROM tk WHERE len(ts) >= 2),
+           |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed WHERE src <> dst),
+           |$rounds
+           |SELECT node, CAST(d AS BIGINT) AS degree
+           |FROM (SELECT node, count(*) AS d FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1)""".stripMargin
+      },
+
+      "q_hopping" ->
+        s"""WITH w AS (SELECT event_type, value,
+           |    (epoch_us(ts) // 300000000) * 300000000 - j * 300000000 AS win_start_us
+           |  FROM events, unnest([0, 1]) AS u(j) WHERE ts IS NOT NULL)
+           |SELECT event_type, win_start_us, count(*) AS n,
+           |  CAST(coalesce(sum(CASE WHEN $P THEN CAST(value AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sum_value
+           |FROM w GROUP BY 1, 2""".stripMargin,
 
       "q_pack" ->
         s"""WITH tc AS (SELECT doc_id,

@@ -164,4 +164,38 @@ object FuzzyJoin {
         col("name").as("b_name"), lit(0L).as("dist"))
     crossName.unionByName(sameName)
   }
+
+  /** Golden-record survivorship: resolve fuzzy name entities
+    * ([[resolveEntities]] — name-graph connected components) and emit
+    * ONE canonical row per entity — the master-data step after linkage:
+    * "these 7 spellings are one vendor; this is its record".
+    *
+    * Canonical name policy: the longest (then lexicographically
+    * greatest) lowercased member name, picked with a max-struct
+    * aggregate — one candidate per (partition × entity) crosses the
+    * wire, not every member (the CDC-compaction argument vs a window
+    * rank). `extraAggs` appends caller survivorship rules for other
+    * fields (max balance, newest timestamp, …). Deterministic
+    * throughout; the records frame shuffles once on entity_id.
+    */
+  def goldenRecords(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      maxDist: Int,
+      maxTokenDf: Long = Long.MaxValue,
+      extraAggs: Seq[org.apache.spark.sql.Column] = Nil
+  ): DataFrame = {
+    val ents = resolveEntities(df, idCol, nameCol, maxDist, maxTokenDf)
+    val base = Seq(
+      count(lit(1)).as("n_members"),
+      min(col("id")).as("first_id"),
+      max(struct(length(lower(col(nameCol))).as("l"), lower(col(nameCol)).as("n")))
+        .getField("n").as("canonical_name"))
+    df
+      .withColumn("id", col(idCol).cast("long"))
+      .join(ents, "id")
+      .groupBy(col("entity_id"))
+      .agg(base.head, (base.tail ++ extraAggs): _*)
+  }
 }

@@ -122,4 +122,34 @@ object Graph {
           lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double") /
             (col("d").cast("double") * (col("d").cast("double") - 1.0))).as("coef"))
   }
+
+  /** Bounded k-core peeling: repeatedly drop nodes of degree < k (and
+    * their edges) for `rounds` iterations, returning the surviving
+    * (node, degree) frame — the dense-subgraph extraction that isolates
+    * spam rings / template farms whose members keep each other's degree
+    * up after the long tail peels away. With enough rounds this is THE
+    * k-core; a fixed bound keeps the oracle expressible (unrolled CTEs,
+    * the PageRank convention) and each round is one degree aggregate +
+    * two semi-joins — on a real cluster the edge frame is re-pinned per
+    * round exactly like PageRank's rank frames (reliable under
+    * `spark.graft.checkpointDir`).
+    */
+  def kCorePeel(
+      edges: DataFrame,
+      k: Int,
+      rounds: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var und = undirected(edges, srcCol, dstCol)
+    for (_ <- 1 to rounds) {
+      val keep = degrees(und).filter(col("d") >= k).select(col("node"))
+      und = und
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .pin(true)
+    }
+    degrees(und)
+  }
 }

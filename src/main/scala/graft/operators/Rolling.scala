@@ -182,6 +182,45 @@ object Rolling {
     * timestamps fill in a deterministic order; `tieBreakCol` must be
     * unique within a key.
     */
+  /** Fixed hopping-window aggregation via Spark's built-in `window()`
+    * generator — counts and DECIMAL value sums per (group, window) for
+    * overlapping windows of `windowUs` sliding by `slideUs` (epoch-
+    * aligned, the `window()` default). Each event lands in
+    * windowUs/slideUs windows via a row-local projection (the generator
+    * explodes BEFORE the shuffle, so the exchange carries (group,
+    * win_start) cells partial-aggregated map-side — never one row per
+    * (event × window) across the wire).
+    *
+    * This is the batch twin of the streaming windowed aggregations in
+    * [[graft.streaming.Streaming]] — same `window()` operator, same
+    * alignment — so a backfill and a live stream produce byte-identical
+    * frames. `windowUs` must be a multiple of `slideUs`.
+    */
+  def hoppingAgg(
+      events: DataFrame,
+      by: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      windowUs: Long,
+      slideUs: Long): DataFrame = {
+    require(windowUs > 0 && slideUs > 0, "window and slide must be positive")
+    require(windowUs % slideUs == 0,
+      s"window $windowUs must be a multiple of slide $slideUs for gap-free hops")
+    val v = col(valueCol).cast("double")
+    events
+      .filter(col(timeCol).isNotNull)
+      .groupBy((by.map(col) :+
+        window(col(timeCol), s"$windowUs microseconds", s"$slideUs microseconds")
+          .as("__w")): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(v.isNotNull && !isnan(v), v.cast("decimal(38,6)"))),
+          lit(0).cast("decimal(38,6)")).cast("double").as("sum_value"))
+      .select((by.map(col) ++ Seq(
+        unix_micros(col("__w.start")).as("win_start_us"),
+        col("n"), col("sum_value"))): _*)
+  }
+
   def forwardFill(
       events: DataFrame,
       keyCol: String,
