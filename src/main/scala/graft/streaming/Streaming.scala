@@ -36,6 +36,19 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment: the unbounded stream LEFT-joins a
+    * bounded dimension frame on `keys` — the most common production
+    * streaming join (events × user profile, measurements × code
+    * metadata). The static side is re-read per micro-batch by Structured
+    * Streaming's planner (so a dimension refreshed between triggers is
+    * picked up) and explicitly broadcast, so the stream side never
+    * shuffles and carries no join state — unlike a stream-stream join
+    * there is nothing to watermark. Unmatched stream rows pass through
+    * with NULL attributes: an enrichment join must never drop facts.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Streaming form of the flagship code-metadata aggregation
     * ([[graft.operators.CodeMetadata]]): per (event-time window, code)
     * distribution stats over an unbounded MEDS-shaped stream. The same

@@ -94,4 +94,36 @@ class Round5eOpsSpec extends SparkSpec {
       Rolling.hoppingAgg(ev, Seq("event_type"), "ts", "value", 700000000L, 300000000L)
     }
   }
+
+  // --------------------------------------------- stream-static enrichment
+
+  test("enrichStream: dimension attributes join in per micro-batch; unmatched facts survive") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "gold"), (20L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = input.toDF().toDF("user_id", "ts", "value")
+    val q = graft.streaming.Streaming.enrichStream(stream, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      input.addData((10L, t0, 1.0), (99L, t0, 2.0))
+      q.processAllAvailable()
+      input.addData((20L, t0, 3.0))
+      q.processAllAvailable()
+      val out = spark.table("enriched")
+        .collect().map(r => r.getAs[Long]("user_id") -> Option(r.getAs[String]("tier"))).toMap
+      assert(out(10L).contains("gold") && out(20L).contains("basic"))
+      assert(out(99L).isEmpty, "unmatched fact must pass through with NULL, not drop")
+    } finally q.stop()
+  }
+
+  test("enrichStream batch plan broadcasts the dimension; the fact side never shuffles") {
+    val dim = Seq((10L, "gold")).toDF("user_id", "tier")
+    val facts = spark.range(1000).select(col("id").as("user_id"), col("id").as("v"))
+    val plan = graft.streaming.Streaming.enrichStream(facts, dim, Seq("user_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact side must not shuffle:\n$plan")
+  }
 }
