@@ -12,7 +12,9 @@ object Bench {
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_cluster",
     "q_minhash_sigs", "q_simhash_pairs", "q_containment", "q_cross_dedup",
     "q_line_dedup", "q_dup_stats", "q_source_sim", "q_leakage", "q_novelty",
-    "q_semdedup", "q_pagerank", "q_ann_topk", "q_ann_ivf_kmeans")
+    "q_semdedup", "q_pagerank", "q_ann_topk", "q_ann_ivf_kmeans",
+    // round-5 additions to the shingle/graph families
+    "q_cdc_chunks", "q_winnow", "q_kcore")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -929,6 +929,18 @@ object SparkEntry {
           windowUs = 600000000L, slideUs = 300000000L)
         .select(col("event_type"), col("win_start_us"), col("n"), col("sum_value"))),
 
+    // CUSUM changepoint detection per user (one shuffle + sorted fold)
+    "q_cusum" -> ((s, dir) =>
+      Changepoint.cusum(ev(s, dir), "user_id", "ts", "value", "event_id")
+        .select(col("key").as("user_id"), col("n"),
+          graft.functions.Portable.r6(col("mean")).as("mean"),
+          graft.functions.Portable.r6(col("cusum_max")).as("cusum_max"),
+          col("cusum_at"))),
+
+    // sorted-neighborhood blocking over part names (window 3, dist <= 4)
+    "q_sorted_blocking" -> ((s, dir) =>
+      FuzzyJoin.sortedNeighborPairs(Tables.part(s, dir), "p_name", maxDist = 4, windowSize = 3)),
+
     "q_pack" -> ((s, dir) =>
       Packing
         .packByTokenBudget(
@@ -2786,6 +2798,39 @@ object SparkEntry {
            |SELECT event_type, win_start_us, count(*) AS n,
            |  CAST(coalesce(sum(CASE WHEN $P THEN CAST(value AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sum_value
            |FROM w GROUP BY 1, 2""".stripMargin,
+
+      "q_cusum" ->
+        s"""WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+           |    count(*) AS n,
+           |    CAST(coalesce(sum(CAST(value AS DECIMAL(38,6))), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mn
+           |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+           |  GROUP BY 1),
+           |f AS (SELECT user_id, CAST(n AS BIGINT) AS n, mn,
+           |  list_reduce(
+           |    list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+           |      list_transform(vs, v -> [CAST(v AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+           |    (acc, x) -> [
+           |      greatest(CAST(0 AS DOUBLE), acc[1] + (x[1] - mn)),
+           |      CASE WHEN greatest(CAST(0 AS DOUBLE), acc[1] + (x[1] - mn)) > acc[2]
+           |           THEN greatest(CAST(0 AS DOUBLE), acc[1] + (x[1] - mn)) ELSE acc[2] END,
+           |      CASE WHEN greatest(CAST(0 AS DOUBLE), acc[1] + (x[1] - mn)) > acc[2]
+           |           THEN acc[4] + CAST(1 AS DOUBLE) ELSE acc[3] END,
+           |      acc[4] + CAST(1 AS DOUBLE)]) AS st
+           |  FROM s)
+           |SELECT user_id, n, ${graft.functions.Portable.r6Sql("mn")} AS mean,
+           |  ${graft.functions.Portable.r6Sql("st[2]")} AS cusum_max,
+           |  CAST(st[3] AS BIGINT) AS cusum_at
+           |FROM f""".stripMargin,
+
+      "q_sorted_blocking" ->
+        """WITH t AS (SELECT DISTINCT lower(p_name) AS name FROM part
+          |  WHERE p_name IS NOT NULL AND lower(p_name) <> ''),
+          |r AS (SELECT name, substr(name, 1, 2) AS block,
+          |    row_number() OVER (PARTITION BY substr(name, 1, 2) ORDER BY name) AS rnk FROM t),
+          |p AS (SELECT a.name AS a_name, b.name AS b_name
+          |  FROM r a JOIN r b ON a.block = b.block AND b.rnk IN (a.rnk + 1, a.rnk + 2))
+          |SELECT a_name, b_name, CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
+          |FROM p WHERE levenshtein(a_name, b_name) <= 4""".stripMargin,
 
       "q_pack" ->
         s"""WITH tc AS (SELECT doc_id,

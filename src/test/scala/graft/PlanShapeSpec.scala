@@ -49,10 +49,14 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
     // A partition-less window funnels its whole input through ONE task.
     // That is only acceptable when the input is provably bounded: either
-    // below a limit (top-k postprocessing) or vocabulary-sized by operator
-    // contract (the code dimension — allowlisted here, documented in
-    // Vocabulary.lexicographicIndices).
-    val vocabSizedByContract = Set("q_fit_vocab", "q_normalize", "q_meds_pipeline", "q_pipeline_config")
+    // below a limit (top-k postprocessing) or bounded by operator
+    // contract — vocabulary-sized (the code dimension, documented in
+    // Vocabulary.lexicographicIndices) or day-granularity
+    // (Survival.kaplanMeier's KM curve: one row per distinct duration
+    // DAY, bounded by the observation horizon, never by keys or rows).
+    val vocabSizedByContract = Set(
+      "q_fit_vocab", "q_normalize", "q_meds_pipeline", "q_pipeline_config",
+      "q_km_survival")
 
     def boundedBelow(p: SparkPlan): Boolean = p match {
       case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
