@@ -44,6 +44,21 @@ object SparkEntry {
     )
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  /** Word-adjacency edge table over the documents corpus (consecutive
+    * token pairs) — the shared input of the graph family
+    * (q_pagerank / q_triangles / q_clustering_coef / q_kcore).
+    */
+  private def wordAdjacencyEdges(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(TextFunctions.wordTokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    toks.select(explode(zip_with(
+      slice(col("ts"), lit(1), size(col("ts")) - 1),
+      slice(col("ts"), lit(2), size(col("ts")) - 1),
+      (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+  }
   private def emb(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
 
   private def timeUs(c: String = "time"): org.apache.spark.sql.Column =
@@ -790,22 +805,17 @@ object SparkEntry {
     // local clustering coefficient over the word-adjacency graph
     // (same edge derivation as q_triangles / q_pagerank)
     "q_clustering_coef" -> { (s, dir) =>
-      val toks = docs(s, dir)
-        .select(TextFunctions.wordTokens(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 2)
-      val edges = toks.select(explode(zip_with(
-        slice(col("ts"), lit(1), size(col("ts")) - 1),
-        slice(col("ts"), lit(2), size(col("ts")) - 1),
-        (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
-        .select(col("e.src"), col("e.dst"))
+      val edges = wordAdjacencyEdges(s, dir)
       Graph.clusteringCoefficient(edges)
         .select(col("node"), col("degree"), col("n_triangles"),
           graft.functions.Portable.r6(col("coef")).as("coef"))
     },
 
     // TPC-H Q5 shape: local-supplier revenue per nation — a 6-table
-    // join where every dimension broadcasts and the fact never shuffles
-    // before the final vocab-sized aggregate
+    // join: the small dims (supplier/nation/region) broadcast; the
+    // orders and customer joins are key equi-joins the fact legitimately
+    // shuffles for at scale (AQE upgrades them to broadcast when the
+    // filtered sides fit)
     "q5_local_supplier" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
       val ord = Tables.orders(s, dir)
@@ -910,14 +920,7 @@ object SparkEntry {
 
     // bounded k-core peel over the word-adjacency graph (k=3, 3 rounds)
     "q_kcore" -> { (s, dir) =>
-      val toks = docs(s, dir)
-        .select(TextFunctions.wordTokens(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 2)
-      val edges = toks.select(explode(zip_with(
-        slice(col("ts"), lit(1), size(col("ts")) - 1),
-        slice(col("ts"), lit(2), size(col("ts")) - 1),
-        (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
-        .select(col("e.src"), col("e.dst"))
+      val edges = wordAdjacencyEdges(s, dir)
       Graph.kCorePeel(edges, k = 3, rounds = 3)
         .select(col("node"), col("d").as("degree"))
     },
@@ -1332,15 +1335,7 @@ object SparkEntry {
     // 3-round damped PageRank over the word-adjacency graph (parallel
     // edges weight naturally); oracle is the same 3 rounds unrolled
     "q_pagerank" -> { (s, dir) =>
-      val toks = docs(s, dir)
-        .select(graft.text.TextFunctions.wordTokens(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 2)
-      val edges = toks.select(explode(zip_with(
-        slice(col("ts"), lit(1), size(col("ts")) - 1),
-        slice(col("ts"), lit(2), size(col("ts")) - 1),
-        (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
-        .select(col("e.src"), col("e.dst"))
-      PageRank.pageRank(edges, iters = 3)
+      PageRank.pageRank(wordAdjacencyEdges(s, dir), iters = 3)
         .select(col("node"), graft.functions.Portable.r6(col("rank")).as("rank"))
     },
 
@@ -1451,14 +1446,7 @@ object SparkEntry {
     // degree-ordered triangle enumeration over the word-adjacency graph
     // (same edge table as q_pagerank); each triangle once, a < b < c
     "q_triangles" -> { (s, dir) =>
-      val toks = docs(s, dir)
-        .select(TextFunctions.wordTokens(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 2)
-      val edges = toks.select(explode(zip_with(
-        slice(col("ts"), lit(1), size(col("ts")) - 1),
-        slice(col("ts"), lit(2), size(col("ts")) - 1),
-        (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
-        .select(col("e.src"), col("e.dst"))
+      val edges = wordAdjacencyEdges(s, dir)
       Graph.triangles(edges)
     },
 
@@ -2672,7 +2660,7 @@ object SparkEntry {
       "q_benford" ->
         s"""WITH f AS (SELECT event_type,
            |    CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
-           |  FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 1),
+           |  FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 1 AND value < 1e18),
            |c AS (SELECT event_type, digit, count(*) AS n FROM f GROUP BY 1, 2),
            |grid AS (SELECT event_type, unnest(range(1, 10)) AS digit FROM (SELECT DISTINCT event_type FROM c)),
            |fu AS (SELECT grid.event_type, CAST(grid.digit AS INTEGER) AS digit, CAST(coalesce(n, 0) AS BIGINT) AS n

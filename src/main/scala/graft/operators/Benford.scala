@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Materialize.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,10 +12,13 @@ import org.apache.spark.sql.functions._
   * spoofed metrics, and unit mismatches visibly don't.
   *
   * Per (group, digit 1..9): observed count and fraction, the Benford
-  * expectation, and the group's total χ² distance. Values below 1 are
-  * excluded (their first significant digit needs log10, which is a
-  * 1-ulp cross-engine hazard at powers of ten; integer-part digits come
-  * from the exact long→string path instead — portable everywhere).
+  * expectation, and the group's total χ² distance. Values outside
+  * [1, 10¹⁸) are excluded: below 1 the first significant digit needs
+  * log10 (a 1-ulp cross-engine hazard at powers of ten), and at 2⁶³
+  * the long cast behind the exact long→string digit path stops being
+  * exact (Spark clamps to Long.MaxValue where other engines raise).
+  * Inside that 18-decade band the digit is the exact integer
+  * formatting — portable everywhere.
   *
   * Shape: ONE fact scan partial-aggregates to (group, digit) cells;
   * the full 9-digit grid is an `explode(sequence(...))` projection over
@@ -33,13 +37,18 @@ object Benford {
   def firstDigitAudit(df: DataFrame, by: Seq[String], valueCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
     // first digit of the integer part, via the exact long->string path
+    // (the upper bound keeps floor(v) inside long range — see class doc)
     val facts = df
-      .filter(v.isNotNull && !isnan(v) && v >= 1.0)
+      .filter(v.isNotNull && !isnan(v) && v >= 1.0 && v < 1e18)
       .select((by.map(col) :+ substring(floor(v).cast("long").cast("string"), 1, 1)
         .cast("int").as("digit")): _*)
+    // cells feeds BOTH the distinct-group grid and the left join — pin
+    // it (lazy) per the multi-consumer convention so the fact scan +
+    // partial aggregate cannot re-execute
     val cells = facts
       .groupBy((by.map(col) :+ col("digit")): _*)
       .agg(count(lit(1)).as("n0"))
+      .pin(false)
     val grid = cells
       .select(by.map(col): _*)
       .distinct()

@@ -182,6 +182,22 @@ object Rolling {
     * timestamps fill in a deterministic order; `tieBreakCol` must be
     * unique within a key.
     */
+  def forwardFill(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      tieBreakCol: String,
+      valueCol: String,
+      outCol: String
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col(tieBreakCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col(timeCol).isNotNull)
+      .withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
   /** Fixed hopping-window aggregation via Spark's built-in `window()`
     * generator — counts and DECIMAL value sums per (group, window) for
     * overlapping windows of `windowUs` sliding by `slideUs` (epoch-
@@ -221,20 +237,4 @@ object Rolling {
         col("n"), col("sum_value"))): _*)
   }
 
-  def forwardFill(
-      events: DataFrame,
-      keyCol: String,
-      timeCol: String,
-      tieBreakCol: String,
-      valueCol: String,
-      outCol: String
-  ): DataFrame = {
-    val w = Window
-      .partitionBy(col(keyCol))
-      .orderBy(col(timeCol), col(tieBreakCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events
-      .filter(col(timeCol).isNotNull)
-      .withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
-  }
 }
