@@ -944,6 +944,25 @@ object SparkEntry {
     "q_sorted_blocking" -> ((s, dir) =>
       FuzzyJoin.sortedNeighborPairs(Tables.part(s, dir), "p_name", maxDist = 4, windowSize = 3)),
 
+    // skip-gram co-occurrence counts (window 2, symmetric, minCount 3)
+    "q_cooc" -> ((s, dir) =>
+      graft.text.Cooccurrence.skipgramCounts(docs(s, dir), window = 2, minCount = 3)),
+
+    // deterministic T5-style span corruption stats + corrupted fingerprint
+    "q_span_corrupt" -> ((s, dir) =>
+      graft.text.SpanCorrupt.corruptionStats(docs(s, dir), spanLen = 3, rate = 8)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_masked"),
+          col("n_spans"), col("corrupt_fp"))),
+
+    // per-source corpus data card (volume/quality/lang-mix/dup rate)
+    "q_corpus_report" -> ((s, dir) =>
+      graft.pipeline.CorpusReport.report(docs(s, dir))
+        .select(col("source"), col("n_docs"),
+          graft.functions.Portable.r6(col("mean_chars")).as("mean_chars"),
+          graft.functions.Portable.r6(col("mean_quality")).as("mean_quality"),
+          graft.functions.Portable.r6(col("lang_entropy")).as("lang_entropy"),
+          graft.functions.Portable.r6(col("dup_rate")).as("dup_rate"))),
+
     "q_pack" -> ((s, dir) =>
       Packing
         .packByTokenBudget(
@@ -2819,6 +2838,66 @@ object SparkEntry {
           |  FROM r a JOIN r b ON a.block = b.block AND b.rnk IN (a.rnk + 1, a.rnk + 2))
           |SELECT a_name, b_name, CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
           |FROM p WHERE levenshtein(a_name, b_name) <= 4""".stripMargin,
+
+      "q_cooc" ->
+        """WITH tk AS (SELECT list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '') AS toks FROM documents),
+          |p AS (SELECT unnest(flatten(list_transform(range(1, len(toks)), i ->
+          |    list_transform(range(1, least(2, len(toks)-i)+1), d ->
+          |      {'a': least(toks[i], toks[i+d]), 'b': greatest(toks[i], toks[i+d])})))) AS p
+          |  FROM tk WHERE len(toks) >= 2)
+          |SELECT p.a AS a, p.b AS b, count(*) AS n FROM p GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+      "q_span_corrupt" ->
+        s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '') AS toks FROM documents),
+           |st AS (SELECT doc_id, toks, CASE WHEN len(toks) = 0 THEN [] ELSE
+           |    list_transform(range(1, len(toks)+1), i -> ${h32("CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 8 = 0) END AS s FROM tk),
+           |mk AS (SELECT doc_id, toks, CASE WHEN len(toks) = 0 THEN [] ELSE
+           |    list_transform(range(1, len(toks)+1), i -> s[i] OR (i > 1 AND s[i-1]) OR (i > 2 AND s[i-2])) END AS m FROM st),
+           |kp AS (SELECT doc_id, toks, m,
+           |    list_filter(list_transform(range(1, len(toks)+1), i ->
+           |      CASE WHEN NOT m[i] THEN toks[i] WHEN i = 1 OR NOT m[i-1] THEN '<mask>' ELSE NULL END), x -> x IS NOT NULL) AS kept
+           |  FROM mk)
+           |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_filter(m, x -> x)) AS BIGINT) AS n_masked,
+           |  CAST(len(list_filter(kept, x -> x = '<mask>')) AS BIGINT) AS n_spans,
+           |  md5(array_to_string(kept, ' ')) AS corrupt_fp
+           |FROM kp""".stripMargin,
+
+      "q_corpus_report" -> {
+        val allStop = TextFunctions.Stopwords.flatMap(_._2).distinct.map(w => s"'$w'").mkString("[", ",", "]")
+        val langs = TextFunctions.Stopwords.map(_._1)
+        val hitCols = langs.map(l => s"len(list_filter(toks, x -> list_contains(${stop(l)}, x))) AS h_$l").mkString(", ")
+        val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+        val pick = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
+        s"""WITH t0 AS (SELECT doc_id, source, text, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+           |q AS (SELECT doc_id,
+           |  floor((0.4*least(CAST(len(toks) AS DOUBLE)/100.0, 1.0)
+           |    + 0.3*least(floor((CAST(len(list_filter(toks, x -> list_contains($allStop, x))) AS DOUBLE)/greatest(len(toks),1)) * 1000000 + 0.5) / 1000000*5.0, 1.0)
+           |    + 0.2*(CASE WHEN floor((CAST(len(regexp_replace(lower(text),'[^a-z]','','g')) AS DOUBLE)/greatest(len(toks),1)) * 1000000 + 0.5) / 1000000 BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+           |    + 0.1*(1.0 - least(floor((CAST(len(regexp_replace(text,'[^.!?,;:]','','g')) AS DOUBLE)/greatest(len(text),1)) * 1000000 + 0.5) / 1000000*5.0, 1.0))) * 1000000 + 0.5) / 1000000 AS score,
+           |  CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred
+           |  FROM (SELECT doc_id, text, $hitCols, toks FROM t0) base),
+           |b AS (SELECT t0.source, t0.doc_id, CAST(len(t0.text) AS BIGINT) AS n_chars, q.score, q.lang_pred,
+           |    md5(trim(regexp_replace(lower(t0.text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+           |  FROM t0 JOIN q USING (doc_id)),
+           |stats AS (SELECT source, count(*) AS n_docs,
+           |    CAST(coalesce(sum(CAST(n_chars AS DECIMAL(38,6))), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars,
+           |    CAST(coalesce(sum(CAST(score AS DECIMAL(38,6))), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_quality
+           |  FROM b GROUP BY 1),
+           |lc AS (SELECT source, lang_pred, count(*) AS c FROM b GROUP BY 1, 2),
+           |ent AS (SELECT source,
+           |    ln(CAST(sum(c) AS DOUBLE)) - CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS lang_entropy
+           |  FROM lc GROUP BY 1),
+           |dup AS (SELECT source, CAST(sum(vict) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate FROM (
+           |    SELECT source, CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS vict FROM b)
+           |  GROUP BY 1)
+           |SELECT source, n_docs,
+           |  ${graft.functions.Portable.r6Sql("mean_chars")} AS mean_chars,
+           |  ${graft.functions.Portable.r6Sql("mean_quality")} AS mean_quality,
+           |  ${graft.functions.Portable.r6Sql("lang_entropy")} AS lang_entropy,
+           |  ${graft.functions.Portable.r6Sql("dup_rate")} AS dup_rate
+           |FROM stats JOIN ent USING (source) JOIN dup USING (source)""".stripMargin
+      },
 
       "q_pack" ->
         s"""WITH tc AS (SELECT doc_id,
