@@ -963,6 +963,23 @@ object SparkEntry {
           graft.functions.Portable.r6(col("lang_entropy")).as("lang_entropy"),
           graft.functions.Portable.r6(col("dup_rate")).as("dup_rate"))),
 
+    // retrieval eval: MRR / recall@10 / nDCG@10 of BM25 against
+    // contains-all-terms relevance
+    "q_retrieval_eval" -> { (s, dir) =>
+      val qs = Seq(
+        "q_joins"  -> Seq("join", "hash", "merge"),
+        "q_scan"   -> Seq("scan", "filter", "column"),
+        "q_stream" -> Seq("stream", "window", "batch"))
+      val ranking = Bm25.retrieveTopK(docs(s, dir), qs, k = 10)
+        .select(col("query_id"), col("id").as("doc_id"), col("rank"))
+      val rel = graft.text.RetrievalEval.containsAllRelevance(docs(s, dir), qs)
+      graft.text.RetrievalEval.evaluate(ranking, rel, k = 10)
+        .select(col("query_id"), col("n_relevant"),
+          graft.functions.Portable.r6(col("mrr")).as("mrr"),
+          graft.functions.Portable.r6(col("recall_at_k")).as("recall_at_10"),
+          graft.functions.Portable.r6(col("ndcg_at_k")).as("ndcg_at_10"))
+    },
+
     "q_pack" -> ((s, dir) =>
       Packing
         .packByTokenBudget(
@@ -2898,6 +2915,44 @@ object SparkEntry {
            |  ${graft.functions.Portable.r6Sql("dup_rate")} AS dup_rate
            |FROM stats JOIN ent USING (source) JOIN dup USING (source)""".stripMargin
       },
+
+      "q_retrieval_eval" ->
+        s"""WITH qt(query_id, term) AS (VALUES
+           |  ('q_joins','join'), ('q_joins','hash'), ('q_joins','merge'),
+           |  ('q_scan','scan'), ('q_scan','filter'), ('q_scan','column'),
+           |  ('q_stream','stream'), ('q_stream','window'), ('q_stream','batch')),
+           |tok AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+           |t AS (SELECT id, unnest(toks) AS term FROM tok),
+           |dl AS (SELECT id, CAST(len(toks) AS DOUBLE) AS dl FROM tok),
+           |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+           |tf AS (SELECT id, term, count(*) AS tf FROM t WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+           |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT qt.query_id, tf.id,
+           |    floor((sum(ln(1 + (n_docs - df + 0.5)/(df + 0.5)) * tf/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl)))) * 1000000 + 0.5) / 1000000 AS bm25
+           |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl USING (id), st GROUP BY 1, 2),
+           |b AS (SELECT query_id, id AS doc_id, rank FROM (SELECT query_id, id, bm25,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, id) AS rank FROM sc) WHERE rank <= 10),
+           |rel AS (SELECT q.query_id, t2.id FROM tok t2, qt q WHERE list_contains(t2.toks, q.term)
+           |  GROUP BY 1, 2 HAVING count(*) = 3),
+           |nrel AS (SELECT query_id, count(*) AS n_relevant FROM rel GROUP BY 1),
+           |j AS (SELECT b.query_id, b.rank, (rel.id IS NOT NULL) AS isrel
+           |  FROM b LEFT JOIN rel ON rel.query_id = b.query_id AND rel.id = b.doc_id),
+           |pq AS (SELECT query_id,
+           |    min(CASE WHEN isrel THEN rank END) AS frel,
+           |    count(CASE WHEN isrel THEN 1 END) AS hits,
+           |    CAST(coalesce(sum(CASE WHEN isrel THEN CAST(floor((CAST(1 AS DOUBLE)/(ln(CAST(rank AS DOUBLE) + 1.0)/ln(CAST(2 AS DOUBLE)))) * 1000000 + 0.5)/1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS dcg
+           |  FROM j GROUP BY 1),
+           |f AS (SELECT pq.query_id, coalesce(n_relevant, 0) AS n_relevant, frel, hits, dcg,
+           |    CASE WHEN coalesce(n_relevant, 0) > 0 THEN
+           |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, least(n_relevant, 10)+1), i ->
+           |        floor((CAST(1 AS DOUBLE)/(ln(CAST(i AS DOUBLE) + 1.0)/ln(CAST(2 AS DOUBLE)))) * 1000000 + 0.5)/1000000)), (a, x) -> a + x)
+           |    ELSE 0.0 END AS idcg
+           |  FROM pq LEFT JOIN nrel USING (query_id))
+           |SELECT query_id, CAST(n_relevant AS BIGINT) AS n_relevant,
+           |  ${graft.functions.Portable.r6Sql("coalesce(CASE WHEN frel IS NOT NULL THEN CAST(1 AS DOUBLE)/CAST(frel AS DOUBLE) END, 0)")} AS mrr,
+           |  ${graft.functions.Portable.r6Sql("CASE WHEN n_relevant > 0 THEN CAST(hits AS DOUBLE)/CAST(n_relevant AS DOUBLE) ELSE 0.0 END")} AS recall_at_10,
+           |  ${graft.functions.Portable.r6Sql("CASE WHEN idcg > 0 THEN dcg/idcg ELSE 0.0 END")} AS ndcg_at_10
+           |FROM f""".stripMargin,
 
       "q_pack" ->
         s"""WITH tc AS (SELECT doc_id,

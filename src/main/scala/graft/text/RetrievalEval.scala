@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation — MRR, recall@k, nDCG@k per query for a
+  * ranking against a relevance predicate. The measurement half of the
+  * retrieval stack ([[Bm25]], ANN, [[graft.pipeline.Fusion]]): a
+  * retriever you can't score is a retriever you can't tune.
+  *
+  * Relevance here is binary contains-ALL-query-terms (the exact-match
+  * labels you can compute without human judgments — the standard
+  * weak-supervision eval for lexical retrievers); the machinery takes
+  * any (query_id, doc_id) relevance frame, so judged qrels drop in
+  * unchanged.
+  *
+  * Shape: the ranking is top-k-sized (queries×k) and relevance
+  * judgement of RANKED docs is a join of that small frame back to the
+  * corpus row-locally; the corpus-wide relevant-count is one
+  * conditional aggregate per query over a single scan. Metric sums run
+  * over r6-rounded DECIMAL terms (order-free); the ideal-DCG fold runs
+  * ascending over a bounded sequence — all engine-portable.
+  */
+object RetrievalEval {
+
+  private def log2(c: Column): Column = log(c) / log(lit(2.0))
+
+  /** Binary AND-of-terms relevance for `queries` over the corpus:
+    * (query_id, id) — one row per (query, relevant doc). One corpus
+    * scan; the per-query term checks are row-local array_contains.
+    */
+  def containsAllRelevance(
+      docs: DataFrame,
+      queries: Seq[(String, Seq[String])],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    val toks = col("__toks")
+    val flags = queries.map { case (qid, terms) =>
+      struct(lit(qid).as("query_id"),
+        terms.map(t => array_contains(toks, t)).reduce(_ && _).as("rel"))
+    }
+    docs
+      .select(col(idCol).as("id"), TextFunctions.wordTokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(array(flags: _*)).as("q"))
+      .filter(col("q.rel"))
+      .select(col("q.query_id").as("query_id"), col("id"))
+  }
+
+  /** Per-query metrics of `ranking` (query_id, doc_id, rank — rank
+    * 1-based, ≤ k) against `relevance` (query_id, id):
+    * (query_id, n_relevant, mrr, recall_at_k, ndcg_at_k). Queries with
+    * no relevant documents score 0 across the board (not NULL — a
+    * retriever finding nothing findable is a 0, not a missing value).
+    */
+  def evaluate(
+      ranking: DataFrame,
+      relevance: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rel = relevance.select(col("query_id"), col("id").as("doc_id"), lit(true).as("__rel"))
+    val nRel = relevance.groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
+    val judged = ranking
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(false)))
+    // per-rank gain, r6'd then DECIMAL-summed so frame order is free
+    val gain = when(col("__rel"),
+      graft.functions.Portable.r6(lit(1.0) / log2(col("rank").cast("double") + 1.0)))
+      .cast("decimal(38,6)")
+    val perQuery = judged
+      .groupBy("query_id")
+      .agg(
+        min(when(col("__rel"), col("rank"))).as("__first_rel"),
+        count(when(col("__rel"), lit(1))).as("__hits"),
+        coalesce(sum(gain), lit(0).cast("decimal(38,6)")).cast("double").as("__dcg"))
+    // ideal DCG: ascending fold over the best min(n_relevant, k) ranks
+    val idcg = aggregate(
+      transform(sequence(lit(1), least(col("n_relevant"), lit(k)).cast("int")),
+        i => graft.functions.Portable.r6(lit(1.0) / log2(i.cast("double") + 1.0))),
+      lit(0.0),
+      (acc, x) => acc + x)
+    perQuery
+      .join(broadcast(nRel), Seq("query_id"), "left")
+      .withColumn("n_relevant", coalesce(col("n_relevant"), lit(0L)))
+      .withColumn("__idcg", when(col("n_relevant") > 0, idcg).otherwise(lit(0.0)))
+      .select(
+        col("query_id"),
+        col("n_relevant"),
+        coalesce(
+          when(col("__first_rel").isNotNull,
+            lit(1.0) / col("__first_rel").cast("double")), lit(0.0)).as("mrr"),
+        when(col("n_relevant") > 0,
+          col("__hits").cast("double") / col("n_relevant").cast("double"))
+          .otherwise(lit(0.0)).as("recall_at_k"),
+        when(col("__idcg") > 0, col("__dcg") / col("__idcg"))
+          .otherwise(lit(0.0)).as("ndcg_at_k"))
+  }
+}

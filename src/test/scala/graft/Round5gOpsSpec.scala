@@ -89,4 +89,37 @@ class Round5gOpsSpec extends SparkSpec {
     // doc 4 duplicates doc 1 (first occurrence is in source a)
     assert(out("b")._3 == 0.5 && out("a")._3 == 0.0)
   }
+
+  // ------------------------------------------------------ retrieval eval
+
+  test("retrieval eval: hand-computed MRR/recall/nDCG on a tiny qrel set") {
+    import graft.text.RetrievalEval
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha only here"),
+      (3L, "beta alpha repeated beta"), (4L, "nothing at all"),
+      (5L, "alpha beta")).toDF("doc_id", "text")
+    val rel = RetrievalEval.containsAllRelevance(docs, Seq("q" -> Seq("alpha", "beta")))
+    assert(rel.collect().map(_.getAs[Long]("id")).toSet == Set(1L, 3L, 5L))
+    // a deliberately imperfect ranking: rank 1 relevant, ranks 2-3 not
+    val ranking = Seq(("q", 1L, 1L), ("q", 2L, 2L), ("q", 4L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val m = RetrievalEval.evaluate(ranking, rel, k = 3).collect()(0)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(m.getAs[Long]("n_relevant") == 3L)
+    assert(m.getAs[Double]("mrr") == 1.0)
+    assert(math.abs(m.getAs[Double]("recall_at_k") - 1.0 / 3.0) < 1e-9)
+    val idcg = r6(1.0) + r6(1.0 / (math.log(3) / math.log(2))) + r6(0.5)
+    assert(math.abs(m.getAs[Double]("ndcg_at_k") - 1.0 / idcg) < 1e-9)
+  }
+
+  test("retrieval eval: a query with nothing findable scores 0, not NULL") {
+    import graft.text.RetrievalEval
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val rel = RetrievalEval.containsAllRelevance(docs, Seq("z" -> Seq("zzz")))
+    val ranking = Seq(("z", 1L, 1L)).toDF("query_id", "doc_id", "rank")
+    val m = RetrievalEval.evaluate(ranking, rel, k = 3).collect()(0)
+    assert(m.getAs[Long]("n_relevant") == 0L)
+    assert(m.getAs[Double]("mrr") == 0.0)
+    assert(m.getAs[Double]("recall_at_k") == 0.0 && m.getAs[Double]("ndcg_at_k") == 0.0)
+  }
 }
