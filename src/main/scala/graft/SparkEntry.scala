@@ -980,6 +980,18 @@ object SparkEntry {
           graft.functions.Portable.r6(col("ndcg_at_k")).as("ndcg_at_10"))
     },
 
+    // time-weighted average of the value step function per user
+    "q_twa" -> ((s, dir) =>
+      Intervals.timeWeightedAverage(ev(s, dir), "user_id", "ts", "value", "event_id")
+        .select(col("key").as("user_id"), col("n"), col("span_s"),
+          graft.functions.Portable.r6(col("twa")).as("twa"))),
+
+    // gaps-and-islands activity coverage (5-minute activity intervals)
+    "q_coverage" -> ((s, dir) =>
+      Intervals.activityCoverage(ev(s, dir), "user_id", "ts", "event_id",
+        widthUs = 300000000L)
+        .select(col("key").as("user_id"), col("n_islands"), col("covered_us"))),
+
     "q_pack" -> ((s, dir) =>
       Packing
         .packByTokenBudget(
@@ -2953,6 +2965,33 @@ object SparkEntry {
            |  ${graft.functions.Portable.r6Sql("CASE WHEN n_relevant > 0 THEN CAST(hits AS DOUBLE)/CAST(n_relevant AS DOUBLE) ELSE 0.0 END")} AS recall_at_10,
            |  ${graft.functions.Portable.r6Sql("CASE WHEN idcg > 0 THEN dcg/idcg ELSE 0.0 END")} AS ndcg_at_10
            |FROM f""".stripMargin,
+
+      "q_twa" ->
+        s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value, event_id FROM events
+           |  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)),
+           |t AS (SELECT user_id, us,
+           |    CAST(floor((value * (CAST(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS DOUBLE) / 1e6)) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) AS term
+           |  FROM e),
+           |g AS (SELECT user_id, count(*) AS n,
+           |    CAST(max(us) - min(us) AS DOUBLE) / 1e6 AS span_raw,
+           |    CAST(coalesce(sum(term), 0) AS DOUBLE) AS num
+           |  FROM t GROUP BY 1)
+           |SELECT user_id, n,
+           |  ${graft.functions.Portable.r6Sql("span_raw")} AS span_s,
+           |  CASE WHEN span_raw > 0 THEN ${graft.functions.Portable.r6Sql("num / span_raw")} END AS twa
+           |FROM g""".stripMargin,
+
+      "q_coverage" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS en, event_id
+          |  FROM events WHERE ts IS NOT NULL),
+          |m AS (SELECT user_id, s, en, event_id,
+          |    CASE WHEN s > coalesce(max(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808) THEN 1 ELSE 0 END AS nw
+          |  FROM e),
+          |i AS (SELECT user_id, s, en, sum(nw) OVER (PARTITION BY user_id ORDER BY s, event_id) AS island FROM m),
+          |g AS (SELECT user_id, island, max(en) - min(s) AS len FROM i GROUP BY 1, 2)
+          |SELECT user_id, count(*) AS n_islands, CAST(sum(len) AS BIGINT) AS covered_us
+          |FROM g GROUP BY 1""".stripMargin,
 
       "q_pack" ->
         s"""WITH tc AS (SELECT doc_id,
