@@ -980,6 +980,12 @@ object SparkEntry {
           graft.functions.Portable.r6(col("ndcg_at_k")).as("ndcg_at_10"))
     },
 
+    // first-10-steps event path per user (clickstream journeys)
+    "q_paths" -> ((s, dir) =>
+      Transitions.eventPaths(ev(s, dir), "user_id", "ts", "event_type", "event_id",
+        maxSteps = 10)
+        .select(col("key").as("user_id"), col("n_events"), col("path"))),
+
     // time-weighted average of the value step function per user
     "q_twa" -> ((s, dir) =>
       Intervals.timeWeightedAverage(ev(s, dir), "user_id", "ts", "value", "event_id")
@@ -2965,6 +2971,15 @@ object SparkEntry {
            |  ${graft.functions.Portable.r6Sql("CASE WHEN n_relevant > 0 THEN CAST(hits AS DOUBLE)/CAST(n_relevant AS DOUBLE) ELSE 0.0 END")} AS recall_at_10,
            |  ${graft.functions.Portable.r6Sql("CASE WHEN idcg > 0 THEN dcg/idcg ELSE 0.0 END")} AS ndcg_at_10
            |FROM f""".stripMargin,
+
+      "q_paths" ->
+        """WITH r AS (SELECT user_id, event_type,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+          |    count(*) OVER (PARTITION BY user_id) AS n_events
+          |  FROM events WHERE ts IS NOT NULL)
+          |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+          |  string_agg(event_type, '>' ORDER BY rn) AS path
+          |FROM r WHERE rn <= 10 GROUP BY user_id, n_events""".stripMargin,
 
       "q_twa" ->
         s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value, event_id FROM events

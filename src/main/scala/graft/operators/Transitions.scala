@@ -31,6 +31,35 @@ object Transitions {
     * partial aggregate with DECIMAL gap sums, so the mean is exact and
     * engine-portable. Keys with a single event have no gap and drop out.
     */
+  /** Per-key ordered event path: the first `maxSteps` event types in
+    * (time, tie) order joined into one `a>b>c` string — the clickstream
+    * path-analysis materialization ("which journeys convert") and the
+    * human-readable twin of [[transitionCounts]]. ONE key shuffle
+    * (sorted collect, the tokenization contract), row-local slice+join
+    * after; `n_events` counts the FULL history so truncation is
+    * visible.
+    */
+  def eventPaths(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      typeCol: String,
+      tieCol: String,
+      maxSteps: Int = 10): DataFrame = {
+    require(maxSteps >= 1, s"maxSteps must be >= 1, got $maxSteps")
+    events
+      .filter(col(timeCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        struct(unix_micros(col(timeCol)).as("t"), col(tieCol).as("tb"),
+          col(typeCol).as("et")).as("e"))
+      .groupBy("key")
+      .agg(sort_array(collect_list(col("e"))).as("__es"))
+      .select(col("key"),
+        size(col("__es")).cast("long").as("n_events"),
+        concat_ws(">",
+          transform(slice(col("__es"), 1, maxSteps), e => e.getField("et"))).as("path"))
+  }
+
   def interArrivalStats(
       events: DataFrame,
       keyCol: String,

@@ -73,4 +73,21 @@ class IntervalsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_islands") == 1L)
     assert(r.getAs[Long]("covered_us") == 18L * 60L * 1000000L) // [0, 18m)
   }
+
+  test("eventPaths: ordered, tie-broken, truncated at maxSteps with full count visible") {
+    import graft.operators.Transitions
+    val t0 = ts("2024-01-01 10:00:00")
+    val ev = (Seq(
+      (1L, ts("2024-01-01 10:00:02"), 3L, "purchase"),
+      (1L, t0, 2L, "view"),   // same ts as signup: event_id breaks the tie
+      (1L, t0, 1L, "signup")
+    ) ++ (4 to 15).map(i => (2L, ts(f"2024-01-01 10:00:$i%02d"), i.toLong, s"e$i")))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Transitions.eventPaths(ev, "user_id", "ts", "event_type", "event_id", maxSteps = 10)
+      .collect().map(r => r.getAs[Long]("key") ->
+        ((r.getAs[Long]("n_events"), r.getAs[String]("path")))).toMap
+    assert(out(1L) == ((3L, "signup>view>purchase")))
+    assert(out(2L)._1 == 12L, "n_events counts the FULL history")
+    assert(out(2L)._2 == (4 to 13).map(i => s"e$i").mkString(">"), "path truncates at 10")
+  }
 }
