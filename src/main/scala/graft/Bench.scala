@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
 
   /** The hot subset benchmarked at sf1 (10x the driver's sf0.1): the
@@ -15,10 +16,49 @@ object Bench {
     "q_semdedup", "q_pagerank", "q_ann_topk", "q_ann_ivf_kmeans",
     // round-5 additions to the shingle/graph families
     "q_cdc_chunks", "q_winnow", "q_kcore")
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+
+  /** The 100x (sf10) subset: the heaviest plans from the sf1 section —
+    * where quadratic failure modes (bucket skew, pair explosion) would
+    * finally show. Kept small because each query runs on ~1.7 GB.
+    */
+  val Sf10Queries: Seq[String] = Seq(
+    "q1_pricing", "q_top_customers", "q_dedup_exact", "q_dedup_jaccard",
+    "q_dedup_cluster", "q_containment", "q_curation", "q_pagerank",
+    "q_semdedup", "q_simhash_pairs", "q_minhash_sigs", "q_cross_dedup")
+
+  /** Queries re-benched under `spark.graft.checkpointDir` (reliable
+    * checkpoints — the 100 TB production mode for the iterative ops):
+    * the pin-using iterative/graph family plus two multi-consumer
+    * pipelines, so the variant covers both pin call sites and no-op paths.
+    */
+  val CheckpointQueries: Seq[String] = Seq(
+    "q_dedup_cluster", "q_pagerank", "q_kcore", "q_dedup_jaccard",
+    "q_curation", "q_semdedup")
+
+  final case class QRes(name: String, sec: Double, err: Option[String])
+
+  private def esc(s: String): String = s.flatMap {
+    case '"'           => "\\\""
+    case '\\'          => "\\\\"
+    case '\n'          => "\\n"
+    case '\r'          => "\\r"
+    case '\t'          => "\\t"
+    case c if c < ' '  => f"\\u${c.toInt}%04x"
+    case c             => c.toString
+  }
+
+  /** Fresh SparkSession per section. Round-5 verdict: running the sf1
+    * section in the same JVM session after 182 sf0.1 queries inflated its
+    * timings 1.5-4x (dead codegen classes, block-manager litter, GC
+    * pressure) — `q_dedup_jaccard` read 23.4x for 10x data when the
+    * isolated truth was 6.2x. A stopped+recreated SparkContext resets
+    * executor/block state so each section measures its plans, not the
+    * previous section's garbage.
+    */
+  private def newSession(cpus: String, extraConf: Map[String, String]): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // the bench tables are single parquet files; at the default 128 MiB
@@ -28,73 +68,124 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: JVM/codegen/file-listing costs land here, not in the timings.
-    Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
-      .foreach { t =>
-        try graft.sources.Tables.read(spark, sfDir, t).count()
-        catch { case _: Throwable => () }
-      }
-    // Optional comma-separated subset for local iteration; the driver
-    // leaves this unset and benches everything.
-    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
-    def runAll(dir: String, subset: Option[Set[String]]): Seq[(String, Double)] =
+    extraConf.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Run `subset` (or all queries) against `dir` in its own SparkSession.
+    * A failed query records an `err` — it must NOT read as a fast success
+    * (round-5 verdict: the old catch printed to stderr and the near-zero
+    * timing landed in the artifact as a speedup).
+    */
+  def runSection(
+      dir: String,
+      subset: Option[Set[String]],
+      cpus: String,
+      extraConf: Map[String, String] = Map.empty): Seq[QRes] = {
+    val spark = newSession(cpus, extraConf)
+    try {
+      // Warm-up: JVM/codegen/file-listing costs land here, not in the timings.
+      Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
+        .foreach { t =>
+          try graft.sources.Tables.read(spark, dir, t).count()
+          catch { case _: Throwable => () }
+        }
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => subset.forall(_.contains(name)) }
         .map { case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark, dir).count() }
-          catch { case e: Throwable =>
-            // loud on stderr — a swallowed failure reads as a fast query
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          }
+          val err =
+            try { fn(spark, dir).count(); None }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+            }
           val elapsed = (System.nanoTime() - t0) / 1e9
           // drop this query's localCheckpoint blocks NOW: queries never
           // share frames, and relying on GC + ContextCleaner lets 140+
           // queries of dead blocks pile up — measured 17x degradation on
           // the heavy dedup queries late in a full-session run
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-          name -> elapsed
+          QRes(name, elapsed, err)
         }
-    val results = runAll(sfDir, only)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    } finally spark.stop()
+  }
+
+  private def timesJson(rs: Seq[QRes]): String =
+    rs.map(r => s"\"${r.name}\":${r.sec}").mkString("{", ",", "}")
+  private def errsJson(rs: Seq[QRes]): String =
+    rs.collect { case QRes(n, _, Some(e)) => s"\"$n\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional comma-separated subset for local iteration; the driver
+    // leaves this unset and benches everything.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+
+    val results = runSection(sfDir, only, cpus)
+
+    // sf1 section: when the 10x scaled dataset exists, bench the hot
+    // subset there too — the plan-dominated regime (round-4 verdict: at
+    // sf0.1 every query is scheduler-bound). Fresh session (see newSession).
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata_sf1")
+    val haveSf1 = only.isEmpty && new java.io.File(s"$sf1Dir/lineitem.parquet").exists()
+    val sf1Results = if (haveSf1) runSection(sf1Dir, Some(HotQueries.toSet), cpus) else Nil
+
+    // Reliable-checkpoint variant: the same iterative/multi-consumer
+    // queries at sf1 with spark.graft.checkpointDir set, so the 100 TB
+    // production mode (Materialize.pin -> reliable checkpoint) carries a
+    // measured cost, not just a parity spec.
+    val cpResults =
+      if (haveSf1) {
+        val cpDir = java.nio.file.Files.createTempDirectory("graft-bench-cp")
+        try runSection(sf1Dir, Some(CheckpointQueries.toSet), cpus,
+          Map(graft.plans.Materialize.DirKey -> cpDir.toString))
+        finally org.apache.commons.io.FileUtils.deleteQuietly(cpDir.toFile)
+      } else Nil
+
+    // sf10 (100x) section: the heaviest plans on ~1.7 GB — where the
+    // quadratic failure modes would surface. Generated locally via
+    // `Test/runMain graft.ScaleData /root/testdata/sf0.1 testdata_sf10 100`.
+    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/testdata_sf10")
+    val sf10Results =
+      if (only.isEmpty && new java.io.File(s"$sf10Dir/lineitem.parquet").exists())
+        runSection(sf10Dir, Some(Sf10Queries.toSet), cpus)
+      else Nil
+
+    val all = results ++ sf1Results ++ cpResults ++ sf10Results
+    val nErr = all.count(_.err.isDefined)
+
     // Per-query map goes to a side file (and an earlier stdout line): with 140+
     // queries the combined JSON overflows the driver's tail capture, leaving the
     // headline unparseable (round-4 verdict). The FINAL line is compact,
     // total-only, and always parseable.
-    // sf1 section: when the 10x scaled dataset exists, bench the hot
-    // subset there too — the plan-dominated regime (round-4 verdict: at
-    // sf0.1 every query is scheduler-bound).
-    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata_sf1")
-    val sf1Results =
-      if (only.isEmpty && new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) {
-        // reap the sf0.1 section's localCheckpoint blocks before the 10x
-        // section: their RDD references are dead but unpersist happens via
-        // the ContextCleaner on GC — 140+ queries of retained blocks
-        // otherwise GC-thrash the heavier sf1 queries (measured 4x on the
-        // jaccard pipeline late in a long session)
-        System.gc()
-        Thread.sleep(2000)
-        runAll(sf1Dir, Some(HotQueries.toSet))
-      } else Nil
-    val sf1Qs = sf1Results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val sf1Total = sf1Results.map(_._2).sum
     val perQuery =
-      s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir","sf1_queries":$sf1Qs,"sf1_dir":"$sf1Dir"}"""
+      s"""{"metric":"per_query","queries":${timesJson(results)},"errors":${errsJson(results)},"sf":"$sfDir"""" +
+        s""","sf1_queries":${timesJson(sf1Results)},"sf1_errors":${errsJson(sf1Results)},"sf1_dir":"$sf1Dir"""" +
+        s""","checkpoint_queries":${timesJson(cpResults)},"checkpoint_errors":${errsJson(cpResults)}""" +
+        s""","sf10_queries":${timesJson(sf10Results)},"sf10_errors":${errsJson(sf10Results)},"sf10_dir":"$sf10Dir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_QUERIES.json"),
         perQuery.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     println(perQuery)
-    val sf1Part =
-      if (sf1Results.isEmpty) ""
-      else s""","sf1":{"total":$sf1Total,"n_queries":${sf1Results.size},"dir":"$sf1Dir"}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}$sf1Part}""")
-    spark.stop()
+
+    val total = results.map(_.sec).sum
+    def section(tag: String, rs: Seq[QRes], dir: String): String =
+      if (rs.isEmpty) ""
+      else s""","$tag":{"total":${rs.map(_.sec).sum},"n_queries":${rs.size},"n_err":${rs.count(_.err.isDefined)},"dir":"${esc(dir)}"}"""
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr""" +
+        section("sf1", sf1Results, sf1Dir) +
+        section("checkpoint_sf1", cpResults, sf1Dir) +
+        section("sf10", sf10Results, sf10Dir) + "}")
+    // a failed query must fail the bench run — a regression cannot hide as
+    // a near-zero "fast" timing (round-5 verdict item 2)
+    if (nErr > 0) sys.exit(1)
   }
 }
