@@ -27,6 +27,13 @@ object Changepoint {
     * the estimated changepoint; 0 when the series never rises above
     * its mean (max stays at the S₀ = 0 seed). NULL/NaN observations
     * and null times are excluded.
+    *
+    * `tieCol` must be unique within (key, time): the collected structs
+    * sort by (t, tie, value), so a duplicated tie value falls back to
+    * ordering by value — still deterministic here, but divergent from
+    * an engine that replays the fold ordered by (time, tie) alone, and
+    * the emitted state depends on fold order. Same contract as
+    * [[Ewma.holtLast]] and [[Transitions.eventPaths]].
     */
   def cusum(
       events: DataFrame,

@@ -72,6 +72,12 @@ object Ewma {
     * Scala and as `1 − CAST(α AS DOUBLE)` in the oracle — both are the
     * same IEEE subtraction, so 0.3-style factors that have no exact
     * binary form still agree bit-for-bit.
+    *
+    * `tieCol` must be unique within (key, time): the collected structs
+    * sort by (t, tie, value), so a duplicated tie value falls back to
+    * ordering by value — divergent from an engine replaying the fold
+    * ordered by (time, tie) alone. Same contract as
+    * [[Changepoint.cusum]].
     */
   def holtLast(
       events: DataFrame,

@@ -133,6 +133,15 @@ object Graph {
     * two semi-joins — on a real cluster the edge frame is re-pinned per
     * round exactly like PageRank's rank frames (reliable under
     * `spark.graft.checkpointDir`).
+    *
+    * NOTE the returned degrees are measured AFTER the last filter round
+    * without a final `degree >= k` cut: if the peel has not converged
+    * within `rounds`, surviving nodes may still report degree < k (they
+    * would be dropped by the next round). Callers wanting only
+    * provably-k-core nodes should either raise `rounds` until the frame
+    * is stable or apply `filter(col("degree") >= k)` themselves —
+    * knowing that the filtered frame can still shrink under more
+    * peeling.
     */
   def kCorePeel(
       edges: DataFrame,

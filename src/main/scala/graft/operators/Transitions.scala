@@ -17,20 +17,6 @@ import org.apache.spark.sql.functions._
   */
 object Transitions {
 
-  /** (prev, next, n, p): transition counts and row-conditional
-    * probabilities. Each key's last event has no successor and drops
-    * out; null-time rows carry no sequence position and are excluded.
-    * Ties at equal times order by `tieCol` so sequences — and thus
-    * transitions — are deterministic.
-    */
-  /** Per-key inter-arrival statistics: (key, n_gaps, mean_gap_us,
-    * max_gap_us) over consecutive event gaps — the burstiness /
-    * heartbeat-health profile of a stream (a crawler that slows down, a
-    * device that goes quiet). Gaps come from the same lag window shape
-    * as [[transitionCounts]] (one key shuffle); the roll-up is a plain
-    * partial aggregate with DECIMAL gap sums, so the mean is exact and
-    * engine-portable. Keys with a single event have no gap and drop out.
-    */
   /** Per-key ordered event path: the first `maxSteps` event types in
     * (time, tie) order joined into one `a>b>c` string — the clickstream
     * path-analysis materialization ("which journeys convert") and the
@@ -38,6 +24,11 @@ object Transitions {
     * (sorted collect, the tokenization contract), row-local slice+join
     * after; `n_events` counts the FULL history so truncation is
     * visible.
+    *
+    * `tieCol` must be unique within (key, time): the collected structs
+    * sort by (t, tie, type), so a duplicated tie value would fall back
+    * to ordering by event type — deterministic here, but divergent from
+    * any engine that orders by (time, tie) alone.
     */
   def eventPaths(
       events: DataFrame,
@@ -60,6 +51,13 @@ object Transitions {
           transform(slice(col("__es"), 1, maxSteps), e => e.getField("et"))).as("path"))
   }
 
+  /** Per-key inter-arrival statistics: (key, n_gaps, mean_gap_s,
+    * max_gap_us) over consecutive event gaps — the burstiness /
+    * heartbeat-health profile of a stream (a crawler that slows down, a
+    * device that goes quiet). Gaps come from the same lag window shape
+    * as [[transitionCounts]] (one key shuffle); keys with a single
+    * event have no gap and drop out.
+    */
   def interArrivalStats(
       events: DataFrame,
       keyCol: String,
@@ -83,6 +81,12 @@ object Transitions {
         max(col("__gap")).as("max_gap_us"))
   }
 
+  /** (prev, next, n, p): transition counts and row-conditional
+    * probabilities. Each key's last event has no successor and drops
+    * out; null-time rows carry no sequence position and are excluded.
+    * Ties at equal times order by `tieCol` so sequences — and thus
+    * transitions — are deterministic.
+    */
   def transitionCounts(
       events: DataFrame,
       keyCol: String,

@@ -45,6 +45,13 @@ object Streaming {
     * shuffles and carries no join state — unlike a stream-stream join
     * there is nothing to watermark. Unmatched stream rows pass through
     * with NULL attributes: an enrichment join must never drop facts.
+    *
+    * `dim` must be genuinely dimension-sized — it is force-broadcast
+    * (no size guard) and re-broadcast EVERY micro-batch, so budget it
+    * like `spark.sql.autoBroadcastJoinThreshold` (tens of MiB, not
+    * fact-sized): a large frame here OOMs the driver on the first
+    * trigger. Fact-sized enrichment belongs in a batch join or a
+    * stream-stream interval join, not this helper.
     */
   def enrichStream(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")

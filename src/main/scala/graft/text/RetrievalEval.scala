@@ -58,8 +58,12 @@ object RetrievalEval {
       relevance: DataFrame,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val rel = relevance.select(col("query_id"), col("id").as("doc_id"), lit(true).as("__rel"))
-    val nRel = relevance.groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
+    // qrels are a SET: judged qrel exports routinely carry duplicate
+    // (query_id, id) rows, and without the distinct they would fan out
+    // the ranked-doc join and inflate n_relevant, hits, and DCG
+    val relDistinct = relevance.select(col("query_id"), col("id")).distinct()
+    val rel = relDistinct.select(col("query_id"), col("id").as("doc_id"), lit(true).as("__rel"))
+    val nRel = relDistinct.groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
     val judged = ranking
       .join(rel, Seq("query_id", "doc_id"), "left")
       .withColumn("__rel", coalesce(col("__rel"), lit(false)))
