@@ -23,11 +23,15 @@ object Tokenize {
     */
   def staticsAndSchema(df: DataFrame): DataFrame = {
     val (static, dynamic) = Meds.splitStaticAndDynamic(df)
+    // static code/value lists sort as aligned (code, value) structs —
+    // plain collect_list order would vary with partition layout
     val staticByPatient = static
       .groupBy(Meds.PatientId)
-      .agg(
-        collect_list(col(Meds.Code)).as(Meds.Code),
-        collect_list(col(Meds.NumericValue)).as(Meds.NumericValue)
+      .agg(sort_array(collect_list(struct(col(Meds.Code), col(Meds.NumericValue)))).as("__s"))
+      .select(
+        col(Meds.PatientId),
+        col(s"__s.${Meds.Code}").as(Meds.Code),
+        col(s"__s.${Meds.NumericValue}").as(Meds.NumericValue)
       )
     val schemaByPatient = dynamic
       .groupBy(Meds.PatientId)
