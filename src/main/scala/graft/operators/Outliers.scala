@@ -62,9 +62,8 @@ object Outliers {
     require(lowerQ >= 0 && upperQ <= 1 && lowerQ < upperQ, s"bad quantile band [$lowerQ, $upperQ]")
     val joinCols = Meds.Code +: codeModifiers
     val v = col(Meds.NumericValue)
-    val (lo, hi) =
-      if (exact) (percentile(v, lit(lowerQ)), percentile(v, lit(upperQ)))
-      else (percentile_approx(v, lit(lowerQ), lit(10000)), percentile_approx(v, lit(upperQ), lit(10000)))
+    val ex = Quantiles.resolveExact(df.sparkSession, exact)
+    val (lo, hi) = (Quantiles.q(v, lit(lowerQ), ex), Quantiles.q(v, lit(upperQ), ex))
     val bounds = df
       .groupBy(joinCols.map(col): _*)
       .agg(lo.as("__lo"), hi.as("__hi"))
@@ -93,8 +92,8 @@ object Outliers {
   ): DataFrame = {
     val joinCols = Meds.Code +: codeModifiers
     val v = col(Meds.NumericValue)
-    def q(p: Double) =
-      if (exact) percentile(v, lit(p)) else percentile_approx(v, lit(p), lit(10000))
+    val ex = Quantiles.resolveExact(df.sparkSession, exact)
+    def q(p: Double) = Quantiles.q(v, lit(p), ex)
     val bounds = df
       .groupBy(joinCols.map(col): _*)
       .agg(q(0.25).as("__q1"), q(0.5).as("__med"), q(0.75).as("__q3"))
@@ -129,8 +128,8 @@ object Outliers {
     require(groupCols.nonEmpty, "madOutliers needs at least one group column")
     require(k > 0, s"k must be positive, got $k")
     val v = col(valueCol)
-    def q(c: org.apache.spark.sql.Column) =
-      if (exact) percentile(c, lit(0.5)) else percentile_approx(c, lit(0.5), lit(10000))
+    val ex = Quantiles.resolveExact(df.sparkSession, exact)
+    def q(c: org.apache.spark.sql.Column) = Quantiles.q(c, lit(0.5), ex)
     val med = df
       .filter(v.isNotNull)
       .groupBy(groupCols.map(col): _*)

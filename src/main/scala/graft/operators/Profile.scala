@@ -54,20 +54,23 @@ object Profile {
     * / robust scaling specialize. ONE group aggregate; `percentile`
     * takes the whole probe list in a single pass. Exact quantiles hold
     * a group's sorted values — fine for vocabulary-sized groups (the
-    * oracle case); at 100 TB swap `percentile_approx`'s mergeable
-    * KLL-style sketch, same call shape.
+    * oracle case); at 100 TB pass `exact = false` or set
+    * [[Quantiles.ApproxKey]] on the session for `percentile_approx`'s
+    * mergeable sketch, same call shape (error bound on [[Quantiles]]).
     */
   def quantileSummary(
       df: DataFrame,
       by: Seq[String],
       valueCol: String,
-      ps: Seq[Double]
+      ps: Seq[Double],
+      exact: Boolean = true
   ): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad probe list $ps")
     val v = col(valueCol).cast("double")
+    val ex = Quantiles.resolveExact(df.sparkSession, exact)
     df.filter(v.isNotNull && !isnan(v))
       .groupBy(by.map(col): _*)
-      .agg(percentile(v, array(ps.map(lit): _*)).as("__qs"))
+      .agg(Quantiles.q(v, array(ps.map(lit): _*), ex).as("__qs"))
       .select(by.map(col) :+ posexplode(col("__qs")): _*)
       .select(by.map(col) :+
         element_at(array(ps.map(lit): _*), col("pos") + 1).as("p") :+
