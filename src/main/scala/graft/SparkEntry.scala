@@ -182,10 +182,10 @@ object SparkEntry {
       |    min_measurements_per_patient: 60
       |  add_time_derived_measurements:
       |    age:
-      |      age_code: "AGE"
+      |      DOB_code: null            # unset the MEDS_BIRTH default -> first-event anchor
       |      age_unit: "yrs"
       |    time_of_day:
-      |      endpoints: [6, 12, 18]
+      |      time_of_day_code: "time_of_day"
       |  occlude_outliers:
       |    stddev_cutoff: 3.0
       |    drop_is_inlier: true

@@ -70,6 +70,42 @@ object ConfigPipeline {
     Parsed(stages, sc, mods)
   }
 
+  /** Per-stage defaults registry mirroring the reference's
+    * `configs/stage_configs/&#42;.yaml` composition model (one defaults file
+    * per stage, user config carries only overrides): each known stage
+    * loads its defaults from the `graft/stage_configs/&lt;stage&gt;.yaml`
+    * classpath resource; the user's same-named `stage_configs` block
+    * deep-merges ON TOP — nested objects merge recursively, scalars and
+    * arrays replace, and an explicit `null` unsets a default (the
+    * reference's Hydra `~key` idiom).
+    */
+  def stageDefaults(stage: String): JsonNode = {
+    val in = getClass.getResourceAsStream(s"/graft/stage_configs/$stage.yaml")
+    if (in == null) empty
+    else
+      try Option(mapper.readTree(in).get(stage)).getOrElse(empty)
+      finally in.close()
+  }
+
+  private def deepMerge(defaults: JsonNode, overrides: JsonNode): JsonNode =
+    if (!defaults.isObject || !overrides.isObject) overrides
+    else {
+      val merged = defaults.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      overrides.properties().asScala.foreach { e =>
+        val (k, v) = (e.getKey, e.getValue)
+        if (merged.has(k) && merged.get(k).isObject && v.isObject)
+          merged.set[JsonNode](k, deepMerge(merged.get(k), v))
+        else merged.set[JsonNode](k, v)
+      }
+      merged
+    }
+
+  /** The effective config for `stage`: registry defaults under the user's
+    * overrides.
+    */
+  def effectiveConfig(stage: String, userBlock: JsonNode): JsonNode =
+    deepMerge(stageDefaults(stage), userBlock)
+
   private def optLong(n: JsonNode, key: String): Option[Long] =
     Option(n.get(key)).filterNot(_.isNull).map(_.asLong())
   private def optDouble(n: JsonNode, key: String): Option[Double] =
@@ -115,7 +151,7 @@ object ConfigPipeline {
       st.meta.getOrElse(CodeMetadata.aggregate(st.data, codeModifiers = mods))
 
     cfg.stages.foldLeft(State(meds, None, None)) { (st, stage) =>
-      val c = cfg.stageConfigs.getOrElse(stage, empty)
+      val c = effectiveConfig(stage, cfg.stageConfigs.getOrElse(stage, empty))
       stage match {
         case "filter_patients" =>
           val d1 = optLong(c, "min_measurements_per_patient")
@@ -141,7 +177,9 @@ object ConfigPipeline {
             optLong(c, "min_occurrences_per_code"), mods))
 
         case "fit_outlier_detection" | "fit_normalization" =>
-          st.copy(meta = Some(CodeMetadata.aggregate(st.data, codeModifiers = mods)))
+          val aggs = optSeq(c, "aggregations").map(_.map(_.asText()))
+            .getOrElse(CodeMetadata.aggregationNames)
+          st.copy(meta = Some(CodeMetadata.aggregate(st.data, aggs, codeModifiers = mods)))
 
         case "occlude_outliers" =>
           val cutoff = optDouble(c, "stddev_cutoff").getOrElse(4.5)
