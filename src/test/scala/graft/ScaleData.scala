@@ -131,15 +131,23 @@ object ScaleData {
       salted.withColumn("doc_id", col("doc_id") + lit(i * dStride))
     }, "documents")
 
-    // embeddings: rotate dims by copy index (norms/coordinates preserved,
-    // directions decorrelated across copies)
+    // embeddings: rotate dims by (copy index mod dim) AND sign-flip a
+    // copy-keyed subset of coordinates (norms and coordinate magnitudes
+    // preserved, directions decorrelated). The modulo keeps the slice
+    // valid past dim copies; the sign flips keep copies i and i+dim from
+    // collapsing onto the same direction at 100x.
     val emb = rd("embeddings")
     val vStride = stride(emb, "vec_id")
     writeSingle(copies(emb) { (d, i) =>
       val rotated =
         if (i == 0) d
         else d.withColumn("embedding", expr(
-          s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), slice(embedding, 1, $i))"))
+          s"""transform(
+             |  concat(slice(embedding, pmod($i, size(embedding)) + 1,
+             |               size(embedding) - pmod($i, size(embedding))),
+             |         slice(embedding, 1, pmod($i, size(embedding)))),
+             |  (x, j) -> CASE WHEN pmod(xxhash64(j, $i), 2) = 0
+             |            THEN x ELSE -x END)""".stripMargin))
       rotated.withColumn("vec_id", col("vec_id") + lit(i * vStride))
     }, "embeddings")
 
