@@ -24,7 +24,8 @@ object Bench {
   val Sf10Queries: Seq[String] = Seq(
     "q1_pricing", "q_top_customers", "q_dedup_exact", "q_dedup_jaccard",
     "q_dedup_cluster", "q_containment", "q_curation", "q_pagerank",
-    "q_semdedup", "q_simhash_pairs", "q_minhash_sigs", "q_cross_dedup")
+    "q_semdedup", "q_simhash_pairs", "q_minhash_sigs", "q_cross_dedup",
+    "q_dedup_minhash", "q_source_sim")
 
   /** Queries re-benched under `spark.graft.checkpointDir` (reliable
     * checkpoints — the 100 TB production mode for the iterative ops):

@@ -511,10 +511,22 @@ object Dedup {
 
   /** MinHash signature columns: for each of `numHashes` universal-hash
     * params, the minimum of (a_j*sh + b_j) mod p over the doc's shingle
-    * hashes. Output: (id, minhash_0..minhash_{k-1}). One md5 per shingle
-    * total; the k per-hash minimums are codegen'd affine arithmetic that
-    * partial-aggregates map-side, so the only shuffle is vocabulary-of-ids
-    * sized.
+    * hashes. Output: (id, minhash_0..minhash_{k-1}).
+    *
+    * Per-ROW signatures come from the row-local zero-shuffle
+    * [[withMinhashSig]] kernel (the same one streaming uses); a final
+    * groupBy(id) min-MERGE folds rows sharing an id (minhash
+    * mergeability: min of per-row mins = min over the union of their
+    * shingle sets — how [[groupMinhashSimilarity]] unions a whole
+    * source into one sketch). The former shape exploded and shuffled
+    * one row per (doc, distinct shingle) — ~100x the document count,
+    * measured at 21x cost for 10x data at the 100x bench scale; the
+    * merge shuffle here carries k+1 longs per ROW instead. Caveat: a
+    * pathological multi-hundred-MB document holds its distinct-shingle
+    * set in one row during the projection; chunk giant documents
+    * upstream ([[graft.text.Chunker]]), which a 100 TB corpus does
+    * anyway. Rows with no shingles (shorter than `n` tokens) are
+    * dropped, matching the explode form.
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -524,12 +536,13 @@ object Dedup {
       textCol: String = "text"
   ): DataFrame = {
     require(numHashes <= MinhashParams.length, s"at most ${MinhashParams.length} hashes supported")
-    val sh = shingleHashTable(docs, idCol, textCol, n)
-    val aggs = (0 until numHashes).map { j =>
-      val (a, b) = MinhashParams(j)
-      min(pmod(col("sh") * a + b, lit(MinhashPrime))).as(s"minhash_$j")
-    }
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val sig = withMinhashSig(
+      docs.select(col(idCol).as("id"), col(textCol).as("__mh_text")),
+      col("__mh_text"), "__sig", numHashes, n)
+      .filter(col("__sig").isNotNull)
+    val aggs = (0 until numHashes).map(j =>
+      min(element_at(col("__sig"), j + 1)).as(s"minhash_$j"))
+    sig.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-group duplication report: how much of each source/domain/
@@ -593,11 +606,9 @@ object Dedup {
 
   /** Projects `outCol` = the per-ROW minhash signature (array<long>,
     * length `numHashes`; null when the document has no `n`-shingles).
-    * Same hash family as [[minhashSignatures]], but computed entirely
-    * row-locally — no explode, no shuffle — the streaming-friendly form
-    * (stateless map); the batch [[minhashSignatures]] keeps the
-    * explode+groupBy shape, which spills better on pathological
-    * multi-hundred-MB documents.
+    * Same hash family as [[minhashSignatures]] (which delegates here),
+    * computed entirely row-locally — no explode, no shuffle — usable as
+    * a stateless map in streaming and as the batch kernel alike.
     *
     * Takes and returns a DataFrame (not a Column) so the token array
     * and hashed shingle set can be hoisted into their own projected
@@ -609,15 +620,15 @@ object Dedup {
     */
   def withMinhashSig(df: DataFrame, text: Column, outCol: String, numHashes: Int, n: Int): DataFrame = {
     require(numHashes <= MinhashParams.length, s"at most ${MinhashParams.length} hashes supported")
+    // the k mins come from the codegen'd one-pass MinhashMins kernel —
+    // the k × array_min(transform(...)) form paid k interpreted lambda
+    // passes per row (the dominant signature cost at 100x bench scale)
+    val (as, bs) = (0 until numHashes).map(MinhashParams).toArray.unzip
     df.withColumn("__mh_toks", wordTokens(text))
       .withColumn("__mh_shs",
         array_distinct(graft.functions.ShingleHashes.shingleHashes(col("__mh_toks"), n)))
       .withColumn(outCol,
-        when(size(col("__mh_shs")) > 0,
-          array((0 until numHashes).map { j =>
-            val (a, b) = MinhashParams(j)
-            array_min(transform(col("__mh_shs"), sh => pmod(sh * a + b, lit(MinhashPrime))))
-          }: _*)))
+        graft.functions.MinhashMins.minhashMins(col("__mh_shs"), as, bs, MinhashPrime))
       .drop("__mh_toks", "__mh_shs")
   }
 
