@@ -1733,7 +1733,46 @@ object SparkEntry {
           replicas = 16, seed = "b42")
         .select(col("event_type").as("code"), col("n"),
           graft.functions.Portable.r6(col("mean_boot")).as("mean_boot"),
-          graft.functions.Portable.r6(col("se_boot")).as("se_boot")))
+          graft.functions.Portable.r6(col("se_boot")).as("se_boot"))),
+
+    // two-sample KS distance per event type: even- vs odd-user cohorts
+    // (distribution-level guardrail; contrast with q_ab_test's mean test)
+    "q_ks" -> ((s, dir) =>
+      Hypothesis.ksTest(ev(s, dir), Seq("event_type"), "value",
+          pmod(col("user_id"), lit(2)) === 0)
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          graft.functions.Portable.r6(col("d")).as("d"),
+          graft.functions.Portable.r6(col("ks")).as("ks"))),
+
+    // Mann-Whitney U per language: even- vs odd-doc cohorts on doc size
+    "q_mwu" -> ((s, dir) =>
+      Hypothesis.mannWhitney(docs(s, dir), Seq("lang"), "n_chars",
+          pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("lang"), col("n_a"), col("n_b"),
+          graft.functions.Portable.r6(col("u_a")).as("u_a"),
+          graft.functions.Portable.r6(col("z")).as("z"))),
+
+    // per-user value autocorrelation at lags 1..3 (one key window)
+    "q_acf" -> ((s, dir) =>
+      Stats.acf(ev(s, dir), Seq("user_id"), "ts", "event_id", "value", maxLag = 3)
+        .select(col("user_id"), col("lag"), col("n"),
+          graft.functions.Portable.r6(col("acf")).as("acf"))),
+
+    // temperature-scaled (alpha = 0.5) per-source mixture weights
+    "q_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureWeights(docs(s, dir), "source", "n_chars", alpha = 0.5)
+        .select(col("source"), col("n_rows"),
+          col("size_total").cast("long").as("size_total"),
+          graft.functions.Portable.r6(col("weight")).as("weight"),
+          graft.functions.Portable.r6(col("epochs")).as("epochs"))),
+
+    // hard-negative mining: top-5 neighbors in the cosine band [0.1, 0.6)
+    "q_hard_negatives" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 8), k = 5, lo = 0.1, hi = 0.6)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("cosine"))
+    }
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -3901,7 +3940,104 @@ object SparkEntry {
            |    floor(sqrt(greatest((sm2 - sm * sm / CAST(bn AS DOUBLE)) / CAST(bn - 1 AS DOUBLE),
            |                        CAST(0 AS DOUBLE))) * 1000000 + 0.5) / 1000000
            |  END AS se_boot
-           |FROM g JOIN n ON g.event_type IS NOT DISTINCT FROM n.event_type""".stripMargin
+           |FROM g JOIN n ON g.event_type IS NOT DISTINCT FROM n.event_type""".stripMargin,
+
+      "q_ks" ->
+        """WITH v AS (SELECT event_type, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+          |    CAST(value AS DOUBLE) AS x
+          |  FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+          |c AS (SELECT event_type, x, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(1 - a) AS BIGINT) AS cb
+          |      FROM v GROUP BY 1, 2),
+          |w AS (SELECT event_type,
+          |        CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) AS fa,
+          |        CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) AS fb,
+          |        CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+          |        CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+          |      FROM c),
+          |m AS (SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+          |        max(CASE WHEN na > 0 AND nb > 0 THEN
+          |          abs(CAST(fa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(fb AS DOUBLE) / CAST(nb AS DOUBLE)) END) AS d0
+          |      FROM w GROUP BY 1)
+          |SELECT event_type, n_a, n_b,
+          |  floor(d0 * 1000000 + 0.5) / 1000000 AS d,
+          |  floor(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * d0
+          |    * 1000000 + 0.5) / 1000000 AS ks
+          |FROM m""".stripMargin,
+
+      "q_mwu" ->
+        """WITH v AS (SELECT lang, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+          |    CAST(n_chars AS DOUBLE) AS x
+          |  FROM documents WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+          |r AS (SELECT lang, a,
+          |        CAST(rank() OVER (PARTITION BY lang ORDER BY x) AS DOUBLE)
+          |          + CAST(count(*) OVER (PARTITION BY lang, x) - 1 AS DOUBLE) / 2.0 AS rk,
+          |        CAST(count(*) OVER (PARTITION BY lang, x) AS BIGINT) AS c
+          |      FROM v),
+          |m AS (SELECT lang,
+          |        CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(1 - a) AS BIGINT) AS n_b,
+          |        CAST(coalesce(sum(CASE WHEN a = 1 THEN CAST(rk AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS ra,
+          |        CAST(coalesce(sum(CAST(c * c - 1 AS DECIMAL(38,6))), 0) AS DOUBLE) AS ties
+          |      FROM r GROUP BY 1),
+          |s AS (SELECT lang, n_a, n_b,
+          |        ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0 AS u,
+          |        CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+          |          ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+          |            - ties / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0))) AS s2
+          |      FROM m)
+          |SELECT lang, n_a, n_b,
+          |  floor(u * 1000000 + 0.5) / 1000000 AS u_a,
+          |  CASE WHEN n_a > 0 AND n_b > 0 AND s2 > 0 THEN
+          |    floor((u - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) / sqrt(s2)
+          |      * 1000000 + 0.5) / 1000000 END AS z
+          |FROM s""".stripMargin,
+
+      "q_acf" ->
+        """WITH v AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS x FROM events
+          |  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) AND ts IS NOT NULL),
+          |l AS (SELECT user_id, x,
+          |        lag(x, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l1,
+          |        lag(x, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l2,
+          |        lag(x, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l3
+          |      FROM v),
+          |p AS (SELECT user_id, 1 AS "lag", x, l1 AS y FROM l WHERE l1 IS NOT NULL
+          |      UNION ALL SELECT user_id, 2, x, l2 FROM l WHERE l2 IS NOT NULL
+          |      UNION ALL SELECT user_id, 3, x, l3 FROM l WHERE l3 IS NOT NULL),
+          |m AS (SELECT user_id, "lag", count(*) AS n,
+          |        CAST(coalesce(sum(CAST(x AS DECIMAL(38,6))), 0) AS DOUBLE) AS sx,
+          |        CAST(coalesce(sum(CAST(y AS DECIMAL(38,6))), 0) AS DOUBLE) AS sy,
+          |        CAST(coalesce(sum(CAST(x * y AS DECIMAL(38,6))), 0) AS DOUBLE) AS sxy,
+          |        CAST(coalesce(sum(CAST(x * x AS DECIMAL(38,6))), 0) AS DOUBLE) AS sxx,
+          |        CAST(coalesce(sum(CAST(y * y AS DECIMAL(38,6))), 0) AS DOUBLE) AS syy
+          |      FROM p GROUP BY 1, 2)
+          |SELECT user_id, "lag", n,
+          |  floor(((CAST(n AS DOUBLE) * sxy - sx * sy) /
+          |    nullif(sqrt(greatest((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy),
+          |      0.0)), 0.0)) * 1000000 + 0.5) / 1000000 AS acf
+          |FROM m""".stripMargin,
+
+      "q_temperature_mix" ->
+        """WITH g AS (SELECT source, count(*) AS n_rows,
+          |        CAST(coalesce(sum(CAST(n_chars AS DECIMAL(38,6))), 0) AS DOUBLE) AS sz
+          |      FROM documents GROUP BY 1),
+          |s AS (SELECT source, n_rows, sz, floor(sqrt(sz) * 1000000 + 0.5) / 1000000 AS sc FROM g),
+          |t AS (SELECT CAST(sum(CAST(sc AS DECIMAL(38,6))) AS DOUBLE) AS tot,
+          |             CAST(sum(CAST(sz AS DECIMAL(38,6))) AS DOUBLE) AS grand FROM s)
+          |SELECT source, n_rows, CAST(sz AS BIGINT) AS size_total,
+          |  floor(sc / nullif(tot, 0.0) * 1000000 + 0.5) / 1000000 AS weight,
+          |  CASE WHEN sz > 0 THEN
+          |    floor(sc / nullif(tot, 0.0) * grand / sz * 1000000 + 0.5) / 1000000 END AS epochs
+          |FROM s, t""".stripMargin,
+
+      "q_hard_negatives" ->
+        s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 8),
+           |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.embedding", "c.embedding")} AS cos
+           |       FROM embeddings c JOIN q ON c.vec_id <> q.vec_id),
+           |b AS (SELECT * FROM sc WHERE cos >= 0.1 AND cos < 0.6),
+           |r AS (SELECT query_id, neighbor_id,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank",
+           |        floor((cos) * 1000000 + 0.5) / 1000000 AS cosine
+           |      FROM b)
+           |SELECT * FROM r WHERE "rank" <= 5""".stripMargin
     )
   }
 }

@@ -57,6 +57,41 @@ object Similarity {
     topKFromScores(scored, k)
   }
 
+  /** Hard-negative mining: per query, the top-k corpus vectors whose
+    * cosine falls in [`lo`, `hi`) — similar enough to be confusable,
+    * dissimilar enough to be true negatives. The contrastive-training
+    * companion to [[bruteForceTopK]] (whose top ranks are dominated by
+    * near-duplicates — exactly the rows a triplet loss must NOT see as
+    * negatives).
+    *
+    * Same execution shape as the exact search: broadcast queries, scores
+    * computed scan-side, and the band predicate applied BEFORE the
+    * bounded-heap aggregate — out-of-band rows never reach the exchange,
+    * so a tight band costs a fraction of a full top-k. Queries with no
+    * in-band neighbor emit no rows (an empty candidate set is the
+    * signal to widen the band, not a NULL row).
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      lo: Double,
+      hi: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(lo < hi, s"band [$lo, $hi) is empty")
+    val scored = corpus.as("c")
+      .join(broadcast(queries.as("q")), col(s"c.$idCol") =!= col(s"q.$idCol"))
+      .select(
+        col(s"q.$idCol").as("query_id"),
+        col(s"c.$idCol").as("neighbor_id"),
+        cosine(col(s"q.$vecCol"), col(s"c.$vecCol")).as("cos")
+      )
+      .filter(col("cos") >= lo && col("cos") < hi)
+    topKFromScores(scored, k)
+  }
+
   /** Shared ranking tail: scored (query_id, neighbor_id, cos) → per-query
     * top-k rows via the map-side-bounded aggregate.
     */

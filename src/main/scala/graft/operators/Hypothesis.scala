@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-level two-sample tests — Kolmogorov–Smirnov and
+  * Mann–Whitney U — per group. The complement of [[Stats.welchTest]]:
+  * Welch asks "did the MEAN move", these ask "did the
+  * DISTRIBUTION move" (shape/shift), which is what a guardrail metric
+  * with a heavy tail actually needs (a mean test misses a variance blow-up
+  * or a median shift under a stable mean).
+  *
+  * Both tests reduce to rank/ECDF statistics over one exchange:
+  *   - KS aggregates the fact table down to the per-(group, value)
+  *     distinct-value frame FIRST (one groupBy shuffle), then runs the
+  *     cumulative-count windows on that bounded frame — the window
+  *     partition holds distinct values, never raw rows, so a 100 TB
+  *     column with bounded value cardinality windows over a tiny frame.
+  *   - MWU ranks raw rows (windows partitioned by the group, the same
+  *     single-exchange reuse as [[Stats.spearman]]: rank / tie-count
+  *     windows share one partitioning) and then collapses straight to a
+  *     group-sized moment frame.
+  *
+  * Engine portability: cumulative counts and tie counts are exact
+  * BIGINTs; average ranks are exact halves DECIMAL-summed; every double
+  * expression downstream (ECDF fractions, z) is the same IEEE operation
+  * sequence in any engine (sqrt is correctly rounded — no libm pow/exp in
+  * the oracle-checked surface).
+  */
+object Hypothesis {
+
+  private def ok(c: Column): Column = c.isNotNull && !isnan(c)
+
+  /** Per-group two-sample Kolmogorov–Smirnov: rows where `inA` holds are
+    * sample A, the rest sample B. Emits `n_a`, `n_b`, the KS distance
+    * `d` = max |F_A(x) − F_B(x)| over the pooled support, and the scaled
+    * statistic `ks` = √(n_a·n_b/(n_a+n_b))·d (compare to the usual 1.36
+    * α=0.05 critical value). Groups where either sample is empty emit
+    * NULL `d`/`ks` rather than vanishing — an empty arm is a finding.
+    */
+  def ksTest(df: DataFrame, by: Seq[String], valueCol: String, inA: Column): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val a = when(inA, 1L).otherwise(0L)
+    val byCols = by.map(col)
+    val counts = df
+      .filter(ok(x))
+      .select((byCols :+ x.as("__x") :+ a.as("__a")): _*)
+      .groupBy((byCols :+ col("__x")): _*)
+      .agg(sum(col("__a")).as("__ca"), sum(lit(1L) - col("__a")).as("__cb"))
+    val wOrd = Window
+      .partitionBy(byCols: _*)
+      .orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(byCols: _*)
+    val na = sum(col("__ca")).over(wAll)
+    val nb = sum(col("__cb")).over(wAll)
+    val stepped = counts
+      .withColumn("__fa", sum(col("__ca")).over(wOrd))
+      .withColumn("__fb", sum(col("__cb")).over(wOrd))
+      .withColumn("__na", na)
+      .withColumn("__nb", nb)
+      .withColumn(
+        "__d",
+        when(
+          col("__na") > 0 && col("__nb") > 0,
+          abs(
+            col("__fa").cast("double") / col("__na").cast("double") -
+              col("__fb").cast("double") / col("__nb").cast("double"))))
+    stepped
+      .groupBy(byCols: _*)
+      .agg(
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        max(col("__d")).as("d"))
+      .withColumn(
+        "ks",
+        sqrt(
+          col("n_a").cast("double") * col("n_b").cast("double") /
+            (col("n_a") + col("n_b")).cast("double")) * col("d"))
+  }
+
+  /** Per-group Mann–Whitney U (two-sided normal approximation with the
+    * standard tie correction): `u_a` is sample A's U statistic from
+    * average ranks, `z` its tie-corrected standardization — the
+    * distribution-free "did the typical value shift" test that ignores
+    * outlier magnitude entirely (a single 10⁹ row moves Welch's t, not
+    * this). NULL `z` when an arm is empty or every value ties.
+    *
+    * Ranks are exact halves; the per-row tie term Σ_rows(c²−1) equals the
+    * per-value Σ(c³−c) (each of a value's c rows contributes c²−1), which
+    * keeps the tie sum on the already-ranked frame instead of a second
+    * aggregate.
+    */
+  def mannWhitney(df: DataFrame, by: Seq[String], valueCol: String, inA: Column): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val byCols = by.map(col)
+    val base = df
+      .filter(ok(x))
+      .select((byCols :+ x.as("__x") :+ when(inA, 1L).otherwise(0L).as("__a")): _*)
+    val wg = Window.partitionBy(byCols: _*)
+    val wv = Window.partitionBy((byCols :+ col("__x")): _*)
+    val avgRank =
+      rank().over(wg.orderBy(col("__x"))).cast("double") +
+        (count(lit(1)).over(wv) - 1).cast("double") / 2.0
+    val ranked = base
+      .withColumn("__rk", avgRank)
+      .withColumn("__c", count(lit(1)).over(wv))
+    def dsum(e: Column): Column =
+      coalesce(sum(e.cast("decimal(38,6)")), lit(0).cast("decimal(38,6)")).cast("double")
+    val m = ranked
+      .groupBy(byCols: _*)
+      .agg(
+        sum(col("__a")).as("n_a"),
+        sum(lit(1L) - col("__a")).as("n_b"),
+        dsum(when(col("__a") === 1L, col("__rk"))).as("__ra"),
+        dsum((col("__c") * col("__c") - 1L)).as("__ties"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    val u = col("__ra") - naD * (naD + 1.0) / 2.0
+    val sigma2 =
+      naD * nbD / 12.0 * ((nD + 1.0) - col("__ties") / (nD * (nD - 1.0)))
+    m.withColumn("u_a", u)
+      .withColumn(
+        "z",
+        when(
+          col("n_a") > 0 && col("n_b") > 0 && sigma2 > 0.0,
+          (u - naD * nbD / 2.0) / sqrt(sigma2)))
+      .drop("__ra", "__ties")
+  }
+}

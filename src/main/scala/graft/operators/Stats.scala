@@ -362,4 +362,51 @@ object Stats {
       se.as("se"),
       when(se > 0, did / se).as("z"))): _*)
   }
+
+  /** Per-key autocorrelation of `valueCol` at lags 1..`maxLag` (Pearson r
+    * between the series and its k-step-lagged self, ordered by
+    * (`orderCol`, `tieCol`)) — "is this signal bursty or memoryless",
+    * the per-entity seasonality/momentum probe a drift monitor runs over
+    * metric streams.
+    *
+    * All `maxLag` lag windows share ONE key exchange (same partitioning
+    * AND sort — Spark evaluates them in a single Window node), the lag
+    * columns unpivot to (key, lag, x, y) rows via a row-local explode,
+    * and [[groupedCorrelation]] collapses straight to the (key × lag)
+    * moment frame — no self-join of the series against itself, which is
+    * the naive O(maxLag) re-shuffle formulation. Keys here are
+    * high-cardinality entities (users, codes), so window partitions stay
+    * small at any corpus size; `tieCol` must make the sort total or the
+    * lag pairing is nondeterministic.
+    */
+  def acf(
+      df: DataFrame,
+      by: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      valueCol: String,
+      maxLag: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val x = col(valueCol).cast("double")
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col(orderCol), col(tieCol))
+    // lag columns bound BEFORE the explode (the bound-column discipline:
+    // a generator child holding window expressions trips the analyzer's
+    // extraction order, and HOF-style inlining would re-evaluate them)
+    val withLags = df
+      .filter(ok(x) && col(orderCol).isNotNull)
+      .select((by.map(col) :+ col(orderCol) :+ col(tieCol) :+ x.as("__x")): _*)
+      .select(((by.map(col) :+ col("__x")) ++
+        (1 to maxLag).map(k => lag(col("__x"), k).over(w).as(s"__l$k"))): _*)
+    val lagged = withLags
+      .select((by.map(col) :+ col("__x") :+
+        explode(array((1 to maxLag).map(k =>
+          struct(lit(k).as("lag"), col(s"__l$k").as("y"))): _*)).as("__p")): _*)
+      .select((by.map(col) :+ col("__p.lag").as("lag") :+ col("__x") :+
+        col("__p.y").as("__y")): _*)
+      .filter(col("__y").isNotNull)
+    groupedCorrelation(lagged, by :+ "lag", "__x", "__y")
+      .withColumnRenamed("corr", "acf")
+  }
 }

@@ -163,4 +163,55 @@ object Sampling {
     df.filter(
       pmod(md5Hash32(concat_ws("|", lit(seed), col(idCol).cast("string"))), lit(Scale)) < threshold)
   }
+
+  /** Temperature-scaled mixture weights: per-group sampling proportions
+    * w_g ∝ size_g^α — the standard multilingual/multi-source rebalancing
+    * (α=1 is proportional, α→0 uniform; α in [0.3, 0.7] is the usual
+    * "up-sample the tail without drowning the head" band). Emits, per
+    * group: `n_rows`, `size_total` (exact DECIMAL-summed), `weight`
+    * (normalized), and `epochs` — how many passes over the group one
+    * full-corpus-sized budget implies (weight·Σsize/size_g, the >1 ⇒
+    * "this source repeats" alarm).
+    *
+    * One scan to a group-sized frame; the normalizer rides back on a
+    * one-row broadcast (a BroadcastNestedLoopJoin over one row — the
+    * allowed totals-frame shape). Portability: α=0.5 routes through
+    * `sqrt` (correctly rounded IEEE everywhere); other α use `pow`,
+    * whose last-ulp behavior is libm-specific — fine in production,
+    * flagged here because the oracle check relies on bit-equal doubles.
+    * Scaled sizes are r6-rounded in double space THEN DECIMAL-summed
+    * (the §5 convention), so the normalizer is reduction-order-free.
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      groupCol: String,
+      sizeCol: String,
+      alpha: Double = 0.5
+  ): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    import graft.functions.Portable.r6
+    val g = df
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(col(sizeCol).cast("decimal(38,6)")), lit(0).cast("decimal(38,6)"))
+          .cast("double").as("size_total"))
+      .withColumn(
+        "__sc",
+        r6(
+          if (alpha == 0.5) sqrt(col("size_total"))
+          else pow(col("size_total"), lit(alpha))))
+    val tot = g.agg(
+      sum(col("__sc").cast("decimal(38,6)")).cast("double").as("__tot"),
+      sum(col("size_total").cast("decimal(38,6)")).cast("double").as("__grand"))
+    g.crossJoin(broadcast(tot))
+      .select(
+        col(groupCol),
+        col("n_rows"),
+        col("size_total"),
+        (col("__sc") / nullif(col("__tot"), lit(0.0))).as("weight"),
+        when(col("size_total") > 0.0,
+          col("__sc") / nullif(col("__tot"), lit(0.0)) * col("__grand") / col("size_total"))
+          .as("epochs"))
+  }
 }

@@ -63,6 +63,7 @@ class PlanLintSpec extends SparkSpec {
       "q_kmeans_assign"  -> Set("nested-loop-join"),
       "q_ann_ivf_kmeans" -> Set("nested-loop-join"),
       "q_ann_topk"       -> Set("nested-loop-join"),
+      "q_hard_negatives" -> Set("nested-loop-join"), // same broadcast query-set scan as q_ann_topk
       "q_chi2"           -> Set("nested-loop-join")
     )
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -1,0 +1,119 @@
+package graft
+
+import graft.ann.Similarity
+import graft.operators.{Hypothesis, Stats}
+import graft.pipeline.Sampling
+import org.apache.spark.sql.functions._
+
+/** Round-6 batch: KS / Mann-Whitney two-sample tests, autocorrelation,
+  * temperature mixture weights, hard-negative mining.
+  */
+class Round6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --------------------------------------------------------------- KS test
+
+  test("ksTest: identical samples give d = 0, disjoint samples give d = 1") {
+    val same = (1 to 20).flatMap(i => Seq(("g", i.toDouble, 0L), ("g", i.toDouble, 1L)))
+      .toDF("k", "v", "arm")
+    val r0 = Hypothesis.ksTest(same, Seq("k"), "v", col("arm") === 0).collect()(0)
+    assert(r0.getAs[Long]("n_a") == 20L && r0.getAs[Long]("n_b") == 20L)
+    assert(r0.getAs[Double]("d") == 0.0, "identical ECDFs")
+    val split = ((1 to 10).map(i => ("g", i.toDouble, 0L)) ++
+      (11 to 20).map(i => ("g", i.toDouble, 1L))).toDF("k", "v", "arm")
+    val r1 = Hypothesis.ksTest(split, Seq("k"), "v", col("arm") === 0).collect()(0)
+    assert(r1.getAs[Double]("d") == 1.0, "A entirely below B separates the ECDFs fully")
+    assert(math.abs(r1.getAs[Double]("ks") - math.sqrt(100.0 / 20.0)) < 1e-12)
+  }
+
+  test("ksTest: hand-computed mid-shift, empty arm yields NULL d") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: ECDF gap peaks at x=2 (2/4 - 0) = 0.5
+    val df = (Seq(1, 2, 3, 4).map(v => ("g", v.toDouble, 0L)) ++
+      Seq(3, 4, 5, 6).map(v => ("g", v.toDouble, 1L)) ++
+      Seq(("h", 1.0, 1L))).toDF("k", "v", "arm") // h: no A rows at all
+    val out = Hypothesis.ksTest(df, Seq("k"), "v", col("arm") === 0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").getAs[Double]("d") == 0.5)
+    assert(out("h").isNullAt(out("h").fieldIndex("d")), "empty arm -> NULL, not a dropped group")
+  }
+
+  // ----------------------------------------------------------- MannWhitney
+
+  test("mannWhitney: textbook U and tie-corrected z") {
+    // A = {1,2}, B = {3,4}: ranks 1,2 vs 3,4; U_A = 3 - 3 = 0
+    val df = Seq(("g", 1.0, true), ("g", 2.0, true), ("g", 3.0, false), ("g", 4.0, false))
+      .toDF("k", "v", "a")
+    val r = Hypothesis.mannWhitney(df, Seq("k"), "v", col("a")).collect()(0)
+    assert(r.getAs[Double]("u_a") == 0.0)
+    // sigma2 = (4/12)*((5) - 0/(4*3)) = 5/3; z = (0 - 2)/sqrt(5/3)
+    assert(math.abs(r.getAs[Double]("z") - (-2.0 / math.sqrt(5.0 / 3.0))) < 1e-12)
+  }
+
+  test("mannWhitney: all-tied values yield NULL z (zero variance)") {
+    val df = Seq(("g", 5.0, true), ("g", 5.0, true), ("g", 5.0, false)).toDF("k", "v", "a")
+    val r = Hypothesis.mannWhitney(df, Seq("k"), "v", col("a")).collect()(0)
+    // ranks all 2.0 -> U_A = 4 - 3 = 1; sigma2 = (2/12)*(4 - 24/6) = 0 -> NULL z
+    assert(r.getAs[Double]("u_a") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  // ------------------------------------------------------------------- ACF
+
+  test("acf: alternating series has acf(1) = -1, acf(2) = +1") {
+    val rows = (1 to 20).map(t => ("u", t.toLong, t.toLong, if (t % 2 == 0) 1.0 else -1.0))
+    val out = Stats.acf(rows.toDF("k", "t", "tie", "v"), Seq("k"), "t", "tie", "v", maxLag = 2)
+      .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Double]("acf")).toMap
+    assert(math.abs(out(1) - (-1.0)) < 1e-9, s"perfect alternation: $out")
+    assert(math.abs(out(2) - 1.0) < 1e-9)
+  }
+
+  test("acf: n per lag shrinks by lag and constant series is NULL") {
+    val rows = (1 to 10).map(t => ("c", t.toLong, t.toLong, 7.0))
+    val out = Stats.acf(rows.toDF("k", "t", "tie", "v"), Seq("k"), "t", "tie", "v", maxLag = 3)
+      .collect().map(r => r.getAs[Int]("lag") -> r).toMap
+    (1 to 3).foreach { k =>
+      assert(out(k).getAs[Long]("n") == (10 - k).toLong, s"lag $k pairs")
+      assert(out(k).isNullAt(out(k).fieldIndex("acf")), "zero variance -> NULL")
+    }
+  }
+
+  // ---------------------------------------------------- temperatureWeights
+
+  test("temperatureWeights: sqrt rebalancing upsamples the tail, epochs flag repeats") {
+    val df = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).zipWithIndex
+      .map { case (s, i) => (s, 100L, i.toLong) }.toDF("src", "sz", "id")
+    val out = Sampling.temperatureWeights(df, "src", "sz", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val wBig = out("big").getAs[Double]("weight")
+    val wSmall = out("small").getAs[Double]("weight")
+    assert(math.abs(wBig + wSmall - 1.0) < 1e-9, "weights normalize")
+    // proportional would give 0.9/0.1; sqrt gives 3:1 instead of 9:1
+    assert(math.abs(wBig / wSmall - 3.0) < 1e-6, s"sqrt(9000)/sqrt(1000) = 3: $wBig/$wSmall")
+    // small source: weight 0.25 of a 10k-size budget over 1k rows -> 2.5 epochs
+    assert(math.abs(out("small").getAs[Double]("epochs") - 2.5) < 1e-6)
+    assert(out("big").getAs[Long]("n_rows") == 90L)
+  }
+
+  // --------------------------------------------------------- hardNegatives
+
+  test("hardNegatives: band excludes near-duplicates and anti-correlated vectors") {
+    // q = (1,0); dup = (1,0) cos 1; mid = (1,1)/~ cos .707... band [0.2, 0.9)
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.001f)), (2L, Array(1f, 1f)),
+      (3L, Array(0.5f, 1f)), (4L, Array(-1f, 0f)), (5L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") === 0), k = 5,
+        lo = 0.2, hi = 0.9)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Int]("rank")).toMap
+    assert(!out.contains(1L), "near-duplicate above hi is excluded")
+    assert(!out.contains(4L) && !out.contains(5L), "orthogonal/opposite below lo excluded")
+    assert(out(2L) == 1 && out(3L) == 2, s"in-band ranked by cosine: $out")
+  }
+
+  test("hardNegatives: queries with an empty band emit no rows") {
+    val vecs = Seq((0L, Array(1f, 0f)), (1L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") === 0), k = 3,
+      lo = 0.2, hi = 0.9)
+    assert(out.count() == 0L)
+  }
+}
