@@ -64,9 +64,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       // the bench tables are single parquet files; at the default 128 MiB
       // split size a 100 MiB lineitem scans as ONE task and every
-      // zero-shuffle pipeline runs serial until its first exchange. 8 MiB
-      // emulates the multi-file layout any real dataset has.
-      .config("spark.sql.files.maxPartitionBytes", "8m")
+      // zero-shuffle pipeline runs serial until its first exchange. 1 MiB
+      // (matching ScaleData's 1 MiB row groups — splits can't cross a
+      // row-group boundary, so the split cap only bites when row groups
+      // are at least that fine) emulates the multi-file layout any real
+      // dataset has.
+      .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     extraConf.foreach { case (k, v) => b.config(k, v) }

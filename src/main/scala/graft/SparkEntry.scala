@@ -155,6 +155,22 @@ object SparkEntry {
   private val cellSql: String =
     (0 until 8).map(d => s"(CASE WHEN embedding[${d + 1}]>0 THEN ${1L << d} ELSE 0 END)").mkString("+")
 
+  /** The lang-ID detection SELECT (doc_id, lang_pred), DuckDB dialect —
+    * shared by the q_lang_id oracle and the q_kappa agreement oracle
+    * (which nests it as a CTE body; DuckDB accepts WITH inside a CTE).
+    */
+  private def langIdSelectSql: String = {
+    val langs = TextFunctions.Stopwords.map(_._1)
+    val hitCols = langs
+      .map(l => s"len(list_filter(toks, x -> list_contains(${stopwordSqlLists(l)}, x))) AS h_$l")
+      .mkString(", ")
+    val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+    val pick = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+       |h AS (SELECT doc_id, $hitCols FROM t)
+       |SELECT doc_id, CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred FROM h""".stripMargin
+  }
+
   private val stopwordSqlLists: Map[String, String] =
     TextFunctions.Stopwords.toMap.map { case (l, ws) => l -> ws.map(w => s"'$w'").mkString("[", ",", "]") }
 
@@ -1772,6 +1788,34 @@ object SparkEntry {
       Similarity.hardNegatives(e, e.filter(col("vec_id") < 8), k = 5, lo = 0.1, hi = 0.6)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), col("cosine"))
+    },
+
+    // Cohen's kappa per source: declared lang tag vs the lang-ID detector
+    "q_kappa" -> ((s, dir) =>
+      Stats.cohenKappa(
+          docs(s, dir).select(col("source"), col("lang"),
+            TextFunctions.langId(col("text")).as("lang_pred")),
+          Seq("source"), "lang", "lang_pred")
+        .select(col("source"), col("n"),
+          graft.functions.Portable.r6(col("po")).as("po"),
+          graft.functions.Portable.r6(col("pe")).as("pe"),
+          graft.functions.Portable.r6(col("kappa")).as("kappa"))),
+
+    // Wilson 95% interval per source for the share of English docs
+    "q_wilson" -> ((s, dir) =>
+      Stats.wilsonInterval(docs(s, dir), Seq("source"), col("lang") === "en")
+        .select(col("source"), col("n"), col("k"),
+          graft.functions.Portable.r6(col("p")).as("p"),
+          graft.functions.Portable.r6(col("lo")).as("lo"),
+          graft.functions.Portable.r6(col("hi")).as("hi"))),
+
+    // per-doc OOV rate against the fitted 1000-word vocabulary
+    "q_oov" -> { (s, dir) =>
+      val d = docs(s, dir)
+      WordVocab
+        .coverage(d, "doc_id", "text", WordVocab.fit(d, "text", maxSize = 1000, minCount = 2L))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"),
+          graft.functions.Portable.r6(col("oov_rate")).as("oov_rate"))
     }
   )
 
@@ -2220,15 +2264,7 @@ object SparkEntry {
            |      FROM sc)
            |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
 
-      "q_lang_id" -> {
-        val langs = TextFunctions.Stopwords.map(_._1)
-        val hitCols = langs.map(l => s"len(list_filter(toks, x -> list_contains(${stop(l)}, x))) AS h_$l").mkString(", ")
-        val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
-        val pick = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
-        s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
-           |h AS (SELECT doc_id, $hitCols FROM t)
-           |SELECT doc_id, CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred FROM h""".stripMargin
-      },
+      "q_lang_id" -> langIdSelectSql,
 
       "q_quality" -> {
         val allStop = TextFunctions.Stopwords.flatMap(_._2).distinct.map(w => s"'$w'").mkString("[", ",", "]")
@@ -4037,7 +4073,61 @@ object SparkEntry {
            |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank",
            |        floor((cos) * 1000000 + 0.5) / 1000000 AS cosine
            |      FROM b)
-           |SELECT * FROM r WHERE "rank" <= 5""".stripMargin
+           |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
+
+      "q_kappa" ->
+        s"""WITH det AS ($langIdSelectSql),
+           |d AS (SELECT source, lang AS a, lang_pred AS b
+           |      FROM documents JOIN det USING (doc_id) WHERE lang IS NOT NULL),
+           |cells AS (SELECT source, a, b, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2, 3),
+           |base AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+           |        CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0) AS BIGINT) AS diag
+           |      FROM cells GROUP BY 1),
+           |ma AS (SELECT source, a AS l, CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY 1, 2),
+           |mb AS (SELECT source, b AS l, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1, 2),
+           |pe AS (SELECT ma.source, CAST(coalesce(sum(CAST(ca * cb AS DECIMAL(38,0))), 0) AS DOUBLE) AS pen
+           |      FROM ma JOIN mb ON ma.source = mb.source AND ma.l = mb.l GROUP BY 1),
+           |r AS (SELECT base.source, n,
+           |        CAST(diag AS DOUBLE) / CAST(n AS DOUBLE) AS po0,
+           |        coalesce(pen, 0.0) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe0
+           |      FROM base LEFT JOIN pe ON base.source = pe.source)
+           |SELECT source, n,
+           |  floor(po0 * 1000000 + 0.5) / 1000000 AS po,
+           |  floor(pe0 * 1000000 + 0.5) / 1000000 AS pe,
+           |  floor((po0 - pe0) / nullif(1.0 - pe0, 0.0) * 1000000 + 0.5) / 1000000 AS kappa
+           |FROM r""".stripMargin,
+
+      "q_wilson" ->
+        """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+          |        CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS k
+          |      FROM documents GROUP BY 1),
+          |e AS (SELECT source, n, k,
+          |        CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+          |        CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2,
+          |        CAST(n AS DOUBLE) AS nd
+          |      FROM g),
+          |w AS (SELECT source, n, k, p,
+          |        (p + z2 / (2.0 * nd)) / (1.0 + z2 / nd) AS center,
+          |        CAST(1.96 AS DOUBLE) * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+          |          / (1.0 + z2 / nd) AS half
+          |      FROM e)
+          |SELECT source, n, k,
+          |  floor(p * 1000000 + 0.5) / 1000000 AS p,
+          |  floor((center - half) * 1000000 + 0.5) / 1000000 AS lo,
+          |  floor((center + half) * 1000000 + 0.5) / 1000000 AS hi
+          |FROM w""".stripMargin,
+
+      "q_oov" ->
+        """WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts FROM documents),
+          |tk AS (SELECT unnest(ts) AS word FROM d),
+          |c AS (SELECT word, count(*) AS n FROM tk GROUP BY 1),
+          |v AS (SELECT word FROM c WHERE n >= 2 ORDER BY n DESC, word LIMIT 1000),
+          |p AS (SELECT doc_id, unnest(ts) AS word FROM d),
+          |j AS (SELECT p.doc_id, CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+          |      FROM p LEFT JOIN v USING (word))
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+          |  floor(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS oov_rate
+          |FROM j GROUP BY 1""".stripMargin
     )
   }
 }

@@ -409,4 +409,77 @@ object Stats {
     groupedCorrelation(lagged, by :+ "lag", "__x", "__y")
       .withColumnRenamed("corr", "acf")
   }
+
+  /** Per-group Cohen's kappa between two label columns — chance-corrected
+    * agreement (1 = perfect, 0 = what marginal luck alone predicts, <0 =
+    * systematic disagreement). The labeler-audit op: declared metadata vs
+    * a detector (lang tag vs lang-ID), two annotators, model vs gold.
+    *
+    * One scan to the (group × labelA × labelB) contingency frame;
+    * observed agreement is the diagonal share, expected agreement joins
+    * the two marginal frames on the label (both group×labels-sized, the
+    * join is dimension-scale). Marginal products go through DECIMAL(38,0)
+    * — counts at 100 TB are ~10¹², their products ~10²⁴, past BIGINT —
+    * and every division afterwards is the same IEEE sequence in any
+    * engine. NULL kappa when expected agreement is 1 (both sides
+    * constant: agreement is vacuous, not perfect).
+    */
+  def cohenKappa(df: DataFrame, by: Seq[String], aCol: String, bCol: String): DataFrame = {
+    val byCols = by.map(col)
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy((byCols :+ col(aCol).as("__a") :+ col(bCol).as("__b")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val base = cells
+      .groupBy(byCols: _*)
+      .agg(
+        sum(col("__c")).as("n"),
+        coalesce(sum(when(col("__a") === col("__b"), col("__c"))), lit(0L)).as("__diag"))
+    val ma = cells.groupBy((byCols :+ col("__a").as("__l")): _*).agg(sum(col("__c")).as("__ca"))
+    val mb = cells.groupBy((byCols :+ col("__b").as("__l")): _*).agg(sum(col("__c")).as("__cb"))
+    val pePart = ma
+      .join(mb, by :+ "__l")
+      .groupBy(byCols: _*)
+      .agg(
+        coalesce(sum((col("__ca") * col("__cb")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).cast("double").as("__pe_num"))
+    val nD = col("n").cast("double")
+    val po = col("__diag").cast("double") / nD
+    // left join: a group whose label sets don't overlap at all has
+    // expected agreement 0, it doesn't vanish from the report
+    val pe = coalesce(col("__pe_num"), lit(0.0)) / (nD * nD)
+    base
+      .join(pePart, by, "left")
+      .select((byCols :+ col("n") :+ po.as("po") :+ pe.as("pe") :+
+        ((po - pe) / nullif(lit(1.0) - pe, lit(0.0))).as("kappa")): _*)
+  }
+
+  /** Per-group Wilson score interval for a proportion (default z = 1.96,
+    * the 95% band): `p` the raw share of rows where `hit` holds, `lo`/`hi`
+    * the interval that, unlike the naive ±z√(p(1−p)/n), stays inside
+    * [0,1] and behaves at p near 0/1 or small n — the error-bar every
+    * rate on a data-quality dashboard should carry ("source X is 2%
+    * mojibake ± what?").
+    *
+    * One partial-aggregated scan to a group-sized frame; everything after
+    * is per-row double arithmetic on exact counts (sqrt only — engine-
+    * portable). Groups with n = 0 cannot occur (no rows, no group).
+    */
+  def wilsonInterval(df: DataFrame, by: Seq[String], hit: Column, z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val reserved = Seq("n", "k", "p", "lo", "hi")
+    require(by.forall(!reserved.contains(_)),
+      s"group columns $by collide with the output columns $reserved")
+    val g = df
+      .groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n"), coalesce(sum(when(hit, 1L)), lit(0L)).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD + z2 / (lit(4.0) * nD * nD)) / denom
+    g.select((by.map(col) :+ col("n") :+ col("k") :+ p.as("p") :+
+      (center - half).as("lo") :+ (center + half).as("hi")): _*)
+  }
 }

@@ -49,4 +49,27 @@ object WordVocab {
       .select(
         col("id"), col("pos").cast("long").as("pos"),
         coalesce(col("word_id"), lit(0L)).as("word_id"))
+
+  /** Per-document vocabulary coverage: (id, n_tokens, n_oov, oov_rate)
+    * against a [[fit]]-shaped vocabulary — the tokenizer-fit health check
+    * ("which documents does this vocabulary not speak?"). A high OOV rate
+    * flags the docs a fixed vocab would shred into unknowns: wrong
+    * language for the vocab, mojibake, code in a prose vocab.
+    *
+    * Same broadcast-join shape as [[encode]] but collapsed per document
+    * — the exploded positions never leave the map side (partial count
+    * before the id exchange). Documents with ZERO tokens don't explode
+    * any rows and are absent from the output; absence means "no tokens
+    * to cover", not coverage 0 (callers left-join if they need the
+    * empty-doc rows).
+    */
+  def coverage(docs: DataFrame, idCol: String, textCol: String, vocab: DataFrame): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(toks(textCol)).as("word"))
+      .join(broadcast(vocab.select(col("word"), col("word_id"))), Seq("word"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(col("word_id").isNull, 1L)), lit(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens").cast("double"))
 }

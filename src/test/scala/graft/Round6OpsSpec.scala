@@ -116,4 +116,66 @@ class Round6OpsSpec extends SparkSpec {
       lo = 0.2, hi = 0.9)
     assert(out.count() == 0L)
   }
+
+  // ------------------------------------------------------------ cohenKappa
+
+  test("cohenKappa: perfect agreement 1, marginal-luck agreement 0, textbook mid-case") {
+    val perfect = Seq(("g", "x", "x"), ("g", "y", "y")).toDF("k", "a", "b")
+    val r1 = Stats.cohenKappa(perfect, Seq("k"), "a", "b").collect()(0)
+    assert(r1.getAs[Double]("kappa") == 1.0)
+    // independent labels at 50/50: po = pe = 0.5 -> kappa 0
+    val indep = Seq(("g", "x", "x"), ("g", "x", "y"), ("g", "y", "x"), ("g", "y", "y"))
+      .toDF("k", "a", "b")
+    val r2 = Stats.cohenKappa(indep, Seq("k"), "a", "b").collect()(0)
+    assert(r2.getAs[Double]("po") == 0.5 && r2.getAs[Double]("pe") == 0.5)
+    assert(r2.getAs[Double]("kappa") == 0.0)
+    // classic 2x2: diag 20+15 of 50, marginals A(25,25) B(30,20)
+    val rows = Seq.fill(20)(("g", "x", "x")) ++ Seq.fill(5)(("g", "x", "y")) ++
+      Seq.fill(10)(("g", "y", "x")) ++ Seq.fill(15)(("g", "y", "y"))
+    val r3 = Stats.cohenKappa(rows.toDF("k", "a", "b"), Seq("k"), "a", "b").collect()(0)
+    assert(math.abs(r3.getAs[Double]("kappa") - 0.4) < 1e-12, "po .7, pe .5 -> kappa .4")
+  }
+
+  test("cohenKappa: both sides constant gives NULL (vacuous agreement), disjoint labels pe 0") {
+    val const = Seq(("g", "x", "x"), ("g", "x", "x")).toDF("k", "a", "b")
+    val r = Stats.cohenKappa(const, Seq("k"), "a", "b").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("kappa")), "pe = 1 -> NULL not division blowup")
+    val disjoint = Seq(("g", "x", "y"), ("g", "x", "y")).toDF("k", "a", "b")
+    val r2 = Stats.cohenKappa(disjoint, Seq("k"), "a", "b").collect()(0)
+    assert(r2.getAs[Double]("pe") == 0.0 && r2.getAs[Double]("kappa") == 0.0,
+      "non-overlapping label sets survive the marginal join as pe 0")
+  }
+
+  // -------------------------------------------------------- wilsonInterval
+
+  test("wilsonInterval: brackets p, stays in [0,1] at the extremes") {
+    val df = (Seq.fill(8)(("g", true)) ++ Seq.fill(2)(("g", false)) ++
+      Seq.fill(5)(("h", true)) ++ Seq.fill(3)(("z", false))).toDF("grp", "hit")
+    val out = Stats.wilsonInterval(df, Seq("grp"), col("hit")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getAs[Long]("n") == 10L && g.getAs[Long]("k") == 8L)
+    assert(g.getAs[Double]("lo") < 0.8 && 0.8 < g.getAs[Double]("hi"))
+    assert(g.getAs[Double]("lo") > 0.0 && g.getAs[Double]("hi") < 1.0)
+    // p = 1: naive CI would be [1, 1]; Wilson pulls lo below 1, caps hi at 1
+    val h = out("h")
+    assert(h.getAs[Double]("p") == 1.0 && h.getAs[Double]("lo") < 1.0)
+    assert(h.getAs[Double]("hi") <= 1.0 + 1e-12)
+    val z = out("z")
+    assert(z.getAs[Double]("p") == 0.0 && z.getAs[Double]("hi") > 0.0)
+    assert(z.getAs[Double]("lo") >= -1e-12)
+  }
+
+  // -------------------------------------------------------------- coverage
+
+  test("coverage: per-doc OOV counts against an explicit vocab; empty docs absent") {
+    val vocab = Seq(("known", 1L), ("words", 2L)).toDF("word", "word_id")
+    val docs = Seq((1L, "known words here"), (2L, "known known"), (3L, "???")).toDF("id", "text")
+    val out = graft.text.WordVocab.coverage(docs, "id", "text", vocab)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") == 3L && out(1L).getAs[Long]("n_oov") == 1L)
+    assert(math.abs(out(1L).getAs[Double]("oov_rate") - 1.0 / 3.0) < 1e-12)
+    assert(out(2L).getAs[Long]("n_oov") == 0L)
+    assert(!out.contains(3L), "no [a-z] tokens -> absent, not zero-division")
+  }
 }

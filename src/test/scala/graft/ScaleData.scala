@@ -54,7 +54,16 @@ object ScaleData {
       */
     def writeSingle(df: DataFrame, name: String): Unit = {
       val tmp = s"$out/__tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // 1 MiB row groups: parquet splits cannot cross a row-group
+      // boundary, so a single-file table written with the default 128 MiB
+      // block size scans as ONE task no matter what
+      // spark.sql.files.maxPartitionBytes says — the whole pre-exchange
+      // pipeline (regex, hashing, shingling) runs serial. Small row
+      // groups make the single file genuinely splittable, which is what
+      // the bench's split-size cap needs to emulate a multi-file layout.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 1024 * 1024)
+        .parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"no part file written for $name"))
