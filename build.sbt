@@ -33,5 +33,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // local[32] keeps executors inside this one JVM; the heavy 10x/100x
+  // bench sections hold working sets + localCheckpoint blocks that thrash
+  // a 24g heap (GC-bound late-section queries read 10x slower than
+  // isolated). The sandbox has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -8,7 +8,9 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 only = sys.argv[3].split(',') if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sfdir, '*.parquet')):
-    con.sql(f"CREATE VIEW {os.path.basename(p)[:-8]} AS SELECT * FROM '{p}'")
+    # ScaleData writes multi-file tables as DIRECTORIES named <t>.parquet
+    src = f'{p}/*.parquet' if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {os.path.basename(p)[:-8]} AS SELECT * FROM '{src}'")
 oracle = json.load(open(os.path.join(outdir, 'oracle_sql.json')))
 fails = []
 for name in sorted(oracle):

@@ -62,14 +62,13 @@ object Bench {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // the bench tables are single parquet files; at the default 128 MiB
-      // split size a 100 MiB lineitem scans as ONE task and every
-      // zero-shuffle pipeline runs serial until its first exchange. 1 MiB
-      // (matching ScaleData's 1 MiB row groups — splits can't cross a
-      // row-group boundary, so the split cap only bites when row groups
-      // are at least that fine) emulates the multi-file layout any real
-      // dataset has.
-      .config("spark.sql.files.maxPartitionBytes", "1m")
+      // the driver's sf tables are single parquet files and ScaleData's
+      // are many ~original-sized files with 1 MiB row groups; 4 MiB
+      // splits give the scan the parallelism a production multi-file
+      // layout has without drowning the scheduler in footer-only tasks
+      // (splits cannot cross a row-group boundary, so the cap only bites
+      // where row groups are at least that fine).
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     extraConf.foreach { case (k, v) => b.config(k, v) }
@@ -107,11 +106,16 @@ object Bench {
               Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
             }
           val elapsed = (System.nanoTime() - t0) / 1e9
-          // drop this query's localCheckpoint blocks NOW: queries never
-          // share frames, and relying on GC + ContextCleaner lets 140+
-          // queries of dead blocks pile up — measured 17x degradation on
-          // the heavy dedup queries late in a full-session run
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          // drop this query's localCheckpoint blocks NOW — BLOCKING:
+          // queries never share frames, and relying on GC + ContextCleaner
+          // lets 140+ queries of dead blocks pile up (measured 17x
+          // degradation late in a full run). The async variant still let
+          // removals lag behind the next heavy query (q_curation read 120s
+          // in-section vs 10s healthy); blocking + an explicit gc() lets
+          // the ContextCleaner reap dead broadcasts/shuffles too. Both run
+          // OUTSIDE the timed region.
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          System.gc()
           QRes(name, elapsed, err)
         }
     } finally spark.stop()

@@ -1766,6 +1766,16 @@ object SparkEntry {
           pmod(col("doc_id"), lit(2)) === 0)
         .select(col("lang"), col("n_a"), col("n_b"),
           graft.functions.Portable.r6(col("u_a")).as("u_a"),
+          graft.functions.Portable.r6(col("z")).as("z"),
+          graft.functions.Portable.r6(col("delta")).as("delta"))),
+
+    // two-proportion z: long-doc rate, even- vs odd-doc cohorts per lang
+    "q_two_prop" -> ((s, dir) =>
+      Hypothesis.twoProportionZ(docs(s, dir), Seq("lang"),
+          col("n_chars") > 300, pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("lang"), col("n_a"), col("n_b"), col("k_a"), col("k_b"),
+          graft.functions.Portable.r6(col("p_a")).as("p_a"),
+          graft.functions.Portable.r6(col("p_b")).as("p_b"),
           graft.functions.Portable.r6(col("z")).as("z"))),
 
     // per-user value autocorrelation at lags 1..3 (one key window)
@@ -4024,8 +4034,33 @@ object SparkEntry {
           |  floor(u * 1000000 + 0.5) / 1000000 AS u_a,
           |  CASE WHEN n_a > 0 AND n_b > 0 AND s2 > 0 THEN
           |    floor((u - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) / sqrt(s2)
-          |      * 1000000 + 0.5) / 1000000 END AS z
+          |      * 1000000 + 0.5) / 1000000 END AS z,
+          |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+          |    floor((2.0 * u / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) - 1.0)
+          |      * 1000000 + 0.5) / 1000000 END AS delta
           |FROM s""".stripMargin,
+
+      "q_two_prop" ->
+        """WITH v AS (SELECT lang, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+          |    CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS h
+          |  FROM documents),
+          |g AS (SELECT lang,
+          |        CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(1 - a) AS BIGINT) AS n_b,
+          |        CAST(coalesce(sum(CASE WHEN a = 1 THEN h END), 0) AS BIGINT) AS k_a,
+          |        CAST(coalesce(sum(CASE WHEN a = 0 THEN h END), 0) AS BIGINT) AS k_b
+          |      FROM v GROUP BY 1),
+          |e AS (SELECT lang, n_a, n_b, k_a, k_b,
+          |        CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+          |        CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+          |        CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+          |      FROM g)
+          |SELECT lang, n_a, n_b, k_a, k_b,
+          |  CASE WHEN n_a > 0 THEN floor(pa * 1000000 + 0.5) / 1000000 END AS p_a,
+          |  CASE WHEN n_b > 0 THEN floor(pb * 1000000 + 0.5) / 1000000 END AS p_b,
+          |  CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0 AND pp < 1 THEN
+          |    floor((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+          |      * 1000000 + 0.5) / 1000000 END AS z
+          |FROM e""".stripMargin,
 
       "q_acf" ->
         """WITH v AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS x FROM events

@@ -127,6 +127,43 @@ object Hypothesis {
         when(
           col("n_a") > 0 && col("n_b") > 0 && sigma2 > 0.0,
           (u - naD * nbD / 2.0) / sqrt(sigma2)))
+      // Cliff's delta 2U/(n_a·n_b) − 1: the EFFECT SIZE the z-score isn't
+      // (at 10⁹ rows everything is "significant"; delta says how often a
+      // random A row actually beats a random B row, −1..1)
+      .withColumn(
+        "delta",
+        when(col("n_a") > 0 && col("n_b") > 0, lit(2.0) * u / (naD * nbD) - 1.0))
       .drop("__ra", "__ties")
+  }
+
+  /** Per-group two-proportion z-test: rate of `hit` in sample A (rows
+    * where `inA`) vs sample B, with the pooled-variance z — the
+    * conversion-rate / defect-rate A/B readout ([[Stats.welchTest]] for
+    * binary outcomes, where Welch's per-row variance is just p(1−p) and
+    * pooling is the standard null). One partial-aggregated scan to a
+    * group-sized frame of four exact counts; NULL z when an arm is empty
+    * or the pooled rate is degenerate (0 or 1 — no variance to test).
+    */
+  def twoProportionZ(df: DataFrame, by: Seq[String], hit: Column, inA: Column): DataFrame = {
+    val a = when(inA, 1L).otherwise(0L)
+    val h = when(hit, 1L).otherwise(0L)
+    val g = df
+      .groupBy(by.map(col): _*)
+      .agg(
+        sum(a).as("n_a"),
+        sum(lit(1L) - a).as("n_b"),
+        coalesce(sum(when(inA, h)), lit(0L)).as("k_a"),
+        coalesce(sum(when(!inA, h)), lit(0L)).as("k_b"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val pa = col("k_a").cast("double") / naD
+    val pb = col("k_b").cast("double") / nbD
+    val pp = (col("k_a") + col("k_b")).cast("double") / (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / naD + lit(1.0) / nbD))
+    g.select((by.map(col) :+ col("n_a") :+ col("n_b") :+ col("k_a") :+ col("k_b") :+
+      when(col("n_a") > 0, pa).as("p_a") :+
+      when(col("n_b") > 0, pb).as("p_b") :+
+      when(col("n_a") > 0 && col("n_b") > 0 && pp > 0.0 && pp < 1.0, (pa - pb) / se)
+        .as("z")): _*)
   }
 }

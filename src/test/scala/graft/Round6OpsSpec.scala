@@ -55,6 +55,38 @@ class Round6OpsSpec extends SparkSpec {
     // ranks all 2.0 -> U_A = 4 - 3 = 1; sigma2 = (2/12)*(4 - 24/6) = 0 -> NULL z
     assert(r.getAs[Double]("u_a") == 1.0)
     assert(r.isNullAt(r.fieldIndex("z")))
+    // all tied: a random A row beats a random B row exactly half the time
+    assert(r.getAs[Double]("delta") == 0.0, "Cliff's delta 2*1/(2*1) - 1 = 0")
+  }
+
+  test("mannWhitney: Cliff's delta hits the -1/+1 extremes on separated samples") {
+    val df = Seq(("g", 1.0, true), ("g", 2.0, true), ("g", 3.0, false), ("g", 4.0, false))
+      .toDF("k", "v", "a")
+    val r = Hypothesis.mannWhitney(df, Seq("k"), "v", col("a")).collect()(0)
+    assert(r.getAs[Double]("delta") == -1.0, "A always below B")
+  }
+
+  // --------------------------------------------------------- twoProportionZ
+
+  test("twoProportionZ: textbook pooled z, equal rates give 0, degenerate pools NULL") {
+    // A: 6/10 hit, B: 4/10 hit; pooled 0.5 -> z = 0.2/sqrt(0.25*0.2)
+    val rows = (Seq.fill(6)((true, true)) ++ Seq.fill(4)((true, false)) ++
+      Seq.fill(4)((false, true)) ++ Seq.fill(6)((false, false)))
+      .map { case (a, h) => ("g", a, h) }
+    val r = Hypothesis.twoProportionZ(rows.toDF("grp", "a", "h"), Seq("grp"),
+      col("h"), col("a")).collect()(0)
+    assert(r.getAs[Long]("k_a") == 6L && r.getAs[Long]("k_b") == 4L)
+    assert(math.abs(r.getAs[Double]("z") - 0.2 / math.sqrt(0.25 * 0.2)) < 1e-12)
+    // identical rates -> z exactly 0
+    val same = Seq(("g", true, true), ("g", true, false), ("g", false, true), ("g", false, false))
+    val r2 = Hypothesis.twoProportionZ(same.toDF("grp", "a", "h"), Seq("grp"),
+      col("h"), col("a")).collect()(0)
+    assert(r2.getAs[Double]("z") == 0.0)
+    // nobody hits -> pooled 0 -> NULL z, rates still reported
+    val none = Seq(("g", true, false), ("g", false, false))
+    val r3 = Hypothesis.twoProportionZ(none.toDF("grp", "a", "h"), Seq("grp"),
+      col("h"), col("a")).collect()(0)
+    assert(r3.getAs[Double]("p_a") == 0.0 && r3.isNullAt(r3.fieldIndex("z")))
   }
 
   // ------------------------------------------------------------------- ACF

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev tool (not a test): scale the sf0.1 testdata by an integer factor
-  * into single-file parquet tables, for plan-dominated benchmarking where
-  * sf0.1 is scheduler-bound.
+  * into multi-file parquet tables (see writeMulti for why multi-file),
+  * for plan-dominated benchmarking where sf0.1 is scheduler-bound.
   *
   *   Test/runMain graft.ScaleData /root/testdata/sf0.1 /root/repo/testdata_sf1 10
   *
@@ -49,18 +49,32 @@ object ScaleData {
     def copies(base: DataFrame)(transform: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => transform(base, i)).reduce(_ unionByName _)
 
-    /** Write as ONE parquet file named `$out/$name.parquet` (the layout
-      * the readers and the DuckDB oracle expect).
+    /** Scaled tables are MULTI-FILE directories (still named
+      * `$name.parquet`, which Spark reads natively and DuckDB reads via a
+      * star-dot-parquet glob — dev/check.py handles both layouts): the
+      * single-file form scans as ONE task (splits cannot cross a parquet
+      * row-group boundary and a coalesce(1) file has one 128 MiB row
+      * group), serializing every pre-exchange pipeline; and even with
+      * small row groups the one shared footer (thousands of row-group
+      * entries) is re-parsed by every task — measured 22 ms/task on the
+      * 100x lineitem, 99 s for a 1.2 s aggregation. Many modest files
+      * with small row groups is also simply the layout a real corpus
+      * has. File count grows with the factor so per-file size stays
+      * near the original's.
       */
+    val nFiles = math.min(256, math.max(8, 4 * factor))
+    def writeMulti(df: DataFrame, name: String): Unit = {
+      val target = s"$out/$name.parquet"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(target))
+      df.repartition(nFiles).write.mode("overwrite")
+        .option("parquet.block.size", 1024 * 1024)
+        .parquet(target)
+      val sz = org.apache.commons.io.FileUtils.sizeOfDirectory(new java.io.File(target))
+      println(s"[scale] $name: ${sz / 1024 / 1024} MiB in $nFiles files")
+    }
+
     def writeSingle(df: DataFrame, name: String): Unit = {
       val tmp = s"$out/__tmp_$name"
-      // 1 MiB row groups: parquet splits cannot cross a row-group
-      // boundary, so a single-file table written with the default 128 MiB
-      // block size scans as ONE task no matter what
-      // spark.sql.files.maxPartitionBytes says — the whole pre-exchange
-      // pipeline (regex, hashing, shingling) runs serial. Small row
-      // groups make the single file genuinely splittable, which is what
-      // the bench's split-size cap needs to emulate a multi-file layout.
       df.coalesce(1).write.mode("overwrite")
         .option("parquet.block.size", 1024 * 1024)
         .parquet(tmp)
@@ -83,30 +97,30 @@ object ScaleData {
 
     val cust = rd("customer")
     val cStride = stride(cust, "c_custkey")
-    writeSingle(copies(cust) { (d, i) =>
+    writeMulti(copies(cust) { (d, i) =>
       d.withColumn("c_custkey", col("c_custkey") + lit(i * cStride))
     }, "customer")
 
     val supp = rd("supplier")
     val sStride = stride(supp, "s_suppkey")
-    writeSingle(copies(supp) { (d, i) =>
+    writeMulti(copies(supp) { (d, i) =>
       d.withColumn("s_suppkey", col("s_suppkey") + lit(i * sStride))
     }, "supplier")
 
     val part = rd("part")
     val pStride = stride(part, "p_partkey")
-    writeSingle(copies(part) { (d, i) =>
+    writeMulti(copies(part) { (d, i) =>
       d.withColumn("p_partkey", col("p_partkey") + lit(i * pStride))
     }, "part")
 
     val orders = rd("orders")
     val oStride = stride(orders, "o_orderkey")
-    writeSingle(copies(orders) { (d, i) =>
+    writeMulti(copies(orders) { (d, i) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(i * oStride))
         .withColumn("o_custkey", col("o_custkey") + lit(i * cStride))
     }, "orders")
 
-    writeSingle(copies(rd("lineitem")) { (d, i) =>
+    writeMulti(copies(rd("lineitem")) { (d, i) =>
       d.withColumn("l_orderkey", col("l_orderkey") + lit(i * oStride))
         .withColumn("l_partkey", col("l_partkey") + lit(i * pStride))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * sStride))
@@ -119,7 +133,7 @@ object ScaleData {
     val ev = graft.sources.Tables.events(spark, in)
     val eStride = stride(ev, "event_id")
     val uStride = stride(ev, "user_id")
-    writeSingle(copies(ev) { (d, i) =>
+    writeMulti(copies(ev) { (d, i) =>
       d.withColumn("event_id", col("event_id") + lit(i * eStride))
         .withColumn("user_id", col("user_id") + lit(i * uStride))
     }.withColumn("ts", col("ts").cast("timestamp_ntz")),
@@ -129,7 +143,7 @@ object ScaleData {
     // pick), recompute n_chars; copy 0 is the original corpus verbatim
     val docs = rd("documents")
     val dStride = stride(docs, "doc_id")
-    writeSingle(copies(docs) { (d, i) =>
+    writeMulti(copies(docs) { (d, i) =>
       val salted =
         if (i == 0) d
         else d.withColumn("text", expr(
@@ -147,7 +161,7 @@ object ScaleData {
     // collapsing onto the same direction at 100x.
     val emb = rd("embeddings")
     val vStride = stride(emb, "vec_id")
-    writeSingle(copies(emb) { (d, i) =>
+    writeMulti(copies(emb) { (d, i) =>
       val rotated =
         if (i == 0) d
         else d.withColumn("embedding", expr(
