@@ -1826,7 +1826,41 @@ object SparkEntry {
         .coverage(d, "doc_id", "text", WordVocab.fit(d, "text", maxSize = 1000, minCount = 2L))
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"),
           graft.functions.Portable.r6(col("oov_rate")).as("oov_rate"))
-    }
+    },
+
+    // ROC AUC per lang: does doc length rank ' the '-bearing docs first?
+    // (the quality-classifier separation readout; NULL for one-arm slices)
+    "q_auc" -> ((s, dir) =>
+      Evaluation.rocAuc(docs(s, dir), Seq("lang"), "n_chars",
+          col("text").contains(" the "))
+        .select(col("lang"), col("n_pos"), col("n_neg"),
+          graft.functions.Portable.r6(col("auc")).as("auc"))),
+
+    // calibration of the length-derived [0,1] score against the same
+    // label: decile reliability bins + per-lang expected calibration error
+    "q_calibration" -> ((s, dir) =>
+      Evaluation.calibration(
+          docs(s, dir).withColumn("score",
+            least(lit(1.0), col("n_chars").cast("double") / 1000.0)),
+          Seq("lang"), "score", col("text").contains(" the "), nBins = 10)
+        .select(col("lang"), col("bin"), col("n"),
+          graft.functions.Portable.r6(col("conf")).as("conf"),
+          graft.functions.Portable.r6(col("acc")).as("acc"),
+          graft.functions.Portable.r6(col("ece")).as("ece"))),
+
+    // Kruskal-Wallis per source: did ANY language arm's doc-size
+    // distribution shift? (k-arm extension of q_mwu)
+    "q_kruskal" -> ((s, dir) =>
+      Hypothesis.kruskalWallis(docs(s, dir), Seq("source"), "lang", "n_chars")
+        .select(col("source"), col("n"), col("k_arms"),
+          graft.functions.Portable.r6(col("h")).as("h"))),
+
+    // Jensen-Shannon divergence per source vs the rest of the corpus
+    // (symmetric, bounded slice-drift signal; contrast with q_kl)
+    "q_js" -> ((s, dir) =>
+      graft.text.Keywords.jsDivergence(docs(s, dir), "source")
+        .select(col("group").as("source"),
+          graft.functions.Portable.r6(col("js")).as("js")))
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -4162,7 +4196,96 @@ object SparkEntry {
           |      FROM p LEFT JOIN v USING (word))
           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
           |  floor(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS oov_rate
-          |FROM j GROUP BY 1""".stripMargin
+          |FROM j GROUP BY 1""".stripMargin,
+
+      "q_auc" ->
+        """WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS x,
+          |    CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS p
+          |  FROM documents WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+          |r AS (SELECT lang, p,
+          |        CAST(rank() OVER (PARTITION BY lang ORDER BY x) AS DOUBLE)
+          |          + CAST(count(*) OVER (PARTITION BY lang, x) - 1 AS DOUBLE) / 2.0 AS rk
+          |      FROM v),
+          |m AS (SELECT lang, CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(1 - p) AS BIGINT) AS n_neg,
+          |        CAST(coalesce(sum(CASE WHEN p = 1 THEN CAST(rk AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS rp
+          |      FROM r GROUP BY 1)
+          |SELECT lang, n_pos, n_neg,
+          |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          |    floor((rp - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+          |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) * 1000000 + 0.5) / 1000000 END AS auc
+          |FROM m""".stripMargin,
+
+      "q_calibration" ->
+        """WITH v AS (SELECT lang, least(1.0, CAST(n_chars AS DOUBLE) / 1000.0) AS x,
+          |    CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS p FROM documents),
+          |g AS (SELECT lang, least(9, greatest(0, CAST(floor(x * 10) AS BIGINT))) AS bin,
+          |        CAST(count(*) AS BIGINT) AS n,
+          |        CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+          |        CAST(sum(p) AS BIGINT) AS k
+          |      FROM v GROUP BY 1, 2),
+          |b AS (SELECT lang, bin, n, sx / CAST(n AS DOUBLE) AS conf0,
+          |        CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS acc0 FROM g),
+          |e AS (SELECT lang, bin, n, conf0, acc0,
+          |        CAST(sum(CAST(floor(CAST(n AS DOUBLE) * abs(acc0 - conf0) * 1000000 + 0.5) / 1000000
+          |          AS DECIMAL(38,6))) OVER (PARTITION BY lang) AS DOUBLE)
+          |          / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS ece0
+          |      FROM b)
+          |SELECT lang, bin, n,
+          |  floor(conf0 * 1000000 + 0.5) / 1000000 AS conf,
+          |  floor(acc0 * 1000000 + 0.5) / 1000000 AS acc,
+          |  floor(ece0 * 1000000 + 0.5) / 1000000 AS ece
+          |FROM e""".stripMargin,
+
+      "q_kruskal" ->
+        """WITH v AS (SELECT source, lang AS arm, CAST(n_chars AS DOUBLE) AS x FROM documents
+          |  WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE)) AND lang IS NOT NULL),
+          |r AS (SELECT source, arm,
+          |        CAST(rank() OVER (PARTITION BY source ORDER BY x) AS DOUBLE)
+          |          + CAST(count(*) OVER (PARTITION BY source, x) - 1 AS DOUBLE) / 2.0 AS rk,
+          |        CAST(count(*) OVER (PARTITION BY source, x) AS BIGINT) AS c
+          |      FROM v),
+          |pa AS (SELECT source, arm, CAST(count(*) AS BIGINT) AS na,
+          |        CAST(coalesce(sum(CAST(rk AS DECIMAL(38,6))), 0) AS DOUBLE) AS ra,
+          |        CAST(coalesce(sum(CAST(c * c - 1 AS DECIMAL(38,6))), 0) AS DOUBLE) AS ties
+          |      FROM r GROUP BY 1, 2),
+          |m AS (SELECT source, CAST(sum(na) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k_arms,
+          |        CAST(coalesce(sum(CAST(floor(ra * ra / CAST(na AS DOUBLE) * 1000000 + 0.5) / 1000000
+          |          AS DECIMAL(38,6))), 0) AS DOUBLE) AS rr,
+          |        CAST(coalesce(sum(CAST(ties AS DECIMAL(38,6))), 0) AS DOUBLE) AS t
+          |      FROM pa GROUP BY 1),
+          |s AS (SELECT source, n, k_arms, rr,
+          |        CAST(n AS DOUBLE) AS nd,
+          |        1.0 - t / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS corr
+          |      FROM m)
+          |SELECT source, n, k_arms,
+          |  CASE WHEN k_arms >= 2 AND n > 1 AND corr > 0 THEN
+          |    floor((12.0 / (nd * (nd + 1.0)) * rr - 3.0 * (nd + 1.0)) / corr * 1000000 + 0.5) / 1000000
+          |  END AS h
+          |FROM s""".stripMargin,
+
+      "q_js" ->
+        """WITH t AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS term FROM documents),
+          |lt AS (SELECT source, term, count(*) AS n FROM t GROUP BY 1, 2),
+          |pg AS (SELECT source, sum(n) AS ng FROM lt GROUP BY 1),
+          |pt AS (SELECT term, sum(n) AS nt FROM lt GROUP BY 1),
+          |tot AS (SELECT sum(n) AS nn FROM lt),
+          |j AS (SELECT source, ng, nn - ng AS nr,
+          |        CAST(n AS DOUBLE) / CAST(ng AS DOUBLE) AS p,
+          |        CASE WHEN nn - ng > 0 THEN CAST(nt - n AS DOUBLE) / CAST(nn - ng AS DOUBLE) ELSE 0.0 END AS q
+          |      FROM lt JOIN pg USING (source) JOIN pt USING (term), tot),
+          |terms AS (SELECT source, nr,
+          |        CAST(p / 2.0 * ln(p / ((p + q) / 2.0))
+          |          + CASE WHEN q > 0 THEN q / 2.0 * ln(q / ((p + q) / 2.0)) ELSE 0.0 END
+          |          AS DECIMAL(38,12)) AS js_t,
+          |        CAST(q AS DECIMAL(38,12)) AS qin
+          |      FROM j),
+          |m AS (SELECT source, max(nr) AS nr, CAST(sum(js_t) AS DOUBLE) AS s,
+          |        CAST(sum(qin) AS DOUBLE) AS qi
+          |      FROM terms GROUP BY 1)
+          |SELECT source,
+          |  CASE WHEN nr > 0 THEN
+          |    floor((s + ln(2.0) / 2.0 * (1.0 - qi)) * 1000000 + 0.5) / 1000000 END AS js
+          |FROM m""".stripMargin
     )
   }
 }

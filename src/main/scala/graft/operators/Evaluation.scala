@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-quality evaluation over scored rows — the measurement side
+  * of model-based data curation. A large-scale pipeline that filters with
+  * a quality classifier (fastText-style, logistic head, LLM scorer) needs
+  * to know, per slice, whether the scores actually separate good from bad
+  * (AUC) and whether the score VALUES mean what they say (calibration)
+  * before thresholding 100 TB on them. Both reduce to one exchange:
+  *
+  *   - ROC AUC via the rank identity AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺·n⁻)
+  *     with average ranks for ties (the probabilistic interpretation
+  *     P(score⁺ > score⁻) + ½P(tie) — exactly [[Hypothesis.mannWhitney]]'s
+  *     U normalized), so no threshold sweep or curve materialization:
+  *     rank windows partitioned by the group, then a group-sized moment
+  *     frame.
+  *   - Calibration by fixed-width score bins: per bin the mean predicted
+  *     score (confidence) vs the empirical positive rate (accuracy), and
+  *     per group the expected calibration error ECE = Σ_b (n_b/N)·|acc_b
+  *     − conf_b| — one groupBy to the (group × bins)-sized frame, ECE as
+  *     a window sum back over it.
+  *
+  * Engine portability: ranks are exact halves DECIMAL-summed, bin ids
+  * exact integer floors, every mean a DECIMAL sum over exact inputs —
+  * no libm in the oracle-checked surface.
+  */
+object Evaluation {
+
+  private def ok(c: Column): Column = c.isNotNull && !isnan(c)
+
+  /** Per-group ROC AUC of `scoreCol` against boolean `label`. Emits
+    * `n_pos`, `n_neg`, `auc` (NULL when an arm is empty — a slice with no
+    * negatives has no ranking quality to report, and dropping the row
+    * would hide exactly the slice that needs attention).
+    */
+  def rocAuc(df: DataFrame, by: Seq[String], scoreCol: String, label: Column): DataFrame = {
+    val x = col(scoreCol).cast("double")
+    val byCols = by.map(col)
+    val base = df
+      .filter(ok(x))
+      .select((byCols :+ x.as("__x") :+ when(label, 1L).otherwise(0L).as("__p")): _*)
+    val wg = Window.partitionBy(byCols: _*)
+    val wv = Window.partitionBy((byCols :+ col("__x")): _*)
+    // average rank = rank() + (ties-1)/2, exact halves
+    val avgRank =
+      rank().over(wg.orderBy(col("__x"))).cast("double") +
+        (count(lit(1)).over(wv) - 1).cast("double") / 2.0
+    val m = base
+      .withColumn("__rk", avgRank)
+      .groupBy(byCols: _*)
+      .agg(
+        sum(col("__p")).as("n_pos"),
+        sum(lit(1L) - col("__p")).as("n_neg"),
+        coalesce(
+          sum(when(col("__p") === 1L, col("__rk").cast("decimal(38,6)"))),
+          lit(0).cast("decimal(38,6)")).cast("double").as("__rp"))
+    val npD = col("n_pos").cast("double")
+    val nnD = col("n_neg").cast("double")
+    m.withColumn(
+        "auc",
+        when(
+          col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__rp") - npD * (npD + 1.0) / 2.0) / (npD * nnD)))
+      .drop("__rp")
+  }
+
+  /** Per-group reliability table over `nBins` fixed-width score bins
+    * (scores expected in [0,1]; out-of-range clamps into the edge bins).
+    * One row per non-empty (group, bin): `n`, `conf` (mean score), `acc`
+    * (positive rate), plus the group-level `ece` repeated on each row —
+    * a window sum over the bins frame, which is (groups × nBins)-sized,
+    * so the "global" window never sees corpus-scale partitions.
+    */
+  def calibration(
+      df: DataFrame,
+      by: Seq[String],
+      scoreCol: String,
+      label: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val x = col(scoreCol).cast("double")
+    val byCols = by.map(col)
+    val bin = least(lit(nBins - 1L), greatest(lit(0L), floor(x * nBins).cast("long")))
+    val g = df
+      .filter(ok(x))
+      .select((byCols :+ bin.as("bin") :+ x.as("__x") :+
+        when(label, 1L).otherwise(0L).as("__p")): _*)
+      .groupBy((byCols :+ col("bin")): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,6)")).cast("double").as("__sx"),
+        sum(col("__p")).as("__k"))
+    val nD = col("n").cast("double")
+    val binned = g
+      .withColumn("conf", col("__sx") / nD)
+      .withColumn("acc", col("__k").cast("double") / nD)
+    val wg = Window.partitionBy(byCols: _*)
+    // n·|acc−conf| is inexact — r6 in DOUBLE space before the DECIMAL
+    // cast (§5: the raw double→DECIMAL cast is a cross-engine boundary
+    // hazard); magnitudes are ≤ n, far under the 2⁵³/10⁶ exactness bound
+    val term = nD * abs(col("acc") - col("conf"))
+    binned
+      .withColumn("__N", sum(col("n")).over(wg))
+      .withColumn(
+        "ece",
+        sum((floor(term * 1000000.0 + 0.5) / 1000000.0).cast("decimal(38,6)"))
+          .over(wg).cast("double") / col("__N").cast("double"))
+      .drop("__sx", "__k", "__N")
+  }
+}

@@ -166,4 +166,58 @@ object Hypothesis {
       when(col("n_a") > 0 && col("n_b") > 0 && pp > 0.0 && pp < 1.0, (pa - pb) / se)
         .as("z")): _*)
   }
+
+  /** Per-group Kruskal–Wallis H: the k-arm extension of [[mannWhitney]]
+    * — "did ANY arm's distribution shift" across the levels of `armCol`
+    * (compare H to χ²_{k−1}). H = 12/(N(N+1))·Σ_a R_a²/n_a − 3(N+1) from
+    * average ranks over the pooled group, divided by the tie correction
+    * C = 1 − Σ(c³−c)/(N³−N) (`h` is tie-corrected; NULL when the group
+    * has < 2 arms or every value ties — C = 0 leaves nothing to test).
+    *
+    * Same single-exchange discipline as [[mannWhitney]]: the rank and
+    * tie-count windows share the group partitioning; per-arm rank sums
+    * collapse to a (group × arms)-sized frame, then to group rows. The
+    * tie term rides the per-row Σ(c²−1) ≡ Σ_values(c³−c) identity so no
+    * second aggregate scans the ranked frame.
+    */
+  def kruskalWallis(df: DataFrame, by: Seq[String], armCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val byCols = by.map(col)
+    val base = df
+      .filter(ok(x) && col(armCol).isNotNull)
+      .select((byCols :+ col(armCol).as("__arm") :+ x.as("__x")): _*)
+    val wg = Window.partitionBy(byCols: _*)
+    val wv = Window.partitionBy((byCols :+ col("__x")): _*)
+    val avgRank =
+      rank().over(wg.orderBy(col("__x"))).cast("double") +
+        (count(lit(1)).over(wv) - 1).cast("double") / 2.0
+    def dsum(e: Column): Column =
+      coalesce(sum(e.cast("decimal(38,6)")), lit(0).cast("decimal(38,6)")).cast("double")
+    val perArm = base
+      .withColumn("__rk", avgRank)
+      .withColumn("__c", count(lit(1)).over(wv))
+      .groupBy((byCols :+ col("__arm")): _*)
+      .agg(
+        count(lit(1)).as("__na"),
+        dsum(col("__rk")).as("__ra"),
+        dsum(col("__c") * col("__c") - 1L).as("__ties"))
+    // R_a²/n_a is the one inexact double here — r6 it in DOUBLE space
+    // before the DECIMAL-cast sum (§5 convention: the raw double→DECIMAL
+    // cast rounds differently across engines at 10⁻⁶ boundaries)
+    val rr = col("__ra") * col("__ra") / col("__na").cast("double")
+    val m = perArm
+      .groupBy(byCols: _*)
+      .agg(
+        sum(col("__na")).as("n"),
+        count(lit(1)).as("k_arms"),
+        dsum(floor(rr * 1000000.0 + 0.5) / 1000000.0).as("__rr"),
+        dsum(col("__ties")).as("__t"))
+    val nD = col("n").cast("double")
+    val h0 = lit(12.0) / (nD * (nD + 1.0)) * col("__rr") - lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) - col("__t") / (nD * nD * nD - nD)
+    m.withColumn(
+        "h",
+        when(col("k_arms") >= 2 && col("n") > 1 && corr > 0.0, h0 / corr))
+      .drop("__rr", "__t")
+  }
 }

@@ -87,4 +87,67 @@ object Keywords {
       .groupBy("group")
       .agg(sum(col("__kl")).cast("double").as("kl"))
   }
+
+  /** Per-group Jensen–Shannon divergence between the group's unigram
+    * distribution P and the REST of the corpus Q (corpus minus the
+    * group — comparing against a mixture that contains the group, as
+    * [[groupDivergence]] does, dilutes the signal for large groups).
+    * JS = ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q): symmetric, bounded by ln 2,
+    * and finite even on disjoint vocabularies — the pairwise corpus
+    * comparison KL can't give.
+    *
+    * The term grid never materializes: terms ABSENT from the group
+    * contribute exactly ½·Q(t)·ln 2 each (their M is Q/2), so their whole
+    * mass folds into the closed form ½·ln 2·(1 − Σ_{t∈g} Q(t)) computed
+    * from the group's OWN terms. One corpus pass to the (group, term)
+    * count table, vocab-sized joins after — the [[termLift]] shape.
+    * Groups covering the whole corpus (Q empty) emit NULL.
+    */
+  def jsDivergence(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String = "text"
+  ): DataFrame = {
+    val lt = docs
+      .select(col(groupCol).as("group"), explode(wordTokens(col(textCol))).as("term"))
+      .groupBy("group", "term")
+      .agg(count(lit(1)).as("n"))
+      .pin(true)
+    val perGroup = lt.groupBy("group").agg(sum(col("n")).as("__ng"))
+    val perTerm = lt.groupBy("term").agg(sum(col("n")).as("__nt"))
+    val total = lt.agg(sum(col("n")).as("__nn"))
+    val nRest = col("__nn") - col("__ng") // rest-of-corpus token count
+    val pg = col("n").cast("double") / col("__ng").cast("double")
+    // rest-of-corpus probability of this term (0 when the term is
+    // group-exclusive; nt >= n always since the corpus contains the
+    // group). Guarded: a group that IS the corpus has nRest = 0, and
+    // ANSI mode raises on the division rather than emitting NaN.
+    val q = when(nRest > 0, (col("__nt") - col("n")).cast("double") / nRest.cast("double"))
+      .otherwise(lit(0.0))
+    val mm = (pg + q) / 2.0
+    val ln2 = math.log(2.0)
+    // in-vocabulary terms: ½P ln(P/M) + ½Q ln(Q/M) (Q term vanishes at Q=0)
+    val term =
+      pg / 2.0 * log(pg / mm) +
+        when(q > 0.0, q / 2.0 * log(q / mm)).otherwise(lit(0.0))
+    lt
+      .join(broadcast(perGroup), "group")
+      .join(broadcast(perTerm), "term")
+      .crossJoin(broadcast(total))
+      .select(
+        col("group"), col("__ng"), nRest.as("__nr"),
+        term.cast("decimal(38,12)").as("__js"),
+        // Q-mass of the group's own terms — the complement feeds the
+        // absent-term closed form
+        when(nRest > 0, q).otherwise(lit(0.0)).cast("decimal(38,12)").as("__qin"))
+      .groupBy("group")
+      .agg(
+        max(col("__nr")).as("__nr"),
+        sum(col("__js")).cast("double").as("__s"),
+        sum(col("__qin")).cast("double").as("__qi"))
+      .select(
+        col("group"),
+        when(col("__nr") > 0, col("__s") + lit(ln2 / 2.0) * (lit(1.0) - col("__qi")))
+          .as("js"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ann.Similarity
-import graft.operators.{Hypothesis, Stats}
+import graft.operators.{Evaluation, Hypothesis, Stats}
 import graft.pipeline.Sampling
 import org.apache.spark.sql.functions._
 
@@ -209,5 +209,121 @@ class Round6OpsSpec extends SparkSpec {
     assert(math.abs(out(1L).getAs[Double]("oov_rate") - 1.0 / 3.0) < 1e-12)
     assert(out(2L).getAs[Long]("n_oov") == 0L)
     assert(!out.contains(3L), "no [a-z] tokens -> absent, not zero-division")
+  }
+
+  // ---------------------------------------------------------------- rocAuc
+
+  test("rocAuc: perfect separation 1.0, reversed 0.0, all-tied 0.5, empty arm NULL") {
+    val perfect = (Seq(3.0, 4.0).map(("g", _, true)) ++ Seq(1.0, 2.0).map(("g", _, false)))
+      .toDF("k", "s", "y")
+    val p = Evaluation.rocAuc(perfect, Seq("k"), "s", col("y")).collect()(0)
+    assert(p.getAs[Long]("n_pos") == 2L && p.getAs[Long]("n_neg") == 2L)
+    assert(p.getAs[Double]("auc") == 1.0)
+    val rev = Evaluation.rocAuc(perfect, Seq("k"), "s", !col("y")).collect()(0)
+    assert(rev.getAs[Double]("auc") == 0.0)
+    val tied = Seq(("g", 5.0, true), ("g", 5.0, false)).toDF("k", "s", "y")
+    assert(Evaluation.rocAuc(tied, Seq("k"), "s", col("y")).collect()(0)
+      .getAs[Double]("auc") == 0.5, "tie counts half — the P(s+ > s-) + P(tie)/2 identity")
+    val onearm = Seq(("g", 1.0, true), ("g", 2.0, true)).toDF("k", "s", "y")
+    val o = Evaluation.rocAuc(onearm, Seq("k"), "s", col("y")).collect()(0)
+    assert(o.isNullAt(o.fieldIndex("auc")), "no negatives -> NULL, not a dropped slice")
+  }
+
+  test("rocAuc: hand-computed interleaved case") {
+    // pos scores {2, 4}, neg {1, 3}: pairs (2>1), (2<3), (4>1), (4>3) -> 3/4
+    val df = Seq(("g", 2.0, true), ("g", 4.0, true), ("g", 1.0, false), ("g", 3.0, false))
+      .toDF("k", "s", "y")
+    assert(Evaluation.rocAuc(df, Seq("k"), "s", col("y")).collect()(0)
+      .getAs[Double]("auc") == 0.75)
+  }
+
+  // ----------------------------------------------------------- calibration
+
+  test("calibration: bin means, rates, and the weighted ECE") {
+    // bin 1: scores .10/.15, 1 of 2 positive; bin 9: score .95, positive
+    val df = Seq(("g", 0.10, true), ("g", 0.15, false), ("g", 0.95, true))
+      .toDF("k", "s", "y")
+    val out = Evaluation.calibration(df, Seq("k"), "s", col("y"), nBins = 10)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(out.keySet == Set(1L, 9L), "empty bins are absent, not zero rows")
+    val b1 = out(1L)
+    assert(b1.getAs[Long]("n") == 2L)
+    assert(math.abs(b1.getAs[Double]("conf") - 0.125) < 1e-9)
+    assert(b1.getAs[Double]("acc") == 0.5)
+    // ECE = (2*|0.5-0.125| + 1*|1.0-0.95|) / 3
+    val ece = (2.0 * 0.375 + 1.0 * 0.05) / 3.0
+    assert(math.abs(b1.getAs[Double]("ece") - ece) < 1e-6)
+    assert(math.abs(out(9L).getAs[Double]("ece") - ece) < 1e-6, "group ECE repeats on every bin row")
+  }
+
+  test("calibration: out-of-range scores clamp into the edge bins") {
+    val df = Seq(("g", -0.2, false), ("g", 1.7, true)).toDF("k", "s", "y")
+    val bins = Evaluation.calibration(df, Seq("k"), "s", col("y")).collect()
+      .map(_.getAs[Long]("bin")).sorted
+    assert(bins.toSeq == Seq(0L, 9L))
+  }
+
+  // --------------------------------------------------------- kruskalWallis
+
+  test("kruskalWallis: textbook three-arm H; degenerate groups NULL") {
+    // arms {1,2}, {3,4}, {5,6}: rank sums 3, 7, 11; H = 12/(6*7)*(9/2+49/2+121/2) - 21
+    val df = (Seq(1.0, 2.0).map(("g", "a", _)) ++ Seq(3.0, 4.0).map(("g", "b", _)) ++
+      Seq(5.0, 6.0).map(("g", "c", _)) ++ Seq(("h", "a", 1.0), ("h", "a", 2.0)) ++
+      Seq(("z", "a", 7.0), ("z", "b", 7.0))).toDF("k", "arm", "v")
+    val out = Hypothesis.kruskalWallis(df, Seq("k"), "arm", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getAs[Long]("n") == 6L && g.getAs[Long]("k_arms") == 3L)
+    val h = 12.0 / 42.0 * (4.5 + 24.5 + 60.5) - 21.0
+    assert(math.abs(g.getAs[Double]("h") - h) < 1e-6)
+    assert(out("h").isNullAt(out("h").fieldIndex("h")), "one arm -> nothing to compare")
+    assert(out("z").isNullAt(out("z").fieldIndex("h")), "all values tied -> C = 0 -> NULL")
+  }
+
+  test("kruskalWallis: k=2 with no ties matches mannWhitney's z squared (H = z^2)") {
+    val df = Seq(("g", "a", 1.0), ("g", "a", 4.0), ("g", "b", 2.0), ("g", "b", 6.0),
+      ("g", "b", 8.0)).toDF("k", "arm", "v")
+    val h = Hypothesis.kruskalWallis(df, Seq("k"), "arm", "v").collect()(0).getAs[Double]("h")
+    val z = Hypothesis.mannWhitney(df, Seq("k"), "v", col("arm") === "a")
+      .collect()(0).getAs[Double]("z")
+    // without the continuity correction H equals the squared two-sample z
+    // (up to the r6 rounding kruskalWallis applies to each R_a²/n_a term)
+    assert(math.abs(h - z * z) < 1e-5)
+  }
+
+  // ---------------------------------------------------------- jsDivergence
+
+  test("jsDivergence: bounded by ln 2, zero for an identical split, NULL for a total group") {
+    import graft.text.Keywords
+    // two sources with identical word distributions -> JS ~ 0 each
+    val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("source", "text")
+    Keywords.jsDivergence(same, "source").collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("js")) < 1e-12)
+    }
+    // disjoint vocabularies -> JS = ln 2 exactly
+    val disj = Seq(("a", "x x y"), ("b", "p q q")).toDF("source", "text")
+    Keywords.jsDivergence(disj, "source").collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("js") - math.log(2.0)) < 1e-9)
+    }
+    // a group that IS the whole corpus has no rest to compare against
+    val solo = Seq(("a", "x y")).toDF("source", "text")
+    val r = Keywords.jsDivergence(solo, "source").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("js")))
+  }
+
+  test("jsDivergence: absent-term closed form matches the explicit grid") {
+    import graft.text.Keywords
+    // P = {x: 2/3, y: 1/3}, Q = {x: 1/4, z: 3/4} (term y absent from Q, z from P)
+    val df = Seq(("a", "x x y"), ("b", "x z z z")).toDF("source", "text")
+    val out = Keywords.jsDivergence(df, "source").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("js")).toMap
+    def kl2(p: Map[String, Double], m: Map[String, Double]): Double =
+      p.collect { case (t, pv) if pv > 0 => pv * math.log(pv / m(t)) }.sum
+    val p = Map("x" -> 2.0 / 3, "y" -> 1.0 / 3, "z" -> 0.0)
+    val q = Map("x" -> 1.0 / 4, "y" -> 0.0, "z" -> 3.0 / 4)
+    val m = p.map { case (t, pv) => t -> (pv + q(t)) / 2 }
+    val js = kl2(p, m) / 2 + kl2(q, m) / 2
+    assert(math.abs(out("a") - js) < 1e-9)
+    assert(math.abs(out("b") - js) < 1e-9, "JS is symmetric")
   }
 }
