@@ -1860,7 +1860,41 @@ object SparkEntry {
     "q_js" -> ((s, dir) =>
       graft.text.Keywords.jsDivergence(docs(s, dir), "source")
         .select(col("group").as("source"),
-          graft.functions.Portable.r6(col("js")).as("js")))
+          graft.functions.Portable.r6(col("js")).as("js"))),
+
+    // Adamic-Adar link prediction on the word-adjacency graph
+    // (hub centers > deg 64 truncated BEFORE the wedge join)
+    "q_adamic" -> ((s, dir) =>
+      Graph.adamicAdar(wordAdjacencyEdges(s, dir), maxDegree = 64, minCommon = 2L)
+        .select(col("a"), col("b"), col("n_common"),
+          graft.functions.Portable.r6(col("score")).as("score"))),
+
+    // 2-round HITS hubs/authorities over the word-adjacency graph
+    // (weighted edges, L1-normalized half-steps; contrast with q_pagerank)
+    "q_hits" -> ((s, dir) =>
+      Hits.hits(wordAdjacencyEdges(s, dir), iters = 2)
+        .select(col("node"),
+          graft.functions.Portable.r6(col("auth")).as("auth"),
+          graft.functions.Portable.r6(col("hub")).as("hub"))),
+
+    // join-key skew audit over two candidate shuffle keys of events
+    "q_skew_audit" -> { (s, dir) =>
+      val e = ev(s, dir)
+      Skew.keySkewAudit(e, "event_type", topK = 5)
+        .unionAll(Skew.keySkewAudit(e, "user_id", topK = 5))
+        .select(col("key_col"), col("rank").cast("long").as("rank"), col("key"),
+          col("n"), graft.functions.Portable.r6(col("share")).as("share"),
+          col("n_rows"), col("n_keys"),
+          graft.functions.Portable.r6(col("skew")).as("skew"), col("salts"))
+    },
+
+    // cross-source quantile normalization of doc length onto the
+    // corpus distribution (20 reference quantiles, rank tie-break doc_id)
+    "q_qnorm" -> ((s, dir) =>
+      QuantileNormalize.quantileNormalize(docs(s, dir), "source", "doc_id", "n_chars", nBins = 20)
+        .select(col("id").as("doc_id"), col("group").as("source"), col("value"),
+          graft.functions.Portable.r6(col("pr")).as("pr"), col("bin"),
+          graft.functions.Portable.r6(col("norm")).as("norm")))
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -4285,7 +4319,90 @@ object SparkEntry {
           |SELECT source,
           |  CASE WHEN nr > 0 THEN
           |    floor((s + ln(2.0) / 2.0 * (1.0 - qi)) * 1000000 + 0.5) / 1000000 END AS js
-          |FROM m""".stripMargin
+          |FROM m""".stripMargin,
+
+      "q_adamic" ->
+        """WITH tk AS (SELECT list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '') AS ts FROM documents),
+          |ed AS (SELECT unnest(list_slice(ts, 1, len(ts)-1)) AS src, unnest(list_slice(ts, 2, len(ts))) AS dst
+          |       FROM tk WHERE len(ts) >= 2),
+          |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed WHERE src <> dst),
+          |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+          |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+          |adj AS (SELECT a AS z, b AS x FROM e UNION ALL SELECT b, a FROM e),
+          |c AS (SELECT adj.z, adj.x, deg.d FROM adj JOIN deg ON adj.z = deg.node
+          |      WHERE deg.d >= 2 AND deg.d <= 64),
+          |p AS (SELECT l.x AS a, r.x AS b,
+          |        CAST(CAST(1 AS DOUBLE) / ln(CAST(l.d AS DOUBLE)) AS DECIMAL(38,12)) AS t
+          |      FROM c l JOIN c r ON l.z = r.z AND l.x < r.x),
+          |g AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common, CAST(sum(t) AS DOUBLE) AS score
+          |      FROM p GROUP BY 1, 2),
+          |x2 AS (SELECT g.a, g.b, g.n_common, g.score FROM g
+          |       LEFT JOIN e ON g.a = e.a AND g.b = e.b WHERE e.a IS NULL)
+          |SELECT a, b, n_common, floor(score * 1000000 + 0.5) / 1000000 AS score
+          |FROM x2 WHERE n_common >= 2""".stripMargin,
+
+      "q_hits" -> {
+        val mass = (prev: String, inKey: String, outKey: String, c: String) =>
+          s"""${c}m AS (SELECT e.$outKey AS node, sum(CAST($prev.s AS DECIMAL(27,12)) * CAST(e.w AS DECIMAL(10,0))) AS m
+             |  FROM e JOIN $prev ON e.$inKey = $prev.node GROUP BY 1),
+             |${c}t AS (SELECT sum(m) AS t FROM ${c}m),
+             |$c AS (SELECT n.node, CASE WHEN t IS NOT NULL AND t <> 0
+             |    THEN CAST(coalesce(m, 0) AS DOUBLE) / CAST(t AS DOUBLE) ELSE 0.0 END AS s
+             |  FROM n LEFT JOIN ${c}m ON n.node = ${c}m.node, ${c}t)""".stripMargin
+        s"""WITH tk AS (SELECT list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '') AS ts FROM documents),
+           |ed AS (SELECT unnest(list_slice(ts, 1, len(ts)-1)) AS src, unnest(list_slice(ts, 2, len(ts))) AS dst
+           |       FROM tk WHERE len(ts) >= 2),
+           |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM ed GROUP BY 1, 2),
+           |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |h0 AS (SELECT node, CAST(1 AS DOUBLE) AS s FROM n),
+           |${mass("h0", "src", "dst", "a1")},
+           |${mass("a1", "dst", "src", "h1")},
+           |${mass("h1", "src", "dst", "a2")},
+           |${mass("a2", "dst", "src", "h2")}
+           |SELECT n.node,
+           |  floor(a2.s * 1000000 + 0.5) / 1000000 AS auth,
+           |  floor(h2.s * 1000000 + 0.5) / 1000000 AS hub
+           |FROM n JOIN a2 ON n.node = a2.node JOIN h2 ON n.node = h2.node""".stripMargin
+      },
+
+      "q_skew_audit" -> {
+        val audit = (keyCol: String, c: String) =>
+          s"""${c}c AS (SELECT CAST($keyCol AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+             |${c}s AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+             |        CAST(max(n) AS BIGINT) AS max_n FROM ${c}c),
+             |${c}t AS (SELECT '$keyCol' AS key_col,
+             |        CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS "rank", key, n
+             |      FROM ${c}c ORDER BY n DESC, key LIMIT 5),
+             |$c AS (SELECT key_col, "rank", key, n,
+             |        CAST(n AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share, n_rows, n_keys,
+             |        CAST(max_n AS DOUBLE) / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew,
+             |        CAST(ceil(CAST(max_n AS DOUBLE) / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))) AS BIGINT) AS salts
+             |      FROM ${c}t, ${c}s)""".stripMargin
+        s"""WITH ${audit("event_type", "r1")},
+           |${audit("user_id", "r2")},
+           |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+           |SELECT key_col, "rank", key, n,
+           |  floor(share * 1000000 + 0.5) / 1000000 AS share, n_rows, n_keys,
+           |  floor(skew * 1000000 + 0.5) / 1000000 AS skew, salts
+           |FROM u""".stripMargin
+      },
+
+      "q_qnorm" -> {
+        val probes = (1 to 20).map(b => s"CAST($b AS DOUBLE) / 20").mkString("[", ", ", "]")
+        s"""WITH v AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS value FROM documents
+           |  WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+           |ref AS (SELECT quantile_cont(value, $probes) AS r FROM v),
+           |p AS (SELECT doc_id, source, value,
+           |        percent_rank() OVER (PARTITION BY source ORDER BY value, doc_id) AS pr
+           |      FROM v),
+           |b AS (SELECT doc_id, source, value, pr,
+           |        greatest(1, least(20, CAST(ceil(pr * 20) AS BIGINT))) AS bin
+           |      FROM p)
+           |SELECT doc_id, source, value,
+           |  floor(pr * 1000000 + 0.5) / 1000000 AS pr, bin,
+           |  floor(r[CAST(bin AS INT)] * 1000000 + 0.5) / 1000000 AS norm
+           |FROM b, ref""".stripMargin
+      }
     )
   }
 }

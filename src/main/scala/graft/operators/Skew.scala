@@ -35,4 +35,40 @@ object Skew {
     val replicated = build.withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
     probe.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Join-key skew audit: BEFORE shipping a 100 TB shuffle, ask whether
+    * one key will own a task. One groupBy to the per-key count frame,
+    * then a `topK`-row report: each heavy key with its count and share,
+    * plus the table-level facts repeated on every row — total rows,
+    * distinct keys, max/avg skew ratio, and the [[saltedJoin]] `salts`
+    * value that would level the hottest key down to an average-sized
+    * task (`ceil(max/avg)`, the number a capacity reviewer actually
+    * wants). Rows tie-break by key so the report is deterministic.
+    *
+    * The key is emitted as a string (`key`) so audits over columns of
+    * any type union cleanly into one report.
+    */
+  def keySkewAudit(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val summary = counts.agg(
+      sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("n")).as("max_n"))
+    val avg = col("n_rows").cast("double") / col("n_keys").cast("double")
+    counts
+      .orderBy(col("n").desc, col("key"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("key"))))
+      .crossJoin(broadcast(summary))
+      .select(
+        lit(keyCol).as("key_col"), col("rank"), col("key"), col("n"),
+        (col("n").cast("double") / col("n_rows").cast("double")).as("share"),
+        col("n_rows"), col("n_keys"),
+        (col("max_n").cast("double") / avg).as("skew"),
+        ceil(col("max_n").cast("double") / avg).cast("long").as("salts"))
+  }
 }

@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.{Graph, Hits, QuantileNormalize, Skew}
+import org.apache.spark.sql.functions._
+
+/** Round-6 second batch: Adamic-Adar link prediction, HITS, join-key
+  * skew audit, cross-source quantile normalization.
+  */
+class Round6bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ adamicAdar
+
+  test("adamicAdar: textbook scores, existing edges excluded") {
+    // square 1-3, 3-2, 2-4, 4-1: (1,2) share {3,4}, (3,4) share {1,2},
+    // all four centers have degree 2 -> score 2/ln 2 each
+    val sq = Seq((1, 3), (3, 2), (2, 4), (4, 1)).toDF("src", "dst")
+    val out = Graph.adamicAdar(sq, maxDegree = 64, minCommon = 2L)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+    assert(out.keySet == Set((1, 2), (3, 4)))
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_common") == 2L)
+      assert(math.abs(r.getAs[Double]("score") - 2.0 / math.log(2.0)) < 1e-9)
+    }
+    // close the (1,2) edge: the pair is adjacent now and must vanish
+    val closed = sq.unionAll(Seq((1, 2)).toDF("src", "dst"))
+    val out2 = Graph.adamicAdar(closed, maxDegree = 64, minCommon = 1L)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(!out2.contains((1, 2)), "adjacent pairs are not predictions")
+    assert(out2.contains((3, 4)))
+  }
+
+  test("adamicAdar: hub centers above maxDegree contribute nothing") {
+    // star: hub 0 connected to 1..5 (deg 5); spokes pair only through it
+    val star = (1 to 5).map(i => (0, i)).toDF("src", "dst")
+    assert(Graph.adamicAdar(star, maxDegree = 4, minCommon = 1L).count() == 0L,
+      "the only common neighbor is the truncated hub")
+    val kept = Graph.adamicAdar(star, maxDegree = 5, minCommon = 1L).collect()
+    assert(kept.length == 10, "all C(5,2) spoke pairs through the kept hub")
+    kept.foreach(r => assert(math.abs(r.getAs[Double]("score") - 1.0 / math.log(5.0)) < 1e-9))
+  }
+
+  // ------------------------------------------------------------------ hits
+
+  test("hits: two-round hand computation with L1 normalization") {
+    // a->b, a->c, d->b: a and d are hubs, b and c authorities
+    val e = Seq(("a", "b"), ("a", "c"), ("d", "b")).toDF("src", "dst")
+    val out = Hits.hits(e, iters = 2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // round 1: auth b=2/3 c=1/3; hub a=(2/3+1/3)/tot=3/5, d=(2/3)/tot=2/5
+    // round 2: auth b=(3/5+2/5)/1.6=0.625, c=(3/5)/1.6=0.375
+    //          hub a=(0.625+0.375)/1.625, d=0.625/1.625
+    assert(math.abs(out("b").getAs[Double]("auth") - 0.625) < 1e-9)
+    assert(math.abs(out("c").getAs[Double]("auth") - 0.375) < 1e-9)
+    assert(out("a").getAs[Double]("auth") == 0.0, "no in-edges -> auth 0")
+    assert(math.abs(out("a").getAs[Double]("hub") - 1.0 / 1.625) < 1e-9)
+    assert(math.abs(out("d").getAs[Double]("hub") - 0.625 / 1.625) < 1e-9)
+    assert(out("b").getAs[Double]("hub") == 0.0, "no out-edges -> hub 0")
+    // each L1-normalized family sums to 1
+    assert(math.abs(out.values.map(_.getAs[Double]("auth")).sum - 1.0) < 1e-9)
+    assert(math.abs(out.values.map(_.getAs[Double]("hub")).sum - 1.0) < 1e-9)
+  }
+
+  test("hits: parallel edges weigh like repeated edges") {
+    val parallel = Seq(("a", "b"), ("a", "b"), ("c", "d")).toDF("src", "dst")
+    val expanded = Seq(("a", "b"), ("c", "d")).toDF("src", "dst")
+    val p = Hits.hits(parallel, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("auth")).toMap
+    // auth mass b = 2, d = 1 -> 2/3 vs 1/3; the unweighted graph gives 1/2 each
+    assert(math.abs(p("b") - 2.0 / 3.0) < 1e-9)
+    val u = Hits.hits(expanded, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("auth")).toMap
+    assert(u("b") == 0.5)
+  }
+
+  // ---------------------------------------------------------- keySkewAudit
+
+  test("keySkewAudit: counts, shares, skew ratio and salt recommendation") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c")).toDF("k")
+    val rows = Skew.keySkewAudit(df, "k", topK = 2).collect()
+    assert(rows.length == 2)
+    val top = rows.find(_.getAs[Int]("rank") == 1).get
+    assert(top.getAs[String]("key") == "a" && top.getAs[Long]("n") == 6L)
+    assert(math.abs(top.getAs[Double]("share") - 0.6) < 1e-12)
+    assert(top.getAs[Long]("n_rows") == 10L && top.getAs[Long]("n_keys") == 3L)
+    // avg 10/3, max 6 -> skew 1.8, recommended salts = ceil(1.8) = 2
+    assert(math.abs(top.getAs[Double]("skew") - 1.8) < 1e-12)
+    assert(top.getAs[Long]("salts") == 2L)
+    // rank 2 tie-breaks on key name: b before c
+    assert(rows.find(_.getAs[Int]("rank") == 2).get.getAs[String]("key") == "b")
+  }
+
+  // ----------------------------------------------------- quantileNormalize
+
+  test("quantileNormalize: equal within-group ranks map to equal corpus values") {
+    // group A is 100x group B in scale; same shape
+    val df = (Seq(100.0, 200.0, 300.0, 400.0).zipWithIndex.map { case (v, i) => (i.toLong, "A", v) } ++
+      Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) => (i + 10L, "B", v) })
+      .toDF("id", "grp", "v")
+    val out = QuantileNormalize.quantileNormalize(df, "grp", "id", "v", nBins = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // rank k within A and within B land in the same bin -> same norm
+    for (k <- 0 until 4) {
+      val a = out(k.toLong); val b = out(k + 10L)
+      assert(a.getAs[Long]("bin") == b.getAs[Long]("bin"))
+      assert(a.getAs[Double]("norm") == b.getAs[Double]("norm"),
+        "same within-group rank -> same corpus reference value")
+      assert(a.getAs[Double]("pr") == b.getAs[Double]("pr"))
+    }
+    // the top rank maps to the corpus maximum
+    assert(out(3L).getAs[Double]("norm") == 400.0)
+    // pr=0 clamps into bin 1, not bin 0
+    assert(out(0L).getAs[Long]("bin") == 1L)
+  }
+
+  test("quantileNormalize: flips to the approx sketch under the session conf") {
+    val df = (1 to 100).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "grp", "v")
+    def norms() = QuantileNormalize.quantileNormalize(df, "grp", "id", "v", nBins = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("norm")).toMap
+    val exact = norms()
+    spark.conf.set(graft.operators.Quantiles.ApproxKey, "true")
+    try {
+      val approx = norms()
+      // accuracy 10000 on 100 rows: the sketch is rank-exact, so the only
+      // difference is R-7 interpolation (<= one value spacing)
+      exact.foreach { case (id, e) => assert(math.abs(approx(id) - e) <= 1.0 + 1e-9) }
+    } finally spark.conf.unset(graft.operators.Quantiles.ApproxKey)
+  }
+}
