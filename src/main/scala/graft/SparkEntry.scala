@@ -1894,7 +1894,40 @@ object SparkEntry {
       QuantileNormalize.quantileNormalize(docs(s, dir), "source", "doc_id", "n_chars", nBins = 20)
         .select(col("id").as("doc_id"), col("group").as("source"), col("value"),
           graft.functions.Portable.r6(col("pr")).as("pr"), col("bin"),
-          graft.functions.Portable.r6(col("norm")).as("norm")))
+          graft.functions.Portable.r6(col("norm")).as("norm"))),
+
+    // per-lang tokenizer fertility: subword tokens per word, bytes/token
+    "q_fertility" -> ((s, dir) =>
+      TextFunctions.fertilityStats(docs(s, dir), "lang")
+        .select(col("group").as("lang"), col("n_docs"), col("n_words"),
+          col("n_tokens"), col("n_bytes"),
+          graft.functions.Portable.r6(col("fertility")).as("fertility"),
+          graft.functions.Portable.r6(col("bytes_per_token")).as("bytes_per_token"))),
+
+    // hour-of-day seasonality per event type: peak hour/share + flatness
+    "q_seasonality" -> ((s, dir) =>
+      Seasonal.hourOfDayProfile(ev(s, dir), "event_type", "ts")
+        .select(col("key").as("event_type"), col("n"), col("peak_hour"),
+          graft.functions.Portable.r6(col("peak_share")).as("peak_share"),
+          graft.functions.Portable.r6(col("entropy_norm")).as("entropy_norm"))),
+
+    // Benjamini-Hochberg FDR over the (lang x source) long-doc-rate
+    // z-tests: which slices' deviations survive multiple testing.
+    // Arms split by an md5 coin, NOT doc_id parity — the generator's ids
+    // correlate parity with (lang, source), which would empty one arm of
+    // every cell
+    "q_bh" -> { (s, dir) =>
+      val tests = Hypothesis.twoProportionZ(docs(s, dir), Seq("lang", "source"),
+          col("n_chars") > 300,
+          pmod(TextFunctions.md5Hash32(concat(lit("bh|"), col("doc_id").cast("string"))),
+            lit(2)) === 0)
+        .select(col("lang"), col("source"),
+          graft.functions.Portable.r6(col("z")).as("z"),
+          graft.functions.Portable.r6(Hypothesis.pFromZ(col("z"))).as("p"))
+      Hypothesis.benjaminiHochberg(tests, "p", Seq("lang", "source"), alpha = 0.1)
+        .select(col("lang"), col("source"), col("z"), col("p"), col("m"),
+          col("rank"), graft.functions.Portable.r6(col("q")).as("q"), col("reject"))
+    }
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -4402,6 +4435,88 @@ object SparkEntry {
            |  floor(pr * 1000000 + 0.5) / 1000000 AS pr, bin,
            |  floor(r[CAST(bin AS INT)] * 1000000 + 0.5) / 1000000 AS norm
            |FROM b, ref""".stripMargin
+      },
+
+      "q_fertility" ->
+        """WITH v AS (SELECT lang,
+          |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS BIGINT) AS w,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS t,
+          |    CAST(strlen(text) AS BIGINT) AS b
+          |  FROM documents),
+          |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(w) AS BIGINT) AS n_words,
+          |        CAST(sum(t) AS BIGINT) AS n_tokens, CAST(sum(b) AS BIGINT) AS n_bytes
+          |      FROM v GROUP BY 1)
+          |SELECT lang, n_docs, n_words, n_tokens, n_bytes,
+          |  CASE WHEN n_words > 0 THEN
+          |    floor(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS fertility,
+          |  CASE WHEN n_tokens > 0 THEN
+          |    floor(CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS bytes_per_token
+          |FROM g""".stripMargin,
+
+      "q_seasonality" ->
+        s"""WITH h AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+           |w AS (SELECT event_type, hr, cnt,
+           |        CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+           |        row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, hr) AS rk
+           |      FROM h),
+           |t AS (SELECT event_type, hr, cnt, n, rk, CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS sh FROM w),
+           |m AS (SELECT event_type, max(n) AS n,
+           |        max(CASE WHEN rk = 1 THEN hr END) AS peak_hour,
+           |        max(CASE WHEN rk = 1 THEN sh END) AS ps,
+           |        CAST(sum(CAST(floor(-sh * ln(sh) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS hsum
+           |      FROM t GROUP BY 1)
+           |SELECT event_type, n, peak_hour,
+           |  floor(ps * 1000000 + 0.5) / 1000000 AS peak_share,
+           |  floor(hsum / ${math.log(24.0)} * 1000000 + 0.5) / 1000000 AS entropy_norm
+           |FROM m""".stripMargin,
+
+      "q_bh" -> {
+        // the SAME A&S 26.2.16 tail as Hypothesis.pFromZ, spelled out
+        val pSql = "least(1.0, 2.0 * exp(-az * az / 2.0) / " +
+          s"${math.sqrt(2.0 * math.Pi)} * " +
+          "(0.4361836 * tt - 0.1201676 * tt * tt + 0.9372980 * tt * tt * tt))"
+        s"""WITH v AS (SELECT lang, source,
+           |    CASE WHEN ${h32("concat('bh|', CAST(doc_id AS VARCHAR))")} % 2 = 0 THEN 1 ELSE 0 END AS a,
+           |    CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS hit
+           |  FROM documents),
+           |g AS (SELECT lang, source,
+           |        CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(1 - a) AS BIGINT) AS n_b,
+           |        CAST(coalesce(sum(CASE WHEN a = 1 THEN hit END), 0) AS BIGINT) AS k_a,
+           |        CAST(coalesce(sum(CASE WHEN a = 0 THEN hit END), 0) AS BIGINT) AS k_b
+           |      FROM v GROUP BY 1, 2),
+           |e AS (SELECT lang, source, n_a, n_b, k_a, k_b,
+           |        CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+           |        CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+           |        CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+           |      FROM g),
+           |z0 AS (SELECT lang, source,
+           |        CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0 AND pp < 1 THEN
+           |          (pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+           |        END AS z FROM e),
+           |pz AS (SELECT lang, source, z, abs(z) AS az,
+           |        1.0 / (1.0 + 0.33267 * abs(z)) AS tt FROM z0),
+           |pv AS (SELECT lang, source,
+           |        floor(z * 1000000 + 0.5) / 1000000 AS z,
+           |        floor($pSql * 1000000 + 0.5) / 1000000 AS p
+           |      FROM pz WHERE z IS NOT NULL),
+           |rk AS (SELECT lang, source, z, p,
+           |        CAST(count(*) OVER () AS BIGINT) AS m,
+           |        CAST(row_number() OVER (ORDER BY p, lang, source) AS BIGINT) AS "rank"
+           |      FROM pv),
+           |adj AS (SELECT lang, source, z, p, m, "rank",
+           |        least(1.0, min(p * CAST(m AS DOUBLE) / CAST("rank" AS DOUBLE))
+           |          OVER (ORDER BY p, lang, source
+           |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS q_raw
+           |      FROM rk),
+           |nullz AS (SELECT lang, source, CAST(NULL AS DOUBLE) AS z, CAST(NULL AS DOUBLE) AS p,
+           |        CAST(NULL AS BIGINT) AS m, CAST(NULL AS BIGINT) AS "rank",
+           |        CAST(NULL AS DOUBLE) AS q, CAST(NULL AS BOOLEAN) AS reject
+           |      FROM z0 WHERE z IS NULL)
+           |SELECT lang, source, z, p, m, "rank",
+           |  floor(q_raw * 1000000 + 0.5) / 1000000 AS q, q_raw <= 0.1 AS reject
+           |FROM adj
+           |UNION ALL SELECT * FROM nullz""".stripMargin
       }
     )
   }

@@ -220,4 +220,64 @@ object Hypothesis {
         when(col("k_arms") >= 2 && col("n") > 1 && corr > 0.0, h0 / corr))
       .drop("__rr", "__t")
   }
+
+  /** Two-sided normal p-value from a z-score via the Abramowitz–Stegun
+    * 26.2.16 rational tail (|ε| < 1e-5 — ample for FDR thresholding,
+    * which compares p to rates like 0.05): Q(x) = φ(x)(a₁t + a₂t² + a₃t³),
+    * t = 1/(1 + 0.33267·x), p = min(1, 2·Q(|z|)). Chosen over an erf
+    * call because neither engine exposes erf in SQL and the explicit
+    * formula is the SAME operation sequence everywhere — exp is the one
+    * libm call, pinned by r6 at every consumer.
+    */
+  def pFromZ(z: Column): Column = {
+    val x = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.33267) * x)
+    val phi = exp(-x * x / 2.0) / math.sqrt(2.0 * math.Pi)
+    val q = phi * (lit(0.4361836) * t - lit(0.1201676) * t * t +
+      lit(0.9372980) * t * t * t)
+    // explicit NULL guard: least() SKIPS nulls, so least(1, NULL) would
+    // turn an untestable z into a confident p = 1
+    when(z.isNotNull, least(lit(1.0), lit(2.0) * q))
+  }
+
+  /** Benjamini–Hochberg FDR control over a frame of per-test p-values —
+    * what turns "500 slices each chi-squared at α=0.05" (≈25 false
+    * alarms by construction) into a controlled discovery list. Adds
+    * `m` (test count), `rank` (ascending p, ties broken by `tieCols` so
+    * the report is deterministic), the adjusted `q` = min over the
+    * suffix of p·m/rank (monotone by construction), and `reject`
+    * (q ≤ alpha — equivalent to the classic step-up rule).
+    *
+    * Scale shape: the input is a TESTS frame (one row per hypothesis —
+    * group-sized, not corpus-sized), so the two global windows here
+    * order hundreds of rows, never raw data; this is the km_survival
+    * "bounded frame below an aggregation" window allowance. Rows with
+    * NULL p (untestable slices) pass through with NULL rank/q/reject
+    * rather than silently vanishing — an untestable slice is a finding.
+    */
+  def benjaminiHochberg(
+      tests: DataFrame,
+      pCol: String,
+      tieCols: Seq[String],
+      alpha: Double = 0.05): DataFrame = {
+    val p = col(pCol)
+    val ord = p.asc +: tieCols.map(col(_).asc)
+    val wRank = Window.orderBy(ord: _*)
+    val wSuffix = Window.orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val testable = tests.filter(p.isNotNull)
+    val ranked = testable
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("q",
+        least(lit(1.0),
+          min(p * col("m").cast("double") / col("rank").cast("double")).over(wSuffix)))
+      .withColumn("reject", col("q") <= alpha)
+    ranked.unionByName(
+      tests.filter(p.isNull)
+        .withColumn("m", lit(null).cast("long"))
+        .withColumn("rank", lit(null).cast("long"))
+        .withColumn("q", lit(null).cast("double"))
+        .withColumn("reject", lit(null).cast("boolean")))
+  }
 }

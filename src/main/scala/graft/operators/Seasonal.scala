@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hour-of-day seasonality profiling over an event stream — is a key's
+  * activity clock-driven (peaked profile) or flat? The screen that
+  * separates human-shaped traffic from bot/batch-shaped traffic and
+  * tells a resampling step which keys even HAVE a daily cycle worth
+  * modeling.
+  *
+  * Per key: the 24-bin hour histogram collapses to
+  *   - `peak_hour` / `peak_share`: the modal hour and its share (ties →
+  *     earliest hour, so the report is deterministic);
+  *   - `entropy_norm`: Shannon entropy of the hour distribution
+  *     normalized by ln 24 — 1.0 is perfectly flat, 0.0 is single-hour;
+  *     the scale-free "how seasonal" scalar.
+  *
+  * One groupBy to the (key × ≤24)-sized hour frame; everything after is
+  * windows over that bounded frame (partitions hold hours, never rows).
+  * Entropy terms are r6'd in double space then DECIMAL-summed (§5) so
+  * the reduction order is engine-free.
+  */
+object Seasonal {
+
+  /** `df(keyCol, tsCol)` → (key, n, peak_hour, peak_share, entropy_norm).
+    * NULL timestamps are dropped.
+    */
+  def hourOfDayProfile(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val byHour = df
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), hour(col(tsCol)).cast("long").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val wk = Window.partitionBy(col("key"))
+    val share = col("cnt").cast("double") / col("n").cast("double")
+    val withN = byHour.withColumn("n", sum(col("cnt")).over(wk))
+    val ranked = withN
+      .withColumn("__rk", row_number().over(wk.orderBy(col("cnt").desc, col("hour"))))
+      .withColumn("__h", (-share * log(share)).cast("double"))
+    ranked
+      .groupBy("key")
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("__rk") === 1, col("hour"))).as("peak_hour"),
+        max(when(col("__rk") === 1, share)).as("peak_share"),
+        sum((floor(col("__h") * 1000000.0 + 0.5) / 1000000.0).cast("decimal(38,6)"))
+          .cast("double").as("__hsum"))
+      .withColumn("entropy_norm", col("__hsum") / math.log(24.0))
+      .drop("__hsum")
+  }
+}

@@ -429,4 +429,37 @@ object TextFunctions {
       nBgTyp.as("n_bigram_types"),
       when(nBg > 0, nBgTyp.cast("double") / nBg.cast("double")).as("bigram_ttr"))
   }
+
+  /** Per-group tokenizer fertility report: corpus-level subword tokens
+    * per word ([[bpeishTokenCount]] / [[wordTokens]] count) and bytes
+    * per subword token — the "how expensive is this slice to tokenize"
+    * health check a multilingual corpus needs BEFORE training (a lang
+    * whose fertility is 2× pays 2× the context budget per word; a
+    * byte-heavy slice signals script/encoding mismatch with the
+    * tokenizer). Ratios are of exact BIGINT sums (corpus-level, robust
+    * to per-doc length skew — a mean of per-doc ratios would weight a
+    * tweet like a book); one partial-aggregated scan to a group-sized
+    * frame. NULL ratios for groups with zero denominators.
+    */
+  def fertilityStats(docs: DataFrame, groupCol: String, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val g = docs
+      .select(
+        col(groupCol).as("group"),
+        size(wordTokens(t)).cast("long").as("__w"),
+        bpeishTokenCount(t).cast("long").as("__t"),
+        octet_length(t).cast("long").as("__b"))
+      .groupBy("group")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__t")).as("n_tokens"),
+        sum(col("__b")).as("n_bytes"))
+    g.select(
+      col("group"), col("n_docs"), col("n_words"), col("n_tokens"), col("n_bytes"),
+      when(col("n_words") > 0,
+        col("n_tokens").cast("double") / col("n_words").cast("double")).as("fertility"),
+      when(col("n_tokens") > 0,
+        col("n_bytes").cast("double") / col("n_tokens").cast("double")).as("bytes_per_token"))
+  }
 }

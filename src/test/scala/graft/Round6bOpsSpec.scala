@@ -113,6 +113,92 @@ class Round6bOpsSpec extends SparkSpec {
     assert(out(0L).getAs[Long]("bin") == 1L)
   }
 
+  // -------------------------------------------------------- fertilityStats
+
+  test("fertilityStats: corpus-level ratios of exact sums") {
+    import graft.text.TextFunctions
+    // "ab cd" -> 2 words, 2 bpeish tokens, 5 bytes; "a-b" -> 2 words, 3 tokens
+    val df = Seq(("g", "ab cd"), ("g", "a-b"), ("h", "???")).toDF("grp", "text")
+    val out = TextFunctions.fertilityStats(df, "grp").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getAs[Long]("n_docs") == 2L && g.getAs[Long]("n_words") == 4L)
+    assert(g.getAs[Long]("n_tokens") == 5L && g.getAs[Long]("n_bytes") == 8L)
+    assert(math.abs(g.getAs[Double]("fertility") - 1.25) < 1e-12)
+    assert(math.abs(g.getAs[Double]("bytes_per_token") - 1.6) < 1e-12)
+    // no [a-z] words at all: fertility NULL, not a crash or a dropped group
+    val h = out("h")
+    assert(h.getAs[Long]("n_words") == 0L && h.isNullAt(h.fieldIndex("fertility")))
+    assert(h.getAs[Long]("n_tokens") == 3L)
+  }
+
+  // ------------------------------------------------------ hourOfDayProfile
+
+  test("hourOfDayProfile: peak hour with tie-break, entropy extremes") {
+    import graft.operators.Seasonal
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // k1: all in hour 3 -> entropy 0, peak (3, 1.0)
+    // k2: 2 at hour 1, 2 at hour 5, 1 at hour 9 -> peak ties broken by hour
+    val rows = Seq.tabulate(4)(i => ("k1", ts(3, i))) ++
+      Seq(("k2", ts(1, 0)), ("k2", ts(1, 1)), ("k2", ts(5, 0)), ("k2", ts(5, 1)),
+        ("k2", ts(9, 0)))
+    val out = Seasonal.hourOfDayProfile(rows.toDF("k", "t"), "k", "t")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k1 = out("k1")
+    assert(k1.getAs[Long]("n") == 4L && k1.getAs[Long]("peak_hour") == 3L)
+    assert(k1.getAs[Double]("peak_share") == 1.0)
+    assert(k1.getAs[Double]("entropy_norm") == 0.0)
+    val k2 = out("k2")
+    assert(k2.getAs[Long]("peak_hour") == 1L, "count tie 2=2 resolves to the earlier hour")
+    assert(math.abs(k2.getAs[Double]("peak_share") - 0.4) < 1e-9)
+    val h = -(0.4 * math.log(0.4) * 2 + 0.2 * math.log(0.2)) / math.log(24.0)
+    assert(math.abs(k2.getAs[Double]("entropy_norm") - h) < 1e-5)
+  }
+
+  // ------------------------------------------------ pFromZ / benjaminiHochberg
+
+  test("pFromZ: textbook tail values within the A&S 1e-5 bound; NULL propagates") {
+    import graft.operators.Hypothesis
+    val df = Seq(Some(0.0), Some(1.959964), Some(2.575829), None).toDF("z")
+    val out = df.select(col("z"), Hypothesis.pFromZ(col("z")).as("p")).collect()
+    val p = out.map(r => Option(r.get(0)).map(_.toString) -> r).toMap
+    assert(math.abs(p(Some("0.0")).getAs[Double]("p") - 1.0) < 2e-5)
+    assert(math.abs(p(Some("1.959964")).getAs[Double]("p") - 0.05) < 2e-5)
+    assert(math.abs(p(Some("2.575829")).getAs[Double]("p") - 0.01) < 2e-5)
+    assert(p(None).isNullAt(1), "NULL z -> NULL p (least() must not swallow it)")
+  }
+
+  test("benjaminiHochberg: textbook step-up, monotone q, NULLs pass through") {
+    import graft.operators.Hypothesis
+    val tests = Seq(("a", Some(0.01)), ("b", Some(0.02)), ("c", Some(0.03)),
+      ("d", Some(0.04)), ("e", Some(0.9)), ("f", None)).toDF("t", "p")
+    val out = Hypothesis.benjaminiHochberg(tests, "p", Seq("t"), alpha = 0.05)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // adj = p*m/rank = [.05, .05, .05, .05, .9]; suffix-min leaves them as-is
+    Seq("a", "b", "c", "d").foreach { t =>
+      assert(math.abs(out(t).getAs[Double]("q") - 0.05) < 1e-12)
+      assert(out(t).getAs[Boolean]("reject"), s"$t must be rejected at alpha=0.05")
+    }
+    assert(math.abs(out("e").getAs[Double]("q") - 0.9) < 1e-12)
+    assert(!out("e").getAs[Boolean]("reject"))
+    assert(out("a").getAs[Long]("m") == 5L, "m counts only testable rows")
+    assert(out("f").isNullAt(out("f").fieldIndex("q")), "NULL p passes through, not dropped")
+    // q is monotone non-decreasing in rank
+    val byRank = out.values.filter(!_.isNullAt(out("a").fieldIndex("rank")))
+      .toSeq.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("q"))
+    assert(byRank == byRank.sorted)
+  }
+
+  test("benjaminiHochberg: suffix minimum caps early high p") {
+    import graft.operators.Hypothesis
+    // p = [0.04, 0.05]: adj = [0.08, 0.05] -> q(rank1) = min(0.08, 0.05) = 0.05
+    val tests = Seq(("a", 0.04), ("b", 0.05)).toDF("t", "p")
+    val out = Hypothesis.benjaminiHochberg(tests, "p", Seq("t"), alpha = 0.05)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out("a").getAs[Double]("q") - 0.05) < 1e-12)
+    assert(out("a").getAs[Boolean]("reject") && out("b").getAs[Boolean]("reject"))
+  }
+
   test("quantileNormalize: flips to the approx sketch under the session conf") {
     val df = (1 to 100).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "grp", "v")
     def norms() = QuantileNormalize.quantileNormalize(df, "grp", "id", "v", nBins = 4)
