@@ -1911,6 +1911,37 @@ object SparkEntry {
           graft.functions.Portable.r6(col("peak_share")).as("peak_share"),
           graft.functions.Portable.r6(col("entropy_norm")).as("entropy_norm"))),
 
+    // average precision per lang (PR-curve area; contrast q_auc which
+    // saturates under class skew), ranking by length, tie-break doc_id
+    "q_ap" -> ((s, dir) =>
+      Evaluation.averagePrecision(docs(s, dir), Seq("lang"), "n_chars", "doc_id",
+          col("text").contains(" the "))
+        .select(col("lang"), col("n"), col("n_pos"),
+          graft.functions.Portable.r6(col("ap")).as("ap"))),
+
+    // markup density + strip stats over deterministically HTML-wrapped
+    // docs (doc_id % 3 == 0 gets tags, so the extraction is exercised)
+    "q_markup" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("__t",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("<p class=\"x\">"), col("text"), lit("</p><a href=\"y\">l</a>")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), TextFunctions.markupSignals(col("__t")).as("m"))
+        .select(col("doc_id"), col("m.n_tags").as("n_tags"),
+          col("m.n_links").as("n_links"), col("m.markup_chars").as("markup_chars"),
+          col("m.stripped_len").as("stripped_len"),
+          graft.functions.Portable.r6(col("m.text_ratio")).as("text_ratio"))),
+
+    // per-label embedding health: norm stats + mean cosine to the
+    // corpus centroid (anisotropy/collapse screen before ANN)
+    "q_embed_health" -> ((s, dir) =>
+      Embeddings.healthReport(emb(s, dir), "label", "embedding")
+        .select(col("group").cast("long").as("label"), col("n"),
+          graft.functions.Portable.r6(col("mean_norm")).as("mean_norm"),
+          graft.functions.Portable.r6(col("std_norm")).as("std_norm"),
+          graft.functions.Portable.r6(col("mean_cos")).as("mean_cos"))),
+
     // Benjamini-Hochberg FDR over the (lang x source) long-doc-rate
     // z-tests: which slices' deviations survive multiple testing.
     // Arms split by an md5 coin, NOT doc_id parity — the generator's ids
@@ -4470,6 +4501,67 @@ object SparkEntry {
            |  floor(ps * 1000000 + 0.5) / 1000000 AS peak_share,
            |  floor(hsum / ${math.log(24.0)} * 1000000 + 0.5) / 1000000 AS entropy_norm
            |FROM m""".stripMargin,
+
+      "q_ap" ->
+        """WITH v AS (SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS x,
+          |    CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS p
+          |  FROM documents WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+          |r AS (SELECT lang, p,
+          |        row_number() OVER (PARTITION BY lang ORDER BY x DESC, doc_id) AS rk,
+          |        sum(p) OVER (PARTITION BY lang ORDER BY x DESC, doc_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+          |      FROM v),
+          |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS n_pos,
+          |        CAST(coalesce(sum(CASE WHEN p = 1 THEN
+          |          CAST(floor(CAST(cp AS DOUBLE) / CAST(rk AS DOUBLE) * 1000000 + 0.5) / 1000000
+          |            AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sap
+          |      FROM r GROUP BY 1)
+          |SELECT lang, n, n_pos,
+          |  CASE WHEN n_pos > 0 THEN
+          |    floor(sap / CAST(n_pos AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS ap
+          |FROM m""".stripMargin,
+
+      "q_markup" ->
+        """WITH w AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+          |    THEN concat('<p class="x">', text, '</p><a href="y">l</a>') ELSE text END AS t
+          |  FROM documents),
+          |s AS (SELECT doc_id, t, regexp_extract_all(t, '<[^>]*>') AS tags FROM w)
+          |SELECT doc_id,
+          |  CAST(len(tags) AS BIGINT) AS n_tags,
+          |  CAST(len(regexp_extract_all(t, '<[aA][\s>]')) AS BIGINT) AS n_links,
+          |  CAST(coalesce(length(array_to_string(tags, '')), 0) AS BIGINT) AS markup_chars,
+          |  CAST(length(regexp_replace(t, '<[^>]*>', '', 'g')) AS BIGINT) AS stripped_len,
+          |  CASE WHEN length(t) > 0 THEN
+          |    floor(CAST(length(regexp_replace(t, '<[^>]*>', '', 'g')) AS DOUBLE)
+          |      / CAST(length(t) AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS text_ratio
+          |FROM s""".stripMargin,
+
+      "q_embed_health" -> {
+        val r6t = (e: String) => s"CAST(floor(($e) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))"
+        s"""WITH x AS (SELECT label, unnest(embedding) AS v, unnest(range(0, len(embedding))) AS pos FROM embeddings),
+           |cd AS (SELECT CAST(pos AS BIGINT) AS pos,
+           |        floor(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS m
+           |      FROM x GROUP BY 1),
+           |c AS (SELECT list(m ORDER BY pos) AS cvec FROM cd),
+           |per AS (SELECT label,
+           |        sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+           |        sqrt(${dotSql("cvec", "cvec")}) AS cn,
+           |        ${dotSql("embedding", "cvec")} AS dc
+           |      FROM embeddings, c),
+           |pc AS (SELECT label, nrm,
+           |        CASE WHEN nrm > 0 AND cn > 0 THEN dc / (nrm * cn) END AS cos FROM per),
+           |m AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(${r6t("nrm")}) AS DOUBLE) AS sn,
+           |        CAST(sum(${r6t("nrm * nrm")}) AS DOUBLE) AS sn2,
+           |        CAST(sum(${r6t("coalesce(cos, 0.0)")}) AS DOUBLE) AS sc
+           |      FROM pc GROUP BY 1)
+           |SELECT CAST(label AS BIGINT) AS label, n,
+           |  floor(sn / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_norm,
+           |  floor(sqrt(greatest(sn2 / CAST(n AS DOUBLE)
+           |    - (sn / CAST(n AS DOUBLE)) * (sn / CAST(n AS DOUBLE)), 0.0)) * 1000000 + 0.5) / 1000000 AS std_norm,
+           |  floor(sc / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_cos
+           |FROM m""".stripMargin
+      },
 
       "q_bh" -> {
         // the SAME A&S 26.2.16 tail as Hypothesis.pFromZ, spelled out

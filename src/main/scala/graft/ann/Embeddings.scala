@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level embedding utilities shared by the similarity / ANN
@@ -35,6 +35,55 @@ object Embeddings {
       .select(
         col("group"), col("pos"),
         graft.functions.Portable.r6(col("__s").cast("double") / col("__n")).as("centroid"))
+
+  /** Per-group embedding health report — the pre-flight check before
+    * pointing ANN / cosine-dedup at a vector column: (group, n,
+    * mean_norm, std_norm, mean_cos) where `mean_cos` is the mean cosine
+    * to the CORPUS centroid. A healthy isotropic space sits near 0; a
+    * collapsed or anisotropic one (bad pooling, dead encoder, mixed
+    * checkpoints — all of which silently wreck cosine retrieval) shows
+    * mean_cos pushing 1 and/or a norm distribution split.
+    *
+    * Scale shape: the corpus centroid is the [[labelCentroids]]
+    * decimal-exact per-dim aggregate (dims-sized), reassembled into ONE
+    * broadcast array row; per-row norms/cosines ride the codegen'd
+    * [[graft.functions.DotProduct]] fold (bit-identical left-to-right);
+    * group stats are r6'd-term DECIMAL sums. Nothing but the dims frame
+    * ever leaves the executors twice.
+    */
+  def healthReport(
+      emb: DataFrame,
+      groupCol: String,
+      vecCol: String): DataFrame = {
+    val cent = labelCentroids(emb.withColumn("__g", lit(1)), "__g", vecCol)
+      .select(sort_array(collect_list(struct(col("pos"), col("centroid")))).as("cs"))
+      .select(transform(col("cs"), c => c.getField("centroid")).as("__c"))
+    val dot = (a: Column, b: Column) => graft.functions.GraftFunctions.dotProduct(a, b)
+    val v = col(vecCol)
+    val norm = sqrt(dot(v, v))
+    val cnorm = sqrt(dot(col("__c"), col("__c")))
+    val cos = when(norm > 0 && cnorm > 0, dot(v, col("__c")) / (norm * cnorm))
+    def rsum(e: Column): Column =
+      sum((floor(e * 1000000.0 + 0.5) / 1000000.0).cast("decimal(38,6)"))
+        .cast("double")
+    emb
+      .crossJoin(broadcast(cent))
+      .select(col(groupCol).as("group"), norm.as("__n"), cos.as("__cos"))
+      .groupBy("group")
+      .agg(
+        count(lit(1)).as("n"),
+        rsum(col("__n")).as("__sn"),
+        rsum(col("__n") * col("__n")).as("__sn2"),
+        rsum(coalesce(col("__cos"), lit(0.0))).as("__sc"))
+      .select(
+        col("group"), col("n"),
+        (col("__sn") / col("n").cast("double")).as("mean_norm"),
+        sqrt(greatest(
+          col("__sn2") / col("n").cast("double") -
+            (col("__sn") / col("n").cast("double")) * (col("__sn") / col("n").cast("double")),
+          lit(0.0))).as("std_norm"),
+        (col("__sc") / col("n").cast("double")).as("mean_cos"))
+  }
 
   /** Appends `outCol` = the L2-normalized copy of `vecCol` (unchanged
     * zero vector when the norm is 0 — no NaN poisoning).

@@ -110,4 +110,48 @@ object Evaluation {
           .over(wg).cast("double") / col("__N").cast("double"))
       .drop("__sx", "__k", "__N")
   }
+
+  /** Per-group average precision: AP = (1/n⁺)·Σ_{positives} P@rank —
+    * the area under the precision-recall curve, which is what matters
+    * when positives are rare ([[rocAuc]] saturates near 1 on a 1:10⁴
+    * class skew; AP does not). Ranking is score-descending with `idCol`
+    * tie-breaks so the curve — and the hash — is deterministic.
+    *
+    * One exchange: the rank and cumulative-positive windows share the
+    * group partitioning; per-positive precision terms are exact
+    * rationals r6'd in double space then DECIMAL-summed (§5). Groups
+    * with no positives emit NULL ap, not a dropped row.
+    */
+  def averagePrecision(
+      df: DataFrame,
+      by: Seq[String],
+      scoreCol: String,
+      idCol: String,
+      label: Column): DataFrame = {
+    val x = col(scoreCol).cast("double")
+    val byCols = by.map(col)
+    val base = df
+      .filter(ok(x))
+      .select((byCols :+ x.as("__x") :+ col(idCol).as("__id") :+
+        when(label, 1L).otherwise(0L).as("__p")): _*)
+    val wOrd = Window.partitionBy(byCols: _*).orderBy(col("__x").desc, col("__id"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = base
+      .withColumn("__rk", row_number().over(wOrd))
+      .withColumn("__cp", sum(col("__p")).over(wCum))
+    val prec = col("__cp").cast("double") / col("__rk").cast("double")
+    ranked
+      .groupBy(byCols: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__p")).as("n_pos"),
+        coalesce(
+          sum(when(col("__p") === 1L,
+            (floor(prec * 1000000.0 + 0.5) / 1000000.0).cast("decimal(38,6)"))),
+          lit(0).cast("decimal(38,6)")).cast("double").as("__ap"))
+      .withColumn(
+        "ap",
+        when(col("n_pos") > 0, col("__ap") / col("n_pos").cast("double")))
+      .drop("__ap")
+  }
 }

@@ -441,6 +441,30 @@ object TextFunctions {
     * tweet like a book); one partial-aggregated scan to a group-sized
     * frame. NULL ratios for groups with zero denominators.
     */
+  /** Markup/boilerplate signals for raw-crawl text: struct (n_tags,
+    * n_links, markup_chars, stripped_len, text_ratio) where `text_ratio`
+    * = non-markup chars / total chars — the jusText-style "is this page
+    * mostly chrome" screen, and `stripped_len` the length after removing
+    * `<...>` runs (the pre-tokenization strip). Pure column expressions
+    * (one scan-fused projection); the tag pattern `<[^>]*>` reads
+    * identically in Java and RE2 regex dialects, which is what keeps the
+    * oracle portable. NULL text_ratio for empty text.
+    */
+  def markupSignals(text: Column): Column = {
+    val tags = regexp_extract_all(text, lit("<[^>]*>"), lit(0))
+    val nTags = size(tags).cast("long")
+    val markupChars = length(concat_ws("", tags)).cast("long")
+    val links = size(regexp_extract_all(text, lit("<[aA][\\s>]"), lit(0))).cast("long")
+    val stripped = length(regexp_replace(text, "<[^>]*>", "")).cast("long")
+    val total = length(text).cast("long")
+    struct(
+      nTags.as("n_tags"),
+      links.as("n_links"),
+      markupChars.as("markup_chars"),
+      stripped.as("stripped_len"),
+      when(total > 0, stripped.cast("double") / total.cast("double")).as("text_ratio"))
+  }
+
   def fertilityStats(docs: DataFrame, groupCol: String, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val g = docs

@@ -199,6 +199,75 @@ class Round6bOpsSpec extends SparkSpec {
     assert(out("a").getAs[Boolean]("reject") && out("b").getAs[Boolean]("reject"))
   }
 
+  // ------------------------------------------------------ averagePrecision
+
+  test("averagePrecision: textbook curve; all-positive gives 1; none gives NULL") {
+    import graft.operators.Evaluation
+    // ranked by score desc: pos, neg, pos, neg -> AP = (1/2)(1/1 + 2/3)
+    val df = Seq(("g", 4.0, 1L, true), ("g", 3.0, 2L, false), ("g", 2.0, 3L, true),
+      ("g", 1.0, 4L, false), ("h", 9.0, 5L, true), ("z", 9.0, 6L, false))
+      .toDF("k", "s", "id", "y")
+    val out = Evaluation.averagePrecision(df, Seq("k"), "s", "id", col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out("g").getAs[Double]("ap") - (1.0 + 2.0 / 3.0) / 2.0) < 1e-6)
+    assert(out("g").getAs[Long]("n_pos") == 2L)
+    assert(out("h").getAs[Double]("ap") == 1.0)
+    assert(out("z").isNullAt(out("z").fieldIndex("ap")), "no positives -> NULL, not 0")
+  }
+
+  test("averagePrecision: ranking ties break by id deterministically") {
+    import graft.operators.Evaluation
+    // equal scores: id order decides; pos at id 1 -> P@1 = 1
+    val df = Seq(("g", 5.0, 1L, true), ("g", 5.0, 2L, false)).toDF("k", "s", "id", "y")
+    assert(Evaluation.averagePrecision(df, Seq("k"), "s", "id", col("y"))
+      .collect()(0).getAs[Double]("ap") == 1.0)
+  }
+
+  // --------------------------------------------------------- markupSignals
+
+  test("markupSignals: tag/link counts, strip length, text ratio") {
+    import graft.text.TextFunctions
+    val df = Seq(
+      (1L, """<p class="c">hello</p> <a href="x">link</a>"""),
+      (2L, "plain text"),
+      (3L, "")).toDF("id", "text")
+    val out = df.select(col("id"), TextFunctions.markupSignals(col("text")).as("m"))
+      .select(col("id"), col("m.*")).collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val h = out(1L)
+    assert(h.getAs[Long]("n_tags") == 4L)
+    assert(h.getAs[Long]("n_links") == 1L)
+    // stripped: "hello" + " " + "link" = 10 chars
+    assert(h.getAs[Long]("stripped_len") == 10L)
+    assert(h.getAs[Long]("markup_chars") + 10L == 43L)
+    assert(math.abs(h.getAs[Double]("text_ratio") - 10.0 / 43.0) < 1e-9)
+    val p = out(2L)
+    assert(p.getAs[Long]("n_tags") == 0L && p.getAs[Double]("text_ratio") == 1.0)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("text_ratio")), "empty text -> NULL ratio")
+  }
+
+  // ---------------------------------------------------------- healthReport
+
+  test("healthReport: norms, centroid cosine, and collapse detection") {
+    import graft.ann.Embeddings
+    // group "same": two identical unit vectors -> mean_cos 1 (collapsed);
+    // group "anti": opposite vectors -> centroid pulls toward `same`
+    val e1 = Array(1.0f, 0.0f)
+    val df = Seq(("same", e1), ("same", e1), ("anti", Array(-1.0f, 0.0f)),
+      ("orth", Array(0.0f, 2.0f))).toDF("grp", "embedding")
+    val out = Embeddings.healthReport(df, "grp", "embedding")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // centroid = mean of (1,0),(1,0),(-1,0),(0,2) = (0.25, 0.5)
+    val c = (0.25, 0.5)
+    val cn = math.sqrt(c._1 * c._1 + c._2 * c._2)
+    assert(out("same").getAs[Long]("n") == 2L)
+    assert(math.abs(out("same").getAs[Double]("mean_norm") - 1.0) < 1e-6)
+    assert(out("same").getAs[Double]("std_norm") < 1e-6)
+    assert(math.abs(out("same").getAs[Double]("mean_cos") - c._1 / cn) < 1e-6)
+    assert(math.abs(out("anti").getAs[Double]("mean_cos") + c._1 / cn) < 1e-6)
+    assert(math.abs(out("orth").getAs[Double]("mean_norm") - 2.0) < 1e-6)
+    assert(math.abs(out("orth").getAs[Double]("mean_cos") - c._2 / cn) < 1e-6)
+  }
+
   test("quantileNormalize: flips to the approx sketch under the session conf") {
     val df = (1 to 100).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "grp", "v")
     def norms() = QuantileNormalize.quantileNormalize(df, "grp", "id", "v", nBins = 4)
