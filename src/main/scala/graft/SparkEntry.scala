@@ -1911,6 +1911,37 @@ object SparkEntry {
           graft.functions.Portable.r6(col("peak_share")).as("peak_share"),
           graft.functions.Portable.r6(col("entropy_norm")).as("entropy_norm"))),
 
+    // personalized PageRank from the s-word seed set (3 rounds):
+    // topic-neighborhood proximity, contrast the global q_pagerank.
+    // The edge frame is pinned so the seed scan reuses it, not the corpus
+    "q_ppr" -> { (s, dir) =>
+      import graft.plans.Materialize.PinOps
+      val e = wordAdjacencyEdges(s, dir).pin(true)
+      val seeds = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .filter(col("node").startsWith("s")).distinct()
+      PageRank.personalizedPageRank(e, seeds, iters = 3)
+        .select(col("node"), graft.functions.Portable.r6(col("rank")).as("rank"))
+    },
+
+    // Zipf slope of the top-200 term frequencies per source
+    // (naturalness audit: natural language sits near -1)
+    "q_zipf" -> ((s, dir) =>
+      graft.text.Keywords.zipfFit(docs(s, dir), "source", topN = 200)
+        .select(col("group").as("source"), col("n_terms"),
+          graft.functions.Portable.r6(col("slope")).as("slope"),
+          graft.functions.Portable.r6(col("intercept")).as("intercept"))),
+
+    // k-anonymity audit over the (lang, source, length-bucket)
+    // quasi-identifier: re-identification risk report at k = 5
+    "q_kanon" -> ((s, dir) =>
+      Integrity.kAnonymity(
+          docs(s, dir).withColumn("len_bucket", (col("n_chars") / 100).cast("long")),
+          Seq("lang", "source", "len_bucket"), k = 5L)
+        .select(col("k"), col("n_rows"), col("n_classes"), col("n_singletons"),
+          col("n_rows_at_risk"), col("min_class_size"),
+          graft.functions.Portable.r6(col("frac_at_risk")).as("frac_at_risk"))),
+
     // average precision per lang (PR-curve area; contrast q_auc which
     // saturates under class skew), ranking by length, tie-break doc_id
     "q_ap" -> ((s, dir) =>
@@ -4501,6 +4532,66 @@ object SparkEntry {
            |  floor(ps * 1000000 + 0.5) / 1000000 AS peak_share,
            |  floor(hsum / ${math.log(24.0)} * 1000000 + 0.5) / 1000000 AS entropy_norm
            |FROM m""".stripMargin,
+
+      "q_ppr" -> {
+        val contrib = (r: String, c: String) =>
+          s"""$c AS (SELECT e.dst AS node, sum(CAST($r.rank / deg.deg AS DECIMAL(38,12))) AS m
+             |  FROM e JOIN $r ON e.src = $r.node JOIN deg ON e.src = deg.src GROUP BY 1)""".stripMargin
+        val relax = (c: String, r: String) =>
+          s"""$r AS (SELECT ns.node, 0.15 * ns.seed + 0.85 * CAST(coalesce($c.m, 0) AS DOUBLE) AS rank
+             |  FROM ns LEFT JOIN $c ON ns.node = $c.node)""".stripMargin
+        s"""WITH tk AS (SELECT list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '') AS ts FROM documents),
+           |e AS (SELECT unnest(list_slice(ts, 1, len(ts)-1)) AS src, unnest(list_slice(ts, 2, len(ts))) AS dst
+           |      FROM tk WHERE len(ts) >= 2),
+           |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |ns AS (SELECT node, CASE WHEN node LIKE 's%' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS seed FROM n),
+           |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+           |r0 AS (SELECT node, seed AS rank FROM ns),
+           |${contrib("r0", "c1")}, ${relax("c1", "r1")},
+           |${contrib("r1", "c2")}, ${relax("c2", "r2")},
+           |${contrib("r2", "c3")}, ${relax("c3", "r3")}
+           |SELECT node, floor((rank) * 1000000 + 0.5) / 1000000 AS rank FROM r3""".stripMargin
+      },
+
+      "q_zipf" ->
+        """WITH t AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS term FROM documents),
+          |lt AS (SELECT source, term, count(*) AS n FROM t GROUP BY 1, 2),
+          |rk AS (SELECT source, n,
+          |        row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS r
+          |      FROM lt QUALIFY r <= 200),
+          |xy AS (SELECT source,
+          |        floor(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS x,
+          |        floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS y
+          |      FROM rk),
+          |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+          |        CAST(coalesce(sum(CAST(x AS DECIMAL(38,6))), 0) AS DOUBLE) AS sx,
+          |        CAST(coalesce(sum(CAST(y AS DECIMAL(38,6))), 0) AS DOUBLE) AS sy,
+          |        CAST(coalesce(sum(CAST(x * y AS DECIMAL(38,6))), 0) AS DOUBLE) AS sxy,
+          |        CAST(coalesce(sum(CAST(x * x AS DECIMAL(38,6))), 0) AS DOUBLE) AS sxx
+          |      FROM xy GROUP BY 1),
+          |f AS (SELECT source, n_terms,
+          |        (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+          |          / nullif(CAST(n_terms AS DOUBLE) * sxx - sx * sx, 0.0) AS slope, sx, sy
+          |      FROM m)
+          |SELECT source, n_terms,
+          |  CASE WHEN n_terms >= 3 THEN floor(slope * 1000000 + 0.5) / 1000000 END AS slope,
+          |  CASE WHEN n_terms >= 3 THEN
+          |    floor((sy - slope * sx) / CAST(n_terms AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS intercept
+          |FROM f""".stripMargin,
+
+      "q_kanon" ->
+        """WITH c AS (SELECT lang, source, n_chars // 100 AS len_bucket, CAST(count(*) AS BIGINT) AS n
+          |  FROM documents GROUP BY 1, 2, 3),
+          |m AS (SELECT CAST(5 AS BIGINT) AS k,
+          |        CAST(sum(n) AS BIGINT) AS n_rows,
+          |        CAST(count(*) AS BIGINT) AS n_classes,
+          |        CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_singletons,
+          |        CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT) AS n_rows_at_risk,
+          |        CAST(min(n) AS BIGINT) AS min_class_size
+          |      FROM c)
+          |SELECT k, n_rows, n_classes, n_singletons, n_rows_at_risk, min_class_size,
+          |  floor(CAST(n_rows_at_risk AS DOUBLE) / CAST(n_rows AS DOUBLE) * 1000000 + 0.5) / 1000000 AS frac_at_risk
+          |FROM m""".stripMargin,
 
       "q_ap" ->
         """WITH v AS (SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS x,

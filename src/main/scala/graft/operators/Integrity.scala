@@ -50,4 +50,30 @@ object Integrity {
     relations
       .map { case (name, child, fk, parent, pk) => fkAudit(name, child, fk, parent, pk) }
       .reduce(_ unionByName _)
+
+  /** k-anonymity audit over a quasi-identifier column set: how many rows
+    * sit in equivalence classes smaller than `k` — the re-identification
+    * risk screen a training-data release runs before shipping anything
+    * derived from user records (a (zip, age, gender) class of size 1 IS
+    * a person, whatever the column names say). One groupBy to the
+    * class-size frame, one aggregation over it; the report is a single
+    * row: total rows, class count, singleton classes, rows below k with
+    * their fraction, and the minimum class size (the dataset's actual
+    * anonymity level).
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val classes = df
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    classes.agg(
+      lit(k).as("k"),
+      sum(col("__n")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      count(when(col("__n") === 1L, lit(1))).as("n_singletons"),
+      coalesce(sum(when(col("__n") < k, col("__n"))), lit(0L)).as("n_rows_at_risk"),
+      min(col("__n")).as("min_class_size"))
+      .withColumn("frac_at_risk",
+        col("n_rows_at_risk").cast("double") / col("n_rows").cast("double"))
+  }
 }

@@ -76,4 +76,60 @@ object PageRank {
     }
     ranks
   }
+
+  /** Personalized PageRank: teleport mass goes ONLY to the `seeds` node
+    * set, so rank measures proximity to the seeds through the link
+    * structure — the related-entity / topic-neighborhood retrieval
+    * variant ("PageRank from the perspective of these nodes"). Seeds
+    * follow [[pageRank]]'s uniform-mass-per-node convention (each seed
+    * gets (1−d), non-seeds 0); nodes unreachable from the seed set
+    * finish at exactly 0 and are the caller's "unrelated" class.
+    *
+    * Identical execution shape to [[pageRank]] — weighted edges, one
+    * join+groupBy per round over node-sized frames, exact decimal
+    * products, pinned iteration; the seed flag is one extra node-sized
+    * left join folded into the node table BEFORE the loop.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      d: Double = 0.85,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      seedCol: String = "node"
+  ): DataFrame = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    require(d >= 0 && d <= 1, s"damping must be in [0,1], got $d")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .pin(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("__seed", lit(1.0)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0.0)).as("seed"))
+      .pin(true)
+    val outDeg = e.groupBy("src").agg(sum(col("w")).as("deg")).pin(true)
+    var ranks = nodes.select(col("node"), (lit(1.0) * col("seed")).as("rank"))
+    for (_ <- 0 until iters) {
+      val contrib = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(outDeg, "src")
+        .select(col("dst").as("node"),
+          ((col("rank") / col("deg")).cast("decimal(27,12)") *
+            col("w").cast("decimal(10,0)")).as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("in_mass"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - d) * col("seed") +
+            lit(d) * coalesce(col("in_mass").cast("double"), lit(0.0))).as("rank"))
+        .pin(true)
+    }
+    ranks
+  }
 }

@@ -2,7 +2,7 @@ package graft.text
 
 import graft.plans.Materialize.PinOps
 import graft.text.TextFunctions.wordTokens
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distinctive-term extraction: which terms are over-represented in a
@@ -149,5 +149,45 @@ object Keywords {
         col("group"),
         when(col("__nr") > 0, col("__s") + lit(ln2 / 2.0) * (lit(1.0) - col("__qi")))
           .as("js"))
+  }
+
+  /** Per-group Zipf fit: the OLS slope of ln(freq) on ln(rank) over the
+    * top `topN` terms — natural language sits near −1; templated,
+    * machine-generated, or keyword-stuffed text bends the line (flat
+    * head = boilerplate rotation, steep head = tiny effective
+    * vocabulary). A naturalness audit that needs no reference model.
+    *
+    * One corpus pass to the (group, term) counts; rank is a window on
+    * the vocab-sized frame ((freq desc, term) tie-break so the rank —
+    * and the fit — is deterministic); the regression runs on ≤ topN
+    * rows per group via [[graft.operators.Stats.groupedLinReg]]. ln
+    * values are r6'd before the moment sums (§5: pin the one libm call
+    * before any decimal cast). Groups with < 3 distinct terms emit a
+    * NULL slope — two points always fit perfectly.
+    */
+  def zipfFit(
+      docs: DataFrame,
+      groupCol: String,
+      topN: Int = 500,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(topN >= 3, s"topN must be >= 3, got $topN")
+    val lt = docs
+      .select(col(groupCol).as("group"), explode(wordTokens(col(textCol))).as("term"))
+      .groupBy("group", "term")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("n").desc, col("term"))
+    def r6d(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+    val ranked = lt
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .withColumn("__x", r6d(log(col("rank").cast("double"))))
+      .withColumn("__y", r6d(log(col("n").cast("double"))))
+    val fit = graft.operators.Stats.groupedLinReg(ranked, Seq("group"), "__x", "__y")
+    fit.select(
+      col("group"), col("n").as("n_terms"),
+      when(col("n") >= 3, col("slope")).as("slope"),
+      when(col("n") >= 3, col("intercept")).as("intercept"))
   }
 }

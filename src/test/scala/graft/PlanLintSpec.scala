@@ -54,8 +54,12 @@ class PlanLintSpec extends SparkSpec {
     //    an accident. One-row totals broadcasts auto-pass in the linter.
     //  - q_km_survival's windows run over the DAY-granularity KM curve —
     //    bounded by the observation horizon (days), never by keys or rows.
+    //  - q_bh's windows order the TESTS frame (one row per hypothesis,
+    //    m = |lang| x |source|) — BH fundamentally ranks the test list;
+    //    the raw data never reaches a global window.
     val allowed: Map[String, Set[String]] = Map(
       "q_km_survival"    -> Set("global-window"),
+      "q_bh"             -> Set("global-window"),
       "q_fit_vocab"      -> Set("global-window"),
       "q_normalize"      -> Set("global-window"),
       "q_meds_pipeline"  -> Set("global-window"),

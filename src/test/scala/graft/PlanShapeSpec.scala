@@ -54,9 +54,11 @@ class PlanShapeSpec extends SparkSpec {
     // Vocabulary.lexicographicIndices) or day-granularity
     // (Survival.kaplanMeier's KM curve: one row per distinct duration
     // DAY, bounded by the observation horizon, never by keys or rows).
+    // (q_bh: Benjamini-Hochberg ranks the TESTS frame — one row per
+    // hypothesis — so its global windows order hundreds of rows by contract.)
     val vocabSizedByContract = Set(
       "q_fit_vocab", "q_normalize", "q_meds_pipeline", "q_pipeline_config",
-      "q_km_survival")
+      "q_km_survival", "q_bh")
 
     def boundedBelow(p: SparkPlan): Boolean = p match {
       case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true

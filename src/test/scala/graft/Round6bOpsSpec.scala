@@ -268,6 +268,58 @@ class Round6bOpsSpec extends SparkSpec {
     assert(math.abs(out("orth").getAs[Double]("mean_cos") - c._2 / cn) < 1e-6)
   }
 
+  // ------------------------------------------------- personalizedPageRank
+
+  test("personalizedPageRank: teleport mass stays on the seed side") {
+    import graft.operators.PageRank
+    // a -> b -> c, seed {a}: after 1 round b holds a's full initial mass
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val r1 = PageRank.personalizedPageRank(e, seeds, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r1("a") - 0.15) < 1e-12, "seed keeps only teleport mass")
+    assert(math.abs(r1("b") - 0.85) < 1e-12, "full damped mass from the seed")
+    assert(r1("c") == 0.0, "two hops away after one round: still 0")
+    val r2 = PageRank.personalizedPageRank(e, seeds, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r2("c") > 0.0, "mass propagates one hop per round")
+    // a node disconnected from the seeds stays at exactly 0 forever
+    val e2 = e.unionAll(Seq(("x", "y")).toDF("src", "dst"))
+    val r3 = PageRank.personalizedPageRank(e2, seeds, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r3("x") == 0.0 && r3("y") == 0.0, "unreachable from seeds -> 0, the 'unrelated' class")
+  }
+
+  // --------------------------------------------------------------- zipfFit
+
+  test("zipfFit: exact power law recovers slope -1; tiny vocab is NULL") {
+    import graft.text.Keywords
+    // counts 12, 6, 4 = 12/rank -> ln f = ln 12 - ln rank exactly
+    val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++ Seq.fill(4)("cc")).mkString(" ")
+    val df = Seq(("g", text), ("h", "one two")).toDF("source", "text")
+    val out = Keywords.zipfFit(df, "source", topN = 10).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getAs[Long]("n_terms") == 3L)
+    assert(math.abs(g.getAs[Double]("slope") + 1.0) < 1e-4)
+    assert(math.abs(g.getAs[Double]("intercept") - math.log(12.0)) < 1e-4)
+    assert(out("h").isNullAt(out("h").fieldIndex("slope")), "2 points always fit — NULL")
+  }
+
+  // ------------------------------------------------------------ kAnonymity
+
+  test("kAnonymity: class sizes, singletons, rows at risk") {
+    import graft.operators.Integrity
+    val df = (Seq(("a", 1)) ++ Seq.fill(2)(("b", 1)) ++ Seq.fill(5)(("c", 2)))
+      .toDF("q1", "q2")
+    val r = Integrity.kAnonymity(df, Seq("q1", "q2"), k = 5L).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 8L && r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("n_singletons") == 1L)
+    assert(r.getAs[Long]("n_rows_at_risk") == 3L, "classes of size 1 and 2 are below k=5")
+    assert(r.getAs[Long]("min_class_size") == 1L)
+    assert(math.abs(r.getAs[Double]("frac_at_risk") - 3.0 / 8.0) < 1e-12)
+  }
+
   test("quantileNormalize: flips to the approx sketch under the session conf") {
     val df = (1 to 100).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "grp", "v")
     def norms() = QuantileNormalize.quantileNormalize(df, "grp", "id", "v", nBins = 4)
