@@ -1911,6 +1911,15 @@ object SparkEntry {
           graft.functions.Portable.r6(col("peak_share")).as("peak_share"),
           graft.functions.Portable.r6(col("entropy_norm")).as("entropy_norm"))),
 
+    // MinHash/LSH calibration audit on the deterministic 400-doc sample:
+    // per exact-Jaccard bin, sketch estimate vs band catch rate vs theory
+    "q_lsh_tuning" -> ((s, dir) =>
+      graft.dedup.LshTuning.calibrationReport(docs(s, dir), sampleN = 400)
+        .select(col("bin"), col("n_pairs"),
+          graft.functions.Portable.r6(col("mean_est")).as("mean_est"),
+          graft.functions.Portable.r6(col("catch_rate")).as("catch_rate"),
+          graft.functions.Portable.r6(col("theory")).as("theory"))),
+
     // personalized PageRank from the s-word seed set (3 rounds):
     // topic-neighborhood proximity, contrast the global q_pagerank.
     // The edge frame is pinned so the seed scan reuses it, not the corpus
@@ -4532,6 +4541,39 @@ object SparkEntry {
            |  floor(ps * 1000000 + 0.5) / 1000000 AS peak_share,
            |  floor(hsum / ${math.log(24.0)} * 1000000 + 0.5) / 1000000 AS entropy_norm
            |FROM m""".stripMargin,
+
+      "q_lsh_tuning" -> {
+        val agree = (0 until 8)
+          .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+        val caught = (0 until 4)
+          .map(bd => (2 * bd until 2 * bd + 2).map(j => s"a.m$j = b.m$j").mkString(" AND "))
+          .mkString("(", ") OR (", ")")
+        s"""WITH sm AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 400),
+           |tk AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM sm),
+           |sh0 AS (SELECT id, unnest(CASE WHEN len(toks)>=5 THEN list_transform(range(1, len(toks)-3), i -> array_to_string(toks[i:i+4],' ')) ELSE [] END) AS shingle FROM tk),
+           |shh AS (SELECT DISTINCT id, ${h32("shingle")} AS sh FROM sh0),
+           |cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM shh GROUP BY 1),
+           |com AS (SELECT a.id AS ia, b.id AS ib, CAST(count(*) AS BIGINT) AS nc
+           |        FROM shh a JOIN shh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+           |jac AS (SELECT ia, ib, CAST(nc AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - nc AS DOUBLE) AS jac
+           |        FROM com JOIN cnt ca ON ia = ca.id JOIN cnt cb ON ib = cb.id),
+           |sg AS (SELECT id, ${minhashAggSql(8, j => s"m$j")} FROM shh GROUP BY 1),
+           |pp AS (SELECT jac.jac,
+           |        CAST($agree AS DOUBLE) / 8 AS est,
+           |        CASE WHEN $caught THEN 1 ELSE 0 END AS c
+           |      FROM jac JOIN sg a ON jac.ia = a.id JOIN sg b ON jac.ib = b.id),
+           |bn AS (SELECT least(9, CAST(floor(jac * 10) AS BIGINT)) AS bin, est, c FROM pp),
+           |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+           |        CAST(sum(CAST(est AS DECIMAL(38,6))) AS DOUBLE) AS se,
+           |        CAST(sum(c) AS BIGINT) AS nc FROM bn GROUP BY 1),
+           |t AS (SELECT bin, n_pairs, se, nc,
+           |        (CAST(bin AS DOUBLE) + 0.5) / 10 AS s FROM g)
+           |SELECT bin, n_pairs,
+           |  floor(se / CAST(n_pairs AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_est,
+           |  floor(CAST(nc AS DOUBLE) / CAST(n_pairs AS DOUBLE) * 1000000 + 0.5) / 1000000 AS catch_rate,
+           |  floor((1.0 - (1.0 - s*s) * (1.0 - s*s) * (1.0 - s*s) * (1.0 - s*s)) * 1000000 + 0.5) / 1000000 AS theory
+           |FROM t""".stripMargin
+      },
 
       "q_ppr" -> {
         val contrib = (r: String, c: String) =>

@@ -320,6 +320,41 @@ class Round6bOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("frac_at_risk") - 3.0 / 8.0) < 1e-12)
   }
 
+  // ------------------------------------------------------------ LshTuning
+
+  test("lsh calibration: identical pairs caught, disjoint near-misses are not") {
+    import graft.dedup.LshTuning
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    // 1,2 identical (jaccard 1 -> bin 9); 3 shares nothing with them but
+    // pairs (1,3)/(2,3) share zero shingles -> absent from the report
+    val df = Seq((1L, base), (2L, base), (3L, other), (4L, other)).toDF("doc_id", "text")
+    val out = LshTuning.calibrationReport(df, sampleN = 10, nBins = 10)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(out.keySet == Set(9L), "only shingle-sharing pairs appear; both are identical pairs")
+    val b9 = out(9L)
+    assert(b9.getAs[Long]("n_pairs") == 2L)
+    assert(b9.getAs[Double]("mean_est") == 1.0, "identical docs agree on every hash")
+    assert(b9.getAs[Double]("catch_rate") == 1.0, "every band collides")
+    // theory at s = 0.95 with r=2, b=4: 1 - (1 - s^2)^4
+    val s = 0.95; val th = 1.0 - math.pow(1.0 - s * s, 4)
+    assert(math.abs(b9.getAs[Double]("theory") - th) < 1e-9)
+  }
+
+  test("lsh calibration: partial overlap lands in its exact-jaccard bin") {
+    import graft.dedup.LshTuning
+    // doc1 tokens a..l, doc2 tokens e..p (letter words — the tokenizer
+    // strips digits): 5-gram shingle sets overlap in a computable band
+    def words(a: Char, b: Char) = (a to b).map(c => s"w$c$c").mkString(" ")
+    val df = Seq((1L, words('a', 'l')), (2L, words('e', 'p'))).toDF("doc_id", "text")
+    val out = LshTuning.calibrationReport(df, sampleN = 10, nBins = 10).collect()
+    assert(out.length == 1)
+    // doc1 shingles: w1..w8 starts (8), doc2: w5..w12 starts (8); common
+    // starts w5..w8 = 4 -> jaccard 4/12 = 1/3 -> bin 3
+    assert(out(0).getAs[Long]("bin") == 3L)
+    assert(out(0).getAs[Long]("n_pairs") == 1L)
+  }
+
   test("quantileNormalize: flips to the approx sketch under the session conf") {
     val df = (1 to 100).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "grp", "v")
     def norms() = QuantileNormalize.quantileNormalize(df, "grp", "id", "v", nBins = 4)
