@@ -1911,6 +1911,24 @@ object SparkEntry {
           graft.functions.Portable.r6(col("peak_share")).as("peak_share"),
           graft.functions.Portable.r6(col("entropy_norm")).as("entropy_norm"))),
 
+    // Holt-Winters additive seasonal smoothing (period-4 slots;
+    // completes the ewma -> holt -> holt-winters family)
+    "q_hw" -> ((s, dir) =>
+      Ewma.holtWintersLast(ev(s, dir), "user_id", "ts", "value", "event_id",
+          alpha = 0.5, beta = 0.3, gamma = 0.4, period = 4)
+        .select(col("key").as("user_id"), col("n"),
+          graft.functions.Portable.r6(col("level")).as("level"),
+          graft.functions.Portable.r6(col("trend")).as("trend"),
+          graft.functions.Portable.r6(col("forecast")).as("forecast"))),
+
+    // Fano-factor burstiness of hourly volumes per event type
+    // (Poisson = 1; batch/retry storms >> 1; clocked < 1)
+    "q_fano" -> ((s, dir) =>
+      Seasonal.burstiness(ev(s, dir), "event_type", "ts")
+        .select(col("key").as("event_type"), col("n_events"), col("n_buckets"),
+          graft.functions.Portable.r6(col("mean_per_bucket")).as("mean_per_bucket"),
+          graft.functions.Portable.r6(col("fano")).as("fano"))),
+
     // MinHash/LSH calibration audit on the deterministic 400-doc sample:
     // per exact-Jaccard bin, sketch estimate vs band catch rate vs theory
     "q_lsh_tuning" -> ((s, dir) =>
@@ -4541,6 +4559,49 @@ object SparkEntry {
            |  floor(ps * 1000000 + 0.5) / 1000000 AS peak_share,
            |  floor(hsum / ${math.log(24.0)} * 1000000 + 0.5) / 1000000 AS entropy_norm
            |FROM m""".stripMargin,
+
+      "q_hw" -> {
+        // the same fold as Ewma.holtWintersLast, DuckDB list_reduce form;
+        // state = [i, level, trend, s0..s3], every constant cast DOUBLE
+        val one = "CAST(1 AS DOUBLE)"
+        val (a, bta, g) = ("CAST(0.5 AS DOUBLE)", "CAST(0.3 AS DOUBLE)", "CAST(0.4 AS DOUBLE)")
+        val idx = "CAST(acc[1] AS BIGINT) % 4"
+        val sCur = s"acc[$idx + 4]"
+        val nl = s"($a * (x[1] - $sCur) + ($one - $a) * (acc[2] + acc[3]))"
+        val nt = s"($bta * ($nl - acc[2]) + ($one - $bta) * acc[3])"
+        val sSlots = (0 until 4).map(j =>
+          s"CASE WHEN $idx = $j THEN $g * (x[1] - $nl) + ($one - $g) * acc[${4 + j}] ELSE acc[${4 + j}] END")
+          .mkString(", ")
+        s"""WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+           |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+           |  GROUP BY 1),
+           |f AS (SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+           |  list_reduce(
+           |    list_prepend([$one, CAST(vs[1] AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+           |                  CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+           |      list_transform(vs[2:], v -> [CAST(v AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+           |                  CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+           |    (acc, x) -> [acc[1] + $one, $nl, $nt, $sSlots]) AS st
+           |  FROM s)
+           |SELECT user_id, n,
+           |  ${graft.functions.Portable.r6Sql("st[2]")} AS level,
+           |  ${graft.functions.Portable.r6Sql("st[3]")} AS trend,
+           |  ${graft.functions.Portable.r6Sql("st[2] + st[3] + st[CAST(st[1] AS BIGINT) % 4 + 4]")} AS forecast
+           |FROM f""".stripMargin
+      },
+
+      "q_fano" ->
+        """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bk, CAST(count(*) AS BIGINT) AS c
+          |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+          |g AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+          |        CAST(count(*) AS BIGINT) AS n_buckets, CAST(sum(c * c) AS BIGINT) AS s2
+          |      FROM b GROUP BY 1),
+          |m AS (SELECT event_type, n_events, n_buckets, s2,
+          |        CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE) AS mu FROM g)
+          |SELECT event_type, n_events, n_buckets,
+          |  floor(mu * 1000000 + 0.5) / 1000000 AS mean_per_bucket,
+          |  floor((CAST(s2 AS DOUBLE) / CAST(n_buckets AS DOUBLE) - mu * mu) / mu * 1000000 + 0.5) / 1000000 AS fano
+          |FROM m""".stripMargin,
 
       "q_lsh_tuning" -> {
         val agree = (0 until 8)

@@ -118,4 +118,84 @@ object Ewma {
         element_at(col("st"), 2).as("trend"),
         (element_at(col("st"), 1) + element_at(col("st"), 2)).as("forecast"))
   }
+
+  /** Holt–Winters ADDITIVE triple exponential smoothing per key: level +
+    * trend + an m-slot seasonal cycle, the recursive triple
+    * `l_i = α·(x_i − s_{i mod m}) + (1−α)·(l_{i−1} + t_{i−1})`,
+    * `t_i = β·(l_i − l_{i−1}) + (1−β)·t_{i−1}`,
+    * `s'_{i mod m} = γ·(x_i − l_i) + (1−γ)·s_{i mod m}` —
+    * what [[holtLast]] becomes when the series has a KNOWN cycle (hourly
+    * batches, weekday/weekend): the forecast stops chasing the cycle as
+    * if it were drift. `period` is position-based (every m-th
+    * observation shares a seasonal slot — the resampled-grid contract;
+    * run [[Rolling]]'s resampler first for wall-clock seasons).
+    *
+    * Same shape and portability contract as [[holtLast]]: ONE key
+    * shuffle, a single sorted-array fold; the state rides a
+    * (3+m)-element double array [i, level, trend, s_0..s_{m−1}] where
+    * the counter i is exact in doubles far past any series length, and
+    * the one written seasonal slot is rebuilt with an index-conditional
+    * transform (both engines replay the identical update). Seeds:
+    * l₀ = x₀, t₀ = 0, seasonals 0. Output: (key, n, level, trend,
+    * forecast) with forecast = level + trend + s_{next} — the
+    * one-step-ahead, season-aware prediction.
+    */
+  def holtWintersLast(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      tieCol: String,
+      alpha: Double,
+      beta: Double,
+      gamma: Double,
+      period: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha not in (0,1]")
+    require(beta >= 0 && beta <= 1, s"beta $beta not in [0,1]")
+    require(gamma >= 0 && gamma <= 1, s"gamma $gamma not in [0,1]")
+    require(period >= 2, s"period must be >= 2, got $period")
+    val m = period
+    val v = col(valueCol).cast("double")
+    val sorted = events
+      .filter(col(timeCol).isNotNull && v.isNotNull && !isnan(v))
+      .select(col(keyCol).as("key"),
+        struct(unix_micros(col(timeCol)).as("t"), col(tieCol).as("tb"), v.as("v")).as("e"))
+      .groupBy("key")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+    // state = [i, level, trend, s_0 .. s_{m-1}]; x_0 consumed by the seed
+    // (i starts at 1: the first fold step is observation index 1)
+    val init = concat(
+      array(lit(1.0), col("es").getItem(0).getField("v"), lit(0.0)),
+      array((0 until m).map(_ => lit(0.0)): _*))
+    val state = aggregate(
+      expr("slice(es, 2, size(es))"),
+      init,
+      (acc, e) => {
+        val x = e.getField("v")
+        val i = element_at(acc, 1)
+        val lvl = element_at(acc, 2)
+        val tr = element_at(acc, 3)
+        // i mod m as an exact small double -> 1-based state slot 4 + idx
+        val idx = (i - floor(i / m) * m).cast("int")
+        val sCur = element_at(acc, idx + lit(4))
+        val nl = lit(alpha) * (x - sCur) + lit(1.0 - alpha) * (lvl + tr)
+        val nt = lit(beta) * (nl - lvl) + lit(1.0 - beta) * tr
+        val ns = lit(gamma) * (x - nl) + lit(1.0 - gamma) * sCur
+        concat(
+          array(i + 1.0, nl, nt),
+          transform(sequence(lit(0), lit(m - 1)),
+            j => when(j === idx, ns).otherwise(element_at(acc, j + lit(4)))))
+      })
+    val n = size(col("es")).cast("long")
+    val nextIdx = (element_at(col("__st"), 1) -
+      floor(element_at(col("__st"), 1) / m) * m).cast("int")
+    sorted
+      .select(col("key"), n.as("n"), state.as("__st"))
+      .select(
+        col("key"), col("n"),
+        element_at(col("__st"), 2).as("level"),
+        element_at(col("__st"), 3).as("trend"),
+        (element_at(col("__st"), 2) + element_at(col("__st"), 3) +
+          element_at(col("__st"), nextIdx + lit(4))).as("forecast"))
+  }
 }

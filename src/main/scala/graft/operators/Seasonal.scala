@@ -49,4 +49,35 @@ object Seasonal {
       .withColumn("entropy_norm", col("__hsum") / math.log(24.0))
       .drop("__hsum")
   }
+
+  /** Per-key burstiness: the Fano factor Var/Mean of hourly event
+    * counts — 1 for a Poisson (memoryless) arrival process, ≫ 1 for
+    * bursty traffic (batch jobs, retry storms, thundering herds), < 1
+    * for clocked/regular emission. The one-number complement to
+    * [[hourOfDayProfile]]: entropy asks WHEN activity happens, Fano
+    * asks how CLUMPED it is.
+    *
+    * Counts cover ACTIVE hours only (an hour with zero events
+    * contributes no bucket — including silence would require a span
+    * assumption the data can't supply; callers comparing keys should
+    * compare over the same observation window). Two exact-count
+    * aggregations: (key, hour-bucket) then key; moments are exact
+    * BIGINT sums, so the only doubles are the final two divisions.
+    */
+  def burstiness(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val b = df
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val g = b.groupBy("key").agg(
+      sum(col("__c")).as("n_events"),
+      count(lit(1)).as("n_buckets"),
+      sum(col("__c") * col("__c")).as("__s2"))
+    val nD = col("n_buckets").cast("double")
+    val mean = col("n_events").cast("double") / nD
+    g.select(
+      col("key"), col("n_events"), col("n_buckets"),
+      mean.as("mean_per_bucket"),
+      ((col("__s2").cast("double") / nD - mean * mean) / mean).as("fano"))
+  }
 }

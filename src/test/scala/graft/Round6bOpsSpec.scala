@@ -355,6 +355,55 @@ class Round6bOpsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_pairs") == 1L)
   }
 
+  // ------------------------------------------------------- holtWintersLast
+
+  test("holtWintersLast: hand-computed period-2 alternating series") {
+    import graft.operators.Ewma
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00")
+    // series 10,20,10,20 with alpha=.5, beta=0, gamma=.5, m=2
+    val df = Seq(10.0, 20.0, 10.0, 20.0).zipWithIndex
+      .map { case (v, i) => ("u", ts(i), v, i.toLong) }.toDF("k", "t", "v", "tie")
+    val r = Ewma.holtWintersLast(df, "k", "t", "v", "tie", 0.5, 0.0, 0.5, period = 2)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("level") == 15.0)
+    assert(r.getAs[Double]("trend") == 0.0)
+    // next slot is s_0 = -1.25 -> forecast 15 + 0 - 1.25
+    assert(r.getAs[Double]("forecast") == 13.75)
+  }
+
+  test("holtWintersLast: gamma = 0 reduces exactly to holtLast") {
+    import graft.operators.Ewma
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00")
+    val df = Seq(3.0, 7.0, 4.0, 9.0, 6.0).zipWithIndex
+      .map { case (v, i) => ("u", ts(i), v, i.toLong) }.toDF("k", "t", "v", "tie")
+    val hw = Ewma.holtWintersLast(df, "k", "t", "v", "tie", 0.5, 0.3, 0.0, period = 3)
+      .collect()(0)
+    val h = Ewma.holtLast(df, "k", "t", "v", "tie", 0.5, 0.3).collect()(0)
+    assert(hw.getAs[Double]("level") == h.getAs[Double]("level"))
+    assert(hw.getAs[Double]("trend") == h.getAs[Double]("trend"))
+    assert(hw.getAs[Double]("forecast") == h.getAs[Double]("forecast"),
+      "zero seasonal learning keeps every slot at 0 — identical to Holt")
+  }
+
+  // ------------------------------------------------------------ burstiness
+
+  test("burstiness: Fano factor of hourly counts; single bucket is 0") {
+    import graft.operators.Seasonal
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // k1: 1 event in hour 0, 3 in hour 1 -> mean 2, var 1, fano 0.5
+    // k2: 4 events all in one hour -> var 0 -> fano 0
+    val rows = Seq(("k1", ts(0, 0)), ("k1", ts(1, 0)), ("k1", ts(1, 1)), ("k1", ts(1, 2))) ++
+      Seq.tabulate(4)(i => ("k2", ts(5, i)))
+    val out = Seasonal.burstiness(rows.toDF("k", "t"), "k", "t")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k1 = out("k1")
+    assert(k1.getAs[Long]("n_events") == 4L && k1.getAs[Long]("n_buckets") == 2L)
+    assert(k1.getAs[Double]("mean_per_bucket") == 2.0)
+    assert(k1.getAs[Double]("fano") == 0.5)
+    assert(out("k2").getAs[Double]("fano") == 0.0)
+  }
+
   test("quantileNormalize: flips to the approx sketch under the session conf") {
     val df = (1 to 100).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "grp", "v")
     def norms() = QuantileNormalize.quantileNormalize(df, "grp", "id", "v", nBins = 4)
