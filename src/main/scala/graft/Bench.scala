@@ -15,7 +15,10 @@ object Bench {
     "q_line_dedup", "q_dup_stats", "q_source_sim", "q_leakage", "q_novelty",
     "q_semdedup", "q_pagerank", "q_ann_topk", "q_ann_ivf_kmeans",
     // round-5 additions to the shingle/graph families
-    "q_cdc_chunks", "q_winnow", "q_kcore")
+    "q_cdc_chunks", "q_winnow", "q_kcore",
+    // round-6 additions: the wedge join (Adamic-Adar) and the sample-
+    // bounded LSH audit (whose cost must stay FLAT as the corpus grows)
+    "q_adamic", "q_lsh_tuning")
 
   /** The 100x (sf10) subset: the heaviest plans from the sf1 section —
     * where quadratic failure modes (bucket skew, pair explosion) would
@@ -62,6 +65,13 @@ object Bench {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let AQE size shuffles for the DATA, not the core count: start
+      // wide (256 pre-coalesce partitions) and coalesce down to the
+      // target size per stage. With a bare shuffle.partitions=32 the
+      // sf10 (100x) section put ~0.5 GB in every sort-merge partition
+      // and spilled (q_top_customers read 21x for 10x data); at sf0.1
+      // AQE coalesces right back so small sections pay nothing.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       // the driver's sf tables are single parquet files and ScaleData's
       // are many ~original-sized files with 1 MiB row groups; 4 MiB
       // splits give the scan the parallelism a production multi-file
@@ -77,7 +87,25 @@ object Bench {
     s
   }
 
-  /** Run `subset` (or all queries) against `dir` in its own SparkSession.
+  /** Run each query of `subset` in its OWN SparkSession. The scaled
+    * (sf1/sf10) sections use this: even with section-fresh sessions,
+    * blocking unpersist and an explicit gc(), a 100x query following
+    * other 100x queries read up to 4x its isolated time (q_curation:
+    * 57s isolated, 156-251s in-section — residual shuffle files, codegen
+    * cache and GC state). The artifact is the round contract and must
+    * match isolated reality, so isolation is the measurement, not a
+    * diagnostic. Session setup (~2s) stays outside the timed region.
+    */
+  def runIsolated(
+      dir: String,
+      subset: Set[String],
+      cpus: String,
+      extraConf: Map[String, String] = Map.empty): Seq[QRes] =
+    subset.toSeq.sorted.flatMap { name =>
+      runSection(dir, Some(Set(name)), cpus, extraConf)
+    }
+
+  /** Run `subset` (or all queries) against `dir` in one SparkSession.
     * A failed query records an `err` — it must NOT read as a fast success
     * (round-5 verdict: the old catch printed to stderr and the near-zero
     * timing landed in the artifact as a speedup).
@@ -141,7 +169,7 @@ object Bench {
     // sf0.1 every query is scheduler-bound). Fresh session (see newSession).
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata_sf1")
     val haveSf1 = only.isEmpty && new java.io.File(s"$sf1Dir/lineitem.parquet").exists()
-    val sf1Results = if (haveSf1) runSection(sf1Dir, Some(HotQueries.toSet), cpus) else Nil
+    val sf1Results = if (haveSf1) runIsolated(sf1Dir, HotQueries.toSet, cpus) else Nil
 
     // Reliable-checkpoint variant: the same iterative/multi-consumer
     // queries at sf1 with spark.graft.checkpointDir set, so the 100 TB
@@ -150,7 +178,7 @@ object Bench {
     val cpResults =
       if (haveSf1) {
         val cpDir = java.nio.file.Files.createTempDirectory("graft-bench-cp")
-        try runSection(sf1Dir, Some(CheckpointQueries.toSet), cpus,
+        try runIsolated(sf1Dir, CheckpointQueries.toSet, cpus,
           Map(graft.plans.Materialize.DirKey -> cpDir.toString))
         finally org.apache.commons.io.FileUtils.deleteQuietly(cpDir.toFile)
       } else Nil
@@ -161,7 +189,7 @@ object Bench {
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/testdata_sf10")
     val sf10Results =
       if (only.isEmpty && new java.io.File(s"$sf10Dir/lineitem.parquet").exists())
-        runSection(sf10Dir, Some(Sf10Queries.toSet), cpus)
+        runIsolated(sf10Dir, Sf10Queries.toSet, cpus)
       else Nil
 
     val all = results ++ sf1Results ++ cpResults ++ sf10Results

@@ -1911,6 +1911,29 @@ object SparkEntry {
           graft.functions.Portable.r6(col("peak_share")).as("peak_share"),
           graft.functions.Portable.r6(col("entropy_norm")).as("entropy_norm"))),
 
+    // CUPED variance-reduced A/B readout per event type: morning
+    // covariate, afternoon metric, md5-coin arms over users
+    "q_cuped" -> ((s, dir) =>
+      Stats.cuped(ev(s, dir), Seq("event_type"), "user_id", "value",
+          inPre = hour(col("ts")) < 12,
+          inA = pmod(TextFunctions.md5Hash32(
+            concat(lit("cu|"), col("user_id").cast("string"))), lit(2)) === 0)
+        .select(col("event_type"), col("n_units"), col("n_a"), col("n_b"),
+          graft.functions.Portable.r6(col("theta")).as("theta"),
+          graft.functions.Portable.r6(col("diff_raw")).as("diff_raw"),
+          graft.functions.Portable.r6(col("diff_adj")).as("diff_adj"),
+          graft.functions.Portable.r6(col("var_reduction")).as("var_reduction"))),
+
+    // winsorized mean of value per event type ([p5, p95] band)
+    "q_wins_mean" -> ((s, dir) =>
+      Outliers.winsorizedMean(ev(s, dir), Seq("event_type"), "value",
+          pLo = 0.05, pHi = 0.95, exact = true)
+        .select(col("event_type"), col("n"),
+          graft.functions.Portable.r6(col("mean")).as("mean"),
+          graft.functions.Portable.r6(col("wins_mean")).as("wins_mean"),
+          graft.functions.Portable.r6(col("lo")).as("lo"),
+          graft.functions.Portable.r6(col("hi")).as("hi"))),
+
     // Holt-Winters additive seasonal smoothing (period-4 slots;
     // completes the ewma -> holt -> holt-winters family)
     "q_hw" -> ((s, dir) =>
@@ -4559,6 +4582,73 @@ object SparkEntry {
            |  floor(ps * 1000000 + 0.5) / 1000000 AS peak_share,
            |  floor(hsum / ${math.log(24.0)} * 1000000 + 0.5) / 1000000 AS entropy_norm
            |FROM m""".stripMargin,
+
+      "q_cuped" -> {
+        val okx = "x IS NOT NULL AND NOT isnan(x)"
+        s"""WITH u0 AS (SELECT event_type, user_id,
+           |    CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END AS pre,
+           |    CAST(value AS DOUBLE) AS x,
+           |    CASE WHEN ${h32("concat('cu|', CAST(user_id AS VARCHAR))")} % 2 = 0 THEN 1 ELSE 0 END AS a
+           |  FROM events),
+           |u AS (SELECT event_type, user_id,
+           |    CASE WHEN count(CASE WHEN pre = 1 AND $okx THEN 1 END) > 0 THEN
+           |      CAST(sum(CASE WHEN pre = 1 AND $okx THEN CAST(x AS DECIMAL(38,6)) END) AS DOUBLE)
+           |        / CAST(count(CASE WHEN pre = 1 AND $okx THEN 1 END) AS DOUBLE) END AS x0,
+           |    CASE WHEN count(CASE WHEN pre = 0 AND $okx THEN 1 END) > 0 THEN
+           |      CAST(sum(CASE WHEN pre = 0 AND $okx THEN CAST(x AS DECIMAL(38,6)) END) AS DOUBLE)
+           |        / CAST(count(CASE WHEN pre = 0 AND $okx THEN 1 END) AS DOUBLE) END AS y0,
+           |    max(a) AS a
+           |  FROM u0 GROUP BY 1, 2),
+           |f AS (SELECT event_type, a,
+           |    floor(x0 * 1000000 + 0.5) / 1000000 AS ux,
+           |    floor(y0 * 1000000 + 0.5) / 1000000 AS uy
+           |  FROM u WHERE x0 IS NOT NULL AND y0 IS NOT NULL),
+           |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_units,
+           |    CAST(coalesce(sum(CAST(ux AS DECIMAL(38,6))), 0) AS DOUBLE) AS sx,
+           |    CAST(coalesce(sum(CAST(uy AS DECIMAL(38,6))), 0) AS DOUBLE) AS sy,
+           |    CAST(coalesce(sum(CAST(ux * uy AS DECIMAL(38,6))), 0) AS DOUBLE) AS sxy,
+           |    CAST(coalesce(sum(CAST(ux * ux AS DECIMAL(38,6))), 0) AS DOUBLE) AS sxx,
+           |    CAST(coalesce(sum(CAST(uy * uy AS DECIMAL(38,6))), 0) AS DOUBLE) AS syy,
+           |    CAST(sum(a) AS BIGINT) AS na,
+           |    CAST(coalesce(sum(CASE WHEN a = 1 THEN CAST(ux AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sxa,
+           |    CAST(coalesce(sum(CASE WHEN a = 1 THEN CAST(uy AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sya
+           |  FROM f GROUP BY 1),
+           |e AS (SELECT event_type, n_units, na, n_units - na AS nb,
+           |    CAST(n_units AS DOUBLE) * sxy - sx * sy AS cov,
+           |    CAST(n_units AS DOUBLE) * sxx - sx * sx AS vx,
+           |    CAST(n_units AS DOUBLE) * syy - sy * sy AS vy,
+           |    sx, sy, sxa, sya FROM m)
+           |SELECT event_type, n_units, na AS n_a, nb AS n_b,
+           |  floor(cov / nullif(vx, 0.0) * 1000000 + 0.5) / 1000000 AS theta,
+           |  CASE WHEN na > 0 AND nb > 0 THEN
+           |    floor((sya / CAST(na AS DOUBLE) - (sy - sya) / CAST(nb AS DOUBLE)) * 1000000 + 0.5) / 1000000 END AS diff_raw,
+           |  CASE WHEN na > 0 AND nb > 0 THEN
+           |    floor((sya / CAST(na AS DOUBLE) - (sy - sya) / CAST(nb AS DOUBLE)
+           |      - cov / nullif(vx, 0.0) * (sxa / CAST(na AS DOUBLE) - (sx - sxa) / CAST(nb AS DOUBLE)))
+           |      * 1000000 + 0.5) / 1000000 END AS diff_adj,
+           |  CASE WHEN vx > 0 AND vy > 0 THEN
+           |    floor(cov * cov / (vx * vy) * 1000000 + 0.5) / 1000000 END AS var_reduction
+           |FROM e""".stripMargin
+      },
+
+      "q_wins_mean" ->
+        """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
+          |  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+          |b AS (SELECT event_type, quantile_cont(x, 0.05) AS lo, quantile_cont(x, 0.95) AS hi
+          |      FROM v GROUP BY 1),
+          |c AS (SELECT v.event_type, x, lo, hi, least(greatest(x, lo), hi) AS w
+          |      FROM v JOIN b USING (event_type)),
+          |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |        CAST(sum(CAST(floor(x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS s,
+          |        CAST(sum(CAST(floor(w * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS sw,
+          |        max(lo) AS lo, max(hi) AS hi
+          |      FROM c GROUP BY 1)
+          |SELECT event_type, n,
+          |  floor(s / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean,
+          |  floor(sw / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS wins_mean,
+          |  floor(lo * 1000000 + 0.5) / 1000000 AS lo,
+          |  floor(hi * 1000000 + 0.5) / 1000000 AS hi
+          |FROM g""".stripMargin,
 
       "q_hw" -> {
         // the same fold as Ewma.holtWintersLast, DuckDB list_reduce form;

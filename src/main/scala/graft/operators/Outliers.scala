@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.meds.Meds
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Outlier occlusion: null-out numeric values beyond a standard-deviation
@@ -144,5 +144,52 @@ object Outliers {
       .withColumn("robust_z", (v - col("__med")) / (lit(1.4826) * nullif(col("__mad"), lit(0.0))))
       .withColumn("is_outlier", coalesce(abs(col("robust_z")) > k, lit(false)))
       .drop("__med", "__mad")
+  }
+
+  /** Per-group winsorized mean: clamp into the [pLo, pHi] quantile band,
+    * then average — the robust location estimate that keeps ALL rows
+    * (unlike a trimmed mean) while capping tail leverage; the number a
+    * metrics dashboard should report when a handful of 10⁹ outliers
+    * would otherwise own the mean. Same percentile machinery as
+    * [[winsorize]] (R-7 exact at oracle scale, mergeable sketch under
+    * the session switch); the bounds frame is group-sized and
+    * broadcast. Clamped values are r6'd in double space before the
+    * DECIMAL mean (§5: the band edges are interpolated doubles).
+    * Output: (by..., n, mean, wins_mean, lo, hi).
+    */
+  def winsorizedMean(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95,
+      exact: Boolean = true): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad quantile band [$pLo, $pHi]")
+    val v = col(valueCol).cast("double")
+    val ex = Quantiles.resolveExact(df.sparkSession, exact)
+    val base = df.filter(v.isNotNull && !isnan(v))
+      .select((by.map(col) :+ v.as("__v")): _*)
+    val bounds = base
+      .groupBy(by.map(col): _*)
+      .agg(
+        Quantiles.q(col("__v"), lit(pLo), ex).as("lo"),
+        Quantiles.q(col("__v"), lit(pHi), ex).as("hi"))
+    val clamped = least(greatest(col("__v"), col("lo")), col("hi"))
+    def rsum(e: Column): Column =
+      sum((floor(e * 1000000.0 + 0.5) / 1000000.0).cast("decimal(38,6)")).cast("double")
+    base
+      .join(broadcast(bounds), by)
+      .groupBy(by.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        rsum(col("__v")).as("__s"),
+        rsum(clamped).as("__sw"),
+        max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"))
+      .select(
+        (by.map(col) :+ col("n") :+
+          (col("__s") / col("n").cast("double")).as("mean") :+
+          (col("__sw") / col("n").cast("double")).as("wins_mean") :+
+          col("lo") :+ col("hi")): _*)
   }
 }

@@ -404,6 +404,59 @@ class Round6bOpsSpec extends SparkSpec {
     assert(out("k2").getAs[Double]("fano") == 0.0)
   }
 
+  // -------------------------------------------------------- winsorizedMean
+
+  test("winsorizedMean: tail clamped into the quantile band, all rows kept") {
+    import graft.operators.Outliers
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("g", _)).toDF("k", "v")
+    val r = Outliers.winsorizedMean(df, Seq("k"), "v", pLo = 0.25, pHi = 0.75)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 5L)
+    assert(math.abs(r.getAs[Double]("mean") - 22.0) < 1e-6)
+    // R-7 p25 = 2, p75 = 4 -> clamped [2,2,3,4,4] -> mean 3
+    assert(r.getAs[Double]("lo") == 2.0 && r.getAs[Double]("hi") == 4.0)
+    assert(math.abs(r.getAs[Double]("wins_mean") - 3.0) < 1e-6,
+      "outlier capped to the band edge, not dropped")
+  }
+
+  // ----------------------------------------------------------------- cuped
+
+  test("cuped: hand-computed theta, adjusted lift, variance reduction") {
+    import graft.operators.Stats
+    // units 1..4: pre covariate x = 1,2,3,4; post metric y = 2x + 10*arm
+    // with arms [1,1,0,0] -> pooled theta = -2, raw lift 6, adjusted 2
+    val rows = Seq(
+      (1L, "pre", 1.0, 1), (1L, "post", 12.0, 1),
+      (2L, "pre", 2.0, 1), (2L, "post", 14.0, 1),
+      (3L, "pre", 3.0, 0), (3L, "post", 6.0, 0),
+      (4L, "pre", 4.0, 0), (4L, "post", 8.0, 0),
+      (5L, "pre", 9.0, 0)) // unit 5 has no post period -> dropped
+      .map { case (u, p, v, a) => ("g", u, p, v, a) }
+      .toDF("grp", "u", "period", "v", "arm")
+    val r = Stats.cuped(rows, Seq("grp"), "u", "v",
+      inPre = col("period") === "pre", inA = col("arm") === 1).collect()(0)
+    assert(r.getAs[Long]("n_units") == 4L, "incomplete units dropped, visibly")
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(math.abs(r.getAs[Double]("theta") + 2.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("diff_raw") - 6.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("diff_adj") - 2.0) < 1e-6)
+    // cov^2/(vx*vy) = 1600/(20*160) = 0.5
+    assert(math.abs(r.getAs[Double]("var_reduction") - 0.5) < 1e-6)
+  }
+
+  test("cuped: constant covariate yields NULL theta, raw lift intact") {
+    import graft.operators.Stats
+    val rows = Seq(
+      (1L, "pre", 5.0, 1), (1L, "post", 10.0, 1),
+      (2L, "pre", 5.0, 0), (2L, "post", 4.0, 0))
+      .map { case (u, p, v, a) => ("g", u, p, v, a) }
+      .toDF("grp", "u", "period", "v", "arm")
+    val r = Stats.cuped(rows, Seq("grp"), "u", "v",
+      inPre = col("period") === "pre", inA = col("arm") === 1).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("theta")), "var(x) = 0 -> nothing to regress out")
+    assert(math.abs(r.getAs[Double]("diff_raw") - 6.0) < 1e-6)
+  }
+
   test("quantileNormalize: flips to the approx sketch under the session conf") {
     val df = (1 to 100).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "grp", "v")
     def norms() = QuantileNormalize.quantileNormalize(df, "grp", "id", "v", nBins = 4)
