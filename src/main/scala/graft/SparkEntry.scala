@@ -2039,6 +2039,66 @@ object SparkEntry {
       Hypothesis.benjaminiHochberg(tests, "p", Seq("lang", "source"), alpha = 0.1)
         .select(col("lang"), col("source"), col("z"), col("p"), col("m"),
           col("rank"), graft.functions.Portable.r6(col("q")).as("q"), col("reject"))
+    },
+
+    // one-way ANOVA F of doc length across languages per source — the
+    // parametric complement of q_kruskal (same slicing for contrast)
+    "q_anova" -> ((s, dir) =>
+      Anova.anovaF(docs(s, dir), Seq("source"), "lang", "n_chars")
+        .select(col("source"), col("n"), col("k_arms"),
+          graft.functions.Portable.r6(col("ss_between")).as("ss_between"),
+          graft.functions.Portable.r6(col("ss_within")).as("ss_within"),
+          graft.functions.Portable.r6(col("f")).as("f"))),
+
+    // Brown-Forsythe variance-homogeneity across languages per source:
+    // "do the arms even have comparable spread" (ANOVA's precondition)
+    "q_levene" -> ((s, dir) =>
+      Anova.brownForsythe(docs(s, dir), Seq("source"), "lang", "n_chars")
+        .select(col("source"), col("n"), col("k_arms"),
+          graft.functions.Portable.r6(col("ss_between")).as("ss_between"),
+          graft.functions.Portable.r6(col("ss_within")).as("ss_within"),
+          graft.functions.Portable.r6(col("f")).as("f"))),
+
+    // two-group log-rank test on time-to-purchase, arms by md5 coin
+    // over users (the whole-curve companion to q_km_survival)
+    "q_logrank" -> ((s, dir) =>
+      Survival.logRank(ev(s, dir), "user_id", "ts", "event_type", "purchase",
+          inA = pmod(TextFunctions.md5Hash32(
+            concat(lit("lr|"), col("user_id").cast("string"))), lit(2)) === 0)
+        .select(col("n_a"), col("n_b"), col("o_a"),
+          graft.functions.Portable.r6(col("e_a")).as("e_a"),
+          graft.functions.Portable.r6(col("v")).as("v"),
+          graft.functions.Portable.r6(col("chi2")).as("chi2"))),
+
+    // Cramer's V coupling of lang and source — the effect-size summary
+    // of q_chi2's cell frame (chi-square alone grows with N)
+    "q_cramers_v" -> ((s, dir) =>
+      Stats.cramersV(docs(s, dir), "lang", "source")
+        .select(col("n_a_levels"), col("n_b_levels"), col("n"),
+          graft.functions.Portable.r6(col("chi2")).as("chi2"),
+          graft.functions.Portable.r6(col("v")).as("v"))),
+
+    // degree assortativity of the word-adjacency graph (hub-hub vs
+    // hub-leaf structural fingerprint; one row)
+    "q_assortativity" -> ((s, dir) =>
+      Graph.assortativity(wordAdjacencyEdges(s, dir))
+        .select(col("n_nodes"), col("n_edges"),
+          graft.functions.Portable.r6(col("r")).as("r"))),
+
+    // modularity audit of the first-letter labeling of the word graph
+    // (does an arbitrary coloring bind edges? Q ~ 0 says no — the
+    // operator's value is auditing REAL cluster labels the same way)
+    "q_modularity" -> { (s, dir) =>
+      val e = wordAdjacencyEdges(s, dir)
+      val labels = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node")))
+        .distinct()
+        .withColumn("label", substring(col("node"), 1, 1))
+      Graph.modularity(e, labels)
+        .select(col("label"), col("n_nodes"), col("n_internal"),
+          graft.functions.Portable.r6(col("e_c")).as("e_c"),
+          graft.functions.Portable.r6(col("a_c")).as("a_c"),
+          graft.functions.Portable.r6(col("q_c")).as("q_c"))
     }
   )
 
@@ -4893,7 +4953,173 @@ object SparkEntry {
            |  floor(q_raw * 1000000 + 0.5) / 1000000 AS q, q_raw <= 0.1 AS reject
            |FROM adj
            |UNION ALL SELECT * FROM nullz""".stripMargin
-      }
+      },
+
+      "q_anova" ->
+        """WITH v AS (SELECT source, lang AS arm, CAST(n_chars AS DOUBLE) AS x
+          |  FROM documents
+          |  WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE)) AND lang IS NOT NULL),
+          |a AS (SELECT source, arm, CAST(count(*) AS BIGINT) AS n_a,
+          |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sa,
+          |    CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxxa
+          |  FROM v GROUP BY 1, 2),
+          |m AS (SELECT source, CAST(sum(n_a) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k_arms,
+          |    CAST(sum(CAST(sa AS DECIMAL(38,6))) AS DOUBLE) AS s,
+          |    CAST(sum(CAST(sxxa AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+          |    CAST(sum(CAST(floor(sa * sa / CAST(n_a AS DOUBLE) * 1000000 + 0.5) / 1000000
+          |      AS DECIMAL(38,6))) AS DOUBLE) AS expl
+          |  FROM a GROUP BY 1),
+          |e AS (SELECT source, n, k_arms,
+          |    expl - s * s / CAST(n AS DOUBLE) AS ssb, sxx - expl AS ssw FROM m)
+          |SELECT source, n, k_arms,
+          |  floor(ssb * 1000000 + 0.5) / 1000000 AS ss_between,
+          |  floor(ssw * 1000000 + 0.5) / 1000000 AS ss_within,
+          |  CASE WHEN k_arms >= 2 AND n > k_arms AND ssw > 0 THEN
+          |    floor((ssb / (CAST(k_arms AS DOUBLE) - 1.0))
+          |      / (ssw / (CAST(n AS DOUBLE) - CAST(k_arms AS DOUBLE))) * 1000000 + 0.5) / 1000000
+          |  END AS f
+          |FROM e""".stripMargin,
+
+      "q_levene" ->
+        """WITH v AS (SELECT source, lang AS arm, CAST(n_chars AS DOUBLE) AS x0
+          |  FROM documents
+          |  WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE)) AND lang IS NOT NULL),
+          |md AS (SELECT source, arm, quantile_cont(x0, 0.5) AS med FROM v GROUP BY 1, 2),
+          |c AS (SELECT v.source, v.arm,
+          |    floor(abs(x0 - med) * 1000000 + 0.5) / 1000000 AS x
+          |  FROM v JOIN md USING (source, arm)),
+          |a AS (SELECT source, arm, CAST(count(*) AS BIGINT) AS n_a,
+          |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sa,
+          |    CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxxa
+          |  FROM c GROUP BY 1, 2),
+          |m AS (SELECT source, CAST(sum(n_a) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k_arms,
+          |    CAST(sum(CAST(sa AS DECIMAL(38,6))) AS DOUBLE) AS s,
+          |    CAST(sum(CAST(sxxa AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+          |    CAST(sum(CAST(floor(sa * sa / CAST(n_a AS DOUBLE) * 1000000 + 0.5) / 1000000
+          |      AS DECIMAL(38,6))) AS DOUBLE) AS expl
+          |  FROM a GROUP BY 1),
+          |e AS (SELECT source, n, k_arms,
+          |    expl - s * s / CAST(n AS DOUBLE) AS ssb, sxx - expl AS ssw FROM m)
+          |SELECT source, n, k_arms,
+          |  floor(ssb * 1000000 + 0.5) / 1000000 AS ss_between,
+          |  floor(ssw * 1000000 + 0.5) / 1000000 AS ss_within,
+          |  CASE WHEN k_arms >= 2 AND n > k_arms AND ssw > 0 THEN
+          |    floor((ssb / (CAST(k_arms AS DOUBLE) - 1.0))
+          |      / (ssw / (CAST(n AS DOUBLE) - CAST(k_arms AS DOUBLE))) * 1000000 + 0.5) / 1000000
+          |  END AS f
+          |FROM e""".stripMargin,
+
+      "q_logrank" ->
+        s"""WITH sp AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+           |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS te,
+           |    max(epoch_us(ts)) AS tl,
+           |    max(CASE WHEN ${h32("concat('lr|', CAST(user_id AS VARCHAR))")} % 2 = 0 THEN 1 ELSE 0 END) AS a
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+           |dur AS (SELECT CAST(floor(CAST(coalesce(te, tl) - t0 AS DOUBLE) / 86400000000.0) AS BIGINT) AS t_day,
+           |    te IS NOT NULL AS obs, a = 1 AS ina FROM sp),
+           |cv AS (SELECT t_day,
+           |    count(CASE WHEN obs AND ina THEN 1 END) AS d_a,
+           |    count(CASE WHEN obs AND NOT ina THEN 1 END) AS d_b,
+           |    count(CASE WHEN NOT obs AND ina THEN 1 END) AS c_a,
+           |    count(CASE WHEN NOT obs AND NOT ina THEN 1 END) AS c_b
+           |  FROM dur GROUP BY 1),
+           |tot AS (SELECT sum(d_a + c_a) AS ta, sum(d_b + c_b) AS tb FROM cv),
+           |r AS (SELECT t_day, d_a, d_b, ta, tb,
+           |    ta - coalesce(sum(d_a + c_a) OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nar,
+           |    tb - coalesce(sum(d_b + c_b) OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nbr
+           |  FROM cv, tot),
+           |h AS (SELECT d_a, ta, tb,
+           |    CAST(d_a + d_b AS DOUBLE) AS d,
+           |    CAST(nar AS DOUBLE) AS na,
+           |    CAST(nar + nbr AS DOUBLE) AS nn
+           |  FROM r),
+           |t2 AS (SELECT d_a, ta, tb,
+           |    CASE WHEN d > 0 THEN floor(d * (na / nn) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS et,
+           |    CASE WHEN d > 0 AND nn > 1 THEN
+           |      floor(d * (na / nn) * (1.0 - na / nn) * (nn - d) / (nn - 1.0) * 1000000 + 0.5) / 1000000
+           |    ELSE 0.0 END AS vt
+           |  FROM h),
+           |agg AS (SELECT CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+           |    CAST(sum(d_a) AS BIGINT) AS o_a,
+           |    CAST(coalesce(sum(CAST(et AS DECIMAL(38,6))), 0) AS DOUBLE) AS ea,
+           |    CAST(coalesce(sum(CAST(vt AS DECIMAL(38,6))), 0) AS DOUBLE) AS vv
+           |  FROM t2)
+           |SELECT n_a, n_b, o_a,
+           |  floor(ea * 1000000 + 0.5) / 1000000 AS e_a,
+           |  floor(vv * 1000000 + 0.5) / 1000000 AS v,
+           |  CASE WHEN n_a > 0 AND n_b > 0 AND vv > 0 THEN
+           |    floor((CAST(o_a AS DOUBLE) - ea) * (CAST(o_a AS DOUBLE) - ea) / vv * 1000000 + 0.5) / 1000000
+           |  END AS chi2
+           |FROM agg""".stripMargin,
+
+      "q_cramers_v" ->
+        """WITH cells AS (SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS obs
+          |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+          |ra AS (SELECT a, sum(obs) AS na FROM cells GROUP BY 1),
+          |rb AS (SELECT b, sum(obs) AS nb FROM cells GROUP BY 1),
+          |tot AS (SELECT sum(obs) AS n FROM cells),
+          |grid AS (SELECT a, b, na, nb, n FROM ra CROSS JOIN rb CROSS JOIN tot),
+          |j AS (SELECT grid.a, grid.b, coalesce(obs, 0) AS o,
+          |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE) AS e
+          |  FROM grid LEFT JOIN cells ON grid.a = cells.a AND grid.b = cells.b),
+          |m AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS n_a_levels,
+          |    CAST(count(DISTINCT b) AS BIGINT) AS n_b_levels,
+          |    CAST(sum(o) AS BIGINT) AS n,
+          |    CAST(coalesce(sum(CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+          |      * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))), 0) AS DOUBLE) AS chi2
+          |  FROM j)
+          |SELECT n_a_levels, n_b_levels, n,
+          |  floor(chi2 * 1000000 + 0.5) / 1000000 AS chi2,
+          |  CASE WHEN least(n_a_levels, n_b_levels) >= 2 AND n > 0 THEN
+          |    floor(sqrt(chi2 / (CAST(n AS DOUBLE)
+          |      * (CAST(least(n_a_levels, n_b_levels) AS DOUBLE) - 1.0))) * 1000000 + 0.5) / 1000000
+          |  END AS v
+          |FROM m""".stripMargin,
+
+      "q_assortativity" ->
+        """WITH tk AS (SELECT list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '') AS ts FROM documents),
+          |ed AS (SELECT unnest(list_slice(ts, 1, len(ts)-1)) AS src, unnest(list_slice(ts, 2, len(ts))) AS dst
+          |       FROM tk WHERE len(ts) >= 2),
+          |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed WHERE src <> dst),
+          |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+          |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+          |bi AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+          |j AS (SELECT CAST(du.d AS DOUBLE) AS x, CAST(dv.d AS DOUBLE) AS y
+          |  FROM bi JOIN dg du ON bi.u = du.node JOIN dg dv ON bi.v = dv.node),
+          |m AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+          |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+          |    CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+          |    CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+          |  FROM j),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM dg)
+          |SELECT n_nodes, CAST(m2 // 2 AS BIGINT) AS n_edges,
+          |  CASE WHEN (CAST(m2 AS DOUBLE) * sxx - sx * sx) > 0 THEN
+          |    floor((CAST(m2 AS DOUBLE) * sxy - sx * sx)
+          |      / (CAST(m2 AS DOUBLE) * sxx - sx * sx) * 1000000 + 0.5) / 1000000
+          |  END AS r
+          |FROM m, nn""".stripMargin,
+
+      "q_modularity" ->
+        """WITH tk AS (SELECT list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '') AS ts FROM documents),
+          |ed AS (SELECT unnest(list_slice(ts, 1, len(ts)-1)) AS src, unnest(list_slice(ts, 2, len(ts))) AS dst
+          |       FROM tk WHERE len(ts) >= 2),
+          |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed WHERE src <> dst),
+          |le AS (SELECT a, b, substr(a, 1, 1) AS la, substr(b, 1, 1) AS lb FROM e),
+          |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+          |dm AS (SELECT label, CAST(count(*) AS BIGINT) AS d
+          |  FROM (SELECT la AS label FROM le UNION ALL SELECT lb FROM le) GROUP BY 1),
+          |np AS (SELECT substr(node, 1, 1) AS label, CAST(count(*) AS BIGINT) AS n_nodes
+          |  FROM (SELECT DISTINCT node FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)) GROUP BY 1),
+          |itn AS (SELECT la AS label, CAST(count(*) AS BIGINT) AS lc FROM le WHERE la = lb GROUP BY 1),
+          |f AS (SELECT np.label, n_nodes, coalesce(lc, 0) AS n_internal,
+          |    CAST(coalesce(lc, 0) AS DOUBLE) / CAST(m AS DOUBLE) AS e_c,
+          |    CAST(d AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)) AS a_c
+          |  FROM np LEFT JOIN dm USING (label) LEFT JOIN itn USING (label) CROSS JOIN m)
+          |SELECT label, n_nodes, CAST(n_internal AS BIGINT) AS n_internal,
+          |  floor(e_c * 1000000 + 0.5) / 1000000 AS e_c,
+          |  floor(a_c * 1000000 + 0.5) / 1000000 AS a_c,
+          |  floor((e_c - a_c * a_c) * 1000000 + 0.5) / 1000000 AS q_c
+          |FROM f""".stripMargin
     )
   }
 }

@@ -1,0 +1,93 @@
+package graft.ann
+
+import graft.functions.Portable
+import graft.plans.Materialize.PinOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Local Outlier Factor over an embedding column — the density-aware
+  * outlier score for vector corpora ("is this point alone, RELATIVE to
+  * how alone its neighbors are"), the screen that catches embedding-space
+  * junk (mis-encoded docs, collapsed all-zero vectors, off-manifold
+  * modality mixups) that a global norm/centroid report
+  * ([[Embeddings.healthReport]]) averages away. LOF ≈ 1: as dense as its
+  * neighborhood; LOF ≫ 1: an outlier.
+  *
+  * Definition (Breunig et al. 2000, with one pinned deviation): each
+  * point's k nearest neighbors by Euclidean distance, ties broken by
+  * neighbor id and the neighbor set truncated at exactly k (the classic
+  * definition keeps ALL points at the k-th distance; float distances
+  * make ties measure-zero and the truncation keeps every frame exactly
+  * n×k and the result deterministic — the deviation only matters on
+  * hand-crafted equidistant inputs). k-distance = distance to the k-th
+  * neighbor; reach-dist(p←o) = max(k-dist(o), d(p,o));
+  * lrd(p) = 1/mean_o reach-dist(p←o); LOF(p) = mean_o lrd(o)/lrd(p).
+  *
+  * Scale shape: the kNN stage is the exact all-pairs scan through the
+  * bounded-heap [[graft.functions.TopKByScore]] (map-side k-bounded —
+  * the shuffle carries k rows per partition×query, never the n² score
+  * set), the same discipline as [[Similarity.bruteForceTopK]]; at 100 TB
+  * swap the candidate generation to the IVF/multi-probe cell join
+  * ([[Similarity.bucketedTopK]]) — every stage downstream of the kNN
+  * frame is already n×k-bounded: two joins against the node-sized
+  * k-dist/lrd frames and two n-keyed aggregates. Distances come from the
+  * codegen'd [[graft.functions.SqDist]] (strict left-to-right fold, so
+  * the doubles are bit-identical in any engine); reach-dist and
+  * lrd-ratio terms are r6-rounded before their DECIMAL(38,6) mean sums,
+  * making both reductions order-free.
+  *
+  * Degenerate case: ≥ k exact duplicates make a neighborhood's mean
+  * reach-dist 0 (infinite classic lrd); those rows emit NULL lrd/lof
+  * rather than an unportable infinity — duplicates are [[graft.dedup]]'s
+  * job, not an outlier score's.
+  */
+object Lof {
+
+  /** (id, k_dist, lrd, lof) per vector; requires n > k distinct points.
+    * Output doubles are UNROUNDED (callers round for display).
+    */
+  def lof(
+      vectors: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dist = sqrt(graft.functions.GraftFunctions.sqDist(
+      col(s"q.$vecCol"), col(s"c.$vecCol")))
+    val scored = vectors.as("c")
+      .join(broadcast(vectors.as("q")), col(s"c.$idCol") =!= col(s"q.$idCol"))
+      .select(
+        col(s"q.$idCol").cast("long").as("id"),
+        col(s"c.$idCol").cast("long").as("nb"),
+        dist.as("__d"))
+    // top-k by NEGATED distance: the bounded heap keeps score DESC with
+    // id ASC ties == distance ASC with id ASC ties
+    val knn = scored
+      .groupBy("id")
+      .agg(graft.functions.TopKByScore.topK(-col("__d"), col("nb"), k).as("top"))
+      .select(col("id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("id"), col("e.id").as("nb"), (-col("e.score")).as("d"),
+        col("pos").cast("long").as("pos"))
+      .pin(false) // consumed by k-dist, the reach join, and the lof join
+    val kdist = knn.filter(col("pos") === (k - 1).toLong)
+      .select(col("id").as("nb"), col("d").as("__kd_nb"))
+    def dmean(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (sum(Portable.r6(e).cast("decimal(38,6)")).cast("double") /
+        count(lit(1)).cast("double"))
+    val lrd = knn
+      .join(kdist, "nb") // node-sized k-dist frame
+      .groupBy("id")
+      .agg(dmean(greatest(col("__kd_nb"), col("d"))).as("__mr"))
+      .select(col("id"),
+        when(col("__mr") > 0.0, lit(1.0) / col("__mr")).as("lrd"))
+      .pin(false) // consumed by both sides of the ratio join
+    knn
+      .join(lrd.select(col("id").as("nb"), col("lrd").as("__lrd_nb")), "nb")
+      .join(lrd, "id")
+      .groupBy(col("id"), col("lrd"))
+      .agg(dmean(col("__lrd_nb") / col("lrd")).as("__lofRaw"))
+      .join(kdist.select(col("nb").as("id"), col("__kd_nb").as("k_dist")), "id")
+      .select(col("id"), col("k_dist"), col("lrd"),
+        when(col("lrd").isNotNull, col("__lofRaw")).as("lof"))
+  }
+}

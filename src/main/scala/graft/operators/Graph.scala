@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.plans.Materialize.PinOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Triangle enumeration over an undirected edge table — the local
@@ -210,5 +210,114 @@ object Graph {
       .agg(count(lit(1)).as("n_common"), sum(col("__t")).cast("double").as("score"))
       .join(und, Seq("a", "b"), "left_anti")
       .filter(col("n_common") >= minCommon)
+  }
+
+  /** Degree assortativity — the Pearson correlation of endpoint degrees
+    * over the (direction-doubled) edge list. r > 0: hubs link to hubs
+    * (social/citation structure); r < 0: hubs link to leaves (the
+    * hub-and-spoke shape of template farms and scraped link wheels) —
+    * a one-number structural fingerprint for graph-shaped corpora.
+    *
+    * Shape: degrees are one aggregation; attaching them to both edge
+    * endpoints is two hash joins against the node-sized degree frame;
+    * the correlation is one moment aggregate over the doubled edge
+    * list. Degrees are exact integers so every moment sum is exact
+    * through DECIMAL — no rounding pin needed anywhere, and the final
+    * r is a single fixed double sequence. One row out:
+    * (n_nodes, n_edges, r); r NULL when all degrees are equal
+    * (zero variance — e.g. a perfect cycle).
+    */
+  def assortativity(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+    val deg = degrees(und).pin(false)
+    // both orientations, so each undirected edge contributes (du,dv)
+    // and (dv,du) — the standard symmetric estimator
+    val both = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      .join(deg.select(col("node").as("u"), col("d").as("__du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("__dv")), "v")
+    def dsum(e: Column): Column =
+      coalesce(sum(e.cast("decimal(38,6)")), lit(0).cast("decimal(38,6)")).cast("double")
+    val x = col("__du").cast("double")
+    val y = col("__dv").cast("double")
+    val m = both.agg(
+      count(lit(1)).as("__m2"),
+      dsum(x).as("__sx"),
+      dsum(x * y).as("__sxy"),
+      dsum(x * x).as("__sxx"))
+    // symmetry: sy = sx, syy = sxx
+    val nD = col("__m2").cast("double")
+    val cov = nD * col("__sxy") - col("__sx") * col("__sx")
+    val v = nD * col("__sxx") - col("__sx") * col("__sx")
+    m.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .select(
+        col("n_nodes"),
+        (col("__m2") / lit(2)).cast("long").as("n_edges"),
+        when(v > 0.0, cov / v).as("r"))
+  }
+
+  /** Modularity audit of ANY node labeling: given `labels(node, label)`,
+    * per label the node count, internal-edge fraction e_c = L_c/m, the
+    * degree mass fraction a_c = D_c/2m, and the modularity contribution
+    * q_c = e_c − a_c² (sum over labels = Newman's Q). "Is this
+    * partition real community structure or just a coloring" — run it on
+    * dedup clusters, domain groupings, or topic labels before trusting
+    * them to stratify anything; Q ≈ 0 means the labels don't bind the
+    * graph at all.
+    *
+    * Shape: two hash joins of the edge list against the node-sized
+    * label frame (internal edges = label match), one aggregation per
+    * side; everything downstream lives on the label-sized frame. All
+    * quantities are exact integer counts until the final three divides
+    * — one fixed double sequence, no rounding pin needed. Unlabeled
+    * nodes keep their degree mass under label NULL so Q stays honest
+    * (dropping them would inflate every a_c).
+    */
+  def modularity(
+      edges: DataFrame,
+      labels: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      nodeCol: String = "node",
+      labelCol: String = "label"): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+    val lab = labels
+      .select(col(nodeCol).as("node"), col(labelCol).as("label"))
+      .groupBy("node").agg(first(col("label")).as("label"))
+      .pin(false)
+    val withLabs = und
+      .join(lab.select(col("node").as("a"), col("label").as("__la")), Seq("a"), "left")
+      .join(lab.select(col("node").as("b"), col("label").as("__lb")), Seq("b"), "left")
+      .pin(false)
+    val m = withLabs.agg(count(lit(1)).as("__m"))
+    // degree mass per label (directed-doubled), node count per label
+    val degMass = withLabs
+      .select(col("__la").as("label"))
+      .unionAll(withLabs.select(col("__lb").as("label")))
+      .groupBy("label").agg(count(lit(1)).as("__d"))
+    val nodesPer = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
+      .distinct()
+      .join(lab, Seq("node"), "left")
+      .groupBy("label").agg(count(lit(1)).as("n_nodes"))
+    val internal = withLabs
+      .filter(col("__la").isNotNull && col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label")).agg(count(lit(1)).as("__lc"))
+    val mD = col("__m").cast("double")
+    val eC = coalesce(col("__lc"), lit(0L)).cast("double") / mD
+    val aC = col("__d").cast("double") / (lit(2.0) * mD)
+    nodesPer
+      .join(degMass, Seq("label"), "left")
+      .join(internal, Seq("label"), "left")
+      .crossJoin(broadcast(m)) // one-row totals frame: lint-exempt
+      .select(
+        col("label"),
+        col("n_nodes"),
+        coalesce(col("__lc"), lit(0L)).as("n_internal"),
+        eC.as("e_c"),
+        aC.as("a_c"),
+        (eC - aC * aC).as("q_c"))
   }
 }

@@ -142,6 +142,38 @@ object Stats {
           (coalesce(col("__obs"), lit(0L)).cast("double") - e) / e).as("chi2"))
   }
 
+  /** Cramér's V — [[chiSquare]] normalized into an effect SIZE on
+    * [0, 1]: V = √(χ²/(N·(min(r,c)−1))). χ² alone grows with N, so at
+    * corpus scale EVERYTHING is "significant"; V answers the question a
+    * curator actually has — how strongly are the two columns coupled
+    * (V ≳ 0.3: source effectively determines language; dedup within
+    * (source, lang) cells is redundant). One row out: the dimensions,
+    * N, χ², and V.
+    *
+    * Same two-aggregation shape as [[chiSquare]] (the cell frame is
+    * vocab-sized); per-cell χ² terms are r6-rounded before the final
+    * DECIMAL sum so the cell-order reduction is engine-portable, and
+    * √ is IEEE-correctly-rounded — no libm hazard. Degenerate tables
+    * (one row or one column: min dimension 1) have no independence to
+    * measure and emit NULL V.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    def dsum(e: Column): Column =
+      coalesce(sum(e.cast("decimal(38,6)")), lit(0).cast("decimal(38,6)")).cast("double")
+    chiSquare(df, aCol, bCol)
+      .agg(
+        countDistinct(col("a")).as("n_a_levels"),
+        countDistinct(col("b")).as("n_b_levels"),
+        sum(col("observed")).as("n"),
+        dsum(graft.functions.Portable.r6(col("chi2"))).as("chi2"))
+      .withColumn(
+        "v",
+        when(least(col("n_a_levels"), col("n_b_levels")) >= 2 && col("n") > 0,
+          sqrt(col("chi2") /
+            (col("n").cast("double") *
+              (least(col("n_a_levels"), col("n_b_levels")).cast("double") - 1.0)))))
+  }
+
   /** Append `pct` — each row's percent rank of `valueCol` within its
     * group ((rank − 1)/(n − 1); 0 for singleton groups, the SQL-standard
     * definition both Spark and DuckDB implement identically, ties

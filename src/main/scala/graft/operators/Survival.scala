@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -87,5 +87,94 @@ object Survival {
         when(col("d_events") === col("n_risk"), lit(null).cast("double"))
           .otherwise(sum(term.cast("decimal(38,6)")).over(byT).cast("double")))
       .select(col("t_day"), col("n_risk"), col("d_events"), col("c_censored"), col("log_s"))
+  }
+
+  /** Two-group log-rank test — "do the arms' survival CURVES differ",
+    * the whole-curve companion to [[kaplanMeier]] (a mean-duration
+    * t-test throws away censoring; the log-rank uses every at-risk
+    * day). Spans are built exactly as in [[kaplanMeier]] (first event →
+    * first `eventType` else last event, day granularity); `inA` splits
+    * keys into the two arms by any row-level predicate — it is resolved
+    * per KEY as `max(inA)` over the key's rows, so flag ANY row of a
+    * treated key.
+    *
+    * At each day t with d_t > 0 total events, arm A contributes
+    * observed d_At against expected d_t·n_At/n_t under H₀ (same
+    * hazard), with hypergeometric variance
+    * d_t·(n_At/n_t)·(1−n_At/n_t)·(n_t−d_t)/(n_t−1). The statistic
+    * (O−E)²/V is χ²₁. Day terms are r6-rounded before DECIMAL sums so
+    * the day-order reduction is bit-portable; single-at-risk days
+    * (n_t = 1) carry zero variance and are skipped by the V guard.
+    *
+    * Spark shape: one key shuffle to spans, then everything lives on
+    * the day-granularity curve frame (bounded by the horizon — same
+    * contract as [[kaplanMeier]]); the cumulative at-risk window and
+    * the final one-row aggregate sort that tiny frame once. Output is
+    * ONE row: (n_a, n_b, o_a, e_a, v, chi2); chi2 NULL when either arm
+    * is empty or no day carries variance.
+    */
+  def logRank(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      typeCol: String,
+      eventType: String,
+      inA: org.apache.spark.sql.Column): DataFrame = {
+    val t = unix_micros(col(timeCol))
+    val spans = events
+      .filter(col(timeCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        min(t).as("__t0"),
+        min(when(col(typeCol) === eventType, t)).as("__te"),
+        max(t).as("__tl"),
+        max(when(inA, lit(1)).otherwise(lit(0))).as("__a"))
+    val durations = spans.select(
+      floor((coalesce(col("__te"), col("__tl")) - col("__t0")).cast("double") / DayUs.toDouble)
+        .cast("long").as("t_day"),
+      col("__te").isNotNull.as("__observed"),
+      (col("__a") === 1).as("__inA"))
+    // day-granularity curve per arm, pivoted into columns (one groupBy)
+    def cnt(obs: Boolean, a: Boolean): Column =
+      count(when(col("__observed") === obs && col("__inA") === a, lit(1)))
+    val curve = durations
+      .groupBy(col("t_day"))
+      .agg(
+        cnt(obs = true, a = true).as("d_a"),
+        cnt(obs = true, a = false).as("d_b"),
+        cnt(obs = false, a = true).as("c_a"),
+        cnt(obs = false, a = false).as("c_b"))
+    val totals = curve.agg(
+      sum(col("d_a") + col("c_a")).as("__tot_a"),
+      sum(col("d_b") + col("c_b")).as("__tot_b"))
+    val byT = Window.orderBy(col("t_day"))
+    val prior = byT.rowsBetween(Window.unboundedPreceding, -1)
+    val withRisk = curve
+      .crossJoin(broadcast(totals)) // one-row totals frame: lint-exempt
+      .withColumn("n_a_risk",
+        col("__tot_a") - coalesce(sum(col("d_a") + col("c_a")).over(prior), lit(0L)))
+      .withColumn("n_b_risk",
+        col("__tot_b") - coalesce(sum(col("d_b") + col("c_b")).over(prior), lit(0L)))
+    val d = (col("d_a") + col("d_b")).cast("double")
+    val nA = col("n_a_risk").cast("double")
+    val n = (col("n_a_risk") + col("n_b_risk")).cast("double")
+    val p = nA / n
+    val eTerm = when(d > 0.0, graft.functions.Portable.r6(d * p)).otherwise(lit(0.0))
+    val vTerm = when(d > 0.0 && n > 1.0,
+      graft.functions.Portable.r6(d * p * (lit(1.0) - p) * (n - d) / (n - 1.0)))
+      .otherwise(lit(0.0))
+    def dsum(e: Column): Column =
+      coalesce(sum(e.cast("decimal(38,6)")), lit(0).cast("decimal(38,6)")).cast("double")
+    withRisk.agg(
+        max(col("__tot_a")).as("n_a"),
+        max(col("__tot_b")).as("n_b"),
+        sum(col("d_a")).as("o_a"),
+        dsum(eTerm).as("e_a"),
+        dsum(vTerm).as("v"))
+      .withColumn(
+        "chi2",
+        when(col("n_a") > 0 && col("n_b") > 0 && col("v") > 0.0,
+          (col("o_a").cast("double") - col("e_a")) *
+            (col("o_a").cast("double") - col("e_a")) / col("v")))
   }
 }
