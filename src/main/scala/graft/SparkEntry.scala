@@ -2099,7 +2099,88 @@ object SparkEntry {
           graft.functions.Portable.r6(col("e_c")).as("e_c"),
           graft.functions.Portable.r6(col("a_c")).as("a_c"),
           graft.functions.Portable.r6(col("q_c")).as("q_c"))
-    }
+    },
+
+    // Kendall tau-b of per-user (event count vs total value) per type,
+    // on the deterministic 150-unit sample (pairwise by nature)
+    "q_kendall" -> { (s, dir) =>
+      val okv = col("value").isNotNull && !isnan(col("value"))
+      val units = ev(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          coalesce(sum(when(okv, col("value").cast("decimal(38,6)"))),
+            lit(0).cast("decimal(38,6)")).cast("double").as("v"))
+      Stats.kendallTau(units, Seq("event_type"), "user_id", "n_events", "v",
+          sampleN = 150)
+        .select(col("event_type"), col("n"), col("n_pairs"),
+          col("concordant"), col("discordant"),
+          graft.functions.Portable.r6(col("tau_b")).as("tau_b"))
+    },
+
+    // Ljung-Box portmanteau "is it white noise" over the same per-user
+    // series as q_acf (lags 1..3)
+    "q_ljung_box" -> ((s, dir) =>
+      Stats.ljungBox(ev(s, dir), Seq("user_id"), "ts", "event_id", "value", maxLag = 3)
+        .select(col("user_id"), col("n_obs"), col("n_lags"),
+          graft.functions.Portable.r6(col("q")).as("q"))),
+
+    // seasonal-naive skill (MASE-style) of hourly volumes per event
+    // type at period 24: which streams have a real daily cycle
+    "q_mase" -> ((s, dir) =>
+      Seasonal.seasonalNaiveSkill(ev(s, dir), "event_type", "ts", period = 24)
+        .select(col("key").as("event_type"), col("n_buckets"),
+          graft.functions.Portable.r6(col("mae_naive")).as("mae_naive"),
+          graft.functions.Portable.r6(col("mae_seasonal")).as("mae_seasonal"),
+          graft.functions.Portable.r6(col("skill")).as("skill"))),
+
+    // CCNet-style per-language LM terciles (head/middle/tail summary)
+    "q_ccnet_buckets" -> ((s, dir) =>
+      graft.text.Tfidf.lmQualityBuckets(docs(s, dir), "lang", nBuckets = 3)
+        .select(col("group").as("lang"), col("bucket"), col("n_docs"),
+          graft.functions.Portable.r6(col("mean_lp")).as("mean_lp"),
+          graft.functions.Portable.r6(col("min_lp")).as("min_lp"),
+          graft.functions.Portable.r6(col("max_lp")).as("max_lp"))),
+
+    // per-source boilerplate-line report (top 5 lines stamped into >= 3
+    // docs; same line-ification as q_line_dedup, plus a deterministic
+    // per-source footer on every 2nd doc so the template-stamping case
+    // is actually exercised — q_markup's wrapping discipline)
+    "q_boilerplate" -> ((s, dir) =>
+      graft.text.LineDedup.boilerplateReport(
+          docs(s, dir).select(col("doc_id"), col("source"),
+            concat(
+              replace(col("text"), lit(" table "), lit("\n")),
+              when(pmod(col("doc_id"), lit(2)) === 0,
+                concat(lit("\ncopyright "), col("source"))).otherwise(lit(""))).as("text")),
+          "doc_id", "text", "source", minDocs = 3L, topK = 5)
+        .select(col("group").as("source"), col("line"), col("n_docs"), col("rank"))),
+
+    // l-diversity of source within (lang, length-bucket) classes — the
+    // homogeneity-attack complement of q_kanon
+    "q_ldiv" -> ((s, dir) =>
+      Integrity.lDiversity(
+          docs(s, dir).withColumn("len_bucket", (col("n_chars") / 100).cast("long")),
+          Seq("lang", "len_bucket"), "source", l = 3L)
+        .select(col("l"), col("n_rows"), col("n_classes"), col("n_classes_below_l"),
+          col("n_rows_at_risk"), col("min_diversity"),
+          graft.functions.Portable.r6(col("frac_at_risk")).as("frac_at_risk"))),
+
+    // item-item cosine over (user x event_type) interaction counts —
+    // "users who did X also did Y"
+    "q_item_cf" -> ((s, dir) =>
+      Recommend.itemCosine(ev(s, dir), "user_id", "event_type", minUsers = 2L)
+        .select(col("item_a"), col("item_b"), col("n_users"),
+          graft.functions.Portable.r6(col("cosine")).as("cosine"))),
+
+    // Local Outlier Factor (k = 5) over the embeddings — density-aware
+    // vector outlier screen
+    "q_lof" -> ((s, dir) =>
+      graft.ann.Lof.lof(emb(s, dir), k = 5)
+        .select(col("id").as("vec_id"),
+          graft.functions.Portable.r6(col("k_dist")).as("k_dist"),
+          graft.functions.Portable.r6(col("lrd")).as("lrd"),
+          graft.functions.Portable.r6(col("lof")).as("lof")))
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -5119,7 +5200,186 @@ object SparkEntry {
           |  floor(e_c * 1000000 + 0.5) / 1000000 AS e_c,
           |  floor(a_c * 1000000 + 0.5) / 1000000 AS a_c,
           |  floor((e_c - a_c * a_c) * 1000000 + 0.5) / 1000000 AS q_c
-          |FROM f""".stripMargin
+          |FROM f""".stripMargin,
+
+      "q_kendall" ->
+        s"""WITH u AS (SELECT event_type, user_id,
+           |    CAST(count(*) AS BIGINT) AS x0,
+           |    CAST(coalesce(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+           |      THEN CAST(value AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS y0
+           |  FROM events GROUP BY 1, 2),
+           |h AS (SELECT event_type, user_id, CAST(x0 AS DOUBLE) AS x, y0 AS y,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY ${h32("concat('kt','|',event_type,'|',CAST(user_id AS VARCHAR))")}, user_id) AS rn
+           |  FROM u),
+           |sm AS (SELECT event_type, user_id, x, y FROM h WHERE rn <= 150),
+           |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM sm GROUP BY 1),
+           |p AS (SELECT l.event_type,
+           |    sign(l.x - r.x) AS cx, sign(l.y - r.y) AS cy
+           |  FROM sm l JOIN sm r ON l.event_type = r.event_type AND l.user_id < r.user_id),
+           |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(count(CASE WHEN cx * cy > 0 THEN 1 END) AS BIGINT) AS concordant,
+           |    CAST(count(CASE WHEN cx * cy < 0 THEN 1 END) AS BIGINT) AS discordant,
+           |    CAST(count(CASE WHEN cx = 0 THEN 1 END) AS BIGINT) AS tx,
+           |    CAST(count(CASE WHEN cy = 0 THEN 1 END) AS BIGINT) AS ty
+           |  FROM p GROUP BY 1)
+           |SELECT sz.event_type, n,
+           |  coalesce(n_pairs, 0) AS n_pairs,
+           |  coalesce(concordant, 0) AS concordant,
+           |  coalesce(discordant, 0) AS discordant,
+           |  CASE WHEN n_pairs - tx > 0 AND n_pairs - ty > 0 THEN
+           |    floor(CAST(concordant - discordant AS DOUBLE)
+           |      / sqrt(CAST(n_pairs - tx AS DOUBLE) * CAST(n_pairs - ty AS DOUBLE))
+           |      * 1000000 + 0.5) / 1000000 END AS tau_b
+           |FROM sz LEFT JOIN a USING (event_type)""".stripMargin,
+
+      "q_ljung_box" ->
+        """WITH v AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS x FROM events
+          |  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) AND ts IS NOT NULL),
+          |l AS (SELECT user_id, x,
+          |        lag(x, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l1,
+          |        lag(x, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l2,
+          |        lag(x, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l3
+          |      FROM v),
+          |p AS (SELECT user_id, 1 AS lg, x, l1 AS y FROM l WHERE l1 IS NOT NULL
+          |      UNION ALL SELECT user_id, 2, x, l2 FROM l WHERE l2 IS NOT NULL
+          |      UNION ALL SELECT user_id, 3, x, l3 FROM l WHERE l3 IS NOT NULL),
+          |m AS (SELECT user_id, lg, count(*) AS n,
+          |        CAST(coalesce(sum(CAST(x AS DECIMAL(38,6))), 0) AS DOUBLE) AS sx,
+          |        CAST(coalesce(sum(CAST(y AS DECIMAL(38,6))), 0) AS DOUBLE) AS sy,
+          |        CAST(coalesce(sum(CAST(x * y AS DECIMAL(38,6))), 0) AS DOUBLE) AS sxy,
+          |        CAST(coalesce(sum(CAST(x * x AS DECIMAL(38,6))), 0) AS DOUBLE) AS sxx,
+          |        CAST(coalesce(sum(CAST(y * y AS DECIMAL(38,6))), 0) AS DOUBLE) AS syy
+          |      FROM p GROUP BY 1, 2),
+          |rho AS (SELECT user_id, lg,
+          |        (CAST(n AS DOUBLE) * sxy - sx * sy) /
+          |          nullif(sqrt(greatest((CAST(n AS DOUBLE) * sxx - sx * sx)
+          |            * (CAST(n AS DOUBLE) * syy - sy * sy), 0.0)), 0.0) AS r
+          |      FROM m),
+          |ns AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs FROM v GROUP BY 1),
+          |t AS (SELECT rho.user_id, n_obs,
+          |        r * r / (CAST(n_obs AS DOUBLE) - CAST(lg AS DOUBLE)) AS tt
+          |      FROM rho JOIN ns USING (user_id)),
+          |g AS (SELECT user_id, n_obs, CAST(count(*) AS BIGINT) AS n_lags,
+          |        count(CASE WHEN tt IS NULL THEN 1 END) AS bad,
+          |        CAST(coalesce(sum(CAST(floor(tt * 1000000 + 0.5) / 1000000
+          |          AS DECIMAL(38,6))), 0) AS DOUBLE) AS s
+          |      FROM t GROUP BY 1, 2)
+          |SELECT user_id, n_obs, n_lags,
+          |  CASE WHEN bad = 0 AND n_obs > 3 THEN
+          |    floor(CAST(n_obs AS DOUBLE) * (CAST(n_obs AS DOUBLE) + 2.0) * s * 1000000 + 0.5) / 1000000
+          |  END AS q
+          |FROM g""".stripMargin,
+
+      "q_mase" ->
+        """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bk, CAST(count(*) AS DOUBLE) AS v
+          |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+          |l AS (SELECT event_type, v,
+          |        lag(v, 1) OVER (PARTITION BY event_type ORDER BY bk) AS l1,
+          |        lag(v, 24) OVER (PARTITION BY event_type ORDER BY bk) AS lp
+          |      FROM b),
+          |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+          |        count(l1) AS c1, count(lp) AS cp,
+          |        CAST(coalesce(sum(CAST(floor(abs(v - l1) * 1000000 + 0.5) / 1000000
+          |          AS DECIMAL(38,6))), 0) AS DOUBLE) AS s1,
+          |        CAST(coalesce(sum(CAST(floor(abs(v - lp) * 1000000 + 0.5) / 1000000
+          |          AS DECIMAL(38,6))), 0) AS DOUBLE) AS sp
+          |      FROM l GROUP BY 1),
+          |e AS (SELECT event_type, n_buckets,
+          |        CASE WHEN c1 > 0 THEN s1 / CAST(c1 AS DOUBLE) END AS m1,
+          |        CASE WHEN cp > 0 THEN sp / CAST(cp AS DOUBLE) END AS mp
+          |      FROM g)
+          |SELECT event_type, n_buckets,
+          |  floor(m1 * 1000000 + 0.5) / 1000000 AS mae_naive,
+          |  floor(mp * 1000000 + 0.5) / 1000000 AS mae_seasonal,
+          |  CASE WHEN m1 > 0 THEN floor(mp / m1 * 1000000 + 0.5) / 1000000 END AS skill
+          |FROM e""".stripMargin,
+
+      "q_ccnet_buckets" ->
+        """WITH t AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'')) AS term FROM documents),
+          |tf AS (SELECT id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+          |tc AS (SELECT id, term, tf, sum(tf) OVER (PARTITION BY term) AS ct FROM tf),
+          |ds AS (SELECT id, sum(tf*ln(CAST(ct AS DOUBLE))) AS a, sum(tf) AS tt FROM tc GROUP BY 1),
+          |n AS (SELECT sum(tt) AS n_tokens FROM ds),
+          |sc AS (SELECT id, a/tt - ln(CAST(n_tokens AS DOUBLE)) AS lp FROM ds, n),
+          |wg AS (SELECT d.lang, sc.id, lp FROM sc JOIN documents d ON d.doc_id = sc.id),
+          |bk AS (SELECT lang, id, lp,
+          |        CAST(ntile(3) OVER (PARTITION BY lang ORDER BY lp DESC, id) AS BIGINT) AS bucket
+          |      FROM wg)
+          |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+          |  floor(CAST(sum(CAST(floor(lp * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_lp,
+          |  floor(min(lp) * 1000000 + 0.5) / 1000000 AS min_lp,
+          |  floor(max(lp) * 1000000 + 0.5) / 1000000 AS max_lp
+          |FROM bk GROUP BY 1, 2""".stripMargin,
+
+      "q_boilerplate" ->
+        """WITH w AS (SELECT doc_id, source,
+          |    concat(replace(text, ' table ', chr(10)),
+          |      CASE WHEN doc_id % 2 = 0 THEN concat(chr(10), 'copyright ', source) ELSE '' END) AS t
+          |  FROM documents),
+          |l0 AS (SELECT source, doc_id, unnest(string_split(t, chr(10))) AS line FROM w),
+          |l1 AS (SELECT DISTINCT source, doc_id, line FROM l0 WHERE trim(line) <> ''),
+          |f AS (SELECT source, line, CAST(count(*) AS BIGINT) AS n_docs FROM l1 GROUP BY 1, 2),
+          |r AS (SELECT source, line, n_docs,
+          |        CAST(row_number() OVER (PARTITION BY source ORDER BY n_docs DESC, line) AS BIGINT) AS "rank"
+          |      FROM f WHERE n_docs >= 3)
+          |SELECT source, line, n_docs, "rank" FROM r WHERE "rank" <= 5""".stripMargin,
+
+      "q_ldiv" ->
+        """WITH c AS (SELECT lang, n_chars // 100 AS len_bucket,
+          |    CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT source) AS BIGINT) AS ndv
+          |  FROM documents GROUP BY 1, 2)
+          |SELECT CAST(3 AS BIGINT) AS l,
+          |  CAST(sum(n) AS BIGINT) AS n_rows,
+          |  CAST(count(*) AS BIGINT) AS n_classes,
+          |  CAST(count(CASE WHEN ndv < 3 THEN 1 END) AS BIGINT) AS n_classes_below_l,
+          |  CAST(coalesce(sum(CASE WHEN ndv < 3 THEN n END), 0) AS BIGINT) AS n_rows_at_risk,
+          |  CAST(min(ndv) AS BIGINT) AS min_diversity,
+          |  floor(CAST(coalesce(sum(CASE WHEN ndv < 3 THEN n END), 0) AS DOUBLE)
+          |    / CAST(sum(n) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS frac_at_risk
+          |FROM c""".stripMargin,
+
+      "q_item_cf" ->
+        """WITH c AS (SELECT user_id AS u, event_type AS i, CAST(count(*) AS BIGINT) AS c
+          |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+          |ok AS (SELECT u FROM (SELECT u, count(*) AS ni FROM c GROUP BY 1) WHERE ni <= 1000),
+          |cc AS (SELECT c.* FROM c JOIN ok USING (u)),
+          |nr AS (SELECT i, CAST(sum(c * c) AS BIGINT) AS ss FROM cc GROUP BY 1),
+          |p AS (SELECT l.i AS item_a, r.i AS item_b, CAST(count(*) AS BIGINT) AS n_users,
+          |        CAST(sum(l.c * r.c) AS BIGINT) AS dot
+          |      FROM cc l JOIN cc r ON l.u = r.u AND l.i < r.i GROUP BY 1, 2)
+          |SELECT item_a, item_b, n_users,
+          |  floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE)))
+          |    * 1000000 + 0.5) / 1000000 AS cosine
+          |FROM p JOIN nr na ON p.item_a = na.i JOIN nr nb ON p.item_b = nb.i
+          |WHERE n_users >= 2""".stripMargin,
+
+      "q_lof" ->
+        s"""WITH d AS (SELECT q.vec_id AS id, c.vec_id AS nb,
+           |    sqrt(${sqDistSql("q.embedding", "c.embedding")}) AS dist
+           |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id),
+           |r AS (SELECT id, nb, dist, row_number() OVER (PARTITION BY id ORDER BY dist, nb) AS rk FROM d),
+           |knn AS (SELECT id, nb, dist FROM r WHERE rk <= 5),
+           |kd AS (SELECT id, max(dist) AS kdist FROM knn GROUP BY 1),
+           |reach AS (SELECT knn.id, knn.nb, greatest(kd.kdist, knn.dist) AS rd
+           |  FROM knn JOIN kd ON kd.id = knn.nb),
+           |lrd0 AS (SELECT id,
+           |    CAST(sum(CAST(floor(rd * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+           |      / CAST(count(*) AS DOUBLE) AS mr
+           |  FROM reach GROUP BY 1),
+           |lr AS (SELECT id, CASE WHEN mr > 0 THEN CAST(1 AS DOUBLE) / mr END AS lrd FROM lrd0),
+           |lf0 AS (SELECT knn.id, l2.lrd AS lrd_nb, l1.lrd AS lrd
+           |  FROM knn JOIN lr l2 ON l2.id = knn.nb JOIN lr l1 ON l1.id = knn.id),
+           |lf AS (SELECT id, max(lrd) AS lrd,
+           |    CAST(sum(CAST(floor(lrd_nb / lrd * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+           |      / CAST(count(*) AS DOUBLE) AS lofraw
+           |  FROM lf0 GROUP BY 1)
+           |SELECT lf.id AS vec_id,
+           |  floor(kd.kdist * 1000000 + 0.5) / 1000000 AS k_dist,
+           |  floor(lf.lrd * 1000000 + 0.5) / 1000000 AS lrd,
+           |  CASE WHEN lf.lrd IS NOT NULL THEN floor(lofraw * 1000000 + 0.5) / 1000000 END AS lof
+           |FROM lf JOIN kd ON kd.id = lf.id""".stripMargin
     )
   }
 }

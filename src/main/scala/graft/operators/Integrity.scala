@@ -76,4 +76,35 @@ object Integrity {
       .withColumn("frac_at_risk",
         col("n_rows_at_risk").cast("double") / col("n_rows").cast("double"))
   }
+
+  /** l-diversity audit — the attribute-disclosure companion to
+    * [[kAnonymity]]: a class can be k-large yet still leak ("all 50
+    * people in this (zip, age) cell share the same diagnosis" — the
+    * homogeneity attack k-anonymity cannot see). Per quasi-identifier
+    * class the DISTINCT count of `sensitiveCol` values must reach `l`;
+    * the report is one row: classes/rows below l, the minimum diversity
+    * actually achieved, and the at-risk fraction.
+    *
+    * Same two-aggregation shape as [[kAnonymity]] (class frame then one
+    * row); the distinct count is exact (count_distinct, two-level
+    * partial agg), NULL sensitive values are excluded from diversity —
+    * missingness is not a disclosure-protecting value.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String, l: Long): DataFrame = {
+    require(l >= 2, s"l must be >= 2, got $l")
+    val classes = df
+      .groupBy(quasiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("__n"),
+        countDistinct(col(sensitiveCol)).as("__ndv"))
+    classes.agg(
+      lit(l).as("l"),
+      sum(col("__n")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      count(when(col("__ndv") < l, lit(1))).as("n_classes_below_l"),
+      coalesce(sum(when(col("__ndv") < l, col("__n"))), lit(0L)).as("n_rows_at_risk"),
+      min(col("__ndv")).as("min_diversity"))
+      .withColumn("frac_at_risk",
+        col("n_rows_at_risk").cast("double") / col("n_rows").cast("double"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -79,5 +79,54 @@ object Seasonal {
       col("key"), col("n_events"), col("n_buckets"),
       mean.as("mean_per_bucket"),
       ((col("__s2").cast("double") / nD - mean * mean) / mean).as("fano"))
+  }
+
+  /** Seasonal-naive forecastability (MASE-style skill score) per key:
+    * over the key's hourly volume series, the MAE of the lag-`period`
+    * predictor divided by the MAE of the lag-1 naive predictor.
+    * skill < 1: "same hour yesterday" beats "same as last hour" — the
+    * series has a real cycle worth a seasonal model; skill ≥ 1: don't
+    * bother. The model-free triage BEFORE fitting [[Ewma]]/Holt-Winters
+    * — it ranks which keys seasonal smoothing will actually help.
+    *
+    * Lags are POSITIONAL over the key's observed buckets (silent hours
+    * contribute no bucket — the [[burstiness]] convention; for gappy
+    * series the "period" is period-OBSERVATIONS, which is the honest
+    * statement without a span assumption). One groupBy to the
+    * (key × hour) frame, both lag columns from ONE window, absolute
+    * errors r6'd then DECIMAL-summed. Keys with fewer than period+1
+    * buckets have no seasonal pair and emit NULL skill; a constant
+    * series (mae₁ = 0) likewise.
+    *
+    * Output: (key, n_buckets, mae_naive, mae_seasonal, skill).
+    */
+  def seasonalNaiveSkill(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val b = df
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("__b"))
+      .agg(count(lit(1)).cast("double").as("__v"))
+    val w = Window.partitionBy(col("key")).orderBy(col("__b"))
+    val withLags = b.select(
+      col("key"),
+      col("__v"),
+      lag(col("__v"), 1).over(w).as("__l1"),
+      lag(col("__v"), period).over(w).as("__lp"))
+    def dmean(e: Column): Column =
+      when(count(e) > 0,
+        sum(graft.functions.Portable.r6(e).cast("decimal(38,6)")).cast("double") /
+          count(e).cast("double"))
+    withLags
+      .groupBy("key")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        dmean(abs(col("__v") - col("__l1"))).as("mae_naive"),
+        dmean(abs(col("__v") - col("__lp"))).as("mae_seasonal"))
+      .withColumn("skill",
+        when(col("mae_naive") > 0.0, col("mae_seasonal") / col("mae_naive")))
   }
 }

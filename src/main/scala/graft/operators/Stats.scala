@@ -593,4 +593,118 @@ object Stats {
         when(naD > 0 && nbD > 0, diffRaw - theta * (meanXa - meanXb)).as("diff_adj") :+
         when(vx > 0 && vy > 0, cov * cov / (vx * vy)).as("var_reduction")): _*)
   }
+
+  /** Per-group Kendall τ-b over a DETERMINISTIC bounded sample — the
+    * concordance alternative to [[spearman]] that reads directly as
+    * "P(agree) − P(disagree)" and handles heavy ties honestly via the
+    * τ-b denominator. τ is inherently pairwise (O(n²) pairs, and the
+    * O(n log n) merge-sort formulation is a sequential algorithm, not a
+    * dataflow), so this measures the sample: `sampleN` units per group,
+    * chosen by md5 hash order — deterministic, engine-reproducible, and
+    * unbiased w.r.t. any value ordering (the [[graft.dedup.LshTuning]]
+    * sampling discipline). At sampleN = 200 the τ standard error is
+    * already ~0.05 — more sample buys nothing a screening question needs.
+    *
+    * Scale shape: one row_number window per group (hash order) caps each
+    * group at `sampleN`; the pair frame is a group-keyed self-join of
+    * ≤ sampleN-row groups (≤ sampleN²/2 pairs per group, bounded by
+    * CONFIG, not the corpus); concordance counts are exact integers and
+    * τ = (C−D)/√((n₀−t_x)(n₀−t_y)) is one fixed IEEE sequence. NULL τ
+    * when either factor is 0 (a fully-tied side).
+    *
+    * Output: (by..., n, n_pairs, concordant, discordant, tau_b).
+    */
+  def kendallTau(
+      df: DataFrame,
+      by: Seq[String],
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      sampleN: Int = 200): DataFrame = {
+    require(sampleN >= 2, s"sampleN must be >= 2, got $sampleN")
+    val byCols = by.map(col)
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val h = graft.text.TextFunctions.md5Hash32(
+      concat_ws("|", (lit("kt") +: byCols :+ col("__id").cast("string")): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(byCols: _*).orderBy(h, col("__id"))
+    val sampled = df
+      .filter(ok(x) && ok(y) && col(idCol).isNotNull)
+      .select((byCols :+ col(idCol).as("__id") :+ x.as("__x") :+ y.as("__y")): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= sampleN)
+      .drop("__rn")
+    val pairs = sampled.as("l")
+      .join(sampled.as("r"),
+        by.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _) &&
+          col("l.__id") < col("r.__id"))
+    val cx = signum(col("l.__x") - col("r.__x"))
+    val cy = signum(col("l.__y") - col("r.__y"))
+    val agg = pairs
+      .groupBy(by.map(c => col(s"l.$c").as(c)): _*)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(cx * cy > 0, lit(1))).as("concordant"),
+        count(when(cx * cy < 0, lit(1))).as("discordant"),
+        count(when(cx === 0, lit(1))).as("__tx"),
+        count(when(cy === 0, lit(1))).as("__ty"))
+    val sizes = sampled.groupBy(byCols: _*).agg(count(lit(1)).as("n"))
+    val fx = (col("n_pairs") - col("__tx")).cast("double")
+    val fy = (col("n_pairs") - col("__ty")).cast("double")
+    sizes.join(agg, by, "left")
+      .select((byCols :+ col("n") :+
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs") :+
+        coalesce(col("concordant"), lit(0L)).as("concordant") :+
+        coalesce(col("discordant"), lit(0L)).as("discordant") :+
+        when(fx > 0.0 && fy > 0.0,
+          (col("concordant") - col("discordant")).cast("double") /
+            sqrt(fx * fy)).as("tau_b")): _*)
+  }
+
+  /** Per-key Ljung–Box Q over the first `maxLag` autocorrelations —
+    * "is this series white noise" as ONE portmanteau number
+    * (χ²_maxLag under H₀): Q = n(n+2)·Σ_h ρ_h²/(n−h). The residual /
+    * drift-monitor companion to [[acf]]: instead of eyeballing lag bars,
+    * a single test decides whether per-entity metric streams carry any
+    * temporal structure worth a seasonal model.
+    *
+    * Reuses [[acf]]'s one-exchange lag machinery (all lags in one
+    * window node), joins the key-sized series-length frame, and sums
+    * r6-rounded ρ²/(n−h) terms through DECIMAL(38,6) — lag-order-free.
+    * Keys with n ≤ maxLag (or an undefined ρ at some lag — constant
+    * series) emit NULL q.
+    *
+    * Output: (by..., n_obs, n_lags, q).
+    */
+  def ljungBox(
+      df: DataFrame,
+      by: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      valueCol: String,
+      maxLag: Int): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val nSeries = df
+      .filter(ok(x) && col(orderCol).isNotNull)
+      .groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n_obs"))
+    val rho = acf(df, by, orderCol, tieCol, valueCol, maxLag)
+    def dsum(e: Column): Column =
+      sum(e.cast("decimal(38,6)")).cast("double")
+    val terms = rho.join(nSeries, by)
+      .select((by.map(col) :+ col("n_obs") :+
+        (col("acf") * col("acf") /
+          (col("n_obs").cast("double") - col("lag").cast("double"))).as("__t")): _*)
+    val m = terms
+      .groupBy((by.map(col) :+ col("n_obs")): _*)
+      .agg(
+        count(lit(1)).as("n_lags"),
+        count(when(col("__t").isNull, lit(1))).as("__bad"),
+        dsum(graft.functions.Portable.r6(col("__t"))).as("__s"))
+    val nD = col("n_obs").cast("double")
+    m.select((by.map(col) :+ col("n_obs") :+ col("n_lags") :+
+      when(col("__bad") === 0L && col("n_obs") > maxLag.toLong,
+        nD * (nD + 2.0) * col("__s")).as("q")): _*)
+  }
 }

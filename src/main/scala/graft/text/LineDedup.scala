@@ -72,4 +72,49 @@ object LineDedup {
         col("id").as(idCol),
         concat_ws(sep, transform(col("ls"), x => x("line"))).as(textCol)
       )
+
+  /** Per-group boilerplate-line report: the top-`topK` lines (by how
+    * many DISTINCT documents of the group contain them, ≥ `minDocs`) —
+    * the triage view behind per-domain boilerplate removal (CCNet
+    * deduplicates lines per shard for exactly this reason: nav bars,
+    * cookie banners and licence blocks are per-SOURCE artifacts, and a
+    * corpus-global [[dedupLines]] pass can't show you WHICH templates a
+    * source is stamping out). Feed the flagged lines back as a removal
+    * list, or gate ingestion of a source whose top line covers most of
+    * its docs.
+    *
+    * Shape: lines explode row-locally; the (group, id, line) frame
+    * dedups so a doc repeating its own header counts once; the
+    * frequency aggregate partial-aggregates the hot boilerplate keys
+    * map-side; the rank window runs over the ≥ minDocs SURVIVORS only
+    * (filter pushed before the window), partitioned by group. Output:
+    * (group, line, n_docs, rank), rank 1 = most-stamped line.
+    */
+  def boilerplateReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      minDocs: Long = 3L,
+      topK: Int = 10,
+      sep: String = "\n"
+  ): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val lines = docs
+      .select(col(groupCol).as("group"), col(idCol).as("id"),
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("line"))
+      .filter(trim(col("line")) =!= "")
+      .distinct()
+    val freq = lines
+      .groupBy(col("group"), col("line"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group"))
+      .orderBy(col("n_docs").desc, col("line"))
+    freq
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
 }

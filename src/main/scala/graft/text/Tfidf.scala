@@ -108,4 +108,45 @@ object Tfidf {
       .select(col("id"),
         (col("__a") / col("__t") - log(col("n_tokens").cast("double"))).as("mean_log_prob"))
   }
+
+  /** CCNet-style LM quality bucketing: per group (language), rank docs
+    * by their corpus-LM score ([[unigramLogProb]], higher = more
+    * natural) and cut the ranking into `nBuckets` equal tiles — bucket 1
+    * is the "head" (keep for pretraining), the last is the "tail"
+    * (downweight or drop). THE standard perplexity-tercile recipe from
+    * CCNet/RedPajama, per-language so a low-resource language is never
+    * graded against English fluency.
+    *
+    * Output is the bucket SUMMARY frame (group, bucket, n_docs,
+    * mean_lp, min_lp, max_lp) — group×nBuckets-sized; callers wanting
+    * per-doc assignments re-join on the cut points. The ntile window
+    * sorts each group's doc-sized score frame (one exchange on the
+    * group; the same global-per-group allowance as the vocabulary
+    * ranks); score terms are r6'd then DECIMAL-summed in the bucket
+    * means. Docs with no tokens have no score and are absent (they are
+    * a quality-FILTER concern, not an LM-ranking one).
+    */
+  def lmQualityBuckets(
+      docs: DataFrame,
+      groupCol: String,
+      nBuckets: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val scores = unigramLogProb(docs, idCol, textCol)
+    val withGroup = docs
+      .select(col(idCol).as("id"), col(groupCol).as("group"))
+      .join(scores, "id")
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("mean_log_prob").desc, col("id"))
+    withGroup
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .groupBy("group", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(graft.functions.Portable.r6(col("mean_log_prob")).cast("decimal(38,6)"))
+          .cast("double") / count(lit(1)).cast("double")).as("mean_lp"),
+        min(col("mean_log_prob")).as("min_lp"),
+        max(col("mean_log_prob")).as("max_lp"))
+  }
 }
