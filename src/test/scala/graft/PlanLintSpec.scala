@@ -57,8 +57,14 @@ class PlanLintSpec extends SparkSpec {
     //  - q_bh's windows order the TESTS frame (one row per hypothesis,
     //    m = |lang| x |source|) — BH fundamentally ranks the test list;
     //    the raw data never reaches a global window.
+    //  - q_logrank shares q_km_survival's contract: its cumulative
+    //    at-risk windows run over the same day-granularity curve frame.
+    //  - q_cramers_v is q_chi2's cell machinery: the |A|x|B| marginal
+    //    grid cross-join is level-sized (categorical cardinalities).
     val allowed: Map[String, Set[String]] = Map(
       "q_km_survival"    -> Set("global-window"),
+      "q_logrank"        -> Set("global-window"),
+      "q_cramers_v"      -> Set("nested-loop-join"),
       "q_bh"             -> Set("global-window"),
       "q_fit_vocab"      -> Set("global-window"),
       "q_normalize"      -> Set("global-window"),

@@ -56,9 +56,10 @@ class PlanShapeSpec extends SparkSpec {
     // DAY, bounded by the observation horizon, never by keys or rows).
     // (q_bh: Benjamini-Hochberg ranks the TESTS frame — one row per
     // hypothesis — so its global windows order hundreds of rows by contract.)
+    // (q_logrank: same day-granularity curve contract as q_km_survival.)
     val vocabSizedByContract = Set(
       "q_fit_vocab", "q_normalize", "q_meds_pipeline", "q_pipeline_config",
-      "q_km_survival", "q_bh")
+      "q_km_survival", "q_bh", "q_logrank")
 
     def boundedBelow(p: SparkPlan): Boolean = p match {
       case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
