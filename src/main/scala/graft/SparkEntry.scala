@@ -2180,7 +2180,32 @@ object SparkEntry {
         .select(col("id").as("vec_id"),
           graft.functions.Portable.r6(col("k_dist")).as("k_dist"),
           graft.functions.Portable.r6(col("lrd")).as("lrd"),
-          graft.functions.Portable.r6(col("lof")).as("lof")))
+          graft.functions.Portable.r6(col("lof")).as("lof"))),
+
+    // Hill tail-index of doc lengths per source over the top-50 order
+    // statistics — how heavy is the length tail a clamp must survive
+    "q_hill" -> ((s, dir) =>
+      Stats.hillTailIndex(docs(s, dir), Seq("source"), "n_chars", "doc_id", k = 50)
+        .select(col("source"), col("n"), col("x_tail"),
+          graft.functions.Portable.r6(col("alpha")).as("alpha"))),
+
+    // simplified silhouette per k-means cell: is the IVF index any good
+    "q_silhouette" -> { (s, dir) =>
+      val e = emb(s, dir)
+      graft.ann.ClusterQuality.silhouette(e, KMeans.initCentroids(e, k = 8))
+        .select(col("cid"), col("n"),
+          graft.functions.Portable.r6(col("mean_d1")).as("mean_d1"),
+          graft.functions.Portable.r6(col("mean_sil")).as("mean_sil"))
+    },
+
+    // Davies-Bouldin per k-means cell: worst scatter/separation ratio
+    "q_davies_bouldin" -> { (s, dir) =>
+      val e = emb(s, dir)
+      graft.ann.ClusterQuality.daviesBouldin(e, KMeans.initCentroids(e, k = 8))
+        .select(col("cid"), col("n"),
+          graft.functions.Portable.r6(col("s_c")).as("s_c"),
+          graft.functions.Portable.r6(col("db")).as("db"))
+    }
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -5379,7 +5404,60 @@ object SparkEntry {
            |  floor(kd.kdist * 1000000 + 0.5) / 1000000 AS k_dist,
            |  floor(lf.lrd * 1000000 + 0.5) / 1000000 AS lrd,
            |  CASE WHEN lf.lrd IS NOT NULL THEN floor(lofraw * 1000000 + 0.5) / 1000000 END AS lof
-           |FROM lf JOIN kd ON kd.id = lf.id""".stripMargin
+           |FROM lf JOIN kd ON kd.id = lf.id""".stripMargin,
+
+      "q_hill" ->
+        """WITH v AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS x FROM documents
+          |  WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE)) AND CAST(n_chars AS DOUBLE) > 0.0),
+          |rk AS (SELECT source, x, row_number() OVER (PARTITION BY source ORDER BY x DESC, doc_id) AS r FROM v),
+          |top AS (SELECT * FROM rk WHERE r <= 51),
+          |g AS (SELECT source, count(*) AS nk, min(CASE WHEN r = 51 THEN x END) AS x_tail FROM top GROUP BY 1),
+          |t AS (SELECT top.source, g.nk, g.x_tail,
+          |        floor(ln(top.x / g.x_tail) * 1000000 + 0.5) / 1000000 AS tt
+          |      FROM top JOIN g USING (source) WHERE top.r <= 50 AND g.x_tail IS NOT NULL),
+          |m AS (SELECT source, nk, x_tail,
+          |        CAST(coalesce(sum(CAST(tt AS DECIMAL(38,6))), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mn
+          |      FROM t GROUP BY 1, 2, 3),
+          |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1)
+          |SELECT sz.source, sz.n, m.x_tail,
+          |  CASE WHEN m.nk = 51 AND m.mn > 0.0 THEN floor(1.0 / m.mn * 1000000 + 0.5) / 1000000 END AS alpha
+          |FROM sz LEFT JOIN m USING (source)""".stripMargin,
+
+      "q_silhouette" ->
+        s"""WITH $kmeansInitCte,
+           |d AS (SELECT e.vec_id, c0.cid, sqrt(${sqDistSql("e.embedding", "c0.embedding")}) AS dist
+           |      FROM embeddings e CROSS JOIN c0),
+           |r AS (SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d),
+           |t AS (SELECT a.vec_id, a.cid, a.dist AS d1, b.dist AS d2
+           |      FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+           |s AS (SELECT cid, d1, CASE WHEN d2 > 0.0 THEN (d2 - d1) / d2 ELSE 0.0 END AS sil FROM t)
+           |SELECT cid, CAST(count(*) AS BIGINT) AS n,
+           |  floor(CAST(sum(CAST(floor(d1 * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_d1,
+           |  floor(CAST(sum(CAST(floor(sil * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_sil
+           |FROM s GROUP BY 1""".stripMargin,
+
+      "q_davies_bouldin" ->
+        s"""WITH $kmeansInitCte,
+           |d AS (SELECT e.vec_id, c0.cid, sqrt(${sqDistSql("e.embedding", "c0.embedding")}) AS dist
+           |      FROM embeddings e CROSS JOIN c0),
+           |r AS (SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d),
+           |a AS (SELECT vec_id, cid, dist AS d1 FROM r WHERE rn = 1),
+           |sc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(CAST(floor(d1 * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+           |          / CAST(count(*) AS DOUBLE) AS s_c
+           |      FROM a GROUP BY 1),
+           |sep AS (SELECT x.cid AS cid, y.cid AS cj,
+           |        sqrt(${sqDistSql("x.embedding", "y.embedding")}) AS sep_m
+           |      FROM c0 x JOIN c0 y ON x.cid <> y.cid),
+           |j AS (SELECT si.cid, si.n, si.s_c,
+           |        CASE WHEN sep.sep_m > 0.0 AND sj.s_c IS NOT NULL
+           |          THEN (si.s_c + sj.s_c) / sep.sep_m END AS ratio
+           |      FROM sc si JOIN sep ON sep.cid = si.cid LEFT JOIN sc sj ON sj.cid = sep.cj)
+           |SELECT cid, n, floor(s_c * 1000000 + 0.5) / 1000000 AS s_c,
+           |  floor(max(ratio) * 1000000 + 0.5) / 1000000 AS db
+           |FROM j GROUP BY cid, n, s_c""".stripMargin
     )
   }
 }

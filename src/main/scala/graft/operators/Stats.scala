@@ -707,4 +707,66 @@ object Stats {
       when(col("__bad") === 0L && col("n_obs") > maxLag.toLong,
         nD * (nD + 2.0) * col("__s")).as("q")): _*)
   }
+
+  /** Per-group Hill tail-index estimator over the top `k` order
+    * statistics: α̂ = 1 / mean(ln(x₍ᵢ₎/x₍ₖ₊₁₎)), i = 1..k — how heavy is
+    * this distribution's upper tail (α ≲ 2: infinite variance — means
+    * and z-scores stop being meaningful; α large: thin tail). The
+    * quantitative companion to [[gini]]/#195's Zipf slope for doc
+    * lengths, degree distributions and revenue-per-key: Zipf fits the
+    * BODY, Hill measures exactly the TAIL a clamp/winsorize policy has
+    * to survive.
+    *
+    * One rank window per group keeps only k+1 rows (filter directly on
+    * the rank — the frame never exceeds (k+1)·|groups|); ln ratios are
+    * r6'd then DECIMAL-meaned. Groups with fewer than k+1 positive
+    * values, or with x₍ₖ₊₁₎ = x₍₁₎ (a constant tail — zero log ratios),
+    * emit NULL α. Ranking ties break by `idCol` so the order
+    * statistics are deterministic under duplicates.
+    *
+    * Output: (by..., n, x_tail, alpha); x_tail = x₍ₖ₊₁₎, the tail
+    * threshold the estimate conditions on.
+    */
+  def hillTailIndex(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      idCol: String,
+      k: Int = 50): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val byCols = by.map(col)
+    val x = col(valueCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(byCols: _*).orderBy(col("__x").desc, col(idCol))
+    val top = df
+      .filter(ok(x) && x > 0.0)
+      .select((byCols :+ col(idCol) :+ x.as("__x")): _*)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k + 1)
+    val sizes = df.filter(ok(x) && x > 0.0).groupBy(byCols: _*).agg(count(lit(1)).as("n"))
+    val perGroup = top
+      .groupBy(byCols: _*)
+      .agg(
+        count(lit(1)).as("__nk"),
+        min(when(col("__rk") === k + 1, col("__x"))).as("x_tail"),
+        collect_list(struct(col("__rk"), col("__x"))).as("__xs"))
+    // ln(x_i / x_tail) for i <= k, r6'd, DECIMAL-meaned. The k+1 rows are
+    // already in hand per group; the fold is row-local over that array.
+    val terms = perGroup
+      .select((byCols :+ col("__nk") :+ col("x_tail") :+
+        explode(col("__xs")).as("__e")): _*)
+      .filter(col("__e.__rk") <= k && col("x_tail").isNotNull)
+      .select((byCols :+ col("__nk") :+ col("x_tail") :+
+        graft.functions.Portable.r6(log(col("__e.__x") / col("x_tail"))).as("__t")): _*)
+    val m = terms
+      .groupBy((byCols :+ col("__nk") :+ col("x_tail")): _*)
+      .agg((sum(col("__t").cast("decimal(38,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("__mean"))
+    sizes.join(
+        m.select((byCols :+ col("x_tail") :+
+          when(col("__nk") === k + 1 && col("__mean") > 0.0,
+            lit(1.0) / col("__mean")).as("alpha")): _*),
+        by, "left")
+      .select((byCols :+ col("n") :+ col("x_tail") :+ col("alpha")): _*)
+  }
 }

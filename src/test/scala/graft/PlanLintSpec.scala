@@ -71,6 +71,10 @@ class PlanLintSpec extends SparkSpec {
       "q_meds_pipeline"  -> Set("global-window"),
       "q_pipeline_config" -> Set("global-window"), // same pipeline, config-composed
       "q_kmeans_assign"  -> Set("nested-loop-join"),
+      // cluster quality shares q_kmeans_assign's broadcast-centroid scan;
+      // Davies-Bouldin adds the k x k centroid-pair frame (k-bounded twice)
+      "q_silhouette"      -> Set("nested-loop-join"),
+      "q_davies_bouldin"  -> Set("nested-loop-join"),
       "q_ann_ivf_kmeans" -> Set("nested-loop-join"),
       "q_ann_topk"       -> Set("nested-loop-join"),
       "q_hard_negatives" -> Set("nested-loop-join"), // same broadcast query-set scan as q_ann_topk
