@@ -2205,7 +2205,55 @@ object SparkEntry {
         .select(col("cid"), col("n"),
           graft.functions.Portable.r6(col("s_c")).as("s_c"),
           graft.functions.Portable.r6(col("db")).as("db"))
-    }
+    },
+
+    // Theil-Sen robust slope of value-vs-time (per day) per user series
+    "q_theil_sen" -> ((s, dir) =>
+      graft.operators.Trend.theilSen(
+          ev(s, dir).withColumn("t_days",
+            unix_micros(col("ts")).cast("double") / lit(86400000000.0)),
+          Seq("user_id"), "event_id", "t_days", "value", sampleN = 150)
+        .select(col("user_id"), col("n"), col("n_slopes"),
+          graft.functions.Portable.r6(col("slope")).as("slope"))),
+
+    // Mann-Kendall "is the drift real" companion on the same series
+    "q_mann_kendall" -> ((s, dir) =>
+      graft.operators.Trend.mannKendall(ev(s, dir), Seq("user_id"), "ts", "event_id",
+          "value", sampleN = 150)
+        .select(col("user_id"), col("n"), col("s"),
+          graft.functions.Portable.r6(col("var_s")).as("var_s"),
+          graft.functions.Portable.r6(col("z")).as("z"))),
+
+    // effective-number diversity of each event stream across users
+    "q_diversity" -> ((s, dir) =>
+      graft.operators.Diversity.indices(ev(s, dir), Seq("event_type"), "user_id")
+        .select(col("event_type"), col("n"), col("richness"),
+          graft.functions.Portable.r6(col("shannon")).as("shannon"),
+          graft.functions.Portable.r6(col("simpson")).as("simpson"),
+          graft.functions.Portable.r6(col("hill1")).as("hill1"),
+          graft.functions.Portable.r6(col("hill2")).as("hill2"))),
+
+    // RFM segmentation of customers within market segments
+    "q_rfm" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.Rfm.rfm(o.join(c, col("o_custkey") === col("c_custkey")),
+          "c_mktsegment", "o_custkey", "o_orderdate", "o_totalprice", nBins = 5)
+        .select(col("seg"), col("entity"),
+          unix_micros(col("recency").cast("timestamp")).as("recency_us"),
+          col("frequency"), col("monetary"), col("r"), col("f"), col("m"), col("rfm"))
+    },
+
+    // Pile-style token-budget epoch allocation under the mixture weights
+    "q_epoch_alloc" -> ((s, dir) =>
+      Sampling.epochAllocation(docs(s, dir), "source", "n_chars",
+          MixtureWeights, budget = 2000000L, maxEpochs = 3.0)
+        .select(col("source"), col("n_rows"), col("tokens"),
+          graft.functions.Portable.r6(col("weight")).as("weight"),
+          graft.functions.Portable.r6(col("target_tokens")).as("target_tokens"),
+          graft.functions.Portable.r6(col("epochs")).as("epochs"),
+          graft.functions.Portable.r6(col("alloc_tokens")).as("alloc_tokens"),
+          graft.functions.Portable.r6(col("unspent")).as("unspent")))
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -5457,7 +5505,115 @@ object SparkEntry {
            |      FROM sc si JOIN sep ON sep.cid = si.cid LEFT JOIN sc sj ON sj.cid = sep.cj)
            |SELECT cid, n, floor(s_c * 1000000 + 0.5) / 1000000 AS s_c,
            |  floor(max(ratio) * 1000000 + 0.5) / 1000000 AS db
-           |FROM j GROUP BY cid, n, s_c""".stripMargin
+           |FROM j GROUP BY cid, n, s_c""".stripMargin,
+
+      "q_theil_sen" ->
+        s"""WITH v AS (SELECT user_id, event_id,
+           |    CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 AS x, CAST(value AS DOUBLE) AS y
+           |  FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+           |    AND ts IS NOT NULL AND event_id IS NOT NULL),
+           |h AS (SELECT user_id, event_id, x, y,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY ${h32("concat('theil','|',CAST(user_id AS VARCHAR),'|',CAST(event_id AS VARCHAR))")}, event_id) AS rn
+           |  FROM v),
+           |sm AS (SELECT user_id, event_id, x, y FROM h WHERE rn <= 150),
+           |sl AS (SELECT l.user_id, (r.y - l.y) / (r.x - l.x) AS s
+           |      FROM sm l JOIN sm r ON l.user_id = r.user_id
+           |        AND l.event_id < r.event_id AND l.x <> r.x),
+           |rk AS (SELECT user_id, s, row_number() OVER (PARTITION BY user_id ORDER BY s) AS rk,
+           |        count(*) OVER (PARTITION BY user_id) AS m FROM sl),
+           |mid AS (SELECT user_id, CAST(max(m) AS BIGINT) AS n_slopes, sum(s) / count(*) AS slope
+           |      FROM rk WHERE rk = (m + 1) // 2 OR rk = (m + 2) // 2 GROUP BY 1),
+           |sz AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM sm GROUP BY 1)
+           |SELECT sz.user_id, sz.n, CAST(coalesce(mid.n_slopes, 0) AS BIGINT) AS n_slopes,
+           |  floor(mid.slope * 1000000 + 0.5) / 1000000 AS slope
+           |FROM sz LEFT JOIN mid USING (user_id)""".stripMargin,
+
+      "q_mann_kendall" ->
+        s"""WITH v AS (SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS y
+           |  FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+           |    AND ts IS NOT NULL AND event_id IS NOT NULL),
+           |h AS (SELECT user_id, event_id, ts, y,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY ${h32("concat('mk','|',CAST(user_id AS VARCHAR),'|',CAST(event_id AS VARCHAR))")}, event_id) AS rn
+           |  FROM v),
+           |sm AS (SELECT user_id, event_id, ts, y FROM h WHERE rn <= 150),
+           |p AS (SELECT l.user_id,
+           |        CASE WHEN r.y > l.y THEN 1 WHEN r.y < l.y THEN -1 ELSE 0 END AS sg
+           |      FROM sm l JOIN sm r ON l.user_id = r.user_id
+           |        AND (l.ts < r.ts OR (l.ts = r.ts AND l.event_id < r.event_id))),
+           |sagg AS (SELECT user_id, CAST(sum(sg) AS BIGINT) AS s FROM p GROUP BY 1),
+           |t AS (SELECT user_id, y, CAST(count(*) AS BIGINT) AS c FROM sm GROUP BY 1, 2),
+           |ties AS (SELECT user_id, CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tsum,
+           |        CAST(sum(c) AS BIGINT) AS n FROM t GROUP BY 1),
+           |f AS (SELECT ties.user_id, n, CAST(coalesce(s, 0) AS BIGINT) AS s,
+           |    CAST(n * (n - 1) * (2 * n + 5) - tsum AS DOUBLE) / 18.0 AS var_s
+           |  FROM ties LEFT JOIN sagg USING (user_id))
+           |SELECT user_id, n, s, floor(var_s * 1000000 + 0.5) / 1000000 AS var_s,
+           |  CASE WHEN var_s > 0.0 THEN
+           |    floor((CAST(s AS DOUBLE) - CASE WHEN s > 0 THEN 1.0 WHEN s < 0 THEN -1.0 ELSE 0.0 END)
+           |      / sqrt(var_s) * 1000000 + 0.5) / 1000000 END AS z
+           |FROM f""".stripMargin,
+
+      "q_diversity" ->
+        """WITH c AS (SELECT event_type, user_id, count(*) AS k FROM events
+          |  WHERE user_id IS NOT NULL GROUP BY 1, 2),
+          |g AS (SELECT event_type, CAST(sum(k) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS richness,
+          |        CAST(sum(CAST(k AS DECIMAL(38,0)) * k) AS DOUBLE) AS sk2,
+          |        CAST(sum(CAST(floor(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE)) * 1000000 + 0.5)
+          |          / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS skl
+          |      FROM c GROUP BY 1)
+          |SELECT event_type, n, richness,
+          |  floor((ln(CAST(n AS DOUBLE)) - skl / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS shannon,
+          |  floor(sk2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS simpson,
+          |  floor(exp(ln(CAST(n AS DOUBLE)) - skl / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS hill1,
+          |  floor(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) / sk2 * 1000000 + 0.5) / 1000000 AS hill2
+          |FROM g""".stripMargin,
+
+      "q_rfm" ->
+        """WITH b AS (SELECT c_mktsegment AS seg, o_custkey AS entity,
+          |    max(o_orderdate) AS recency, CAST(count(*) AS BIGINT) AS frequency,
+          |    CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 1000000 + 0.5) / 1000000
+          |      AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+          |  GROUP BY 1, 2)
+          |SELECT seg, entity, epoch_us(recency) AS recency_us, frequency, monetary,
+          |  CAST(ntile(5) OVER (PARTITION BY seg ORDER BY recency, entity) AS BIGINT) AS r,
+          |  CAST(ntile(5) OVER (PARTITION BY seg ORDER BY frequency, entity) AS BIGINT) AS f,
+          |  CAST(ntile(5) OVER (PARTITION BY seg ORDER BY monetary, entity) AS BIGINT) AS m,
+          |  CAST(ntile(5) OVER (PARTITION BY seg ORDER BY recency, entity) * 100
+          |    + ntile(5) OVER (PARTITION BY seg ORDER BY frequency, entity) * 10
+          |    + ntile(5) OVER (PARTITION BY seg ORDER BY monetary, entity) AS BIGINT) AS rfm
+          |FROM b""".stripMargin,
+
+      "q_epoch_alloc" -> {
+        val values = MixtureWeights.toSeq.sorted
+          .map { case (s, w) => s"('$s', CAST($w AS DOUBLE))" }.mkString(", ")
+        s"""WITH w(source, w0) AS (VALUES $values),
+           |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(coalesce(sum(CAST(n_chars AS DECIMAL(38,6))), 0) AS DOUBLE) AS tokens
+           |  FROM documents GROUP BY 1),
+           |j AS (SELECT g.source, n_rows, tokens,
+           |    CASE WHEN tokens > 0.0 THEN coalesce(w0, 0.0) ELSE 0.0 END AS w1
+           |  FROM g LEFT JOIN w ON g.source = w.source),
+           |tot AS (SELECT CAST(sum(CAST(floor(w1 * 1000000 + 0.5) / 1000000
+           |    AS DECIMAL(38,6))) AS DOUBLE) AS wtot FROM j),
+           |f AS (SELECT source, n_rows, tokens,
+           |    w1 / nullif(wtot, 0.0) AS weight,
+           |    2000000.0 * (w1 / nullif(wtot, 0.0)) AS target,
+           |    CASE WHEN tokens > 0.0
+           |      THEN least(3.0, 2000000.0 * (w1 / nullif(wtot, 0.0)) / tokens)
+           |      ELSE 0.0 END AS epochs
+           |  FROM j CROSS JOIN tot)
+           |SELECT source, n_rows, tokens,
+           |  floor(weight * 1000000 + 0.5) / 1000000 AS weight,
+           |  floor(target * 1000000 + 0.5) / 1000000 AS target_tokens,
+           |  floor(epochs * 1000000 + 0.5) / 1000000 AS epochs,
+           |  floor(epochs * tokens * 1000000 + 0.5) / 1000000 AS alloc_tokens,
+           |  floor((coalesce(target, 0.0) - epochs * tokens) * 1000000 + 0.5) / 1000000 AS unspent
+           |FROM f""".stripMargin
+      }
     )
   }
 }

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust trend detection over per-key series: Theil–Sen slope (the
+  * median-of-pairwise-slopes regression a single outlier cannot move)
+  * and the Mann–Kendall trend test (is there ANY monotone drift —
+  * direction without a linearity assumption). The pair for metric
+  * drift monitoring: [[Stats.linReg]] answers "how fast", these answer
+  * it robustly and "is it real" — the standard combination in
+  * environmental/SRE trend literature.
+  *
+  * Both are inherently pairwise (O(n²) pairs; the O(n log n)
+  * formulations are sequential algorithms, not dataflows), so both
+  * measure a DETERMINISTIC md5-ordered sample per group — the
+  * [[Stats.kendallTau]] sampling discipline: config-bounded pairs,
+  * engine-reproducible, unbiased w.r.t. any value ordering. At
+  * sampleN = 200 the pair frame is ≤ 19 900 rows per group.
+  */
+object Trend {
+
+  private def ok(c: Column): Column = c.isNotNull && !isnan(c)
+
+  private def sampled(
+      df: DataFrame,
+      by: Seq[String],
+      idCol: String,
+      x: Column,
+      y: Column,
+      seed: String,
+      sampleN: Int): DataFrame = {
+    val byCols = by.map(col)
+    val h = graft.text.TextFunctions.md5Hash32(
+      concat_ws("|", (lit(seed) +: byCols :+ col("__id").cast("string")): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(byCols: _*).orderBy(h, col("__id"))
+    df.filter(ok(x) && ok(y) && col(idCol).isNotNull)
+      .select((byCols :+ col(idCol).as("__id") :+ x.as("__x") :+ y.as("__y")): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= sampleN)
+      .drop("__rn")
+  }
+
+  /** Per-group Theil–Sen estimator: the MEDIAN of slopes
+    * (y_j − y_i)/(x_j − x_i) over all sampled pairs with distinct x —
+    * 29% breakdown point, so a corrupted minority of points cannot drag
+    * the trend the way it drags OLS. Median of an even slope count is
+    * the mean of the two middle values; rank ties are value-identical so
+    * the median value is deterministic regardless of tie order.
+    *
+    * Scale shape: one hash-order window caps each group at `sampleN`;
+    * the pair frame is a group-keyed self-join of ≤ sampleN-row groups
+    * (config-bounded); one rank window over the slope frame (pair-sized,
+    * never corpus-sized) extracts the middle. Groups where every sampled
+    * pair shares an x (a vertical series) emit NULL slope.
+    *
+    * Output: (by..., n, n_slopes, slope).
+    */
+  def theilSen(
+      df: DataFrame,
+      by: Seq[String],
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      sampleN: Int = 200): DataFrame = {
+    require(sampleN >= 2, s"sampleN must be >= 2, got $sampleN")
+    val byCols = by.map(col)
+    val s = sampled(df, by, idCol, col(xCol).cast("double"), col(yCol).cast("double"),
+      "theil", sampleN)
+    val slopes = s.as("l")
+      .join(s.as("r"),
+        by.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _) &&
+          col("l.__id") < col("r.__id") && col("l.__x") =!= col("r.__x"))
+      .select((by.map(c => col(s"l.$c").as(c)) :+
+        ((col("r.__y") - col("l.__y")) / (col("r.__x") - col("l.__x"))).as("__s")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(byCols: _*).orderBy(col("__s"))
+    val ranked = slopes
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(byCols: _*)))
+    // middle rank(s): floor((m+1)/2) and floor((m+2)/2) — one rank when m
+    // is odd, the two middles when even (long division, not SQL's double /)
+    val mid = ranked
+      .filter(col("__rk") === ((col("__m") + 1) - pmod(col("__m") + 1, lit(2))) / 2 ||
+        col("__rk") === ((col("__m") + 2) - pmod(col("__m") + 2, lit(2))) / 2)
+      .groupBy(byCols: _*)
+      .agg(max(col("__m")).as("n_slopes"),
+        (sum(col("__s")) / count(lit(1))).as("slope"))
+    val sizes = s.groupBy(byCols: _*).agg(count(lit(1)).as("n"))
+    sizes.join(mid, by, "left")
+      .select((byCols :+ col("n") :+
+        coalesce(col("n_slopes"), lit(0L)).as("n_slopes") :+ col("slope")): _*)
+  }
+
+  /** Per-group Mann–Kendall trend test over the (time, tie)-ordered
+    * sample: S = Σ_{i<j} sign(y_j − y_i), with the tie-corrected
+    * variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 (t over
+    * tied-value group sizes) and the continuity-corrected
+    * z = (S ∓ 1)/√Var. |z| > 1.96 ≈ "the drift is real at 5%".
+    *
+    * S and the variance numerator are exact integers (order-free); the
+    * single z division is one fixed IEEE sequence. Same-time rows are
+    * totally ordered by the unique `idCol` (pairs are index pairs in
+    * that order, the standard series treatment). Groups with Var ≤ 0
+    * (n < 2 or everything tied) emit NULL z.
+    *
+    * Output: (by..., n, s, var_s, z).
+    */
+  def mannKendall(
+      df: DataFrame,
+      by: Seq[String],
+      orderCol: String,
+      idCol: String,
+      valueCol: String,
+      sampleN: Int = 200): DataFrame = {
+    require(sampleN >= 2, s"sampleN must be >= 2, got $sampleN")
+    val byCols = by.map(col)
+    val v = col(valueCol).cast("double")
+    val h = graft.text.TextFunctions.md5Hash32(
+      concat_ws("|", (lit("mk") +: byCols :+ col("__id").cast("string")): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(byCols: _*).orderBy(h, col("__id"))
+    val s = df
+      .filter(ok(v) && col(orderCol).isNotNull && col(idCol).isNotNull)
+      .select((byCols :+ col(idCol).as("__id") :+ col(orderCol).as("__o") :+
+        v.as("__y")): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= sampleN)
+      .drop("__rn")
+    // pair orientation is (earlier, later) under (order, id): same-time
+    // rows are totally ordered by the unique id, the standard index-pair
+    // treatment for series with timestamp ties
+    val pairs = s.as("l")
+      .join(s.as("r"),
+        by.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _) &&
+          (col("l.__o") < col("r.__o") ||
+            (col("l.__o") === col("r.__o") && col("l.__id") < col("r.__id"))))
+    val agg = pairs
+      .groupBy(by.map(c => col(s"l.$c").as(c)): _*)
+      .agg(sum(signum(col("r.__y") - col("l.__y")).cast("long")).as("s"))
+    val ties = s.groupBy((byCols :+ col("__y")): _*).agg(count(lit(1)).as("__t"))
+      .groupBy(byCols: _*)
+      .agg(sum(col("__t") * (col("__t") - 1) * (lit(2) * col("__t") + 5)).as("__tsum"),
+        sum(col("__t")).as("n"))
+    val nL = col("n")
+    val varNum = (nL * (nL - 1) * (lit(2) * nL + 5) - col("__tsum")).cast("double")
+    val varS = varNum / 18.0
+    ties.join(agg, by, "left")
+      .select((byCols :+ col("n") :+ coalesce(col("s"), lit(0L)).as("s") :+
+        varS.as("var_s") :+
+        when(varS > 0.0,
+          (col("s").cast("double") - signum(col("s").cast("double"))) / sqrt(varS))
+          .as("z")): _*)
+  }
+}

@@ -214,4 +214,65 @@ object Sampling {
           col("__sc") / nullif(col("__tot"), lit(0.0)) * col("__grand") / col("size_total"))
           .as("epochs"))
   }
+
+  /** Token-budget epoch allocation under EXPLICIT target weights — the
+    * Pile-style mixture plan: given per-source token counts, a target
+    * mixture (config weights), a total training budget, and a repetition
+    * cap, how many epochs of each source does the run take, and how much
+    * of the budget can't be spent where the cap binds? The design-time
+    * complement of [[mixtureSample]] (which EXECUTES a plan row-wise):
+    * this op reads one summary row per source before any sampling runs.
+    *
+    * Weights are renormalized over the sources actually present with
+    * tokens > 0 (an empty source can't absorb budget); sources missing
+    * from the map get weight 0. epochs = min(maxEpochs, target/tokens);
+    * `unspent` = target − allocated, > 0 exactly where the cap binds —
+    * the signal to either raise the cap or re-weight. One fact pass to
+    * source-sized totals; everything downstream is source-sized with the
+    * one-row weight total cross-joined (broadcast).
+    *
+    * Output: (group, n_rows, tokens, weight, target_tokens, epochs,
+    * alloc_tokens, unspent).
+    */
+  def epochAllocation(
+      df: DataFrame,
+      groupCol: String,
+      sizeCol: String,
+      weights: Map[String, Double],
+      budget: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(weights.nonEmpty, "epochAllocation needs at least one weighted group")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.Portable.r6
+    val wdf = weights.toSeq.toDF(groupCol, "__w")
+    val g = df
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(col(sizeCol).cast("decimal(38,6)")), lit(0).cast("decimal(38,6)"))
+          .cast("double").as("tokens"))
+      .join(broadcast(wdf), Seq(groupCol), "left")
+      .withColumn("__w", when(col("tokens") > 0.0, coalesce(col("__w"), lit(0.0)))
+        .otherwise(lit(0.0)))
+    val tot = g.agg(
+      sum(r6(col("__w")).cast("decimal(38,6)")).cast("double").as("__wtot"))
+    val weight = col("__w") / nullif(col("__wtot"), lit(0.0))
+    val target = lit(budget.toDouble) * weight
+    val epochs = when(col("tokens") > 0.0,
+      least(lit(maxEpochs), target / col("tokens"))).otherwise(lit(0.0))
+    g.crossJoin(broadcast(tot))
+      .select(
+        col(groupCol),
+        col("n_rows"),
+        col("tokens"),
+        weight.as("weight"),
+        target.as("target_tokens"),
+        epochs.as("epochs"),
+        (epochs * col("tokens")).as("alloc_tokens"),
+        (coalesce(target, lit(0.0)) - epochs * col("tokens")).as("unspent"))
+  }
 }
