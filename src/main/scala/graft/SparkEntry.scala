@@ -2253,7 +2253,32 @@ object SparkEntry {
           graft.functions.Portable.r6(col("target_tokens")).as("target_tokens"),
           graft.functions.Portable.r6(col("epochs")).as("epochs"),
           graft.functions.Portable.r6(col("alloc_tokens")).as("alloc_tokens"),
-          graft.functions.Portable.r6(col("unspent")).as("unspent")))
+          graft.functions.Portable.r6(col("unspent")).as("unspent"))),
+
+    // URL canonicalization over synthesized messy URLs (case, userinfo,
+    // default ports, tracking params, unsorted query, fragments)
+    "q_url_canon" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://user:pw@")).otherwise(lit("http://")),
+        lit("WWW."), col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":8080")),
+        lit("/Docs/"), col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&b=2&a=1&gclid=x"),
+        when(col("doc_id") % 5 === 0, lit("&ref=tw")).otherwise(lit("&z=9")),
+        lit("#frag"))
+      docs(s, dir).select(col("doc_id"),
+        graft.text.UrlFunctions.canonicalize(url).as("canon"))
+    }),
+
+    // classical additive decomposition of hourly volumes per event type
+    "q_decompose" -> ((s, dir) =>
+      Seasonal.decompose(ev(s, dir), "event_type", "ts", period = 24)
+        .select(col("key").as("event_type"), unix_micros(col("bucket")).as("bucket_us"),
+          col("phase"), col("v"),
+          graft.functions.Portable.r6(col("trend")).as("trend"),
+          graft.functions.Portable.r6(col("seasonal")).as("seasonal"),
+          graft.functions.Portable.r6(col("residual")).as("residual")))
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -5613,7 +5638,69 @@ object SparkEntry {
            |  floor(epochs * tokens * 1000000 + 0.5) / 1000000 AS alloc_tokens,
            |  floor((coalesce(target, 0.0) - epochs * tokens) * 1000000 + 0.5) / 1000000 AS unspent
            |FROM f""".stripMargin
-      }
+      },
+
+      "q_url_canon" ->
+        """WITH u AS (SELECT doc_id,
+          |    concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://user:pw@' ELSE 'http://' END,
+          |      'WWW.', source, '.Example.COM',
+          |      CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8080' END,
+          |      '/Docs/', CAST(doc_id AS VARCHAR),
+          |      CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+          |      '?utm_source=feed&b=2&a=1&gclid=x',
+          |      CASE WHEN doc_id % 5 = 0 THEN '&ref=tw' ELSE '&z=9' END,
+          |      '#frag') AS url
+          |  FROM documents),
+          |p AS (SELECT doc_id,
+          |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+          |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host,
+          |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]+:([0-9]+)', 1) AS port,
+          |    regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$', '') AS path,
+          |    list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+          |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=.*)?$'))) AS kept
+          |  FROM u)
+          |SELECT doc_id,
+          |  CASE WHEN scheme <> '' AND host <> '' THEN
+          |    concat(scheme, '://', host,
+          |      CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+          |        AND NOT (scheme = 'https' AND port = '443') THEN concat(':', port) ELSE '' END,
+          |      path,
+          |      CASE WHEN len(kept) > 0 THEN concat('?', array_to_string(kept, '&')) ELSE '' END)
+          |  END AS canon
+          |FROM p""".stripMargin,
+
+      "q_decompose" ->
+        """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bk, CAST(count(*) AS DOUBLE) AS v
+          |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+          |t AS (SELECT event_type, bk, v,
+          |        (epoch_us(bk) // 3600000000) % 24 AS phase,
+          |        lag(v, 12) OVER w AS l, lead(v, 12) OVER w AS r,
+          |        sum(v) OVER (PARTITION BY event_type ORDER BY bk
+          |          ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS si,
+          |        count(v) OVER (PARTITION BY event_type ORDER BY bk
+          |          ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS ci
+          |      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bk)),
+          |dd AS (SELECT event_type, bk, phase, v,
+          |        CASE WHEN l IS NOT NULL AND r IS NOT NULL AND ci = 23
+          |          THEN ((l + r) * 0.5 + si) / 24.0 END AS trend
+          |      FROM t),
+          |de AS (SELECT *, v - trend AS detr FROM dd),
+          |pm AS (SELECT event_type, phase,
+          |        CASE WHEN count(detr) > 0 THEN
+          |          CAST(sum(CAST(floor(detr * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+          |            / CAST(count(detr) AS DOUBLE) END AS sp
+          |      FROM de GROUP BY 1, 2),
+          |ctr AS (SELECT event_type,
+          |        CASE WHEN count(sp) > 0 THEN
+          |          CAST(sum(CAST(floor(sp * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+          |            / CAST(count(sp) AS DOUBLE) END AS c
+          |      FROM pm GROUP BY 1),
+          |se AS (SELECT pm.event_type, phase, sp - c AS seasonal FROM pm JOIN ctr USING (event_type))
+          |SELECT de.event_type, epoch_us(bk) AS bucket_us, CAST(de.phase AS BIGINT) AS phase, v,
+          |  floor(trend * 1000000 + 0.5) / 1000000 AS trend,
+          |  floor(seasonal * 1000000 + 0.5) / 1000000 AS seasonal,
+          |  floor((detr - seasonal) * 1000000 + 0.5) / 1000000 AS residual
+          |FROM de LEFT JOIN se ON de.event_type = se.event_type AND de.phase = se.phase""".stripMargin
     )
   }
 }

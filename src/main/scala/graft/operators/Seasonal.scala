@@ -129,4 +129,74 @@ object Seasonal {
       .withColumn("skill",
         when(col("mae_naive") > 0.0, col("mae_seasonal") / col("mae_naive")))
   }
+
+  /** Classical additive seasonal decomposition of per-key hourly
+    * volumes: v = trend + seasonal + residual. Trend is the standard
+    * centered moving average (the 2×m MA with half-weight endpoints for
+    * even periods, the plain ±h window for odd); seasonal indices are
+    * the phase means of the detrended series, centered to sum to ~0 so
+    * the trend keeps the level; what remains is the anomaly signal —
+    * "traffic is down" MEANS "down vs this hour-of-day's norm", which
+    * neither [[Ewma.holt]] (no season) nor [[hourOfDayProfile]] (no
+    * trend removal) answers alone.
+    *
+    * Scale shape: one fact pass to the (key × hour) bucket frame; the
+    * MA windows and lags run per key over buckets (bounded by the
+    * observation horizon, like [[seasonalNaiveSkill]]); phase means are
+    * a (key × period)-sized aggregate joined back on the key. The MA is
+    * POSITIONAL over observed buckets (gaps make "centered" ambiguous;
+    * documented), while the phase is CALENDAR (epoch-hour mod period),
+    * so seasonal indices stay hour-of-day-true even in gappy series.
+    * Window sums are exact integer counts; the single trend divide is
+    * one fixed IEEE sequence; detrended terms are r6'd then
+    * DECIMAL-meaned for the phase means. Edge buckets (incomplete MA
+    * window) emit NULL trend/residual but keep their seasonal index.
+    *
+    * Output: (key, bucket, phase, v, trend, seasonal, residual).
+    */
+  def decompose(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val b = df
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).cast("double").as("v"))
+      .withColumn("phase",
+        pmod((unix_micros(col("bucket")) / lit(3600000000L)).cast("long"), lit(period)))
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+    val h = period / 2
+    val trend =
+      if (period % 2 == 0) {
+        // 2×m MA: half-weight at ±h, full weight on the 2h-1 inner buckets
+        val inner = Window.partitionBy(col("key")).orderBy(col("bucket"))
+          .rowsBetween(-(h - 1), h - 1)
+        val l = lag(col("v"), h).over(w)
+        val r = lead(col("v"), h).over(w)
+        when(l.isNotNull && r.isNotNull && count(col("v")).over(inner) === (period - 1),
+          ((l + r) * 0.5 + sum(col("v")).over(inner)) / period.toDouble)
+      } else {
+        val win = Window.partitionBy(col("key")).orderBy(col("bucket"))
+          .rowsBetween(-h, h)
+        when(count(col("v")).over(win) === period,
+          sum(col("v")).over(win) / period.toDouble)
+      }
+    val withTrend = b.withColumn("trend", trend)
+      .withColumn("__detr", col("v") - col("trend"))
+    def dmean(e: Column): Column =
+      when(count(e) > 0,
+        sum(graft.functions.Portable.r6(e).cast("decimal(38,6)")).cast("double") /
+          count(e).cast("double"))
+    val phaseMeans = withTrend.groupBy(col("key"), col("phase"))
+      .agg(dmean(col("__detr")).as("__sp"))
+    val centers = phaseMeans.groupBy(col("key"))
+      .agg(dmean(col("__sp")).as("__c"))
+    val seasonal = phaseMeans.join(centers, "key")
+      .select(col("key"), col("phase"), (col("__sp") - col("__c")).as("seasonal"))
+    withTrend.join(seasonal, Seq("key", "phase"), "left")
+      .select(col("key"), col("bucket"), col("phase"), col("v"), col("trend"),
+        col("seasonal"), (col("__detr") - col("seasonal")).as("residual"))
+  }
 }

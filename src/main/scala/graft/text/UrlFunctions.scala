@@ -33,4 +33,44 @@ object UrlFunctions {
     val parts = split(h, "\\.")
     when(h.isNotNull, concat_ws(".", slice(parts, greatest(size(parts) - (n - 1), lit(1)), lit(n))))
   }
+
+  private val SchemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+  private val PortRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]+:([0-9]+)"
+  private val PathRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+  /** Tracking params dropped by [[canonicalize]] (name match, `=`-or-end
+    * anchored): the ubiquitous analytics/click identifiers that make two
+    * fetches of the same page hash differently.
+    */
+  private val TrackingRe = "^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=.*)?$"
+
+  /** Canonical URL form for exact web-corpus dedup keys: lowercase the
+    * scheme and host, drop userinfo and fragment, drop default ports
+    * (http:80, https:443), strip one trailing slash from a non-root
+    * path, remove tracking params ([[TrackingRe]]), and byte-sort the
+    * surviving query params so param order stops mattering. The crawl
+    * dedup normalizer: two spellings of one page become one key BEFORE
+    * the exact/minhash stages, which no similarity threshold does as
+    * cheaply. `www.` is kept (it is not always an alias; strip it via
+    * [[registeredDomain]] grouping instead). Row-local regexp/array
+    * work (codegen'd, engine-portable, NULL on unparseable — never an
+    * error), same discipline as [[host]].
+    */
+  def canonicalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, SchemeRe, 1))
+    val h = host(url)
+    val port = regexp_extract(url, PortRe, 1)
+    val portPart = when(
+      port =!= "" &&
+        !(scheme === "http" && port === "80") &&
+        !(scheme === "https" && port === "443"),
+      concat(lit(":"), port)).otherwise(lit(""))
+    val path = regexp_replace(regexp_extract(url, PathRe, 1), "/$", "")
+    val q0 = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = sort_array(filter(split(q0, "&"),
+      p => p =!= "" && !p.rlike(TrackingRe)))
+    val queryPart = when(size(kept) > 0, concat(lit("?"), concat_ws("&", kept)))
+      .otherwise(lit(""))
+    when(scheme =!= "" && h.isNotNull,
+      concat(scheme, lit("://"), h, portPart, path, queryPart))
+  }
 }
