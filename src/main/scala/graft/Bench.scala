@@ -39,7 +39,7 @@ object Bench {
     "q_dedup_cluster", "q_pagerank", "q_kcore", "q_dedup_jaccard",
     "q_curation", "q_semdedup")
 
-  final case class QRes(name: String, sec: Double, err: Option[String])
+  final case class QRes(name: String, sec: Double, err: Option[String], rows: Long)
 
   private def esc(s: String): String = s.flatMap {
     case '"'           => "\\\""
@@ -127,8 +127,13 @@ object Bench {
         .filter { case (name, _) => subset.forall(_.contains(name)) }
         .map { case (name, fn) =>
           val t0 = System.nanoTime()
+          // keep the output cardinality: scaled-data ratios are only
+          // readable against the WORK a query did (the sf10 dedup
+          // families legitimately emit ~50x the pairs of sf1 — a time
+          // ratio without the row ratio reads as a plan regression)
+          var rows = -1L
           val err =
-            try { fn(spark, dir).count(); None }
+            try { rows = fn(spark, dir).count(); None }
             catch { case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
               Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
@@ -144,15 +149,17 @@ object Bench {
           // OUTSIDE the timed region.
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
           System.gc()
-          QRes(name, elapsed, err)
+          QRes(name, elapsed, err, rows)
         }
     } finally spark.stop()
   }
 
   private def timesJson(rs: Seq[QRes]): String =
     rs.map(r => s"\"${r.name}\":${r.sec}").mkString("{", ",", "}")
+  private def rowsJson(rs: Seq[QRes]): String =
+    rs.map(r => s"\"${r.name}\":${r.rows}").mkString("{", ",", "}")
   private def errsJson(rs: Seq[QRes]): String =
-    rs.collect { case QRes(n, _, Some(e)) => s"\"$n\":\"${esc(e)}\"" }
+    rs.collect { case QRes(n, _, Some(e), _) => s"\"$n\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
@@ -200,10 +207,10 @@ object Bench {
     // headline unparseable (round-4 verdict). The FINAL line is compact,
     // total-only, and always parseable.
     val perQuery =
-      s"""{"metric":"per_query","queries":${timesJson(results)},"errors":${errsJson(results)},"sf":"$sfDir"""" +
-        s""","sf1_queries":${timesJson(sf1Results)},"sf1_errors":${errsJson(sf1Results)},"sf1_dir":"$sf1Dir"""" +
+      s"""{"metric":"per_query","queries":${timesJson(results)},"errors":${errsJson(results)},"rows":${rowsJson(results)},"sf":"$sfDir"""" +
+        s""","sf1_queries":${timesJson(sf1Results)},"sf1_errors":${errsJson(sf1Results)},"sf1_rows":${rowsJson(sf1Results)},"sf1_dir":"$sf1Dir"""" +
         s""","checkpoint_queries":${timesJson(cpResults)},"checkpoint_errors":${errsJson(cpResults)}""" +
-        s""","sf10_queries":${timesJson(sf10Results)},"sf10_errors":${errsJson(sf10Results)},"sf10_dir":"$sf10Dir"}"""
+        s""","sf10_queries":${timesJson(sf10Results)},"sf10_errors":${errsJson(sf10Results)},"sf10_rows":${rowsJson(sf10Results)},"sf10_dir":"$sf10Dir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_QUERIES.json"),

@@ -29,6 +29,19 @@ object ShingleProfileProbe {
     time("shingleHashTable")(graft.dedup.Dedup.shingleHashTable(docs, "doc_id", "text", 5).count())
     time("commonShinglePairs")(graft.dedup.Dedup.commonShinglePairs(docs, 5, "doc_id", "text", 1000).count())
     time("full jaccard")(graft.dedup.Dedup.ngramJaccardPairs(docs, 0.5, 5).count())
+    // bucket-size distribution: where does the pair volume come from?
+    val shs = docs
+      .select(col("doc_id"), graft.text.TextFunctions.wordTokens(col("text")).as("__t"))
+      .select(array_distinct(graft.functions.ShingleHashes.shingleHashes(col("__t"), 5)).as("__s"))
+      .select(explode(col("__s")).as("sh"))
+    val hist = shs.groupBy("sh").count()
+      .select(col("count").as("df"))
+      .withColumn("b", floor(log2(col("df"))).cast("long"))
+      .groupBy("b").agg(count(lit(1)).as("n_shingles"),
+        sum(least(col("df"), lit(1000L)) * least(col("df"), lit(1000L))).as("pair_mass"))
+      .orderBy("b")
+    hist.collect().foreach(r => println(
+      f"[hist] df in 2^${r.getAs[Long]("b")}%2d: ${r.getAs[Long]("n_shingles")}%10d shingles, pair mass ${r.getAs[Long]("pair_mass")}%15d"))
     spark.stop()
   }
 }
