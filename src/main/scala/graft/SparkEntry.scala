@@ -2278,7 +2278,19 @@ object SparkEntry {
           col("phase"), col("v"),
           graft.functions.Portable.r6(col("trend")).as("trend"),
           graft.functions.Portable.r6(col("seasonal")).as("seasonal"),
-          graft.functions.Portable.r6(col("residual")).as("residual")))
+          graft.functions.Portable.r6(col("residual")).as("residual"))),
+
+    // isotonic (PAVA) recalibration of a length-based quality score
+    // against the ' the ' label, per language — q_ece's companion FIX
+    "q_isotonic" -> ((s, dir) =>
+      Evaluation.isotonicCalibration(
+          docs(s, dir).withColumn("score",
+            least(lit(1.0), col("n_chars").cast("double") / 2000.0)),
+          Seq("lang"), "score", col("text").contains(" the "), nBins = 20)
+        .select(col("lang"), col("bin"), col("n"),
+          graft.functions.Portable.r6(col("conf")).as("conf"),
+          graft.functions.Portable.r6(col("acc")).as("acc"),
+          graft.functions.Portable.r6(col("iso")).as("iso")))
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -5700,7 +5712,32 @@ object SparkEntry {
           |  floor(trend * 1000000 + 0.5) / 1000000 AS trend,
           |  floor(seasonal * 1000000 + 0.5) / 1000000 AS seasonal,
           |  floor((detr - seasonal) * 1000000 + 0.5) / 1000000 AS residual
-          |FROM de LEFT JOIN se ON de.event_type = se.event_type AND de.phase = se.phase""".stripMargin
+          |FROM de LEFT JOIN se ON de.event_type = se.event_type AND de.phase = se.phase""".stripMargin,
+
+      "q_isotonic" ->
+        """WITH v AS (SELECT lang, least(1.0, CAST(n_chars AS DOUBLE) / 2000.0) AS x,
+          |    CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS p
+          |  FROM documents WHERE n_chars IS NOT NULL),
+          |b AS (SELECT lang, least(19, greatest(0, CAST(floor(x * 20) AS BIGINT))) AS bin,
+          |    CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS kk,
+          |    CAST(sum(CAST(floor(x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS sx
+          |  FROM v GROUP BY 1, 2),
+          |c AS (SELECT lang, bin, n, kk, sx,
+          |      CAST(sum(n) OVER w AS BIGINT) AS cn, CAST(sum(kk) OVER w AS BIGINT) AS ck,
+          |      CAST(sum(n) OVER w - n AS BIGINT) AS pn, CAST(sum(kk) OVER w - kk AS BIGINT) AS pk
+          |    FROM b WINDOW w AS (PARTITION BY lang ORDER BY bin
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |mn AS (SELECT i.lang, i.bin, j.bin AS jb, i.n, i.kk, i.sx,
+          |      min(CAST(r.ck - j.pk AS DOUBLE) / CAST(r.cn - j.pn AS DOUBLE)) AS m
+          |    FROM c i JOIN c j ON i.lang = j.lang AND j.bin <= i.bin
+          |      JOIN c r ON i.lang = r.lang AND r.bin >= i.bin
+          |    GROUP BY 1, 2, 3, 4, 5, 6),
+          |f AS (SELECT lang, bin, n, kk, sx, max(m) AS iso FROM mn GROUP BY 1, 2, 3, 4, 5)
+          |SELECT lang, bin, n,
+          |  floor(sx / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS conf,
+          |  floor(CAST(kk AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS acc,
+          |  floor(iso * 1000000 + 0.5) / 1000000 AS iso
+          |FROM f""".stripMargin
     )
   }
 }

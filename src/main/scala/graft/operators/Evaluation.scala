@@ -154,4 +154,76 @@ object Evaluation {
         when(col("n_pos") > 0, col("__ap") / col("n_pos").cast("double")))
       .drop("__ap")
   }
+
+  /** Per-group isotonic recalibration (PAVA) over the binned
+    * reliability table — [[calibration]] MEASURES the miscalibration,
+    * this fits the FIX: the monotone step function iso(bin) mapping raw
+    * scores to calibrated probabilities (the standard post-hoc
+    * recalibrator for quality/classifier scores before thresholding).
+    *
+    * Uses the minimax closed form of isotonic regression,
+    * iso(i) = max_{j≤i} min_{k≥i} mean(y over bins j..k), computed
+    * RELATIONALLY on the (group × nBins) frame: one fact pass bins the
+    * scores; cumulative positive/count sums come from one bin-ordered
+    * window; the (j ≤ i ≤ k) triple then materializes ≤ nBins³ rows per
+    * group — config-bounded, never corpus-bounded, the [[graft
+    * .operators.Stats.kendallTau]] discipline applied to bins. Interval
+    * means are ratios of exact integer cumsum differences, so every
+    * candidate is one IEEE divide and min/max over them is
+    * order-free — engine-reproducible without rounding tricks.
+    *
+    * Output: one row per non-empty (group, bin): (by..., bin, n, conf,
+    * acc, iso) with iso monotone non-decreasing in bin.
+    */
+  def isotonicCalibration(
+      df: DataFrame,
+      by: Seq[String],
+      scoreCol: String,
+      label: Column,
+      nBins: Int = 20): DataFrame = {
+    require(nBins >= 2 && nBins <= 64, s"nBins must be in 2..64, got $nBins")
+    val x = col(scoreCol).cast("double")
+    val byCols = by.map(col)
+    val bin = least(lit(nBins - 1L), greatest(lit(0L), floor(x * nBins).cast("long")))
+    val bins = df
+      .filter(ok(x))
+      .select((byCols :+ bin.as("bin") :+ x.as("__x") :+
+        when(label, 1L).otherwise(0L).as("__p")): _*)
+      .groupBy((byCols :+ col("bin")): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__p")).as("__k"),
+        sum(graft.functions.Portable.r6(col("__x")).cast("decimal(38,6)"))
+          .cast("double").as("__sx"))
+    val wc = Window.partitionBy(byCols: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cumulative columns get distinct lowercase names: Spark resolution
+    // is case-insensitive, so "__K" would capture "__k"
+    val idx = bins
+      .withColumn("__cn", sum(col("n")).over(wc))
+      .withColumn("__ck", sum(col("__k")).over(wc))
+      .withColumn("__pn", col("__cn") - col("n"))
+      .withColumn("__pk", col("__ck") - col("__k"))
+    def side(tag: String, cols: Seq[String]): DataFrame =
+      idx.select((byCols ++ cols.map(c => col(c).as(s"${tag}_$c"))): _*)
+    val i = side("i", Seq("bin", "n", "__k", "__sx"))
+    val j = side("j", Seq("bin", "__pn", "__pk"))
+    val k = side("k", Seq("bin", "__cn", "__ck"))
+    val mean = (col("k___ck") - col("j___pk")).cast("double") /
+      (col("k___cn") - col("j___pn")).cast("double")
+    val inner = i
+      .join(j, by).filter(col("j_bin") <= col("i_bin"))
+      .join(k, by).filter(col("k_bin") >= col("i_bin"))
+      .groupBy((byCols :+ col("i_bin") :+ col("j_bin") :+ col("i_n") :+
+        col("i___k") :+ col("i___sx")): _*)
+      .agg(min(mean).as("__mn"))
+    inner
+      .groupBy((byCols :+ col("i_bin").as("bin") :+ col("i_n").as("n") :+
+        col("i___k") :+ col("i___sx")): _*)
+      .agg(max(col("__mn")).as("iso"))
+      .select((byCols :+ col("bin") :+ col("n") :+
+        (col("i___sx") / col("n").cast("double")).as("conf") :+
+        (col("i___k").cast("double") / col("n").cast("double")).as("acc") :+
+        col("iso")): _*)
+  }
 }
