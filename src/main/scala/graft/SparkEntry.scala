@@ -2290,7 +2290,33 @@ object SparkEntry {
         .select(col("lang"), col("bin"), col("n"),
           graft.functions.Portable.r6(col("conf")).as("conf"),
           graft.functions.Portable.r6(col("acc")).as("acc"),
-          graft.functions.Portable.r6(col("iso")).as("iso")))
+          graft.functions.Portable.r6(col("iso")).as("iso"))),
+
+    // earth-mover drift of per-event-type value distributions between
+    // the even/odd event halves — q_psi's "how far did mass move" twin
+    "q_emd" -> ((s, dir) =>
+      Stats.emd1d(ev(s, dir), Seq("event_type"), "value",
+          isRef = col("event_id") % 2 === 0, nBins = 20)
+        .select(col("event_type"), col("n_ref"), col("n_cur"), col("bin_width"),
+          graft.functions.Portable.r6(col("emd")).as("emd"))),
+
+    // Fellegi-Sunter match weights over mod-blocked customer pairs:
+    // data-exact u-probabilities, prior m = 0.9
+    "q_fs_weights" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"),
+        col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      val ids = c.select(col("c_custkey").cast("long").as("id"))
+      val pairs = ids.as("x")
+        .join(ids.as("y"),
+          pmod(col("x.id"), lit(229L)) === pmod(col("y.id"), lit(229L)) &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      FuzzyJoin.fellegiSunter(c, "c_custkey", pairs,
+          Seq("c_mktsegment", "c_nationkey", "bal_bucket"))
+        .select(col("id_a"), col("id_b"), col("n_agree"),
+          graft.functions.Portable.r6(col("weight")).as("weight"))
+    }
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -5737,7 +5763,74 @@ object SparkEntry {
           |  floor(sx / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS conf,
           |  floor(CAST(kk AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS acc,
           |  floor(iso * 1000000 + 0.5) / 1000000 AS iso
-          |FROM f""".stripMargin
+          |FROM f""".stripMargin,
+
+      "q_emd" ->
+        """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS x,
+          |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS ref FROM events
+          |  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+          |rng AS (SELECT event_type, min(x) AS lo, max(x) AS hi FROM v GROUP BY 1),
+          |cnt AS (SELECT v.event_type, ref,
+          |      CASE WHEN hi = lo THEN 0
+          |        ELSE CAST(least(floor((x - lo) / ((hi - lo) / 20.0)), 19.0) AS INT) END AS b,
+          |      count(*) AS n
+          |    FROM v JOIN rng USING (event_type) GROUP BY 1, 2, 3),
+          |tot AS (SELECT event_type, ref, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY 1, 2),
+          |grid AS (SELECT event_type, unnest(range(0, 20)) AS b
+          |    FROM (SELECT DISTINCT event_type FROM cnt)),
+          |g AS (SELECT grid.event_type, grid.b,
+          |      CAST(coalesce(cr.n, 0) AS DOUBLE) / CAST(tr.t AS DOUBLE) AS p,
+          |      CAST(coalesce(cc.n, 0) AS DOUBLE) / CAST(tc.t AS DOUBLE) AS q,
+          |      tr.t AS t_ref, tc.t AS t_cur, (rng.hi - rng.lo) / 20.0 AS w
+          |    FROM grid
+          |    LEFT JOIN cnt cr ON cr.event_type = grid.event_type AND cr.b = grid.b AND cr.ref = 1
+          |    LEFT JOIN cnt cc ON cc.event_type = grid.event_type AND cc.b = grid.b AND cc.ref = 0
+          |    LEFT JOIN tot tr ON tr.event_type = grid.event_type AND tr.ref = 1
+          |    LEFT JOIN tot tc ON tc.event_type = grid.event_type AND tc.ref = 0
+          |    JOIN rng ON rng.event_type = grid.event_type),
+          |cum AS (SELECT event_type, b, t_ref, t_cur, w,
+          |      sum(p - q) OVER (PARTITION BY event_type ORDER BY b
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          |    FROM g)
+          |SELECT event_type, CAST(max(t_ref) AS BIGINT) AS n_ref, CAST(max(t_cur) AS BIGINT) AS n_cur,
+          |  floor(max(w) * 1000000 + 0.5) / 1000000 AS bin_width,
+          |  CASE WHEN max(t_ref) IS NOT NULL AND max(t_cur) IS NOT NULL THEN
+          |    floor(CAST(sum(CAST(floor(abs(c) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+          |      * max(w) * 1000000 + 0.5) / 1000000 END AS emd
+          |FROM cum GROUP BY event_type""".stripMargin,
+
+      "q_fs_weights" ->
+        """WITH c AS (SELECT c_custkey AS id, c_mktsegment AS f1, c_nationkey AS f2,
+          |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS f3
+          |  FROM customer WHERE c_custkey IS NOT NULL),
+          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM c),
+          |u1 AS (SELECT CAST(coalesce(sum(CAST(k AS DECIMAL(38,0)) * k), 0) AS DOUBLE) AS s2
+          |  FROM (SELECT count(*) AS k FROM c WHERE f1 IS NOT NULL GROUP BY f1)),
+          |u2 AS (SELECT CAST(coalesce(sum(CAST(k AS DECIMAL(38,0)) * k), 0) AS DOUBLE) AS s2
+          |  FROM (SELECT count(*) AS k FROM c WHERE f2 IS NOT NULL GROUP BY f2)),
+          |u3 AS (SELECT CAST(coalesce(sum(CAST(k AS DECIMAL(38,0)) * k), 0) AS DOUBLE) AS s2
+          |  FROM (SELECT count(*) AS k FROM c WHERE f3 IS NOT NULL GROUP BY f3)),
+          |p AS (SELECT x.id AS id_a, y.id AS id_b FROM c x JOIN c y
+          |  ON x.id % 229 = y.id % 229 AND x.id < y.id),
+          |j AS (SELECT p.id_a, p.id_b,
+          |    a.f1 AS a1, a.f2 AS a2, a.f3 AS a3, b.f1 AS b1, b.f2 AS b2, b.f3 AS b3
+          |  FROM p JOIN c a ON a.id = p.id_a JOIN c b ON b.id = p.id_b)
+          |SELECT id_a, id_b,
+          |  CAST((CASE WHEN a1 IS NOT NULL AND b1 IS NOT NULL AND a1 = b1 THEN 1 ELSE 0 END)
+          |    + (CASE WHEN a2 IS NOT NULL AND b2 IS NOT NULL AND a2 = b2 THEN 1 ELSE 0 END)
+          |    + (CASE WHEN a3 IS NOT NULL AND b3 IS NOT NULL AND a3 = b3 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+          |  floor((
+          |    (CASE WHEN a1 IS NULL OR b1 IS NULL THEN 0.0
+          |      WHEN a1 = b1 THEN ln(0.9 / (u1.s2 / (n * n))) / ln(2.0)
+          |      ELSE ln((1.0 - 0.9) / (1.0 - u1.s2 / (n * n))) / ln(2.0) END)
+          |    + (CASE WHEN a2 IS NULL OR b2 IS NULL THEN 0.0
+          |      WHEN a2 = b2 THEN ln(0.9 / (u2.s2 / (n * n))) / ln(2.0)
+          |      ELSE ln((1.0 - 0.9) / (1.0 - u2.s2 / (n * n))) / ln(2.0) END)
+          |    + (CASE WHEN a3 IS NULL OR b3 IS NULL THEN 0.0
+          |      WHEN a3 = b3 THEN ln(0.9 / (u3.s2 / (n * n))) / ln(2.0)
+          |      ELSE ln((1.0 - 0.9) / (1.0 - u3.s2 / (n * n))) / ln(2.0) END)
+          |  ) * 1000000 + 0.5) / 1000000 AS weight
+          |FROM j, nn, u1, u2, u3""".stripMargin
     )
   }
 }

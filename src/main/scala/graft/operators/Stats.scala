@@ -289,6 +289,79 @@ object Stats {
       .agg(sum(col("__term")).cast("double").as("psi"))
   }
 
+  /** Per-group 1-D earth-mover (Wasserstein-1) distance between the
+    * reference and current distributions over `nBins` equal-width bins:
+    * EMD = Σ_bins |P_b − Q_b| · binWidth (cumulative-histogram form) —
+    * the drift measure that knows 1 ≠ 10: [[psi]] and KL score "how
+    * surprising", EMD scores "how FAR the mass moved" in the value's
+    * own units, which is what a clamp/threshold owner actually asks.
+    *
+    * Same scaffolding as [[psi]]: one fact scan to the (group, side,
+    * bin) count frame, the group×bin grid by literal-sequence explode,
+    * everything downstream vocab-sized. No smoothing — empty bins are
+    * real zero mass for a distance. Cumulative diffs run through ONE
+    * bin-ordered window (deterministic order); the final Σ|·| r6's each
+    * bin term then DECIMAL-sums. Groups missing a side emit NULL.
+    *
+    * Output: (by..., n_ref, n_cur, bin_width, emd).
+    */
+  def emd1d(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      isRef: Column,
+      nBins: Int = 20
+  ): DataFrame = {
+    require(nBins >= 2, "emd1d needs at least 2 bins")
+    val v = col(valueCol).cast("double")
+    val facts = df.filter(ok(v)).select((by.map(col) :+ v.as("__v") :+ isRef.as("__ref")): _*)
+    val rng = facts
+      .groupBy(by.map(col): _*)
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val width = (col("__hi") - col("__lo")) / nBins.toDouble
+    val bin = when(col("__hi") === col("__lo"), lit(0))
+      .otherwise(least(floor((col("__v") - col("__lo")) / width), lit(nBins - 1.0)))
+      .cast("int")
+    val counts = facts
+      .join(broadcast(rng), by)
+      .groupBy((by.map(col) :+ col("__ref") :+ bin.as("__bin")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .pin(false)
+    val totals = counts.groupBy((by.map(col) :+ col("__ref")): _*).agg(sum(col("__n")).as("__tot"))
+    val grid = counts
+      .select(by.map(col): _*)
+      .distinct()
+      .select((by.map(col) :+
+        explode(sequence(lit(0), lit(nBins - 1))).as("__bin")): _*)
+    def side(ref: Boolean, cn: String, tn: String) = {
+      val c = counts.filter(col("__ref") === ref).drop("__ref").withColumnRenamed("__n", cn)
+      val t = totals.filter(col("__ref") === ref).drop("__ref").withColumnRenamed("__tot", tn)
+      (c, t)
+    }
+    val (cr, tr) = side(ref = true, "__nr", "__tr")
+    val (cc, tc) = side(ref = false, "__nc", "__tc")
+    val p = coalesce(col("__nr"), lit(0L)).cast("double") / col("__tr").cast("double")
+    val q = coalesce(col("__nc"), lit(0L)).cast("double") / col("__tc").cast("double")
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(by.map(col): _*).orderBy(col("__bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid
+      .join(cr, by :+ "__bin", "left")
+      .join(cc, by :+ "__bin", "left")
+      .join(broadcast(tr), by, "left")
+      .join(broadcast(tc), by, "left")
+      .join(broadcast(rng), by)
+      .withColumn("__cum", sum((p - q)).over(wCum))
+      .groupBy(by.map(col): _*)
+      .agg(
+        max(col("__tr")).as("n_ref"),
+        max(col("__tc")).as("n_cur"),
+        graft.functions.Portable.r6(max(width)).as("bin_width"),
+        when(max(col("__tr")).isNotNull && max(col("__tc")).isNotNull,
+          sum(graft.functions.Portable.r6(abs(col("__cum"))).cast("decimal(38,6)"))
+            .cast("double") * max(width)).as("emd"))
+  }
+
   /** Two-sample Welch z-test per group — the A/B experiment readout:
     * per group, each arm's count/mean, the mean difference, its Welch
     * standard error (se = √(s²ᴀ/nᴀ + s²ʙ/nʙ), sample variances), and
