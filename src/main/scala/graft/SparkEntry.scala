@@ -2316,6 +2316,20 @@ object SparkEntry {
           Seq("c_mktsegment", "c_nationkey", "bal_bucket"))
         .select(col("id_a"), col("id_b"), col("n_agree"),
           graft.functions.Portable.r6(col("weight")).as("weight"))
+    },
+
+    // rank-biased overlap of the length-prior vs id-prior top-10 per lang
+    "q_rbo" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val wA = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id"))
+      val wB = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val a = d.select(col("lang"), col("doc_id"), row_number().over(wA).as("rank"))
+      val b = d.select(col("lang"), col("doc_id"), row_number().over(wB).as("rank"))
+      graft.text.RetrievalEval.rbo(a, b, "lang", "doc_id", "rank", k = 10, p = 0.9)
+        .select(col("lang"), col("n_a"), col("n_b"),
+          graft.functions.Portable.r6(col("overlap_k")).as("overlap_k"),
+          graft.functions.Portable.r6(col("rbo")).as("rbo"))
     }
   )
 
@@ -5830,7 +5844,39 @@ object SparkEntry {
           |      WHEN a3 = b3 THEN ln(0.9 / (u3.s2 / (n * n))) / ln(2.0)
           |      ELSE ln((1.0 - 0.9) / (1.0 - u3.s2 / (n * n))) / ln(2.0) END)
           |  ) * 1000000 + 0.5) / 1000000 AS weight
-          |FROM j, nn, u1, u2, u3""".stripMargin
+          |FROM j, nn, u1, u2, u3""".stripMargin,
+
+      "q_rbo" -> {
+        val wts = (1 to 10).map(d => s"($d, CAST(${math.pow(0.9, d)} AS DOUBLE))")
+          .mkString(", ")
+        s"""WITH wts(d, w) AS (VALUES $wts),
+           |a AS (SELECT lang, doc_id, rk FROM (SELECT lang, doc_id,
+           |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+           |  FROM documents) WHERE rk <= 10),
+           |b AS (SELECT lang, doc_id, rk FROM (SELECT lang, doc_id,
+           |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+           |  FROM documents) WHERE rk <= 10),
+           |cm AS (SELECT a.lang, greatest(a.rk, b.rk) AS m, count(*) AS c
+           |  FROM a JOIN b ON a.lang = b.lang AND a.doc_id = b.doc_id GROUP BY 1, 2),
+           |sz AS (SELECT coalesce(x.lang, y.lang) AS lang,
+           |    CAST(coalesce(x.na, 0) AS BIGINT) AS n_a, CAST(coalesce(y.nb, 0) AS BIGINT) AS n_b
+           |  FROM (SELECT lang, count(*) AS na FROM a GROUP BY 1) x
+           |  FULL JOIN (SELECT lang, count(*) AS nb FROM b GROUP BY 1) y ON x.lang = y.lang),
+           |grid AS (SELECT lang, unnest(range(1, 11)) AS d FROM (SELECT DISTINCT lang FROM sz)),
+           |t AS (SELECT grid.lang, grid.d,
+           |    sum(coalesce(c, 0)) OVER (PARTITION BY grid.lang ORDER BY grid.d
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x
+           |  FROM grid LEFT JOIN cm ON cm.lang = grid.lang AND cm.m = grid.d),
+           |tt AS (SELECT t.lang, t.d, t.x, w * CAST(x AS DOUBLE) / CAST(t.d AS DOUBLE) AS term
+           |  FROM t JOIN wts ON wts.d = t.d),
+           |f AS (SELECT lang, CAST(max(CASE WHEN d = 10 THEN x END) AS BIGINT) AS xk,
+           |    CAST(sum(CAST(floor(term * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS ss
+           |  FROM tt GROUP BY 1)
+           |SELECT sz.lang, n_a, n_b,
+           |  floor(CAST(xk AS DOUBLE) / 10.0 * 1000000 + 0.5) / 1000000 AS overlap_k,
+           |  floor((1.0 - 0.9) / 0.9 * ss * 1000000 + 0.5) / 1000000 AS rbo
+           |FROM f JOIN sz ON f.lang = sz.lang""".stripMargin
+      }
     )
   }
 }

@@ -99,4 +99,65 @@ object RetrievalEval {
         when(col("__idcg") > 0, col("__dcg") / col("__idcg"))
           .otherwise(lit(0.0)).as("ndcg_at_k"))
   }
+
+  /** Rank-biased overlap (truncated RBO_min, Webber et al. 2010)
+    * between two per-query top-k rankings:
+    * RBO = ((1−p)/p)·Σ_{d=1..k} p^d·X_d/d, where X_d is the overlap of
+    * the two depth-d prefixes — THE ranking-similarity measure for
+    * search/retrieval A/B comparisons (Kendall/Spearman need identical
+    * item sets; RBO is top-weighted and handles disjoint tails).
+    *
+    * Scale shape: rankings arrive pre-truncated (rank ≤ k enforced
+    * here), so the join, the (query × depth) grid (literal-sequence
+    * explode — the psi discipline) and the cumulative-overlap window
+    * are all k-bounded per query. The geometric weights p^d are
+    * computed ONCE driver-side and ride the plan as an array literal —
+    * engine-portable to the bit. Overlap counts are exact integers;
+    * per-depth terms are r6'd then DECIMAL-summed.
+    *
+    * Output: (queryCol, n_a, n_b, overlap_k, rbo).
+    */
+  def rbo(
+      a: DataFrame,
+      b: DataFrame,
+      queryCol: String,
+      idCol: String,
+      rankCol: String,
+      k: Int,
+      p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    def side(df: DataFrame, rn: String): DataFrame = df
+      .filter(col(rankCol) <= k)
+      .select(col(queryCol).as("q"), col(idCol).as("id"), col(rankCol).cast("long").as(rn))
+    val sa = side(a, "ra")
+    val sb = side(b, "rb")
+    val common = sa.join(sb, Seq("q", "id"))
+      .groupBy(col("q"), greatest(col("ra"), col("rb")).as("m"))
+      .agg(count(lit(1)).as("c"))
+    val sizes = sa.groupBy(col("q")).agg(count(lit(1)).as("n_a"))
+      .join(sb.groupBy(col("q")).agg(count(lit(1)).as("n_b")), Seq("q"), "full")
+    val grid = sizes.select(col("q"))
+      .select(col("q"), explode(sequence(lit(1L), lit(k.toLong))).as("d"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val weights = typedlit((1 to k).map(d => math.pow(p, d)))
+    val terms = grid
+      .join(common.withColumnRenamed("m", "d"), Seq("q", "d"), "left")
+      .withColumn("__x", sum(coalesce(col("c"), lit(0L))).over(wCum))
+      .withColumn("__t",
+        element_at(weights, col("d").cast("int")) *
+          col("__x").cast("double") / col("d").cast("double"))
+    terms
+      .groupBy(col("q"))
+      .agg(
+        max(when(col("d") === k, col("__x"))).as("__xk"),
+        sum(graft.functions.Portable.r6(col("__t")).cast("decimal(38,6)"))
+          .cast("double").as("__s"))
+      .join(sizes, "q")
+      .select(col("q").as(queryCol), col("n_a"), col("n_b"),
+        (col("__xk").cast("double") / k.toDouble).as("overlap_k"),
+        ((lit(1.0) - p) / p * col("__s")).as("rbo"))
+  }
 }

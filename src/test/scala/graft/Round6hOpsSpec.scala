@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{FuzzyJoin, Stats}
+import graft.text.RetrievalEval
 import org.apache.spark.sql.functions._
 
 /** Round-6 eighth batch: 1-D earth-mover drift, Fellegi–Sunter weights. */
@@ -88,5 +89,42 @@ class Round6hOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       FuzzyJoin.fellegiSunter(fsRecords, "id", pairs, Seq("city"), m = 1.0)
     }
+  }
+
+  // ------------------------------------------------------------------- rbo
+
+  private def ranking(items: Seq[Long]) =
+    items.zipWithIndex.map { case (id, i) => ("q1", id, (i + 1).toLong) }
+      .toDF("query", "id", "rank")
+
+  test("rbo: identical rankings score 1, disjoint score 0") {
+    val a = ranking(1L to 10L)
+    val same = RetrievalEval.rbo(a, ranking(1L to 10L), "query", "id", "rank", k = 10)
+      .collect().head
+    // truncated RBO_min of identical lists: (1-p)/p * sum p^d = 1 - p^k
+    assert(math.abs(same.getAs[Double]("rbo") - (1.0 - math.pow(0.9, 10))) < 1e-6)
+    assert(same.getAs[Double]("overlap_k") == 1.0)
+    val disjoint = RetrievalEval.rbo(a, ranking(11L to 20L), "query", "id", "rank", 10)
+      .collect().head
+    assert(disjoint.getAs[Double]("rbo") == 0.0 && disjoint.getAs[Double]("overlap_k") == 0.0)
+  }
+
+  test("rbo: top-weighted — agreement at rank 1 beats agreement at rank 10") {
+    val a = ranking(1L to 10L)
+    // b1 shares only item 1 (at rank 1); b2 shares only item 10 (at rank 10)
+    val b1 = ranking(1L +: (21L to 29L))
+    val b2 = ranking((21L to 29L) :+ 10L)
+    val r1 = RetrievalEval.rbo(a, b1, "query", "id", "rank", 10).collect().head
+    val r2 = RetrievalEval.rbo(a, b2, "query", "id", "rank", 10).collect().head
+    assert(r1.getAs[Double]("overlap_k") == r2.getAs[Double]("overlap_k"))
+    assert(r1.getAs[Double]("rbo") > r2.getAs[Double]("rbo"), "early overlap weighs more")
+  }
+
+  test("rbo: hand-computed two-item example") {
+    // a = [1,2], b = [2,1], k=2: X_1 = 0, X_2 = 2
+    // rbo = (1-p)/p * (p^2 * 2/2) = (1-p) * p
+    val r = RetrievalEval.rbo(ranking(Seq(1L, 2L)), ranking(Seq(2L, 1L)),
+      "query", "id", "rank", k = 2).collect().head
+    assert(math.abs(r.getAs[Double]("rbo") - 0.1 * 0.9) < 1e-6)
   }
 }
