@@ -208,4 +208,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(meta) == 2)
     assert(countShuffles(out) == 1)
   }
+
+  test("diversity indices reduce in exactly two exchanges") {
+    val df = (1 to 200).map(i => (s"g${i % 3}", s"c${i % 17}")).toDF("g", "c")
+    // fact -> (group, cat) counts -> group moments; no totals join, no window
+    assert(countShuffles(graft.operators.Diversity.indices(df, Seq("g"), "c")) == 2)
+  }
+
+  test("isotonic's j<=i<=k triple stays a hash join, never a nested loop") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val rows = (1 to 200).map(i => (s"g${i % 2}", i / 200.0, i % 3 == 0))
+      .toDF("g", "s", "y")
+    val out = graft.operators.Evaluation.isotonicCalibration(rows, Seq("g"), "s", col("y"), 10)
+    out.collect()
+    def hasBnlj(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+        p.children.exists(hasBnlj) || (p match {
+          case a: AdaptiveSparkPlanExec => hasBnlj(a.executedPlan)
+          case q: QueryStageExec => hasBnlj(q.plan)
+          case _ => false
+        })
+    assert(!hasBnlj(out.queryExecution.executedPlan),
+      "group-equi keys must carry the bin inequalities as residual filters")
+  }
+
+  test("emd drift reads the fact side a bounded number of times") {
+    val sf = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q_emd")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // range agg + binned counts: two fact scans; the grid/cum machinery
+    // runs on the pinned vocab-sized count frame, never the facts
+    assert("Scan parquet".r.findAllIn(plan).size <= 2,
+      "emd must not re-scan events for grid/cum work")
+  }
+
+  test("trend sampling caps the pair frame before any self-join") {
+    // the sampled frame windows once on the key; the pair join and rank
+    // window reuse that partitioning: 3 exchanges ceiling for the chain
+    val big = (1 to 500).map(i => ("g", i.toLong, i.toDouble, i * 2.0)).toDF("g", "id", "x", "y")
+    val ts = graft.operators.Trend.theilSen(big, Seq("g"), "id", "x", "y", sampleN = 40)
+    val out = ts.collect()
+    assert(out.head.getAs[Long]("n") == 40L, "sample cap binds")
+    assert(out.head.getAs[Long]("n_slopes") <= 40L * 39L / 2L)
+    assert(countShuffles(ts) <= 5, "config-bounded chain must not add fact-sized exchanges")
+  }
 }
