@@ -225,6 +225,30 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
+  /** Corpus-RELATIVE df cap for the shingle-pair family:
+    * max(floorCap, frac·N) with N counted once driver-side (a bounded
+    * scalar, the [[graft.operators.FuzzyJoin.fellegiSunter]]
+    * discipline). The absolute `maxDocFreq` knob is right when the
+    * caller knows the corpus; this is right when the PIPELINE must hold
+    * as the corpus grows 100×: a shingle in more than `frac` of all
+    * documents is boilerplate, not duplication evidence, and under a
+    * FIXED absolute cap the in-bucket pair mass of common-phrase
+    * shingles grows ~quadratically with corpus size until the cap
+    * finally binds (measured sf1→sf10: candidates ×100 for data ×10 —
+    * SURVEY §4). With a relative cap the dropped-shingle set stays the
+    * same FRACTION of the df distribution at every scale, so candidate
+    * volume tracks the corpus's true near-dup structure instead of its
+    * phrase book.
+    */
+  def relativeDocFreqCap(
+      docs: DataFrame,
+      frac: Double = 0.002,
+      floorCap: Long = 50L): Long = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
+    require(floorCap >= 2, s"floorCap must be >= 2, got $floorCap")
+    math.max(floorCap, (docs.count() * frac).toLong)
+  }
+
   /** Asymmetric n-gram CONTAINMENT pairs: how much of the SMALLER doc's
     * shingle set lives inside the other — the quote/subset/boilerplate-
     * wrapper detector Jaccard misses (a paragraph quoted inside a long

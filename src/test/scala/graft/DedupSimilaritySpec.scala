@@ -256,4 +256,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(5L) == ((5L, 2L, 6L, 10L, 0.6)))
     assert(out(6L) == ((6L, 2L, 6L, 11L, 0.545455)))
   }
+
+  test("relativeDocFreqCap scales with the corpus above its floor") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    val small = (1 to 100).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    assert(Dedup.relativeDocFreqCap(small, frac = 0.002, floorCap = 50L) == 50L,
+      "floor binds on small corpora")
+    val big = (1 to 60000).map(i => (i.toLong, "t")).toDF("doc_id", "text")
+    assert(Dedup.relativeDocFreqCap(big, frac = 0.002, floorCap = 50L) == 120L,
+      "0.2% of 60k")
+    // the relative cap feeds the same candidate pipeline unchanged
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r")
+    ).toDF("doc_id", "text")
+    val cap = Dedup.relativeDocFreqCap(docs, frac = 0.5, floorCap = 2L)
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.9, n = 3, maxDocFreq = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }
