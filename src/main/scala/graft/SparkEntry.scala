@@ -2330,6 +2330,19 @@ object SparkEntry {
         .select(col("lang"), col("n_a"), col("n_b"),
           graft.functions.Portable.r6(col("overlap_k")).as("overlap_k"),
           graft.functions.Portable.r6(col("rbo")).as("rbo"))
+    },
+
+    // Theil's U both ways: does source determine language, or vice versa
+    "q_theils_u" -> { (s, dir) =>
+      val d = docs(s, dir)
+      def one(x: String, y: String, tag: String) =
+        Stats.theilsU(d, Seq.empty, x, y).withColumn("direction", lit(tag))
+      one("source", "lang", "lang_given_source")
+        .unionByName(one("lang", "source", "source_given_lang"))
+        .select(col("direction"), col("n"), col("nx"), col("ny"),
+          graft.functions.Portable.r6(col("h_y")).as("h_y"),
+          graft.functions.Portable.r6(col("h_y_given_x")).as("h_y_given_x"),
+          graft.functions.Portable.r6(col("u")).as("u"))
     }
   )
 
@@ -5876,6 +5889,33 @@ object SparkEntry {
            |  floor(CAST(xk AS DOUBLE) / 10.0 * 1000000 + 0.5) / 1000000 AS overlap_k,
            |  floor((1.0 - 0.9) / 0.9 * ss * 1000000 + 0.5) / 1000000 AS rbo
            |FROM f JOIN sz ON f.lang = sz.lang""".stripMargin
+      },
+
+      "q_theils_u" -> {
+        def dir(x: String, y: String, tag: String): String =
+          s"""SELECT '$tag' AS direction, n, nx, ny,
+             |  floor((ln(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS h_y,
+             |  floor((sx - sxy) / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS h_y_given_x,
+             |  CASE WHEN ln(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE) > 0.0 THEN
+             |    floor(((ln(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE)) - (sx - sxy) / CAST(n AS DOUBLE))
+             |      / (ln(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 END AS u
+             |FROM (
+             |  WITH jt AS (SELECT $x AS x, $y AS y, count(*) AS k FROM documents
+             |      WHERE $x IS NOT NULL AND $y IS NOT NULL GROUP BY 1, 2),
+             |  jm AS (SELECT CAST(sum(k) AS BIGINT) AS n,
+             |      CAST(sum(CAST(floor(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE)) * 1000000 + 0.5)
+             |        / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS sxy FROM jt),
+             |  xm AS (SELECT CAST(count(*) AS BIGINT) AS nx,
+             |      CAST(sum(CAST(floor(CAST(kx AS DOUBLE) * ln(CAST(kx AS DOUBLE)) * 1000000 + 0.5)
+             |        / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS sx
+             |    FROM (SELECT x, sum(k) AS kx FROM jt GROUP BY 1)),
+             |  ym AS (SELECT CAST(count(*) AS BIGINT) AS ny,
+             |      CAST(sum(CAST(floor(CAST(ky AS DOUBLE) * ln(CAST(ky AS DOUBLE)) * 1000000 + 0.5)
+             |        / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS sy
+             |    FROM (SELECT y, sum(k) AS ky FROM jt GROUP BY 1))
+             |  SELECT * FROM jm, xm, ym)""".stripMargin
+        dir("source", "lang", "lang_given_source") + "\nUNION ALL\n" +
+          dir("lang", "source", "source_given_lang")
       }
     )
   }

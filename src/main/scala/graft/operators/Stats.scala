@@ -842,4 +842,51 @@ object Stats {
         by, "left")
       .select((byCols :+ col("n") :+ col("x_tail") :+ col("alpha")): _*)
   }
+
+  /** Per-group Theil's U (uncertainty coefficient): U(Y|X) =
+    * (H(Y) − H(Y|X)) / H(Y) ∈ [0,1] — "knowing X removes what fraction
+    * of Y's uncertainty". The ASYMMETRIC categorical-dependence measure
+    * Cramér's V can't be: U(lang|source) ≠ U(source|lang), which is
+    * exactly the "does source determine language, or vice versa"
+    * question a mixture designer asks.
+    *
+    * Everything reduces to count-moment entropies (the [[Diversity]]
+    * trick): N·H(Y) = N ln N − Σ_y n_y ln n_y and
+    * N·H(Y|X) = Σ_x n_x ln n_x − Σ_xy n_xy ln n_xy, so one fact pass to
+    * the (group × x × y) joint-count frame feeds every term; the x- and
+    * y-marginals re-aggregate from THAT frame (no second fact pass).
+    * k·ln k terms are r6'd then DECIMAL-summed. Groups with a single Y
+    * level (H(Y) = 0) emit NULL u. NULL x or y rows are excluded.
+    *
+    * Output: (by..., n, nx, ny, h_y, h_y_given_x, u).
+    */
+  def theilsU(
+      df: DataFrame,
+      by: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val byCols = by.map(col)
+    def klnk(c: Column): Column =
+      sum(graft.functions.Portable.r6(c.cast("double") * log(c.cast("double")))
+        .cast("decimal(38,6)")).cast("double")
+    val joint = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy((byCols :+ col(xCol).as("__x") :+ col(yCol).as("__y")): _*)
+      .agg(count(lit(1)).as("__k"))
+    val jointM = joint.groupBy(byCols: _*)
+      .agg(sum(col("__k")).as("n"), klnk(col("__k")).as("__sxy"))
+    val xM = joint.groupBy((byCols :+ col("__x")): _*).agg(sum(col("__k")).as("__kx"))
+      .groupBy(byCols: _*)
+      .agg(count(lit(1)).as("nx"), klnk(col("__kx")).as("__sx"))
+    val yM = joint.groupBy((byCols :+ col("__y")): _*).agg(sum(col("__k")).as("__ky"))
+      .groupBy(byCols: _*)
+      .agg(count(lit(1)).as("ny"), klnk(col("__ky")).as("__sy"))
+    val nD = col("n").cast("double")
+    val hY = log(nD) - col("__sy") / nD
+    val hYgX = (col("__sx") - col("__sxy")) / nD
+    jointM.join(xM, by).join(yM, by)
+      .select((byCols :+ col("n") :+ col("nx") :+ col("ny") :+
+        hY.as("h_y") :+ hYgX.as("h_y_given_x") :+
+        when(hY > 0.0, (hY - hYgX) / hY).as("u")): _*)
+  }
 }

@@ -127,4 +127,26 @@ class Round6hOpsSpec extends SparkSpec {
       "query", "id", "rank", k = 2).collect().head
     assert(math.abs(r.getAs[Double]("rbo") - 0.1 * 0.9) < 1e-6)
   }
+
+  // -------------------------------------------------------------- theilsU
+
+  test("theilsU: determinism, independence, and asymmetry") {
+    // y fully determined by x: U(y|x) = 1
+    val det = (1 to 60).map(i => ("g", s"x${i % 3}", s"y${i % 3}")).toDF("g", "x", "y")
+    val rd = Stats.theilsU(det, Seq("g"), "x", "y").collect().head
+    assert(math.abs(rd.getAs[Double]("u") - 1.0) < 1e-5)
+    // independent uniform x and y: U ~ 0
+    val ind = (0 until 120).map(i => ("g", s"x${i % 3}", s"y${(i / 3) % 4}")).toDF("g", "x", "y")
+    val ri = Stats.theilsU(ind, Seq("g"), "x", "y").collect().head
+    assert(math.abs(ri.getAs[Double]("u")) < 1e-5, s"independent -> 0, got $ri")
+    // asymmetric: x has 4 levels refining y's 2 -> U(y|x)=1 but U(x|y)<1
+    val asym = (0 until 80).map(i => ("g", s"x${i % 4}", s"y${i % 2}")).toDF("g", "x", "y")
+    val yx = Stats.theilsU(asym, Seq("g"), "x", "y").collect().head.getAs[Double]("u")
+    val xy = Stats.theilsU(asym, Seq("g"), "y", "x").collect().head.getAs[Double]("u")
+    assert(math.abs(yx - 1.0) < 1e-5 && xy < 0.6, s"U(y|x)=$yx U(x|y)=$xy")
+    // single y level: H(Y)=0 -> NULL
+    val one = (1 to 10).map(i => ("g", s"x$i", "only")).toDF("g", "x", "y")
+    val ro = Stats.theilsU(one, Seq("g"), "x", "y").collect().head
+    assert(ro.isNullAt(ro.fieldIndex("u")))
+  }
 }
