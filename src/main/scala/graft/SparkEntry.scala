@@ -2343,7 +2343,14 @@ object SparkEntry {
           graft.functions.Portable.r6(col("h_y")).as("h_y"),
           graft.functions.Portable.r6(col("h_y_given_x")).as("h_y_given_x"),
           graft.functions.Portable.r6(col("u")).as("u"))
-    }
+    },
+
+    // leakage-safe LOO target encoding of source against doc length
+    "q_target_encode" -> ((s, dir) =>
+      graft.operators.TargetEncode.leaveOneOut(docs(s, dir), "source", "n_chars",
+          smoothing = 10.0)
+        .select(col("doc_id"), col("source"),
+          graft.functions.Portable.r6(col("enc")).as("enc")))
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -5916,7 +5923,23 @@ object SparkEntry {
              |  SELECT * FROM jm, xm, ym)""".stripMargin
         dir("source", "lang", "lang_given_source") + "\nUNION ALL\n" +
           dir("lang", "source", "source_given_lang")
-      }
+      },
+
+      "q_target_encode" ->
+        """WITH v AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS y FROM documents),
+          |ok AS (SELECT * FROM v WHERE source IS NOT NULL AND y IS NOT NULL AND NOT isnan(y)),
+          |cat AS (SELECT source,
+          |    CAST(sum(CAST(floor(y * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS s,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM ok GROUP BY 1),
+          |g AS (SELECT CAST(sum(CAST(floor(y * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE) AS gm FROM ok)
+          |SELECT doc_id, v.source,
+          |  CASE WHEN v.source IS NOT NULL AND y IS NOT NULL AND NOT isnan(y)
+          |      AND CAST(n AS DOUBLE) - 1.0 + 10.0 > 0.0 THEN
+          |    floor((s - floor(y * 1000000 + 0.5) / 1000000 + 10.0 * gm)
+          |      / (CAST(n AS DOUBLE) - 1.0 + 10.0) * 1000000 + 0.5) / 1000000 END AS enc
+          |FROM v LEFT JOIN cat ON v.source = cat.source, g""".stripMargin
     )
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{FuzzyJoin, Stats}
+import graft.operators.{FuzzyJoin, Stats, TargetEncode}
 import graft.text.RetrievalEval
 import org.apache.spark.sql.functions._
 
@@ -148,5 +148,38 @@ class Round6hOpsSpec extends SparkSpec {
     val one = (1 to 10).map(i => ("g", s"x$i", "only")).toDF("g", "x", "y")
     val ro = Stats.theilsU(one, Seq("g"), "x", "y").collect().head
     assert(ro.isNullAt(ro.fieldIndex("u")))
+  }
+
+  // --------------------------------------------------------- targetEncode
+
+  test("targetEncode: LOO excludes the row, smoothing rescues singletons") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+      ("b", 4L, 100.0) // singleton
+    ).toDF("cat", "id", "y")
+    // pure LOO: row 1 gets mean(20,30) = 25; singleton has no peers -> NULL
+    val loo = TargetEncode.leaveOneOut(df, "cat", "y", smoothing = 0.0)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(math.abs(loo(1L).getAs[Double]("enc") - 25.0) < 1e-6)
+    assert(math.abs(loo(3L).getAs[Double]("enc") - 15.0) < 1e-6)
+    assert(loo(4L).isNullAt(loo(4L).fieldIndex("enc")))
+    // smoothing m=2: global mean 40; singleton -> (0 + 2*40)/(0+2) = 40
+    val sm = TargetEncode.leaveOneOut(df, "cat", "y", smoothing = 2.0)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(math.abs(sm(4L).getAs[Double]("enc") - 40.0) < 1e-6)
+    // and the encoding never equals the naive category mean for members
+    assert(math.abs(sm(1L).getAs[Double]("enc") - 20.0) > 1.0, "no self-leak")
+  }
+
+  test("targetEncode: NULL category or target rows emit NULL enc") {
+    val df = Seq(
+      (Some("a"), 1L, Some(1.0)), (Some("a"), 2L, Some(3.0)),
+      (None, 3L, Some(9.0)), (Some("a"), 4L, None)
+    ).toDF("cat", "id", "y")
+    val out = TargetEncode.leaveOneOut(df, "cat", "y")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(math.abs(out(1L).getAs[Double]("enc") - 3.0) < 1e-6)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("enc")))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("enc")))
   }
 }
