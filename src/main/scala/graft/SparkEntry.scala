@@ -2350,7 +2350,20 @@ object SparkEntry {
       graft.operators.TargetEncode.leaveOneOut(docs(s, dir), "source", "n_chars",
           smoothing = 10.0)
         .select(col("doc_id"), col("source"),
-          graft.functions.Portable.r6(col("enc")).as("enc")))
+          graft.functions.Portable.r6(col("enc")).as("enc"))),
+
+    // threshold operating table for the q_isotonic score/label pair
+    "q_pr_curve" -> ((s, dir) =>
+      Evaluation.prCurve(
+          docs(s, dir).withColumn("score",
+            least(lit(1.0), col("n_chars").cast("double") / 2000.0)),
+          Seq("lang"), "score", col("text").contains(" the "), nBins = 20)
+        .select(col("lang"),
+          graft.functions.Portable.r6(col("cutoff")).as("cutoff"),
+          col("n_ge"), col("tp"), col("fp"), col("fn"),
+          graft.functions.Portable.r6(col("precision")).as("precision"),
+          graft.functions.Portable.r6(col("recall")).as("recall"),
+          graft.functions.Portable.r6(col("f1")).as("f1")))
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -5939,7 +5952,32 @@ object SparkEntry {
           |      AND CAST(n AS DOUBLE) - 1.0 + 10.0 > 0.0 THEN
           |    floor((s - floor(y * 1000000 + 0.5) / 1000000 + 10.0 * gm)
           |      / (CAST(n AS DOUBLE) - 1.0 + 10.0) * 1000000 + 0.5) / 1000000 END AS enc
-          |FROM v LEFT JOIN cat ON v.source = cat.source, g""".stripMargin
+          |FROM v LEFT JOIN cat ON v.source = cat.source, g""".stripMargin,
+
+      "q_pr_curve" ->
+        """WITH v AS (SELECT lang, least(1.0, CAST(n_chars AS DOUBLE) / 2000.0) AS x,
+          |    CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS p
+          |  FROM documents WHERE n_chars IS NOT NULL),
+          |b AS (SELECT lang, least(19, greatest(0, CAST(floor(x * 20) AS BIGINT))) AS bin,
+          |    CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS kk FROM v GROUP BY 1, 2),
+          |c AS (SELECT lang, bin, n, kk,
+          |    CAST(sum(kk) OVER wd AS BIGINT) AS tp,
+          |    CAST(sum(n) OVER wd AS BIGINT) AS nge,
+          |    CAST(sum(kk) OVER (PARTITION BY lang) AS BIGINT) AS tot
+          |  FROM b WINDOW wd AS (PARTITION BY lang ORDER BY bin DESC
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT lang, floor(CAST(bin AS DOUBLE) / 20.0 * 1000000 + 0.5) / 1000000 AS cutoff,
+          |  nge AS n_ge, tp, nge - tp AS fp, tot - tp AS fn,
+          |  floor(CAST(tp AS DOUBLE) / CAST(nge AS DOUBLE) * 1000000 + 0.5) / 1000000 AS "precision",
+          |  CASE WHEN tot > 0 THEN
+          |    floor(CAST(tp AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS recall,
+          |  CASE WHEN tot > 0 AND CAST(tp AS DOUBLE) / CAST(nge AS DOUBLE)
+          |      + CAST(tp AS DOUBLE) / CAST(tot AS DOUBLE) > 0.0 THEN
+          |    floor(2.0 * (CAST(tp AS DOUBLE) / CAST(nge AS DOUBLE))
+          |      * (CAST(tp AS DOUBLE) / CAST(tot AS DOUBLE))
+          |      / ((CAST(tp AS DOUBLE) / CAST(nge AS DOUBLE))
+          |        + (CAST(tp AS DOUBLE) / CAST(tot AS DOUBLE))) * 1000000 + 0.5) / 1000000 END AS f1
+          |FROM c""".stripMargin
     )
   }
 }

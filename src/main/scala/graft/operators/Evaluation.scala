@@ -155,6 +155,53 @@ object Evaluation {
       .drop("__ap")
   }
 
+  /** Per-group precision/recall/F1 threshold curve over `nBins`
+    * fixed-width score cutoffs — the operational "where do I cut" table
+    * for a classifier-filtered pipeline: [[rocAuc]] says whether the
+    * score ranks, [[calibration]] whether it means what it says; this
+    * says what keeping `score ≥ cutoff` actually costs in kept-junk
+    * (precision) and lost-good (recall) at each threshold.
+    *
+    * One fact pass to the (group × bin) count frame; cumulative
+    * tp/fp from ONE bin-descending window over it (vocab-sized);
+    * every metric an exact-integer ratio. Only non-empty bins emit a
+    * row (the curve is a step function; empty bins add no step).
+    *
+    * Output: (by..., cutoff, n_ge, tp, fp, fn, precision, recall, f1).
+    */
+  def prCurve(
+      df: DataFrame,
+      by: Seq[String],
+      scoreCol: String,
+      label: Column,
+      nBins: Int = 20): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val x = col(scoreCol).cast("double")
+    val byCols = by.map(col)
+    val bin = least(lit(nBins - 1L), greatest(lit(0L), floor(x * nBins).cast("long")))
+    val g = df
+      .filter(ok(x))
+      .select((byCols :+ bin.as("__bin") :+ when(label, 1L).otherwise(0L).as("__p")): _*)
+      .groupBy((byCols :+ col("__bin")): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__p")).as("__k"))
+    val wDesc = Window.partitionBy(byCols: _*).orderBy(col("__bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(byCols: _*)
+    val tp = sum(col("__k")).over(wDesc)
+    val nGe = sum(col("__n")).over(wDesc)
+    val totPos = sum(col("__k")).over(wAll)
+    val prec = tp.cast("double") / nGe.cast("double")
+    val rec = tp.cast("double") / totPos.cast("double")
+    g.select((byCols :+
+      (col("__bin").cast("double") / nBins.toDouble).as("cutoff") :+
+      nGe.as("n_ge") :+ tp.as("tp") :+ (nGe - tp).as("fp") :+
+      (totPos - tp).as("fn") :+
+      prec.as("precision") :+
+      when(totPos > 0L, rec).as("recall") :+
+      when(totPos > 0L && (prec + rec) > 0.0,
+        lit(2.0) * prec * rec / (prec + rec)).as("f1")): _*)
+  }
+
   /** Per-group isotonic recalibration (PAVA) over the binned
     * reliability table — [[calibration]] MEASURES the miscalibration,
     * this fits the FIX: the monotone step function iso(bin) mapping raw
