@@ -2352,6 +2352,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           graft.functions.Portable.r6(col("enc")).as("enc"))),
 
+    // pre-launch A/B power: arm size needed to detect a 5% shift of
+    // value per event stream at alpha=.05 / power=.8
+    "q_power" -> ((s, dir) =>
+      Stats.powerAnalysis(ev(s, dir), Seq("event_type"), "value", relEffect = 0.05)
+        .select(col("event_type"), col("n"),
+          graft.functions.Portable.r6(col("mean")).as("mean"),
+          graft.functions.Portable.r6(col("sd")).as("sd"),
+          graft.functions.Portable.r6(col("delta")).as("delta"),
+          col("n_required"))),
+
     // threshold operating table for the q_isotonic score/label pair
     "q_pr_curve" -> ((s, dir) =>
       Evaluation.prCurve(
@@ -5953,6 +5963,29 @@ object SparkEntry {
           |    floor((s - floor(y * 1000000 + 0.5) / 1000000 + 10.0 * gm)
           |      / (CAST(n AS DOUBLE) - 1.0 + 10.0) * 1000000 + 0.5) / 1000000 END AS enc
           |FROM v LEFT JOIN cat ON v.source = cat.source, g""".stripMargin,
+
+      "q_power" -> {
+        val coef = 2.0 * (1.959963984540054 + 0.8416212335729143) *
+          (1.959963984540054 + 0.8416212335729143)
+        s"""WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
+           |  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+           |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(coalesce(sum(CAST(floor(x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))), 0) AS DOUBLE) AS sx,
+           |    CAST(coalesce(sum(CAST(floor(x * x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))), 0) AS DOUBLE) AS sxx
+           |  FROM v GROUP BY 1),
+           |f AS (SELECT event_type, n, sx / CAST(n AS DOUBLE) AS mean,
+           |    greatest(sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)), 0.0)
+           |      * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0) AS v,
+           |    0.05 * (sx / CAST(n AS DOUBLE)) AS delta
+           |  FROM m)
+           |SELECT event_type, n,
+           |  floor(mean * 1000000 + 0.5) / 1000000 AS mean,
+           |  CASE WHEN n >= 2 THEN floor(sqrt(v) * 1000000 + 0.5) / 1000000 END AS sd,
+           |  floor(delta * 1000000 + 0.5) / 1000000 AS delta,
+           |  CASE WHEN n >= 2 AND delta <> 0.0 THEN
+           |    CAST(ceil($coef * v / (delta * delta)) AS BIGINT) END AS n_required
+           |FROM f""".stripMargin
+      },
 
       "q_pr_curve" ->
         """WITH v AS (SELECT lang, least(1.0, CAST(n_chars AS DOUBLE) / 2000.0) AS x,

@@ -843,6 +843,51 @@ object Stats {
       .select((byCols :+ col("n") :+ col("x_tail") :+ col("alpha")): _*)
   }
 
+  /** Per-group two-sample power analysis: the sample size EACH ARM of a
+    * future A/B test needs to detect a `relEffect` relative shift of
+    * this metric at significance `zAlpha` and power `zBeta` —
+    * n = 2σ²(z_α + z_β)²/δ², δ = relEffect·mean. The design-time
+    * companion to [[welchTest]] (which reads a finished experiment):
+    * run it per metric slice BEFORE launching, and slices where
+    * n_required dwarfs the traffic tell you the metric can't power a
+    * test there.
+    *
+    * One scan to (n, Σx, Σx²) moments (r6'd then DECIMAL-summed);
+    * everything after is one fixed IEEE sequence per group. The z
+    * constants fold into one driver-side coefficient. Groups with
+    * n < 2 or a zero mean (δ = 0) emit NULL n_required.
+    *
+    * Output: (by..., n, mean, sd, delta, n_required).
+    */
+  def powerAnalysis(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      relEffect: Double = 0.05,
+      zAlpha: Double = 1.959963984540054,   // two-sided 5%
+      zBeta: Double = 0.8416212335729143    // 80% power
+  ): DataFrame = {
+    require(relEffect > 0, s"relEffect must be positive, got $relEffect")
+    val v = col(valueCol).cast("double")
+    def dsum(e: Column): Column =
+      coalesce(sum(graft.functions.Portable.r6(e).cast("decimal(38,6)")),
+        lit(0).cast("decimal(38,6)")).cast("double")
+    val coef = 2.0 * (zAlpha + zBeta) * (zAlpha + zBeta)
+    val m = df
+      .filter(ok(v))
+      .groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n"), dsum(v).as("__sx"), dsum(v * v).as("__sxx"))
+    val nD = col("n").cast("double")
+    val mean = col("__sx") / nD
+    val variance = greatest(col("__sxx") / nD - mean * mean, lit(0.0)) * nD / (nD - 1.0)
+    val delta = lit(relEffect) * mean
+    m.select((by.map(col) :+ col("n") :+ mean.as("mean") :+
+      when(col("n") >= 2, sqrt(variance)).as("sd") :+
+      delta.as("delta") :+
+      when(col("n") >= 2 && delta =!= 0.0,
+        ceil(lit(coef) * variance / (delta * delta)).cast("long")).as("n_required")): _*)
+  }
+
   /** Per-group Theil's U (uncertainty coefficient): U(Y|X) =
     * (H(Y) − H(Y|X)) / H(Y) ∈ [0,1] — "knowing X removes what fraction
     * of Y's uncertainty". The ASYMMETRIC categorical-dependence measure

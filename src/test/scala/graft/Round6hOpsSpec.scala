@@ -182,4 +182,29 @@ class Round6hOpsSpec extends SparkSpec {
     assert(out(3L).isNullAt(out(3L).fieldIndex("enc")))
     assert(out(4L).isNullAt(out(4L).fieldIndex("enc")))
   }
+
+  // -------------------------------------------------------- powerAnalysis
+
+  test("powerAnalysis: textbook n, scaling with variance and effect") {
+    // sd=10, mean=100, 5% effect (delta=5): n = 2*100*7.849/25 ~ 62.8 -> 63
+    val rows = (1 to 200).map(i => ("g", 100.0 + (if (i % 2 == 0) 10.0 else -10.0)))
+    val r = Stats.powerAnalysis(rows.toDF("g", "v"), Seq("g"), "v").collect().head
+    assert(r.getAs[Long]("n") == 200L)
+    assert(math.abs(r.getAs[Double]("mean") - 100.0) < 1e-6)
+    val sd = r.getAs[Double]("sd")
+    val expect = math.ceil(2.0 * math.pow(1.959963984540054 + 0.8416212335729143, 2)
+      * sd * sd / 25.0).toLong
+    assert(r.getAs[Long]("n_required") == expect)
+    // quadruple the effect -> quarter^2 = 1/16 the n (ceil-rounded)
+    val r4 = Stats.powerAnalysis(rows.toDF("g", "v"), Seq("g"), "v", relEffect = 0.2)
+      .collect().head
+    assert(r4.getAs[Long]("n_required") < r.getAs[Long]("n_required") / 10)
+    // constant series: sd 0 -> 0 required; zero mean -> NULL (delta 0)
+    val const = (1 to 10).map(_ => ("g", 5.0))
+    val rc = Stats.powerAnalysis(const.toDF("g", "v"), Seq("g"), "v").collect().head
+    assert(rc.getAs[Long]("n_required") == 0L)
+    val zero = (1 to 10).map(i => ("g", if (i % 2 == 0) 1.0 else -1.0))
+    val rz = Stats.powerAnalysis(zero.toDF("g", "v"), Seq("g"), "v").collect().head
+    assert(rz.isNullAt(rz.fieldIndex("n_required")), "zero mean cannot define a relative effect")
+  }
 }
