@@ -2300,7 +2300,9 @@ object SparkEntry {
         .select(col("event_type"), col("n_ref"), col("n_cur"), col("bin_width"),
           graft.functions.Portable.r6(col("emd")).as("emd"))),
 
-    // Fellegi-Sunter match weights over mod-blocked customer pairs:
+    // Fellegi-Sunter match weights over consecutive-id blocks of 64:
+    // block SIZE is fixed, so candidate pairs stay LINEAR in the corpus
+    // (a fixed block COUNT grows blocks with N and pairs with N²);
     // data-exact u-probabilities, prior m = 0.9
     "q_fs_weights" -> { (s, dir) =>
       val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"),
@@ -2309,7 +2311,7 @@ object SparkEntry {
       val ids = c.select(col("c_custkey").cast("long").as("id"))
       val pairs = ids.as("x")
         .join(ids.as("y"),
-          pmod(col("x.id"), lit(229L)) === pmod(col("y.id"), lit(229L)) &&
+          floor(col("x.id") / 64.0) === floor(col("y.id") / 64.0) &&
             col("x.id") < col("y.id"))
         .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       FuzzyJoin.fellegiSunter(c, "c_custkey", pairs,
@@ -5868,7 +5870,7 @@ object SparkEntry {
           |u3 AS (SELECT CAST(coalesce(sum(CAST(k AS DECIMAL(38,0)) * k), 0) AS DOUBLE) AS s2
           |  FROM (SELECT count(*) AS k FROM c WHERE f3 IS NOT NULL GROUP BY f3)),
           |p AS (SELECT x.id AS id_a, y.id AS id_b FROM c x JOIN c y
-          |  ON x.id % 229 = y.id % 229 AND x.id < y.id),
+          |  ON floor(CAST(x.id AS DOUBLE) / 64.0) = floor(CAST(y.id AS DOUBLE) / 64.0) AND x.id < y.id),
           |j AS (SELECT p.id_a, p.id_b,
           |    a.f1 AS a1, a.f2 AS a2, a.f3 AS a3, b.f1 AS b1, b.f2 AS b2, b.f3 AS b3
           |  FROM p JOIN c a ON a.id = p.id_a JOIN c b ON b.id = p.id_b)
