@@ -1,0 +1,101 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash/LSH band index: build once over the corpus, then
+  * dedup every INCREMENTAL batch against it without recomputing a
+  * single corpus signature — the production shape of "is this new
+  * document a near-dup of anything we already have", which the batch
+  * [[Dedup.minhashCandidatePairs]] answers only by re-reading the whole
+  * corpus. The [[graft.ann.IvfIO]] discipline applied to dedup.
+  *
+  * Layout under `dir`: `bands/` — (band, sig, id, bucket_n), written
+  * `partitionBy("band")`. `bucket_n` is the bucket's size AT BUILD
+  * time, stored denormalized so the query side can drop degenerate
+  * buckets (boilerplate band values shared by millions of docs) with a
+  * FILTER — no index-side aggregation at query time.
+  *
+  * Query shape: the new batch's band keys (batch-sized × numBands) are
+  * the BROADCAST side of one equi-join on (band, sig) against the
+  * index scan; the index never shuffles, and candidates arrive with
+  * their band-agreement count. `append` maintains the index
+  * incrementally (bucket_n of appended rows counts only the batch —
+  * the conservative direction: a bucket is dropped only when some
+  * WRITE already saw it oversized; `write` afresh to re-tighten).
+  */
+object LshIO {
+
+  private def bandTable(
+      docs: DataFrame,
+      numHashes: Int,
+      numBands: Int,
+      n: Int,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val sig = Dedup.withMinhashSig(docs, col(textCol), "__sig", numHashes, n)
+      .filter(col("__sig").isNotNull)
+    sig
+      .select(col(idCol).cast("long").as("id"),
+        explode(Dedup.bandKeysColumn(col("__sig"), numHashes, numBands)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.sig").as("sig"), col("id"))
+  }
+
+  private def withBucketN(bands: DataFrame): DataFrame = {
+    val counts = bands.groupBy("band", "sig").agg(count(lit(1)).as("bucket_n"))
+    bands.join(counts, Seq("band", "sig"))
+  }
+
+  /** Build and persist the index over `docs`. */
+  def write(
+      docs: DataFrame,
+      dir: String,
+      numHashes: Int = 16,
+      numBands: Int = 4,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    withBucketN(bandTable(docs, numHashes, numBands, n, idCol, textCol))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+
+  /** Append a new batch's band rows to an existing index. */
+  def append(
+      docs: DataFrame,
+      dir: String,
+      numHashes: Int = 16,
+      numBands: Int = 4,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    withBucketN(bandTable(docs, numHashes, numBands, n, idCol, textCol))
+      .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
+
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/bands")
+
+  /** Candidate near-dup pairs of a NEW batch against the stored index:
+    * (id_new, id_index, n_bands_agree), id_new ≠ id_index. The batch's
+    * band keys broadcast; index buckets larger than `maxBucketSize` (as
+    * recorded at write) are dropped whole — past the cap they are
+    * degenerate families better handled by exact dedup.
+    */
+  def candidatesAgainst(
+      newDocs: DataFrame,
+      spark: SparkSession,
+      dir: String,
+      numHashes: Int = 16,
+      numBands: Int = 4,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxBucketSize: Long = 1000L): DataFrame = {
+    val probe = bandTable(newDocs, numHashes, numBands, n, idCol, textCol)
+      .withColumnRenamed("id", "id_new")
+    read(spark, dir)
+      .filter(col("bucket_n") <= maxBucketSize)
+      .join(broadcast(probe), Seq("band", "sig"))
+      .filter(col("id") =!= col("id_new"))
+      .groupBy(col("id_new"), col("id").as("id_index"))
+      .agg(count(lit(1)).as("n_bands_agree"))
+  }
+}
