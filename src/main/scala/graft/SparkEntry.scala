@@ -2354,6 +2354,12 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           graft.functions.Portable.r6(col("enc")).as("enc"))),
 
+    // in-document repeated-line removal (C4-family cleaning REWRITE)
+    "q_dedup_lines_doc" -> ((s, dir) =>
+      TextFunctions.withDedupedLines(docs(s, dir), col("text"), "clean")
+        .select(col("doc_id"), col("clean"),
+          col("clean_n_before").as("n_before"), col("clean_n_after").as("n_after"))),
+
     // pre-launch A/B power: arm size needed to detect a 5% shift of
     // value per event stream at alpha=.05 / power=.8
     "q_power" -> ((s, dir) =>
@@ -5965,6 +5971,18 @@ object SparkEntry {
           |    floor((s - floor(y * 1000000 + 0.5) / 1000000 + 10.0 * gm)
           |      / (CAST(n AS DOUBLE) - 1.0 + 10.0) * 1000000 + 0.5) / 1000000 END AS enc
           |FROM v LEFT JOIN cat ON v.source = cat.source, g""".stripMargin,
+
+      "q_dedup_lines_doc" ->
+        """WITH t AS (SELECT doc_id, text,
+          |  list_filter(list_transform(string_split(regexp_replace(text, '\r', '', 'g'), chr(10)), l -> trim(l)), l -> l<>'') AS lines
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CASE WHEN text IS NOT NULL THEN
+          |    array_to_string(list_filter(lines, (x, i) -> NOT list_contains(lines[1:i-1], x)), chr(10)) END AS clean,
+          |  CASE WHEN text IS NOT NULL THEN CAST(len(lines) AS BIGINT) END AS n_before,
+          |  CASE WHEN text IS NOT NULL THEN
+          |    CAST(len(list_filter(lines, (x, i) -> NOT list_contains(lines[1:i-1], x))) AS BIGINT) END AS n_after
+          |FROM t""".stripMargin,
 
       "q_power" -> {
         val coef = 2.0 * (1.959963984540054 + 0.8416212335729143) *

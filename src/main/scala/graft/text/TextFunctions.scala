@@ -486,4 +486,36 @@ object TextFunctions {
       when(col("n_tokens") > 0,
         col("n_bytes").cast("double") / col("n_tokens").cast("double")).as("bytes_per_token"))
   }
+
+  /** Remove REPEATED lines within one document, keeping the first
+    * occurrence in order — the in-document half of line dedup: [[graft
+    * .text.LineDedup]] kills boilerplate ACROSS the corpus; this kills
+    * the nav-bar/footer stutter a scraper pastes several times into ONE
+    * page (C4-family cleaning rewrites, not just flags). `\r` is
+    * stripped and blank lines dropped (they are formatting, not
+    * content, and "first occurrence of the empty line" is meaningless).
+    *
+    * DataFrame-shaped so the line array is hoisted into its own
+    * projected column: an interpreted HOF re-evaluates its argument
+    * subtree per element, so inlining the split into the filter lambda
+    * would re-split the document L times (the [[graft.dedup.Dedup
+    * .withMinhashSig]] trap). Row-local — zero shuffle, O(L²) string
+    * compares per doc (the L of a web page is tens, not thousands).
+    * NULL text yields NULL; emits `outCol` plus `${outCol}_n_before` /
+    * `${outCol}_n_after` line counts so the stutter rate is free.
+    */
+  def withDedupedLines(df: DataFrame, text: Column, outCol: String): DataFrame = {
+    val lines = filter(
+      transform(split(regexp_replace(text, "\r", ""), "\n"), l => trim(l)),
+      l => l =!= "")
+    val arr = col(s"__${outCol}_lines")
+    val kept = filter(arr, (l, i) => !array_contains(slice(arr, lit(1), i), l))
+    df.withColumn(s"__${outCol}_lines", lines)
+      .withColumn(outCol, when(text.isNotNull, array_join(kept, "\n")))
+      .withColumn(s"${outCol}_n_before", when(text.isNotNull, size(arr).cast("long")))
+      .withColumn(s"${outCol}_n_after",
+        when(text.isNotNull, size(filter(arr, (l, i) =>
+          !array_contains(slice(arr, lit(1), i), l))).cast("long")))
+      .drop(s"__${outCol}_lines")
+  }
 }

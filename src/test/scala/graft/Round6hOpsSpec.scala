@@ -207,4 +207,22 @@ class Round6hOpsSpec extends SparkSpec {
     val rz = Stats.powerAnalysis(zero.toDF("g", "v"), Seq("g"), "v").collect().head
     assert(rz.isNullAt(rz.fieldIndex("n_required")), "zero mean cannot define a relative effect")
   }
+
+  // ----------------------------------------------------- withDedupedLines
+
+  test("withDedupedLines: first occurrence wins, order preserved, counts emitted") {
+    val df = Seq(
+      (1L, "nav bar\ncontent one\nnav bar\ncontent two\n\nnav bar"),
+      (2L, "all\nunique\nlines"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextFunctions.withDedupedLines(df, col("text"), "clean")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("clean") == "nav bar\ncontent one\ncontent two")
+    assert(out(1L).getAs[Long]("clean_n_before") == 5L)
+    assert(out(1L).getAs[Long]("clean_n_after") == 3L)
+    assert(out(2L).getAs[String]("clean") == "all\nunique\nlines")
+    assert(out(3L).isNullAt(out(3L).fieldIndex("clean")))
+    assert(out(3L).isNullAt(out(3L).fieldIndex("clean_n_before")))
+  }
 }
