@@ -2354,6 +2354,12 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           graft.functions.Portable.r6(col("enc")).as("enc"))),
 
+    // order-free per-source content checksum (change detection)
+    "q_checksum" -> ((s, dir) =>
+      Validate.contentChecksum(docs(s, dir), Seq("source"),
+          Seq("doc_id", "text", "lang", "n_chars"))
+        .select(col("source"), col("n_rows"), col("checksum"))),
+
     // in-document repeated-line removal (C4-family cleaning REWRITE)
     "q_dedup_lines_doc" -> ((s, dir) =>
       TextFunctions.withDedupedLines(docs(s, dir), col("text"), "clean")
@@ -5971,6 +5977,15 @@ object SparkEntry {
           |    floor((s - floor(y * 1000000 + 0.5) / 1000000 + 10.0 * gm)
           |      / (CAST(n AS DOUBLE) - 1.0 + 10.0) * 1000000 + 0.5) / 1000000 END AS enc
           |FROM v LEFT JOIN cat ON v.source = cat.source, g""".stripMargin,
+
+      "q_checksum" ->
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(CAST(sum(CAST(CAST(concat('0x', substr(md5(
+          |    concat_ws('|', coalesce(CAST(doc_id AS VARCHAR), ' null'),
+          |      coalesce(text, ' null'), coalesce(lang, ' null'),
+          |      coalesce(CAST(n_chars AS VARCHAR), ' null'))
+          |  ), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+          |FROM documents GROUP BY 1""".stripMargin,
 
       "q_dedup_lines_doc" ->
         """WITH t AS (SELECT doc_id, text,

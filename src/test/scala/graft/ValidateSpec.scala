@@ -51,4 +51,21 @@ class ValidateSpec extends SparkSpec {
         Expectation("x", col("id").isNotNull), Expectation("x", col("v") >= 0)))
     }
   }
+
+  test("contentChecksum: order-free, change-sensitive, null-aware") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
+    val shuffled = Seq((3L, "z"), (1L, "x"), (2L, "y")).toDF("id", "v")
+    def ck(df: org.apache.spark.sql.DataFrame): String =
+      Validate.contentChecksum(df, Seq.empty, Seq("id", "v"))
+        .collect().head.getAs[String]("checksum")
+    assert(ck(a) == ck(shuffled), "row order cannot move the sum")
+    assert(ck(a) != ck(a.withColumn("v", when(col("id") === 2L, lit("Y")).otherwise(col("v")))),
+      "a one-character edit moves it")
+    // NULL vs empty string are different contents
+    val withNull = Seq((1L, null.asInstanceOf[String])).toDF("id", "v")
+    val withEmpty = Seq((1L, "")).toDF("id", "v")
+    assert(ck(withNull) != ck(withEmpty))
+  }
 }
