@@ -2354,6 +2354,14 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           graft.functions.Portable.r6(col("enc")).as("enc"))),
 
+    // Nelson-Aalen cumulative hazard on the q_km_survival spans
+    "q_nelson_aalen" -> ((s, dir) =>
+      Survival
+        .nelsonAalen(ev(s, dir), "user_id", "ts", "event_type", "purchase")
+        .select(col("t_day"), col("n_risk"), col("d_events"), col("c_censored"),
+          graft.functions.Portable.r6(col("hazard")).as("hazard"),
+          graft.functions.Portable.r6(col("cum_hazard")).as("cum_hazard"))),
+
     // order-free per-source content checksum (change detection)
     "q_checksum" -> ((s, dir) =>
       Validate.contentChecksum(docs(s, dir), Seq("source"),
@@ -5977,6 +5985,28 @@ object SparkEntry {
           |    floor((s - floor(y * 1000000 + 0.5) / 1000000 + 10.0 * gm)
           |      / (CAST(n AS DOUBLE) - 1.0 + 10.0) * 1000000 + 0.5) / 1000000 END AS enc
           |FROM v LEFT JOIN cat ON v.source = cat.source, g""".stripMargin,
+
+      "q_nelson_aalen" ->
+        s"""WITH sp AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+           |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS te,
+           |    max(epoch_us(ts)) AS tl
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+           |dur AS (SELECT CAST(floor(CAST(coalesce(te, tl) - t0 AS DOUBLE) / 86400000000.0) AS BIGINT) AS t_day,
+           |    te IS NOT NULL AS obs FROM sp),
+           |cv AS (SELECT t_day, count(CASE WHEN obs THEN 1 END) AS d_events,
+           |    count(CASE WHEN NOT obs THEN 1 END) AS c_censored FROM dur GROUP BY 1),
+           |tot AS (SELECT sum(d_events + c_censored) AS total FROM cv),
+           |r AS (SELECT t_day, d_events, c_censored,
+           |    total - coalesce(sum(d_events + c_censored) OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+           |  FROM cv, tot),
+           |h AS (SELECT t_day, d_events, c_censored, n_risk,
+           |    ${graft.functions.Portable.r6Sql("CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)")} AS inc
+           |  FROM r)
+           |SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, CAST(d_events AS BIGINT) AS d_events,
+           |  CAST(c_censored AS BIGINT) AS c_censored,
+           |  ${graft.functions.Portable.r6Sql("inc")} AS hazard,
+           |  ${graft.functions.Portable.r6Sql("CAST(sum(CAST(inc AS DECIMAL(38,6))) OVER (ORDER BY t_day) AS DOUBLE)")} AS cum_hazard
+           |FROM h""".stripMargin,
 
       "q_checksum" ->
         """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,

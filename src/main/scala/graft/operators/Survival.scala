@@ -177,4 +177,59 @@ object Survival {
           (col("o_a").cast("double") - col("e_a")) *
             (col("o_a").cast("double") - col("e_a")) / col("v")))
   }
+
+  /** Nelson–Aalen cumulative hazard over the same spans as
+    * [[kaplanMeier]]: H(t) = Σ_{t'≤t} d/n_risk — the hazard-scale twin
+    * of the KM curve (KM multiplies survival fractions; NA adds hazard
+    * increments, is defined even past d = n_risk, and its slope reads
+    * directly as "risk per day", which the epidemiology/SRE literature
+    * plots to spot hazard REGIME changes a survival curve smooths over).
+    *
+    * Identical execution shape to KM (one key shuffle → day-granularity
+    * curve → two shared-sort windows over the horizon-bounded frame);
+    * per-day increments d/n are exact rationals r6'd before the
+    * DECIMAL cumulative sum. Output: (t_day, n_risk, d_events,
+    * c_censored, hazard, cum_hazard).
+    */
+  def nelsonAalen(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      typeCol: String,
+      eventType: String): DataFrame = {
+    val t = unix_micros(col(timeCol))
+    val spans = events
+      .filter(col(timeCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        min(t).as("__t0"),
+        min(when(col(typeCol) === eventType, t)).as("__te"),
+        max(t).as("__tl"))
+    val durations = spans.select(
+      floor((coalesce(col("__te"), col("__tl")) - col("__t0")).cast("double") / DayUs.toDouble)
+        .cast("long").as("t_day"),
+      col("__te").isNotNull.as("__observed"))
+    val curve = durations
+      .groupBy(col("t_day"))
+      .agg(
+        count(when(col("__observed"), lit(1))).as("d_events"),
+        count(when(!col("__observed"), lit(1))).as("c_censored"))
+    val total = curve.agg(
+      sum(col("d_events") + col("c_censored")).as("__total"))
+    val byT = Window.orderBy(col("t_day"))
+    val prior = byT.rowsBetween(Window.unboundedPreceding, -1)
+    val withRisk = curve
+      .crossJoin(broadcast(total)) // one-row totals frame: lint-exempt
+      .withColumn("n_risk",
+        col("__total") - coalesce(
+          sum(col("d_events") + col("c_censored")).over(prior), lit(0L)))
+    val inc = graft.functions.Portable.r6(
+      col("d_events").cast("double") / col("n_risk").cast("double"))
+    withRisk
+      .withColumn("hazard", inc)
+      .withColumn("cum_hazard",
+        sum(inc.cast("decimal(38,6)")).over(byT).cast("double"))
+      .select(col("t_day"), col("n_risk"), col("d_events"), col("c_censored"),
+        col("hazard"), col("cum_hazard"))
+  }
 }

@@ -63,6 +63,7 @@ class PlanLintSpec extends SparkSpec {
     //    grid cross-join is level-sized (categorical cardinalities).
     val allowed: Map[String, Set[String]] = Map(
       "q_km_survival"    -> Set("global-window"),
+      "q_nelson_aalen"   -> Set("global-window"), // same day-curve contract
       "q_logrank"        -> Set("global-window"),
       "q_cramers_v"      -> Set("nested-loop-join"),
       "q_bh"             -> Set("global-window"),

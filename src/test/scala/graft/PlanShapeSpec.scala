@@ -59,7 +59,8 @@ class PlanShapeSpec extends SparkSpec {
     // (q_logrank: same day-granularity curve contract as q_km_survival.)
     val vocabSizedByContract = Set(
       "q_fit_vocab", "q_normalize", "q_meds_pipeline", "q_pipeline_config",
-      "q_km_survival", "q_bh", "q_logrank")
+      "q_km_survival", "q_bh", "q_logrank",
+      "q_nelson_aalen") // same day-curve contract as q_km_survival
 
     def boundedBelow(p: SparkPlan): Boolean = p match {
       case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
