@@ -2354,6 +2354,24 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           graft.functions.Portable.r6(col("enc")).as("enc"))),
 
+    // distributional A/B: quantile shift of value between event halves
+    "q_qte" -> ((s, dir) =>
+      Stats.quantileShift(ev(s, dir), Seq("event_type"), "value",
+          armB = col("event_id") % 2 === 0, ps = QuantilePs)
+        .select(col("event_type"), col("p"),
+          graft.functions.Portable.r6(col("q_a")).as("q_a"),
+          graft.functions.Portable.r6(col("q_b")).as("q_b"),
+          graft.functions.Portable.r6(col("shift")).as("shift"))),
+
+    // strata-adjusted ATE across event types (Simpson-proof A/B)
+    "q_strat_ate" -> ((s, dir) =>
+      Stats.stratifiedAte(ev(s, dir), Seq("event_type"), "value",
+          col("event_id") % 2 === 0)
+        .select(col("n"), col("n_strata"), col("n_strata_incomplete"),
+          graft.functions.Portable.r6(col("ate")).as("ate"),
+          graft.functions.Portable.r6(col("se")).as("se"),
+          graft.functions.Portable.r6(col("z")).as("z"))),
+
     // Nelson-Aalen cumulative hazard on the q_km_survival spans
     "q_nelson_aalen" -> ((s, dir) =>
       Survival
@@ -5985,6 +6003,61 @@ object SparkEntry {
           |    floor((s - floor(y * 1000000 + 0.5) / 1000000 + 10.0 * gm)
           |      / (CAST(n AS DOUBLE) - 1.0 + 10.0) * 1000000 + 0.5) / 1000000 END AS enc
           |FROM v LEFT JOIN cat ON v.source = cat.source, g""".stripMargin,
+
+      "q_qte" -> {
+        val ps = QuantilePs.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
+        s"""WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS x,
+           |    coalesce(event_id % 2 = 0, false) AS b FROM events
+           |  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+           |q AS (SELECT event_type,
+           |    quantile_cont(x, $ps) FILTER (WHERE NOT b) AS qa,
+           |    quantile_cont(x, $ps) FILTER (WHERE b) AS qb
+           |  FROM v GROUP BY 1)
+           |SELECT event_type, unnest($ps) AS p,
+           |  floor(unnest(qa) * 1000000 + 0.5) / 1000000 AS q_a,
+           |  floor(unnest(qb) * 1000000 + 0.5) / 1000000 AS q_b,
+           |  floor((unnest(qb) - unnest(qa)) * 1000000 + 0.5) / 1000000 AS shift
+           |FROM q""".stripMargin
+      },
+
+      "q_strat_ate" ->
+        """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS x,
+          |    coalesce(event_id % 2 = 0, false) AS b FROM events),
+          |m AS (SELECT event_type,
+          |    count(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND NOT b THEN 1 END) AS na,
+          |    count(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND b THEN 1 END) AS nb,
+          |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND NOT b
+          |      THEN CAST(floor(x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sa,
+          |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND b
+          |      THEN CAST(floor(x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sb,
+          |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND NOT b
+          |      THEN CAST(floor(x * x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sa2,
+          |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND b
+          |      THEN CAST(floor(x * x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sb2
+          |  FROM v GROUP BY 1),
+          |ps AS (SELECT na + nb AS ns,
+          |    CASE WHEN na >= 1 AND nb >= 1 THEN sb / nb - sa / na END AS eff,
+          |    CASE WHEN na >= 2 AND nb >= 2 THEN
+          |      greatest(sa2 / na - (sa / na) * (sa / na), 0.0) * na / (na - 1.0) / na
+          |      + greatest(sb2 / nb - (sb / nb) * (sb / nb), 0.0) * nb / (nb - 1.0) / nb END AS vs
+          |  FROM m),
+          |g AS (SELECT CAST(sum(ns) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_strata,
+          |    CAST(count(CASE WHEN eff IS NULL THEN 1 END) AS BIGINT) AS n_strata_incomplete,
+          |    count(CASE WHEN eff IS NOT NULL AND vs IS NULL THEN 1 END) AS novar,
+          |    CAST(coalesce(sum(CASE WHEN eff IS NOT NULL THEN ns END), 0) AS BIGINT) AS nc,
+          |    CAST(coalesce(sum(CAST(floor(CAST(ns AS DOUBLE) * eff * 1000000 + 0.5) / 1000000
+          |      AS DECIMAL(38,6))), 0) AS DOUBLE) AS we,
+          |    CAST(coalesce(sum(CAST(floor(CAST(ns AS DOUBLE) * ns * vs * 1000000 + 0.5) / 1000000
+          |      AS DECIMAL(38,6))), 0) AS DOUBLE) AS wv
+          |  FROM ps)
+          |SELECT n, n_strata, n_strata_incomplete,
+          |  CASE WHEN nc > 0 THEN floor(we / CAST(nc AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS ate,
+          |  CASE WHEN novar = 0 AND nc > 0 THEN
+          |    floor(sqrt(wv) / CAST(nc AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS se,
+          |  CASE WHEN novar = 0 AND nc > 0 AND sqrt(wv) / CAST(nc AS DOUBLE) > 0.0 THEN
+          |    floor((we / CAST(nc AS DOUBLE)) / (sqrt(wv) / CAST(nc AS DOUBLE)) * 1000000 + 0.5) / 1000000
+          |  END AS z
+          |FROM g""".stripMargin,
 
       "q_nelson_aalen" ->
         s"""WITH sp AS (SELECT user_id, min(epoch_us(ts)) AS t0,

@@ -843,6 +843,109 @@ object Stats {
       .select((byCols :+ col("n") :+ col("x_tail") :+ col("alpha")): _*)
   }
 
+  /** Per-group quantile shift function (quantile treatment effect):
+    * Q_B(p) − Q_A(p) at each probe — the DISTRIBUTIONAL A/B readout a
+    * mean difference hides: "the median moved +2 but P95 moved +40"
+    * is a tail regression [[welchTest]] reports as a small positive
+    * delta. Uses the library-wide [[Quantiles]] path switch (exact R-7
+    * locally, `percentile_approx` under the 100 TB conf), conditional
+    * aggregation so BOTH arms' quantile arrays come from ONE pass.
+    * Groups with an empty arm emit NULL for that side and the shift.
+    *
+    * Output: (by..., p, q_a, q_b, shift).
+    */
+  def quantileShift(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      armB: Column,
+      ps: Seq[Double],
+      exact: Boolean = true): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad probe list $ps")
+    val v = col(valueCol).cast("double")
+    val isB = coalesce(armB, lit(false))
+    val ex = Quantiles.resolveExact(df.sparkSession, exact)
+    val probes = array(ps.map(lit): _*)
+    df.filter(ok(v))
+      .groupBy(by.map(col): _*)
+      .agg(
+        Quantiles.q(when(!isB, v), probes, ex).as("__qa"),
+        Quantiles.q(when(isB, v), probes, ex).as("__qb"))
+      .select((by.map(col) :+ col("__qa") :+ col("__qb") :+ posexplode(probes)): _*)
+      .withColumnRenamed("col", "p")
+      .withColumn("q_a", element_at(col("__qa"), col("pos") + 1))
+      .withColumn("q_b", element_at(col("__qb"), col("pos") + 1))
+      .select((by.map(col) :+ col("p") :+ col("q_a") :+ col("q_b") :+
+        (col("q_b") - col("q_a")).as("shift")): _*)
+  }
+
+  /** Stratified average treatment effect (direct adjustment): the
+    * A/B readout when assignment is imbalanced ACROSS strata —
+    * ATE = Σ_s w_s·(mean_B,s − mean_A,s), w_s = n_s/N, which a pooled
+    * [[welchTest]] confounds with the strata mix (Simpson's trap). SE
+    * is the usual √(Σ w_s²·(s²_A/n_A + s²_B/n_B)). One scan to
+    * per-stratum conditional moments (r6→DECIMAL); strata missing an
+    * arm contribute weight but no effect and are counted in
+    * `n_strata_incomplete` so the imbalance is visible, not silent.
+    *
+    * Output: one row — (n, n_strata, n_strata_incomplete, ate, se, z).
+    */
+  def stratifiedAte(
+      df: DataFrame,
+      strata: Seq[String],
+      valueCol: String,
+      armB: Column): DataFrame = {
+    require(strata.nonEmpty, "stratifiedAte needs at least one stratum column")
+    val v = col(valueCol).cast("double")
+    val p = ok(v)
+    val isB = coalesce(armB, lit(false))
+    def dsum(cond: Column, e: Column): Column =
+      coalesce(sum(when(p && cond, graft.functions.Portable.r6(e).cast("decimal(38,6)"))),
+        lit(0).cast("decimal(38,6)")).cast("double")
+    val m = df
+      .groupBy(strata.map(col): _*)
+      .agg(
+        count(when(p && !isB, lit(1))).as("na"),
+        count(when(p && isB, lit(1))).as("nb"),
+        dsum(!isB, v).as("sa"), dsum(isB, v).as("sb"),
+        dsum(!isB, v * v).as("sa2"), dsum(isB, v * v).as("sb2"))
+    val naD = col("na").cast("double")
+    val nbD = col("nb").cast("double")
+    val meanA = col("sa") / naD
+    val meanB = col("sb") / nbD
+    def svar(s2: Column, mean: Column, n: Column): Column =
+      greatest(s2 / n - mean * mean, lit(0.0)) * n / (n - 1.0)
+    val complete = col("na") >= 1 && col("nb") >= 1
+    val varOk = col("na") >= 2 && col("nb") >= 2
+    // per-stratum rows carry n_s and the effect; the weighted combine is
+    // one aggregation over the strata-sized frame
+    val perStratum = m.select(
+      (col("na") + col("nb")).as("ns"),
+      when(complete, meanB - meanA).as("eff"),
+      when(varOk, svar(col("sa2"), meanA, naD) / naD + svar(col("sb2"), meanB, nbD) / nbD)
+        .as("vs"))
+    def d2(e: Column): Column =
+      coalesce(sum(graft.functions.Portable.r6(e).cast("decimal(38,6)")),
+        lit(0).cast("decimal(38,6)")).cast("double")
+    val g = perStratum.agg(
+      sum(col("ns")).as("n"),
+      count(lit(1)).as("n_strata"),
+      count(when(col("eff").isNull, lit(1))).as("n_strata_incomplete"),
+      count(when(col("eff").isNotNull && col("vs").isNull, lit(1))).as("__novar"),
+      // weights renormalize over COMPLETE strata — dividing by the full N
+      // would shrink the ATE toward 0 whenever a stratum misses an arm
+      coalesce(sum(when(col("eff").isNotNull, col("ns"))), lit(0L)).as("__nc"),
+      d2(col("ns").cast("double") * col("eff")).as("__we"),
+      d2(col("ns").cast("double") * col("ns") * col("vs")).as("__wv"))
+    val ncD = col("__nc").cast("double")
+    val ate = col("__we") / ncD
+    val se = when(col("__novar") === 0L && col("__nc") > 0L, sqrt(col("__wv")) / ncD)
+    g.select(col("n"), col("n_strata"), col("n_strata_incomplete"),
+      when(col("__nc") > 0L, ate).as("ate"),
+      se.as("se"),
+      when(se > 0.0, ate / se).as("z"))
+  }
+
   /** Per-group two-sample power analysis: the sample size EACH ARM of a
     * future A/B test needs to detect a `relEffect` relative shift of
     * this metric at significance `zAlpha` and power `zBeta` —

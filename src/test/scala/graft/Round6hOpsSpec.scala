@@ -225,4 +225,46 @@ class Round6hOpsSpec extends SparkSpec {
     assert(out(3L).isNullAt(out(3L).fieldIndex("clean")))
     assert(out(3L).isNullAt(out(3L).fieldIndex("clean_n_before")))
   }
+
+  // --------------------------------------------- quantileShift / stratAte
+
+  test("quantileShift: uniform +10 shift appears at every probe") {
+    // ids (2k, 2k+1) share base k%50 so the arms are the SAME distribution
+    val rows = (0 until 100).map(i =>
+      ("g", i.toLong, (i / 2 % 50).toDouble + (if (i % 2 == 0) 10.0 else 0.0), i % 2 == 0))
+    val out = Stats.quantileShift(rows.toDF("g", "id", "v", "b"), Seq("g"), "v",
+        col("b"), Seq(0.25, 0.5, 0.75)).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("shift") - 10.0) < 1e-9,
+        s"location shift is uniform across quantiles: $r")
+    }
+    // empty arm: NULL q_b and shift
+    val oneArm = (0 until 10).map(i => ("g", i.toLong, i.toDouble, false))
+    val ro = Stats.quantileShift(oneArm.toDF("g", "id", "v", "b"), Seq("g"), "v",
+        col("b"), Seq(0.5)).collect().head
+    assert(ro.isNullAt(ro.fieldIndex("q_b")) && ro.isNullAt(ro.fieldIndex("shift")))
+  }
+
+  test("stratifiedAte: recovers the true effect under imbalanced assignment") {
+    // stratum s1: baseline 0, s2: baseline 100; true effect +5 in both.
+    // B gets 80% of s2 but 20% of s1 -> pooled diff is badly confounded.
+    val rows =
+      (1 to 50).map(i => ("s1", i.toLong, 0.0 + (if (i <= 10) 5.0 else 0.0), i <= 10)) ++
+      (1 to 50).map(i => ("s2", i.toLong, 100.0 + (if (i <= 40) 5.0 else 0.0), i <= 40))
+    val df = rows.toDF("s", "id", "v", "b")
+    val r = Stats.stratifiedAte(df, Seq("s"), "v", col("b")).collect().head
+    assert(r.getAs[Long]("n") == 100L && r.getAs[Long]("n_strata") == 2L)
+    assert(math.abs(r.getAs[Double]("ate") - 5.0) < 1e-6, s"adjusted effect: $r")
+    // pooled naive diff for contrast: far from 5
+    val naive = df.filter(col("b")).agg(avg("v")).head.getDouble(0) -
+      df.filter(!col("b")).agg(avg("v")).head.getDouble(0)
+    assert(math.abs(naive - 5.0) > 20.0, s"confounded pooled diff $naive")
+    // a stratum missing an arm is reported, not silently averaged
+    val missing = rows ++ (1 to 5).map(i => ("s3", i.toLong, 7.0, false))
+    val rm = Stats.stratifiedAte(missing.toDF("s", "id", "v", "b"), Seq("s"), "v", col("b"))
+      .collect().head
+    assert(rm.getAs[Long]("n_strata_incomplete") == 1L)
+    assert(math.abs(rm.getAs[Double]("ate") - 5.0) < 1e-6, "weights renormalize over complete strata")
+  }
 }
