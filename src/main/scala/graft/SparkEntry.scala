@@ -2354,6 +2354,25 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           graft.functions.Portable.r6(col("enc")).as("enc"))),
 
+    // every event stream Welch-tested against the 'view' control arm
+    "q_mvc" -> ((s, dir) =>
+      Stats.manyVsControl(ev(s, dir), "event_type", "value", controlArm = "view")
+        .select(col("arm"), col("n"), col("n_control"),
+          graft.functions.Portable.r6(col("mean")).as("mean"),
+          graft.functions.Portable.r6(col("mean_control")).as("mean_control"),
+          graft.functions.Portable.r6(col("diff")).as("diff"),
+          graft.functions.Portable.r6(col("se")).as("se"),
+          graft.functions.Portable.r6(col("z")).as("z"),
+          graft.functions.Portable.r6(col("p")).as("p"))),
+
+    // A/B health gate: is the even/odd split actually 50/50 per stream
+    "q_srm" -> ((s, dir) =>
+      Stats.sampleRatioMismatch(ev(s, dir), Seq("event_type"),
+          col("event_id") % 2 === 0, expectedB = 0.5)
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          graft.functions.Portable.r6(col("frac_b")).as("frac_b"),
+          graft.functions.Portable.r6(col("chi2")).as("chi2"))),
+
     // distributional A/B: quantile shift of value between event halves
     "q_qte" -> ((s, dir) =>
       Stats.quantileShift(ev(s, dir), Seq("event_type"), "value",
@@ -6003,6 +6022,60 @@ object SparkEntry {
           |    floor((s - floor(y * 1000000 + 0.5) / 1000000 + 10.0 * gm)
           |      / (CAST(n AS DOUBLE) - 1.0 + 10.0) * 1000000 + 0.5) / 1000000 END AS enc
           |FROM v LEFT JOIN cat ON v.source = cat.source, g""".stripMargin,
+
+      "q_mvc" -> {
+        val pSql = "least(1.0, 2.0 * exp(-az * az / 2.0) / " +
+          s"${math.sqrt(2.0 * math.Pi)} * " +
+          "(0.4361836 * tt - 0.1201676 * tt * tt + 0.9372980 * tt * tt * tt))"
+        s"""WITH v AS (SELECT event_type AS arm, CAST(value AS DOUBLE) AS x FROM events
+           |  WHERE event_type IS NOT NULL),
+           |m AS (SELECT arm,
+           |    CAST(count(CASE WHEN x IS NOT NULL AND NOT isnan(x) THEN 1 END) AS BIGINT) AS n,
+           |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND NOT isnan(x)
+           |      THEN CAST(floor(x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS s,
+           |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND NOT isnan(x)
+           |      THEN CAST(floor(x * x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS s2
+           |  FROM v GROUP BY 1),
+           |c AS (SELECT n AS nc, s AS cs, s2 AS cs2 FROM m WHERE arm = 'view'),
+           |e AS (SELECT arm, n, nc, s, s2, cs, cs2,
+           |    s / CAST(n AS DOUBLE) AS mean, cs / CAST(nc AS DOUBLE) AS meanc,
+           |    CASE WHEN n >= 2 AND nc >= 2 THEN
+           |      sqrt(greatest(s2 / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)), 0.0)
+           |          * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)
+           |        + greatest(cs2 / CAST(nc AS DOUBLE) - (cs / CAST(nc AS DOUBLE)) * (cs / CAST(nc AS DOUBLE)), 0.0)
+           |          * CAST(nc AS DOUBLE) / (CAST(nc AS DOUBLE) - 1.0) / CAST(nc AS DOUBLE)) END AS se
+           |  FROM m, c WHERE arm <> 'view'),
+           |f AS (SELECT arm, n, nc, mean, meanc, se,
+           |    CASE WHEN se > 0.0 THEN (mean - meanc) / se END AS z
+           |  FROM e),
+           |g AS (SELECT f.*, abs(z) AS az, 1.0 / (1.0 + 0.33267 * abs(z)) AS tt FROM f)
+           |SELECT arm, n, nc AS n_control,
+           |  CASE WHEN n > 0 THEN floor(mean * 1000000 + 0.5) / 1000000 END AS mean,
+           |  CASE WHEN nc > 0 THEN floor(meanc * 1000000 + 0.5) / 1000000 END AS mean_control,
+           |  CASE WHEN n > 0 AND nc > 0 THEN floor((mean - meanc) * 1000000 + 0.5) / 1000000 END AS diff,
+           |  floor(se * 1000000 + 0.5) / 1000000 AS se,
+           |  floor(z * 1000000 + 0.5) / 1000000 AS z,
+           |  CASE WHEN z IS NOT NULL THEN floor($pSql * 1000000 + 0.5) / 1000000 END AS p
+           |FROM g""".stripMargin
+      },
+
+      "q_srm" ->
+        """WITH m AS (SELECT event_type,
+          |    CAST(count(CASE WHEN NOT coalesce(event_id % 2 = 0, false) THEN 1 END) AS BIGINT) AS n_a,
+          |    CAST(count(CASE WHEN coalesce(event_id % 2 = 0, false) THEN 1 END) AS BIGINT) AS n_b
+          |  FROM events GROUP BY 1)
+          |SELECT event_type, n_a, n_b,
+          |  CASE WHEN n_a + n_b > 0 THEN
+          |    floor(CAST(n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS frac_b,
+          |  CASE WHEN n_a + n_b > 0 THEN floor((
+          |    (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * 0.5)
+          |      * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * 0.5)
+          |      / (CAST(n_a + n_b AS DOUBLE) * 0.5)
+          |    + (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * (1.0 - 0.5))
+          |      * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * (1.0 - 0.5))
+          |      / (CAST(n_a + n_b AS DOUBLE) * (1.0 - 0.5))
+          |  ) * 1000000 + 0.5) / 1000000 END AS chi2
+          |FROM m""".stripMargin,
 
       "q_qte" -> {
         val ps = QuantilePs.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")

@@ -843,6 +843,86 @@ object Stats {
       .select((byCols :+ col("n") :+ col("x_tail") :+ col("alpha")): _*)
   }
 
+  /** Many-vs-control comparison: every arm Welch-tested against ONE
+    * designated control in a single pass — the multi-variant experiment
+    * readout (feed the p column to [[Hypothesis.benjaminiHochberg]] for
+    * the FDR-controlled discovery list; 10 arms at α=0.05 without it is
+    * a false-positive machine). Same moment discipline as [[welchTest]]
+    * (r6→DECIMAL conditional sums), with the one-row control frame
+    * cross-joined broadcast; arms with n < 2 on either side emit NULL
+    * se/z/p. The control arm itself is not emitted.
+    *
+    * Output: (arm, n, n_control, mean, mean_control, diff, se, z, p).
+    */
+  def manyVsControl(
+      df: DataFrame,
+      armCol: String,
+      valueCol: String,
+      controlArm: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val p = ok(v)
+    def dsum(e: Column): Column =
+      coalesce(sum(when(p, graft.functions.Portable.r6(e).cast("decimal(38,6)"))),
+        lit(0).cast("decimal(38,6)")).cast("double")
+    val m = df
+      .filter(col(armCol).isNotNull)
+      .groupBy(col(armCol).as("arm"))
+      .agg(count(when(p, lit(1))).as("n"), dsum(v).as("__s"), dsum(v * v).as("__s2"))
+    val ctrl = m.filter(col("arm") === controlArm)
+      .select(col("n").as("n_control"), col("__s").as("__cs"), col("__s2").as("__cs2"))
+    val nD = col("n").cast("double")
+    val ncD = col("n_control").cast("double")
+    val mean = col("__s") / nD
+    val meanC = col("__cs") / ncD
+    def svar(s2: Column, mu: Column, n: Column): Column =
+      greatest(s2 / n - mu * mu, lit(0.0)) * n / (n - 1.0)
+    val se = when(col("n") >= 2 && col("n_control") >= 2,
+      sqrt(svar(col("__s2"), mean, nD) / nD + svar(col("__cs2"), meanC, ncD) / ncD))
+    val z = when(se > 0.0, (mean - meanC) / se)
+    m.filter(col("arm") =!= controlArm)
+      .crossJoin(broadcast(ctrl)) // one-row control frame: lint-exempt
+      .select(col("arm"), col("n"), col("n_control"),
+        when(col("n") > 0, mean).as("mean"),
+        when(col("n_control") > 0, meanC).as("mean_control"),
+        when(col("n") > 0 && col("n_control") > 0, mean - meanC).as("diff"),
+        se.as("se"), z.as("z"),
+        Hypothesis.pFromZ(z).as("p"))
+  }
+
+  /** Per-group sample-ratio-mismatch check — the A/B health gate that
+    * runs BEFORE any effect is read: χ²₁ of the observed arm split
+    * against the design ratio. An SRM (lost exposures, bot filtering
+    * hitting one arm, crooked hash) invalidates every downstream
+    * readout, and the classic failure is nobody looking. χ² =
+    * (n_B−e_B)²/e_B + (n_A−e_A)²/e_A with e_B = n·expectedB; > 3.84 ≈
+    * "the split is broken at 5%". Exact integer counts, three IEEE ops;
+    * one aggregation. Groups with n = 0 after filtering emit no row.
+    *
+    * Output: (by..., n_a, n_b, frac_b, chi2).
+    */
+  def sampleRatioMismatch(
+      df: DataFrame,
+      by: Seq[String],
+      armB: Column,
+      expectedB: Double = 0.5): DataFrame = {
+    require(expectedB > 0 && expectedB < 1, s"expectedB must be in (0,1), got $expectedB")
+    val isB = coalesce(armB, lit(false))
+    val m = df
+      .groupBy(by.map(col): _*)
+      .agg(
+        count(when(!isB, lit(1))).as("n_a"),
+        count(when(isB, lit(1))).as("n_b"))
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    val eB = nD * expectedB
+    val eA = nD * (1.0 - expectedB)
+    val nbD = col("n_b").cast("double")
+    val naD = col("n_a").cast("double")
+    m.select((by.map(col) :+ col("n_a") :+ col("n_b") :+
+      when(nD > 0.0, nbD / nD).as("frac_b") :+
+      when(nD > 0.0,
+        (nbD - eB) * (nbD - eB) / eB + (naD - eA) * (naD - eA) / eA).as("chi2")): _*)
+  }
+
   /** Per-group quantile shift function (quantile treatment effect):
     * Q_B(p) − Q_A(p) at each probe — the DISTRIBUTIONAL A/B readout a
     * mean difference hides: "the median moved +2 but P95 moved +40"

@@ -79,7 +79,11 @@ class PlanLintSpec extends SparkSpec {
       "q_ann_ivf_kmeans" -> Set("nested-loop-join"),
       "q_ann_topk"       -> Set("nested-loop-join"),
       "q_hard_negatives" -> Set("nested-loop-join"), // same broadcast query-set scan as q_ann_topk
-      "q_chi2"           -> Set("nested-loop-join")
+      "q_chi2"           -> Set("nested-loop-join"),
+      // the control frame is one row BY CONTRACT (arm = controlArm over
+      // the arm-aggregated frame) — filtered, so the linter's one-row
+      // totals auto-pass can't prove it
+      "q_mvc"            -> Set("nested-loop-join")
     )
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       PlanLint.lint(fn(spark, sf))

@@ -267,4 +267,38 @@ class Round6hOpsSpec extends SparkSpec {
     assert(rm.getAs[Long]("n_strata_incomplete") == 1L)
     assert(math.abs(rm.getAs[Double]("ate") - 5.0) < 1e-6, "weights renormalize over complete strata")
   }
+
+  // --------------------------------------------------- srm / manyVsControl
+
+  test("sampleRatioMismatch: clean 50/50 passes, a broken split screams") {
+    val even = (1 to 1000).map(i => ("g", i % 2 == 0))
+    val r = Stats.sampleRatioMismatch(even.toDF("g", "b"), Seq("g"), col("b")).collect().head
+    assert(r.getAs[Long]("n_a") == 500L && r.getAs[Double]("chi2") == 0.0)
+    // 60/40 on n=1000: chi2 = 2*(100^2/500) = 40 >> 3.84
+    val broken = (1 to 1000).map(i => ("g", i <= 600))
+    val rb = Stats.sampleRatioMismatch(broken.toDF("g", "b"), Seq("g"), col("b")).collect().head
+    assert(math.abs(rb.getAs[Double]("chi2") - 40.0) < 1e-9)
+    assert(math.abs(rb.getAs[Double]("frac_b") - 0.6) < 1e-9)
+    // non-even design ratio: 90/10 expected, observed exactly that -> 0
+    val design = (1 to 1000).map(i => ("g", i <= 900))
+    val rd = Stats.sampleRatioMismatch(design.toDF("g", "b"), Seq("g"), col("b"),
+      expectedB = 0.9).collect().head
+    assert(rd.getAs[Double]("chi2") < 1e-9)
+  }
+
+  test("manyVsControl: arms test against the control, control is absent") {
+    val rows =
+      (1 to 100).map(i => ("ctl", 10.0 + (i % 5))) ++
+      (1 to 100).map(i => ("up", 13.0 + (i % 5))) ++   // +3 vs control
+      (1 to 100).map(i => ("flat", 10.0 + (i % 5)))
+    val out = Stats.manyVsControl(rows.toDF("arm", "v"), "arm", "v", "ctl")
+      .collect().map(r => r.getAs[String]("arm") -> r).toMap
+    assert(out.keySet == Set("up", "flat"), "control not emitted")
+    assert(math.abs(out("up").getAs[Double]("diff") - 3.0) < 1e-6)
+    assert(out("up").getAs[Double]("z") > 5.0, "clear effect")
+    assert(out("up").getAs[Double]("p") < 1e-6)
+    assert(math.abs(out("flat").getAs[Double]("diff")) < 1e-6)
+    assert(out("flat").getAs[Double]("p") > 0.9, "no effect, p near 1")
+    assert(out("up").getAs[Long]("n_control") == 100L)
+  }
 }
