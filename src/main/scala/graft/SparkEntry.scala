@@ -2354,6 +2354,25 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           graft.functions.Portable.r6(col("enc")).as("enc"))),
 
+    // standardized effect size of value between the event halves
+    "q_effect_size" -> ((s, dir) =>
+      Stats.effectSize(ev(s, dir), Seq("event_type"), "value",
+          col("event_id") % 2 === 0)
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          graft.functions.Portable.r6(col("diff")).as("diff"),
+          graft.functions.Portable.r6(col("s_pooled")).as("s_pooled"),
+          graft.functions.Portable.r6(col("d")).as("d"),
+          graft.functions.Portable.r6(col("g")).as("g"))),
+
+    // Haldane-corrected odds ratio of the long-doc outcome per lang
+    "q_odds_ratio" -> ((s, dir) =>
+      Stats.oddsRatio(docs(s, dir), Seq("lang"),
+          hit = col("n_chars") > 300, armB = col("doc_id") % 2 === 0)
+        .select(col("lang"), col("n_a"), col("n_b"), col("k_a"), col("k_b"),
+          graft.functions.Portable.r6(col("odds_ratio")).as("odds_ratio"),
+          graft.functions.Portable.r6(col("log_or")).as("log_or"),
+          graft.functions.Portable.r6(col("se_log_or")).as("se_log_or"))),
+
     // every event stream Welch-tested against the 'view' control arm
     "q_mvc" -> ((s, dir) =>
       Stats.manyVsControl(ev(s, dir), "event_type", "value", controlArm = "view")
@@ -6022,6 +6041,63 @@ object SparkEntry {
           |    floor((s - floor(y * 1000000 + 0.5) / 1000000 + 10.0 * gm)
           |      / (CAST(n AS DOUBLE) - 1.0 + 10.0) * 1000000 + 0.5) / 1000000 END AS enc
           |FROM v LEFT JOIN cat ON v.source = cat.source, g""".stripMargin,
+
+      "q_effect_size" ->
+        """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS x,
+          |    coalesce(event_id % 2 = 0, false) AS b FROM events),
+          |m AS (SELECT event_type,
+          |    CAST(count(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND NOT b THEN 1 END) AS BIGINT) AS n_a,
+          |    CAST(count(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND b THEN 1 END) AS BIGINT) AS n_b,
+          |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND NOT b
+          |      THEN CAST(floor(x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sa,
+          |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND b
+          |      THEN CAST(floor(x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sb,
+          |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND NOT b
+          |      THEN CAST(floor(x * x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sa2,
+          |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND b
+          |      THEN CAST(floor(x * x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sb2
+          |  FROM v GROUP BY 1),
+          |e AS (SELECT event_type, n_a, n_b,
+          |    sb / CAST(n_b AS DOUBLE) - sa / CAST(n_a AS DOUBLE) AS dif,
+          |    sqrt(((CAST(n_a AS DOUBLE) - 1.0)
+          |        * (greatest(sa2 / CAST(n_a AS DOUBLE) - (sa / CAST(n_a AS DOUBLE)) * (sa / CAST(n_a AS DOUBLE)), 0.0)
+          |           * CAST(n_a AS DOUBLE) / (CAST(n_a AS DOUBLE) - 1.0))
+          |      + (CAST(n_b AS DOUBLE) - 1.0)
+          |        * (greatest(sb2 / CAST(n_b AS DOUBLE) - (sb / CAST(n_b AS DOUBLE)) * (sb / CAST(n_b AS DOUBLE)), 0.0)
+          |           * CAST(n_b AS DOUBLE) / (CAST(n_b AS DOUBLE) - 1.0)))
+          |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)) AS sp
+          |  FROM m)
+          |SELECT event_type, n_a, n_b,
+          |  CASE WHEN n_a > 0 AND n_b > 0 THEN floor(dif * 1000000 + 0.5) / 1000000 END AS diff,
+          |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN floor(sp * 1000000 + 0.5) / 1000000 END AS s_pooled,
+          |  CASE WHEN n_a >= 2 AND n_b >= 2 AND sp > 0.0 THEN
+          |    floor(dif / sp * 1000000 + 0.5) / 1000000 END AS d,
+          |  CASE WHEN n_a >= 2 AND n_b >= 2 AND sp > 0.0 THEN
+          |    floor(dif / sp * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) - 9.0))
+          |      * 1000000 + 0.5) / 1000000 END AS g
+          |FROM e""".stripMargin,
+
+      "q_odds_ratio" ->
+        """WITH m AS (SELECT lang,
+          |    CAST(count(CASE WHEN NOT coalesce(doc_id % 2 = 0, false) THEN 1 END) AS BIGINT) AS n_a,
+          |    CAST(count(CASE WHEN coalesce(doc_id % 2 = 0, false) THEN 1 END) AS BIGINT) AS n_b,
+          |    CAST(count(CASE WHEN NOT coalesce(doc_id % 2 = 0, false)
+          |      AND coalesce(n_chars > 300, false) THEN 1 END) AS BIGINT) AS k_a,
+          |    CAST(count(CASE WHEN coalesce(doc_id % 2 = 0, false)
+          |      AND coalesce(n_chars > 300, false) THEN 1 END) AS BIGINT) AS k_b
+          |  FROM documents GROUP BY 1),
+          |e AS (SELECT lang, n_a, n_b, k_a, k_b,
+          |    CAST(k_b AS DOUBLE) + 0.5 AS a, CAST(n_b - k_b AS DOUBLE) + 0.5 AS b,
+          |    CAST(k_a AS DOUBLE) + 0.5 AS c, CAST(n_a - k_a AS DOUBLE) + 0.5 AS d
+          |  FROM m)
+          |SELECT lang, n_a, n_b, k_a, k_b,
+          |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+          |    floor(a * d / (c * b) * 1000000 + 0.5) / 1000000 END AS odds_ratio,
+          |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+          |    floor(ln(a * d / (c * b)) * 1000000 + 0.5) / 1000000 END AS log_or,
+          |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+          |    floor(sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) * 1000000 + 0.5) / 1000000 END AS se_log_or
+          |FROM e""".stripMargin,
 
       "q_mvc" -> {
         val pSql = "least(1.0, 2.0 * exp(-az * az / 2.0) / " +

@@ -843,6 +843,90 @@ object Stats {
       .select((byCols :+ col("n") :+ col("x_tail") :+ col("alpha")): _*)
   }
 
+  /** Per-group standardized effect size: Cohen's d = (mean_B −
+    * mean_A)/s_pooled and the small-sample-corrected Hedges' g — the
+    * "is it BIG" companion to [[welchTest]]'s "is it real": at corpus
+    * scale everything is significant, and d < 0.2 says the significant
+    * thing is negligible. Same conditional-moment scan (r6→DECIMAL);
+    * s_pooled = √(((n_A−1)s²_A + (n_B−1)s²_B)/(n_A+n_B−2));
+    * g = d·(1 − 3/(4(n_A+n_B)−9)). NULL when either arm has n < 2 or
+    * the pooled variance is 0.
+    *
+    * Output: (by..., n_a, n_b, diff, s_pooled, d, g).
+    */
+  def effectSize(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      armB: Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val p = ok(v)
+    val isB = coalesce(armB, lit(false))
+    def dsum(cond: Column, e: Column): Column =
+      coalesce(sum(when(p && cond, graft.functions.Portable.r6(e).cast("decimal(38,6)"))),
+        lit(0).cast("decimal(38,6)")).cast("double")
+    val m = df
+      .groupBy(by.map(col): _*)
+      .agg(
+        count(when(p && !isB, lit(1))).as("n_a"),
+        count(when(p && isB, lit(1))).as("n_b"),
+        dsum(!isB, v).as("__sa"), dsum(isB, v).as("__sb"),
+        dsum(!isB, v * v).as("__sa2"), dsum(isB, v * v).as("__sb2"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val meanA = col("__sa") / naD
+    val meanB = col("__sb") / nbD
+    def svar(s2: Column, mu: Column, n: Column): Column =
+      greatest(s2 / n - mu * mu, lit(0.0)) * n / (n - 1.0)
+    val pooled = sqrt(((naD - 1.0) * svar(col("__sa2"), meanA, naD) +
+      (nbD - 1.0) * svar(col("__sb2"), meanB, nbD)) / (naD + nbD - 2.0))
+    val okArms = col("n_a") >= 2 && col("n_b") >= 2
+    val d = when(okArms && pooled > 0.0, (meanB - meanA) / pooled)
+    m.select((by.map(col) :+ col("n_a") :+ col("n_b") :+
+      when(col("n_a") > 0 && col("n_b") > 0, meanB - meanA).as("diff") :+
+      when(okArms, pooled).as("s_pooled") :+
+      d.as("d") :+
+      (d * (lit(1.0) - lit(3.0) / (lit(4.0) * (naD + nbD) - 9.0))).as("g")): _*)
+  }
+
+  /** Per-group odds ratio with Haldane–Anscombe correction:
+    * OR = ((k_B+½)(n_A−k_A+½)) / ((k_A+½)(n_B−k_B+½)) with its
+    * log-scale CI — the conversion-rate EFFECT measure next to
+    * [[Hypothesis.twoProportionZ]]'s significance (an OR of 1.02 can
+    * be wildly significant and still not worth shipping). The ½
+    * correction keeps zero cells finite and is the standard finite-
+    * sample de-bias. Exact integer cells; a handful of IEEE ops.
+    *
+    * Output: (by..., n_a, n_b, k_a, k_b, odds_ratio, log_or, se_log_or).
+    */
+  def oddsRatio(
+      df: DataFrame,
+      by: Seq[String],
+      hit: Column,
+      armB: Column): DataFrame = {
+    val isB = coalesce(armB, lit(false))
+    val h = coalesce(hit, lit(false))
+    val m = df
+      .groupBy(by.map(col): _*)
+      .agg(
+        count(when(!isB, lit(1))).as("n_a"),
+        count(when(isB, lit(1))).as("n_b"),
+        count(when(!isB && h, lit(1))).as("k_a"),
+        count(when(isB && h, lit(1))).as("k_b"))
+    def c(e: Column): Column = e.cast("double") + 0.5
+    val a = c(col("k_b"))
+    val b = c(col("n_b") - col("k_b"))
+    val cc = c(col("k_a"))
+    val dd = c(col("n_a") - col("k_a"))
+    val orr = a * dd / (cc * b)
+    val seLog = sqrt(lit(1.0) / a + lit(1.0) / b + lit(1.0) / cc + lit(1.0) / dd)
+    val have = col("n_a") > 0 && col("n_b") > 0
+    m.select((by.map(col) :+ col("n_a") :+ col("n_b") :+ col("k_a") :+ col("k_b") :+
+      when(have, orr).as("odds_ratio") :+
+      when(have, log(orr)).as("log_or") :+
+      when(have, seLog).as("se_log_or")): _*)
+  }
+
   /** Many-vs-control comparison: every arm Welch-tested against ONE
     * designated control in a single pass — the multi-variant experiment
     * readout (feed the p column to [[Hypothesis.benjaminiHochberg]] for

@@ -301,4 +301,43 @@ class Round6hOpsSpec extends SparkSpec {
     assert(out("flat").getAs[Double]("p") > 0.9, "no effect, p near 1")
     assert(out("up").getAs[Long]("n_control") == 100L)
   }
+
+  // ------------------------------------------------ effectSize / oddsRatio
+
+  test("effectSize: textbook d and the Hedges small-sample shrink") {
+    // A ~ {0,2} (mean 1), B ~ {2,4} (mean 3): s_pooled = sqrt(2), d = sqrt(2)
+    val rows = (1 to 20).map(i => ("g", if (i % 2 == 0) (i % 4).toDouble else (i % 4) + 2.0, i % 2 == 0))
+    // simpler explicit frame:
+    val df = (Seq.fill(10)(0.0) ++ Seq.fill(10)(2.0)).map(v => ("g", v, false)) ++
+      (Seq.fill(10)(2.0) ++ Seq.fill(10)(4.0)).map(v => ("g", v, true))
+    val r = Stats.effectSize(df.toDF("g", "v", "b"), Seq("g"), "v", col("b")).collect().head
+    assert(r.getAs[Long]("n_a") == 20L && r.getAs[Long]("n_b") == 20L)
+    assert(math.abs(r.getAs[Double]("diff") - 2.0) < 1e-9)
+    val sp = math.sqrt(20.0 / 19.0) // var of {0,2}x10 = 20/19 (sample)
+    assert(math.abs(r.getAs[Double]("s_pooled") - sp) < 1e-9)
+    assert(math.abs(r.getAs[Double]("d") - 2.0 / sp) < 1e-9)
+    val shrink = 1.0 - 3.0 / (4.0 * 40 - 9.0)
+    assert(math.abs(r.getAs[Double]("g") - 2.0 / sp * shrink) < 1e-9)
+    // constant arms: pooled 0 -> NULL d
+    val const = Seq(("g", 1.0, false), ("g", 1.0, false), ("g", 1.0, true), ("g", 1.0, true))
+    val rc = Stats.effectSize(const.toDF("g", "v", "b"), Seq("g"), "v", col("b")).collect().head
+    assert(rc.isNullAt(rc.fieldIndex("d")))
+  }
+
+  test("oddsRatio: Haldane correction keeps zero cells finite") {
+    // A: 10 rows 2 hits; B: 10 rows 8 hits -> OR ~ (8.5*8.5)/(2.5*2.5)
+    val rows = (1 to 10).map(i => ("g", i <= 2, false)) ++
+      (1 to 10).map(i => ("g", i <= 8, true))
+    val r = Stats.oddsRatio(rows.toDF("g", "h", "b"), Seq("g"), col("h"), col("b"))
+      .collect().head
+    assert(math.abs(r.getAs[Double]("odds_ratio") - (8.5 * 8.5) / (2.5 * 2.5)) < 1e-9)
+    // zero cell: no hits in A -> still finite
+    val zero = (1 to 10).map(i => ("g", false, false)) ++
+      (1 to 10).map(i => ("g", i <= 5, true))
+    val rz = Stats.oddsRatio(zero.toDF("g", "h", "b"), Seq("g"), col("h"), col("b"))
+      .collect().head
+    assert(!rz.isNullAt(rz.fieldIndex("odds_ratio")) &&
+      rz.getAs[Double]("odds_ratio") > 1.0)
+    assert(rz.getAs[Long]("k_a") == 0L)
+  }
 }
