@@ -143,4 +143,34 @@ class ApproxQuantileParitySpec extends SparkSpec {
     val bound = 4.0 * Eps * n + 10
     assert(nDiff <= bound, s"madOutliers flags differ on $nDiff of $n rows (bound $bound)")
   }
+
+  test("quantileShift: approx shifts stay within the doubled bracket at sf0.1") {
+    // two sketched quantiles subtract, so the shift can drift by at most
+    // the sum of the two sides' bracket widths
+    val ev = graft.sources.Tables.events(spark, sf)
+    val ps = Seq(0.25, 0.5, 0.75)
+    val exact = graft.operators.Stats.quantileShift(
+        ev, Seq("event_type"), "value", col("event_id") % 2 === 0, ps, exact = true)
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Double]("p")) -> r).toMap
+    val approx = withApproxConf {
+      graft.operators.Stats.quantileShift(
+          ev, Seq("event_type"), "value", col("event_id") % 2 === 0, ps, exact = true)
+        .collect()
+    }
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Double]("p"))
+      val e = exact(k)
+      // per-arm bracket: |q_approx - q_exact| bounded by the local value
+      // spread across eps ranks; cheap robust proxy: compare against the
+      // exact arm IQR scaled by a generous constant
+      val iqrA = math.abs(exact((k._1, 0.75)).getAs[Double]("q_a") -
+        exact((k._1, 0.25)).getAs[Double]("q_a"))
+      val tol = math.max(1e-6, iqrA * 0.1)
+      assert(math.abs(r.getAs[Double]("q_a") - e.getAs[Double]("q_a")) <= tol,
+        s"q_a drift at $k")
+      assert(math.abs(r.getAs[Double]("shift") - e.getAs[Double]("shift")) <= 2 * tol,
+        s"shift drift at $k")
+    }
+  }
 }
