@@ -2354,6 +2354,30 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           graft.functions.Portable.r6(col("enc")).as("enc"))),
 
+    // always-valid (peeking-safe) sequential test on the event halves
+    "q_msprt" -> ((s, dir) =>
+      Stats.msprt(ev(s, dir), Seq("event_type"), "value",
+          col("event_id") % 2 === 0, tau2 = 1.0)
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          graft.functions.Portable.r6(col("theta")).as("theta"),
+          graft.functions.Portable.r6(col("v")).as("v"),
+          graft.functions.Portable.r6(col("lambda")).as("lambda"),
+          graft.functions.Portable.r6(col("p_always")).as("p_always"))),
+
+    // purchases per observed user-day, arm B vs arm A
+    "q_rate_ratio" -> ((s, dir) =>
+      Stats.rateRatio(ev(s, dir), Seq("event_type"),
+          isEvent = col("value") > 50.0, exposureCol = "value",
+          armB = col("event_id") % 2 === 0)
+        .select(col("event_type"), col("k_a"), col("k_b"),
+          graft.functions.Portable.r6(col("t_a")).as("t_a"),
+          graft.functions.Portable.r6(col("t_b")).as("t_b"),
+          graft.functions.Portable.r6(col("rate_a")).as("rate_a"),
+          graft.functions.Portable.r6(col("rate_b")).as("rate_b"),
+          graft.functions.Portable.r6(col("rate_ratio")).as("rate_ratio"),
+          graft.functions.Portable.r6(col("log_rr")).as("log_rr"),
+          graft.functions.Portable.r6(col("se_log_rr")).as("se_log_rr"))),
+
     // standardized effect size of value between the event halves
     "q_effect_size" -> ((s, dir) =>
       Stats.effectSize(ev(s, dir), Seq("event_type"), "value",
@@ -6041,6 +6065,70 @@ object SparkEntry {
           |    floor((s - floor(y * 1000000 + 0.5) / 1000000 + 10.0 * gm)
           |      / (CAST(n AS DOUBLE) - 1.0 + 10.0) * 1000000 + 0.5) / 1000000 END AS enc
           |FROM v LEFT JOIN cat ON v.source = cat.source, g""".stripMargin,
+
+      "q_msprt" ->
+        """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS x,
+          |    coalesce(event_id % 2 = 0, false) AS b FROM events),
+          |m AS (SELECT event_type,
+          |    CAST(count(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND NOT b THEN 1 END) AS BIGINT) AS n_a,
+          |    CAST(count(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND b THEN 1 END) AS BIGINT) AS n_b,
+          |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND NOT b
+          |      THEN CAST(floor(x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sa,
+          |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND b
+          |      THEN CAST(floor(x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sb,
+          |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND NOT b
+          |      THEN CAST(floor(x * x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sa2,
+          |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND b
+          |      THEN CAST(floor(x * x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sb2
+          |  FROM v GROUP BY 1),
+          |e AS (SELECT event_type, n_a, n_b,
+          |    sb / CAST(n_b AS DOUBLE) - sa / CAST(n_a AS DOUBLE) AS theta,
+          |    greatest(sa2 / CAST(n_a AS DOUBLE) - (sa / CAST(n_a AS DOUBLE)) * (sa / CAST(n_a AS DOUBLE)), 0.0)
+          |        * CAST(n_a AS DOUBLE) / (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE)
+          |      + greatest(sb2 / CAST(n_b AS DOUBLE) - (sb / CAST(n_b AS DOUBLE)) * (sb / CAST(n_b AS DOUBLE)), 0.0)
+          |        * CAST(n_b AS DOUBLE) / (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE) AS vv
+          |  FROM m),
+          |f AS (SELECT event_type, n_a, n_b, theta, vv,
+          |    sqrt(vv / (vv + 1.0)) * exp(theta * theta * 1.0 / (2.0 * vv * (vv + 1.0))) AS lam
+          |  FROM e)
+          |SELECT event_type, n_a, n_b,
+          |  CASE WHEN n_a > 0 AND n_b > 0 THEN floor(theta * 1000000 + 0.5) / 1000000 END AS theta,
+          |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN floor(vv * 1000000 + 0.5) / 1000000 END AS v,
+          |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vv > 0.0 THEN
+          |    floor(lam * 1000000 + 0.5) / 1000000 END AS lambda,
+          |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vv > 0.0 THEN
+          |    floor(least(1.0, 1.0 / lam) * 1000000 + 0.5) / 1000000 END AS p_always
+          |FROM f""".stripMargin,
+
+      "q_rate_ratio" ->
+        """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS x,
+          |    coalesce(event_id % 2 = 0, false) AS b,
+          |    coalesce(CAST(value AS DOUBLE) > 50.0, false) AS e FROM events),
+          |m AS (SELECT event_type,
+          |    CAST(count(CASE WHEN NOT b AND e THEN 1 END) AS BIGINT) AS k_a,
+          |    CAST(count(CASE WHEN b AND e THEN 1 END) AS BIGINT) AS k_b,
+          |    CAST(coalesce(sum(CASE WHEN NOT b AND x IS NOT NULL AND NOT isnan(x)
+          |      THEN CAST(floor(x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS t_a0,
+          |    CAST(coalesce(sum(CASE WHEN b AND x IS NOT NULL AND NOT isnan(x)
+          |      THEN CAST(floor(x * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS t_b0
+          |  FROM v GROUP BY 1)
+          |SELECT event_type, k_a, k_b,
+          |  floor(t_a0 * 1000000 + 0.5) / 1000000 AS t_a,
+          |  floor(t_b0 * 1000000 + 0.5) / 1000000 AS t_b,
+          |  CASE WHEN t_a0 > 0.0 THEN
+          |    floor(CAST(k_a AS DOUBLE) / t_a0 * 1000000 + 0.5) / 1000000 END AS rate_a,
+          |  CASE WHEN t_b0 > 0.0 THEN
+          |    floor(CAST(k_b AS DOUBLE) / t_b0 * 1000000 + 0.5) / 1000000 END AS rate_b,
+          |  CASE WHEN k_a > 0 AND k_b > 0 AND t_a0 > 0.0 AND t_b0 > 0.0 THEN
+          |    floor((CAST(k_b AS DOUBLE) / t_b0) / (CAST(k_a AS DOUBLE) / t_a0) * 1000000 + 0.5) / 1000000
+          |  END AS rate_ratio,
+          |  CASE WHEN k_a > 0 AND k_b > 0 AND t_a0 > 0.0 AND t_b0 > 0.0 THEN
+          |    floor(ln((CAST(k_b AS DOUBLE) / t_b0) / (CAST(k_a AS DOUBLE) / t_a0)) * 1000000 + 0.5) / 1000000
+          |  END AS log_rr,
+          |  CASE WHEN k_a > 0 AND k_b > 0 AND t_a0 > 0.0 AND t_b0 > 0.0 THEN
+          |    floor(sqrt(1.0 / CAST(k_a AS DOUBLE) + 1.0 / CAST(k_b AS DOUBLE)) * 1000000 + 0.5) / 1000000
+          |  END AS se_log_rr
+          |FROM m""".stripMargin,
 
       "q_effect_size" ->
         """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS x,

@@ -973,6 +973,102 @@ object Stats {
         Hypothesis.pFromZ(z).as("p"))
   }
 
+  /** Per-group mixture sequential probability ratio test (mSPRT) with a
+    * normal mixing prior τ² — the ALWAYS-VALID A/B readout: its p-value
+    * stays honest under continuous monitoring, where the fixed-horizon
+    * [[welchTest]] p is only valid at a pre-registered n (peeking at a
+    * classic test inflates false positives severalfold; this is the
+    * industry-standard fix). Λ = √(V/(V+τ²)) · exp(θ̂²τ²/(2V(V+τ²)))
+    * with θ̂ the mean difference and V its variance estimate;
+    * p_always = min(1, 1/Λ), monotone non-increasing as evidence
+    * accumulates.
+    *
+    * Same conditional-moment scan as [[welchTest]]; the Λ/p arithmetic
+    * is one fixed IEEE sequence per group. NULL when either arm has
+    * n < 2 or V = 0.
+    *
+    * Output: (by..., n_a, n_b, theta, v, lambda, p_always).
+    */
+  def msprt(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      armB: Column,
+      tau2: Double = 1.0): DataFrame = {
+    require(tau2 > 0, s"tau2 must be positive, got $tau2")
+    val v = col(valueCol).cast("double")
+    val p = ok(v)
+    val isB = coalesce(armB, lit(false))
+    def dsum(cond: Column, e: Column): Column =
+      coalesce(sum(when(p && cond, graft.functions.Portable.r6(e).cast("decimal(38,6)"))),
+        lit(0).cast("decimal(38,6)")).cast("double")
+    val m = df
+      .groupBy(by.map(col): _*)
+      .agg(
+        count(when(p && !isB, lit(1))).as("n_a"),
+        count(when(p && isB, lit(1))).as("n_b"),
+        dsum(!isB, v).as("__sa"), dsum(isB, v).as("__sb"),
+        dsum(!isB, v * v).as("__sa2"), dsum(isB, v * v).as("__sb2"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val meanA = col("__sa") / naD
+    val meanB = col("__sb") / nbD
+    def svar(s2: Column, mu: Column, n: Column): Column =
+      greatest(s2 / n - mu * mu, lit(0.0)) * n / (n - 1.0)
+    val theta = meanB - meanA
+    val vv = svar(col("__sa2"), meanA, naD) / naD + svar(col("__sb2"), meanB, nbD) / nbD
+    val okArms = col("n_a") >= 2 && col("n_b") >= 2
+    val lam = sqrt(vv / (vv + tau2)) *
+      exp(theta * theta * tau2 / (lit(2.0) * vv * (vv + tau2)))
+    m.select((by.map(col) :+ col("n_a") :+ col("n_b") :+
+      when(col("n_a") > 0 && col("n_b") > 0, theta).as("theta") :+
+      when(okArms, vv).as("v") :+
+      when(okArms && vv > 0.0, lam).as("lambda") :+
+      when(okArms && vv > 0.0, least(lit(1.0), lit(1.0) / lam)).as("p_always")): _*)
+  }
+
+  /** Per-group Poisson rate ratio: (k_B/T_B)/(k_A/T_A) with the
+    * log-scale SE √(1/k_A + 1/k_B) — the events-per-exposure A/B
+    * readout (incidents per machine-hour, purchases per session-day)
+    * where [[Hypothesis.twoProportionZ]]'s per-trial framing doesn't
+    * fit. Exposures are caller-supplied sums (time, sessions, bytes);
+    * exact integer event counts, one IEEE sequence; NULL when either
+    * arm has zero events or exposure.
+    *
+    * Output: (by..., k_a, k_b, t_a, t_b, rate_a, rate_b, rate_ratio,
+    * log_rr, se_log_rr).
+    */
+  def rateRatio(
+      df: DataFrame,
+      by: Seq[String],
+      isEvent: Column,
+      exposureCol: String,
+      armB: Column): DataFrame = {
+    val isB = coalesce(armB, lit(false))
+    val e = coalesce(isEvent, lit(false))
+    val exp0 = col(exposureCol).cast("double")
+    def dsum(cond: Column): Column =
+      coalesce(sum(when(cond && ok(exp0), graft.functions.Portable.r6(exp0).cast("decimal(38,6)"))),
+        lit(0).cast("decimal(38,6)")).cast("double")
+    val m = df
+      .groupBy(by.map(col): _*)
+      .agg(
+        count(when(!isB && e, lit(1))).as("k_a"),
+        count(when(isB && e, lit(1))).as("k_b"),
+        dsum(!isB).as("t_a"),
+        dsum(isB).as("t_b"))
+    val rateA = col("k_a").cast("double") / col("t_a")
+    val rateB = col("k_b").cast("double") / col("t_b")
+    val have = col("k_a") > 0 && col("k_b") > 0 && col("t_a") > 0.0 && col("t_b") > 0.0
+    val rr = rateB / rateA
+    m.select((by.map(col) :+ col("k_a") :+ col("k_b") :+ col("t_a") :+ col("t_b") :+
+      when(col("t_a") > 0.0, rateA).as("rate_a") :+
+      when(col("t_b") > 0.0, rateB).as("rate_b") :+
+      when(have, rr).as("rate_ratio") :+
+      when(have, log(rr)).as("log_rr") :+
+      when(have, sqrt(lit(1.0) / col("k_a") + lit(1.0) / col("k_b"))).as("se_log_rr")): _*)
+  }
+
   /** Per-group sample-ratio-mismatch check — the A/B health gate that
     * runs BEFORE any effect is read: χ²₁ of the observed arm split
     * against the design ratio. An SRM (lost exposures, bot filtering

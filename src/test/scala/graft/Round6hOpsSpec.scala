@@ -340,4 +340,39 @@ class Round6hOpsSpec extends SparkSpec {
       rz.getAs[Double]("odds_ratio") > 1.0)
     assert(rz.getAs[Long]("k_a") == 0L)
   }
+
+  // ------------------------------------------------------ msprt / rateRatio
+
+  test("msprt: no effect keeps p near 1, a real effect drives it down") {
+    val noEff = (1 to 200).map(i => ("g", 10.0 + (i % 7), i % 2 == 0))
+    val r0 = Stats.msprt(noEff.toDF("g", "v", "b"), Seq("g"), "v", col("b")).collect().head
+    assert(r0.getAs[Double]("p_always") > 0.5, s"null effect: $r0")
+    val eff = (1 to 200).map(i => ("g", (if (i % 2 == 0) 15.0 else 10.0) + (i % 7), i % 2 == 0))
+    val r1 = Stats.msprt(eff.toDF("g", "v", "b"), Seq("g"), "v", col("b")).collect().head
+    assert(r1.getAs[Double]("p_always") < 0.01, s"clear effect: $r1")
+    // evidence accumulates: doubling the data shrinks p further
+    val eff2 = (1 to 400).map(i => ("g", (if (i % 2 == 0) 15.0 else 10.0) + (i % 7), i % 2 == 0))
+    val r2 = Stats.msprt(eff2.toDF("g", "v", "b"), Seq("g"), "v", col("b")).collect().head
+    assert(r2.getAs[Double]("p_always") <= r1.getAs[Double]("p_always"))
+    // p is a probability: capped at 1 even when lambda < 1
+    assert(r0.getAs[Double]("p_always") <= 1.0)
+  }
+
+  test("rateRatio: hand-computed ratio and zero-cell guard") {
+    // A: 2 events over exposure 100; B: 8 events over exposure 100
+    val rows = (1 to 10).map(i => ("g", if (i <= 2) 60.0 else 10.0, 10.0, false)) ++
+      (1 to 10).map(i => ("g", if (i <= 8) 60.0 else 10.0, 10.0, true))
+    val df = rows.toDF("g", "v", "w", "b")
+    val r = Stats.rateRatio(df, Seq("g"), col("v") > 50.0, "w", col("b")).collect().head
+    assert(r.getAs[Long]("k_a") == 2L && r.getAs[Long]("k_b") == 8L)
+    assert(math.abs(r.getAs[Double]("t_a") - 100.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("rate_ratio") - 4.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("se_log_rr") - math.sqrt(0.5 + 0.125)) < 1e-9)
+    // zero events in one arm: NULL ratio, not infinity
+    val zero = (1 to 10).map(i => ("g", 10.0, 10.0, false)) ++
+      (1 to 10).map(i => ("g", 60.0, 10.0, true))
+    val rz = Stats.rateRatio(zero.toDF("g", "v", "w", "b"), Seq("g"),
+      col("v") > 50.0, "w", col("b")).collect().head
+    assert(rz.isNullAt(rz.fieldIndex("rate_ratio")))
+  }
 }
