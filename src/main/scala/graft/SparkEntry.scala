@@ -2354,6 +2354,24 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           graft.functions.Portable.r6(col("enc")).as("enc"))),
 
+    // clustered ratio metric: heavy-event rate per user-cohort with the
+    // delta-method CI (unit = user, x = heavy events, y = all events)
+    "q_ratio_ci" -> ((s, dir) => {
+      val units = ev(s, dir)
+        .groupBy((col("user_id") % 4).as("cohort"), col("user_id"))
+        .agg(
+          count(when(col("value") > 50.0, lit(1))).cast("double").as("x"),
+          count(lit(1)).cast("double").as("y"))
+      Stats.ratioMetricCi(units, Seq("cohort"), "x", "y")
+        .select(col("cohort"), col("n"),
+          graft.functions.Portable.r6(col("sum_x")).as("sum_x"),
+          graft.functions.Portable.r6(col("sum_y")).as("sum_y"),
+          graft.functions.Portable.r6(col("ratio")).as("ratio"),
+          graft.functions.Portable.r6(col("se")).as("se"),
+          graft.functions.Portable.r6(col("ci_lo")).as("ci_lo"),
+          graft.functions.Portable.r6(col("ci_hi")).as("ci_hi"))
+    }),
+
     // always-valid (peeking-safe) sequential test on the event halves
     "q_msprt" -> ((s, dir) =>
       Stats.msprt(ev(s, dir), Seq("event_type"), "value",
@@ -6065,6 +6083,42 @@ object SparkEntry {
           |    floor((s - floor(y * 1000000 + 0.5) / 1000000 + 10.0 * gm)
           |      / (CAST(n AS DOUBLE) - 1.0 + 10.0) * 1000000 + 0.5) / 1000000 END AS enc
           |FROM v LEFT JOIN cat ON v.source = cat.source, g""".stripMargin,
+
+      "q_ratio_ci" -> {
+        val z = 1.959963984540054
+        def r6m(e: String) =
+          s"CAST(coalesce(sum(CAST(floor(($e) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))), 0) AS DOUBLE)"
+        s"""WITH u AS (SELECT user_id % 4 AS cohort, user_id,
+           |    CAST(count(CASE WHEN CAST(value AS DOUBLE) > 50.0 THEN 1 END) AS DOUBLE) AS x,
+           |    CAST(count(*) AS DOUBLE) AS y
+           |  FROM events GROUP BY 1, 2),
+           |m AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+           |    ${r6m("x")} AS sx, ${r6m("y")} AS sy,
+           |    ${r6m("x * x")} AS sxx, ${r6m("y * y")} AS syy, ${r6m("x * y")} AS sxy
+           |  FROM u GROUP BY 1),
+           |e AS (SELECT cohort, n, sx, sy, sx / sy AS ratio,
+           |    sy / CAST(n AS DOUBLE) AS my,
+           |    (sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))
+           |      * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0) AS vxx,
+           |    (syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+           |      * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0) AS vyy,
+           |    (sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+           |      * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0) AS vxy
+           |  FROM m),
+           |f AS (SELECT cohort, n, sx, sy, ratio,
+           |    CASE WHEN n >= 2 AND sy <> 0.0 THEN
+           |      sqrt(greatest((vxx - 2.0 * ratio * vxy + ratio * ratio * vyy)
+           |        / (CAST(n AS DOUBLE) * my * my), 0.0)) END AS se
+           |  FROM e)
+           |SELECT cohort, n,
+           |  floor(sx * 1000000 + 0.5) / 1000000 AS sum_x,
+           |  floor(sy * 1000000 + 0.5) / 1000000 AS sum_y,
+           |  CASE WHEN sy <> 0.0 THEN floor(ratio * 1000000 + 0.5) / 1000000 END AS ratio,
+           |  floor(se * 1000000 + 0.5) / 1000000 AS se,
+           |  CASE WHEN se IS NOT NULL THEN floor((ratio - $z * se) * 1000000 + 0.5) / 1000000 END AS ci_lo,
+           |  CASE WHEN se IS NOT NULL THEN floor((ratio + $z * se) * 1000000 + 0.5) / 1000000 END AS ci_hi
+           |FROM f""".stripMargin
+      },
 
       "q_msprt" ->
         """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS x,

@@ -973,6 +973,54 @@ object Stats {
         Hypothesis.pFromZ(z).as("p"))
   }
 
+  /** Delta-method confidence interval for a RATIO-OF-SUMS metric over
+    * clustered units: CTR, revenue-per-session, tokens-per-doc — where
+    * the naive row-level binomial SE is wrong because rows cluster
+    * within units (users). Input is one row per UNIT with its x and y
+    * sums; the metric is R = Σx/Σy and
+    * Var(R) ≈ (s²_x − 2R·s_xy + R²·s²_y) / (n·ȳ²) — the standard
+    * linearization every experimentation platform ships for ratio
+    * metrics. One scan to the five moments (r6→DECIMAL, including the
+    * cross moment), one IEEE sequence per group; NULL when n < 2 or
+    * Σy = 0.
+    *
+    * Output: (by..., n, sum_x, sum_y, ratio, se, ci_lo, ci_hi).
+    */
+  def ratioMetricCi(
+      units: DataFrame,
+      by: Seq[String],
+      xCol: String,
+      yCol: String,
+      z: Double = 1.959963984540054): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val p = ok(x) && ok(y)
+    def dsum(e: Column): Column =
+      coalesce(sum(when(p, graft.functions.Portable.r6(e).cast("decimal(38,6)"))),
+        lit(0).cast("decimal(38,6)")).cast("double")
+    val m = units
+      .groupBy(by.map(col): _*)
+      .agg(
+        count(when(p, lit(1))).as("n"),
+        dsum(x).as("sum_x"), dsum(y).as("sum_y"),
+        dsum(x * x).as("__sxx"), dsum(y * y).as("__syy"), dsum(x * y).as("__sxy"))
+    val nD = col("n").cast("double")
+    val mx = col("sum_x") / nD
+    val my = col("sum_y") / nD
+    val ratio = col("sum_x") / col("sum_y")
+    def sv(s2: Column, ma: Column, mb: Column): Column =
+      (s2 / nD - ma * mb) * nD / (nD - 1.0)
+    val varR = (sv(col("__sxx"), mx, mx) - lit(2.0) * ratio * sv(col("__sxy"), mx, my) +
+      ratio * ratio * sv(col("__syy"), my, my)) / (nD * my * my)
+    val okRow = col("n") >= 2 && col("sum_y") =!= 0.0
+    val se = when(okRow, sqrt(greatest(varR, lit(0.0))))
+    m.select((by.map(col) :+ col("n") :+ col("sum_x") :+ col("sum_y") :+
+      when(col("sum_y") =!= 0.0, ratio).as("ratio") :+
+      se.as("se") :+
+      when(okRow, ratio - lit(z) * se).as("ci_lo") :+
+      when(okRow, ratio + lit(z) * se).as("ci_hi")): _*)
+  }
+
   /** Per-group mixture sequential probability ratio test (mSPRT) with a
     * normal mixing prior τ² — the ALWAYS-VALID A/B readout: its p-value
     * stays honest under continuous monitoring, where the fixed-horizon

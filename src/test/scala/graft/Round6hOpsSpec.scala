@@ -375,4 +375,29 @@ class Round6hOpsSpec extends SparkSpec {
       col("v") > 50.0, "w", col("b")).collect().head
     assert(rz.isNullAt(rz.fieldIndex("rate_ratio")))
   }
+
+  // ---------------------------------------------------------- ratioMetricCi
+
+  test("ratioMetricCi: ratio of sums, clustering widens the naive CI") {
+    // 50 units: x_i/y_i with y varying; ratio = sum(x)/sum(y)
+    val units = (1 to 50).map(i => ("g", i.toLong, (i % 3).toDouble, 10.0 + (i % 5)))
+    val df = units.toDF("g", "u", "x", "y")
+    val r = Stats.ratioMetricCi(df, Seq("g"), "x", "y").collect().head
+    val sx = units.map(_._3).sum
+    val sy = units.map(_._4).sum
+    assert(math.abs(r.getAs[Double]("ratio") - sx / sy) < 1e-9)
+    assert(r.getAs[Double]("se") > 0.0)
+    assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("ratio"))
+    assert(r.getAs[Double]("ci_hi") > r.getAs[Double]("ratio"))
+    // perfectly proportional units (x = 0.2*y): zero variance ratio -> se 0
+    val prop = (1 to 50).map(i => ("g", i.toLong, 2.0 * (1 + i % 5), 10.0 * (1 + i % 5)))
+    val rp = Stats.ratioMetricCi(prop.toDF("g", "u", "x", "y"), Seq("g"), "x", "y")
+      .collect().head
+    assert(math.abs(rp.getAs[Double]("ratio") - 0.2) < 1e-9)
+    assert(rp.getAs[Double]("se") < 1e-9, "proportional clusters carry no ratio variance")
+    // single unit: NULL se/ci
+    val one = Seq(("g", 1L, 1.0, 2.0)).toDF("g", "u", "x", "y")
+    val ro = Stats.ratioMetricCi(one, Seq("g"), "x", "y").collect().head
+    assert(ro.isNullAt(ro.fieldIndex("se")))
+  }
 }
