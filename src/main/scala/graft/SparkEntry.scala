@@ -2354,6 +2354,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           graft.functions.Portable.r6(col("enc")).as("enc"))),
 
+    // Good-Turing unseen vocabulary mass + Chao1 floor per source
+    "q_unseen_mass" -> ((s, dir) =>
+      graft.operators.Diversity.unseenMass(
+          docs(s, dir).select(col("source"),
+            explode(TextFunctions.wordTokens(col("text"))).as("word")),
+          Seq("source"), "word")
+        .select(col("source"), col("n"), col("richness"), col("n1"), col("n2"),
+          graft.functions.Portable.r6(col("missing_mass")).as("missing_mass"),
+          graft.functions.Portable.r6(col("chao1")).as("chao1"))),
+
     // clustered ratio metric: heavy-event rate per user-cohort with the
     // delta-method CI (unit = user, x = heavy events, y = all events)
     "q_ratio_ci" -> ((s, dir) => {
@@ -6083,6 +6093,23 @@ object SparkEntry {
           |    floor((s - floor(y * 1000000 + 0.5) / 1000000 + 10.0 * gm)
           |      / (CAST(n AS DOUBLE) - 1.0 + 10.0) * 1000000 + 0.5) / 1000000 END AS enc
           |FROM v LEFT JOIN cat ON v.source = cat.source, g""".stripMargin,
+
+      "q_unseen_mass" ->
+        """WITH w AS (SELECT source,
+          |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+          |  FROM documents),
+          |c AS (SELECT source, word, count(*) AS k FROM w WHERE word IS NOT NULL GROUP BY 1, 2),
+          |g AS (SELECT source, CAST(sum(k) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS richness,
+          |    CAST(count(CASE WHEN k = 1 THEN 1 END) AS BIGINT) AS n1,
+          |    CAST(count(CASE WHEN k = 2 THEN 1 END) AS BIGINT) AS n2
+          |  FROM c GROUP BY 1)
+          |SELECT source, n, richness, n1, n2,
+          |  floor(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS missing_mass,
+          |  CASE WHEN n2 > 0 THEN
+          |    floor((CAST(richness AS DOUBLE)
+          |      + CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE)))
+          |      * 1000000 + 0.5) / 1000000 END AS chao1
+          |FROM g""".stripMargin,
 
       "q_ratio_ci" -> {
         val z = 1.959963984540054

@@ -53,4 +53,40 @@ object Diversity {
       exp(shannon).as("hill1") :+
       (nD * nD / col("__sk2")).as("hill2")): _*)
   }
+
+  /** Per-group unseen-mass report: Good–Turing missing mass
+    * P(next draw is a NEW category) ≈ n₁/N (singleton fraction) and the
+    * Chao1 richness floor V + n₁²/(2n₂) — "how much vocabulary /
+    * how many domains have we NOT seen yet", the corpus-planning
+    * question [[indices]]'s observed numbers can't answer: a source
+    * with 20% missing mass needs more crawling, not more epochs.
+    *
+    * Same scale shape as [[indices]]: one fact pass to the count frame,
+    * ONE aggregation after (singleton/doubleton counts are exact
+    * integers; two IEEE divides). Chao1 is NULL when n₂ = 0 (the
+    * classic estimator is undefined; the bias-corrected variant would
+    * silently change semantics — callers wanting it can derive it from
+    * the emitted n₁/n₂).
+    *
+    * Output: (by..., n, richness, n1, n2, missing_mass, chao1).
+    */
+  def unseenMass(df: DataFrame, by: Seq[String], catCol: String): DataFrame = {
+    val byCols = by.map(col)
+    val counts = df
+      .filter(col(catCol).isNotNull)
+      .groupBy((byCols :+ col(catCol).as("__c")): _*)
+      .agg(count(lit(1)).as("__k"))
+    val g = counts.groupBy(byCols: _*)
+      .agg(
+        sum(col("__k")).as("n"),
+        count(lit(1)).as("richness"),
+        count(when(col("__k") === 1L, lit(1))).as("n1"),
+        count(when(col("__k") === 2L, lit(1))).as("n2"))
+    g.select((byCols :+ col("n") :+ col("richness") :+ col("n1") :+ col("n2") :+
+      (col("n1").cast("double") / col("n").cast("double")).as("missing_mass") :+
+      when(col("n2") > 0L,
+        col("richness").cast("double") +
+          col("n1").cast("double") * col("n1").cast("double") /
+            (lit(2.0) * col("n2").cast("double"))).as("chao1")): _*)
+  }
 }

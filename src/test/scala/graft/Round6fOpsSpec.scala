@@ -165,4 +165,24 @@ class Round6fOpsSpec extends SparkSpec {
     assert(out2("unmapped").getAs[Double]("weight") == 0.0)
     assert(out2("unmapped").getAs[Double]("epochs") == 0.0)
   }
+
+  test("unseenMass: singleton fraction and the Chao1 floor") {
+    import graft.operators.Diversity
+    // 3 singletons, 2 doubletons, 1 category of 5: N=12, V=6
+    val cats = Seq("a", "b", "c") ++ Seq("d", "d", "e", "e") ++ Seq.fill(5)("f")
+    val df = cats.map(c => ("g", c)).toDF("g", "c")
+    val r = Diversity.unseenMass(df, Seq("g"), "c").collect().head
+    assert(r.getAs[Long]("n") == 12L && r.getAs[Long]("richness") == 6L)
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 2L)
+    assert(math.abs(r.getAs[Double]("missing_mass") - 0.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("chao1") - (6.0 + 9.0 / 4.0)) < 1e-9)
+    // exhaustively-seen corpus: no singletons, zero missing mass
+    val full = (1 to 20).map(i => ("h", s"c${i % 4}")).toDF("g", "c")
+    val rf = Diversity.unseenMass(full, Seq("g"), "c").collect().head
+    assert(rf.getAs[Double]("missing_mass") == 0.0)
+    // no doubletons: Chao1 NULL, not infinity
+    val nod = Seq(("i", "x"), ("i", "y"), ("i", "z")).toDF("g", "c")
+    val rn = Diversity.unseenMass(nod, Seq("g"), "c").collect().head
+    assert(rn.isNullAt(rn.fieldIndex("chao1")))
+  }
 }
