@@ -2354,6 +2354,14 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           graft.functions.Portable.r6(col("enc")).as("enc"))),
 
+    // padding-minimizing length-bucketed batches of 32 per source
+    "q_length_buckets" -> ((s, dir) =>
+      Packing.lengthBucketBatches(docs(s, dir), "source", "doc_id", "n_chars",
+          batchSize = 32)
+        .select(col("by").as("source"), col("batch"), col("n"),
+          col("min_len"), col("max_len"), col("sum_len"),
+          graft.functions.Portable.r6(col("pad_frac")).as("pad_frac"))),
+
     // Good-Turing unseen vocabulary mass + Chao1 floor per source
     "q_unseen_mass" -> ((s, dir) =>
       graft.operators.Diversity.unseenMass(
@@ -6093,6 +6101,22 @@ object SparkEntry {
           |    floor((s - floor(y * 1000000 + 0.5) / 1000000 + 10.0 * gm)
           |      / (CAST(n AS DOUBLE) - 1.0 + 10.0) * 1000000 + 0.5) / 1000000 END AS enc
           |FROM v LEFT JOIN cat ON v.source = cat.source, g""".stripMargin,
+
+      "q_length_buckets" ->
+        """WITH r AS (SELECT source AS by, doc_id AS id, CAST(n_chars AS BIGINT) AS len,
+          |    row_number() OVER (PARTITION BY source ORDER BY CAST(n_chars AS BIGINT), doc_id) AS rk
+          |  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+          |b AS (SELECT by, CAST(floor(CAST(rk - 1 AS DOUBLE) / 32.0) AS BIGINT) AS batch, len FROM r),
+          |g AS (SELECT by, batch, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(min(len) AS BIGINT) AS min_len, CAST(max(len) AS BIGINT) AS max_len,
+          |    CAST(sum(len) AS BIGINT) AS sum_len
+          |  FROM b GROUP BY 1, 2)
+          |SELECT by AS source, batch, n, min_len, max_len, sum_len,
+          |  CASE WHEN max_len > 0 THEN
+          |    floor((1.0 - CAST(sum_len AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(max_len AS DOUBLE)))
+          |      * 1000000 + 0.5) / 1000000
+          |  ELSE 0.0 END AS pad_frac
+          |FROM g""".stripMargin,
 
       "q_unseen_mass" ->
         """WITH w AS (SELECT source,

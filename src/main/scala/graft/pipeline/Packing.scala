@@ -84,4 +84,50 @@ object Packing {
         array_join(col(s"__m.$textCol"), separator).as("text"),
         col("n_tokens")
       )
+
+  /** Length-bucketed PADDED-batch assembly: sort sequences by length
+    * within each partition key and cut consecutive runs of `batchSize`
+    * — the standard padding minimizer for models that batch-pad to the
+    * max (where [[packByTokenBudget]] concatenates for packed training,
+    * this GROUPS for padded training; random batching pads every batch
+    * to its longest straggler and wastes ~30-50% of compute on filler).
+    * Emits the per-batch efficiency report: `pad_frac` = 1 − Σlen /
+    * (n·max_len), the exact fraction of padded positions.
+    *
+    * One window per partition key (length order, id tie-break —
+    * deterministic batches), then a batch-sized aggregation. The
+    * partition key is the caller's sharding unit (source, shard id);
+    * batches never cross it, so the window never sees more than one
+    * shard's rows.
+    *
+    * Output: (by, batch, n, min_len, max_len, sum_len, pad_frac).
+    */
+  def lengthBucketBatches(
+      df: DataFrame,
+      byCol: String,
+      idCol: String,
+      lenCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val len = col(lenCol).cast("long")
+    // window over the POST-rename columns (the pre-rename names are gone)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("by")).orderBy(col("len"), col("id"))
+    val withBatch = df
+      .filter(len.isNotNull && col(idCol).isNotNull)
+      .select(col(byCol).as("by"), col(idCol).as("id"), len.as("len"))
+      .withColumn("batch",
+        floor((row_number().over(w) - 1).cast("double") / batchSize.toDouble).cast("long"))
+    withBatch
+      .groupBy(col("by"), col("batch"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("len")).as("min_len"),
+        max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+      .withColumn("pad_frac",
+        when(col("max_len") > 0L,
+          lit(1.0) - col("sum_len").cast("double") /
+            (col("n").cast("double") * col("max_len").cast("double"))).otherwise(lit(0.0)))
+  }
 }

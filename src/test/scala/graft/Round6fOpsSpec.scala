@@ -185,4 +185,31 @@ class Round6fOpsSpec extends SparkSpec {
     val rn = Diversity.unseenMass(nod, Seq("g"), "c").collect().head
     assert(rn.isNullAt(rn.fieldIndex("chao1")))
   }
+
+  test("lengthBucketBatches: similar lengths batch together, padding shrinks") {
+    import graft.pipeline.Packing
+    // lengths 1..64 in one shard, batches of 32: batch 0 = 1..32, 1 = 33..64
+    val df = (1 to 64).map(i => ("s", i.toLong, i.toLong)).toDF("src", "id", "len")
+    val out = Packing.lengthBucketBatches(df, "src", "id", "len", batchSize = 32)
+      .collect().map(r => r.getAs[Long]("batch") -> r).toMap
+    assert(out.size == 2)
+    assert(out(0L).getAs[Long]("min_len") == 1L && out(0L).getAs[Long]("max_len") == 32L)
+    assert(out(1L).getAs[Long]("min_len") == 33L && out(1L).getAs[Long]("max_len") == 64L)
+    // bucketed pad: batch1 pads to 64: 1 - (sum 33..64)/(32*64)
+    val pad1 = 1.0 - (33 to 64).sum.toDouble / (32.0 * 64.0)
+    assert(math.abs(out(1L).getAs[Long]("sum_len") - (33 to 64).sum.toLong) < 1)
+    assert(math.abs(out(1L).getAs[Double]("pad_frac") - pad1) < 1e-9)
+    // a RANDOM batch spanning 1..64 would pad ~49%; bucketed batch 0 pads ~48%
+    // of a far smaller max; total padded positions shrink strictly:
+    val bucketedWaste = out.values.map(r =>
+      r.getAs[Long]("n") * r.getAs[Long]("max_len") - r.getAs[Long]("sum_len")).sum
+    val randomWaste = 64L * 64L - (1 to 64).sum
+    assert(bucketedWaste < randomWaste / 2, s"$bucketedWaste vs $randomWaste")
+    // batches never cross the shard key
+    val two = ((1 to 40).map(i => ("a", i.toLong, 10L)) ++
+      (1 to 40).map(i => ("b", i.toLong, 10L))).toDF("src", "id", "len")
+    val shards = Packing.lengthBucketBatches(two, "src", "id", "len", 32)
+      .select("by").distinct().count()
+    assert(shards == 2)
+  }
 }
