@@ -2354,6 +2354,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           graft.functions.Portable.r6(col("enc")).as("enc"))),
 
+    // canonical-URL exact dedup: the q_url_canon synthetic crawl where
+    // the SAME page appears under tracking-param/caser/port spellings
+    // collapses to one survivor per canonical key (min doc_id)
+    "q_url_dedup" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        col("source"), lit(".example.com"),
+        when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+        lit("/page/"), (col("doc_id") / 10).cast("long"),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=x")).otherwise(lit("")))
+      docs(s, dir)
+        .withColumn("canon", graft.text.UrlFunctions.canonicalize(url))
+        .groupBy(col("canon"))
+        .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_spellings"))
+    }),
+
     // padding-minimizing length-bucketed batches of 32 per source
     "q_length_buckets" -> ((s, dir) =>
       Packing.lengthBucketBatches(docs(s, dir), "source", "doc_id", "n_chars",
@@ -6101,6 +6117,35 @@ object SparkEntry {
           |    floor((s - floor(y * 1000000 + 0.5) / 1000000 + 10.0 * gm)
           |      / (CAST(n AS DOUBLE) - 1.0 + 10.0) * 1000000 + 0.5) / 1000000 END AS enc
           |FROM v LEFT JOIN cat ON v.source = cat.source, g""".stripMargin,
+
+      "q_url_dedup" ->
+        """WITH u AS (SELECT doc_id,
+          |    concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+          |      source, '.example.com',
+          |      CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END,
+          |      '/page/', CAST(doc_id // 10 AS VARCHAR),
+          |      CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x' ELSE '' END) AS url
+          |  FROM documents),
+          |p AS (SELECT doc_id,
+          |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+          |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host,
+          |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]+:([0-9]+)', 1) AS port,
+          |    regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$', '') AS path,
+          |    list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+          |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=.*)?$'))) AS kept
+          |  FROM u),
+          |c AS (SELECT doc_id,
+          |    CASE WHEN scheme <> '' AND host <> '' THEN
+          |      concat(scheme, '://', host,
+          |        CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+          |          AND NOT (scheme = 'https' AND port = '443') THEN concat(':', port) ELSE '' END,
+          |        path,
+          |        CASE WHEN len(kept) > 0 THEN concat('?', array_to_string(kept, '&')) ELSE '' END)
+          |    END AS canon
+          |  FROM p)
+          |SELECT canon, CAST(min(doc_id) AS BIGINT) AS survivor_id,
+          |  CAST(count(*) AS BIGINT) AS n_spellings
+          |FROM c GROUP BY 1""".stripMargin,
 
       "q_length_buckets" ->
         """WITH r AS (SELECT source AS by, doc_id AS id, CAST(n_chars AS BIGINT) AS len,
