@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import java.sql.Timestamp
@@ -35,6 +35,43 @@ object Streaming {
       .groupBy(window(col("ts"), windowDuration).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming sample-ratio-mismatch guardrail: per event-time window,
+    * the observed arm split vs the design ratio as a χ²₁ — the
+    * ALWAYS-ON version of [[graft.operators.Stats
+    * .sampleRatioMismatch]]: a broken experiment split (lost exposures,
+    * one-arm bot filtering) should page within a window of happening,
+    * not at readout time a week later. One watermarked windowed
+    * aggregation (two conditional counts — mergeable, so state is one
+    * row per window); the χ² is a stateless projection on top. Emit in
+    * append mode; alert on chi2 > 3.84.
+    */
+  def windowedSrm(
+      events: DataFrame,
+      armB: Column,
+      expectedB: Double = 0.5,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame = {
+    require(expectedB > 0 && expectedB < 1, s"expectedB must be in (0,1), got $expectedB")
+    val isB = coalesce(armB, lit(false))
+    val agg = events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration).as("w"))
+      .agg(
+        count(when(!isB, lit(1))).as("n_a"),
+        count(when(isB, lit(1))).as("n_b"))
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    val eB = nD * expectedB
+    val eA = nD * (1.0 - expectedB)
+    val nbD = col("n_b").cast("double")
+    val naD = col("n_a").cast("double")
+    agg.select(
+      col("w.start").as("window_start"), col("n_a"), col("n_b"),
+      when(nD > 0.0, nbD / nD).as("frac_b"),
+      when(nD > 0.0,
+        (nbD - eB) * (nbD - eB) / eB + (naD - eA) * (naD - eA) / eA).as("chi2"))
+  }
 
   /** Stream-static enrichment: the unbounded stream LEFT-joins a
     * bounded dimension frame on `keys` — the most common production
