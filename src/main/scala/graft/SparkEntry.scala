@@ -2354,6 +2354,15 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           graft.functions.Portable.r6(col("enc")).as("enc"))),
 
+    // quality-score softmax sampling weights per language (T = 0.5)
+    "q_softmax" -> ((s, dir) =>
+      Stats.softmaxWeights(
+          docs(s, dir).withColumn("score", col("n_chars").cast("double") / 1000.0),
+          Seq("lang"), "doc_id", "score", temperature = 0.5)
+        .select(col("lang"), col("doc_id"),
+          graft.functions.Portable.r6(col("score")).as("score"),
+          graft.functions.Portable.r6(col("w")).as("w"))),
+
     // canonical-URL exact dedup: the q_url_canon synthetic crawl where
     // the SAME page appears under tracking-param/caser/port spellings
     // collapses to one survivor per canonical key (min doc_id)
@@ -6117,6 +6126,19 @@ object SparkEntry {
           |    floor((s - floor(y * 1000000 + 0.5) / 1000000 + 10.0 * gm)
           |      / (CAST(n AS DOUBLE) - 1.0 + 10.0) * 1000000 + 0.5) / 1000000 END AS enc
           |FROM v LEFT JOIN cat ON v.source = cat.source, g""".stripMargin,
+
+      "q_softmax" ->
+        """WITH b AS (SELECT lang, doc_id, CAST(n_chars AS DOUBLE) / 1000.0 AS score
+          |  FROM documents WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE) / 1000.0)),
+          |mx AS (SELECT lang, max(score) AS m FROM b GROUP BY 1),
+          |t AS (SELECT b.lang, doc_id, score, exp((score - m) / 0.5) AS tt FROM b JOIN mx ON b.lang = mx.lang),
+          |tot AS (SELECT lang,
+          |    CAST(sum(CAST(floor(tt * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS z
+          |  FROM t GROUP BY 1)
+          |SELECT t.lang, doc_id,
+          |  floor(score * 1000000 + 0.5) / 1000000 AS score,
+          |  floor(tt / z * 1000000 + 0.5) / 1000000 AS w
+          |FROM t JOIN tot ON t.lang = tot.lang""".stripMargin,
 
       "q_url_dedup" ->
         """WITH u AS (SELECT doc_id,

@@ -973,6 +973,42 @@ object Stats {
         Hypothesis.pFromZ(z).as("p"))
   }
 
+  /** Per-group temperature softmax: score → sampling weight
+    * w_i = exp((s_i − max_s)/T) / Σ_j exp((s_j − max_s)/T) — how a
+    * quality/reward score becomes a sampling DISTRIBUTION (T → 0:
+    * argmax picking; T large: uniform; the knob every score-weighted
+    * data sampler exposes). Max-shifted so exp never overflows
+    * regardless of score scale.
+    *
+    * One group max + one exp-sum aggregation (r6'd terms,
+    * DECIMAL-summed, order-free) joined back — two passes over the
+    * GROUP frame, the max broadcast-sized. Rows with NULL score are
+    * excluded. Degenerate one-row groups get w = 1.
+    *
+    * Output: input group/id columns + (score, w).
+    */
+  def softmaxWeights(
+      df: DataFrame,
+      by: Seq[String],
+      idCol: String,
+      scoreCol: String,
+      temperature: Double = 1.0): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val s = col(scoreCol).cast("double")
+    val byCols = by.map(col)
+    val base = df.filter(ok(s))
+      .select((byCols :+ col(idCol) :+ s.as("score")): _*)
+    val mx = base.groupBy(byCols: _*).agg(max(col("score")).as("__mx"))
+    val term = exp((col("score") - col("__mx")) / temperature)
+    val withT = base.join(mx, by).withColumn("__t", term)
+    val tot = withT.groupBy(byCols: _*)
+      .agg(sum(graft.functions.Portable.r6(col("__t")).cast("decimal(38,6)"))
+        .cast("double").as("__tot"))
+    withT.join(tot, by)
+      .select((byCols :+ col(idCol) :+ col("score") :+
+        (col("__t") / col("__tot")).as("w")): _*)
+  }
+
   /** Delta-method confidence interval for a RATIO-OF-SUMS metric over
     * clustered units: CTR, revenue-per-session, tokens-per-doc — where
     * the naive row-level binomial SE is wrong because rows cluster

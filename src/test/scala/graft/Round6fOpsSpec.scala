@@ -212,4 +212,26 @@ class Round6fOpsSpec extends SparkSpec {
       .select("by").distinct().count()
     assert(shards == 2)
   }
+
+  test("softmaxWeights: sums to 1, temperature sharpens, stable at any scale") {
+    import graft.operators.Stats
+    val df = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 3.0)).toDF("g", "id", "s")
+    val w1 = Stats.softmaxWeights(df, Seq("g"), "id", "s", temperature = 1.0)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("w")).toMap
+    assert(math.abs(w1.values.sum - 1.0) < 1e-6, "distribution")
+    assert(w1(3L) > w1(2L) && w1(2L) > w1(1L), "monotone in score")
+    // colder temperature concentrates on the max
+    val wCold = Stats.softmaxWeights(df, Seq("g"), "id", "s", temperature = 0.1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("w")).toMap
+    assert(wCold(3L) > w1(3L) && wCold(3L) > 0.99)
+    // max-shift: huge scores do not overflow
+    val huge = Seq(("g", 1L, 1e9), ("g", 2L, 1e9 + 1)).toDF("g", "id", "s")
+    val wh = Stats.softmaxWeights(huge, Seq("g"), "id", "s")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("w")).toMap
+    assert(!wh.values.exists(_.isNaN) && math.abs(wh.values.sum - 1.0) < 1e-6)
+    // single-row group: weight exactly 1
+    val one = Seq(("h", 9L, 42.0)).toDF("g", "id", "s")
+    assert(Stats.softmaxWeights(one, Seq("g"), "id", "s")
+      .collect().head.getAs[Double]("w") == 1.0)
+  }
 }
