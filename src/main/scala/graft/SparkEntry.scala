@@ -5728,8 +5728,9 @@ object SparkEntry {
            |lf0 AS (SELECT knn.id, l2.lrd AS lrd_nb, l1.lrd AS lrd
            |  FROM knn JOIN lr l2 ON l2.id = knn.nb JOIN lr l1 ON l1.id = knn.id),
            |lf AS (SELECT id, max(lrd) AS lrd,
-           |    CAST(sum(CAST(floor(lrd_nb / lrd * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
-           |      / CAST(count(*) AS DOUBLE) AS lofraw
+           |    CASE WHEN count(*) = count(lrd_nb / lrd) THEN
+           |      CAST(sum(CAST(floor(lrd_nb / lrd * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+           |        / CAST(count(lrd_nb / lrd) AS DOUBLE) END AS lofraw
            |  FROM lf0 GROUP BY 1)
            |SELECT lf.id AS vec_id,
            |  floor(kd.kdist * 1000000 + 0.5) / 1000000 AS k_dist,
@@ -5914,7 +5915,7 @@ object SparkEntry {
           |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host,
           |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]+:([0-9]+)', 1) AS port,
           |    regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$', '') AS path,
-          |    list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+          |    list_sort(list_filter(string_split(regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)', 1), '&'),
           |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=.*)?$'))) AS kept
           |  FROM u)
           |SELECT doc_id,
@@ -6153,7 +6154,7 @@ object SparkEntry {
           |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host,
           |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]+:([0-9]+)', 1) AS port,
           |    regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$', '') AS path,
-          |    list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+          |    list_sort(list_filter(string_split(regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)', 1), '&'),
           |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=.*)?$'))) AS kept
           |  FROM u),
           |c AS (SELECT doc_id,
@@ -6491,13 +6492,16 @@ object SparkEntry {
            |FROM h""".stripMargin,
 
       "q_checksum" ->
-        """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
-          |  CAST(CAST(sum(CAST(CAST(concat('0x', substr(md5(
-          |    concat_ws('|', coalesce(CAST(doc_id AS VARCHAR), ' null'),
-          |      coalesce(text, ' null'), coalesce(lang, ' null'),
-          |      coalesce(CAST(n_chars AS VARCHAR), ' null'))
-          |  ), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
-          |FROM documents GROUP BY 1""".stripMargin,
+        """WITH e AS (SELECT source,
+          |    concat_ws('|',
+          |      CASE WHEN doc_id IS NULL THEN '\N' ELSE replace(replace(CAST(doc_id AS VARCHAR), '\', '\\'), '|', '\|') END,
+          |      CASE WHEN text IS NULL THEN '\N' ELSE replace(replace(text, '\', '\\'), '|', '\|') END,
+          |      CASE WHEN lang IS NULL THEN '\N' ELSE replace(replace(lang, '\', '\\'), '|', '\|') END,
+          |      CASE WHEN n_chars IS NULL THEN '\N' ELSE replace(replace(CAST(n_chars AS VARCHAR), '\', '\\'), '|', '\|') END
+          |    ) AS j FROM documents)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(CAST(sum(CAST(CAST(concat('0x', substr(md5(j), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+          |FROM e GROUP BY 1""".stripMargin,
 
       "q_dedup_lines_doc" ->
         """WITH t AS (SELECT doc_id, text,

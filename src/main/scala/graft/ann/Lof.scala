@@ -81,13 +81,23 @@ object Lof {
       .select(col("id"),
         when(col("__mr") > 0.0, lit(1.0) / col("__mr")).as("lrd"))
       .pin(false) // consumed by both sides of the ratio join
+    // a neighbor with NULL lrd (its own neighborhood is a >= k duplicate
+    // family) contributes no ratio term: dividing by count(*) would
+    // silently bias LOF low for points ADJACENT to duplicate families,
+    // so any NULL neighbor lrd propagates NULL lof instead — the same
+    // NULL-on-degenerate contract as lrd itself
+    val ratio = col("__lrd_nb") / col("lrd")
     knn
       .join(lrd.select(col("id").as("nb"), col("lrd").as("__lrd_nb")), "nb")
       .join(lrd, "id")
       .groupBy(col("id"), col("lrd"))
-      .agg(dmean(col("__lrd_nb") / col("lrd")).as("__lofRaw"))
+      .agg(
+        sum(Portable.r6(ratio).cast("decimal(38,6)")).cast("double").as("__sr"),
+        count(ratio).as("__cn"),
+        count(lit(1)).as("__ct"))
       .join(kdist.select(col("nb").as("id"), col("__kd_nb").as("k_dist")), "id")
       .select(col("id"), col("k_dist"), col("lrd"),
-        when(col("lrd").isNotNull, col("__lofRaw")).as("lof"))
+        when(col("lrd").isNotNull && col("__cn") === col("__ct"),
+          col("__sr") / col("__cn").cast("double")).as("lof"))
   }
 }

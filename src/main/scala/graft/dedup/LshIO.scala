@@ -26,6 +26,57 @@ import org.apache.spark.sql.functions._
   */
 object LshIO {
 
+  /** The index's signature parameters, persisted at write time as
+    * `params.json` next to `bands/`. [[candidatesAgainst]]/[[append]]
+    * recompute probe band keys from caller-supplied (numHashes,
+    * numBands, n) — probing an index written with DIFFERENT parameters
+    * would silently return empty or wrong candidates, so the manifest
+    * is validated on every read-side entry point and mismatch is an
+    * error, not a wrong answer.
+    */
+  final case class Params(numHashes: Int, numBands: Int, n: Int)
+
+  private def paramsPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/params.json")
+
+  private def writeParams(spark: SparkSession, dir: String, p: Params): Unit = {
+    val path = paramsPath(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(
+      s"""{"numHashes":${p.numHashes},"numBands":${p.numBands},"n":${p.n}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The manifest of an existing index; None for a pre-manifest index. */
+  def readParams(spark: SparkSession, dir: String): Option[Params] = {
+    val path = paramsPath(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def field(k: String): Int =
+        s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt) match {
+          case Some(m) => m.group(1).toInt
+          case None => sys.error(s"LshIO: malformed params manifest at $path: $txt")
+        }
+      Some(Params(field("numHashes"), field("numBands"), field("n")))
+    }
+  }
+
+  private def requireParams(
+      spark: SparkSession, dir: String, caller: Params, op: String): Unit =
+    readParams(spark, dir).foreach { stored =>
+      require(stored == caller,
+        s"LshIO.$op: index at $dir was written with $stored but caller supplied " +
+          s"$caller — probing with mismatched parameters silently yields wrong " +
+          "candidates. Rebuild the index or pass the stored parameters.")
+    }
+
   private def bandTable(
       docs: DataFrame,
       numHashes: Int,
@@ -54,9 +105,11 @@ object LshIO {
       numBands: Int = 4,
       n: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): Unit =
+      textCol: String = "text"): Unit = {
     withBucketN(bandTable(docs, numHashes, numBands, n, idCol, textCol))
       .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+    writeParams(docs.sparkSession, dir, Params(numHashes, numBands, n))
+  }
 
   /** Append a new batch's band rows to an existing index. */
   def append(
@@ -66,9 +119,11 @@ object LshIO {
       numBands: Int = 4,
       n: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): Unit =
+      textCol: String = "text"): Unit = {
+    requireParams(docs.sparkSession, dir, Params(numHashes, numBands, n), "append")
     withBucketN(bandTable(docs, numHashes, numBands, n, idCol, textCol))
       .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
+  }
 
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/bands")
@@ -89,6 +144,7 @@ object LshIO {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxBucketSize: Long = 1000L): DataFrame = {
+    requireParams(spark, dir, Params(numHashes, numBands, n), "candidatesAgainst")
     val probe = bandTable(newDocs, numHashes, numBands, n, idCol, textCol)
       .withColumnRenamed("id", "id_new")
     read(spark, dir)

@@ -135,8 +135,15 @@ object RetrievalEval {
     val common = sa.join(sb, Seq("q", "id"))
       .groupBy(col("q"), greatest(col("ra"), col("rb")).as("m"))
       .agg(count(lit(1)).as("c"))
+    // coalesce to 0 after the full join: a query present in only one
+    // ranking must report (n, 0), not (n, NULL) — this is also what the
+    // DuckDB oracle computes, so leaving the NULL would be a latent
+    // cross-engine divergence waiting for one-sided data
     val sizes = sa.groupBy(col("q")).agg(count(lit(1)).as("n_a"))
       .join(sb.groupBy(col("q")).agg(count(lit(1)).as("n_b")), Seq("q"), "full")
+      .select(col("q"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
     val grid = sizes.select(col("q"))
       .select(col("q"), explode(sequence(lit(1L), lit(k.toLong))).as("d"))
     val wCum = org.apache.spark.sql.expressions.Window

@@ -65,7 +65,10 @@ object UrlFunctions {
         !(scheme === "https" && port === "443"),
       concat(lit(":"), port)).otherwise(lit(""))
     val path = regexp_replace(regexp_extract(url, PathRe, 1), "/$", "")
-    val q0 = regexp_extract(url, "\\?([^#]*)", 1)
+    // query = from the first '?' BEFORE any '#': strip the fragment
+    // first, else a '#' that precedes the only '?' (http://h/p#sec?x=1)
+    // would resurrect fragment content as query params
+    val q0 = regexp_extract(regexp_replace(url, "#.*$", ""), "\\?(.*)", 1)
     val kept = sort_array(filter(split(q0, "&"),
       p => p =!= "" && !p.rlike(TrackingRe)))
     val queryPart = when(size(kept) > 0, concat(lit("?"), concat_ws("&", kept)))

@@ -54,6 +54,27 @@ class LshIOSpec extends SparkSpec {
     assert(LshIO.candidatesAgainst(probe, spark, dir2, maxBucketSize = 100L).count() == 61L)
   }
 
+  test("parameter manifest: probing with mismatched params errors, never wrong-answers") {
+    val dir = tmp()
+    LshIO.write(corpus, dir, numHashes = 16, numBands = 4, n = 3)
+    assert(LshIO.readParams(spark, dir) == Some(LshIO.Params(16, 4, 3)))
+    val batch = Seq((10L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    // band keys computed with different (numHashes, numBands, n) would
+    // silently return empty/garbage candidates — must raise instead
+    intercept[IllegalArgumentException] {
+      LshIO.candidatesAgainst(batch, spark, dir, numHashes = 32, numBands = 8, n = 3)
+    }
+    intercept[IllegalArgumentException] {
+      LshIO.candidatesAgainst(batch, spark, dir, numHashes = 16, numBands = 4, n = 5)
+    }
+    intercept[IllegalArgumentException] {
+      LshIO.append(batch, dir, numHashes = 8, numBands = 4, n = 3)
+    }
+    // matching params still work
+    assert(LshIO.candidatesAgainst(batch, spark, dir).count() == 1L)
+  }
+
   test("stored bands match the batch banding (parity with minhashCandidatePairs)") {
     val dir = tmp()
     val dups = Seq(

@@ -181,4 +181,20 @@ class Round6dOpsSpec extends SparkSpec {
       assert(out(i).isNullAt(out(i).fieldIndex("lof")), s"dup $i lof NULL")
     }
   }
+
+  test("lof: a NULL-lrd neighbor propagates NULL lof, never a biased mean") {
+    // family of 3 exact dupes at x=0 (NULL lrd each), P at 1, Q at 1.5;
+    // P's 2-NN = {Q, one dup} — mixed neighbors. Averaging only the
+    // non-NULL ratio over count(*)=2 would bias LOF low; the contract is
+    // NULL-on-degenerate, so any NULL neighbor lrd makes lof NULL.
+    def v(x: Double) = Array(x.toFloat, 0f, 0f, 0f)
+    val pts = Seq((0L, v(0)), (1L, v(0)), (2L, v(0)), (3L, v(1)), (4L, v(1.5)))
+      .toDF("vec_id", "embedding")
+    val out = Lof.lof(pts, k = 2).collect().map(r => r.getAs[Long]("id") -> r).toMap
+    Seq(3L, 4L).foreach { i =>
+      assert(!out(i).isNullAt(out(i).fieldIndex("lrd")), s"point $i lrd defined")
+      assert(out(i).isNullAt(out(i).fieldIndex("lof")),
+        s"point $i borders a duplicate family: lof must be NULL")
+    }
+  }
 }

@@ -87,6 +87,13 @@ class Round6gOpsSpec extends SparkSpec {
     assert(canon("not a url").isEmpty && canon("www.a.com/x").isEmpty)
   }
 
+  test("canonicalize: a '#' before the only '?' keeps fragment content dead") {
+    // the query is the part after the first '?' BEFORE any '#'; a
+    // fragment like '#sec?x=1' must not resurrect 'x=1' as a param
+    assert(canon("http://h.com/p#sec?x=1") == Some("http://h.com/p"))
+    assert(canon("http://h.com/p?a=1#sec?x=9") == Some("http://h.com/p?a=1"))
+  }
+
   // ------------------------------------------------------------------- pca
 
   private val pcaData = {

@@ -128,6 +128,15 @@ class Round6hOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("rbo") - 0.1 * 0.9) < 1e-6)
   }
 
+  test("rbo: a query present in only one ranking reports 0, not NULL") {
+    val a = ranking(1L to 3L)
+    val b = Seq(("q2", 7L, 1L)).toDF("query", "id", "rank")
+    val out = RetrievalEval.rbo(a, b, "query", "id", "rank", k = 3)
+      .collect().map(r => r.getAs[String]("query") -> r).toMap
+    assert(out("q1").getAs[Long]("n_a") == 3L && out("q1").getAs[Long]("n_b") == 0L)
+    assert(out("q2").getAs[Long]("n_a") == 0L && out("q2").getAs[Long]("n_b") == 1L)
+  }
+
   // -------------------------------------------------------------- theilsU
 
   test("theilsU: determinism, independence, and asymmetry") {

@@ -68,4 +68,18 @@ class ValidateSpec extends SparkSpec {
     val withEmpty = Seq((1L, "")).toDF("id", "v")
     assert(ck(withNull) != ck(withEmpty))
   }
+
+  test("contentChecksum: delimiter and sentinel collisions cannot mask a change") {
+    import spark.implicits._
+    def ck(df: org.apache.spark.sql.DataFrame): String =
+      Validate.contentChecksum(df, Seq.empty, Seq("a", "b"))
+        .collect().head.getAs[String]("checksum")
+    // a boundary shift: ('a|b','c') vs ('a','b|c') — identical unescaped joins
+    assert(ck(Seq(("a|b", "c")).toDF("a", "b")) != ck(Seq(("a", "b|c")).toDF("a", "b")))
+    // a literal string that spells any NULL sentinel is not NULL
+    assert(ck(Seq(("\\N", "x")).toDF("a", "b"))
+      != ck(Seq((null.asInstanceOf[String], "x")).toDF("a", "b")))
+    // escape char itself round-trips unambiguously
+    assert(ck(Seq(("a\\", "|b")).toDF("a", "b")) != ck(Seq(("a", "\\|b")).toDF("a", "b")))
+  }
 }
