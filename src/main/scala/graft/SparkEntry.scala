@@ -2536,7 +2536,58 @@ object SparkEntry {
           col("n_ge"), col("tp"), col("fp"), col("fn"),
           graft.functions.Portable.r6(col("precision")).as("precision"),
           graft.functions.Portable.r6(col("recall")).as("recall"),
-          graft.functions.Portable.r6(col("f1")).as("f1")))
+          graft.functions.Portable.r6(col("f1")).as("f1"))),
+
+    // t-closeness audit: lang distribution skew per (source, len-bucket)
+    // class vs the global corpus, TVD threshold 0.2
+    "q_tcloseness" -> ((s, dir) =>
+      Integrity.tCloseness(
+          docs(s, dir).withColumn("len_bucket", (col("n_chars") / 100).cast("long")),
+          Seq("source", "len_bucket"), "lang", t = 0.2)
+        .select(col("t"), col("n_rows"), col("n_classes"), col("n_classes_above_t"),
+          col("n_rows_at_risk"), col("frac_at_risk"),
+          graft.functions.Portable.r6(col("max_distance")).as("max_distance"))),
+
+    // DFT periodogram over hourly event counts: which periods (2..26h)
+    // each stream actually carries
+    "q_periodogram" -> ((s, dir) =>
+      graft.operators.Seasonal.periodogram(ev(s, dir), "event_type", "ts",
+          minPeriod = 2, maxPeriod = 26)
+        .select(col("key").as("event_type"), col("period").cast("long").as("period"),
+          col("n_buckets"), col("power"), col("rk").cast("long").as("rk"))),
+
+    // dominant period + spectral concentration per event stream
+    "q_dominant_period" -> ((s, dir) =>
+      graft.operators.Seasonal.dominantPeriod(ev(s, dir), "event_type", "ts",
+          minPeriod = 2, maxPeriod = 26)
+        .select(col("key").as("event_type"), col("n_buckets"),
+          col("dominant_period").cast("long").as("dominant_period"),
+          col("power_share"), col("spectral_entropy"))),
+
+    // quality-vs-cost Pareto frontier over documents (cost = n_chars,
+    // quality = ' the '-density per 100 chars — non-monotone in cost)
+    "q_pareto" -> ((s, dir) => {
+      val quality = (length(col("text")) -
+        length(replace(col("text"), lit(" the "), lit("")))) / 5 *
+        lit(100.0) / col("n_chars").cast("double")
+      Selection.paretoFrontier(
+          docs(s, dir).filter(col("n_chars") > 0 && col("text").isNotNull)
+            .withColumn("quality", quality),
+          "n_chars", "quality")
+        .select(col("doc_id"), col("n_chars"),
+          graft.functions.Portable.r6(col("quality")).as("quality"))
+    }),
+
+    // covariate balance (SMD table) between the event-id halves
+    "q_balance" -> ((s, dir) =>
+      Stats.covariateBalance(
+          ev(s, dir).withColumn("hr", hour(col("ts")).cast("double")),
+          Seq("value", "hr"), col("event_id") % 2 === 0)
+        .select(col("covariate"), col("n_a"), col("n_b"),
+          graft.functions.Portable.r6(col("mean_a")).as("mean_a"),
+          graft.functions.Portable.r6(col("mean_b")).as("mean_b"),
+          graft.functions.Portable.r6(col("smd")).as("smd"),
+          graft.functions.Portable.r6(col("variance_ratio")).as("variance_ratio")))
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -6561,7 +6612,130 @@ object SparkEntry {
           |      * (CAST(tp AS DOUBLE) / CAST(tot AS DOUBLE))
           |      / ((CAST(tp AS DOUBLE) / CAST(nge AS DOUBLE))
           |        + (CAST(tp AS DOUBLE) / CAST(tot AS DOUBLE))) * 1000000 + 0.5) / 1000000 END AS f1
-          |FROM c""".stripMargin
+          |FROM c""".stripMargin,
+
+      "q_tcloseness" ->
+        """WITH cv AS (SELECT source, n_chars // 100 AS len_bucket,
+          |    coalesce(CAST(lang AS VARCHAR), '__NULL__') AS v, CAST(count(*) AS BIGINT) AS n
+          |  FROM documents GROUP BY 1, 2, 3),
+          |cls AS (SELECT source, len_bucket, v, n,
+          |    sum(n) OVER (PARTITION BY source, len_bucket) AS cn FROM cv),
+          |g AS (SELECT v, CAST(sum(n) AS DOUBLE) / (SELECT CAST(sum(n) AS DOUBLE) FROM cv) AS q
+          |  FROM cv GROUP BY 1),
+          |pc AS (SELECT source, len_bucket, max(cn) AS cn,
+          |    CAST(sum(CAST(floor((abs(CAST(n AS DOUBLE) / CAST(cn AS DOUBLE) - q) - q)
+          |      * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS s
+          |  FROM cls JOIN g USING (v) GROUP BY 1, 2),
+          |d AS (SELECT cn, floor((1.0 + s) / 2.0 * 1000000 + 0.5) / 1000000 AS dist FROM pc)
+          |SELECT 0.2 AS t, CAST(sum(cn) AS BIGINT) AS n_rows,
+          |  CAST(count(*) AS BIGINT) AS n_classes,
+          |  CAST(count(CASE WHEN dist > 0.2 THEN 1 END) AS BIGINT) AS n_classes_above_t,
+          |  CAST(coalesce(sum(CASE WHEN dist > 0.2 THEN cn END), 0) AS BIGINT) AS n_rows_at_risk,
+          |  floor(CAST(coalesce(sum(CASE WHEN dist > 0.2 THEN cn END), 0) AS DOUBLE)
+          |    / CAST(sum(cn) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS frac_at_risk,
+          |  floor(max(dist) * 1000000 + 0.5) / 1000000 AS max_distance
+          |FROM d""".stripMargin,
+
+      "q_periodogram" ->
+        """WITH b AS (SELECT event_type AS key, date_trunc('hour', ts) AS bk,
+          |    CAST(count(*) AS DOUBLE) AS v
+          |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+          |w AS (SELECT key, v,
+          |    (epoch_us(bk) - min(epoch_us(bk)) OVER (PARTITION BY key)) // 3600000000 AS t,
+          |    sum(v) OVER (PARTITION BY key) / count(*) OVER (PARTITION BY key) AS mean
+          |  FROM b),
+          |tm AS (SELECT key, t, v - mean AS dv, p.period
+          |  FROM w, (SELECT unnest(range(2, 27)) AS period) p),
+          |a AS (SELECT key, period, CAST(count(*) AS BIGINT) AS n_buckets,
+          |    CAST(sum(CAST(floor(dv * cos(2 * pi() * CAST(t % period AS DOUBLE)
+          |      / CAST(period AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS sc,
+          |    CAST(sum(CAST(floor(dv * sin(2 * pi() * CAST(t % period AS DOUBLE)
+          |      / CAST(period AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS ss
+          |  FROM tm GROUP BY 1, 2),
+          |pw AS (SELECT key, period, n_buckets,
+          |    floor((sc * sc + ss * ss) / CAST(n_buckets AS DOUBLE) * 1000000 + 0.5) / 1000000 AS power
+          |  FROM a)
+          |SELECT key AS event_type, CAST(period AS BIGINT) AS period, n_buckets, power,
+          |  CAST(row_number() OVER (PARTITION BY key ORDER BY power DESC, period) AS BIGINT) AS rk
+          |FROM pw""".stripMargin,
+
+      "q_dominant_period" ->
+        """WITH b AS (SELECT event_type AS key, date_trunc('hour', ts) AS bk,
+          |    CAST(count(*) AS DOUBLE) AS v
+          |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+          |w AS (SELECT key, v,
+          |    (epoch_us(bk) - min(epoch_us(bk)) OVER (PARTITION BY key)) // 3600000000 AS t,
+          |    sum(v) OVER (PARTITION BY key) / count(*) OVER (PARTITION BY key) AS mean
+          |  FROM b),
+          |tm AS (SELECT key, t, v - mean AS dv, p.period
+          |  FROM w, (SELECT unnest(range(2, 27)) AS period) p),
+          |a AS (SELECT key, period, CAST(count(*) AS BIGINT) AS n_buckets,
+          |    CAST(sum(CAST(floor(dv * cos(2 * pi() * CAST(t % period AS DOUBLE)
+          |      / CAST(period AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS sc,
+          |    CAST(sum(CAST(floor(dv * sin(2 * pi() * CAST(t % period AS DOUBLE)
+          |      / CAST(period AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS ss
+          |  FROM tm GROUP BY 1, 2),
+          |pw AS (SELECT key, period, n_buckets,
+          |    floor((sc * sc + ss * ss) / CAST(n_buckets AS DOUBLE) * 1000000 + 0.5) / 1000000 AS power
+          |  FROM a),
+          |rk AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY power DESC, period) AS rn
+          |  FROM pw),
+          |gg AS (SELECT key, max(n_buckets) AS n_buckets,
+          |    CAST(max(CASE WHEN rn = 1 THEN period END) AS BIGINT) AS dominant_period,
+          |    max(CASE WHEN rn = 1 THEN power END) AS pmax,
+          |    CAST(sum(CAST(power AS DECIMAL(38,6))) AS DOUBLE) AS tot
+          |  FROM rk GROUP BY 1),
+          |e AS (SELECT rk.key,
+          |    CAST(sum(CAST(floor((-(power / tot)) * ln(power / tot) * 1000000 + 0.5) / 1000000
+          |      AS DECIMAL(38,6))) AS DOUBLE) AS h
+          |  FROM rk JOIN gg ON gg.key = rk.key WHERE tot > 0 AND power > 0 GROUP BY 1)
+          |SELECT gg.key AS event_type, n_buckets, dominant_period,
+          |  floor(CASE WHEN tot > 0 THEN pmax / tot END * 1000000 + 0.5) / 1000000 AS power_share,
+          |  floor(coalesce(h, 0) / ln(25.0) * 1000000 + 0.5) / 1000000 AS spectral_entropy
+          |FROM gg LEFT JOIN e ON e.key = gg.key""".stripMargin,
+
+      "q_pareto" ->
+        """WITH v AS (SELECT doc_id, n_chars,
+          |    (length(text) - length(replace(text, ' the ', ''))) / 5
+          |      * 100.0 / CAST(n_chars AS DOUBLE) AS q
+          |  FROM documents WHERE n_chars > 0 AND text IS NOT NULL),
+          |pc AS (SELECT n_chars, max(q) AS q FROM v GROUP BY 1),
+          |f AS (SELECT n_chars, q, max(q) OVER (ORDER BY n_chars
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM pc),
+          |fr AS (SELECT n_chars, q FROM f WHERE pm IS NULL OR q > pm)
+          |SELECT a.doc_id, a.n_chars, floor(a.q * 1000000 + 0.5) / 1000000 AS quality
+          |FROM v a JOIN fr ON fr.n_chars = a.n_chars AND fr.q = a.q""".stripMargin,
+
+      "q_balance" -> {
+        def cov(name: String, vExpr: String): String =
+          s"""SELECT '$name' AS covariate, na AS n_a, nb AS n_b,
+             |  floor(mean_a * 1000000 + 0.5) / 1000000 AS mean_a,
+             |  floor(mean_b * 1000000 + 0.5) / 1000000 AS mean_b,
+             |  floor(CASE WHEN (va + vb) / 2.0 > 0.0 THEN (mean_b - mean_a) / sqrt((va + vb) / 2.0)
+             |        WHEN (va + vb) / 2.0 = 0.0 AND mean_b = mean_a THEN 0.0 END
+             |    * 1000000 + 0.5) / 1000000 AS smd,
+             |  floor(CASE WHEN va > 0.0 THEN vb / va END * 1000000 + 0.5) / 1000000 AS variance_ratio
+             |FROM (SELECT na, nb, mean_a, mean_b,
+             |    CASE WHEN na >= 2 THEN (greatest(sa2 / CAST(na AS DOUBLE) - mean_a * mean_a, 0.0)
+             |      * CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) END AS va,
+             |    CASE WHEN nb >= 2 THEN (greatest(sb2 / CAST(nb AS DOUBLE) - mean_b * mean_b, 0.0)
+             |      * CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) END AS vb
+             |  FROM (SELECT na, nb, sa2, sb2,
+             |      CASE WHEN na >= 1 THEN sa / CAST(na AS DOUBLE) END AS mean_a,
+             |      CASE WHEN nb >= 1 THEN sb / CAST(nb AS DOUBLE) END AS mean_b
+             |    FROM (SELECT
+             |        CAST(count(CASE WHEN p AND NOT b THEN 1 END) AS BIGINT) AS na,
+             |        CAST(count(CASE WHEN p AND b THEN 1 END) AS BIGINT) AS nb,
+             |        CAST(coalesce(sum(CASE WHEN p AND NOT b THEN CAST(floor(v * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sa,
+             |        CAST(coalesce(sum(CASE WHEN p AND b THEN CAST(floor(v * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sb,
+             |        CAST(coalesce(sum(CASE WHEN p AND NOT b THEN CAST(floor(v * v * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sa2,
+             |        CAST(coalesce(sum(CASE WHEN p AND b THEN CAST(floor(v * v * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sb2
+             |      FROM (SELECT $vExpr AS v,
+             |          $vExpr IS NOT NULL AND NOT isnan($vExpr) AS p,
+             |          coalesce(event_id % 2 = 0, FALSE) AS b FROM events) t0) t1) t2) t3""".stripMargin
+        cov("value", "CAST(value AS DOUBLE)") + "\nUNION ALL\n" +
+          cov("hr", "CAST(hour(ts) AS DOUBLE)")
+      }
     )
   }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Materialize.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -75,6 +76,74 @@ object Integrity {
       min(col("__n")).as("min_class_size"))
       .withColumn("frac_at_risk",
         col("n_rows_at_risk").cast("double") / col("n_rows").cast("double"))
+  }
+
+  /** t-closeness audit — the distribution-disclosure companion to
+    * [[lDiversity]]: a class can be l-diverse yet still leak ("this
+    * (zip, age) cell is 98% one diagnosis vs 10% globally" — skew the
+    * distinct-count cannot see). Per quasi-identifier class the total
+    * variation distance between the class's sensitive-value distribution
+    * and the GLOBAL one must stay ≤ t (TVD is the standard choice for
+    * nominal attributes; for ordered ones feed [[Stats.emd1d]] the class
+    * pairs instead).
+    *
+    * Execution shape: one groupBy to the (class × value) count frame,
+    * class totals and the global value distribution both derive from it
+    * (value-sized, broadcast). The absent-value mass is closed-form —
+    * TVD = ½·(1 + Σ_{v∈class}(|p_cv − q_v| − q_v)) — so no class×value
+    * grid is ever materialized: a class only joins the values it
+    * actually contains. Per-class terms are r6'd then DECIMAL-summed
+    * (order-free); NULL sensitive values count as a real category (a
+    * class that is 100% missing IS a disclosure about missingness).
+    *
+    * Output: one row — (t, n_rows, n_classes, n_classes_above_t,
+    * n_rows_at_risk, frac_at_risk, max_distance).
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String, t: Double): DataFrame = {
+    require(t > 0 && t < 1, s"t must be in (0,1), got $t")
+    val r6 = graft.functions.Portable.r6 _
+    // NULL folds to a sentinel so it survives the value equi-join as a
+    // real category instead of dropping (null never equals null there)
+    val cv = df
+      .groupBy((quasiCols.map(col) :+
+        coalesce(col(sensitiveCol).cast("string"), lit("__NULL__")).as("__v")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .pin(false) // consumed by the global distribution, its total, and the class pass
+    val global = cv.groupBy(col("__v")).agg(sum(col("__n")).as("__gn"))
+    // one-row totals broadcast (not a global window) for the denominator
+    val total = cv.agg(sum(col("__n")).as("__tot"))
+    val q = (col("__gn").cast("double") / col("__tot").cast("double")).as("__q")
+    val globalDist = global
+      .crossJoin(broadcast(total))
+      .select(col("__v"), q)
+    // class totals via a partitioned window over the (class × value)
+    // frame, not an equi-join back — NULL quasi values form real classes
+    // under partitionBy, where a join would silently drop them
+    val classW = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val p = col("__n").cast("double") / col("__cn").cast("double")
+    val perClass = cv
+      .withColumn("__cn", sum(col("__n")).over(classW))
+      .join(broadcast(globalDist), Seq("__v"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(
+        max(col("__cn")).as("__cn"),
+        sum(r6(abs(p - col("__q")) - col("__q")).cast("decimal(38,6)"))
+          .cast("double").as("__s"))
+      .select(col("__cn"), r6((lit(1.0) + col("__s")) / 2.0).as("__d"))
+    perClass.agg(
+      lit(t).as("t"),
+      sum(col("__cn")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      count(when(col("__d") > t, lit(1))).as("n_classes_above_t"),
+      coalesce(sum(when(col("__d") > t, col("__cn"))), lit(0L)).as("n_rows_at_risk"),
+      max(col("__d")).as("max_distance"))
+      .withColumn("frac_at_risk",
+        r6(col("n_rows_at_risk").cast("double") / col("n_rows").cast("double")))
+      .select(col("t"), col("n_rows"), col("n_classes"), col("n_classes_above_t"),
+        col("n_rows_at_risk"), col("frac_at_risk"), col("max_distance"))
   }
 
   /** l-diversity audit — the attribute-disclosure companion to

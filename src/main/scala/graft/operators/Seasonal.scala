@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Materialize.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -198,5 +199,106 @@ object Seasonal {
     withTrend.join(seasonal, Seq("key", "phase"), "left")
       .select(col("key"), col("bucket"), col("phase"), col("v"), col("trend"),
         col("seasonal"), (col("__detr") - col("seasonal")).as("residual"))
+  }
+
+  /** Per-key periodogram over the hourly count series: DFT power at
+    * every candidate period P ∈ [minPeriod, maxPeriod] hours —
+    * power(P) = ((Σ_t v'_t·cos θ)² + (Σ_t v'_t·sin θ)²)/n with
+    * θ = 2π(t mod P)/P and v' mean-centered (so the DC component never
+    * drowns the cycle). [[decompose]] ASSUMES a period; this MEASURES
+    * which periods the data actually carries — run it first, feed its
+    * winner to decompose.
+    *
+    * Execution shape: one groupBy to the (key × hour-bucket) count
+    * frame; mean and the calendar-true bucket index t come from one
+    * key-partitioned window over it; the (bucket × period) terms are a
+    * row-local literal-sequence explode (the psi grid discipline — no
+    * join), re-aggregated per (key, period). Σ terms are r6'd then
+    * DECIMAL-summed so the reduction order is engine-free. Silent hours
+    * are skipped, not zero-filled (t is calendar-true so phase is
+    * preserved across gaps; resample first via [[Rolling]] if zeros
+    * should count as observations).
+    *
+    * Output: (key, period, n_buckets, power, rk) — rk 1 = strongest
+    * period (ties → smaller period).
+    */
+  def periodogram(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      minPeriod: Int = 2,
+      maxPeriod: Int = 48): DataFrame = {
+    require(minPeriod >= 2, s"minPeriod must be >= 2, got $minPeriod")
+    require(maxPeriod > minPeriod, s"maxPeriod must exceed minPeriod")
+    val r6 = graft.functions.Portable.r6 _
+    val b = df
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("__b"))
+      .agg(count(lit(1)).cast("double").as("__v"))
+    val wk = Window.partitionBy(col("key")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // epoch diffs are exact hour multiples; the double division is exact
+    val t = ((unix_timestamp(col("__b")) -
+      min(unix_timestamp(col("__b"))).over(wk)) / lit(3600L)).cast("long")
+    val withT = b
+      .withColumn("__t", t)
+      .withColumn("__mean", sum(col("__v")).over(wk) / count(lit(1)).over(wk))
+    val terms = withT
+      .select(col("key"), col("__t"), (col("__v") - col("__mean")).as("__dv"),
+        explode(sequence(lit(minPeriod), lit(maxPeriod))).as("period"))
+    val theta = lit(2.0 * math.Pi) *
+      (col("__t") % col("period")).cast("double") / col("period").cast("double")
+    val agg = terms
+      .groupBy(col("key"), col("period"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(r6(col("__dv") * cos(theta)).cast("decimal(38,6)")).cast("double").as("__sc"),
+        sum(r6(col("__dv") * sin(theta)).cast("decimal(38,6)")).cast("double").as("__ss"))
+    agg
+      .select(col("key"), col("period"), col("n_buckets"),
+        r6((col("__sc") * col("__sc") + col("__ss") * col("__ss")) /
+          col("n_buckets").cast("double")).as("power"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("power").desc, col("period"))))
+  }
+
+  /** Per-key dominant period + spectral concentration, from
+    * [[periodogram]]'s bounded (key × period) frame: the winning period,
+    * its share of total spectral mass, and the normalized spectral
+    * entropy (1 = white/flat spectrum — no real cycle; → 0 = one period
+    * carries everything). The one-row-per-key answer to "does this key
+    * have a cycle, and which": dominant_period is only meaningful when
+    * spectral_entropy is LOW.
+    */
+  def dominantPeriod(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      minPeriod: Int = 2,
+      maxPeriod: Int = 48): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    val nP = maxPeriod - minPeriod + 1
+    // consumed by both the winner aggregation and the entropy pass
+    val pg = periodogram(df, keyCol, tsCol, minPeriod, maxPeriod).pin(false)
+    val tot = sum(col("power").cast("decimal(38,6)")).cast("double")
+    val g = pg.groupBy(col("key"))
+      .agg(
+        max(col("n_buckets")).as("n_buckets"),
+        max(when(col("rk") === 1, col("period"))).as("dominant_period"),
+        max(when(col("rk") === 1, col("power"))).as("__pmax"),
+        tot.as("__tot"))
+    val share = when(col("__tot") > 0.0, col("__pmax") / col("__tot"))
+    val ent = pg
+      .join(g.select(col("key"), col("__tot")), "key")
+      .filter(col("__tot") > 0.0 && col("power") > 0.0)
+      .withColumn("__p", col("power") / col("__tot"))
+      .groupBy(col("key"))
+      .agg(sum(r6(-col("__p") * log(col("__p"))).cast("decimal(38,6)"))
+        .cast("double").as("__h"))
+    g.join(ent, Seq("key"), "left")
+      .select(col("key"), col("n_buckets"), col("dominant_period"),
+        r6(share).as("power_share"),
+        r6(coalesce(col("__h"), lit(0.0)) / math.log(nP.toDouble))
+          .as("spectral_entropy"))
   }
 }

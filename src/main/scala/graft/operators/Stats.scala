@@ -1223,6 +1223,71 @@ object Stats {
         (col("q_b") - col("q_a")).as("shift")): _*)
   }
 
+  /** Covariate balance audit (the "Table 1" balance check): per
+    * covariate, the standardized mean difference between arms —
+    * SMD = (mean_B − mean_A)/√((s²_A + s²_B)/2) — and the variance
+    * ratio s²_B/s²_A. THE pre-analysis gate for any observational
+    * effect estimate ([[stratifiedAte]], [[Stats.quantileShift]]):
+    * |SMD| ≳ 0.1 means the arms differ on that covariate and the naive
+    * contrast is confounded. Scale-free, so covariates in different
+    * units compare on one report.
+    *
+    * One scan, all covariates in a single aggregation (k covariates
+    * cost one pass, not k — the [[Validate.violations]] discipline);
+    * conditional moments r6'd→DECIMAL-summed. Per-covariate NULL/NaN
+    * rows are excluded from that covariate only. Arms with n < 2 emit
+    * NULL smd/variance_ratio (no variance); zero pooled variance with
+    * equal means emits smd 0, with unequal means NULL (the difference
+    * is real but the scale is undefined).
+    *
+    * Output: one row per covariate — (covariate, n_a, n_b, mean_a,
+    * mean_b, smd, variance_ratio).
+    */
+  def covariateBalance(
+      df: DataFrame,
+      covariates: Seq[String],
+      armB: Column): DataFrame = {
+    require(covariates.nonEmpty, "covariateBalance needs at least one covariate")
+    require(covariates.distinct.size == covariates.size, "duplicate covariate names")
+    val isB = coalesce(armB, lit(false))
+    def dsum(cond: Column, e: Column): Column =
+      coalesce(sum(when(cond, graft.functions.Portable.r6(e).cast("decimal(38,6)"))),
+        lit(0).cast("decimal(38,6)")).cast("double")
+    val aggs = covariates.flatMap { cv =>
+      val v = col(cv).cast("double")
+      val p = ok(v)
+      Seq(
+        count(when(p && !isB, lit(1))).as(s"__na_$cv"),
+        count(when(p && isB, lit(1))).as(s"__nb_$cv"),
+        dsum(p && !isB, v).as(s"__sa_$cv"),
+        dsum(p && isB, v).as(s"__sb_$cv"),
+        dsum(p && !isB, v * v).as(s"__sa2_$cv"),
+        dsum(p && isB, v * v).as(s"__sb2_$cv"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCov = array(covariates.map { cv =>
+      val na = col(s"__na_$cv"); val nb = col(s"__nb_$cv")
+      val naD = na.cast("double"); val nbD = nb.cast("double")
+      val meanA = when(na >= 1, col(s"__sa_$cv") / naD)
+      val meanB = when(nb >= 1, col(s"__sb_$cv") / nbD)
+      def svar(s2: Column, mean: Column, n: Column): Column =
+        greatest(s2 / n - mean * mean, lit(0.0)) * n / (n - 1.0)
+      val va = when(na >= 2, svar(col(s"__sa2_$cv"), meanA, naD))
+      val vb = when(nb >= 2, svar(col(s"__sb2_$cv"), meanB, nbD))
+      val pooled = (va + vb) / 2.0
+      val smd = when(pooled > 0.0, (meanB - meanA) / sqrt(pooled))
+        .otherwise(when(pooled === 0.0 && meanB === meanA, lit(0.0)))
+      struct(
+        lit(cv).as("covariate"),
+        na.as("n_a"), nb.as("n_b"),
+        graft.functions.Portable.r6(meanA).as("mean_a"),
+        graft.functions.Portable.r6(meanB).as("mean_b"),
+        graft.functions.Portable.r6(smd).as("smd"),
+        graft.functions.Portable.r6(when(va > 0.0, vb / va)).as("variance_ratio"))
+    }: _*)
+    row.select(explode(perCov).as("p")).select("p.*")
+  }
+
   /** Stratified average treatment effect (direct adjustment): the
     * A/B readout when assignment is imbalanced ACROSS strata —
     * ATE = Σ_s w_s·(mean_B,s − mean_A,s), w_s = n_s/N, which a pooled

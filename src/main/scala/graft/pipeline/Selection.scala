@@ -88,4 +88,44 @@ object Selection {
       .orderBy(col(valueCol).asc_nulls_last, col(tieBreakCol).asc_nulls_last)
     df.withColumn("bin", ntile(n).over(w).cast("long"))
   }
+
+  /** 2-D Pareto frontier (skyline): the rows no other row dominates,
+    * where a dominates b iff a.cost ≤ b.cost AND a.quality ≥ b.quality
+    * with at least one strict — the quality-vs-cost efficient set a
+    * budgeted curation step actually chooses from ([[selectUnderBudget]]
+    * walks ONE ordering; the frontier is every rational trade-off at
+    * once). Exact-tie rows (same cost AND same quality as a frontier
+    * point) are all kept: neither dominates the other.
+    *
+    * Execution shape: collapse to the per-distinct-cost max quality
+    * (one shuffle, corpus → ≤ |cost domain| rows), then one running
+    * strict-max window ordered by cost over that collapsed frame — a
+    * single-partition window, but over the COST-DOMAIN-sized frame,
+    * never the corpus (the q_benford/equi-depth discipline); the
+    * frontier keys then semi-join back against the corpus (broadcast —
+    * frontier ≤ cost domain). Rows with NULL cost or quality cannot sit
+    * on a frontier and are dropped.
+    *
+    * Output: the surviving input rows (original columns).
+    */
+  def paretoFrontier(df: DataFrame, costCol: String, qualityCol: String): DataFrame = {
+    val c = col(costCol).cast("double")
+    val q = col(qualityCol).cast("double")
+    val okRows = df.filter(c.isNotNull && !isnan(c) && q.isNotNull && !isnan(q))
+    val perCost = okRows
+      .groupBy(c.as("__c"))
+      .agg(max(q).as("__q"))
+    val prevMax = max(col("__q")).over(
+      Window.orderBy(col("__c")).rowsBetween(Window.unboundedPreceding, -1))
+    val frontier = perCost
+      .withColumn("__pm", prevMax)
+      // strictly better than everything cheaper; ties-in-quality at a
+      // HIGHER cost are dominated (strict in cost), so require >
+      .filter(col("__pm").isNull || col("__q") > col("__pm"))
+      .select(col("__c"), col("__q"))
+    okRows.join(
+      broadcast(frontier),
+      c === col("__c") && q === col("__q"),
+      "left_semi")
+  }
 }
