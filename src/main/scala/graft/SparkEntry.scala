@@ -151,6 +151,14 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)}/(sqrt(${dotSql(a, a)})*sqrt(${dotSql(b, b)}))"
 
+  /** Prefix-truncated dot/cosine over the first `n` dims (matches the
+    * sliced-vector path of [[graft.ann.Embeddings.truncationFidelity]]).
+    */
+  private def dotSqlN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1,${n + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))), (x,y) -> x+y)"
+  private def cosSqlN(a: String, b: String, n: Int): String =
+    s"${dotSqlN(a, b, n)}/(sqrt(${dotSqlN(a, a, n)})*sqrt(${dotSqlN(b, b, n)}))"
+
   /** Sign-bit cell over the first 8 dims (matches [[Similarity.signBitCell]]). */
   private val cellSql: String =
     (0 until 8).map(d => s"(CASE WHEN embedding[${d + 1}]>0 THEN ${1L << d} ELSE 0 END)").mkString("+")
@@ -2577,6 +2585,24 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"),
           graft.functions.Portable.r6(col("quality")).as("quality"))
     }),
+
+    // Matryoshka truncation fidelity: recall@5 of prefix-d cosine
+    // search vs the full 64-dim search, d in {8, 16, 32}
+    "q_trunc_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.ann.Embeddings.truncationFidelity(e, e.filter(col("vec_id") < 8),
+          k = 5, dims = Seq(8, 16, 32))
+        .select(col("dim").cast("long").as("dim"), col("n_queries"),
+          graft.functions.Portable.r6(col("mean_recall")).as("mean_recall"),
+          col("min_recall"))
+    }),
+
+    // RAKE keyphrases: top-10 stopword-free phrases per source
+    "q_rake" -> ((s, dir) =>
+      graft.text.Keywords.rake(docs(s, dir), "source", "doc_id",
+          TextFunctions.Stopwords.flatMap(_._2).distinct, topN = 10)
+        .select(col("group").as("source"), col("phrase"), col("n_words"),
+          col("n_occurrences"), col("score"), col("rk"))),
 
     // covariate balance (SMD table) between the event-id halves
     "q_balance" -> ((s, dir) =>
@@ -6705,6 +6731,70 @@ object SparkEntry {
           |fr AS (SELECT n_chars, q FROM f WHERE pm IS NULL OR q > pm)
           |SELECT a.doc_id, a.n_chars, floor(a.q * 1000000 + 0.5) / 1000000 AS quality
           |FROM v a JOIN fr ON fr.n_chars = a.n_chars AND fr.q = a.q""".stripMargin,
+
+      "q_trunc_recall" -> {
+        val dims = Seq(8, 16, 32)
+        val perDim = dims.map { d =>
+          s"""td_$d AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY ${cosSqlN("q.embedding", "c.embedding", d)} DESC, c.vec_id) AS rk
+             |  FROM embeddings c JOIN q ON c.vec_id <> q.vec_id) WHERE rk <= 5),
+             |h_$d AS (SELECT fk.query_id, CAST(count(*) AS BIGINT) AS hits
+             |  FROM fk JOIN td_$d USING (query_id, neighbor_id) GROUP BY 1),
+             |r_$d AS (SELECT $d AS dim, fn.query_id,
+             |    CAST(coalesce(hits, 0) AS DOUBLE) / CAST(nf AS DOUBLE) AS r
+             |  FROM fn LEFT JOIN h_$d USING (query_id))""".stripMargin
+        }.mkString(",\n")
+        val unions = dims.map(d => s"SELECT * FROM r_$d").mkString(" UNION ALL ")
+        s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 8),
+           |fk AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rk
+           |  FROM embeddings c JOIN q ON c.vec_id <> q.vec_id) WHERE rk <= 5),
+           |fn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nf FROM fk GROUP BY 1),
+           |$perDim,
+           |u AS ($unions)
+           |SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_queries,
+           |  floor(CAST(sum(CAST(floor(r * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_recall,
+           |  min(floor(r * 1000000 + 0.5) / 1000000) AS min_recall
+           |FROM u GROUP BY dim""".stripMargin
+      },
+
+      "q_rake" -> {
+        val allStop = TextFunctions.Stopwords.flatMap(_._2).distinct
+          .map(w => s"'$w'").mkString("[", ",", "]")
+        s"""WITH tk AS (SELECT source, doc_id,
+           |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+           |  FROM documents),
+           |ex AS (SELECT source, doc_id, unnest(toks) AS w,
+           |    unnest(range(1, len(toks) + 1)) AS pos FROM tk),
+           |ns AS (SELECT * FROM ex WHERE NOT list_contains($allStop, w)),
+           |rn AS (SELECT source, doc_id, pos, w,
+           |    pos - row_number() OVER (PARTITION BY source, doc_id ORDER BY pos) AS run FROM ns),
+           |ph AS (SELECT source, doc_id, run, CAST(count(*) AS BIGINT) AS len,
+           |    array_to_string(list(w ORDER BY pos), ' ') AS phrase
+           |  FROM rn GROUP BY 1, 2, 3),
+           |p2 AS (SELECT * FROM ph WHERE len <= 4),
+           |ws AS (SELECT source, unnest(string_split(phrase, ' ')) AS w, len FROM p2),
+           |st AS (SELECT source, w, CAST(count(*) AS BIGINT) AS freq,
+           |    CAST(sum(len) AS BIGINT) AS deg FROM ws GROUP BY 1, 2),
+           |pd AS (SELECT source, phrase, CAST(count(*) AS BIGINT) AS n_occ, max(len) AS len
+           |  FROM p2 GROUP BY 1, 2),
+           |pw AS (SELECT source, phrase, n_occ, len,
+           |    unnest(string_split(phrase, ' ')) AS w FROM pd),
+           |sc AS (SELECT pw.source, pw.phrase, max(pw.n_occ) AS n_occurrences,
+           |    CAST(max(pw.len) AS BIGINT) AS n_words,
+           |    floor(CAST(sum(CAST(floor(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+           |      * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS score
+           |  FROM pw JOIN st ON st.source = pw.source AND st.w = pw.w GROUP BY 1, 2)
+           |SELECT source, phrase, n_words, n_occurrences, score, rk FROM (
+           |  SELECT source, phrase, n_words, n_occurrences, score,
+           |    CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, phrase) AS BIGINT) AS rk
+           |  FROM sc) WHERE rk <= 10""".stripMargin
+      },
 
       "q_balance" -> {
         def cov(name: String, vExpr: String): String =

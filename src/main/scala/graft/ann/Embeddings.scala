@@ -137,4 +137,57 @@ object Embeddings {
             floor((col("v") - col("lo")) / (col("hi") - col("lo")) * 255.0))))
           .otherwise(lit(0L)).as("code"))
   }
+
+  /** Truncation fidelity (the Matryoshka-embedding eval): for each
+    * candidate prefix length d, how much of the FULL-dimension cosine
+    * top-k does a search over only the first d dimensions recover?
+    * recall@k per query = |topk_d ∩ topk_full| / |topk_full|. The
+    * measurement that decides whether a 4× cheaper truncated index is
+    * safe to ship — dimension count is the #1 cost driver of every ANN
+    * structure downstream ([[IvfIO]], [[ProductQuantizer]]).
+    *
+    * Execution shape: one exact [[Similarity.bruteForceTopK]] for the
+    * full dimension (pinned — every d reuses it), one per candidate d
+    * over the PREFIX-SLICED vectors (a projection; the corpus is never
+    * copied), each the broadcast-queries / bounded-heap shape. The
+    * overlap join and the recall aggregation run on (queries × k)-sized
+    * frames. Queries-sized work × |dims| total; corpus scans = |dims|+1.
+    *
+    * Output: one row per d — (dim, n_queries, mean_recall, min_recall),
+    * recalls r6'd (mean via DECIMAL sum, order-free).
+    */
+  def truncationFidelity(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dims: Seq[Int],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(dims.nonEmpty && dims.forall(_ >= 1), s"bad prefix list $dims")
+    import graft.plans.Materialize.PinOps
+    val r6 = graft.functions.Portable.r6 _
+    val full = Similarity.bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+      .pin(false) // reused by every candidate dimension
+    val fullN = full.groupBy("query_id").agg(count(lit(1)).as("__nf"))
+    dims.map { d =>
+      def trunc(df: DataFrame) = df.withColumn(vecCol, slice(col(vecCol), 1, d))
+      val topd = Similarity.bruteForceTopK(trunc(corpus), trunc(queries), k, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = full.join(topd, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("__hits"))
+      fullN
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__hits"), lit(0L)).cast("double") /
+            col("__nf").cast("double")).as("__r"))
+        .agg(
+          lit(d).as("dim"),
+          count(lit(1)).as("n_queries"),
+          (sum(r6(col("__r")).cast("decimal(38,6)")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_recall"),
+          min(r6(col("__r"))).as("min_recall"))
+    }.reduce(_ unionByName _)
+  }
 }

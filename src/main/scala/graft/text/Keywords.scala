@@ -190,4 +190,82 @@ object Keywords {
       when(col("n") >= 3, col("slope")).as("slope"),
       when(col("n") >= 3, col("intercept")).as("intercept"))
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010) per group: candidate
+    * phrases are the maximal stopword-free token runs; each word scores
+    * deg(w)/freq(w) over the group's phrase table (freq = phrase
+    * occurrences containing w, deg = Σ of those phrases' lengths — long
+    * co-occurring phrases boost their words); a phrase scores the sum
+    * over its word positions. [[termLift]] asks which single TERMS mark
+    * a group; this surfaces multi-word PHRASES ("neural machine
+    * translation", not three unigrams) with zero model or training.
+    *
+    * Execution shape: tokens explode once; runs come from the classic
+    * gaps-and-islands rank difference under a per-document window (a
+    * document is the partition — bounded); phrase words re-aggregate to
+    * the vocab-sized (group, word) stat table which joins back onto the
+    * DISTINCT-phrase table (both vocab-scale, never corpus-scale). Runs
+    * longer than `maxLen` tokens are dropped whole (stopword-free walls
+    * of text are extraction garbage, and unbounded phrase keys would be
+    * a skew hazard). Word order inside a phrase is pinned by sorting
+    * each run's (pos, word) pairs — never collect order. Per-word score
+    * terms are r6'd then DECIMAL-summed; ranking uses the ROUNDED score
+    * (ties → phrase asc) so ranks are engine-stable.
+    *
+    * Output: (group, phrase, n_words, n_occurrences, score, rk ≤ topN).
+    */
+  def rake(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String,
+      stopwords: Seq[String],
+      topN: Int = 10,
+      maxLen: Int = 4,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    require(stopwords.nonEmpty, "rake needs a stopword list")
+    val r6 = graft.functions.Portable.r6 _
+    val toks = docs
+      .select(col(groupCol).as("group"), col(idCol).as("__doc"),
+        posexplode(wordTokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(!col("w").isInCollection(stopwords))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group"), col("__doc")).orderBy(col("pos"))
+    val phrases = toks
+      .withColumn("__run", col("pos") - row_number().over(wDoc))
+      .groupBy(col("group"), col("__doc"), col("__run"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("__ps"))
+      .select(col("group"),
+        concat_ws(" ", transform(col("__ps"), p => p.getField("w"))).as("phrase"),
+        size(col("__ps")).as("__len"))
+      .filter(col("__len") <= maxLen)
+      .pin(false) // feeds both the word-stat table and the phrase table
+    val wordStats = phrases
+      .select(col("group"), col("__len"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy(col("group"), col("w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+    val distinctPhrases = phrases
+      .groupBy(col("group"), col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"), max(col("__len")).as("n_words"))
+    val scored = distinctPhrases
+      .select(col("group"), col("phrase"), col("n_occurrences"), col("n_words"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wordStats, Seq("group", "w"))
+      .groupBy(col("group"), col("phrase"))
+      .agg(
+        max(col("n_occurrences")).as("n_occurrences"),
+        max(col("n_words")).cast("long").as("n_words"),
+        r6(sum(r6(col("__deg").cast("double") / col("__freq").cast("double"))
+          .cast("decimal(38,6)")).cast("double")).as("score"))
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("group")).orderBy(col("score").desc, col("phrase")))
+        .cast("long"))
+      .filter(col("rk") <= topN)
+      .select(col("group"), col("phrase"), col("n_words"), col("n_occurrences"),
+        col("score"), col("rk"))
+  }
 }

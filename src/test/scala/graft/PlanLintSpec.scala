@@ -79,6 +79,7 @@ class PlanLintSpec extends SparkSpec {
       "q_ann_ivf_kmeans" -> Set("nested-loop-join"),
       "q_ann_topk"       -> Set("nested-loop-join"),
       "q_hard_negatives" -> Set("nested-loop-join"), // same broadcast query-set scan as q_ann_topk
+      "q_trunc_recall"   -> Set("nested-loop-join"), // q_ann_topk's scan, once per prefix length
       "q_chi2"           -> Set("nested-loop-join"),
       // the control frame is one row BY CONTRACT (arm = controlArm over
       // the arm-aggregated frame) — filtered, so the linter's one-row

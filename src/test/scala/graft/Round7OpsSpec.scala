@@ -109,6 +109,65 @@ class Round7OpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L))
   }
 
+  // ------------------------------------------------- truncationFidelity
+
+  test("truncationFidelity: full dim is perfect, a dead prefix degrades") {
+    // first 2 dims identical everywhere (prefix carries NO signal);
+    // dims 3-4 separate the vectors
+    def v(a: Double, b: Double) = Array(1f, 1f, a.toFloat, b.toFloat)
+    val corpus = Seq(
+      (0L, v(1, 0)), (1L, v(0.9, 0.1)), (2L, v(0.8, 0.2)),
+      (3L, v(0, 1)), (4L, v(0.1, 0.9)), (5L, v(0.2, 0.8))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L)
+    val out = graft.ann.Embeddings
+      .truncationFidelity(corpus, queries, k = 2, dims = Seq(2, 4))
+      .collect().map(r => r.getAs[Int]("dim") -> r).toMap
+    assert(out(4).getAs[Double]("mean_recall") == 1.0, "full prefix = exact search")
+    // at d=2 every cosine ties at 1.0 -> top-2 by id = {1,2}; full top-2
+    // of query 0 is {1,2} too (closest in dims 3-4) -> recall still 1;
+    // make the full winners be {3,4} instead by flipping the query
+    val q2 = Seq((9L, v(0, 1))).toDF("vec_id", "embedding")
+    val out2 = graft.ann.Embeddings
+      .truncationFidelity(corpus, q2, k = 2, dims = Seq(2, 4))
+      .collect().map(r => r.getAs[Int]("dim") -> r).toMap
+    assert(out2(4).getAs[Double]("mean_recall") == 1.0)
+    // d=2: all-tie -> ids {0,1} selected; full top-2 = {3,4} -> recall 0
+    assert(out2(2).getAs[Double]("mean_recall") == 0.0)
+    assert(out2(2).getAs[Long]("n_queries") == 1L)
+  }
+
+  // ---------------------------------------------------------------- rake
+
+  test("rake: phrases split at stopwords, scores are deg/freq sums") {
+    val stop = Seq("the", "and", "of")
+    val df = Seq(
+      (1L, "g", "the quick brown fox and the lazy dog"),
+      (2L, "g", "the lazy dog")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.text.Keywords.rake(df, "source", "doc_id", stop, topN = 10)
+      .collect().map(r => r.getAs[String]("phrase") -> r).toMap
+    assert(out.keySet == Set("quick brown fox", "lazy dog"))
+    // word stats: quick/brown/fox freq 1 deg 3 -> score 3*3=9
+    // lazy/dog freq 2, deg 2+2=4 -> score 2*(4/2)=4
+    assert(math.abs(out("quick brown fox").getAs[Double]("score") - 9.0) < 1e-6)
+    assert(math.abs(out("lazy dog").getAs[Double]("score") - 4.0) < 1e-6)
+    assert(out("lazy dog").getAs[Long]("n_occurrences") == 2L)
+    assert(out("quick brown fox").getAs[Long]("n_words") == 3L)
+    assert(out("quick brown fox").getAs[Long]("rk") == 1L)
+  }
+
+  test("rake: overlong stopword-free runs drop whole; topN caps per group") {
+    val stop = Seq("the")
+    val df = Seq(
+      (1L, "g", "alpha beta gamma delta epsilon the lazy dog")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.text.Keywords.rake(df, "source", "doc_id", stop,
+      topN = 1, maxLen = 4).collect()
+    // the 5-token run is dropped entirely; only 'lazy dog' remains
+    assert(out.map(_.getAs[String]("phrase")).toSeq == Seq("lazy dog"))
+  }
+
   // ----------------------------------------------------- covariateBalance
 
   test("covariateBalance: hand-computed SMD and variance ratio") {
