@@ -1994,7 +1994,7 @@ object SparkEntry {
     // quasi-identifier: re-identification risk report at k = 5
     "q_kanon" -> ((s, dir) =>
       Integrity.kAnonymity(
-          docs(s, dir).withColumn("len_bucket", (col("n_chars") / 100).cast("long")),
+          docs(s, dir).withColumn("len_bucket", floor(col("n_chars") / 100).cast("long")),
           Seq("lang", "source", "len_bucket"), k = 5L)
         .select(col("k"), col("n_rows"), col("n_classes"), col("n_singletons"),
           col("n_rows_at_risk"), col("min_class_size"),
@@ -2168,7 +2168,7 @@ object SparkEntry {
     // homogeneity-attack complement of q_kanon
     "q_ldiv" -> ((s, dir) =>
       Integrity.lDiversity(
-          docs(s, dir).withColumn("len_bucket", (col("n_chars") / 100).cast("long")),
+          docs(s, dir).withColumn("len_bucket", floor(col("n_chars") / 100).cast("long")),
           Seq("lang", "len_bucket"), "source", l = 3L)
         .select(col("l"), col("n_rows"), col("n_classes"), col("n_classes_below_l"),
           col("n_rows_at_risk"), col("min_diversity"),
@@ -2550,7 +2550,7 @@ object SparkEntry {
     // class vs the global corpus, TVD threshold 0.2
     "q_tcloseness" -> ((s, dir) =>
       Integrity.tCloseness(
-          docs(s, dir).withColumn("len_bucket", (col("n_chars") / 100).cast("long")),
+          docs(s, dir).withColumn("len_bucket", floor(col("n_chars") / 100).cast("long")),
           Seq("source", "len_bucket"), "lang", t = 0.2)
         .select(col("t"), col("n_rows"), col("n_classes"), col("n_classes_above_t"),
           col("n_rows_at_risk"), col("frac_at_risk"),
@@ -2594,7 +2594,8 @@ object SparkEntry {
           k = 5, dims = Seq(8, 16, 32))
         .select(col("dim").cast("long").as("dim"), col("n_queries"),
           graft.functions.Portable.r6(col("mean_recall")).as("mean_recall"),
-          col("min_recall"))
+          col("min_recall"), col("n_corpus"),
+          col("floats_per_query").cast("long").as("floats_per_query"))
     }),
 
     // RAKE keyphrases: top-10 stopword-free phrases per source
@@ -6759,7 +6760,9 @@ object SparkEntry {
            |SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_queries,
            |  floor(CAST(sum(CAST(floor(r * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
            |    / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_recall,
-           |  min(floor(r * 1000000 + 0.5) / 1000000) AS min_recall
+           |  min(floor(r * 1000000 + 0.5) / 1000000) AS min_recall,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_corpus,
+           |  CAST(dim * (SELECT count(*) FROM embeddings) AS BIGINT) AS floats_per_query
            |FROM u GROUP BY dim""".stripMargin
       },
 

@@ -153,8 +153,17 @@ object Embeddings {
     * overlap join and the recall aggregation run on (queries × k)-sized
     * frames. Queries-sized work × |dims| total; corpus scans = |dims|+1.
     *
-    * Output: one row per d — (dim, n_queries, mean_recall, min_recall),
-    * recalls r6'd (mean via DECIMAL sum, order-free).
+    * Output: one row per d — (dim, n_queries, mean_recall, min_recall,
+    * n_corpus, floats_per_query), recalls r6'd (mean via DECIMAL sum,
+    * order-free). The last two columns are the COST side of the
+    * trade-off the recall columns price: a prefix-d scan multiplies d
+    * floats against every corpus vector, so floats_per_query =
+    * d × n_corpus — the "4× cheaper at dim/4" claim read off the same
+    * row as its recall. Zero queries ⇒ zero output rows (the grouping
+    * is per-dim, never a global aggregate, so Spark and a SQL GROUP BY
+    * oracle agree on empty input). Every d must be ≤ the embedding
+    * dimension — a longer prefix raises at runtime (slice() would
+    * silently return the full vector, faking perfect recall).
     */
   def truncationFidelity(
       corpus: DataFrame,
@@ -171,8 +180,15 @@ object Embeddings {
       .select(col("query_id"), col("neighbor_id"))
       .pin(false) // reused by every candidate dimension
     val fullN = full.groupBy("query_id").agg(count(lit(1)).as("__nf"))
+    // one-row corpus count, broadcast onto each per-dim summary row —
+    // the per-query scan cost denominator
+    val corpusN = corpus.agg(count(lit(1)).as("n_corpus"))
     dims.map { d =>
-      def trunc(df: DataFrame) = df.withColumn(vecCol, slice(col(vecCol), 1, d))
+      def trunc(df: DataFrame) = df.withColumn(vecCol,
+        when(size(col(vecCol)) >= d, slice(col(vecCol), 1, d))
+          .otherwise(raise_error(lit(
+            s"truncationFidelity: prefix dim $d exceeds the embedding dimension — " +
+              "slice() would silently search the full vector"))))
       val topd = Similarity.bruteForceTopK(trunc(corpus), trunc(queries), k, idCol, vecCol)
         .select(col("query_id"), col("neighbor_id"))
       val hits = full.join(topd, Seq("query_id", "neighbor_id"), "left_semi")
@@ -182,12 +198,16 @@ object Embeddings {
         .select(col("query_id"),
           (coalesce(col("__hits"), lit(0L)).cast("double") /
             col("__nf").cast("double")).as("__r"))
+        // group by the literal dim (not a global agg) so zero queries
+        // emit zero rows, matching GROUP BY semantics cross-engine
+        .groupBy(lit(d).cast("long").as("dim"))
         .agg(
-          lit(d).as("dim"),
           count(lit(1)).as("n_queries"),
           (sum(r6(col("__r")).cast("decimal(38,6)")).cast("double") /
             count(lit(1)).cast("double")).as("mean_recall"),
           min(r6(col("__r"))).as("min_recall"))
+        .crossJoin(broadcast(corpusN))
+        .withColumn("floats_per_query", col("dim") * col("n_corpus"))
     }.reduce(_ unionByName _)
   }
 }

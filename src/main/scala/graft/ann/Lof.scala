@@ -60,11 +60,67 @@ object Lof {
         col(s"q.$idCol").cast("long").as("id"),
         col(s"c.$idCol").cast("long").as("nb"),
         dist.as("__d"))
+    lofFromScored(scored, k, enforceK = false)
+  }
+
+  /** The 100 TB path: LOF over a PRECOMPUTED candidate-neighbor frame
+    * instead of the all-pairs scan — plug in
+    * [[Similarity.bucketedTopK]] / [[Similarity.multiProbeTopK]] (or any
+    * blocked candidate generator) and the quadratic stage disappears;
+    * everything downstream was always n×k-bounded. `candidates` needs
+    * columns (`id`, `nb`) naming candidate neighbor ids per point
+    * (extra columns ignored; self-pairs and duplicate pairs are
+    * dropped). Distances are recomputed here with the same codegen'd
+    * [[graft.functions.SqDist]], so WHEN the candidate set contains the
+    * true k nearest of every point, the result is bit-identical to
+    * [[lof]] (the parity contract in LofSpec).
+    *
+    * A point with FEWER than k candidates would silently score against
+    * a smaller neighborhood (a different statistic, biased toward 1) —
+    * that raises at runtime instead: widen the probe radius or fall
+    * back to [[lof]].
+    */
+  def lofWithCandidates(
+      vectors: DataFrame,
+      k: Int,
+      candidates: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = vectors.select(col(idCol).cast("long").as("__vid"), col(vecCol).as("__vec"))
+    val pairs = candidates
+      .select(col("id").cast("long").as("id"), col("nb").cast("long").as("nb"))
+      .filter(col("id") =!= col("nb"))
+      .distinct() // multi-probe generators may emit a pair once per shared cell
+    val scored = pairs
+      .join(v.select(col("__vid").as("id"), col("__vec").as("__vq")), "id")
+      .join(v.select(col("__vid").as("nb"), col("__vec").as("__vc")), "nb")
+      .select(col("id"), col("nb"),
+        sqrt(graft.functions.GraftFunctions.sqDist(col("__vq"), col("__vc"))).as("__d"))
+    lofFromScored(scored, k, enforceK = true)
+  }
+
+  /** Shared tail: bounded-heap kNN over a (id, nb, __d) candidate score
+    * frame, then the n×k-bounded k-dist/lrd/lof joins. `enforceK` makes
+    * an under-populated neighborhood (fewer than k scored candidates
+    * for some point) a loud error — only the candidate path can produce
+    * one; the all-pairs scan always has n−1 ≥ k by precondition.
+    */
+  private def lofFromScored(scored: DataFrame, k: Int, enforceK: Boolean): DataFrame = {
     // top-k by NEGATED distance: the bounded heap keeps score DESC with
     // id ASC ties == distance ASC with id ASC ties
-    val knn = scored
-      .groupBy("id")
-      .agg(graft.functions.TopKByScore.topK(-col("__d"), col("nb"), k).as("top"))
+    val topCol = graft.functions.TopKByScore.topK(-col("__d"), col("nb"), k).as("top")
+    val topped = scored.groupBy("id").agg(topCol)
+    val guarded =
+      if (!enforceK) topped
+      else topped.withColumn("top",
+        when(size(col("top")) >= k, col("top"))
+          .otherwise(raise_error(concat(
+            lit(s"lofWithCandidates: fewer than k=$k candidates for point "),
+            col("id"),
+            lit(" — LOF over a truncated neighborhood is a different statistic; " +
+              "widen the candidate generator (probe radius) or use lof()")))))
+    val knn = guarded
       .select(col("id"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("id"), col("e.id").as("nb"), (-col("e.score")).as("d"),
         col("pos").cast("long").as("pos"))

@@ -39,17 +39,32 @@ object LshIO {
   private def paramsPath(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/params.json")
 
+  /** Atomic manifest write: the bytes land at a temp path and RENAME
+    * into place, so a reader racing the write (or a crash mid-write)
+    * sees either no manifest or a complete one — never a truncated
+    * file. Rename is atomic on HDFS and POSIX local FS; object stores
+    * without atomic rename get copy-then-delete, where the window is
+    * covered by [[readParams]] failing closed on malformed bytes.
+    */
   private def writeParams(spark: SparkSession, dir: String, p: Params): Unit = {
     val path = paramsPath(dir)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/.params.json.tmp-${java.util.UUID.randomUUID()}")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
+    val out = fs.create(tmp, true)
     try out.write(
       s"""{"numHashes":${p.numHashes},"numBands":${p.numBands},"n":${p.n}}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(path)) fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      sys.error(s"LshIO: could not move manifest into place at $path")
   }
 
-  /** The manifest of an existing index; None for a pre-manifest index. */
+  /** The manifest of an existing index; None when absent (an index
+    * whose bands exist but whose manifest is missing fails CLOSED at
+    * [[requireParams]] — see there).
+    */
   def readParams(spark: SparkSession, dir: String): Option[Params] = {
     val path = paramsPath(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -68,13 +83,24 @@ object LshIO {
     }
   }
 
+  /** Fail CLOSED on every read-side entry: a missing manifest is an
+    * error, not a silently-trusted "pre-manifest" index — a crash
+    * between the bands write and the manifest rename (or a hand-rolled
+    * index dir) must surface here, not as empty/wrong candidates.
+    */
   private def requireParams(
       spark: SparkSession, dir: String, caller: Params, op: String): Unit =
-    readParams(spark, dir).foreach { stored =>
-      require(stored == caller,
-        s"LshIO.$op: index at $dir was written with $stored but caller supplied " +
-          s"$caller — probing with mismatched parameters silently yields wrong " +
-          "candidates. Rebuild the index or pass the stored parameters.")
+    readParams(spark, dir) match {
+      case Some(stored) =>
+        require(stored == caller,
+          s"LshIO.$op: index at $dir was written with $stored but caller supplied " +
+            s"$caller — probing with mismatched parameters silently yields wrong " +
+            "candidates. Rebuild the index or pass the stored parameters.")
+      case None =>
+        sys.error(
+          s"LshIO.$op: no params manifest at ${paramsPath(dir)} — the index is " +
+            "incomplete (crashed write?) or was not built by LshIO.write. " +
+            "Rebuild with write() rather than probing with unverifiable parameters.")
     }
 
   private def bandTable(
@@ -106,9 +132,17 @@ object LshIO {
       n: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    // invalidate any existing manifest BEFORE overwriting the bands:
+    // a crash anywhere in the rebuild then leaves a manifest-less index
+    // that every read-side entry point rejects loudly, never a stale
+    // manifest validating old-parameter probes against new bands
+    val p = paramsPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
     withBucketN(bandTable(docs, numHashes, numBands, n, idCol, textCol))
       .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
-    writeParams(docs.sparkSession, dir, Params(numHashes, numBands, n))
+    writeParams(spark, dir, Params(numHashes, numBands, n))
   }
 
   /** Append a new batch's band rows to an existing index. */

@@ -102,11 +102,16 @@ object Integrity {
   def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String, t: Double): DataFrame = {
     require(t > 0 && t < 1, s"t must be in (0,1), got $t")
     val r6 = graft.functions.Portable.r6 _
-    // NULL folds to a sentinel so it survives the value equi-join as a
-    // real category instead of dropping (null never equals null there)
+    // NULL folds to a marker so it survives the value equi-join as a
+    // real category instead of dropping (null never equals null there).
+    // Un-spoofable encoding (the contentChecksum discipline): every real
+    // value gets a "v" prefix, NULL gets the distinct "n" marker — a
+    // sensitive value literally equal to any sentinel string can never
+    // merge with the NULL category.
+    val sv = col(sensitiveCol).cast("string")
     val cv = df
       .groupBy((quasiCols.map(col) :+
-        coalesce(col(sensitiveCol).cast("string"), lit("__NULL__")).as("__v")): _*)
+        when(sv.isNull, lit("n")).otherwise(concat(lit("v"), sv)).as("__v")): _*)
       .agg(count(lit(1)).as("__n"))
       .pin(false) // consumed by the global distribution, its total, and the class pass
     val global = cv.groupBy(col("__v")).agg(sum(col("__n")).as("__gn"))

@@ -106,22 +106,52 @@ object Selection {
     * frontier ≤ cost domain). Rows with NULL cost or quality cannot sit
     * on a frontier and are dropped.
     *
+    * The bounded-domain contract is ENFORCED, not advisory: if the
+    * distinct-cost frame exceeds `maxDistinctCosts`, the plan raises at
+    * runtime (the [[graft.operators.RangeJoin]] loud-failure
+    * discipline) instead of silently funnelling a corpus-sized frame
+    * through one window task. A continuous (e.g. double-valued) cost
+    * column must be quantized by the caller first — `floor(cost/width)`
+    * or [[ntilePerGroup]] — or passed through `costBuckets`, which
+    * buckets cost to `floor(cost / costBuckets)` before the collapse
+    * (frontier semantics then hold at bucket granularity: one
+    * representative cost domain of ≤ maxDistinctCosts values).
+    *
     * Output: the surviving input rows (original columns).
     */
-  def paretoFrontier(df: DataFrame, costCol: String, qualityCol: String): DataFrame = {
-    val c = col(costCol).cast("double")
+  def paretoFrontier(
+      df: DataFrame,
+      costCol: String,
+      qualityCol: String,
+      maxDistinctCosts: Int = 1 << 20,
+      costBuckets: Option[Double] = None
+  ): DataFrame = {
+    require(maxDistinctCosts > 0, s"maxDistinctCosts must be positive, got $maxDistinctCosts")
+    costBuckets.foreach(w => require(w > 0, s"costBuckets width must be positive, got $w"))
+    val rawC = col(costCol).cast("double")
+    val c = costBuckets.fold(rawC)(w => floor(rawC / w) * w)
     val q = col(qualityCol).cast("double")
-    val okRows = df.filter(c.isNotNull && !isnan(c) && q.isNotNull && !isnan(q))
+    val okRows = df.filter(rawC.isNotNull && !isnan(rawC) && q.isNotNull && !isnan(q))
     val perCost = okRows
       .groupBy(c.as("__c"))
       .agg(max(q).as("__q"))
+    val globalByCost = Window.orderBy(col("__c"))
     val prevMax = max(col("__q")).over(
-      Window.orderBy(col("__c")).rowsBetween(Window.unboundedPreceding, -1))
+      globalByCost.rowsBetween(Window.unboundedPreceding, -1))
     val frontier = perCost
       .withColumn("__pm", prevMax)
+      // the guard shares the running-max window (no extra pass): the
+      // first row past the cap poisons the whole job, loudly
+      .withColumn("__rn", row_number().over(globalByCost))
       // strictly better than everything cheaper; ties-in-quality at a
       // HIGHER cost are dominated (strict in cost), so require >
-      .filter(col("__pm").isNull || col("__q") > col("__pm"))
+      .filter(
+        when(col("__rn") <= maxDistinctCosts,
+          col("__pm").isNull || col("__q") > col("__pm"))
+          .otherwise(raise_error(lit(
+            s"paretoFrontier: more than $maxDistinctCosts distinct cost values — " +
+              "the frontier window is bounded by the cost domain, not the corpus; " +
+              "quantize the cost column (costBuckets=...) or raise maxDistinctCosts"))))
       .select(col("__c"), col("__q"))
     okRows.join(
       broadcast(frontier),

@@ -75,6 +75,24 @@ class LshIOSpec extends SparkSpec {
     assert(LshIO.candidatesAgainst(batch, spark, dir).count() == 1L)
   }
 
+  test("manifest-less index fails CLOSED (crashed write / hand-rolled dir)") {
+    val dir = tmp()
+    LshIO.write(corpus, dir)
+    // simulate a crash between the bands write and the manifest rename
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "params.json"))
+    assert(LshIO.readParams(spark, dir).isEmpty)
+    val batch = Seq((10L, "anything at all")).toDF("doc_id", "text")
+    val ex = intercept[RuntimeException] {
+      LshIO.candidatesAgainst(batch, spark, dir)
+    }
+    assert(ex.getMessage.contains("no params manifest"), ex.getMessage)
+    intercept[RuntimeException] { LshIO.append(batch, dir) }
+    // rebuilding through write() restores a probe-able index
+    LshIO.write(corpus, dir)
+    assert(LshIO.readParams(spark, dir) == Some(LshIO.Params(16, 4, 3)))
+    assert(LshIO.candidatesAgainst(batch, spark, dir).count() == 0L)
+  }
+
   test("stored bands match the batch banding (parity with minhashCandidatePairs)") {
     val dir = tmp()
     val dups = Seq(

@@ -57,10 +57,17 @@ class PlanShapeSpec extends SparkSpec {
     // (q_bh: Benjamini-Hochberg ranks the TESTS frame — one row per
     // hypothesis — so its global windows order hundreds of rows by contract.)
     // (q_logrank: same day-granularity curve contract as q_km_survival.)
+    // (q_pareto: the frontier's running strict-max orders the
+    // DISTINCT-COST frame — value-domain-sized after the per-cost
+    // collapse, like q_fit_vocab's vocabulary rank — and
+    // Selection.paretoFrontier now ENFORCES the bound with a
+    // raise_error past maxDistinctCosts, so the corpus can never
+    // silently reach the window.)
     val vocabSizedByContract = Set(
       "q_fit_vocab", "q_normalize", "q_meds_pipeline", "q_pipeline_config",
       "q_km_survival", "q_bh", "q_logrank",
-      "q_nelson_aalen") // same day-curve contract as q_km_survival
+      "q_nelson_aalen", // same day-curve contract as q_km_survival
+      "q_pareto")
 
     def boundedBelow(p: SparkPlan): Boolean = p match {
       case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true

@@ -197,4 +197,44 @@ class Round6dOpsSpec extends SparkSpec {
         s"point $i borders a duplicate family: lof must be NULL")
     }
   }
+
+  test("lofWithCandidates: a complete candidate set is bit-identical to exact lof") {
+    // +1 translation keeps Euclidean geometry and avoids the zero vector
+    // (bucketedTopK's cosine ranking divides by the norm)
+    def v(x: Double, y: Double) = Array(x.toFloat + 1f, y.toFloat + 1f, 1f, 1f)
+    val pts = Seq(
+      (0L, v(0, 0)), (1L, v(0, 1)), (2L, v(1, 0)), (3L, v(1, 1)),
+      (4L, v(0, 2)), (5L, v(2, 0)), (6L, v(2, 1)), (7L, v(1, 2)),
+      (8L, v(30, 30))).toDF("vec_id", "embedding")
+    // IVF plumbing as the generator: one coarse cell = complete candidates
+    val cands = graft.ann.Similarity.bucketedTopK(pts, pts, k = 8, cell = _ => lit(0))
+      .select(col("query_id").as("id"), col("neighbor_id").as("nb"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("k_dist"), Option(r.get(r.fieldIndex("lrd"))),
+          Option(r.get(r.fieldIndex("lof"))))).toMap
+    val exact = asMap(Lof.lof(pts, k = 3))
+    val approx = asMap(Lof.lofWithCandidates(pts, k = 3, cands))
+    assert(exact == approx, "complete candidates must reproduce exact LOF bit-for-bit")
+  }
+
+  test("lofWithCandidates: duplicate candidate pairs dedupe; < k candidates raises") {
+    def v(x: Double) = Array(x.toFloat, 0f, 0f, 0f)
+    val pts = Seq((0L, v(0)), (1L, v(1)), (2L, v(2)), (3L, v(4))).toDF("vec_id", "embedding")
+    val full = for { a <- 0L to 3L; b <- 0L to 3L if a != b } yield (a, b)
+    // each pair emitted twice (a multi-probe generator sharing 2 cells)
+    val dup = (full ++ full).toDF("id", "nb")
+    val exact = Lof.lof(pts, k = 2).collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("lof")).toMap
+    val got = Lof.lofWithCandidates(pts, k = 2, dup).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("lof")).toMap
+    assert(exact == got, "duplicate candidate pairs must not double-fill the heap")
+    // point 3 gets only ONE candidate -> truncated neighborhood must raise
+    val short = (full.filterNot(_._1 == 3L) :+ ((3L, 2L))).toDF("id", "nb")
+    val ex = intercept[Exception] {
+      Lof.lofWithCandidates(pts, k = 2, short).collect()
+    }
+    val messages = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(messages.contains("fewer than k"), messages)
+  }
 }

@@ -109,6 +109,32 @@ class Round7OpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L))
   }
 
+  test("paretoFrontier: a continuous cost column past the cap fails loudly") {
+    // 50 distinct double costs against a cap of 10 — the bounded-domain
+    // contract must raise, not funnel the corpus through one window task
+    val df = (1 to 50).map(i => (i.toLong, i + 0.5, i.toDouble)).toDF("id", "cost", "q")
+    val ex = intercept[Exception] {
+      Selection.paretoFrontier(df, "cost", "q", maxDistinctCosts = 10).collect()
+    }
+    val messages = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(messages.contains("distinct cost values"),
+      s"expected the paretoFrontier cap error, got: $messages")
+  }
+
+  test("paretoFrontier: costBuckets quantizes a continuous cost under the cap") {
+    // same 50 continuous costs, bucketed to width 10 -> 6 distinct
+    // bucket costs, well under the cap; frontier = best quality per
+    // bucket with the running strict-max across buckets
+    val df = (1 to 50).map(i => (i.toLong, i + 0.5, i.toDouble)).toDF("id", "cost", "q")
+    val kept = Selection.paretoFrontier(df, "cost", "q",
+        maxDistinctCosts = 10, costBuckets = Some(10.0))
+      .collect().map(_.getAs[Long]("id")).sorted
+    // quality is monotone in cost here, so the frontier is the max-q
+    // row of each bucket: ids 9 (bucket [0,10)), 19, 29, 39, 49, 50
+    assert(kept.toSeq == Seq(9L, 19L, 29L, 39L, 49L, 50L), s"got ${kept.toSeq}")
+  }
+
   // ------------------------------------------------- truncationFidelity
 
   test("truncationFidelity: full dim is perfect, a dead prefix degrades") {
@@ -122,7 +148,7 @@ class Round7OpsSpec extends SparkSpec {
     val queries = corpus.filter(col("vec_id") === 0L)
     val out = graft.ann.Embeddings
       .truncationFidelity(corpus, queries, k = 2, dims = Seq(2, 4))
-      .collect().map(r => r.getAs[Int]("dim") -> r).toMap
+      .collect().map(r => r.getAs[Long]("dim").toInt -> r).toMap
     assert(out(4).getAs[Double]("mean_recall") == 1.0, "full prefix = exact search")
     // at d=2 every cosine ties at 1.0 -> top-2 by id = {1,2}; full top-2
     // of query 0 is {1,2} too (closest in dims 3-4) -> recall still 1;
@@ -130,11 +156,39 @@ class Round7OpsSpec extends SparkSpec {
     val q2 = Seq((9L, v(0, 1))).toDF("vec_id", "embedding")
     val out2 = graft.ann.Embeddings
       .truncationFidelity(corpus, q2, k = 2, dims = Seq(2, 4))
-      .collect().map(r => r.getAs[Int]("dim") -> r).toMap
+      .collect().map(r => r.getAs[Long]("dim").toInt -> r).toMap
     assert(out2(4).getAs[Double]("mean_recall") == 1.0)
     // d=2: all-tie -> ids {0,1} selected; full top-2 = {3,4} -> recall 0
     assert(out2(2).getAs[Double]("mean_recall") == 0.0)
     assert(out2(2).getAs[Long]("n_queries") == 1L)
+  }
+
+  test("truncationFidelity: cost columns, empty queries, oversized dim") {
+    def v(a: Double, b: Double) = Array(1f, 1f, a.toFloat, b.toFloat)
+    val corpus = Seq(
+      (0L, v(1, 0)), (1L, v(0.9, 0.1)), (2L, v(0.8, 0.2)),
+      (3L, v(0, 1)), (4L, v(0.1, 0.9)), (5L, v(0.2, 0.8))
+    ).toDF("vec_id", "embedding")
+    // cost side: floats_per_query = dim × corpus size, on the same row
+    val row = graft.ann.Embeddings
+      .truncationFidelity(corpus, corpus.limit(1), k = 2, dims = Seq(2))
+      .collect().head
+    assert(row.getAs[Long]("n_corpus") == 6L)
+    assert(row.getAs[Long]("floats_per_query") == 12L)
+    // zero queries -> zero rows (GROUP BY semantics, matching any SQL
+    // oracle), never a one-row NULL-recall artifact
+    val empty = graft.ann.Embeddings
+      .truncationFidelity(corpus, corpus.filter(col("vec_id") < 0), k = 2, dims = Seq(2, 4))
+    assert(empty.count() == 0L)
+    // a prefix longer than the embedding raises (slice would silently
+    // search the full vector and report fake-perfect recall)
+    val ex = intercept[Exception] {
+      graft.ann.Embeddings
+        .truncationFidelity(corpus, corpus.limit(1), k = 2, dims = Seq(8)).collect()
+    }
+    val messages = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(messages.contains("exceeds the embedding dimension"), messages)
   }
 
   // ---------------------------------------------------------------- rake
