@@ -2614,7 +2614,20 @@ object SparkEntry {
           graft.functions.Portable.r6(col("mean_a")).as("mean_a"),
           graft.functions.Portable.r6(col("mean_b")).as("mean_b"),
           graft.functions.Portable.r6(col("smd")).as("smd"),
-          graft.functions.Portable.r6(col("variance_ratio")).as("variance_ratio")))
+          graft.functions.Portable.r6(col("variance_ratio")).as("variance_ratio"))),
+
+    // composed seasonality stack: measure each event stream's dominant
+    // cycle among calendar-plausible candidates (6/8/12/24h), then
+    // decompose it AT that period — q_dominant_period and q_decompose
+    // proven to CHAIN (one fact pass, one lazy plan), not just run alone
+    "q_season_pipeline" -> ((s, dir) =>
+      graft.operators.Seasonal.decomposeAtDominant(ev(s, dir), "event_type", "ts",
+          periods = Seq(6, 8, 12, 24))
+        .select(col("key").as("event_type"), unix_micros(col("bucket")).as("bucket_us"),
+          col("phase").cast("long").as("phase"), col("period"), col("v"),
+          graft.functions.Portable.r6(col("trend")).as("trend"),
+          graft.functions.Portable.r6(col("seasonal")).as("seasonal"),
+          graft.functions.Portable.r6(col("residual")).as("residual")))
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -6828,6 +6841,67 @@ object SparkEntry {
              |          coalesce(event_id % 2 = 0, FALSE) AS b FROM events) t0) t1) t2) t3""".stripMargin
         cov("value", "CAST(value AS DOUBLE)") + "\nUNION ALL\n" +
           cov("hr", "CAST(hour(ts) AS DOUBLE)")
+      },
+
+      "q_season_pipeline" -> {
+        val periods = Seq(6, 8, 12, 24)
+        def branch(p: Int): String = {
+          val h = p / 2
+          s"""t_$p AS (SELECT b.key AS event_type, bk, v,
+             |    (epoch_us(bk) // 3600000000) % $p AS phase,
+             |    lag(v, $h) OVER wn AS l, lead(v, $h) OVER wn AS r,
+             |    sum(v) OVER (PARTITION BY b.key ORDER BY bk
+             |      ROWS BETWEEN ${h - 1} PRECEDING AND ${h - 1} FOLLOWING) AS si,
+             |    count(v) OVER (PARTITION BY b.key ORDER BY bk
+             |      ROWS BETWEEN ${h - 1} PRECEDING AND ${h - 1} FOLLOWING) AS ci
+             |  FROM b JOIN win ON b.key = win.key AND win.period = $p
+             |  WINDOW wn AS (PARTITION BY b.key ORDER BY bk)),
+             |dd_$p AS (SELECT event_type, bk, phase, v,
+             |    CASE WHEN l IS NOT NULL AND r IS NOT NULL AND ci = ${p - 1}
+             |      THEN ((l + r) * 0.5 + si) / $p.0 END AS trend FROM t_$p),
+             |de_$p AS (SELECT *, v - trend AS detr FROM dd_$p),
+             |pm_$p AS (SELECT event_type, phase,
+             |    CASE WHEN count(detr) > 0 THEN
+             |      CAST(sum(CAST(floor(detr * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+             |        / CAST(count(detr) AS DOUBLE) END AS sp FROM de_$p GROUP BY 1, 2),
+             |ctr_$p AS (SELECT event_type,
+             |    CASE WHEN count(sp) > 0 THEN
+             |      CAST(sum(CAST(floor(sp * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+             |        / CAST(count(sp) AS DOUBLE) END AS c FROM pm_$p GROUP BY 1),
+             |se_$p AS (SELECT pm.event_type, phase, sp - c AS seasonal
+             |  FROM pm_$p pm JOIN ctr_$p ctr USING (event_type)),
+             |out_$p AS (SELECT de.event_type, epoch_us(bk) AS bucket_us,
+             |    CAST(de.phase AS BIGINT) AS phase, CAST($p AS BIGINT) AS period, v,
+             |    floor(trend * 1000000 + 0.5) / 1000000 AS trend,
+             |    floor(seasonal * 1000000 + 0.5) / 1000000 AS seasonal,
+             |    floor((detr - seasonal) * 1000000 + 0.5) / 1000000 AS residual
+             |  FROM de_$p de LEFT JOIN se_$p se
+             |    ON de.event_type = se.event_type AND de.phase = se.phase)""".stripMargin
+        }
+        s"""WITH b AS (SELECT event_type AS key, date_trunc('hour', ts) AS bk,
+           |    CAST(count(*) AS DOUBLE) AS v
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+           |w AS (SELECT key, v,
+           |    (epoch_us(bk) - min(epoch_us(bk)) OVER (PARTITION BY key)) // 3600000000 AS t,
+           |    sum(v) OVER (PARTITION BY key) / count(*) OVER (PARTITION BY key) AS mean
+           |  FROM b),
+           |tm AS (SELECT key, t, v - mean AS dv, p.period
+           |  FROM w, (SELECT unnest(${periods.mkString("[", ", ", "]")}) AS period) p),
+           |a AS (SELECT key, period, CAST(count(*) AS BIGINT) AS n_buckets,
+           |    CAST(sum(CAST(floor(dv * cos(2 * pi() * CAST(t % period AS DOUBLE)
+           |      / CAST(period AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS sc,
+           |    CAST(sum(CAST(floor(dv * sin(2 * pi() * CAST(t % period AS DOUBLE)
+           |      / CAST(period AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS ss
+           |  FROM tm GROUP BY 1, 2),
+           |pw AS (SELECT key, period, n_buckets,
+           |    floor((sc * sc + ss * ss) / CAST(n_buckets AS DOUBLE) * 1000000 + 0.5) / 1000000 AS power
+           |  FROM a),
+           |win AS (SELECT key, period FROM (SELECT key, period,
+           |    row_number() OVER (PARTITION BY key ORDER BY power DESC, period) AS rk,
+           |    sum(power) OVER (PARTITION BY key) AS tot FROM pw)
+           |  WHERE rk = 1 AND tot > 0),
+           |${periods.map(branch).mkString(",\n")}
+           |${periods.map(p => s"SELECT * FROM out_$p").mkString(" UNION ALL ")}""".stripMargin
       }
     )
   }

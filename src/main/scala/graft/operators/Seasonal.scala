@@ -159,12 +159,24 @@ object Seasonal {
       df: DataFrame,
       keyCol: String,
       tsCol: String,
-      period: Int): DataFrame = {
-    require(period >= 2, s"period must be >= 2, got $period")
-    val b = df
-      .filter(col(tsCol).isNotNull)
+      period: Int): DataFrame =
+    decomposeBuckets(hourlyBuckets(df, keyCol, tsCol), period)
+
+  /** One fact pass to the per-key hourly count frame (key, bucket, v) —
+    * the shared input of [[periodogram]] and [[decompose]], factored so
+    * composed pipelines ([[decomposeAtDominant]]) scan the corpus ONCE
+    * and run every period-sized stage over this bounded frame.
+    */
+  private[operators] def hourlyBuckets(
+      df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    df.filter(col(tsCol).isNotNull)
       .groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("bucket"))
       .agg(count(lit(1)).cast("double").as("v"))
+
+  /** [[decompose]] over a prebuilt (key, bucket, v) frame. */
+  private[operators] def decomposeBuckets(buckets: DataFrame, period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val b = buckets
       .withColumn("phase",
         pmod((unix_micros(col("bucket")) / lit(3600000000L)).cast("long"), lit(period)))
     val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
@@ -230,11 +242,20 @@ object Seasonal {
       maxPeriod: Int = 48): DataFrame = {
     require(minPeriod >= 2, s"minPeriod must be >= 2, got $minPeriod")
     require(maxPeriod > minPeriod, s"maxPeriod must exceed minPeriod")
+    periodogramBuckets(hourlyBuckets(df, keyCol, tsCol), minPeriod to maxPeriod)
+  }
+
+  /** [[periodogram]] over a prebuilt (key, bucket, v) frame and an
+    * EXPLICIT candidate-period list — contiguous for the public sweep,
+    * or a handful of calendar-plausible cycles (6/8/12/24h) when a
+    * composed pipeline pays one decompose branch per candidate.
+    */
+  private[operators] def periodogramBuckets(
+      buckets: DataFrame, periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2) && periods.distinct == periods,
+      s"periods must be distinct and >= 2, got $periods")
     val r6 = graft.functions.Portable.r6 _
-    val b = df
-      .filter(col(tsCol).isNotNull)
-      .groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("__b"))
-      .agg(count(lit(1)).cast("double").as("__v"))
+    val b = buckets.select(col("key"), col("bucket").as("__b"), col("v").as("__v"))
     val wk = Window.partitionBy(col("key")).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     // epoch diffs are exact hour multiples; the double division is exact
@@ -245,7 +266,7 @@ object Seasonal {
       .withColumn("__mean", sum(col("__v")).over(wk) / count(lit(1)).over(wk))
     val terms = withT
       .select(col("key"), col("__t"), (col("__v") - col("__mean")).as("__dv"),
-        explode(sequence(lit(minPeriod), lit(maxPeriod))).as("period"))
+        explode(array(periods.map(lit): _*)).as("period"))
     val theta = lit(2.0 * math.Pi) *
       (col("__t") % col("period")).cast("double") / col("period").cast("double")
     val agg = terms
@@ -275,11 +296,16 @@ object Seasonal {
       keyCol: String,
       tsCol: String,
       minPeriod: Int = 2,
-      maxPeriod: Int = 48): DataFrame = {
+      maxPeriod: Int = 48): DataFrame =
+    dominantPeriodBuckets(hourlyBuckets(df, keyCol, tsCol), minPeriod to maxPeriod)
+
+  /** [[dominantPeriod]] over a prebuilt bucket frame + explicit periods. */
+  private[operators] def dominantPeriodBuckets(
+      buckets: DataFrame, periods: Seq[Int]): DataFrame = {
     val r6 = graft.functions.Portable.r6 _
-    val nP = maxPeriod - minPeriod + 1
+    val nP = periods.size
     // consumed by both the winner aggregation and the entropy pass
-    val pg = periodogram(df, keyCol, tsCol, minPeriod, maxPeriod).pin(false)
+    val pg = periodogramBuckets(buckets, periods).pin(false)
     val tot = sum(col("power").cast("decimal(38,6)")).cast("double")
     val g = pg.groupBy(col("key"))
       .agg(
@@ -300,5 +326,59 @@ object Seasonal {
         r6(share).as("power_share"),
         r6(coalesce(col("__h"), lit(0.0)) / math.log(nP.toDouble))
           .as("spectral_entropy"))
+  }
+
+  /** The composed seasonality stack: measure each key's dominant period
+    * over an explicit candidate grid ([[dominantPeriod]]), then
+    * [[decompose]] every key AT ITS OWN winner — "find the cycle, then
+    * subtract it" as ONE lazy plan, the way the two operators are meant
+    * to chain (decompose ASSUMES a period; this supplies the measured
+    * one). Keys whose spectrum is too flat to trust
+    * (spectral_entropy > maxEntropy) are dropped, as are keys with NO
+    * spectral mass at all (a constant series has power_share NULL and
+    * entropy 0 — "very concentrated" would be the wrong reading):
+    * decomposing a cycle-free series just relabels noise as
+    * seasonality. Note entropy is measured over the CANDIDATE grid —
+    * with a handful of candidates, broadband noise can still
+    * concentrate on one of them, so a tight maxEntropy screens for
+    * "one candidate clearly beats the others", not "this series is
+    * truly periodic"; sweep [[periodogram]] first when that distinction
+    * matters.
+    *
+    * Execution shape: ONE fact pass to the pinned (key × hour) bucket
+    * frame; the periodogram/winner stage and every decompose branch run
+    * over that bounded frame, never the corpus. Per-key periods can't
+    * feed one window plan (frame widths are plan constants), so the
+    * plan unions one decompose branch per CANDIDATE period, each
+    * branch's input semi-joined (broadcast — the winner frame is
+    * key-sized) to the keys that chose it: |periods| passes over the
+    * bucket frame, zero extra fact scans. Keep the candidate list a
+    * handful of calendar-plausible cycles, not a sweep.
+    *
+    * Output: [[decompose]]'s columns + the `period` each key was
+    * decomposed at.
+    */
+  def decomposeAtDominant(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      periods: Seq[Int],
+      maxEntropy: Double = 1.0): DataFrame = {
+    require(periods.size <= 16,
+      s"decomposeAtDominant unions one decompose branch per candidate period — " +
+        s"${periods.size} is a sweep, not a candidate list; use periodogram to sweep")
+    val buckets = hourlyBuckets(df, keyCol, tsCol).pin(false)
+    val winners = dominantPeriodBuckets(buckets, periods)
+      .filter(col("dominant_period").isNotNull &&
+        col("power_share").isNotNull && // zero spectral mass = no cycle
+        col("spectral_entropy") <= maxEntropy)
+      .select(col("key"), col("dominant_period"))
+      .pin(false) // one branch filter per candidate period
+    periods.map { p =>
+      val keysAtP = winners.filter(col("dominant_period") === p).select(col("key"))
+      decomposeBuckets(
+        buckets.join(broadcast(keysAtP), Seq("key"), "left_semi"), p)
+        .withColumn("period", lit(p).cast("long"))
+    }.reduce(_ unionByName _)
   }
 }

@@ -31,11 +31,17 @@ import org.apache.spark.sql.functions._
 object ScaleData {
 
   def main(args: Array[String]): Unit = {
-    val (in, out, factor) = args match {
-      case Array(i, o)    => (i, o, 10)
-      case Array(i, o, f) => (i, o, f.toInt)
-      case _ => sys.error("usage: ScaleData <inDir> <outDir> [factor]")
+    val (in, out, factor, tableArg) = args match {
+      case Array(i, o)       => (i, o, 10, None)
+      case Array(i, o, f)    => (i, o, f.toInt, None)
+      case Array(i, o, f, t) => (i, o, f.toInt, Some(t))
+      case _ => sys.error("usage: ScaleData <inDir> <outDir> [factor] [tables,csv]")
     }
+    // optional table subset (e.g. "documents" for the sf100 shingle-cap
+    // corpus, where scaling the relational tables would only burn disk)
+    val want: String => Boolean =
+      tableArg.map(_.split(",").map(_.trim).toSet).map(s => s.contains(_))
+        .getOrElse(_ => true)
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -93,34 +99,31 @@ object ScaleData {
       df.agg(max(col(key))).collect()(0).getLong(0) + 1L
 
     // fixed-cardinality dimensions: copy through unchanged
-    Seq("region", "nation").foreach(t => writeSingle(rd(t), t))
+    Seq("region", "nation").filter(want).foreach(t => writeSingle(rd(t), t))
 
-    val cust = rd("customer")
-    val cStride = stride(cust, "c_custkey")
-    writeMulti(copies(cust) { (d, i) =>
+    lazy val cStride = stride(rd("customer"), "c_custkey")
+    lazy val sStride = stride(rd("supplier"), "s_suppkey")
+    lazy val pStride = stride(rd("part"), "p_partkey")
+    lazy val oStride = stride(rd("orders"), "o_orderkey")
+
+    if (want("customer")) writeMulti(copies(rd("customer")) { (d, i) =>
       d.withColumn("c_custkey", col("c_custkey") + lit(i * cStride))
     }, "customer")
 
-    val supp = rd("supplier")
-    val sStride = stride(supp, "s_suppkey")
-    writeMulti(copies(supp) { (d, i) =>
+    if (want("supplier")) writeMulti(copies(rd("supplier")) { (d, i) =>
       d.withColumn("s_suppkey", col("s_suppkey") + lit(i * sStride))
     }, "supplier")
 
-    val part = rd("part")
-    val pStride = stride(part, "p_partkey")
-    writeMulti(copies(part) { (d, i) =>
+    if (want("part")) writeMulti(copies(rd("part")) { (d, i) =>
       d.withColumn("p_partkey", col("p_partkey") + lit(i * pStride))
     }, "part")
 
-    val orders = rd("orders")
-    val oStride = stride(orders, "o_orderkey")
-    writeMulti(copies(orders) { (d, i) =>
+    if (want("orders")) writeMulti(copies(rd("orders")) { (d, i) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(i * oStride))
         .withColumn("o_custkey", col("o_custkey") + lit(i * cStride))
     }, "orders")
 
-    writeMulti(copies(rd("lineitem")) { (d, i) =>
+    if (want("lineitem")) writeMulti(copies(rd("lineitem")) { (d, i) =>
       d.withColumn("l_orderkey", col("l_orderkey") + lit(i * oStride))
         .withColumn("l_partkey", col("l_partkey") + lit(i * pStride))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * sStride))
@@ -130,17 +133,20 @@ object ScaleData {
     // TimestampType whatever the file encodes (the driver has shipped
     // both TIMESTAMP(NANOS) and plain micros across rounds); emit
     // micros TIMESTAMP_NTZ
-    val ev = graft.sources.Tables.events(spark, in)
-    val eStride = stride(ev, "event_id")
-    val uStride = stride(ev, "user_id")
-    writeMulti(copies(ev) { (d, i) =>
-      d.withColumn("event_id", col("event_id") + lit(i * eStride))
-        .withColumn("user_id", col("user_id") + lit(i * uStride))
-    }.withColumn("ts", col("ts").cast("timestamp_ntz")),
-      "events")
+    if (want("events")) {
+      val ev = graft.sources.Tables.events(spark, in)
+      val eStride = stride(ev, "event_id")
+      val uStride = stride(ev, "user_id")
+      writeMulti(copies(ev) { (d, i) =>
+        d.withColumn("event_id", col("event_id") + lit(i * eStride))
+          .withColumn("user_id", col("user_id") + lit(i * uStride))
+      }.withColumn("ts", col("ts").cast("timestamp_ntz")),
+        "events")
+    }
 
     // documents: word-salt ~20% of tokens per copy (deterministic md5
     // pick), recompute n_chars; copy 0 is the original corpus verbatim
+    if (want("documents")) {
     val docs = rd("documents")
     val dStride = stride(docs, "doc_id")
     writeMulti(copies(docs) { (d, i) =>
@@ -153,12 +159,14 @@ object ScaleData {
           .withColumn("n_chars", length(col("text")).cast("long"))
       salted.withColumn("doc_id", col("doc_id") + lit(i * dStride))
     }, "documents")
+    }
 
     // embeddings: rotate dims by (copy index mod dim) AND sign-flip a
     // copy-keyed subset of coordinates (norms and coordinate magnitudes
     // preserved, directions decorrelated). The modulo keeps the slice
     // valid past dim copies; the sign flips keep copies i and i+dim from
     // collapsing onto the same direction at 100x.
+    if (want("embeddings")) {
     val emb = rd("embeddings")
     val vStride = stride(emb, "vec_id")
     writeMulti(copies(emb) { (d, i) =>
@@ -173,6 +181,7 @@ object ScaleData {
              |            THEN x ELSE -x END)""".stripMargin))
       rotated.withColumn("vec_id", col("vec_id") + lit(i * vStride))
     }, "embeddings")
+    }
 
     println(s"[scale] done: $out at ${factor}x $in")
     spark.stop()
