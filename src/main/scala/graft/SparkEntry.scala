@@ -2627,7 +2627,77 @@ object SparkEntry {
           col("phase").cast("long").as("phase"), col("period"), col("v"),
           graft.functions.Portable.r6(col("trend")).as("trend"),
           graft.functions.Portable.r6(col("seasonal")).as("seasonal"),
-          graft.functions.Portable.r6(col("residual")).as("residual")))
+          graft.functions.Portable.r6(col("residual")).as("residual"))),
+
+    // WOE/IV feature screen: does source/lang separate long docs
+    // (n_chars > 500) from short ones — the pre-classifier leakage check
+    "q_woe" -> ((s, dir) =>
+      graft.operators.Woe.weightOfEvidence(docs(s, dir), Seq("source", "lang"),
+        col("n_chars") > 500)),
+
+    // ε-DP count release: per-(source, lang) doc counts with
+    // deterministic seeded Laplace noise — publishable corpus stats
+    "q_dp_counts" -> ((s, dir) =>
+      Integrity.dpCounts(docs(s, dir), Seq("source", "lang"), epsilon = 1.0, seed = "dp42")),
+
+    // corpus BLEU per source: candidate = the doc with every 7th-hash
+    // token dropped (deterministic lossy rewrite), reference = the doc —
+    // the n-gram-retention eval of any clean/compress/rewrite stage
+    "q_bleu" -> ((s, dir) => {
+      val toks = TextFunctions.wordTokens(col("text"))
+      val cand = array_join(
+        filter(toks, (t, i) =>
+          TextFunctions.md5Hash32(
+            concat(col("doc_id").cast("string"), lit("|"), (i + lit(1)).cast("string"))) % 7 =!= 0),
+        " ")
+      graft.text.Bleu.corpusBleu(
+        docs(s, dir).select(col("source"), col("doc_id"), cand.as("cand"), col("text").as("ref")),
+        Seq("source"), "doc_id", "cand", "ref")
+    }),
+
+    // KMV vocabulary-overlap matrix: per-source k=256 distinct-token
+    // sketches, then pairwise union/intersection/Jaccard estimates from
+    // the sketches alone (no per-pair corpus joins)
+    "q_kmv" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("source"), explode(TextFunctions.wordTokens(col("text"))).as("tok"))
+      Sketches.kmvOverlap(Sketches.kmvDistinct(toks, Seq("source"), "tok", k = 256), "source", 256)
+        .select(col("key_a").as("src_a"), col("key_b").as("src_b"),
+          col("est_a"), col("est_b"), col("est_union"), col("est_jaccard"), col("est_intersection"))
+    }),
+
+    // Dirichlet query-likelihood retrieval — the LM twin of
+    // q_bm25_retrieve on the same probe queries
+    "q_qlm" -> ((s, dir) =>
+      graft.text.QueryLikelihood
+        .retrieveTopK(
+          docs(s, dir),
+          Seq(
+            "q_joins"  -> Seq("join", "hash", "merge"),
+            "q_scan"   -> Seq("scan", "filter", "column"),
+            "q_stream" -> Seq("stream", "window", "batch")),
+          k = 10, mu = 1000.0)
+        .select(col("query_id"), col("id").as("doc_id"), col("rank"), col("qlm"))),
+
+    // MMR diverse re-rank: top-20 cosine candidates per query, then the
+    // greedy λ=0.7 diversity selection of 5 — retrieval generates,
+    // bounded MMR re-ranks
+    "q_mmr" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val cand = graft.ann.Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") < 3), k = 20)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      graft.pipeline.Selection
+        .mmrSelect(cand, e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          "query_id", "neighbor_id", "cosine", k = 5, lambda = 0.7)
+        .select(col("query_id"), col("step"), col("neighbor_id"),
+          col("cosine").as("rel"), col("max_sim"), col("mmr"))
+    },
+
+    // LPA communities over the word-adjacency graph (3 synchronous
+    // rounds, min tie-break), summarized to sizes ≥ 5
+    "q_communities" -> ((s, dir) =>
+      Graph.communitySizes(wordAdjacencyEdges(s, dir), iterations = 3, minSize = 5))
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -6902,6 +6972,109 @@ object SparkEntry {
            |  WHERE rk = 1 AND tot > 0),
            |${periods.map(branch).mkString(",\n")}
            |${periods.map(p => s"SELECT * FROM out_$p").mkString(" UNION ALL ")}""".stripMargin
+      },
+
+      "q_woe" -> {
+        def melt(f: String) =
+          s"SELECT '$f' AS feature, coalesce(CAST($f AS VARCHAR),'(null)') AS bin, coalesce(n_chars > 500, false) AS pos FROM documents"
+        s"""WITH m AS (${melt("source")} UNION ALL ${melt("lang")}),
+           |cells AS (SELECT feature, bin,
+           |    count(CASE WHEN pos THEN 1 END) AS n_good,
+           |    count(CASE WHEN NOT pos THEN 1 END) AS n_bad
+           |  FROM m GROUP BY 1, 2),
+           |d AS (SELECT feature, bin, n_good, n_bad,
+           |    (CAST(n_good AS DOUBLE) + 0.5) / sum(CAST(n_good AS DOUBLE) + 0.5) OVER (PARTITION BY feature) AS pg,
+           |    (CAST(n_bad AS DOUBLE) + 0.5) / sum(CAST(n_bad AS DOUBLE) + 0.5) OVER (PARTITION BY feature) AS pb
+           |  FROM cells),
+           |t AS (SELECT feature, bin, n_good, n_bad,
+           |    floor(ln(pg / pb) * 1000000 + 0.5) / 1000000 AS woe,
+           |    floor((pg - pb) * ln(pg / pb) * 1000000 + 0.5) / 1000000 AS iv_term
+           |  FROM d)
+           |SELECT feature, bin, n_good, n_bad, woe, iv_term,
+           |  CAST(sum(CAST(iv_term AS DECIMAL(38,6))) OVER (PARTITION BY feature) AS DOUBLE) AS iv
+           |FROM t""".stripMargin
+      },
+
+      "q_dp_counts" -> {
+        val key = "concat('dp42', coalesce(md5(CAST(source AS VARCHAR)),'N'), coalesce(md5(CAST(lang AS VARCHAR)),'N'))"
+        s"""WITH g AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+           |h AS (SELECT source, lang, n,
+           |    (CAST(${h32(key)} AS DOUBLE) + 0.5) / 4294967296.0 - 0.5 AS u FROM g)
+           |SELECT source, lang, CAST(1.0 AS DOUBLE) AS epsilon,
+           |  floor((CAST(n AS DOUBLE)
+           |    - (CASE WHEN u < 0 THEN -1.0 WHEN u > 0 THEN 1.0 ELSE 0.0 END)
+           |      * ln(1.0 - 2.0 * abs(u)) / 1.0) * 1000000 + 0.5) / 1000000 AS noisy_count
+           |FROM h""".stripMargin
+      },
+
+      "q_bleu" -> {
+        def grams(side: String, carry: String, n: Int): String =
+          if (n == 1) s"SELECT $carry id, 1 AS n, unnest($side) AS gram FROM base"
+          else
+            s"""SELECT $carry id, $n AS n, unnest(CASE WHEN len($side) >= $n
+               |  THEN list_transform(range(1, len($side) - ${n - 2}), i -> array_to_string($side[i:i+${n - 1}], ' '))
+               |  ELSE [] END) AS gram FROM base""".stripMargin
+        val cSides = (1 to 4).map(grams("ct", "source,", _)).mkString(" UNION ALL ")
+        val rSides = (1 to 4).map(grams("rt", "", _)).mkString(" UNION ALL ")
+        val dropHash = h32("concat(CAST(id AS VARCHAR), '|', CAST(i AS VARCHAR))")
+        s"""WITH tk AS (SELECT source, doc_id AS id,
+           |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS rt FROM documents),
+           |base AS (SELECT source, id, rt,
+           |    list_filter(rt, (x, i) -> $dropHash % 7 <> 0) AS ct FROM tk),
+           |cg AS (SELECT source, id, n, gram, count(*) AS cc FROM ($cSides) GROUP BY 1, 2, 3, 4),
+           |rg AS (SELECT id, n, gram, count(*) AS rc FROM ($rSides) GROUP BY 1, 2, 3),
+           |clip AS (SELECT source, n, CAST(sum(least(cc, rc)) AS BIGINT) AS cl
+           |  FROM cg JOIN rg USING (id, n, gram) GROUP BY 1, 2),
+           |lens AS (SELECT source, len(ct) AS lc, len(rt) AS lr FROM base),
+           |tots AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(sum(lc) AS BIGINT) AS cand_tokens, CAST(sum(lr) AS BIGINT) AS ref_tokens,
+           |    CAST(sum(greatest(lc - 0, 0)) AS BIGINT) AS t1, CAST(sum(greatest(lc - 1, 0)) AS BIGINT) AS t2,
+           |    CAST(sum(greatest(lc - 2, 0)) AS BIGINT) AS t3, CAST(sum(greatest(lc - 3, 0)) AS BIGINT) AS t4
+           |  FROM lens GROUP BY 1),
+           |cw AS (SELECT source,
+           |    CAST(sum(CASE WHEN n = 1 THEN cl END) AS BIGINT) AS c1, CAST(sum(CASE WHEN n = 2 THEN cl END) AS BIGINT) AS c2,
+           |    CAST(sum(CASE WHEN n = 3 THEN cl END) AS BIGINT) AS c3, CAST(sum(CASE WHEN n = 4 THEN cl END) AS BIGINT) AS c4
+           |  FROM clip GROUP BY 1),
+           |p AS (SELECT t.source, n_pairs, cand_tokens, ref_tokens,
+           |    CASE WHEN t1 > 0 THEN CAST(coalesce(c1, 0) AS DOUBLE) / CAST(t1 AS DOUBLE) END AS p1,
+           |    CASE WHEN t2 > 0 THEN CAST(coalesce(c2, 0) AS DOUBLE) / CAST(t2 AS DOUBLE) END AS p2,
+           |    CASE WHEN t3 > 0 THEN CAST(coalesce(c3, 0) AS DOUBLE) / CAST(t3 AS DOUBLE) END AS p3,
+           |    CASE WHEN t4 > 0 THEN CAST(coalesce(c4, 0) AS DOUBLE) / CAST(t4 AS DOUBLE) END AS p4
+           |  FROM tots t LEFT JOIN cw USING (source)),
+           |b AS (SELECT *, floor((CASE WHEN cand_tokens >= ref_tokens THEN 1.0
+           |    WHEN cand_tokens > 0 THEN exp(1.0 - CAST(ref_tokens AS DOUBLE) / CAST(cand_tokens AS DOUBLE)) END)
+           |    * 1000000 + 0.5) / 1000000 AS bp FROM p)
+           |SELECT source, n_pairs, cand_tokens, ref_tokens, bp,
+           |  floor(p1 * 1000000 + 0.5) / 1000000 AS p1, floor(p2 * 1000000 + 0.5) / 1000000 AS p2,
+           |  floor(p3 * 1000000 + 0.5) / 1000000 AS p3, floor(p4 * 1000000 + 0.5) / 1000000 AS p4,
+           |  CASE WHEN (p1 = 0.0 OR p2 = 0.0 OR p3 = 0.0 OR p4 = 0.0) THEN 0.0
+           |    ELSE floor(bp * exp((((ln(p1) + ln(p2)) + ln(p3)) + ln(p4)) / 4) * 1000000 + 0.5) / 1000000 END AS bleu
+           |FROM b""".stripMargin
+      },
+
+      "q_kmv" -> {
+        val k = 256
+        s"""WITH t AS (SELECT DISTINCT source, ${h32("tok")} AS h
+           |  FROM (SELECT source, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS tok FROM documents)),
+           |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM t),
+           |sk AS (SELECT source, list(h ORDER BY h) AS kmv, CAST(count(*) AS BIGINT) AS sz FROM r WHERE rk <= $k GROUP BY 1),
+           |est AS (SELECT source, kmv,
+           |    CASE WHEN sz < $k THEN CAST(sz AS DOUBLE)
+           |      ELSE ${k - 1}.0 / ((CAST(kmv[$k] AS DOUBLE) + 1.0) / 4294967296.0) END AS e0 FROM sk),
+           |pr AS (SELECT a.source AS src_a, b.source AS src_b, a.kmv AS sa, b.kmv AS sb,
+           |    floor(a.e0 * 1000000 + 0.5) / 1000000 AS est_a, floor(b.e0 * 1000000 + 0.5) / 1000000 AS est_b
+           |  FROM est a JOIN est b ON a.source < b.source),
+           |m AS (SELECT *, list_sort(list_distinct(list_concat(sa, sb))) AS un FROM pr),
+           |l AS (SELECT *, un[1:$k] AS ll, len(un) AS usz FROM m),
+           |f AS (SELECT *, len(list_intersect(ll, list_intersect(sa, sb))) AS ncom, len(ll) AS lsz,
+           |    CASE WHEN usz < $k THEN CAST(usz AS DOUBLE)
+           |      ELSE ${k - 1}.0 / ((CAST(ll[$k] AS DOUBLE) + 1.0) / 4294967296.0) END AS eu FROM l),
+           |g AS (SELECT *, CASE WHEN lsz > 0 THEN CAST(ncom AS DOUBLE) / CAST(lsz AS DOUBLE) END AS jac FROM f)
+           |SELECT src_a, src_b, est_a, est_b,
+           |  floor(eu * 1000000 + 0.5) / 1000000 AS est_union,
+           |  floor(jac * 1000000 + 0.5) / 1000000 AS est_jaccard,
+           |  floor(jac * eu * 1000000 + 0.5) / 1000000 AS est_intersection
+           |FROM g""".stripMargin
       }
     )
   }

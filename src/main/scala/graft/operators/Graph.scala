@@ -320,4 +320,68 @@ object Graph {
         aC.as("a_c"),
         (eC - aC * aC).as("q_c"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007) over the undirected simple graph: every node starts labeled
+    * with itself; each round it adopts the most frequent label among its
+    * neighbors (ties → minimum label, so the whole run is deterministic —
+    * the async random-order variant is not reproducible and therefore
+    * not auditable). The cheap communities-at-scale pass whose output
+    * [[modularity]] then audits ("is this partition real structure").
+    *
+    * `iterations` is a bounded contract (≤ `maxIterations`, loud
+    * require): each round is two key-shuffles (neighbor-label expand →
+    * per-node majority window) over the edge list — the Pregel
+    * iteration shape, linear in |E| per round, nothing global. Plain
+    * LPA oscillates on bipartite structure under synchronous update;
+    * bounded rounds make that a fixed cost, not a convergence hazard
+    * (run modularity on the output to decide if more rounds help).
+    *
+    * Output: (node, community) for every non-isolated node.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      iterations: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIterations: Int = 8): DataFrame = {
+    require(iterations >= 1 && iterations <= maxIterations,
+      s"iterations must be in [1, $maxIterations], got $iterations — " +
+        "each round is a full edge shuffle; a deeper sweep wants a real Pregel loop")
+    val und = undirected(edges, srcCol, dstCol)
+    // both directions: every node sees every neighbor
+    val nbrs = und.select(col("a").as("node"), col("b").as("nb"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nb")))
+      .pin(true)
+    var labels = nbrs.select(col("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+    val w = Window.partitionBy(col("node")).orderBy(col("__c").desc, col("__lbl").asc)
+    for (_ <- 1 to iterations) {
+      labels = nbrs
+        .join(labels.select(col("node").as("nb"), col("community").as("__lbl")), "nb")
+        .groupBy(col("node"), col("__lbl"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("__lbl").as("community"))
+    }
+    labels
+  }
+
+  /** [[labelPropagation]] summarized to community sizes ≥ `minSize` —
+    * the label-frame-sized report (community id = its minimum member
+    * keeps the id stable across runs regardless of which member named
+    * the community).
+    */
+  def communitySizes(
+      edges: DataFrame,
+      iterations: Int,
+      minSize: Long,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame =
+    labelPropagation(edges, iterations, srcCol, dstCol)
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_member"))
+      .filter(col("n_nodes") >= minSize)
+      .select(col("community"), col("n_nodes"), col("min_member"))
 }

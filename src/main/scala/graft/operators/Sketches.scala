@@ -90,4 +90,66 @@ object Sketches {
       .join(broadcast(sketch), Seq("j", "b"), "left")
       .groupBy("i")
       .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+
+  // ----------------------------------------------------------------- KMV
+
+  /** The normalized (0,1] hash position of a 32-bit md5 value — the
+    * order statistic every KMV estimate is built on.
+    */
+  private def kmvU(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (h.cast("double") + lit(1.0)) / lit(4294967296.0)
+
+  /** Per-group KMV sketch of `itemCol`'s distinct-value set, plus the
+    * distinct-count estimate (k−1)/u₍ₖ₎ — exact (= sketch size) when the
+    * group has fewer than k distinct values. The sketch column is kept:
+    * unlike HLL, downstream set algebra ([[kmvOverlap]]) runs on it
+    * row-locally. md5-derived hashing makes every estimate
+    * deterministically reproducible in any engine (the [[countMinTable]]
+    * discipline — the estimate itself is oracle-verifiable).
+    *
+    * Execution: ONE map-side-bounded aggregation ([[graft.functions.KmvSketch]]
+    * keeps ≤ k distinct longs per group per partition before the
+    * exchange) — no distinct shuffle of the full value set, ever.
+    */
+  def kmvDistinct(df: DataFrame, by: Seq[String], itemCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2 (the estimate is (k-1)/u_k), got $k")
+    df.groupBy(by.map(col): _*)
+      .agg(graft.functions.KmvSketch.kmv(
+        graft.text.TextFunctions.md5Hash32(col(itemCol).cast("string")), k).as("kmv"))
+      .withColumn("est_distinct",
+        graft.functions.Portable.r6(
+          when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+            .otherwise(lit(k - 1.0) / kmvU(element_at(col("kmv"), k)))))
+  }
+
+  /** Pairwise set-overlap estimates between groups' KMV sketches
+    * (Beyer et al. 2007): for each group pair the two k-sketches combine
+    * ROW-LOCALLY — L = the k smallest of the sketch union,
+    * J = |L ∩ Sa ∩ Sb| / |L|, union = (k−1)/u₍ₖ₎(L) (exact when the
+    * union sketch holds fewer than k values), intersection = J · union.
+    * The fact table is long gone: this joins the GROUP-sized sketch
+    * frame with itself (a < b), so "vocabulary overlap between every
+    * pair of 50 sources" costs 1225 array operations, not 1225 distinct
+    * joins over the corpus.
+    */
+  def kmvOverlap(sketches: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val a = sketches.select(col(keyCol).as("key_a"), col("kmv").as("__sa"),
+      col("est_distinct").as("est_a"))
+    val b = sketches.select(col(keyCol).as("key_b"), col("kmv").as("__sb"),
+      col("est_distinct").as("est_b"))
+    val u = array_sort(array_union(col("__sa"), col("__sb")))
+    val pairs = a.join(b, col("key_a") < col("key_b"))
+      .withColumn("__u", u)
+      .withColumn("__l", slice(col("__u"), 1, k))
+    val lSize = size(col("__l")).cast("double")
+    val nCommonInL = size(array_intersect(col("__l"), array_intersect(col("__sa"), col("__sb"))))
+    val jac = when(lSize > 0, nCommonInL.cast("double") / lSize)
+    val estUnion = when(size(col("__u")) < k, size(col("__u")).cast("double"))
+      .otherwise(lit(k - 1.0) / kmvU(element_at(col("__l"), k)))
+    pairs
+      .withColumn("est_union", graft.functions.Portable.r6(estUnion))
+      .withColumn("est_jaccard", graft.functions.Portable.r6(jac))
+      .withColumn("est_intersection", graft.functions.Portable.r6(jac * estUnion))
+      .select("key_a", "key_b", "est_a", "est_b", "est_union", "est_jaccard", "est_intersection")
+  }
 }

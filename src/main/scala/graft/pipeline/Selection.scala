@@ -158,4 +158,93 @@ object Selection {
       c === col("__c") && q === col("__q"),
       "left_semi")
   }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick `k` items per query maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    * diversity-aware re-rank between retrieval and a training batch (or
+    * a RAG context window), where plain top-k returns k near-copies of
+    * the same best document.
+    *
+    * Greedy selection is inherently sequential in k, so the operator is
+    * built for the two-stage shape every MMR deployment has: a SCALABLE
+    * candidate generator (brute-force / IVF top-N per query — the
+    * corpus-sized work) followed by this BOUNDED re-rank. The contract
+    * is enforced, not assumed: more than `maxCandidates` candidates for
+    * any query raise_errors (folded into the id column so pruning can't
+    * skip it — the paretoFrontier discipline). Execution: k−1 joins of
+    * the (queries × ≤maxCandidates) candidate frame against the
+    * (queries × <k) picked frame, each step pinned, the corpus never
+    * rescanned. Per-step similarity is max of r6-pinned cosines and the
+    * MMR score is r6-pinned with ascending-id ties — deterministic
+    * cross-engine ranking (the retrieveTopK convention). Queries with
+    * fewer than k candidates simply stop early.
+    *
+    * `candidates`: (queryCol, idCol, relCol) — relCol should already be
+    * r6-rounded by the retrieval stage. `vectors`: (idCol, vecCol).
+    * Output: (queryCol, step 1..k, idCol, relCol, max_sim, mmr).
+    */
+  def mmrSelect(
+      candidates: DataFrame,
+      vectors: DataFrame,
+      queryCol: String,
+      idCol: String,
+      relCol: String,
+      k: Int,
+      lambda: Double,
+      vecCol: String = "embedding",
+      maxCandidates: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    import graft.plans.Materialize.PinOps
+    val r6 = graft.functions.Portable.r6 _
+    val wc = Window.partitionBy(col(queryCol))
+    val guarded = candidates
+      .withColumn("__nc", count(lit(1)).over(wc))
+      .withColumn(idCol,
+        when(col("__nc") > maxCandidates,
+          raise_error(concat(
+            lit(s"mmrSelect: more than maxCandidates=$maxCandidates candidates for query "),
+            col(queryCol).cast("string"),
+            lit(" — MMR is the bounded re-rank stage; cut candidates in the retrieval stage"))))
+          .otherwise(col(idCol)))
+      .drop("__nc")
+    val cand = guarded
+      .join(vectors.select(col(idCol), col(vecCol)), idCol)
+      .select(col(queryCol).as("__q"), col(idCol).as("__id"),
+        col(relCol).as("__rel"), col(vecCol).as("__vec"))
+      .pin()
+    val w1 = Window.partitionBy("__q").orderBy(col("__rel").desc, col("__id").asc)
+    var sel = cand
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") === 1)
+      .select(col("__q"), lit(1L).as("step"), col("__id"), col("__rel"),
+        lit(null).cast("double").as("max_sim"),
+        r6(lit(lambda) * col("__rel")).as("mmr"), col("__vec"))
+      .pin()
+    for (j <- 2 to k) {
+      val selected = sel.select(
+        col("__q").as("__qs"), col("__id").as("__ids"), col("__vec").as("__vecs"))
+      val rem = cand.join(
+        selected.select(col("__qs").as("__q"), col("__ids").as("__id")),
+        Seq("__q", "__id"), "left_anti")
+      val wj = Window.partitionBy("__q").orderBy(col("__mmr0").desc, col("__id").asc)
+      val pick = rem
+        .join(broadcast(selected), col("__q") === col("__qs"))
+        .groupBy(col("__q"), col("__id"))
+        .agg(
+          first(col("__rel")).as("__rel"),
+          first(col("__vec")).as("__vec"),
+          max(r6(graft.ann.Similarity.cosine(col("__vec"), col("__vecs")))).as("__ms"))
+        .withColumn("__mmr0",
+          r6(lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__ms")))
+        .withColumn("__rn", row_number().over(wj))
+        .filter(col("__rn") === 1)
+        .select(col("__q"), lit(j.toLong).as("step"), col("__id"), col("__rel"),
+          col("__ms").as("max_sim"), col("__mmr0").as("mmr"), col("__vec"))
+      sel = sel.unionByName(pick).pin()
+    }
+    sel.select(col("__q").as(queryCol), col("step"), col("__id").as(idCol),
+      col("__rel").as(relCol), col("max_sim"), col("mmr"))
+  }
 }
