@@ -2694,10 +2694,20 @@ object SparkEntry {
           col("cosine").as("rel"), col("max_sim"), col("mmr"))
     },
 
-    // LPA communities over the word-adjacency graph (3 synchronous
-    // rounds, min tie-break), summarized to sizes ≥ 5
-    "q_communities" -> ((s, dir) =>
-      Graph.communitySizes(wordAdjacencyEdges(s, dir), iterations = 3, minSize = 5))
+    // LPA communities over the REPEAT co-purchase graph: parts sharing
+    // an order ≥ 2 times (the single-co-occurrence edges are noise that
+    // welds a dense random blob), 3 synchronous rounds, sizes ≥ 5.
+    // Per-order pair generation is bounded by order size — the
+    // market-basket shape, never an all-pairs part join
+    "q_communities" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("x")
+        .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      Graph.communitySizes(edges, iterations = 3, minSize = 5, srcCol = "a", dstCol = "b")
+    }
   )
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
@@ -7075,6 +7085,78 @@ object SparkEntry {
            |  floor(jac * 1000000 + 0.5) / 1000000 AS est_jaccard,
            |  floor(jac * eu * 1000000 + 0.5) / 1000000 AS est_intersection
            |FROM g""".stripMargin
+      },
+
+      "q_qlm" ->
+        """WITH qt(query_id, term) AS (VALUES
+          |  ('q_joins','join'), ('q_joins','hash'), ('q_joins','merge'),
+          |  ('q_scan','scan'), ('q_scan','filter'), ('q_scan','column'),
+          |  ('q_stream','stream'), ('q_stream','window'), ('q_stream','batch')),
+          |tok AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+          |dl AS (SELECT id, CAST(len(toks) AS DOUBLE) AS dl FROM tok),
+          |coll AS (SELECT CAST(CAST(sum(len(toks)) AS BIGINT) AS DOUBLE) AS c FROM tok),
+          |tf AS (SELECT id, term, count(*) AS tf FROM (SELECT id, unnest(toks) AS term FROM tok)
+          |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+          |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+          |ql AS (SELECT query_id, CAST(count(*) AS DOUBLE) AS qlen FROM qt JOIN cf USING (term) GROUP BY 1),
+          |m AS (SELECT query_id, id,
+          |    CAST(sum(CAST(floor(ln(1.0 + CAST(tf AS DOUBLE) * c / (CAST(1000 AS DOUBLE) * CAST(cf AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS mt
+          |  FROM tf JOIN cf USING (term) JOIN qt USING (term), coll GROUP BY 1, 2),
+          |s AS (SELECT query_id, m.id AS doc_id,
+          |    floor((mt + qlen * ln(CAST(1000 AS DOUBLE) / (dl + CAST(1000 AS DOUBLE)))) * 1000000 + 0.5) / 1000000 AS qlm
+          |  FROM m JOIN dl ON m.id = dl.id JOIN ql USING (query_id)),
+          |r AS (SELECT query_id, doc_id, qlm,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY qlm DESC, doc_id) AS rank FROM s)
+          |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, qlm FROM r WHERE rank <= 10""".stripMargin,
+
+      "q_mmr" -> {
+        // λ and (1−λ) rendered as the IEEE ops Scala performs: 0.7 and
+        // (1.0 − 0.7) = 0.30000000000000004 — NOT the decimal 0.3
+        val lam = "CAST(0.7 AS DOUBLE)"
+        val oneMinusLam = "(CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+        def mmrExpr(ms: String) =
+          s"floor(($lam * rel - $oneMinusLam * $ms) * 1000000 + 0.5) / 1000000"
+        def stage(j: Int): String =
+          s"""p$j AS (SELECT c.qid, c.id, any_value(c.rel) AS rel, any_value(c.vec) AS vec,
+             |    max(floor(${cosSql("c.vec", "s.vec")} * 1000000 + 0.5) / 1000000) AS ms
+             |  FROM cv c JOIN sel${j - 1} s ON c.qid = s.qid
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel${j - 1} x WHERE x.qid = c.qid AND x.id = c.id)
+             |  GROUP BY 1, 2),
+             |s$j AS (SELECT qid, $j AS step, id, rel, ms AS max_sim, ${mmrExpr("ms")} AS mmr, vec
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ${mmrExpr("ms")} DESC, id) AS rk
+             |        FROM p$j) WHERE rk = 1),
+             |sel$j AS (SELECT * FROM sel${j - 1} UNION ALL SELECT * FROM s$j)""".stripMargin
+        s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 3),
+           |sc AS (SELECT q.vec_id AS qid, c.vec_id AS id, ${cosSql("q.embedding", "c.embedding")} AS cos
+           |       FROM embeddings c JOIN q ON c.vec_id <> q.vec_id),
+           |cand AS (SELECT qid, id, floor(cos * 1000000 + 0.5) / 1000000 AS rel
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk FROM sc)
+           |  WHERE rk <= 20),
+           |cv AS (SELECT cand.qid, cand.id, cand.rel, e.embedding AS vec
+           |  FROM cand JOIN embeddings e ON cand.id = e.vec_id),
+           |sel1 AS (SELECT qid, 1 AS step, id, rel, CAST(NULL AS DOUBLE) AS max_sim,
+           |    floor($lam * rel * 1000000 + 0.5) / 1000000 AS mmr, vec
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rk FROM cv)
+           |  WHERE rk = 1),
+           |${(2 to 5).map(stage).mkString(",\n")}
+           |SELECT qid AS query_id, CAST(step AS BIGINT) AS step, id AS neighbor_id, rel, max_sim, mmr
+           |FROM sel5""".stripMargin
+      },
+
+      "q_communities" -> {
+        def round(j: Int): String =
+          s"""l$j AS (SELECT node, community FROM (
+             |  SELECT n.node, l.community, count(*) AS c,
+             |    row_number() OVER (PARTITION BY n.node ORDER BY count(*) DESC, l.community) AS rk
+             |  FROM nb n JOIN l${j - 1} l ON n.nb = l.node GROUP BY 1, 2) WHERE rk = 1)""".stripMargin
+        s"""WITH p AS (SELECT least(a.l_partkey, b.l_partkey) AS a, greatest(a.l_partkey, b.l_partkey) AS b
+           |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |e0 AS (SELECT a, b FROM p GROUP BY 1, 2 HAVING count(*) >= 2),
+           |nb AS (SELECT a AS node, b AS nb FROM e0 UNION ALL SELECT b, a FROM e0),
+           |l0 AS (SELECT DISTINCT node, node AS community FROM nb),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT community, CAST(count(*) AS BIGINT) AS n_nodes, min(node) AS min_member
+           |FROM l3 GROUP BY 1 HAVING count(*) >= 5""".stripMargin
       }
     )
   }

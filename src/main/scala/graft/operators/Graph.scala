@@ -355,7 +355,8 @@ object Graph {
       .pin(true)
     var labels = nbrs.select(col("node")).distinct()
       .select(col("node"), col("node").as("community"))
-    val w = Window.partitionBy(col("node")).orderBy(col("__c").desc, col("__lbl").asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("__c").desc, col("__lbl").asc)
     for (_ <- 1 to iterations) {
       labels = nbrs
         .join(labels.select(col("node").as("nb"), col("community").as("__lbl")), "nb")
