@@ -138,7 +138,7 @@ object Sketches {
     val b = sketches.select(col(keyCol).as("key_b"), col("kmv").as("__sb"),
       col("est_distinct").as("est_b"))
     val u = array_sort(array_union(col("__sa"), col("__sb")))
-    val pairs = a.join(b, col("key_a") < col("key_b"))
+    val pairs = a.join(broadcast(b), col("key_a") < col("key_b"))
       .withColumn("__u", u)
       .withColumn("__l", slice(col("__u"), 1, k))
     val lSize = size(col("__l")).cast("double")

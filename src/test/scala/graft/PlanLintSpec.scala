@@ -89,7 +89,12 @@ class PlanLintSpec extends SparkSpec {
       // (value-domain-sized after the per-cost collapse, like
       // q_fit_vocab's vocabulary rank) — the corpus never reaches the
       // window; continuous costs should be bucketed by the caller
-      "q_pareto"         -> Set("global-window")
+      "q_pareto"         -> Set("global-window"),
+      // the pairwise sketch-overlap join is over the GROUP-sized KMV
+      // sketch frame (one row per source) — both sides are group-count-
+      // bounded by construction; the pair scan IS the operator (set
+      // algebra on sketches, the corpus is long gone)
+      "q_kmv"            -> Set("nested-loop-join")
     )
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       PlanLint.lint(fn(spark, sf))
