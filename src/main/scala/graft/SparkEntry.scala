@@ -113,6 +113,117 @@ object SparkEntry {
        |reach AS (SELECT src AS id, src AS r FROM e UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
        |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
+  /** Bernoulli-NB train+score CTEs ending in
+    * `scored(id, label, class, log_post, posterior)` — matches
+    * [[graft.text.NaiveBayes.bernoulliNb]] on the length-bucket label;
+    * shared by the q_nb and q_label_noise oracles.
+    */
+  private val nbScoredCtes: String =
+    """base AS (SELECT doc_id AS id, CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS label,
+      |    list_distinct(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '')) AS ws FROM documents),
+      |pres AS (SELECT id, label, unnest(ws) AS w FROM base),
+      |cls AS (SELECT label, count(*) AS nc FROM base GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM base),
+      |voc AS (SELECT DISTINCT w FROM pres),
+      |wcn AS (SELECT w, label, count(*) AS dw FROM pres GROUP BY 1, 2),
+      |grid AS (SELECT voc.w, cls.label AS class, cls.nc, coalesce(wcn.dw, 0) AS dw
+      |  FROM voc CROSS JOIN cls LEFT JOIN wcn ON wcn.w = voc.w AND wcn.label = cls.label),
+      |pp AS (SELECT w, class,
+      |    (CAST(dw AS DOUBLE) + CAST(1 AS DOUBLE)) / (CAST(nc AS DOUBLE) + CAST(2 AS DOUBLE)) AS p FROM grid),
+      |model AS (SELECT w, class,
+      |    floor((ln(p) - ln(CAST(1 AS DOUBLE) - p)) * 1000000 + 0.5) / 1000000 AS wt,
+      |    floor(ln(CAST(1 AS DOUBLE) - p) * 1000000 + 0.5) / 1000000 AS l1p FROM pp),
+      |cc AS (SELECT class, CAST(sum(CAST(l1p AS DECIMAL(38,6))) AS DOUBLE) AS s FROM model GROUP BY 1),
+      |cconst AS (SELECT cc.class, s + ln(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)) AS cst
+      |  FROM cc JOIN cls ON cc.class = cls.label, tot),
+      |dc AS (SELECT p.id, p.label, m.class, CAST(sum(CAST(m.wt AS DECIMAL(38,6))) AS DOUBLE) AS mm
+      |  FROM pres p JOIN model m ON p.w = m.w GROUP BY 1, 2, 3),
+      |lp AS (SELECT id, label, dc.class, floor((cst + mm) * 1000000 + 0.5) / 1000000 AS log_post
+      |  FROM dc JOIN cconst ON dc.class = cconst.class),
+      |sm AS (SELECT *, max(log_post) OVER (PARTITION BY id) AS mx FROM lp),
+      |e AS (SELECT *, floor(exp(log_post - mx) * 1000000 + 0.5) / 1000000 AS ee FROM sm),
+      |dn AS (SELECT *, CAST(sum(CAST(ee AS DECIMAL(38,6))) OVER (PARTITION BY id) AS DOUBLE) AS den FROM e),
+      |scored AS (SELECT id, label, class, log_post, floor(ee / den * 1000000 + 0.5) / 1000000 AS posterior FROM dn)""".stripMargin
+
+  /** Cox oracle: KM-style spans + per-day event stats + `iters` staged
+    * Newton CTEs — mirrors [[graft.operators.Survival.coxPh]] on the
+    * [[coxSubjects]] frame. Emits CTEs ending in `ui$iters` (u, i, ll
+    * evaluated AT the final beta) and `b$iters` (the final beta).
+    */
+  private def coxCtes(iters: Int): String = {
+    def r6(e: String) = graft.functions.Portable.r6Sql(e)
+    def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+    val head =
+      s"""sp AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+         |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS te,
+         |    max(epoch_us(ts)) AS tl,
+         |    ${r6(s"${dsum("value")} / CAST(count(*) AS DOUBLE)")} AS x
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+         |subj AS (SELECT CAST(floor(CAST(coalesce(te, tl) - t0 AS DOUBLE) / 86400000000.0) AS BIGINT) AS t_day,
+         |    te IS NOT NULL AS obs, x FROM sp),
+         |evd AS (SELECT t_day, count(CASE WHEN obs THEN 1 END) AS d,
+         |    coalesce(${dsum("CASE WHEN obs THEN x END")}, 0.0) AS sx FROM subj GROUP BY 1),
+         |b0 AS (SELECT CAST(0.0 AS DOUBLE) AS beta)""".stripMargin
+    // step k: day totals at b{k} -> reverse-cumulative risk sums ->
+    // one-row (u, i, ll); the Newton update to b{k+1} is emitted
+    // separately so the LAST step can evaluate AT the final beta
+    def eval(k: Int): String = {
+      val rev = "ORDER BY t_day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+      s"""w$k AS (SELECT s.t_day, ${r6("exp(b.beta * s.x)")} AS w, s.x AS x FROM subj s, b$k b),
+         |day$k AS (SELECT t_day, ${dsum("w")} AS w0, ${dsum(r6("w * x"))} AS w1,
+         |    ${dsum(r6("w * x * x"))} AS w2 FROM w$k GROUP BY 1),
+         |rs$k AS (SELECT dy.t_day, e.d, e.sx,
+         |    CAST(sum(CAST(dy.w0 AS DECIMAL(38,6))) OVER ($rev) AS DOUBLE) AS s0,
+         |    CAST(sum(CAST(dy.w1 AS DECIMAL(38,6))) OVER ($rev) AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(dy.w2 AS DECIMAL(38,6))) OVER ($rev) AS DOUBLE) AS s2
+         |  FROM day$k dy JOIN evd e USING (t_day)),
+         |ui$k AS (SELECT
+         |    coalesce(${dsum(r6("sx - CAST(d AS DOUBLE) * s1 / s0"))}, 0.0) AS u,
+         |    coalesce(${dsum(r6("CAST(d AS DOUBLE) * (s2 / s0 - (s1 / s0) * (s1 / s0))"))}, 0.0) AS i,
+         |    coalesce(${dsum(r6("b.beta * sx - CAST(d AS DOUBLE) * ln(s0)"))}, 0.0) AS ll
+         |  FROM rs$k CROSS JOIN b$k b WHERE d > 0)""".stripMargin
+    }
+    def update(k: Int): String =
+      s"""b${k + 1} AS (SELECT CASE WHEN ui.i > 0 THEN ${r6("b.beta + ui.u / ui.i")}
+         |    ELSE b.beta END AS beta FROM ui$k ui, b$k b)""".stripMargin
+    val steps = (0 until iters).flatMap(k => Seq(eval(k), update(k)))
+    (head +: steps :+ eval(iters)).mkString(",\n")
+  }
+
+  /** Logistic-GD oracle: [[logitDocs]] features + `iters` staged
+    * gradient steps (lr 0.5) on label `yExpr` — mirrors
+    * [[graft.operators.Logistic.fitGd]]. Emits CTEs ending in
+    * `cb$iters` (c0/c1/c2) and the scoring pass `p$iters`
+    * (id, source, n_chars, y, x1, x2, p).
+    */
+  private def logitCtes(yExpr: String, iters: Int): String = {
+    def r6(e: String) = graft.functions.Portable.r6Sql(e)
+    def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+    val head =
+      s"""lw AS (SELECT *, len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS nw
+         |  FROM documents),
+         |ld AS (SELECT doc_id AS id, source, n_chars, CAST(($yExpr) AS INT) AS y,
+         |    ${r6("CAST(nw AS DOUBLE) / 100.0")} AS x1,
+         |    CASE WHEN nw > 0 THEN ${r6("CAST(n_chars AS DOUBLE) / (CAST(nw AS DOUBLE) * 10.0)")}
+         |      ELSE 0.0 END AS x2
+         |  FROM lw),
+         |cb0 AS (SELECT CAST(0.0 AS DOUBLE) AS c0, CAST(0.0 AS DOUBLE) AS c1, CAST(0.0 AS DOUBLE) AS c2)""".stripMargin
+    def score(k: Int): String =
+      s"""p$k AS (SELECT id, source, n_chars, y, x1, x2,
+         |    ${r6("1.0 / (1.0 + exp(-(b.c0 * 1.0 + b.c1 * x1 + b.c2 * x2)))")} AS p
+         |  FROM ld, cb$k b)""".stripMargin
+    def step(k: Int): String =
+      s"""${score(k)},
+         |g$k AS (SELECT count(*) AS n, ${dsum(r6("(p - CAST(y AS DOUBLE)) * 1.0"))} AS g0,
+         |    ${dsum(r6("(p - CAST(y AS DOUBLE)) * x1"))} AS g1,
+         |    ${dsum(r6("(p - CAST(y AS DOUBLE)) * x2"))} AS g2 FROM p$k),
+         |cb${k + 1} AS (SELECT ${r6("b.c0 - 0.5 * g.g0 / CAST(g.n AS DOUBLE)")} AS c0,
+         |    ${r6("b.c1 - 0.5 * g.g1 / CAST(g.n AS DOUBLE)")} AS c1,
+         |    ${r6("b.c2 - 0.5 * g.g2 / CAST(g.n AS DOUBLE)")} AS c2
+         |  FROM g$k g, cb$k b)""".stripMargin
+    (head +: (0 until iters).map(step) :+ score(iters)).mkString(",\n")
+  }
+
   /** Universal-hash minhash aggregate list (matches [[Dedup.minhashSignatures]]). */
   private def minhashAggSql(k: Int, alias: Int => String): String =
     (0 until k).map { j =>
@@ -2707,8 +2818,104 @@ object SparkEntry {
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
       Graph.communitySizes(edges, iterations = 3, minSize = 5, srcCol = "a", dstCol = "b")
-    }
+    },
+
+    // Bernoulli NB quality-classifier shape: train + score in one plan
+    // on the derived length-bucket label (word PRESENCE separates the
+    // buckets in this corpus; per-token distributions do not)
+    "q_nb" -> ((s, dir) =>
+      graft.text.NaiveBayes.bernoulliNb(
+        docs(s, dir).withColumn("bucket",
+          when(col("n_chars") >= 300, lit("long")).otherwise(lit("short"))),
+        "doc_id", "text", "bucket")
+        .select(col("doc_id"), col("label"), col("class"), col("log_post"), col("posterior"))),
+
+    // confident-learning label-noise audit over the NB posteriors —
+    // the off-diagonal of the confident joint is the estimated noise
+    "q_label_noise" -> ((s, dir) =>
+      LabelNoise.confidentJoint(
+        graft.text.NaiveBayes.bernoulliNb(
+          docs(s, dir).withColumn("bucket",
+            when(col("n_chars") >= 300, lit("long")).otherwise(lit("short"))),
+          "doc_id", "text", "bucket"),
+        "doc_id", "label", "class", "posterior")),
+
+    // Cox proportional hazards on the q_km_survival spans: does a
+    // user's mean event value shift the time-to-purchase hazard
+    // (fixed 4-step Newton, Breslow ties)
+    "q_cox" -> ((s, dir) => Survival.coxPh(coxSubjects(s, dir), "t_day", "obs", "x")),
+
+    // logistic regression by fixed-step GD on the length-bucket label —
+    // the linear-classifier counterpart to q_nb's generative model
+    "q_logreg" -> ((s, dir) => {
+      val d = logitDocs(s, dir)
+      Logistic.coefficients(
+        d, Logistic.fitGd(d, "y", Seq("x1", "x2"), iters = 5, lr = 0.5),
+        "y", Seq("x1", "x2"))
+    }),
+
+    // IPW average treatment effect: LR propensity (treatment = src0)
+    // -> clipped Hajek weighting of n_chars — the composed
+    // observational-causal shape (propensity model feeds the estimator)
+    "q_ipw" -> ((s, dir) => {
+      val d = logitDocs(s, dir).withColumn("treat", col("source") === "src0")
+      val fit = Logistic.fitGd(d, "treat", Seq("x1", "x2"), iters = 5, lr = 0.5)
+      Logistic.ipwAte(Logistic.score(d, fit, Seq("x1", "x2"), "p_hat"),
+        "n_chars", "treat", "p_hat", clip = 0.05)
+    }),
+
+    // empirical-Bayes beta-binomial shrinkage of per-customer urgent-
+    // order rates (method-of-moments prior from the data)
+    "q_eb_shrink" -> ((s, dir) =>
+      Shrinkage.ebBetaBinomial(
+        Tables.orders(s, dir), "o_custkey",
+        col("o_orderpriority") === "1-URGENT")
+        .withColumnRenamed("group", "o_custkey")),
+
+    // Mondrian split-conformal calibration of the per-source n_chars
+    // predictor: finite-sample +/- bands per group, coverage audited
+    // on the held-out test band
+    "q_conformal" -> ((s, dir) =>
+      Conformal.splitConformal(docs(s, dir), "doc_id", "source", "n_chars",
+        alpha = 0.2, seed = "c42"))
   )
+
+  /** Per-user Cox subjects shared by the q_cox Spark call and oracle:
+    * KM-style spans (first event → first purchase else last event, day
+    * granularity) plus the r6-pinned mean event value as covariate.
+    */
+  private def coxSubjects(s: SparkSession, dir: String): DataFrame = {
+    val t = unix_micros(col("ts"))
+    ev(s, dir).filter(col("ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        min(t).as("__t0"),
+        min(when(col("event_type") === "purchase", t)).as("__te"),
+        max(t).as("__tl"),
+        graft.functions.Portable.r6(
+          sum(col("value").cast("decimal(38,6)")).cast("double") /
+            count(lit(1)).cast("double")).as("x"))
+      .select(
+        floor((coalesce(col("__te"), col("__tl")) - col("__t0")).cast("double") / 86400000000.0)
+          .cast("long").as("t_day"),
+        col("__te").isNotNull.as("obs"),
+        col("x"))
+  }
+
+  /** Docs with the length-bucket label and two r6-pinned O(1)-scaled
+    * features (word count / 100, mean word length / 10) shared by the
+    * q_logreg and q_ipw Spark calls and oracles.
+    */
+  private def logitDocs(s: SparkSession, dir: String): DataFrame = {
+    val nw = size(TextFunctions.wordTokens(col("text")))
+    docs(s, dir).select(
+      col("doc_id"), col("source"), col("n_chars"),
+      (col("n_chars") >= 300).as("y"),
+      graft.functions.Portable.r6(nw.cast("double") / lit(100.0)).as("x1"),
+      when(nw > 0, graft.functions.Portable.r6(
+        col("n_chars").cast("double") / (nw.cast("double") * lit(10.0))))
+        .otherwise(lit(0.0)).as("x2"))
+  }
 
   /** Quantile probes shared by the q_quantiles Spark call and oracle. */
   private val QuantilePs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
@@ -7157,6 +7364,116 @@ object SparkEntry {
            |${(1 to 3).map(round).mkString(",\n")}
            |SELECT community, CAST(count(*) AS BIGINT) AS n_nodes, min(node) AS min_member
            |FROM l3 GROUP BY 1 HAVING count(*) >= 5""".stripMargin
+      },
+
+      "q_nb" ->
+        s"""WITH $nbScoredCtes
+           |SELECT id AS doc_id, label, class, log_post, posterior FROM scored""".stripMargin,
+
+      "q_label_noise" ->
+        s"""WITH $nbScoredCtes,
+           |th AS (SELECT class, floor((CAST(sum(CAST(floor(posterior * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS t
+           |  FROM scored WHERE label = class GROUP BY 1),
+           |cand AS (SELECT s.id, s.label, s.class, s.posterior FROM scored s JOIN th ON s.class = th.class
+           |  WHERE s.posterior >= th.t),
+           |conf AS (SELECT id, label, class AS confident_class FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY posterior DESC, class) AS rn FROM cand)
+           |  WHERE rn = 1),
+           |lt AS (SELECT label, count(*) AS n_label FROM (SELECT DISTINCT id, label FROM scored) GROUP BY 1),
+           |cj AS (SELECT label, confident_class, CAST(count(*) AS BIGINT) AS n FROM conf GROUP BY 1, 2)
+           |SELECT label, confident_class, n,
+           |  floor(CAST(n AS DOUBLE) / CAST(n_label AS DOUBLE) * 1000000 + 0.5) / 1000000 AS frac_of_label,
+           |  n_label, CAST(n_label - sum(n) OVER (PARTITION BY label) AS BIGINT) AS n_unconfident
+           |FROM cj JOIN lt USING (label)""".stripMargin,
+
+      "q_cox" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH ${coxCtes(4)}
+           |SELECT (SELECT count(*) FROM subj) AS n,
+           |  (SELECT count(*) FROM subj WHERE obs) AS n_events,
+           |  b4.beta AS beta, ${r6("exp(b4.beta)")} AS hr,
+           |  CASE WHEN ui4.i > 0 THEN ${r6("1.0 / sqrt(ui4.i)")} END AS se,
+           |  ui4.ll AS loglik
+           |FROM b4, ui4""".stripMargin
+      },
+
+      "q_logreg" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH ${logitCtes("n_chars >= 300", 5)},
+           |lc AS (SELECT CAST(y AS DOUBLE) AS yd,
+           |    least(greatest(p, 1e-6), CAST(1.0 AS DOUBLE) - 1e-6) AS pc FROM p5),
+           |lossq AS (SELECT count(*) AS n,
+           |    ${r6(s"coalesce(${dsum(r6("-(yd * ln(pc) + (1.0 - yd) * ln(1.0 - pc))"))}, 0.0) / CAST(count(*) AS DOUBLE)")} AS log_loss
+           |  FROM lc)
+           |SELECT '__intercept' AS feature, cb5.c0 AS beta, lossq.n AS n, lossq.log_loss FROM cb5, lossq
+           |UNION ALL SELECT 'x1', cb5.c1, lossq.n, lossq.log_loss FROM cb5, lossq
+           |UNION ALL SELECT 'x2', cb5.c2, lossq.n, lossq.log_loss FROM cb5, lossq""".stripMargin
+      },
+
+      "q_ipw" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH ${logitCtes("source = 'src0'", 5)},
+           |cl AS (SELECT n_chars, y = 1 AS t,
+           |    ${r6("least(greatest(p, CAST(0.05 AS DOUBLE)), CAST(0.95 AS DOUBLE))")} AS pcl FROM p5),
+           |wts AS (SELECT CAST(n_chars AS DOUBLE) AS yo, t,
+           |    CASE WHEN t THEN ${r6("1.0 / pcl")} END AS wt,
+           |    CASE WHEN NOT t THEN ${r6("1.0 / (1.0 - pcl)")} END AS wc FROM cl),
+           |ag AS (SELECT count(CASE WHEN t THEN 1 END) AS n_treated,
+           |    count(CASE WHEN NOT t THEN 1 END) AS n_control,
+           |    ${dsum(r6("wt * yo"))} / ${dsum("wt")} AS mt,
+           |    ${dsum(r6("wc * yo"))} / ${dsum("wc")} AS mc FROM wts)
+           |SELECT n_treated, n_control, ${r6("mt")} AS mean_treated,
+           |  ${r6("mc")} AS mean_control, ${r6("mt - mc")} AS ate FROM ag""".stripMargin
+      },
+
+      "q_eb_shrink" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH grp AS (SELECT o_custkey, count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS x,
+           |    count(*) AS n FROM orders GROUP BY 1),
+           |gr AS (SELECT o_custkey, x, n, ${r6("CAST(x AS DOUBLE) / CAST(n AS DOUBLE)")} AS raw_rate FROM grp),
+           |mo AS (SELECT ${dsum("raw_rate")} / CAST(count(*) AS DOUBLE) AS m,
+           |    CASE WHEN count(*) > 1 THEN (${dsum(r6("raw_rate * raw_rate"))} -
+           |      ${dsum("raw_rate")} * ${dsum("raw_rate")} / CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0)
+           |    END AS v FROM gr),
+           |pr AS (SELECT CASE WHEN v > 0 AND m * (1.0 - m) > v THEN ${r6("m * (1.0 - m) / v - 1.0")} END AS k,
+           |    m FROM mo),
+           |sh AS (SELECT gr.*, CASE WHEN pr.k > 0 THEN ${r6("pr.m * pr.k")} END AS eb_alpha,
+           |    CASE WHEN pr.k > 0 THEN ${r6("(1.0 - pr.m) * pr.k")} END AS eb_beta FROM gr, pr)
+           |SELECT o_custkey, x, n, raw_rate,
+           |  CASE WHEN eb_alpha IS NOT NULL THEN
+           |    ${r6("(CAST(x AS DOUBLE) + eb_alpha) / (CAST(n AS DOUBLE) + eb_alpha + eb_beta)")}
+           |  ELSE raw_rate END AS shrunk_rate, eb_alpha, eb_beta FROM sh""".stripMargin
+      },
+
+      "q_conformal" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH rws AS (SELECT doc_id AS id, source AS grp, CAST(n_chars AS DOUBLE) AS y,
+           |    CASE WHEN h < 50 THEN 'train' WHEN h < 75 THEN 'cal' ELSE 'test' END AS split
+           |  FROM (SELECT *, ${h32("concat('c42', '|', CAST(doc_id AS VARCHAR))")} % 100 AS h FROM documents)),
+           |tm AS (SELECT grp, count(*) AS n_train,
+           |    ${r6(s"${dsum("y")} / CAST(count(*) AS DOUBLE)")} AS y_hat
+           |  FROM rws WHERE split = 'train' GROUP BY 1),
+           |sc AS (SELECT r.id, r.grp, r.split, r.y, t.y_hat, ${r6("abs(r.y - t.y_hat)")} AS s
+           |  FROM rws r JOIN tm t ON r.grp = t.grp WHERE r.split <> 'train'),
+           |cal AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY s, id) AS rn,
+           |    count(*) OVER (PARTITION BY grp) AS ncal FROM sc WHERE split = 'cal'),
+           |qh AS (SELECT grp, max(ncal) AS n_cal,
+           |    max(CASE WHEN rn = CAST(ceil(CAST(ncal + 1 AS DOUBLE) * CAST(0.8 AS DOUBLE)) AS BIGINT)
+           |      THEN s END) AS q_hat FROM cal GROUP BY 1),
+           |tst AS (SELECT s.grp, count(*) AS n_test,
+           |    CASE WHEN max(q.q_hat) IS NOT NULL THEN
+           |      ${r6("CAST(count(CASE WHEN s.s <= q.q_hat THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+           |    END AS coverage
+           |  FROM sc s JOIN qh q ON s.grp = q.grp WHERE s.split = 'test' GROUP BY 1)
+           |SELECT t.grp AS "group", t.n_train, coalesce(q.n_cal, 0) AS n_cal,
+           |  coalesce(ts.n_test, 0) AS n_test, t.y_hat, q.q_hat, ts.coverage,
+           |  CAST(0.8 AS DOUBLE) AS target
+           |FROM tm t LEFT JOIN qh q ON t.grp = q.grp LEFT JOIN tst ts ON t.grp = ts.grp""".stripMargin
       }
     )
   }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.functions.Portable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binary logistic regression by full-batch gradient descent, trained
+  * and applied as one relational plan — the other classic corpus
+  * classifier shape next to [[graft.text.NaiveBayes]] (fastText-style
+  * quality gates and propensity models are both "a linear model over a
+  * handful of cheap features"). A FIXED iteration count and a fixed
+  * learning rate, not a convergence test, make the fit a deterministic
+  * function of the data — re-runs and both engines walk the identical
+  * gradient path.
+  *
+  * Per step, with p = r6(σ(β·x)): gradient g_j = Σ r6((p−y)·x_j) / n
+  * (each term r6-pinned before its DECIMAL(38,6) sum, so the reduction
+  * is partitioning- and engine-independent) and β_j ← r6(β_j − η·g_j).
+  * Callers should pre-scale features to O(1) magnitudes (and r6-pin
+  * them); GD on wild scales needs the tiny η this contract doesn't take.
+  *
+  * Spark shape: β lives in a ONE-ROW frame that broadcasts into each
+  * step's single map-side-combined global aggregate — `iters` linear
+  * passes, zero shuffles of the data, no driver round-trips (the whole
+  * fit is one lazy plan). Scoring is a broadcast of the same one-row
+  * frame.
+  *
+  * Reference analog: none (training-data pipeline extension per the
+  * build brief — quality/propensity classifier plumbing).
+  */
+object Logistic {
+
+  private def bcol(j: Int) = s"__b$j"
+
+  /** One-row coefficient frame (__b0 = intercept, __b1.. = `xCols` in
+    * order) after `iters` GD steps from β = 0.
+    */
+  def fitGd(
+      data: DataFrame,
+      yCol: String,
+      xCols: Seq[String],
+      iters: Int = 5,
+      lr: Double = 0.5): DataFrame = {
+    require(xCols.nonEmpty, "fitGd needs at least one feature column")
+    require(iters >= 1 && iters <= 64,
+      s"fitGd is a fixed-step GD contract: 1 <= iters <= 64, got $iters")
+    require(lr > 0, s"learning rate must be > 0, got $lr")
+    val r6 = Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val xs = lit(1.0) +: xCols.map(c => col(c).cast("double"))
+    val rows = data.select(
+      (col(yCol).cast("boolean").cast("int").cast("double").as("__y") +:
+        xs.zipWithIndex.map { case (x, j) => x.as(s"__x$j") }): _*)
+    val spark = data.sparkSession
+    import spark.implicits._
+    val b0 = Seq(1).toDF("__one")
+      .select(xs.indices.map(j => lit(0.0).as(bcol(j))): _*)
+    def step(beta: DataFrame): DataFrame = {
+      val z = xs.indices.map(j => col(bcol(j)) * col(s"__x$j")).reduce(_ + _)
+      val p = r6(lit(1.0) / (lit(1.0) + exp(-z)))
+      val joined = rows.crossJoin(broadcast(beta)) // one-row frame: lint-exempt
+      val aggs =
+        count(lit(1)).as("__n") +:
+          xs.indices.map(j => dsum(r6((p - col("__y")) * col(s"__x$j"))).as(s"__g$j"))
+      joined
+        .agg(aggs.head, aggs.tail: _*)
+        .crossJoin(broadcast(beta))
+        .select(xs.indices.map(j =>
+          r6(col(bcol(j)) - lit(lr) * col(s"__g$j") / col("__n").cast("double"))
+            .as(bcol(j))): _*)
+    }
+    (1 to iters).foldLeft(b0)((b, _) => step(b))
+  }
+
+  /** Melt a [[fitGd]] frame to (feature, beta) rows — "__intercept"
+    * plus `xCols` — and attach the fit's final log-loss and n (one
+    * extra scoring pass), for reporting/oracle comparison.
+    */
+  def coefficients(
+      data: DataFrame,
+      fit: DataFrame,
+      yCol: String,
+      xCols: Seq[String]): DataFrame = {
+    val r6 = Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val scored = score(data.withColumn("__y",
+      col(yCol).cast("boolean").cast("int").cast("double")), fit, xCols, "__p")
+    // r6-rounded probabilities can hit exactly 0/1; clamp into
+    // (0, 1) so a confidently-scored row costs ~13.8 nats, not -Inf
+    val pc = least(greatest(col("__p"), lit(1e-6)), lit(1.0 - 1e-6))
+    val loss = scored.agg(
+      count(lit(1)).as("__n"),
+      r6(coalesce(
+        dsum(r6(-(col("__y") * log(pc) +
+          (lit(1.0) - col("__y")) * log(lit(1.0) - pc)))), lit(0.0)) /
+        count(lit(1)).cast("double")).as("log_loss"))
+    val names = "__intercept" +: xCols
+    val melted = fit.select(explode(array(names.zipWithIndex.map {
+      case (n, j) => struct(lit(n).as("feature"), col(bcol(j)).as("beta"))
+    }: _*)).as("__kv"))
+      .select(col("__kv.feature").as("feature"), col("__kv.beta").as("beta"))
+    melted.crossJoin(broadcast(loss))
+      .select(col("feature"), col("beta"), col("__n").as("n"), col("log_loss"))
+  }
+
+  /** Add `outCol` = r6(σ(β·x)) from a broadcast [[fitGd]] frame. */
+  def score(
+      data: DataFrame,
+      fit: DataFrame,
+      xCols: Seq[String],
+      outCol: String): DataFrame = {
+    val xs = lit(1.0) +: xCols.map(c => col(c).cast("double"))
+    val z = xs.zipWithIndex.map { case (x, j) => col(bcol(j)) * x }.reduce(_ + _)
+    data.crossJoin(broadcast(fit)) // one-row frame: lint-exempt
+      .withColumn(outCol, Portable.r6(lit(1.0) / (lit(1.0) + exp(-z))))
+      .drop(xs.indices.map(bcol): _*)
+  }
+
+  /** Hájek inverse-propensity-weighted ATE from a scored frame —
+    * E[y|do(t=1)] − E[y|do(t=0)] with w = t/p̂ resp. (1−t)/(1−p̂), the
+    * standard observational-data estimator once a propensity column
+    * exists ([[fitGd]] + [[score]] is the intended producer; any
+    * calibrated score works). Propensities are clipped to
+    * [clip, 1−clip] BEFORE weighting (r6-pinned), the usual
+    * positivity-violation guard — an unclipped p̂ ≈ 0 control row would
+    * otherwise dominate the whole estimate. Hájek (self-normalizing)
+    * rather than Horvitz–Thompson: weights are divided by their own
+    * sum, so the estimate is invariant to propensity miscalibration by
+    * a constant factor and bounded by the outcome range.
+    *
+    * One global aggregate (all four sums map-side-combined, r6-pinned
+    * terms, DECIMAL reductions). Output is ONE row: (n_treated,
+    * n_control, mean_treated, mean_control, ate) — arm means NULL when
+    * an arm is empty (no fake zeros), ate NULL with them.
+    */
+  def ipwAte(
+      scored: DataFrame,
+      yCol: String,
+      treatCol: String,
+      propCol: String,
+      clip: Double = 0.05): DataFrame = {
+    require(clip >= 0 && clip < 0.5, s"clip must be in [0, 0.5), got $clip")
+    val r6 = Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val t = col(treatCol).cast("boolean")
+    val y = col(yCol).cast("double")
+    val p = r6(least(greatest(col(propCol), lit(clip)), lit(1.0 - clip)))
+    val wt = when(t, r6(lit(1.0) / p))
+    val wc = when(!t, r6(lit(1.0) / (lit(1.0) - p)))
+    scored
+      .agg(
+        count(when(t, lit(1))).as("n_treated"),
+        count(when(!t, lit(1))).as("n_control"),
+        (dsum(r6(wt * y)) / dsum(wt)).as("__mt"),
+        (dsum(r6(wc * y)) / dsum(wc)).as("__mc"))
+      .select(
+        col("n_treated"), col("n_control"),
+        r6(col("__mt")).as("mean_treated"),
+        r6(col("__mc")).as("mean_control"),
+        r6(col("__mt") - col("__mc")).as("ate"))
+  }
+}

@@ -232,4 +232,116 @@ object Survival {
       .select(col("t_day"), col("n_risk"), col("d_events"), col("c_censored"),
         col("hazard"), col("cum_hazard"))
   }
+
+  /** Cox proportional-hazards regression, single covariate, Breslow
+    * ties — "does x shift the HAZARD, accounting for censoring" (the
+    * modelled companion to [[logRank]]'s yes/no: log-rank is exactly
+    * the Cox score test at β=0). Subjects arrive as one row per key:
+    * duration (day granularity), observed flag, covariate x — the same
+    * span-building shape as [[kaplanMeier]], done by the caller.
+    *
+    * Fixed-iteration Newton–Raphson from β₀ = 0 (a fixed step COUNT, not
+    * a convergence test, is what makes the estimate cross-engine
+    * reproducible): per step, each subject contributes w = r6(e^{βx}),
+    * wx, wx² — each term r6-pinned BEFORE its DECIMAL(38,6) sum — to
+    * per-DAY totals; risk-set sums S₀/S₁/S₂ at each event day are
+    * reverse-cumulative windows over the day frame; the score is
+    * U = Σ_days d·(x̄_events − S₁/S₀) and the information
+    * I = Σ_days d·(S₂/S₀ − (S₁/S₀)²), each day term r6-pinned; then
+    * β ← r6(β + U/I). I ≤ 0 (no events, or x constant within every risk
+    * set) leaves β unchanged and surfaces as se = NULL rather than a
+    * divide-by-zero ∞.
+    *
+    * Spark shape: the subject frame is already per-key (one groupBy
+    * upstream); each Newton step is one map-side-combined groupBy(day)
+    * over it plus windows on the DAY-granularity frame — bounded by the
+    * observation horizon, the [[kaplanMeier]] global-window contract —
+    * and a one-row (U, I, β) frame that broadcasts into the next step.
+    * `iters` steps = `iters`+1 linear passes, zero subject-frame
+    * shuffles beyond the day groupBy.
+    *
+    * Output is ONE row: (n, n_events, beta, hr, se, loglik) where
+    * hr = r6(e^β), se = r6(1/√I) at the final β, and loglik is the
+    * Breslow log-partial-likelihood Σ_days r6(β·sx − d·ln S₀).
+    *
+    * Reference analog: none (survival-analytics extension; completes
+    * the KM / Nelson–Aalen / log-rank family).
+    */
+  def coxPh(
+      subjects: DataFrame,
+      durationCol: String,
+      observedCol: String,
+      xCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 16,
+      s"coxPh is a fixed-step Newton contract: 1 <= iters <= 16, got $iters")
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val subj = subjects.select(
+      col(durationCol).cast("long").as("__t"),
+      col(observedCol).cast("boolean").as("__obs"),
+      col(xCol).cast("double").as("__x"))
+    // β-independent day statistics: event count and event-x sum per day
+    val evDay = subj
+      .groupBy(col("__t"))
+      .agg(
+        count(when(col("__obs"), lit(1))).as("__d"),
+        coalesce(dsum(when(col("__obs"), col("__x"))), lit(0.0)).as("__sx"))
+    val byT = Window.orderBy(col("__t"))
+    val riskFrame = byT.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // one Newton step: (one-row β frame) -> (one-row β' frame w/ U, I)
+    def step(beta: DataFrame): DataFrame = {
+      val w = r6(exp(col("__beta") * col("__x")))
+      val dayTotals = subj
+        .crossJoin(broadcast(beta.select("__beta"))) // one-row frame: lint-exempt
+        .groupBy(col("__t"))
+        .agg(
+          dsum(w).as("__w"),
+          dsum(r6(w * col("__x"))).as("__wx"),
+          dsum(r6(w * col("__x") * col("__x"))).as("__wxx"))
+      def wsum(c: Column): Column =
+        sum(c.cast("decimal(38,6)")).over(riskFrame).cast("double")
+      val risk = dayTotals
+        .join(evDay, Seq("__t"))
+        .withColumn("__s0", wsum(col("__w")))
+        .withColumn("__s1", wsum(col("__wx")))
+        .withColumn("__s2", wsum(col("__wxx")))
+        .filter(col("__d") > 0)
+      val m1 = col("__s1") / col("__s0")
+      // global agg emits exactly one row even on an event-free frame,
+      // so the 1x1 crossJoin below can never drop the β carry
+      val ui = risk
+        .crossJoin(broadcast(beta.select(col("__beta").as("__b0"))))
+        .agg(
+          coalesce(dsum(r6(col("__sx") - col("__d").cast("double") * m1)), lit(0.0)).as("__u"),
+          coalesce(dsum(r6(col("__d").cast("double") *
+            (col("__s2") / col("__s0") - m1 * m1))), lit(0.0)).as("__i"),
+          coalesce(dsum(r6(col("__b0") * col("__sx") -
+            col("__d").cast("double") * log(col("__s0")))), lit(0.0)).as("__ll"))
+      ui
+        .crossJoin(broadcast(beta.select(col("__beta").as("__bprev"))))
+        .select(
+          when(col("__i") > 0, r6(col("__bprev") + col("__u") / col("__i")))
+            .otherwise(col("__bprev")).as("__beta"),
+          col("__u"), col("__i"), col("__ll"), col("__bprev"))
+    }
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    val b0 = Seq(0.0).toDF("__beta")
+    val fitted = (1 to iters).foldLeft(b0)((b, _) => step(b))
+    // one extra evaluation AT the final β for (U, I, loglik) reporting
+    val finalEval = step(fitted)
+    val counts = subj.agg(
+      count(lit(1)).as("n"),
+      count(when(col("__obs"), lit(1))).as("n_events"))
+    counts
+      .crossJoin(broadcast(finalEval))
+      .select(
+        col("n"), col("n_events"),
+        col("__bprev").as("beta"),
+        r6(exp(col("__bprev"))).as("hr"),
+        when(col("__i") > 0, r6(lit(1.0) / sqrt(col("__i"))))
+          .otherwise(lit(null).cast("double")).as("se"),
+        col("__ll").as("loglik"))
+  }
 }

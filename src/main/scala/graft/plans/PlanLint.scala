@@ -9,7 +9,7 @@ import org.apache.spark.sql.execution.exchange.Exchange
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
-import org.apache.spark.sql.execution.{FilterExec, GlobalLimitExec, InputAdapter, ProjectExec, SortExec, SparkPlan, TakeOrderedAndProjectExec, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.{FilterExec, GlobalLimitExec, InputAdapter, LocalTableScanExec, ProjectExec, SortExec, SparkPlan, TakeOrderedAndProjectExec, WholeStageCodegenExec}
 
 /** Static plan linting: walk a physical plan and flag the shapes that
   * work at test scale and melt at 100 TB. The same checks the repo's
@@ -49,6 +49,10 @@ object PlanLint {
     */
   private def provablySingleRow(p: SparkPlan): Boolean = p match {
     case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+    // a literal <=1-row frame (the seed of an iterative one-row
+    // carry, e.g. a Newton/GD beta frame) is as provable as a
+    // groupless aggregate
+    case l: LocalTableScanExec => l.rows.lengthCompare(1) <= 0
     case u @ (_: ProjectExec | _: FilterExec | _: SortExec | _: Exchange |
               _: WholeStageCodegenExec | _: InputAdapter) =>
       provablySingleRow(u.children.head)

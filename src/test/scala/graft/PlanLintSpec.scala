@@ -65,6 +65,9 @@ class PlanLintSpec extends SparkSpec {
       "q_km_survival"    -> Set("global-window"),
       "q_nelson_aalen"   -> Set("global-window"), // same day-curve contract
       "q_logrank"        -> Set("global-window"),
+      // Cox's per-step reverse-cumulative risk sums run over the same
+      // day-granularity curve frame as q_km_survival
+      "q_cox"            -> Set("global-window"),
       "q_cramers_v"      -> Set("nested-loop-join"),
       "q_bh"             -> Set("global-window"),
       "q_fit_vocab"      -> Set("global-window"),
@@ -94,7 +97,14 @@ class PlanLintSpec extends SparkSpec {
       // sketch frame (one row per source) — both sides are group-count-
       // bounded by construction; the pair scan IS the operator (set
       // algebra on sketches, the corpus is long gone)
-      "q_kmv"            -> Set("nested-loop-join")
+      "q_kmv"            -> Set("nested-loop-join"),
+      // the NB vocab x class grid crossJoin broadcasts the CLASS frame
+      // (|C| rows, 2 here) — class-cardinality-bounded, the q_chi2
+      // marginal contract; the per-class constant and threshold frames
+      // it also broadcasts are |C|-sized aggregates of the model.
+      // q_label_noise composes the same NB plan.
+      "q_nb"             -> Set("nested-loop-join"),
+      "q_label_noise"    -> Set("nested-loop-join")
     )
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       PlanLint.lint(fn(spark, sf))

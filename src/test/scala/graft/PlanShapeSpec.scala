@@ -67,6 +67,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_fit_vocab", "q_normalize", "q_meds_pipeline", "q_pipeline_config",
       "q_km_survival", "q_bh", "q_logrank",
       "q_nelson_aalen", // same day-curve contract as q_km_survival
+      "q_cox", // Newton risk-set windows run over the same day curve
       "q_pareto")
 
     def boundedBelow(p: SparkPlan): Boolean = p match {
