@@ -4,7 +4,7 @@ import graft.ann.{Embeddings, KMeans, Similarity}
 import graft.dedup.Dedup
 import graft.meds.{Meds, MedsPipeline}
 import graft.operators._
-import graft.pipeline.{Curation, Packing, Sampling, Selection}
+import graft.pipeline.{Curation, Packing, Sampling, Selection, Splits}
 import graft.sources.Tables
 import graft.text.{Bm25, Chunker, Collocations, InvertedIndex, TextFunctions, Tfidf, WordVocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -196,17 +196,25 @@ object SparkEntry {
     * `cb$iters` (c0/c1/c2) and the scoring pass `p$iters`
     * (id, source, n_chars, y, x1, x2, p).
     */
+  /** [[logitDocs]] as oracle CTEs ending in `ld(id, source, n_chars,
+    * y, x1, x2)` — shared by the logistic-GD oracles and q_stump.
+    */
+  private def logitDocsCtes(yExpr: String): String = {
+    def r6(e: String) = graft.functions.Portable.r6Sql(e)
+    s"""lw AS (SELECT *, len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS nw
+       |  FROM documents),
+       |ld AS (SELECT doc_id AS id, source, n_chars, CAST(($yExpr) AS INT) AS y,
+       |    ${r6("CAST(nw AS DOUBLE) / 100.0")} AS x1,
+       |    CASE WHEN nw > 0 THEN ${r6("CAST(n_chars AS DOUBLE) / (CAST(nw AS DOUBLE) * 10.0)")}
+       |      ELSE 0.0 END AS x2
+       |  FROM lw)""".stripMargin
+  }
+
   private def logitCtes(yExpr: String, iters: Int): String = {
     def r6(e: String) = graft.functions.Portable.r6Sql(e)
     def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
     val head =
-      s"""lw AS (SELECT *, len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS nw
-         |  FROM documents),
-         |ld AS (SELECT doc_id AS id, source, n_chars, CAST(($yExpr) AS INT) AS y,
-         |    ${r6("CAST(nw AS DOUBLE) / 100.0")} AS x1,
-         |    CASE WHEN nw > 0 THEN ${r6("CAST(n_chars AS DOUBLE) / (CAST(nw AS DOUBLE) * 10.0)")}
-         |      ELSE 0.0 END AS x2
-         |  FROM lw),
+      s"""${logitDocsCtes(yExpr)},
          |cb0 AS (SELECT CAST(0.0 AS DOUBLE) AS c0, CAST(0.0 AS DOUBLE) AS c1, CAST(0.0 AS DOUBLE) AS c2)""".stripMargin
     def score(k: Int): String =
       s"""p$k AS (SELECT id, source, n_chars, y, x1, x2,
@@ -2877,7 +2885,67 @@ object SparkEntry {
     // on the held-out test band
     "q_conformal" -> ((s, dir) =>
       Conformal.splitConformal(docs(s, dir), "doc_id", "source", "n_chars",
-        alpha = 0.2, seed = "c42"))
+        alpha = 0.2, seed = "c42")),
+
+    // Cochran-Mantel-Haenszel: arm x high-value association controlled
+    // for event_type strata + the MH pooled odds ratio
+    "q_cmh" -> ((s, dir) => {
+      val arm = TextFunctions.md5Hash32(
+        concat(lit("cmh:"), col("user_id").cast("string"))) % 2 === 1
+      Hypothesis.cmh(ev(s, dir), Seq("event_type"), col("value") >= 10.0, arm)
+    }),
+
+    // decision-stump 1R screen: best Gini split per logitDocs feature
+    "q_stump" -> ((s, dir) =>
+      Stump.bestSplits(logitDocs(s, dir), col("y"),
+        Seq("x1" -> col("x1"), "x2" -> col("x2")), bins = 16)),
+
+    // delete-one-bucket jackknife CI for value-per-click, bucketed by
+    // user (the unit of randomization)
+    "q_jackknife" -> ((s, dir) =>
+      Jackknife.ratioCi(ev(s, dir), "user_id", col("value"),
+        when(col("event_type") === "click", lit(1.0)).otherwise(lit(0.0)),
+        buckets = 20, seed = "jk42")),
+
+    // diagonal-covariance Mahalanobis embedding outlier scores
+    "q_mahalanobis" -> ((s, dir) => Embeddings.mahalanobisDiag(emb(s, dir))),
+
+    // word2vec negative-sampling table: prob ~ count^0.75 + cumulative
+    // sampling ranges over the vocabulary rank
+    "q_sampling_table" -> ((s, dir) => WordVocab.samplingTable(docs(s, dir), "text")),
+
+    // Bradley-Terry preference strengths over head-to-head doc-length
+    // comparisons between sources (consecutive-doc tournament)
+    "q_bradley_terry" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val p = d.as("a")
+        .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .filter(col("a.doc_id") % 2 === 0 && col("a.n_chars") =!= col("b.n_chars"))
+        .select(
+          when(col("a.n_chars") > col("b.n_chars"), col("a.source"))
+            .otherwise(col("b.source")).as("winner"),
+          when(col("a.n_chars") > col("b.n_chars"), col("b.source"))
+            .otherwise(col("a.source")).as("loser"))
+      BradleyTerry.fit(p, "winner", "loser", iters = 3)
+    }),
+
+    // Murphy decomposition of the Brier score on the q_calibration
+    // score/label pair: miscalibrated vs uninformative, separated
+    "q_brier" -> ((s, dir) =>
+      Evaluation.brierDecomposition(
+        docs(s, dir).withColumn("score",
+          least(lit(1.0), col("n_chars").cast("double") / 1000.0)),
+        Seq("lang"), "score", col("text").contains(" the "), nBins = 10)),
+
+    // Neyman-optimal labeling-budget allocation across sources
+    "q_neyman" -> ((s, dir) =>
+      Sampling.neymanAllocation(docs(s, dir), "source", "n_chars", budget = 100L)),
+
+    // 5-fold CV of the per-source mean predictor (delete-one-block
+    // closed form: no per-fold retrain pass)
+    "q_cv" -> ((s, dir) =>
+      Splits.kFoldGroupMeanCv(docs(s, dir), "doc_id", "source", "n_chars",
+        k = 5, seed = "cv42"))
   )
 
   /** Per-user Cox subjects shared by the q_cox Spark call and oracle:
@@ -7474,6 +7542,234 @@ object SparkEntry {
            |  coalesce(ts.n_test, 0) AS n_test, t.y_hat, q.q_hat, ts.coverage,
            |  CAST(0.8 AS DOUBLE) AS target
            |FROM tm t LEFT JOIN qh q ON t.grp = q.grp LEFT JOIN tst ts ON t.grp = ts.grp""".stripMargin
+      },
+
+      "q_cmh" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        // the SAME A&S 26.2.16 tail as Hypothesis.pFromZ (the q_bh form)
+        val pSql = "least(1.0, 2.0 * exp(-az * az / 2.0) / " +
+          s"${math.sqrt(2.0 * math.Pi)} * " +
+          "(0.4361836 * tt - 0.1201676 * tt * tt + 0.9372980 * tt * tt * tt))"
+        s"""WITH e AS (SELECT event_type,
+           |    ${h32("concat('cmh:', CAST(user_id AS VARCHAR))")} % 2 = 1 AS a,
+           |    value >= 10.0 AS hit FROM events),
+           |cells AS (SELECT event_type,
+           |    count(CASE WHEN a AND hit THEN 1 END) AS ca,
+           |    count(CASE WHEN a AND NOT hit THEN 1 END) AS cb,
+           |    count(CASE WHEN NOT a AND hit THEN 1 END) AS cc,
+           |    count(CASE WHEN NOT a AND NOT hit THEN 1 END) AS cd
+           |  FROM e GROUP BY 1),
+           |w AS (SELECT *, ca + cb + cc + cd AS n, ca + cb + cc + cd >= 2 AS info FROM cells),
+           |s AS (SELECT
+           |    count(CASE WHEN info THEN 1 END) AS k_strata,
+           |    count(CASE WHEN NOT info THEN 1 END) AS k_dropped,
+           |    CAST(coalesce(sum(CASE WHEN info THEN n END), 0) AS BIGINT) AS n,
+           |    coalesce(${dsum(s"CASE WHEN info THEN ${r6("CAST(ca AS DOUBLE) - CAST(ca + cb AS DOUBLE) * CAST(ca + cc AS DOUBLE) / CAST(n AS DOUBLE)")} END")}, 0.0) AS dev,
+           |    coalesce(${dsum(s"CASE WHEN info THEN ${r6("CAST(ca + cb AS DOUBLE) * CAST(cc + cd AS DOUBLE) * CAST(ca + cc AS DOUBLE) * CAST(cb + cd AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))")} END")}, 0.0) AS v,
+           |    coalesce(${dsum(s"CASE WHEN info THEN ${r6("CAST(ca AS DOUBLE) * CAST(cd AS DOUBLE) / CAST(n AS DOUBLE)")} END")}, 0.0) AS rn,
+           |    coalesce(${dsum(s"CASE WHEN info THEN ${r6("CAST(cb AS DOUBLE) * CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)")} END")}, 0.0) AS rd
+           |  FROM w),
+           |c2 AS (SELECT *, CASE WHEN v > 0 THEN ${r6("dev * dev / v")} END AS chi2 FROM s),
+           |pz AS (SELECT *, sqrt(chi2) AS az, 1.0 / (1.0 + 0.33267 * sqrt(chi2)) AS tt FROM c2)
+           |SELECT k_strata, k_dropped, n, chi2,
+           |  CASE WHEN chi2 IS NOT NULL THEN ${r6(pSql)} END AS p_value,
+           |  CASE WHEN rd > 0 THEN ${r6("rn / rd")} END AS or_mh
+           |FROM pz""".stripMargin
+      },
+
+      "q_stump" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def gini(p: String, n: String) =
+          s"(1.0 - (CAST($p AS DOUBLE) / CAST($n AS DOUBLE)) * (CAST($p AS DOUBLE) / CAST($n AS DOUBLE)) - (1.0 - CAST($p AS DOUBLE) / CAST($n AS DOUBLE)) * (1.0 - CAST($p AS DOUBLE) / CAST($n AS DOUBLE)))"
+        s"""WITH ${logitDocsCtes("n_chars >= 300")},
+           |m AS (SELECT y, 'x1' AS f, x1 AS x FROM ld WHERE x1 IS NOT NULL
+           |  UNION ALL SELECT y, 'x2', x2 FROM ld WHERE x2 IS NOT NULL),
+           |bd AS (SELECT f, min(x) AS lo, max(x) AS hi, count(*) AS n, sum(y) AS npos
+           |  FROM m GROUP BY 1 HAVING max(x) > min(x)),
+           |bw AS (SELECT *, (hi - lo) / 16.0 AS w FROM bd),
+           |cl AS (SELECT m.f, least(CAST(floor((m.x - b.lo) / b.w) AS INT), 15) AS bin,
+           |    count(*) AS cn, sum(m.y) AS cpos FROM m JOIN bw b USING (f) GROUP BY 1, 2),
+           |cum AS (SELECT f, bin,
+           |    sum(cn) OVER (PARTITION BY f ORDER BY bin) AS nl,
+           |    sum(cpos) OVER (PARTITION BY f ORDER BY bin) AS posl FROM cl),
+           |sp AS (SELECT c.f, b.lo + b.w * CAST(c.bin + 1 AS DOUBLE) AS threshold,
+           |    c.nl, b.n - c.nl AS nr,
+           |    ${gini("b.npos", "b.n")} AS gp,
+           |    (CAST(c.nl AS DOUBLE) * ${gini("c.posl", "c.nl")} +
+           |     CAST(b.n - c.nl AS DOUBLE) * ${gini("b.npos - c.posl", "b.n - c.nl")}) / CAST(b.n AS DOUBLE) AS gs
+           |  FROM cum c JOIN bw b USING (f) WHERE c.nl > 0 AND c.nl < b.n),
+           |g AS (SELECT *, ${r6("gp - gs")} AS gain FROM sp),
+           |best AS (SELECT *, row_number() OVER (PARTITION BY f ORDER BY gain DESC, threshold) AS rnk FROM g)
+           |SELECT f AS feature, ${r6("threshold")} AS threshold,
+           |  CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           |  ${r6("gp")} AS gini_parent, ${r6("gs")} AS gini_split, gain
+           |FROM best WHERE rnk = 1""".stripMargin
+      },
+
+      "q_jackknife" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH rws AS (SELECT
+           |    ${h32("concat('jk42', '|', CAST(user_id AS VARCHAR))")} % 20 AS b,
+           |    value AS num, CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS den
+           |  FROM events),
+           |pb AS (SELECT b, count(*) AS nrows,
+           |    coalesce(${dsum(r6("num"))}, 0.0) AS n, coalesce(${dsum(r6("den"))}, 0.0) AS d
+           |  FROM rws GROUP BY 1),
+           |tot AS (SELECT CAST(sum(nrows) AS BIGINT) AS n_rows, count(*) AS n_buckets,
+           |    coalesce(${dsum("n")}, 0.0) AS tn, coalesce(${dsum("d")}, 0.0) AS td FROM pb),
+           |reps AS (SELECT pb.*, CASE WHEN t.td - pb.d > 0 THEN ${r6("(t.tn - pb.n) / (t.td - pb.d)")} END AS rep
+           |  FROM pb, tot t),
+           |st AS (SELECT count(CASE WHEN rep IS NULL THEN 1 END) AS b_degenerate,
+           |    CAST(count(*) AS DOUBLE) AS bd,
+           |    coalesce(${dsum("rep")}, 0.0) AS sr, coalesce(${dsum(r6("rep * rep"))}, 0.0) AS sr2 FROM reps),
+           |fin AS (SELECT t.n_rows, t.n_buckets, st.b_degenerate,
+           |    CASE WHEN t.td > 0 THEN ${r6("t.tn / t.td")} END AS ratio,
+           |    CASE WHEN st.b_degenerate = 0 AND t.td > 0 THEN
+           |      ${r6("sqrt(greatest(0.0, (st.bd - 1.0) / st.bd * (st.sr2 - st.sr * st.sr / st.bd)))")}
+           |    END AS se_jack
+           |  FROM tot t, st)
+           |SELECT n_rows, n_buckets, b_degenerate, ratio, se_jack,
+           |  CASE WHEN se_jack IS NOT NULL THEN ${r6("ratio - 1.959964 * se_jack")} END AS ci_lo,
+           |  CASE WHEN se_jack IS NOT NULL THEN ${r6("ratio + 1.959964 * se_jack")} END AS ci_hi
+           |FROM fin""".stripMargin
+      },
+
+      "q_mahalanobis" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH x AS (SELECT vec_id, ${r6("CAST(unnest(embedding) AS DOUBLE)")} AS v,
+           |    unnest(range(0, len(embedding))) AS pos FROM embeddings),
+           |mo AS (SELECT pos, ${dsum("v")} / CAST(count(*) AS DOUBLE) AS mean,
+           |    CASE WHEN count(*) > 1 THEN
+           |      (${dsum(r6("v * v"))} - ${dsum("v")} * ${dsum("v")} / CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0)
+           |    ELSE 0.0 END AS variance
+           |  FROM x GROUP BY 1),
+           |nd AS (SELECT CAST(count(CASE WHEN variance > 0 THEN 1 END) AS BIGINT) AS n_dims_used FROM mo),
+           |z AS (SELECT x.vec_id,
+           |    CASE WHEN mo.variance > 0 THEN ${r6("(x.v - mo.mean) * (x.v - mo.mean) / mo.variance")}
+           |      ELSE 0.0 END AS z2
+           |  FROM x JOIN mo USING (pos)),
+           |m2 AS (SELECT vec_id, coalesce(${dsum("z2")}, 0.0) AS m2 FROM z GROUP BY 1)
+           |SELECT vec_id, m2, ${r6("sqrt(m2)")} AS maha, nd.n_dims_used FROM m2, nd""".stripMargin
+      },
+
+      "q_sampling_table" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+           |  FROM documents),
+           |c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+           |wt AS (SELECT word, n, ${r6("pow(CAST(n AS DOUBLE), 0.75)")} AS weight FROM c),
+           |tot AS (SELECT CAST(sum(CAST(weight AS DECIMAL(38,6))) AS DOUBLE) AS tw FROM wt),
+           |pr AS (SELECT word, n, weight, ${r6("weight / t.tw")} AS prob FROM wt, tot t),
+           |cm AS (SELECT *, CAST(sum(CAST(prob AS DECIMAL(38,6)))
+           |    OVER (ORDER BY n DESC, word) AS DOUBLE) AS cum_hi FROM pr)
+           |SELECT word, n, weight, prob, ${r6("cum_hi - prob")} AS cum_lo, cum_hi FROM cm""".stripMargin
+      },
+
+      "q_bradley_terry" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        def step(k: Int): String =
+          s"""d$k AS (SELECT g.a AS item,
+             |    ${dsum(r6("CAST(g.g AS DOUBLE) / (ta.theta + tb.theta)"))} AS den
+             |  FROM gm g JOIN t$k ta ON g.a = ta.item JOIN t$k tb ON g.b = tb.item GROUP BY 1),
+             |r$k AS (SELECT itw.item,
+             |    CASE WHEN d.den > 0 THEN CAST(itw.n_wins AS DOUBLE) / d.den ELSE 0.0 END AS raw
+             |  FROM itw JOIN d$k d USING (item)),
+             |s$k AS (SELECT CAST(count(*) AS DOUBLE) / ${dsum(r6("raw"))} AS kk FROM r$k),
+             |t${k + 1} AS (SELECT item, ${r6("raw * s.kk")} AS theta FROM r$k, s$k s)""".stripMargin
+        s"""WITH p0 AS (SELECT
+           |    CASE WHEN a.n_chars > b.n_chars THEN a.source ELSE b.source END AS w,
+           |    CASE WHEN a.n_chars > b.n_chars THEN b.source ELSE a.source END AS l
+           |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+           |  WHERE a.doc_id % 2 = 0 AND a.n_chars <> b.n_chars),
+           |wc AS (SELECT w, l, count(*) AS n FROM p0 WHERE w <> l GROUP BY 1, 2),
+           |gm AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS g FROM (
+           |    SELECT w AS a, l AS b, n FROM wc UNION ALL SELECT l AS a, w AS b, n FROM wc)
+           |  GROUP BY 1, 2),
+           |it AS (SELECT a AS item, CAST(sum(g) AS BIGINT) AS n_games FROM gm GROUP BY 1),
+           |wi AS (SELECT w AS item, CAST(sum(n) AS BIGINT) AS n_wins FROM wc GROUP BY 1),
+           |itw AS (SELECT it.item, coalesce(wi.n_wins, 0) AS n_wins, it.n_games
+           |  FROM it LEFT JOIN wi USING (item)),
+           |t0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS theta FROM itw),
+           |${(0 until 3).map(step).mkString(",\n")}
+           |SELECT itw.item, itw.n_wins, itw.n_games, t3.theta
+           |FROM itw JOIN t3 ON itw.item = t3.item""".stripMargin
+      },
+
+      "q_brier" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH v AS (SELECT lang, least(1.0, CAST(n_chars AS DOUBLE) / 1000.0) AS x,
+           |    CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS y FROM documents),
+           |g AS (SELECT lang, least(9, greatest(0, CAST(floor(x * 10) AS BIGINT))) AS bin,
+           |    count(*) AS n, ${dsum(r6("x"))} AS sx, CAST(sum(y) AS BIGINT) AS k,
+           |    ${dsum(r6("(x - CAST(y AS DOUBLE)) * (x - CAST(y AS DOUBLE))"))} AS sq
+           |  FROM v GROUP BY 1, 2),
+           |w AS (SELECT lang, n, sx, k, sq,
+           |    sx / CAST(n AS DOUBLE) AS pbar, CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+           |    CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS nd,
+           |    CAST(sum(k) OVER (PARTITION BY lang) AS DOUBLE) /
+           |      CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS yg,
+           |    CAST(sum(CAST(sq AS DECIMAL(38,6))) OVER (PARTITION BY lang) AS DOUBLE) AS sqs
+           |  FROM g),
+           |z AS (SELECT lang, CAST(nd AS BIGINT) AS n,
+           |    sqs / nd AS brier,
+           |    CAST(sum(CAST(${r6("CAST(n AS DOUBLE) * (pbar - ybar) * (pbar - ybar)")} AS DECIMAL(38,6)))
+           |      OVER (PARTITION BY lang) AS DOUBLE) / nd AS rel,
+           |    CAST(sum(CAST(${r6("CAST(n AS DOUBLE) * (ybar - yg) * (ybar - yg)")} AS DECIMAL(38,6)))
+           |      OVER (PARTITION BY lang) AS DOUBLE) / nd AS res,
+           |    yg FROM w)
+           |SELECT DISTINCT lang, n, ${r6("brier")} AS brier, ${r6("rel")} AS reliability,
+           |  ${r6("res")} AS resolution, ${r6("yg * (1.0 - yg)")} AS uncertainty FROM z""".stripMargin
+      },
+
+      "q_neyman" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH v AS (SELECT source, CAST(n_chars AS DOUBLE) AS x FROM documents
+           |  WHERE n_chars IS NOT NULL),
+           |st AS (SELECT source AS stratum, count(*) AS n,
+           |    CASE WHEN count(*) > 1 THEN sqrt(greatest(0.0,
+           |      (${dsum(r6("x * x"))} - ${dsum(r6("x"))} * ${dsum(r6("x"))} / CAST(count(*) AS DOUBLE))
+           |        / (CAST(count(*) AS DOUBLE) - 1.0)))
+           |    ELSE 0.0 END AS sd0 FROM v GROUP BY 1),
+           |sg AS (SELECT stratum, n, ${r6("sd0")} AS sigma,
+           |    ${r6(s"CAST(n AS DOUBLE) * ${r6("sd0")}")} AS wt FROM st),
+           |tot AS (SELECT ${dsum("wt")} AS tw FROM sg),
+           |al AS (SELECT sg.stratum, sg.n, sg.sigma,
+           |    CASE WHEN t.tw > 0 THEN ${r6("sg.wt / t.tw")} ELSE 0.0 END AS alloc_frac
+           |  FROM sg, tot t),
+           |rw AS (SELECT *, 100.0 * alloc_frac AS raw,
+           |    CAST(floor(100.0 * alloc_frac) AS BIGINT) AS base FROM al),
+           |fr AS (SELECT *, ${r6("raw - CAST(base AS DOUBLE)")} AS fracpart FROM rw),
+           |sp AS (SELECT CAST(sum(base) AS BIGINT) AS spent FROM fr)
+           |SELECT stratum, CAST(n AS BIGINT) AS n, sigma, alloc_frac,
+           |  least(CAST(n AS BIGINT), base + CASE WHEN
+           |    row_number() OVER (ORDER BY fracpart DESC, stratum) <= 100 - sp.spent
+           |    THEN 1 ELSE 0 END) AS n_alloc
+           |FROM fr, sp""".stripMargin
+      },
+
+      "q_cv" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH rws AS (SELECT source AS g,
+           |    ${h32("concat('cv42', '|', CAST(doc_id AS VARCHAR))")} % 5 AS fold,
+           |    CAST(n_chars AS DOUBLE) AS y FROM documents WHERE n_chars IS NOT NULL),
+           |cl AS (SELECT g, fold, count(*) AS cn, ${dsum(r6("y"))} AS cs FROM rws GROUP BY 1, 2),
+           |pr AS (SELECT g, fold,
+           |    CASE WHEN sum(cn) OVER (PARTITION BY g) > cn THEN
+           |      ${r6("(CAST(sum(CAST(cs AS DECIMAL(38,6))) OVER (PARTITION BY g) AS DOUBLE) - cs) / CAST(sum(cn) OVER (PARTITION BY g) - cn AS DOUBLE)")}
+           |    END AS yhat FROM cl),
+           |j AS (SELECT r.fold, r.y, p.yhat FROM rws r JOIN pr p ON r.g = p.g AND r.fold = p.fold)
+           |SELECT fold, count(CASE WHEN yhat IS NOT NULL THEN 1 END) AS n_test,
+           |  count(CASE WHEN yhat IS NULL THEN 1 END) AS n_skipped,
+           |  ${r6(s"${dsum(s"CASE WHEN yhat IS NOT NULL THEN ${r6("abs(y - yhat)")} END")} / CAST(count(CASE WHEN yhat IS NOT NULL THEN 1 END) AS DOUBLE)")} AS mae,
+           |  ${r6(s"sqrt(${dsum(s"CASE WHEN yhat IS NOT NULL THEN ${r6("(y - yhat) * (y - yhat)")} END")} / CAST(count(CASE WHEN yhat IS NOT NULL THEN 1 END) AS DOUBLE))")} AS rmse
+           |FROM j GROUP BY 1""".stripMargin
       }
     )
   }

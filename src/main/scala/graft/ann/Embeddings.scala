@@ -210,4 +210,71 @@ object Embeddings {
         .withColumn("floats_per_query", col("dim") * col("n_corpus"))
     }.reduce(_ unionByName _)
   }
+
+  /** Diagonal-covariance Mahalanobis distance per vector — the
+    * embedding-space outlier score: how many per-dimension standard
+    * deviations a vector sits from the corpus centroid, summed in
+    * quadrature. The screen that catches broken embeddings (zeroed
+    * rows, wrong-model mixes, fp-overflow spikes) BEFORE they poison an
+    * ANN index or a [[SemDedup]] pass — [[healthReport]] says the
+    * corpus drifted; this says WHICH vectors.
+    *
+    * Diagonal (per-dim variance), not full covariance: the full Σ⁻¹
+    * needs a d×d inverse (the [[Pca]] whitening path, spec-only); the
+    * diagonal form is exactly the z-score sum, stays a closed form of
+    * two corpus moments, and is what embedding-QA pipelines actually
+    * run. Zero-variance dimensions carry no information and contribute
+    * 0 (their count is reported once in `n_dims_used`, corpus-constant
+    * by construction).
+    *
+    * Spark shape: one posexplode pass to the DIM-sized moment frame
+    * (sample variance via the sum-of-squares identity on r6-pinned
+    * values — partition-order-free); the (mean, var) arrays fold back
+    * into ONE row that broadcasts, and the per-vector score is a pure
+    * row-local zip_with/aggregate projection — the corpus never
+    * shuffles. Per-dim z² terms are r6-pinned before a DECIMAL(38,6)
+    * fold, so m2 is dimension-order- and engine-independent.
+    *
+    * Output: (idCol, m2, maha = r6(√m2), n_dims_used).
+    */
+  def mahalanobisDiag(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val nD = count(lit(1)).cast("double")
+    val moments = emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("pos"), r6(col("v").cast("double")).as("v"))
+      .groupBy(col("pos"))
+      .agg(
+        (dsum(col("v")) / nD).as("mean"),
+        when(count(lit(1)) > 1,
+          (dsum(r6(col("v") * col("v"))) - dsum(col("v")) * dsum(col("v")) / nD) /
+            (nD - lit(1.0)))
+          .otherwise(lit(0.0)).as("variance"))
+    // fold the dim frame into one broadcastable row of ordered arrays
+    val statsRow = moments
+      .agg(sort_array(collect_list(struct(col("pos"), col("mean"), col("variance"))))
+        .as("__s"))
+      .select(
+        transform(col("__s"), s => s.getField("mean")).as("__means"),
+        transform(col("__s"), s => s.getField("variance")).as("__vars"))
+    emb
+      .crossJoin(broadcast(statsRow)) // one-row stats frame: lint-exempt
+      .select(
+        col(idCol),
+        aggregate(
+          zip_with(
+            zip_with(transform(col(vecCol), v => r6(v.cast("double"))),
+              col("__means"), (v, m) => v - m),
+            col("__vars"),
+            (d, s) => when(s > 0, r6(d * d / s)).otherwise(lit(0.0))),
+          lit(0).cast("decimal(38,6)"),
+          (acc, x) => acc + x.cast("decimal(38,6)")).cast("double").as("m2"),
+        size(filter(col("__vars"), s => s > 0)).cast("long").as("n_dims_used"))
+      .withColumn("maha", r6(sqrt(col("m2"))))
+      .select(col(idCol), col("m2"), col("maha"), col("n_dims_used"))
+  }
 }

@@ -122,6 +122,71 @@ object Evaluation {
     * rationals r6'd in double space then DECIMAL-summed (§5). Groups
     * with no positives emit NULL ap, not a dropped row.
     */
+  /** Murphy decomposition of the Brier score — [[calibration]]'s ECE
+    * says HOW FAR the probabilities sit from the diagonal; this says
+    * whether the score is bad because the model is MISCALIBRATED
+    * (reliability, want 0) or just UNINFORMATIVE (resolution, want
+    * large, bounded by uncertainty = ȳ(1−ȳ), the best any calibrated
+    * but constant predictor can do). brier = mean((p−y)²) is computed
+    * directly from rows (not from bins), so the identity
+    * brier ≈ reliability − resolution + uncertainty holds up to
+    * within-bin variance — the gap is itself the binning error.
+    *
+    * One corpus pass to the (group × bins) cell frame (same equal-width
+    * binning as [[calibration]]); reliability/resolution terms are
+    * n_b-weighted squares of bin means, r6-pinned before DECIMAL sums
+    * under group-partitioned windows. Output one row per group:
+    * (by..., n, brier, reliability, resolution, uncertainty).
+    */
+  def brierDecomposition(
+      df: DataFrame,
+      by: Seq[String],
+      scoreCol: String,
+      label: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val x = col(scoreCol).cast("double")
+    val byCols = by.map(col)
+    val bin = least(lit(nBins - 1L), greatest(lit(0L), floor(x * nBins).cast("long")))
+    val y = when(label, 1L).otherwise(0L)
+    val cells = df
+      .filter(ok(x))
+      .select((byCols :+ bin.as("__bin") :+ x.as("__x") :+ y.as("__y")): _*)
+      .groupBy((byCols :+ col("__bin")): _*)
+      .agg(
+        count(lit(1)).as("__n"),
+        dsum(r6(col("__x"))).as("__sx"),
+        sum(col("__y")).as("__k"),
+        dsum(r6((col("__x") - col("__y").cast("double")) *
+          (col("__x") - col("__y").cast("double")))).as("__sq"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(byCols: _*)
+    def wsum(c: Column): Column = sum(c.cast("decimal(38,6)")).over(wg).cast("double")
+    val nD = col("__n").cast("double")
+    val pbar = col("__sx") / nD
+    val ybar = col("__k").cast("double") / nD
+    // NOTE: column resolution is case-INsensitive by default, so the
+    // group-total names must not collide with the cell names modulo case
+    val totals = cells
+      .withColumn("__totn", sum(col("__n")).over(wg))
+      .withColumn("__totk", sum(col("__k")).over(wg))
+      .withColumn("__totnd", col("__totn").cast("double"))
+      .withColumn("__yg", col("__totk").cast("double") / col("__totnd"))
+      .withColumn("__brier", wsum(col("__sq")) / col("__totnd"))
+      .withColumn("__rel", wsum(r6(nD * (pbar - ybar) * (pbar - ybar))) / col("__totnd"))
+      .withColumn("__res",
+        wsum(r6(nD * (ybar - col("__yg")) * (ybar - col("__yg")))) / col("__totnd"))
+    totals
+      .groupBy(byCols: _*)
+      .agg(
+        first(col("__totn")).as("n"),
+        r6(first(col("__brier"))).as("brier"),
+        r6(first(col("__rel"))).as("reliability"),
+        r6(first(col("__res"))).as("resolution"),
+        r6(first(col("__yg")) * (lit(1.0) - first(col("__yg")))).as("uncertainty"))
+  }
+
   def averagePrecision(
       df: DataFrame,
       by: Seq[String],

@@ -280,4 +280,63 @@ object Hypothesis {
         .withColumn("q", lit(null).cast("double"))
         .withColumn("reject", lit(null).cast("boolean")))
   }
+
+  /** Cochran–Mantel–Haenszel test + Mantel–Haenszel pooled odds ratio —
+    * "is arm A associated with the hit AFTER controlling for the
+    * strata", the Simpson's-paradox-proof version of [[twoProportionZ]]:
+    * per-stratum 2×2 tables are combined by their own information, so a
+    * confounder that splits both arm mix and base rate across strata
+    * (the classic way a pooled 2×2 lies) cancels instead of biasing.
+    *
+    * Per stratum k with cells (a, b; c, d), n = a+b+c+d:
+    * CMH χ²₁ = (Σ(a − E_a))² / Σ V_a with E_a = (a+b)(a+c)/n and
+    * V_a = (a+b)(c+d)(a+c)(b+d) / (n²(n−1)); OR_MH = Σ(ad/n) / Σ(bc/n).
+    * No continuity correction (the modern default). Strata with n < 2
+    * carry no information (V undefined) and are excluded from ALL sums
+    * — counted in `k_dropped` so the exclusion is visible. χ² is NULL
+    * when ΣV = 0 (every stratum degenerate); OR_MH is NULL when
+    * Σ(bc/n) = 0 (no discordant mass — ∞ is not a number to ship).
+    *
+    * One corpus pass to the strata-sized cell frame, then one-row
+    * sums; per-stratum terms r6-pinned before DECIMAL reductions so
+    * the stratum-order reduction is engine-independent. Output ONE
+    * row: (k_strata, k_dropped, n, chi2, p_value, or_mh).
+    */
+  def cmh(df: DataFrame, strata: Seq[String], hit: Column, inA: Column): DataFrame = {
+    require(strata.nonEmpty, "cmh needs at least one stratum column")
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val cells = df
+      .groupBy(strata.map(col): _*)
+      .agg(
+        count(when(inA && hit, lit(1))).as("__a"),
+        count(when(inA && !hit, lit(1))).as("__b"),
+        count(when(!inA && hit, lit(1))).as("__c"),
+        count(when(!inA && !hit, lit(1))).as("__d"))
+      .withColumn("__n", col("__a") + col("__b") + col("__c") + col("__d"))
+    val nD = col("__n").cast("double")
+    val aD = col("__a").cast("double")
+    val ea = (col("__a") + col("__b")).cast("double") * (col("__a") + col("__c")).cast("double") / nD
+    val va = (col("__a") + col("__b")).cast("double") * (col("__c") + col("__d")).cast("double") *
+      (col("__a") + col("__c")).cast("double") * (col("__b") + col("__d")).cast("double") /
+      (nD * nD * (nD - lit(1.0)))
+    val informative = col("__n") >= 2
+    val sums = cells.agg(
+      count(when(informative, lit(1))).as("k_strata"),
+      count(when(!informative, lit(1))).as("k_dropped"),
+      coalesce(sum(when(informative, col("__n"))), lit(0L)).as("n"),
+      coalesce(dsum(when(informative, r6(aD - ea))), lit(0.0)).as("__dev"),
+      coalesce(dsum(when(informative, r6(va))), lit(0.0)).as("__v"),
+      coalesce(dsum(when(informative,
+        r6(aD * col("__d").cast("double") / nD))), lit(0.0)).as("__rn"),
+      coalesce(dsum(when(informative,
+        r6(col("__b").cast("double") * col("__c").cast("double") / nD))), lit(0.0)).as("__rd"))
+    val chi2 = when(col("__v") > 0,
+      r6(col("__dev") * col("__dev") / col("__v")))
+    sums.select(
+      col("k_strata"), col("k_dropped"), col("n"),
+      chi2.as("chi2"),
+      when(chi2.isNotNull, r6(pFromZ(sqrt(chi2)))).as("p_value"),
+      when(col("__rd") > 0, r6(col("__rn") / col("__rd"))).as("or_mh"))
+  }
 }

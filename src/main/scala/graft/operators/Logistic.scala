@@ -48,9 +48,12 @@ object Logistic {
     val r6 = Portable.r6 _
     def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
     val xs = lit(1.0) +: xCols.map(c => col(c).cast("double"))
+    // every GD step re-reads the feature frame: pin it once so the
+    // steps iterate over the projected rows, never the upstream plan
+    import graft.plans.Materialize.PinOps
     val rows = data.select(
       (col(yCol).cast("boolean").cast("int").cast("double").as("__y") +:
-        xs.zipWithIndex.map { case (x, j) => x.as(s"__x$j") }): _*)
+        xs.zipWithIndex.map { case (x, j) => x.as(s"__x$j") }): _*).pin()
     val spark = data.sparkSession
     import spark.implicits._
     val b0 = Seq(1).toDF("__one")

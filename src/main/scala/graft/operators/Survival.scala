@@ -277,19 +277,19 @@ object Survival {
       s"coxPh is a fixed-step Newton contract: 1 <= iters <= 16, got $iters")
     val r6 = graft.functions.Portable.r6 _
     def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    import graft.plans.Materialize.PinOps
+    // every Newton step re-reads the subject frame: pin it once so the
+    // steps iterate over the per-key frame, never the upstream event log
     val subj = subjects.select(
       col(durationCol).cast("long").as("__t"),
       col(observedCol).cast("boolean").as("__obs"),
-      col(xCol).cast("double").as("__x"))
-    // β-independent day statistics: event count and event-x sum per day
-    val evDay = subj
-      .groupBy(col("__t"))
-      .agg(
-        count(when(col("__obs"), lit(1))).as("__d"),
-        coalesce(dsum(when(col("__obs"), col("__x"))), lit(0.0)).as("__sx"))
+      col(xCol).cast("double").as("__x")).pin()
     val byT = Window.orderBy(col("__t"))
     val riskFrame = byT.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    // one Newton step: (one-row β frame) -> (one-row β' frame w/ U, I)
+    // one Newton step: (one-row β frame) -> (one-row β' frame w/ U, I).
+    // The β-independent event stats (d, sx) ride the SAME day groupBy as
+    // the β-weighted moments — recomputing two cheap aggregates beats a
+    // per-step join against a separate evDay frame.
     def step(beta: DataFrame): DataFrame = {
       val w = r6(exp(col("__beta") * col("__x")))
       val dayTotals = subj
@@ -298,11 +298,12 @@ object Survival {
         .agg(
           dsum(w).as("__w"),
           dsum(r6(w * col("__x"))).as("__wx"),
-          dsum(r6(w * col("__x") * col("__x"))).as("__wxx"))
+          dsum(r6(w * col("__x") * col("__x"))).as("__wxx"),
+          count(when(col("__obs"), lit(1))).as("__d"),
+          coalesce(dsum(when(col("__obs"), col("__x"))), lit(0.0)).as("__sx"))
       def wsum(c: Column): Column =
         sum(c.cast("decimal(38,6)")).over(riskFrame).cast("double")
       val risk = dayTotals
-        .join(evDay, Seq("__t"))
         .withColumn("__s0", wsum(col("__w")))
         .withColumn("__s1", wsum(col("__wx")))
         .withColumn("__s2", wsum(col("__wxx")))

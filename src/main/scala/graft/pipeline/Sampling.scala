@@ -275,4 +275,66 @@ object Sampling {
         (epochs * col("tokens")).as("alloc_tokens"),
         (coalesce(target, lit(0.0)) - epochs * col("tokens")).as("unspent"))
   }
+
+  /** Neyman-optimal sample allocation: split a labeling/inspection
+    * budget across strata ∝ N_h·σ_h — the variance-minimizing design
+    * for estimating a population mean from a stratified sample, and
+    * the principled answer to "we can afford to hand-label 1,000 docs;
+    * how many from each source?" (proportional allocation over-samples
+    * big homogeneous strata; Neyman sends budget where the VARIANCE
+    * is). σ_h is the sample stdev of `valueCol`; strata with undefined
+    * or zero spread (n_h < 2 or constant value) get weight 0 — nothing
+    * to learn there under the model — visibly, via their zero
+    * `alloc_frac`.
+    *
+    * Integer allocation is largest-remainder (floor everything, then
+    * +1 by descending fractional part, stratum-name ties) CAPPED at
+    * the stratum population; budget stranded by a cap is NOT silently
+    * redistributed (a second pass would re-rank; callers re-run with
+    * the residual if they want it spent) — `n_alloc` sums to ≤ budget
+    * and the gap is auditable from the output. Moments use r6-pinned
+    * terms + DECIMAL sums; the remainder rank runs over the
+    * STRATA-sized frame (the q_bh tests-frame window contract).
+    *
+    * Output: (stratum, n, sigma, alloc_frac, n_alloc).
+    */
+  def neymanAllocation(
+      df: DataFrame,
+      stratumCol: String,
+      valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import graft.functions.Portable.r6
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val v = col(valueCol).cast("double")
+    val nD = count(lit(1)).cast("double")
+    val strata = df
+      .filter(v.isNotNull && !isnan(v))
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(
+        count(lit(1)).as("n"),
+        when(count(lit(1)) > 1, sqrt(greatest(lit(0.0),
+          (dsum(r6(v * v)) - dsum(r6(v)) * dsum(r6(v)) / nD) / (nD - lit(1.0)))))
+          .otherwise(lit(0.0)).as("__sd"))
+      .withColumn("sigma", r6(col("__sd")))
+      .withColumn("__wt", r6(col("n").cast("double") * col("sigma")))
+    val tot = strata.agg(dsum(col("__wt")).as("__W"))
+    val alloc = strata
+      .crossJoin(broadcast(tot)) // one-row totals frame: lint-exempt
+      .withColumn("alloc_frac",
+        when(col("__W") > 0, r6(col("__wt") / col("__W"))).otherwise(lit(0.0)))
+      .withColumn("__raw", lit(budget.toDouble) * col("alloc_frac"))
+      .withColumn("__base", floor(col("__raw")).cast("long"))
+      .withColumn("__fracpart", r6(col("__raw") - col("__base").cast("double")))
+    val byRemainder = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__fracpart").desc, col("stratum").asc)
+    val spent = alloc.agg(sum(col("__base")).as("__spent"))
+    alloc
+      .crossJoin(broadcast(spent)) // one-row totals frame: lint-exempt
+      .withColumn("__bonus",
+        when(row_number().over(byRemainder) <= lit(budget) - col("__spent"), 1L)
+          .otherwise(0L))
+      .withColumn("n_alloc", least(col("n"), col("__base") + col("__bonus")))
+      .select(col("stratum"), col("n"), col("sigma"), col("alloc_frac"), col("n_alloc"))
+  }
 }

@@ -72,4 +72,50 @@ object WordVocab {
         count(lit(1)).as("n_tokens"),
         coalesce(sum(when(col("word_id").isNull, 1L)), lit(0L)).as("n_oov"))
       .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens").cast("double"))
+
+  /** word2vec-style negative-sampling table: each vocabulary word gets
+    * probability ∝ count^power (0.75 is the canonical smoothing — raw
+    * frequency over-samples stopwords, uniform over-samples typos) and
+    * a half-open cumulative range [cum_lo, cum_hi) so a sampler can
+    * map a uniform u ∈ [0,1) to a word by range lookup (range-join or
+    * broadcast binary search downstream). The standard prep step for
+    * negative sampling / candidate sampling losses.
+    *
+    * One corpus pass to the vocab-sized count frame; the smoothed
+    * weights and the cumulative window run ON that frame — the
+    * cumulative ordering (count desc, word) is the [[fit]] vocabulary
+    * rank, the same bounded-by-contract global window as
+    * fit_vocabulary_indices. Weights are r6-pinned before the
+    * DECIMAL(38,6) normalizing sum and the running total, so ranges
+    * are engine-independent; cum_hi of the last word is the total
+    * pinned mass, not exactly 1.0 — callers sample u < max(cum_hi)
+    * (documented rather than hidden with a lossy renormalize).
+    *
+    * Output: (word, n, weight, prob, cum_lo, cum_hi) ordered by rank.
+    */
+  def samplingTable(
+      docs: DataFrame,
+      textCol: String,
+      power: Double = 0.75,
+      minCount: Long = 1L): DataFrame = {
+    require(power > 0 && power <= 1.0, s"power must be in (0, 1], got $power")
+    val r6 = graft.functions.Portable.r6 _
+    val counts = docs
+      .select(explode(toks(textCol)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("weight", r6(pow(col("n").cast("double"), lit(power))))
+    val total = counts.agg(
+      sum(col("weight").cast("decimal(38,6)")).cast("double").as("__tw"))
+    val byRank = Window.orderBy(col("n").desc, col("word"))
+    val run = byRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .crossJoin(broadcast(total)) // one-row totals frame: lint-exempt
+      .withColumn("prob", r6(col("weight") / col("__tw")))
+      .withColumn("cum_hi",
+        sum(col("prob").cast("decimal(38,6)")).over(run).cast("double"))
+      .withColumn("cum_lo", r6(col("cum_hi") - col("prob")))
+      .select(col("word"), col("n"), col("weight"), col("prob"),
+        col("cum_lo"), col("cum_hi"))
+  }
 }

@@ -68,6 +68,12 @@ class PlanLintSpec extends SparkSpec {
       // Cox's per-step reverse-cumulative risk sums run over the same
       // day-granularity curve frame as q_km_survival
       "q_cox"            -> Set("global-window"),
+      // the sampling-table cumulative ranges run over the VOCABULARY
+      // rank — the q_fit_vocab bounded-frame contract
+      "q_sampling_table" -> Set("global-window"),
+      // Neyman's largest-remainder rank orders the STRATA frame —
+      // one row per stratum, the q_bh tests-frame contract
+      "q_neyman"         -> Set("global-window"),
       "q_cramers_v"      -> Set("nested-loop-join"),
       "q_bh"             -> Set("global-window"),
       "q_fit_vocab"      -> Set("global-window"),
