@@ -23,7 +23,12 @@ object Bench {
     // not measured — exact-kNN LOF (all-pairs BY CONTRACT: work is n²,
     // read its ratio against that), RAKE phrase stats, BM25 batch
     // retrieval, and the iterative link-analysis pair
-    "q_lof", "q_rake", "q_bm25_retrieve", "q_hits", "q_ppr")
+    "q_lof", "q_rake", "q_bm25_retrieve", "q_hits", "q_ppr",
+    // round-8 batch D-G corpus-scale plans: the NB token join
+    // (corpus x model), the row-local Mahalanobis projection (should
+    // scale ~linearly in vectors), and the fixed-step Newton Cox whose
+    // per-iteration cost must stay FLAT once the subject frame is built
+    "q_nb", "q_mahalanobis", "q_cox")
 
   /** The 100x (sf10) subset: the heaviest plans from the sf1 section —
     * where quadratic failure modes (bucket skew, pair explosion) would

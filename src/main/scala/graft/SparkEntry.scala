@@ -2945,7 +2945,33 @@ object SparkEntry {
     // closed form: no per-fold retrain pass)
     "q_cv" -> ((s, dir) =>
       Splits.kFoldGroupMeanCv(docs(s, dir), "doc_id", "source", "n_chars",
-        k = 5, seed = "cv42"))
+        k = 5, seed = "cv42")),
+
+    // KWIC concordance: every 'spark' occurrence with +/-3 words of
+    // context, sliced row-locally from the carried token array
+    "q_kwic" -> ((s, dir) =>
+      graft.text.Concordance.kwic(docs(s, dir), "doc_id", "text", "spark", k = 3)),
+
+    // held-out perplexity of the add-1 unigram LM (the honest version
+    // of q_unigram_lm's self-trained score)
+    "q_heldout_ppl" -> ((s, dir) =>
+      graft.text.LmEval.heldoutUnigramPerplexity(docs(s, dir), "doc_id", "text",
+        smoothing = 1.0, trainPct = 70, seed = "lm42")),
+
+    // doubly-robust AIPW ATE: LR propensity + per-arm OLS outcome
+    // models, composed in one plan (the q_ipw setting, upgraded)
+    "q_aipw" -> ((s, dir) => {
+      val d = logitDocs(s, dir).withColumn("treat", col("source") === "src0")
+      val fit = Logistic.fitGd(d, "treat", Seq("x1", "x2"), iters = 5, lr = 0.5)
+      Logistic.aipwAte(Logistic.score(d, fit, Seq("x1", "x2"), "p_hat"),
+        "n_chars", "treat", "p_hat", "x1", clip = 0.05)
+    }),
+
+    // Markov removal-effect attribution over user journeys: which
+    // channel's knockout loses the most conversions
+    "q_markov_attr" -> ((s, dir) =>
+      Attribution.markovRemoval(ev(s, dir), "user_id", "ts", "event_type",
+        "event_id", "purchase", iters = 12))
   )
 
   /** Per-user Cox subjects shared by the q_cox Spark call and oracle:
@@ -7770,6 +7796,119 @@ object SparkEntry {
            |  ${r6(s"${dsum(s"CASE WHEN yhat IS NOT NULL THEN ${r6("abs(y - yhat)")} END")} / CAST(count(CASE WHEN yhat IS NOT NULL THEN 1 END) AS DOUBLE)")} AS mae,
            |  ${r6(s"sqrt(${dsum(s"CASE WHEN yhat IS NOT NULL THEN ${r6("(y - yhat) * (y - yhat)")} END")} / CAST(count(CASE WHEN yhat IS NOT NULL THEN 1 END) AS DOUBLE))")} AS rmse
            |FROM j GROUP BY 1""".stripMargin
+      },
+
+      "q_kwic" ->
+        """WITH tok AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts
+          |  FROM documents),
+          |h AS (SELECT doc_id, ts, unnest(ts) AS w, unnest(range(0, len(ts))) AS pos FROM tok)
+          |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          |  coalesce(array_to_string(ts[greatest(1, pos - 2) : pos], ' '), '') AS left_ctx,
+          |  w AS term,
+          |  coalesce(array_to_string(ts[pos + 2 : pos + 4], ' '), '') AS right_ctx
+          |FROM h WHERE w = 'spark'""".stripMargin,
+
+      "q_heldout_ppl" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH tk AS (SELECT ${h32("concat('lm42', '|', CAST(doc_id AS VARCHAR))")} % 100 < 70 AS train,
+           |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+           |  FROM documents),
+           |c AS (SELECT w, count(*) AS c FROM tk WHERE train GROUP BY 1),
+           |ks AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM c),
+           |te AS (SELECT t.w, c.c FROM tk t LEFT JOIN c ON t.w = c.w WHERE NOT t.train),
+           |sc AS (SELECT c IS NULL AS oov,
+           |    ${r6("-ln((CAST(coalesce(c, 0) AS DOUBLE) + 1.0) / (CAST(ks.n AS DOUBLE) + 1.0 * CAST(ks.v + 1 AS DOUBLE)))")} AS nll
+           |  FROM te, ks),
+           |ag AS (SELECT (SELECT n FROM ks) AS n_train_tokens, (SELECT v FROM ks) AS vocab_size,
+           |    count(*) AS n_test_tokens, count(CASE WHEN oov THEN 1 END) AS n_oov,
+           |    ${r6(s"coalesce(${dsum("nll")}, 0.0) / CAST(count(*) AS DOUBLE)")} AS avg_nll
+           |  FROM sc)
+           |SELECT n_train_tokens, vocab_size, n_test_tokens, n_oov, avg_nll,
+           |  ${r6("exp(avg_nll)")} AS ppl FROM ag""".stripMargin
+      },
+
+      "q_aipw" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        def arm(cond: String, tag: String): String =
+          s"""count(CASE WHEN $cond THEN 1 END) AS n$tag,
+             |    coalesce(${dsum(s"CASE WHEN $cond THEN ${r6("x1")} END")}, 0.0) AS sx$tag,
+             |    coalesce(${dsum(s"CASE WHEN $cond THEN ${r6("yo")} END")}, 0.0) AS sy$tag,
+             |    coalesce(${dsum(s"CASE WHEN $cond THEN ${r6("x1 * yo")} END")}, 0.0) AS sxy$tag,
+             |    coalesce(${dsum(s"CASE WHEN $cond THEN ${r6("x1 * x1")} END")}, 0.0) AS sxx$tag""".stripMargin
+        def ab(tag: String): String =
+          s"""CASE WHEN CAST(n$tag AS DOUBLE) > 1 AND CAST(n$tag AS DOUBLE) * sxx$tag - sx$tag * sx$tag > 0
+             |      THEN ${r6(s"(CAST(n$tag AS DOUBLE) * sxy$tag - sx$tag * sy$tag) / (CAST(n$tag AS DOUBLE) * sxx$tag - sx$tag * sx$tag)")}
+             |      ELSE 0.0 END AS b$tag""".stripMargin
+        s"""WITH ${logitCtes("source = 'src0'", 5)},
+           |cl AS (SELECT CAST(n_chars AS DOUBLE) AS yo, x1, y = 1 AS t,
+           |    ${r6("least(greatest(p, CAST(0.05 AS DOUBLE)), CAST(0.95 AS DOUBLE))")} AS pcl FROM p5),
+           |ms AS (SELECT ${arm("t", "1")},
+           |    ${arm("NOT t", "0")} FROM cl),
+           |mb AS (SELECT *, ${ab("1")}, ${ab("0")} FROM ms),
+           |ma AS (SELECT *,
+           |    CASE WHEN n1 > 0 THEN ${r6("(sy1 - b1 * sx1) / CAST(n1 AS DOUBLE)")} ELSE 0.0 END AS a1,
+           |    CASE WHEN n0 > 0 THEN ${r6("(sy0 - b0 * sx0) / CAST(n0 AS DOUBLE)")} ELSE 0.0 END AS a0
+           |  FROM mb),
+           |co AS (SELECT cl.t,
+           |    ${r6("(ma.a1 + ma.b1 * cl.x1) - (ma.a0 + ma.b0 * cl.x1) + CASE WHEN cl.t THEN (cl.yo - (ma.a1 + ma.b1 * cl.x1)) / cl.pcl ELSE 0.0 END - CASE WHEN NOT cl.t THEN (cl.yo - (ma.a0 + ma.b0 * cl.x1)) / (1.0 - cl.pcl) ELSE 0.0 END")} AS contrib
+           |  FROM cl, ma)
+           |SELECT (SELECT n1 FROM ma) AS n_treated, (SELECT n0 FROM ma) AS n_control,
+           |  ${r6(s"coalesce(${dsum("contrib")}, 0.0) / CAST(count(*) AS DOUBLE)")} AS ate
+           |FROM co""".stripMargin
+      },
+
+      "q_markov_attr" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        // channels fixed by the testdata event-type domain (sorted, as
+        // markovRemoval derives them); K matches iters = 12
+        val channels = Seq("click", "error", "signup", "view")
+        val K = 12
+        def chain(tag: String, removed: Option[String]): String = {
+          val excl = removed.map(c => s" AND pr.t <> '$c'").getOrElse("")
+          val steps = (1 to K).map { k =>
+            s"""ab$tag$k AS (SELECT coalesce(${dsum(r6("v.p * pr.p"))}, 0.0) AS a
+               |  FROM v$tag${k - 1} v JOIN pr ON v.s = pr.f WHERE pr.t = '__CONV__'),
+               |v$tag$k AS (SELECT pr.t AS s, ${dsum(r6("v.p * pr.p"))} AS p
+               |  FROM v$tag${k - 1} v JOIN pr ON v.s = pr.f
+               |  WHERE pr.t <> '__CONV__' AND pr.t <> '__NULL__'$excl GROUP BY 1)""".stripMargin
+          }
+          val total = (1 to K).map(k => s"CAST((SELECT a FROM ab$tag$k) AS DECIMAL(38,6))")
+            .mkString(" + ")
+          (s"v${tag}0 AS (SELECT '__START__' AS s, CAST(1.0 AS DOUBLE) AS p)" +:
+            steps :+ s"pc$tag AS (SELECT ${r6(s"CAST($total AS DOUBLE)")} AS p)").mkString(",\n")
+        }
+        val chains = chain("f", None) +: channels.zipWithIndex.map { case (c, i) =>
+          chain(s"r$i", Some(c))
+        }
+        val finals = channels.zipWithIndex.map { case (c, i) =>
+          s"""SELECT '$c' AS channel,
+             |  (SELECT CAST(sum(n) AS BIGINT) FROM cnt WHERE f = '$c' OR t = '$c') AS n_transitions,
+             |  (SELECT p FROM pcf) AS p_full, (SELECT p FROM pcr$i) AS p_removed,
+             |  CASE WHEN (SELECT p FROM pcf) > 0
+             |    THEN ${r6(s"1.0 - (SELECT p FROM pcr$i) / (SELECT p FROM pcf)")} END AS removal_effect""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH rws AS (SELECT user_id AS u,
+           |    CASE WHEN event_type = 'purchase' THEN '__CONV__' ELSE event_type END AS st,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           |  FROM events WHERE ts IS NOT NULL),
+           |kp AS (SELECT *, min(CASE WHEN st = '__CONV__' THEN rn END)
+           |    OVER (PARTITION BY u) AS cp FROM rws),
+           |kept AS (SELECT * FROM kp WHERE cp IS NULL OR rn <= cp),
+           |inr AS (SELECT coalesce(lag(st) OVER (PARTITION BY u ORDER BY rn), '__START__') AS f,
+           |    st AS t FROM kept),
+           |lst AS (SELECT st AS f, '__NULL__' AS t FROM (
+           |    SELECT *, max(rn) OVER (PARTITION BY u) AS mx FROM kept)
+           |  WHERE rn = mx AND cp IS NULL),
+           |cnt AS (SELECT f, t, count(*) AS n FROM (
+           |    SELECT * FROM inr UNION ALL SELECT * FROM lst) GROUP BY 1, 2),
+           |pr AS (SELECT f, t, ${r6("CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY f) AS DOUBLE)")} AS p
+           |  FROM cnt),
+           |${chains.mkString(",\n")}
+           |$finals""".stripMargin
       }
     )
   }

@@ -136,6 +136,64 @@ object Logistic {
     * n_control, mean_treated, mean_control, ate) — arm means NULL when
     * an arm is empty (no fake zeros), ate NULL with them.
     */
+  /** Doubly-robust AIPW average treatment effect — consistent if
+    * EITHER the propensity model OR the per-arm outcome model is
+    * right, which is why it is the default over plain [[ipwAte]] when
+    * a covariate worth regressing on exists. Outcome models are
+    * per-arm simple OLS μ_t(x) = a_t + b_t·x (closed form from one
+    * conditional aggregate; a degenerate arm — n < 2 or constant x —
+    * falls back to the arm mean, b = 0, visibly NULL-slope is not
+    * needed since the mean IS the 0-slope fit). The estimator is
+    * τ̂ = mean[ μ₁(x) − μ₀(x) + t(y−μ₁(x))/p̂ − (1−t)(y−μ₀(x))/(1−p̂) ]
+    * with p̂ clipped to [clip, 1−clip] as in [[ipwAte]].
+    *
+    * Two passes: one conditional aggregate builds the one-row
+    * (a₁, b₁, a₀, b₀) frame, one scan computes the r6-pinned per-row
+    * contributions under a DECIMAL mean. Output ONE row:
+    * (n_treated, n_control, ate).
+    */
+  def aipwAte(
+      scored: DataFrame,
+      yCol: String,
+      treatCol: String,
+      propCol: String,
+      xCol: String,
+      clip: Double = 0.05): DataFrame = {
+    require(clip >= 0 && clip < 0.5, s"clip must be in [0, 0.5), got $clip")
+    val r6 = Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val t = col(treatCol).cast("boolean")
+    val y = col(yCol).cast("double")
+    val x = col(xCol).cast("double")
+    def armOls(arm: Column, tag: String): Seq[Column] = {
+      val n = count(when(arm, lit(1))).cast("double")
+      val sx = coalesce(dsum(when(arm, r6(x))), lit(0.0))
+      val sy = coalesce(dsum(when(arm, r6(y))), lit(0.0))
+      val sxy = coalesce(dsum(when(arm, r6(x * y))), lit(0.0))
+      val sxx = coalesce(dsum(when(arm, r6(x * x))), lit(0.0))
+      val det = n * sxx - sx * sx
+      val b = when(n > 1 && det > 0, r6((n * sxy - sx * sy) / det)).otherwise(lit(0.0))
+      Seq(
+        count(when(arm, lit(1))).as(s"__n$tag"),
+        when(n > 0, r6((sy - b * sx) / n)).otherwise(lit(0.0)).as(s"__a$tag"),
+        b.as(s"__b$tag"))
+    }
+    val modelCols = armOls(t, "1") ++ armOls(!t, "0")
+    val model = scored.agg(modelCols.head, modelCols.tail: _*)
+    val p = r6(least(greatest(col(propCol), lit(clip)), lit(1.0 - clip)))
+    val mu1 = col("__a1") + col("__b1") * x
+    val mu0 = col("__a0") + col("__b0") * x
+    val contrib = r6(mu1 - mu0 +
+      when(t, (y - mu1) / p).otherwise(lit(0.0)) -
+      when(!t, (y - mu0) / (lit(1.0) - p)).otherwise(lit(0.0)))
+    scored
+      .crossJoin(broadcast(model)) // one-row model frame: lint-exempt
+      .agg(
+        first(col("__n1")).as("n_treated"),
+        first(col("__n0")).as("n_control"),
+        r6(coalesce(dsum(contrib), lit(0.0)) / count(lit(1)).cast("double")).as("ate"))
+  }
+
   def ipwAte(
       scored: DataFrame,
       yCol: String,
