@@ -2971,7 +2971,40 @@ object SparkEntry {
     // channel's knockout loses the most conversions
     "q_markov_attr" -> ((s, dir) =>
       Attribution.markovRemoval(ev(s, dir), "user_id", "ts", "event_type",
-        "event_id", "purchase", iters = 12))
+        "event_id", "purchase", iters = 12)),
+
+    // restricted mean survival time: days-to-purchase area under the
+    // KM curve within a 20-day horizon
+    "q_rmst" -> ((s, dir) =>
+      Survival.restrictedMeanSurvival(ev(s, dir), "user_id", "ts", "event_type",
+        "purchase", horizonDays = 20L)),
+
+    // Hosmer-Lemeshow-style calibration chi-square on the
+    // q_calibration score/label pair (fixed-width-bin variant)
+    "q_hosmer" -> ((s, dir) =>
+      Evaluation.hosmerLemeshow(
+        docs(s, dir).withColumn("score",
+          least(lit(1.0), col("n_chars").cast("double") / 1000.0)),
+        Seq("lang"), "score", col("text").contains(" the "), nBins = 10)),
+
+    // IPW weight diagnostics (Kish ESS + max-weight share) on the
+    // q_ipw propensity weights — trust-the-estimate gate
+    "q_ess" -> ((s, dir) => {
+      val d = logitDocs(s, dir).withColumn("treat", col("source") === "src0")
+      val fit = Logistic.fitGd(d, "treat", Seq("x1", "x2"), iters = 5, lr = 0.5)
+      Logistic.weightDiagnostics(
+        Logistic.score(d, fit, Seq("x1", "x2"), "p_hat"), "treat", "p_hat", clip = 0.05)
+    }),
+
+    // placebo refutation: rerun the whole q_ipw pipeline on an md5
+    // coin-flip pseudo-treatment — a real design should land near 0
+    "q_placebo" -> ((s, dir) => {
+      val d = logitDocs(s, dir).withColumn("treat",
+        TextFunctions.md5Hash32(concat(lit("pb:"), col("doc_id").cast("string"))) % 2 === 1)
+      val fit = Logistic.fitGd(d, "treat", Seq("x1", "x2"), iters = 5, lr = 0.5)
+      Logistic.ipwAte(Logistic.score(d, fit, Seq("x1", "x2"), "p_hat"),
+        "n_chars", "treat", "p_hat", clip = 0.05)
+    })
   )
 
   /** Per-user Cox subjects shared by the q_cox Spark call and oracle:
@@ -7909,6 +7942,107 @@ object SparkEntry {
            |  FROM cnt),
            |${chains.mkString(",\n")}
            |$finals""".stripMargin
+      },
+
+      "q_rmst" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH sp AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+           |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS te,
+           |    max(epoch_us(ts)) AS tl
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+           |dur AS (SELECT CAST(floor(CAST(coalesce(te, tl) - t0 AS DOUBLE) / 86400000000.0) AS BIGINT) AS t_day,
+           |    te IS NOT NULL AS obs FROM sp),
+           |cv AS (SELECT t_day, count(CASE WHEN obs THEN 1 END) AS d_events,
+           |    count(CASE WHEN NOT obs THEN 1 END) AS c_censored FROM dur GROUP BY 1),
+           |tot AS (SELECT sum(d_events + c_censored) AS total FROM cv),
+           |r AS (SELECT t_day, d_events, c_censored,
+           |    total - coalesce(sum(d_events + c_censored) OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+           |  FROM cv, tot),
+           |h AS (SELECT t_day, d_events, c_censored, n_risk,
+           |    CASE WHEN d_events > 0 AND d_events < n_risk THEN
+           |      ${r6("ln(1 - CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE))")}
+           |    ELSE 0.0 END AS term FROM r),
+           |km AS (SELECT t_day, d_events, c_censored,
+           |    CASE WHEN d_events = n_risk THEN NULL ELSE
+           |      CAST(sum(CAST(term AS DECIMAL(38,6))) OVER (ORDER BY t_day) AS DOUBLE)
+           |    END AS log_s FROM h),
+           |st AS (SELECT t_day, d_events, c_censored,
+           |    CASE WHEN log_s IS NULL THEN 0.0 ELSE ${r6("exp(log_s)")} END AS s FROM km),
+           |lg AS (SELECT *, coalesce(lag(s) OVER (ORDER BY t_day), 1.0) AS prevs,
+           |    coalesce(lag(t_day) OVER (ORDER BY t_day), 0) AS prevt,
+           |    max(t_day) OVER () AS mxt FROM st),
+           |wd AS (SELECT *, greatest(0.0, least(CAST(t_day AS DOUBLE), 20.0) - least(CAST(prevt AS DOUBLE), 20.0)) AS w FROM lg)
+           |SELECT CAST(20 AS BIGINT) AS horizon_days,
+           |  ${r6(s"coalesce(${dsum(r6("prevs * w"))}, 0.0) + coalesce(${dsum(s"CASE WHEN t_day = mxt THEN ${r6("s * greatest(0.0, 20.0 - least(CAST(t_day AS DOUBLE), 20.0))")} END")}, 0.0)")} AS rmst,
+           |  CAST(coalesce(sum(d_events + c_censored), 0) AS BIGINT) AS n,
+           |  CAST(coalesce(sum(d_events), 0) AS BIGINT) AS n_events
+           |FROM wd""".stripMargin
+      },
+
+      "q_hosmer" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        val pz = "least(1.0, 2.0 * exp(-az * az / 2.0) / " +
+          s"${math.sqrt(2.0 * math.Pi)} * " +
+          "(0.4361836 * tt - 0.1201676 * tt * tt + 0.9372980 * tt * tt * tt))"
+        s"""WITH v AS (SELECT lang, least(1.0, CAST(n_chars AS DOUBLE) / 1000.0) AS x,
+           |    CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS y FROM documents),
+           |g AS (SELECT lang, least(9, greatest(0, CAST(floor(x * 10) AS BIGINT))) AS bin,
+           |    count(*) AS cn, ${dsum(r6("x"))} AS e, CAST(sum(y) AS BIGINT) AS o
+           |  FROM v GROUP BY 1, 2),
+           |t AS (SELECT lang, cn, e, o, e > 0 AND e < CAST(cn AS DOUBLE) AS testable,
+           |    CASE WHEN e > 0 AND e < CAST(cn AS DOUBLE) THEN
+           |      ${r6("(CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / (e * (1.0 - e / CAST(cn AS DOUBLE)))")}
+           |    END AS term FROM g),
+           |a AS (SELECT lang, CAST(sum(cn) AS BIGINT) AS n,
+           |    count(CASE WHEN testable THEN 1 END) AS b_tested,
+           |    count(CASE WHEN NOT testable THEN 1 END) AS b_skipped,
+           |    coalesce(${dsum("term")}, 0.0) AS chi2raw FROM t GROUP BY 1),
+           |b AS (SELECT *, greatest(0, b_tested - 2) AS df,
+           |    CASE WHEN b_tested >= 3 THEN ${r6("chi2raw")} END AS chi2 FROM a),
+           |c AS (SELECT *, sqrt(2.0 * chi2) - sqrt(2.0 * CAST(df AS DOUBLE) - 1.0) AS z FROM b),
+           |d AS (SELECT *, abs(z) AS az, 1.0 / (1.0 + 0.33267 * abs(z)) AS tt FROM c)
+           |SELECT lang, n, b_tested, b_skipped, chi2, df,
+           |  CASE WHEN chi2 IS NOT NULL AND df >= 1 THEN
+           |    CASE WHEN z >= 0 THEN ${r6(s"$pz / 2.0")} ELSE ${r6(s"1.0 - $pz / 2.0")} END
+           |  END AS p_value
+           |FROM d""".stripMargin
+      },
+
+      "q_ess" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH ${logitCtes("source = 'src0'", 5)},
+           |cl AS (SELECT y = 1 AS t,
+           |    ${r6("least(greatest(p, CAST(0.05 AS DOUBLE)), CAST(0.95 AS DOUBLE))")} AS pcl FROM p5),
+           |ws AS (SELECT CASE WHEN t THEN 'treated' ELSE 'control' END AS arm,
+           |    CASE WHEN t THEN ${r6("1.0 / pcl")} ELSE ${r6("1.0 / (1.0 - pcl)")} END AS w FROM cl),
+           |ag AS (SELECT arm, count(*) AS n, ${dsum("w")} AS sw,
+           |    ${dsum(r6("w * w"))} AS sw2, max(w) AS mw FROM ws GROUP BY 1)
+           |SELECT arm, n,
+           |  CASE WHEN sw2 > 0 THEN ${r6("sw * sw / sw2")} END AS ess,
+           |  CASE WHEN sw2 > 0 THEN ${r6("sw * sw / sw2 / CAST(n AS DOUBLE)")} END AS ess_ratio,
+           |  CASE WHEN sw > 0 THEN ${r6("mw / sw")} END AS max_w_share
+           |FROM ag""".stripMargin
+      },
+
+      "q_placebo" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        val placebo = s"${h32("concat('pb:', CAST(doc_id AS VARCHAR))")} % 2 = 1"
+        s"""WITH ${logitCtes(placebo, 5)},
+           |cl AS (SELECT n_chars, y = 1 AS t,
+           |    ${r6("least(greatest(p, CAST(0.05 AS DOUBLE)), CAST(0.95 AS DOUBLE))")} AS pcl FROM p5),
+           |wts AS (SELECT CAST(n_chars AS DOUBLE) AS yo, t,
+           |    CASE WHEN t THEN ${r6("1.0 / pcl")} END AS wt,
+           |    CASE WHEN NOT t THEN ${r6("1.0 / (1.0 - pcl)")} END AS wc FROM cl),
+           |ag AS (SELECT count(CASE WHEN t THEN 1 END) AS n_treated,
+           |    count(CASE WHEN NOT t THEN 1 END) AS n_control,
+           |    ${dsum(r6("wt * yo"))} / ${dsum("wt")} AS mt,
+           |    ${dsum(r6("wc * yo"))} / ${dsum("wc")} AS mc FROM wts)
+           |SELECT n_treated, n_control, ${r6("mt")} AS mean_treated,
+           |  ${r6("mc")} AS mean_control, ${r6("mt - mc")} AS ate FROM ag""".stripMargin
       }
     )
   }

@@ -187,6 +187,68 @@ object Evaluation {
         r6(first(col("__yg")) * (lit(1.0) - first(col("__yg")))).as("uncertainty"))
   }
 
+  /** Hosmer–Lemeshow-style calibration χ² on fixed-width score bins —
+    * the TEST companion to [[calibration]]'s descriptive ECE: is the
+    * observed-vs-expected gap larger than chance, per group. Per bin,
+    * O = Σy and E = Σp; χ² = Σ (O−E)²/(E·(1−E/n_b)) over bins with
+    * 0 < E < n_b (a bin whose expectation is degenerate carries no
+    * testable variance and is skipped — counted in `b_skipped`);
+    * df = testable bins − 2 (the fitted-model convention), p from the
+    * χ² tail via the normal approximation z = √(2χ²) − √(2df−1)
+    * (Wilson–Hilferty-adjacent; exact enough for a gate at df ≥ 8).
+    * Equal-WIDTH bins rather than the classical equal-count deciles:
+    * deciles need a global sort of the corpus; fixed bins keep the
+    * whole test one pass + a group-partitioned window, and the
+    * statistic remains a valid calibration χ² (documented variant).
+    *
+    * Output per group: (by..., n, b_tested, b_skipped, chi2, df,
+    * p_value) — chi2/p NULL when fewer than 3 testable bins.
+    */
+  def hosmerLemeshow(
+      df: DataFrame,
+      by: Seq[String],
+      scoreCol: String,
+      label: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 3, s"nBins must be >= 3, got $nBins")
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val x = col(scoreCol).cast("double")
+    val byCols = by.map(col)
+    val bin = least(lit(nBins - 1L), greatest(lit(0L), floor(x * nBins).cast("long")))
+    val cells = df
+      .filter(ok(x))
+      .select((byCols :+ bin.as("__bin") :+ x.as("__x") :+
+        when(label, 1L).otherwise(0L).as("__y")): _*)
+      .groupBy((byCols :+ col("__bin")): _*)
+      .agg(
+        count(lit(1)).as("__cn"),
+        dsum(r6(col("__x"))).as("__e"),
+        sum(col("__y")).as("__o"))
+    val nD = col("__cn").cast("double")
+    val testable = col("__e") > 0 && col("__e") < nD
+    val term = when(testable,
+      r6((col("__o").cast("double") - col("__e")) * (col("__o").cast("double") - col("__e")) /
+        (col("__e") * (lit(1.0) - col("__e") / nD))))
+    val g = cells
+      .groupBy(byCols: _*)
+      .agg(
+        sum(col("__cn")).as("n"),
+        count(when(testable, lit(1))).as("b_tested"),
+        count(when(!testable, lit(1))).as("b_skipped"),
+        coalesce(dsum(term), lit(0.0)).as("__chi2"))
+      .withColumn("df", greatest(lit(0L), col("b_tested") - lit(2L)))
+    val chi2 = when(col("b_tested") >= 3, r6(col("__chi2")))
+    val z = sqrt(lit(2.0) * chi2) - sqrt(lit(2.0) * col("df").cast("double") - lit(1.0))
+    // one-sided upper tail: P(Z > z) = pFromZ/2 for z >= 0, else the
+    // complement (pFromZ folds to |z|)
+    val tail = when(z >= 0, graft.operators.Hypothesis.pFromZ(z) / lit(2.0))
+      .otherwise(lit(1.0) - graft.operators.Hypothesis.pFromZ(z) / lit(2.0))
+    g.select((byCols :+ col("n") :+ col("b_tested") :+ col("b_skipped") :+
+      chi2.as("chi2") :+ col("df") :+
+      when(chi2.isNotNull && col("df") >= 1, r6(tail)).as("p_value")): _*)
+  }
+
   def averagePrecision(
       df: DataFrame,
       by: Seq[String],

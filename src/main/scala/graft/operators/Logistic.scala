@@ -194,6 +194,44 @@ object Logistic {
         r6(coalesce(dsum(contrib), lit(0.0)) / count(lit(1)).cast("double")).as("ate"))
   }
 
+  /** Inverse-propensity weight diagnostics per arm — the numbers that
+    * decide whether an [[ipwAte]]/[[aipwAte]] estimate deserves trust
+    * BEFORE anyone reads it: Kish effective sample size
+    * ESS = (Σw)²/Σw² (how many "real" observations the weighted arm is
+    * worth; ESS ≪ n means a few extreme weights own the estimate) and
+    * the largest single weight's share of the arm's total. One global
+    * conditional aggregate, r6-pinned DECIMAL sums; max is exact.
+    *
+    * Output: one row per arm — (arm, n, ess, ess_ratio, max_w_share).
+    */
+  def weightDiagnostics(
+      scored: DataFrame,
+      treatCol: String,
+      propCol: String,
+      clip: Double = 0.05): DataFrame = {
+    require(clip >= 0 && clip < 0.5, s"clip must be in [0, 0.5), got $clip")
+    val r6 = Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val t = col(treatCol).cast("boolean")
+    val p = r6(least(greatest(col(propCol), lit(clip)), lit(1.0 - clip)))
+    val w = when(t, r6(lit(1.0) / p)).otherwise(r6(lit(1.0) / (lit(1.0) - p)))
+    scored
+      .select(when(t, lit("treated")).otherwise(lit("control")).as("arm"), w.as("__w"))
+      .groupBy(col("arm"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("__w")).as("__sw"),
+        dsum(r6(col("__w") * col("__w"))).as("__sw2"),
+        max(col("__w")).as("__mw"))
+      .select(
+        col("arm"), col("n"),
+        when(col("__sw2") > 0, r6(col("__sw") * col("__sw") / col("__sw2"))).as("ess"),
+        when(col("__sw2") > 0,
+          r6(col("__sw") * col("__sw") / col("__sw2") / col("n").cast("double")))
+          .as("ess_ratio"),
+        when(col("__sw") > 0, r6(col("__mw") / col("__sw"))).as("max_w_share"))
+  }
+
   def ipwAte(
       scored: DataFrame,
       yCol: String,

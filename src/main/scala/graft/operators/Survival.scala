@@ -233,6 +233,53 @@ object Survival {
         col("hazard"), col("cum_hazard"))
   }
 
+  /** Restricted mean survival time — the area under the KM curve up to
+    * a horizon τ: "expected days survived within the first τ days", the
+    * clinically-standard single-number summary when hazards aren't
+    * proportional (a hazard ratio is meaningless then; an RMST
+    * difference never is). Built directly ON the [[kaplanMeier]] curve:
+    * the step function S contributes S(tᵢ₋₁)·(min(tᵢ,τ)−min(tᵢ₋₁,τ))
+    * per curve row plus the S(t_last)·(τ−t_last) tail, all r6-pinned
+    * before a DECIMAL sum; a terminal zero-survival day (NULL log_s)
+    * contributes a zero tail rather than poisoning the integral.
+    *
+    * Same day-granularity bounded-frame contract as [[kaplanMeier]] —
+    * the lag/sum windows order the curve, never subjects. Output ONE
+    * row: (horizon_days, rmst, n, n_events).
+    */
+  def restrictedMeanSurvival(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      typeCol: String,
+      eventType: String,
+      horizonDays: Long): DataFrame = {
+    require(horizonDays > 0, s"horizon must be positive, got $horizonDays")
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val curve = kaplanMeier(events, keyCol, timeCol, typeCol, eventType)
+    val byT = Window.orderBy(col("t_day"))
+    val tau = lit(horizonDays.toDouble)
+    val s = when(col("log_s").isNull, lit(0.0)).otherwise(r6(exp(col("log_s"))))
+    val stepped = curve
+      .withColumn("__s", s)
+      .withColumn("__prevs", coalesce(lag(col("__s"), 1).over(byT), lit(1.0)))
+      .withColumn("__prevt", coalesce(lag(col("t_day"), 1).over(byT), lit(0L)))
+      .withColumn("__w",
+        greatest(lit(0.0),
+          least(col("t_day").cast("double"), tau) -
+            least(col("__prevt").cast("double"), tau)))
+      .withColumn("__mx", max(col("t_day")).over(Window.partitionBy(lit(1))))
+    stepped.agg(
+      lit(horizonDays).as("horizon_days"),
+      r6(coalesce(dsum(r6(col("__prevs") * col("__w"))), lit(0.0)) +
+        coalesce(dsum(when(col("t_day") === col("__mx"),
+          r6(col("__s") * greatest(lit(0.0), tau - least(col("t_day").cast("double"), tau))))),
+          lit(0.0))).as("rmst"),
+      coalesce(sum(col("d_events") + col("c_censored")), lit(0L)).as("n"),
+      coalesce(sum(col("d_events")), lit(0L)).as("n_events"))
+  }
+
   /** Cox proportional-hazards regression, single covariate, Breslow
     * ties — "does x shift the HAZARD, accounting for censoring" (the
     * modelled companion to [[logRank]]'s yes/no: log-rank is exactly

@@ -68,6 +68,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_km_survival", "q_bh", "q_logrank",
       "q_nelson_aalen", // same day-curve contract as q_km_survival
       "q_cox", // Newton risk-set windows run over the same day curve
+      "q_rmst", // KM-curve integral: same day-frame contract
       "q_sampling_table", // cumulative ranges over the VOCABULARY rank
       "q_neyman", // largest-remainder rank over the STRATA frame (q_bh contract)
       "q_pareto")
