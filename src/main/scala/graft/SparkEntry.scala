@@ -4,7 +4,7 @@ import graft.ann.{Embeddings, KMeans, Similarity}
 import graft.dedup.Dedup
 import graft.meds.{Meds, MedsPipeline}
 import graft.operators._
-import graft.pipeline.{Curation, Packing, Sampling, Selection, Splits}
+import graft.pipeline.{Curation, Influence, Packing, Sampling, Selection, Splits}
 import graft.sources.Tables
 import graft.text.{Bm25, Chunker, Collocations, InvertedIndex, TextFunctions, Tfidf, WordVocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -3004,6 +3004,37 @@ object SparkEntry {
       val fit = Logistic.fitGd(d, "treat", Seq("x1", "x2"), iters = 5, lr = 0.5)
       Logistic.ipwAte(Logistic.score(d, fit, Seq("x1", "x2"), "p_hat"),
         "n_chars", "treat", "p_hat", clip = 0.05)
+    }),
+
+    // Aalen-Johansen competing risks: purchase vs error as competing
+    // terminal events per user, day-granularity CIFs
+    "q_cif" -> ((s, dir) =>
+      Survival.competingRisks(ev(s, dir), "user_id", "ts", "event_type",
+        "purchase", "error")),
+
+    // leave-one-source-out influence on the corpus mean doc length —
+    // which source's removal moves the corpus metric, and which way
+    "q_loo_source" -> ((s, dir) =>
+      Influence.leaveOneOutMean(docs(s, dir), "source", col("n_chars"))),
+
+    // embedding isotropy: mean pairwise cosine from the closed form
+    // (no pair ever materializes)
+    "q_isotropy" -> ((s, dir) => Embeddings.isotropy(emb(s, dir))),
+
+    // Simpson's-paradox audit: pooled vs MH-stratified rate difference
+    // across event-type strata for the md5 A/B arms
+    "q_simpson" -> ((s, dir) => {
+      val arm = TextFunctions.md5Hash32(
+        concat(lit("cmh:"), col("user_id").cast("string"))) % 2 === 1
+      Hypothesis.simpsonCheck(ev(s, dir), Seq("event_type"), col("value") >= 10.0, arm)
+    }),
+
+    // VanderWeele E-value: how much unmeasured confounding the observed
+    // arm risk ratio could absorb before vanishing
+    "q_evalue" -> ((s, dir) => {
+      val arm = TextFunctions.md5Hash32(
+        concat(lit("cmh:"), col("user_id").cast("string"))) % 2 === 1
+      Hypothesis.eValue(ev(s, dir), col("value") >= 10.0, arm)
     })
   )
 
@@ -8043,6 +8074,143 @@ object SparkEntry {
            |    ${dsum(r6("wc * yo"))} / ${dsum("wc")} AS mc FROM wts)
            |SELECT n_treated, n_control, ${r6("mt")} AS mean_treated,
            |  ${r6("mc")} AS mean_control, ${r6("mt - mc")} AS ate FROM ag""".stripMargin
+      },
+
+      "q_cif" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH sp AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+           |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t1,
+           |    min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS t2,
+           |    max(epoch_us(ts)) AS tl
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+           |dur AS (SELECT
+           |    CAST(floor(CAST(coalesce(
+           |      CASE WHEN t1 IS NOT NULL AND (t2 IS NULL OR t1 <= t2) THEN t1 ELSE t2 END,
+           |      tl) - t0 AS DOUBLE) / 86400000000.0) AS BIGINT) AS t_day,
+           |    CASE WHEN t1 IS NOT NULL AND (t2 IS NULL OR t1 <= t2) THEN 1
+           |      WHEN t2 IS NOT NULL THEN 2 END AS cause
+           |  FROM sp),
+           |cv AS (SELECT t_day,
+           |    count(CASE WHEN cause = 1 THEN 1 END) AS d_cause1,
+           |    count(CASE WHEN cause = 2 THEN 1 END) AS d_cause2,
+           |    count(CASE WHEN cause IS NULL THEN 1 END) AS c_censored
+           |  FROM dur GROUP BY 1),
+           |tot AS (SELECT sum(d_cause1 + d_cause2 + c_censored) AS total FROM cv),
+           |r AS (SELECT t_day, d_cause1, d_cause2, c_censored,
+           |    CAST(total - coalesce(sum(d_cause1 + d_cause2 + c_censored)
+           |      OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+           |  FROM cv, tot),
+           |h AS (SELECT *, CAST(d_cause1 + d_cause2 AS DOUBLE) AS dall,
+           |    CASE WHEN d_cause1 + d_cause2 > 0 AND CAST(d_cause1 + d_cause2 AS DOUBLE) < CAST(n_risk AS DOUBLE)
+           |      THEN ${r6("ln(1.0 - CAST(d_cause1 + d_cause2 AS DOUBLE) / CAST(n_risk AS DOUBLE))")}
+           |      ELSE 0.0 END AS term FROM r),
+           |s AS (SELECT *,
+           |    CASE WHEN coalesce(sum(CASE WHEN dall = CAST(n_risk AS DOUBLE) THEN 1 END)
+           |        OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) > 0
+           |      THEN 0.0
+           |      ELSE ${r6("exp(CAST(coalesce(sum(CAST(term AS DECIMAL(38,6))) OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE))")}
+           |    END AS sprev FROM h)
+           |SELECT t_day, n_risk, d_cause1, d_cause2, c_censored,
+           |  ${r6("CAST(sum(CAST(" + r6("sprev * CAST(d_cause1 AS DOUBLE) / CAST(n_risk AS DOUBLE)") + " AS DECIMAL(38,6))) OVER (ORDER BY t_day) AS DOUBLE)")} AS cif1,
+           |  ${r6("CAST(sum(CAST(" + r6("sprev * CAST(d_cause2 AS DOUBLE) / CAST(n_risk AS DOUBLE)") + " AS DECIMAL(38,6))) OVER (ORDER BY t_day) AS DOUBLE)")} AS cif2
+           |FROM s""".stripMargin
+      },
+
+      "q_loo_source" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH g AS (SELECT source AS "group", count(*) AS n,
+           |    ${dsum(r6("CAST(n_chars AS DOUBLE)"))} AS s
+           |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+           |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, coalesce(${dsum("s")}, 0.0) AS ss FROM g)
+           |SELECT g."group", CAST(g.n AS BIGINT) AS n,
+           |  ${r6("g.s / CAST(g.n AS DOUBLE)")} AS group_mean,
+           |  ${r6("t.ss / CAST(t.nn AS DOUBLE)")} AS corpus_mean,
+           |  CASE WHEN t.nn > g.n THEN ${r6("(t.ss - g.s) / CAST(t.nn - g.n AS DOUBLE)")} END AS loo_mean,
+           |  CASE WHEN t.nn > g.n THEN
+           |    ${r6(s"${r6("(t.ss - g.s) / CAST(t.nn - g.n AS DOUBLE)")} - ${r6("t.ss / CAST(t.nn AS DOUBLE)")}")}
+           |  END AS delta
+           |FROM g, t""".stripMargin
+      },
+
+      "q_isotropy" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+           |    unnest(range(0, len(embedding))) AS pos FROM embeddings),
+           |nr AS (SELECT vec_id, sqrt(${dsum(r6("v * v"))}) AS nm FROM x GROUP BY 1),
+           |un AS (SELECT x.vec_id, x.pos, ${r6("x.v / nr.nm")} AS u
+           |  FROM x JOIN nr ON x.vec_id = nr.vec_id WHERE nr.nm > 0),
+           |dm AS (SELECT pos, ${dsum("u")} AS s FROM un GROUP BY 1),
+           |ct AS (SELECT coalesce(${dsum(r6("s * s"))}, 0.0) AS ss, count(*) AS dim FROM dm),
+           |rq0 AS (SELECT vec_id, ${dsum(r6("u * u"))} AS q FROM un GROUP BY 1),
+           |rq AS (SELECT count(*) AS n, coalesce(${dsum("q")}, 0.0) AS rqs FROM rq0),
+           |zr AS (SELECT count(*) AS n_zero FROM nr WHERE NOT (nm > 0))
+           |SELECT rq.n, zr.n_zero, ct.dim,
+           |  CASE WHEN rq.n > 0 THEN ${r6("sqrt(ct.ss) / CAST(rq.n AS DOUBLE)")} END AS centroid_norm,
+           |  CASE WHEN rq.n > 1 THEN
+           |    ${r6("(ct.ss - rq.rqs) / (CAST(rq.n AS DOUBLE) * CAST(rq.n - 1 AS DOUBLE))")}
+           |  END AS mean_offdiag_cos
+           |FROM rq, ct, zr""".stripMargin
+      },
+
+      "q_simpson" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH e AS (SELECT event_type,
+           |    ${h32("concat('cmh:', CAST(user_id AS VARCHAR))")} % 2 = 1 AS a,
+           |    value >= 10.0 AS hit FROM events),
+           |cells AS (SELECT event_type,
+           |    count(CASE WHEN a THEN 1 END) AS na,
+           |    count(CASE WHEN NOT a THEN 1 END) AS nb,
+           |    count(CASE WHEN a AND hit THEN 1 END) AS ka,
+           |    count(CASE WHEN NOT a AND hit THEN 1 END) AS kb
+           |  FROM e GROUP BY 1),
+           |d AS (SELECT *,
+           |    CAST(ka AS DOUBLE) / CAST(na AS DOUBLE) - CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE) AS dd,
+           |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS wgt,
+           |    na > 0 AND nb > 0 AS wtd FROM cells),
+           |su AS (SELECT count(*) AS k_strata,
+           |    CAST(sum(na + nb) AS BIGINT) AS n,
+           |    CAST(sum(na) AS BIGINT) AS sna, CAST(sum(nb) AS BIGINT) AS snb,
+           |    CAST(sum(ka) AS BIGINT) AS ska, CAST(sum(kb) AS BIGINT) AS skb,
+           |    coalesce(${dsum(s"CASE WHEN wtd THEN ${r6("wgt * dd")} END")}, 0.0) AS wd,
+           |    coalesce(${dsum(s"CASE WHEN wtd THEN ${r6("wgt")} END")}, 0.0) AS w
+           |  FROM d),
+           |pp AS (SELECT *,
+           |    CASE WHEN sna > 0 AND snb > 0 THEN
+           |      ${r6("CAST(ska AS DOUBLE) / CAST(sna AS DOUBLE) - CAST(skb AS DOUBLE) / CAST(snb AS DOUBLE)")}
+           |    END AS pooled,
+           |    CASE WHEN w > 0 THEN ${r6("wd / w")} END AS strat FROM su),
+           |tl AS (SELECT coalesce(sum(CASE WHEN d.wtd AND pp.pooled IS NOT NULL
+           |      AND sign(d.dd) <> 0 AND sign(d.dd) <> sign(pp.pooled) THEN 1 END), 0) AS n_reversed
+           |  FROM d, pp)
+           |SELECT pp.k_strata, pp.n, pp.pooled AS pooled_diff, pp.strat AS stratified_diff,
+           |  CAST(tl.n_reversed AS BIGINT) AS n_reversed,
+           |  CASE WHEN pp.pooled IS NOT NULL AND pp.strat IS NOT NULL THEN
+           |    sign(pp.pooled) <> sign(pp.strat) AND sign(pp.pooled) <> 0
+           |  END AS simpson_flag
+           |FROM pp, tl""".stripMargin
+      },
+
+      "q_evalue" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH e AS (SELECT ${h32("concat('cmh:', CAST(user_id AS VARCHAR))")} % 2 = 1 AS a,
+           |    value >= 10.0 AS hit FROM events),
+           |g AS (SELECT count(CASE WHEN a THEN 1 END) AS n_a,
+           |    count(CASE WHEN NOT a THEN 1 END) AS n_b,
+           |    count(CASE WHEN a AND hit THEN 1 END) AS ka,
+           |    count(CASE WHEN NOT a AND hit THEN 1 END) AS kb FROM e),
+           |p AS (SELECT *, CAST(ka AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+           |    CAST(kb AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb FROM g),
+           |rr AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0 AND pb > 0 AND pa > 0 THEN pa / pb END AS r FROM p),
+           |aw AS (SELECT *, CASE WHEN r >= 1 THEN r ELSE 1.0 / r END AS away FROM rr)
+           |SELECT n_a, n_b,
+           |  CASE WHEN n_a > 0 THEN ${r6("pa")} END AS p_a,
+           |  CASE WHEN n_b > 0 THEN ${r6("pb")} END AS p_b,
+           |  ${r6("r")} AS rr,
+           |  CASE WHEN r IS NOT NULL THEN ${r6("away + sqrt(away * (away - 1.0))")} END AS e_value
+           |FROM aw""".stripMargin
       }
     )
   }

@@ -211,6 +211,66 @@ object Embeddings {
     }.reduce(_ unionByName _)
   }
 
+  /** Embedding isotropy from ONE closed form — the mean pairwise
+    * cosine of the (L2-normalized) corpus without a single pair
+    * materializing: Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σv̂‖² − Σ‖v̂ᵢ‖², so
+    * mean_cos = (‖Σv̂‖² − Σ‖v̂ᵢ‖²) / (n(n−1)). Anisotropic/collapsed
+    * embedding spaces (the classic "all my embeddings point the same
+    * way" failure that silently inflates every cosine threshold in
+    * [[SemDedup]]/[[Similarity]]) show up as mean_cos ≫ 0; a healthy
+    * spread sits near 0. The O(n·d) two-pass answer to a question that
+    * reads like it needs n²/2 dot products.
+    *
+    * Zero-norm vectors have no direction: dropped from the sums,
+    * counted in `n_zero`. Components and squares r6-pinned before
+    * DECIMAL reductions (so ‖Σv̂‖² is dimension- and engine-exact);
+    * the dim frame (d rows) carries the centroid sums.
+    *
+    * Output ONE row: (n, n_zero, dim, centroid_norm, mean_offdiag_cos)
+    * — centroid_norm = ‖Σv̂‖/n, the drift direction's strength.
+    */
+  def isotropy(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    def rowFold(arr: Column): Column =
+      aggregate(arr, lit(0).cast("decimal(38,6)"),
+        (acc, x) => acc + x.cast("decimal(38,6)")).cast("double")
+    val withNorm = emb.select(
+      col(idCol),
+      col(vecCol).as("__v"),
+      sqrt(rowFold(transform(col(vecCol),
+        v => r6(v.cast("double") * v.cast("double"))))).as("__norm"))
+    val unit = withNorm
+      .filter(col("__norm") > 0)
+      .select(col(idCol),
+        transform(col("__v"), v => r6(v.cast("double") / col("__norm"))).as("__u"))
+    val dims = unit
+      .select(posexplode(col("__u")).as(Seq("pos", "u")))
+      .groupBy(col("pos"))
+      .agg(dsum(col("u")).as("__s"))
+    val centroid = dims.agg(
+      coalesce(dsum(r6(col("__s") * col("__s"))), lit(0.0)).as("__ss"),
+      count(lit(1)).as("dim"))
+    val rowsq = unit.agg(
+      count(lit(1)).as("n"),
+      coalesce(dsum(rowFold(transform(col("__u"), u => r6(u * u)))), lit(0.0)).as("__rq"))
+    val zeros = withNorm.agg(
+      count(when(!(col("__norm") > 0), lit(1))).as("n_zero"))
+    rowsq
+      .crossJoin(broadcast(centroid)) // one-row frames: lint-exempt
+      .crossJoin(broadcast(zeros))
+      .select(
+        col("n"), col("n_zero"), col("dim"),
+        when(col("n") > 0, r6(sqrt(col("__ss")) / col("n").cast("double")))
+          .as("centroid_norm"),
+        when(col("n") > 1, r6((col("__ss") - col("__rq")) /
+          (col("n").cast("double") * (col("n") - lit(1L)).cast("double"))))
+          .as("mean_offdiag_cos"))
+  }
+
   /** Diagonal-covariance Mahalanobis distance per vector — the
     * embedding-space outlier score: how many per-dimension standard
     * deviations a vector sits from the corpus centroid, summed in

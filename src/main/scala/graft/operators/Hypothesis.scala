@@ -339,4 +339,102 @@ object Hypothesis {
       when(chi2.isNotNull, r6(pFromZ(sqrt(chi2)))).as("p_value"),
       when(col("__rd") > 0, r6(col("__rn") / col("__rd"))).as("or_mh"))
   }
+
+  /** Simpson's-paradox detector — does the POOLED A-vs-B rate
+    * difference point the other way from the STRATIFIED one? The
+    * pooled diff is what every naive dashboard shows; the stratified
+    * reference is the Mantel–Haenszel risk difference
+    * Σ w_k·(p_Ak − p_Bk) / Σ w_k with w_k = n_Ak·n_Bk/n_k (each
+    * stratum weighted by its own information). `simpson_flag` fires
+    * when the two signs disagree — the slice-mix artifact worth a page
+    * before anyone acts on the pooled number. `n_reversed` counts the
+    * strata whose own diff opposes the pooled sign (the raw material
+    * of the paradox even when the MH aggregate doesn't flip).
+    *
+    * One corpus pass to strata-sized cells; per-stratum terms
+    * r6-pinned, DECIMAL reductions; strata missing an arm carry no
+    * weight (w = 0). Output ONE row: (k_strata, n, pooled_diff,
+    * stratified_diff, n_reversed, simpson_flag) — both diffs NULL when
+    * an arm is empty overall resp. no stratum carries weight.
+    */
+  def simpsonCheck(df: DataFrame, strata: Seq[String], hit: Column, inA: Column): DataFrame = {
+    require(strata.nonEmpty, "simpsonCheck needs at least one stratum column")
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val cells = df
+      .groupBy(strata.map(col): _*)
+      .agg(
+        count(when(inA, lit(1))).as("__na"),
+        count(when(!inA, lit(1))).as("__nb"),
+        count(when(inA && hit, lit(1))).as("__ka"),
+        count(when(!inA && hit, lit(1))).as("__kb"))
+    val naD = col("__na").cast("double")
+    val nbD = col("__nb").cast("double")
+    val d = col("__ka").cast("double") / naD - col("__kb").cast("double") / nbD
+    val wgt = naD * nbD / (naD + nbD)
+    val weighted = col("__na") > 0 && col("__nb") > 0
+    val sums = cells.agg(
+      count(lit(1)).as("k_strata"),
+      sum(col("__na") + col("__nb")).as("n"),
+      sum(col("__ka") + col("__kb")).as("__k"),
+      sum(col("__na")).as("__sna"), sum(col("__nb")).as("__snb"),
+      sum(col("__ka")).as("__ska"), sum(col("__kb")).as("__skb"),
+      coalesce(dsum(when(weighted, r6(wgt * d))), lit(0.0)).as("__wd"),
+      coalesce(dsum(when(weighted, r6(wgt))), lit(0.0)).as("__w"),
+      count(when(weighted, lit(1))).as("__kw"))
+    val pooled = when(col("__sna") > 0 && col("__snb") > 0,
+      r6(col("__ska").cast("double") / col("__sna").cast("double") -
+        col("__skb").cast("double") / col("__snb").cast("double")))
+    val stratified = when(col("__w") > 0, r6(col("__wd") / col("__w")))
+    // second cell pass for the per-stratum sign tally against the
+    // pooled sign (needs the pooled diff: one-row broadcast back)
+    val tally = cells
+      .crossJoin(broadcast(sums.select(pooled.as("__pooled"))))
+      .agg(coalesce(sum(when(
+        col("__na") > 0 && col("__nb") > 0 && col("__pooled").isNotNull &&
+          signum(d) =!= lit(0.0) && signum(d) =!= signum(col("__pooled")), 1L)),
+        lit(0L)).as("n_reversed"))
+    sums
+      .crossJoin(broadcast(tally))
+      .select(
+        col("k_strata"), col("n"),
+        pooled.as("pooled_diff"),
+        stratified.as("stratified_diff"),
+        col("n_reversed"),
+        when(pooled.isNotNull && stratified.isNotNull,
+          signum(pooled) =!= signum(stratified) && signum(pooled) =!= lit(0.0))
+          .as("simpson_flag"))
+  }
+
+  /** VanderWeele–Ding E-value — the sensitivity bound every
+    * observational risk ratio should ship with: how strong would an
+    * unmeasured confounder (on the risk-ratio scale, with BOTH the
+    * treatment and the outcome) have to be to explain the observed
+    * association away entirely? E = RR + √(RR(RR−1)) on the
+    * away-from-null ratio (RR < 1 inverts first). E close to 1 means a
+    * whisper of confounding kills the claim; E = 3 needs a confounder
+    * tripling both associations.
+    *
+    * One aggregate; RR NULL when either arm is empty or the control
+    * rate is 0 (an infinite ratio is not a number to ship). Output ONE
+    * row: (n_a, n_b, p_a, p_b, rr, e_value).
+    */
+  def eValue(df: DataFrame, hit: Column, inA: Column): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    val g = df.agg(
+      count(when(inA, lit(1))).as("n_a"),
+      count(when(!inA, lit(1))).as("n_b"),
+      count(when(inA && hit, lit(1))).as("__ka"),
+      count(when(!inA && hit, lit(1))).as("__kb"))
+    val pa = col("__ka").cast("double") / col("n_a").cast("double")
+    val pb = col("__kb").cast("double") / col("n_b").cast("double")
+    val rr = when(col("n_a") > 0 && col("n_b") > 0 && pb > 0 && pa > 0, pa / pb)
+    val away = when(rr >= 1, rr).otherwise(lit(1.0) / rr)
+    g.select(
+      col("n_a"), col("n_b"),
+      when(col("n_a") > 0, r6(pa)).as("p_a"),
+      when(col("n_b") > 0, r6(pb)).as("p_b"),
+      r6(rr).as("rr"),
+      when(rr.isNotNull, r6(away + sqrt(away * (away - lit(1.0))))).as("e_value"))
+  }
 }

@@ -280,6 +280,89 @@ object Survival {
       coalesce(sum(col("d_events")), lit(0L)).as("n_events"))
   }
 
+  /** Competing-risks cumulative incidence (Aalen–Johansen, two causes)
+    * — when a subject can exit by EITHER of two terminal events
+    * ("purchased" vs "churned"), 1−KM per cause over-counts (it treats
+    * the competing exit as censoring, as if those subjects could still
+    * convert); the CIF allocates each day's overall survival mass to
+    * the cause that actually claimed it:
+    * CIF_k(t) = Σ_{t'≤t} S(t'⁻)·d_k(t')/n(t'), with S the ALL-CAUSE
+    * KM survival. CIF₁+CIF₂+S(t) = 1 up to rounding — the accounting
+    * identity the spec pins.
+    *
+    * Per key: first cause-1 and cause-2 times; the EARLIER one is the
+    * terminal event (a tie goes to cause 1, documented); neither ⇒
+    * censored at the last event. Day-granularity curve, the
+    * [[kaplanMeier]] bounded-frame window contract; hazard and CIF
+    * terms r6-pinned before DECIMAL cumulative sums.
+    *
+    * Output: one row per day — (t_day, n_risk, d_cause1, d_cause2,
+    * c_censored, cif1, cif2).
+    */
+  def competingRisks(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      typeCol: String,
+      cause1: String,
+      cause2: String): DataFrame = {
+    require(cause1 != cause2, "the two causes must differ")
+    val r6 = graft.functions.Portable.r6 _
+    val t = unix_micros(col(timeCol))
+    val spans = events
+      .filter(col(timeCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        min(t).as("__t0"),
+        min(when(col(typeCol) === cause1, t)).as("__t1"),
+        min(when(col(typeCol) === cause2, t)).as("__t2"),
+        max(t).as("__tl"))
+    val te = when(col("__t1").isNotNull && (col("__t2").isNull || col("__t1") <= col("__t2")),
+      col("__t1"))
+      .otherwise(col("__t2")) // NULL when neither cause occurred
+    val cause = when(col("__t1").isNotNull && (col("__t2").isNull || col("__t1") <= col("__t2")),
+      lit(1)).otherwise(when(col("__t2").isNotNull, lit(2)))
+    val durations = spans.select(
+      floor((coalesce(te, col("__tl")) - col("__t0")).cast("double") / DayUs.toDouble)
+        .cast("long").as("t_day"),
+      cause.as("__cause"))
+    val curve = durations
+      .groupBy(col("t_day"))
+      .agg(
+        count(when(col("__cause") === 1, lit(1))).as("d_cause1"),
+        count(when(col("__cause") === 2, lit(1))).as("d_cause2"),
+        count(when(col("__cause").isNull, lit(1))).as("c_censored"))
+    val total = curve.agg(
+      sum(col("d_cause1") + col("d_cause2") + col("c_censored")).as("__total"))
+    val byT = Window.orderBy(col("t_day"))
+    val prior = byT.rowsBetween(Window.unboundedPreceding, -1)
+    val run = byT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exits = col("d_cause1") + col("d_cause2") + col("c_censored")
+    val withRisk = curve
+      .crossJoin(broadcast(total)) // one-row totals frame: lint-exempt
+      .withColumn("n_risk", col("__total") - coalesce(sum(exits).over(prior), lit(0L)))
+    val dAll = (col("d_cause1") + col("d_cause2")).cast("double")
+    // all-cause survival BEFORE this day: exp of the PRIOR hazard sum
+    val term = when(dAll > 0 && dAll < col("n_risk").cast("double"),
+      r6(log(lit(1.0) - dAll / col("n_risk").cast("double")))).otherwise(lit(0.0))
+    val sPrev = when(
+      coalesce(sum(when(dAll === col("n_risk").cast("double"), lit(1))).over(prior), lit(0L)) > 0,
+      lit(0.0)) // survival already hit exactly zero on an earlier day
+      .otherwise(r6(exp(coalesce(sum(term.cast("decimal(38,6)")).over(prior), lit(0.0))
+        .cast("double"))))
+    // stage sPrev as a real column first: a window expression cannot
+    // nest inside another window function
+    def cif(d: Column): Column =
+      sum(r6(col("__sprev") * d.cast("double") / col("n_risk").cast("double"))
+        .cast("decimal(38,6)")).over(run).cast("double")
+    withRisk
+      .withColumn("__sprev", sPrev)
+      .select(col("t_day"), col("n_risk"), col("d_cause1"), col("d_cause2"),
+        col("c_censored"),
+        r6(cif(col("d_cause1"))).as("cif1"),
+        r6(cif(col("d_cause2"))).as("cif2"))
+  }
+
   /** Cox proportional-hazards regression, single covariate, Breslow
     * ties — "does x shift the HAZARD, accounting for censoring" (the
     * modelled companion to [[logRank]]'s yes/no: log-rank is exactly

@@ -69,6 +69,7 @@ class PlanLintSpec extends SparkSpec {
       // day-granularity curve frame as q_km_survival
       "q_cox"            -> Set("global-window"),
       "q_rmst"           -> Set("global-window"), // same day-curve contract
+      "q_cif"            -> Set("global-window"), // same day-curve contract
       // the sampling-table cumulative ranges run over the VOCABULARY
       // rank — the q_fit_vocab bounded-frame contract
       "q_sampling_table" -> Set("global-window"),

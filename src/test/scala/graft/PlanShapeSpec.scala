@@ -69,6 +69,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_nelson_aalen", // same day-curve contract as q_km_survival
       "q_cox", // Newton risk-set windows run over the same day curve
       "q_rmst", // KM-curve integral: same day-frame contract
+      "q_cif", // Aalen-Johansen CIFs: same day-frame contract
       "q_sampling_table", // cumulative ranges over the VOCABULARY rank
       "q_neyman", // largest-remainder rank over the STRATA frame (q_bh contract)
       "q_pareto")
