@@ -4,7 +4,7 @@ import graft.ann.{Embeddings, KMeans, Similarity}
 import graft.dedup.Dedup
 import graft.meds.{Meds, MedsPipeline}
 import graft.operators._
-import graft.pipeline.{Curation, Influence, Packing, Sampling, Selection, Splits}
+import graft.pipeline.{Curation, Influence, Labels, Packing, Sampling, Selection, Splits}
 import graft.sources.Tables
 import graft.text.{Bm25, Chunker, Collocations, InvertedIndex, TextFunctions, Tfidf, WordVocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -3035,6 +3035,40 @@ object SparkEntry {
       val arm = TextFunctions.md5Hash32(
         concat(lit("cmh:"), col("user_id").cast("string"))) % 2 === 1
       Hypothesis.eValue(ev(s, dir), col("value") >= 10.0, arm)
+    }),
+
+    // two-arm RMST contrast at a 20-day horizon (the PH-free effect
+    // report; arm-partitioned KM curves, no global window)
+    "q_rmst_diff" -> ((s, dir) => {
+      val arm = TextFunctions.md5Hash32(
+        concat(lit("ab:"), col("user_id").cast("string"))) % 2 === 1
+      Survival.rmstDiff(ev(s, dir), "user_id", "ts", "event_type", "purchase",
+        arm, horizonDays = 20L)
+    }),
+
+    // journey predictability: entropy rate of the first-order chain
+    "q_entropy_rate" -> ((s, dir) =>
+      Transitions.entropyRate(ev(s, dir), "user_id", "ts", "event_type", "event_id")),
+
+    // Heaps'-law vocabulary-growth fit over id-ordered checkpoints
+    "q_heaps" -> ((s, dir) =>
+      WordVocab.heapsLaw(docs(s, dir), "doc_id", "text",
+        checkpoints = Seq(16L, 32L, 64L, 128L, 256L, 512L))),
+
+    // leakage-proof churn/conversion label engineering: obs window
+    // [Jan 10, Jan 20), horizon [Jan 20, Jan 25)
+    "q_churn_labels" -> ((s, dir) =>
+      Labels.activityLabels(ev(s, dir), "user_id", "ts", "event_type", "purchase",
+        cutoffUs = 1705708800000000L, obsDays = 10, horizonDays = 5)),
+
+    // heterogeneous effect by propensity bin on the q_ipw setting —
+    // the positivity/overlap picture behind the single ATE number
+    "q_hte" -> ((s, dir) => {
+      val d = logitDocs(s, dir).withColumn("treat", col("source") === "src0")
+      val fit = Logistic.fitGd(d, "treat", Seq("x1", "x2"), iters = 5, lr = 0.5)
+      Logistic.hteByPropensityBin(
+        Logistic.score(d, fit, Seq("x1", "x2"), "p_hat"),
+        "n_chars", "treat", "p_hat", nBins = 10)
     })
   )
 
@@ -8211,6 +8245,149 @@ object SparkEntry {
            |  ${r6("r")} AS rr,
            |  CASE WHEN r IS NOT NULL THEN ${r6("away + sqrt(away * (away - 1.0))")} END AS e_value
            |FROM aw""".stripMargin
+      },
+
+      "q_rmst_diff" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH sp AS (SELECT user_id,
+           |    max(CASE WHEN ${h32("concat('ab:', CAST(user_id AS VARCHAR))")} % 2 = 1 THEN 1 ELSE 0 END) AS arm,
+           |    min(epoch_us(ts)) AS t0,
+           |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS te,
+           |    max(epoch_us(ts)) AS tl
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+           |dur AS (SELECT arm,
+           |    CAST(floor(CAST(coalesce(te, tl) - t0 AS DOUBLE) / 86400000000.0) AS BIGINT) AS t_day,
+           |    te IS NOT NULL AS obs FROM sp),
+           |cv AS (SELECT arm, t_day, count(CASE WHEN obs THEN 1 END) AS d,
+           |    count(CASE WHEN NOT obs THEN 1 END) AS c FROM dur GROUP BY 1, 2),
+           |r AS (SELECT *, sum(d + c) OVER (PARTITION BY arm) -
+           |    coalesce(sum(d + c) OVER (PARTITION BY arm ORDER BY t_day
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nrisk FROM cv),
+           |h AS (SELECT *, CASE WHEN d > 0 AND d < nrisk THEN
+           |      ${r6("ln(1.0 - CAST(d AS DOUBLE) / CAST(nrisk AS DOUBLE))")}
+           |    ELSE 0.0 END AS term FROM r),
+           |z AS (SELECT *, coalesce(sum(CASE WHEN d = nrisk THEN 1 END)
+           |      OVER (PARTITION BY arm ORDER BY t_day), 0) AS zeroed FROM h),
+           |s AS (SELECT *, CASE WHEN zeroed > 0 THEN 0.0 ELSE
+           |      ${r6("exp(CAST(sum(CAST(term AS DECIMAL(38,6))) OVER (PARTITION BY arm ORDER BY t_day) AS DOUBLE))")}
+           |    END AS sv FROM z),
+           |lg AS (SELECT *, coalesce(lag(sv) OVER (PARTITION BY arm ORDER BY t_day), 1.0) AS prevs,
+           |    coalesce(lag(t_day) OVER (PARTITION BY arm ORDER BY t_day), 0) AS prevt,
+           |    max(t_day) OVER (PARTITION BY arm) AS mxt FROM s),
+           |wd AS (SELECT *, greatest(0.0, least(CAST(t_day AS DOUBLE), 20.0) -
+           |    least(CAST(prevt AS DOUBLE), 20.0)) AS w FROM lg),
+           |ag AS (SELECT
+           |    CAST(coalesce(sum(CASE WHEN arm = 1 THEN d + c END), 0) AS BIGINT) AS n_a,
+           |    CAST(coalesce(sum(CASE WHEN arm = 0 THEN d + c END), 0) AS BIGINT) AS n_b,
+           |    ${r6(s"coalesce(${dsum(s"CASE WHEN arm = 1 THEN ${r6("prevs * w")} END")}, 0.0) + coalesce(${dsum(s"CASE WHEN t_day = mxt AND arm = 1 THEN ${r6("sv * greatest(0.0, 20.0 - least(CAST(t_day AS DOUBLE), 20.0))")} END")}, 0.0)")} AS ra,
+           |    ${r6(s"coalesce(${dsum(s"CASE WHEN arm = 0 THEN ${r6("prevs * w")} END")}, 0.0) + coalesce(${dsum(s"CASE WHEN t_day = mxt AND arm = 0 THEN ${r6("sv * greatest(0.0, 20.0 - least(CAST(t_day AS DOUBLE), 20.0))")} END")}, 0.0)")} AS rb
+           |  FROM wd)
+           |SELECT CAST(20 AS BIGINT) AS horizon_days, n_a, n_b,
+           |  CASE WHEN n_a > 0 THEN ra END AS rmst_a,
+           |  CASE WHEN n_b > 0 THEN rb END AS rmst_b,
+           |  CASE WHEN n_a > 0 AND n_b > 0 THEN ${r6("ra - rb")} END AS rmst_diff
+           |FROM ag""".stripMargin
+      },
+
+      "q_entropy_rate" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH sq AS (SELECT event_type AS prev,
+           |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+           |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+           |pc AS (SELECT prev, nxt, count(*) AS n FROM sq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+           |rt AS (SELECT prev, CAST(sum(n) AS BIGINT) AS nt FROM pc GROUP BY 1),
+           |tm AS (SELECT pc.prev, pc.n,
+           |    ${r6(s"-${r6("CAST(pc.n AS DOUBLE) / CAST(rt.nt AS DOUBLE)")} * ln(${r6("CAST(pc.n AS DOUBLE) / CAST(rt.nt AS DOUBLE)")})")} AS term
+           |  FROM pc JOIN rt USING (prev)),
+           |ps AS (SELECT prev, CAST(sum(n) AS BIGINT) AS ns, ${dsum("term")} AS h FROM tm GROUP BY 1),
+           |tt AS (SELECT CAST(coalesce(sum(ns), 0) AS BIGINT) AS nt FROM ps),
+           |er AS (SELECT count(*) AS n_states,
+           |    CAST(coalesce(sum(ps.ns), 0) AS BIGINT) AS n_transitions,
+           |    ${r6(s"coalesce(${dsum(r6("CAST(ps.ns AS DOUBLE) / CAST(tt.nt AS DOUBLE) * ps.h"))}, 0.0)")} AS entropy_rate
+           |  FROM ps, tt)
+           |SELECT n_states, n_transitions, entropy_rate,
+           |  CASE WHEN n_states > 0 THEN ${r6("ln(CAST(n_states AS DOUBLE))")} END AS max_entropy,
+           |  CASE WHEN n_states > 0 AND ${r6("ln(CAST(n_states AS DOUBLE))")} > 0 THEN
+           |    ${r6(s"1.0 - entropy_rate / (${r6("ln(CAST(n_states AS DOUBLE))")})")}
+           |  END AS predictability
+           |FROM er""".stripMargin
+      },
+
+      "q_heaps" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        val cps = Seq(16L, 32L, 64L, 128L, 256L, 512L)
+        val melt = cps.map(c =>
+          s"SELECT (SELECT coalesce(sum(CASE WHEN id < $c THEN nt END), 0) FROM dt) AS nn, " +
+            s"(SELECT count(CASE WHEN fd < $c THEN 1 END) FROM fw) AS vv").mkString("\nUNION ALL ")
+        s"""WITH tk AS (SELECT doc_id AS id,
+           |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+           |  FROM documents),
+           |fw AS (SELECT w, min(id) AS fd FROM tk GROUP BY 1),
+           |dt AS (SELECT doc_id AS id,
+           |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS nt
+           |  FROM documents),
+           |mp AS ($melt),
+           |pt AS (SELECT ${r6("ln(CAST(nn AS DOUBLE))")} AS x, ${r6("ln(CAST(vv AS DOUBLE))")} AS y
+           |  FROM mp WHERE nn >= 2 AND vv >= 2),
+           |ft AS (SELECT count(*) AS n_points, CAST(count(*) AS DOUBLE) AS nd,
+           |    ${dsum("x")} AS sx, ${dsum("y")} AS sy, ${dsum(r6("x * y"))} AS sxy,
+           |    ${dsum(r6("x * x"))} AS sxx, ${dsum(r6("y * y"))} AS syy FROM pt),
+           |fb AS (SELECT *, nd * sxx - sx * sx AS det,
+           |    (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS beta,
+           |    syy - sy * sy / nd AS sstot FROM ft),
+           |fc AS (SELECT *, sstot - beta * (sxy - sx * sy / nd) AS ssres FROM fb)
+           |SELECT n_points,
+           |  CASE WHEN n_points >= 3 AND det > 0 THEN ${r6("beta")} END AS heaps_beta,
+           |  CASE WHEN n_points >= 3 AND det > 0 THEN ${r6("exp((sy - beta * sx) / nd)")} END AS heaps_k,
+           |  CASE WHEN n_points >= 3 AND det > 0 AND sstot > 0 THEN ${r6("1.0 - ssres / sstot")} END AS r2
+           |FROM fc""".stripMargin
+      },
+
+      "q_churn_labels" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        val cutoff = 1705708800000000L
+        val obsStart = cutoff - 10L * 86400000000L
+        val horEnd = cutoff + 5L * 86400000000L
+        s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events WHERE ts IS NOT NULL),
+           |g AS (SELECT user_id,
+           |    count(CASE WHEN t >= $obsStart AND t < $cutoff THEN 1 END) AS n_obs_events,
+           |    count(CASE WHEN t >= $obsStart AND t < $cutoff AND event_type = 'purchase' THEN 1 END) AS n_obs_target,
+           |    CAST(count(DISTINCT CASE WHEN t >= $obsStart AND t < $cutoff
+           |      THEN CAST(floor(CAST(t - $obsStart AS DOUBLE) / 86400000000.0) AS BIGINT) END) AS BIGINT) AS n_active_days,
+           |    max(CASE WHEN t >= $obsStart AND t < $cutoff THEN t END) AS last_t,
+           |    count(CASE WHEN t >= $cutoff AND t < $horEnd THEN 1 END) > 0 AS label_active,
+           |    count(CASE WHEN t >= $cutoff AND t < $horEnd AND event_type = 'purchase' THEN 1 END) > 0 AS label_target
+           |  FROM e GROUP BY 1)
+           |SELECT user_id, n_obs_events, n_obs_target, n_active_days,
+           |  ${r6(s"CAST($cutoff - last_t AS DOUBLE) / 3600000000.0")} AS recency_hours,
+           |  label_active, label_target
+           |FROM g WHERE n_obs_events > 0""".stripMargin
+      },
+
+      "q_hte" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH ${logitCtes("source = 'src0'", 5)},
+           |cl AS (SELECT CAST(n_chars AS DOUBLE) AS yo, y = 1 AS t,
+           |    least(9, greatest(0, CAST(floor(p * 10) AS BIGINT))) AS bin FROM p5
+           |  WHERE p IS NOT NULL),
+           |g AS (SELECT bin, count(CASE WHEN t THEN 1 END) AS n_treated,
+           |    count(CASE WHEN NOT t THEN 1 END) AS n_control,
+           |    ${dsum(s"CASE WHEN t THEN ${r6("yo")} END")} AS st,
+           |    ${dsum(s"CASE WHEN NOT t THEN ${r6("yo")} END")} AS sc
+           |  FROM cl GROUP BY 1)
+           |SELECT bin, ${r6("CAST(bin AS DOUBLE) * 0.1")} AS p_lo,
+           |  ${r6("CAST(bin + 1 AS DOUBLE) * 0.1")} AS p_hi,
+           |  n_treated, n_control,
+           |  CASE WHEN n_treated > 0 THEN ${r6("st / CAST(n_treated AS DOUBLE)")} END AS mean_treated,
+           |  CASE WHEN n_control > 0 THEN ${r6("sc / CAST(n_control AS DOUBLE)")} END AS mean_control,
+           |  CASE WHEN n_treated > 0 AND n_control > 0 THEN
+           |    ${r6("st / CAST(n_treated AS DOUBLE) - sc / CAST(n_control AS DOUBLE)")}
+           |  END AS diff
+           |FROM g""".stripMargin
       }
     )
   }

@@ -194,6 +194,56 @@ object Logistic {
         r6(coalesce(dsum(contrib), lit(0.0)) / count(lit(1)).cast("double")).as("ate"))
   }
 
+  /** Heterogeneous-treatment-effect profile by propensity bin — does
+    * the effect CONCENTRATE where treatment was likely, or where it
+    * was a surprise? Fixed-width bins of the propensity score; per bin
+    * the raw treated-vs-control outcome difference (within a narrow
+    * propensity bin the arms are approximately exchangeable — the
+    * stratification IS the adjustment, the classic subclassification
+    * estimator). Bins missing an arm report NULL diff — no
+    * extrapolated effect where there is no overlap (the positivity
+    * hole made visible, bin by bin).
+    *
+    * One pass, one group aggregate; r6-pinned DECIMAL means. Output:
+    * one row per non-empty bin — (bin, p_lo, p_hi, n_treated,
+    * n_control, mean_treated, mean_control, diff).
+    */
+  def hteByPropensityBin(
+      scored: DataFrame,
+      yCol: String,
+      treatCol: String,
+      propCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000], got $nBins")
+    val r6 = Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val t = col(treatCol).cast("boolean")
+    val y = col(yCol).cast("double")
+    val p = col(propCol).cast("double")
+    val bin = least(lit(nBins - 1L), greatest(lit(0L), floor(p * nBins).cast("long")))
+    val width = 1.0 / nBins
+    val g = scored
+      .filter(p.isNotNull && !isnan(p))
+      .groupBy(bin.as("bin"))
+      .agg(
+        count(when(t, lit(1))).as("n_treated"),
+        count(when(!t, lit(1))).as("n_control"),
+        dsum(when(t, r6(y))).as("__st"),
+        dsum(when(!t, r6(y))).as("__sc"))
+    g.select(
+      col("bin"),
+      r6(col("bin").cast("double") * lit(width)).as("p_lo"),
+      r6((col("bin") + lit(1L)).cast("double") * lit(width)).as("p_hi"),
+      col("n_treated"), col("n_control"),
+      when(col("n_treated") > 0, r6(col("__st") / col("n_treated").cast("double")))
+        .as("mean_treated"),
+      when(col("n_control") > 0, r6(col("__sc") / col("n_control").cast("double")))
+        .as("mean_control"),
+      when(col("n_treated") > 0 && col("n_control") > 0,
+        r6(col("__st") / col("n_treated").cast("double") -
+          col("__sc") / col("n_control").cast("double"))).as("diff"))
+  }
+
   /** Inverse-propensity weight diagnostics per arm — the numbers that
     * decide whether an [[ipwAte]]/[[aipwAte]] estimate deserves trust
     * BEFORE anyone reads it: Kish effective sample size

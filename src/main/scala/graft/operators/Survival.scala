@@ -280,6 +280,95 @@ object Survival {
       coalesce(sum(col("d_events")), lit(0L)).as("n_events"))
   }
 
+  /** Two-arm RMST contrast — the recommended effect report when
+    * proportional hazards fail ([[logRank]] answers "different?",
+    * [[coxPh]]'s HR assumes PH; the RMST difference "arm A survives
+    * 2.3 more days out of the first 30" assumes nothing). Same
+    * span/curve construction as [[restrictedMeanSurvival]], but every
+    * window is PARTITIONED BY ARM (each arm gets its own
+    * day-granularity curve — no global window exists here, unlike the
+    * single-curve ops). The arm flag resolves per KEY as max(inA) over
+    * the key's rows, the [[logRank]] convention.
+    *
+    * Output ONE row: (horizon_days, n_a, n_b, rmst_a, rmst_b,
+    * rmst_diff) — an empty arm yields NULL rmst and diff.
+    */
+  def rmstDiff(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      typeCol: String,
+      eventType: String,
+      inA: Column,
+      horizonDays: Long): DataFrame = {
+    require(horizonDays > 0, s"horizon must be positive, got $horizonDays")
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val t = unix_micros(col(timeCol))
+    val tau = lit(horizonDays.toDouble)
+    val spans = events
+      .filter(col(timeCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        max(when(inA, lit(1L)).otherwise(lit(0L))).as("__arm"),
+        min(t).as("__t0"),
+        min(when(col(typeCol) === eventType, t)).as("__te"),
+        max(t).as("__tl"))
+    val durations = spans.select(
+      col("__arm"),
+      floor((coalesce(col("__te"), col("__tl")) - col("__t0")).cast("double") / DayUs.toDouble)
+        .cast("long").as("t_day"),
+      col("__te").isNotNull.as("__obs"))
+    val curve = durations
+      .groupBy(col("__arm"), col("t_day"))
+      .agg(
+        count(when(col("__obs"), lit(1))).as("__d"),
+        count(when(!col("__obs"), lit(1))).as("__c"))
+    val byArm = Window.partitionBy(col("__arm"))
+    val byT = byArm.orderBy(col("t_day"))
+    val prior = byT.rowsBetween(Window.unboundedPreceding, -1)
+    val exits = col("__d") + col("__c")
+    val staged = curve
+      .withColumn("__tot", sum(exits).over(byArm))
+      .withColumn("__nrisk", col("__tot") - coalesce(sum(exits).over(prior), lit(0L)))
+      .withColumn("__term",
+        when(col("__d") > 0 && col("__d") < col("__nrisk"),
+          r6(log(lit(1.0) - col("__d").cast("double") / col("__nrisk").cast("double"))))
+          .otherwise(lit(0.0)))
+      .withColumn("__zeroed",
+        coalesce(sum(when(col("__d") === col("__nrisk"), lit(1))).over(byT), lit(0L)))
+      .withColumn("__s",
+        when(col("__zeroed") > 0, lit(0.0))
+          .otherwise(r6(exp(sum(col("__term").cast("decimal(38,6)")).over(byT)
+            .cast("double")))))
+      .withColumn("__prevs", coalesce(lag(col("__s"), 1).over(byT), lit(1.0)))
+      .withColumn("__prevt", coalesce(lag(col("t_day"), 1).over(byT), lit(0L)))
+      .withColumn("__w",
+        greatest(lit(0.0),
+          least(col("t_day").cast("double"), tau) -
+            least(col("__prevt").cast("double"), tau)))
+      .withColumn("__mx", max(col("t_day")).over(byArm))
+    def armAgg(arm: Int, c: Column): Column = when(col("__arm") === arm, c)
+    def rmstOf(arm: Int): Column =
+      r6(coalesce(dsum(armAgg(arm, r6(col("__prevs") * col("__w")))), lit(0.0)) +
+        coalesce(dsum(when(col("t_day") === col("__mx"),
+          armAgg(arm, r6(col("__s") *
+            greatest(lit(0.0), tau - least(col("t_day").cast("double"), tau)))))),
+          lit(0.0)))
+    val counts = staged.agg(
+      lit(horizonDays).as("horizon_days"),
+      coalesce(sum(armAgg(1, exits)), lit(0L)).as("n_a"),
+      coalesce(sum(armAgg(0, exits)), lit(0L)).as("n_b"),
+      rmstOf(1).as("__ra"),
+      rmstOf(0).as("__rb"))
+    counts.select(
+      col("horizon_days"), col("n_a"), col("n_b"),
+      when(col("n_a") > 0, col("__ra")).as("rmst_a"),
+      when(col("n_b") > 0, col("__rb")).as("rmst_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, r6(col("__ra") - col("__rb")))
+        .as("rmst_diff"))
+  }
+
   /** Competing-risks cumulative incidence (Aalen–Johansen, two causes)
     * — when a subject can exit by EITHER of two terminal events
     * ("purchased" vs "churned"), 1−KM per cause over-counts (it treats

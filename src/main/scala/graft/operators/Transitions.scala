@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -105,5 +105,51 @@ object Transitions {
       .join(broadcast(rowTot), "prev")
       .select(col("prev"), col("next"), col("n"),
         (col("n").cast("double") / col("nt").cast("double")).as("p"))
+  }
+
+  /** Entropy rate of the first-order chain — "how predictable are the
+    * journeys": H = Σ_s π_s·H(next | s) in nats, with π the empirical
+    * visit share of each source state and H(next|s) the per-row
+    * conditional entropy. H ≈ 0 means the next step is a foregone
+    * conclusion (rigid funnels); H near ln(|states|) means anything
+    * can follow anything (no structure worth modelling). The one-number
+    * sequel to [[transitionCounts]], computed ON its output frame —
+    * everything after the transition groupBy is state²-sized.
+    *
+    * Per-(s,t) terms −p·ln(p) are r6-pinned before the DECIMAL
+    * per-state sum; state weights π_s = n_s/N likewise. Output ONE
+    * row: (n_states, n_transitions, entropy_rate, max_entropy =
+    * ln(n_states), predictability = 1 − H/ln(n_states); NULL when a
+    * single state makes the ratio 0/0).
+    */
+  def entropyRate(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      typeCol: String,
+      tieCol: String): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val tc = transitionCounts(events, keyCol, timeCol, typeCol, tieCol)
+    val perState = tc
+      .groupBy(col("prev"))
+      .agg(
+        sum(col("n")).as("__ns"),
+        dsum(r6(-graft.functions.Portable.r6(col("p")) *
+          log(graft.functions.Portable.r6(col("p"))))).as("__h"))
+    val total = perState.agg(coalesce(sum(col("__ns")), lit(0L)).as("__nt"))
+    perState
+      .crossJoin(broadcast(total)) // one-row totals frame: lint-exempt
+      .agg(
+        count(lit(1)).as("n_states"),
+        coalesce(sum(col("__ns")), lit(0L)).as("n_transitions"),
+        r6(coalesce(dsum(r6(col("__ns").cast("double") /
+          col("__nt").cast("double") * col("__h"))), lit(0.0))).as("entropy_rate"))
+      .withColumn("max_entropy",
+        when(col("n_states") > 0, graft.functions.Portable.r6(
+          log(col("n_states").cast("double")))))
+      .withColumn("predictability",
+        when(col("max_entropy") > 0, graft.functions.Portable.r6(
+          lit(1.0) - col("entropy_rate") / col("max_entropy"))))
   }
 }

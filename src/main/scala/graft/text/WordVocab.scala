@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -72,6 +72,76 @@ object WordVocab {
         count(lit(1)).as("n_tokens"),
         coalesce(sum(when(col("word_id").isNull, 1L)), lit(0L)).as("n_oov"))
       .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens").cast("double"))
+
+  /** Heaps'-law fit of vocabulary growth — V(N) ≈ K·N^β over the
+    * corpus read in id order: β near 1 means the vocabulary never
+    * saturates (heavy duplication of structure, OCR noise, or id-like
+    * tokens — dedup/cleaning signal), β in the classic 0.4–0.7 band
+    * means natural text. Measured WITHOUT any corpus-sized ordered
+    * window: each word's FIRST document and each document's token
+    * count collapse to per-CHECKPOINT conditional aggregates
+    * (V_c = |{w : first_doc(w) < c}|, N_c = Σ_{id<c} tokens — one
+    * pass, |checkpoints| counters), then log-log OLS over the ≤
+    * |checkpoints| surviving points is a closed form of r6-pinned
+    * sums. Checkpoints with V < 2 or N < 2 are dropped (a log-log fit
+    * through the origin is noise).
+    *
+    * Output ONE row: (n_points, heaps_beta, heaps_k, r2) — NULL fit
+    * when fewer than 3 points survive.
+    */
+  def heapsLaw(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints.size <= 64,
+      s"need 1..64 checkpoints, got ${checkpoints.size}")
+    require(checkpoints == checkpoints.sorted && checkpoints.distinct == checkpoints,
+      "checkpoints must be strictly increasing")
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val firstDoc = docs
+      .select(col(idCol).cast("long").as("__id"), explode(toks(textCol)).as("word"))
+      .groupBy(col("word")).agg(min(col("__id")).as("__fd"))
+    val docTokens = docs.select(col(idCol).cast("long").as("__id"),
+      size(toks(textCol)).cast("long").as("__nt"))
+    val vCols = checkpoints.zipWithIndex.map { case (c, i) =>
+      count(when(col("__fd") < c, lit(1))).as(s"__v$i")
+    }
+    val nCols = checkpoints.zipWithIndex.map { case (c, i) =>
+      coalesce(sum(when(col("__id") < c, col("__nt"))), lit(0L)).as(s"__cn$i")
+    }
+    val vRow = firstDoc.agg(vCols.head, vCols.tail: _*)
+    val nRow = docTokens.agg(nCols.head, nCols.tail: _*)
+    val points = vRow.crossJoin(broadcast(nRow)) // one-row frames: lint-exempt
+      .select(explode(array(checkpoints.indices.map(i =>
+        struct(col(s"__cn$i").as("nn"), col(s"__v$i").as("vv"))): _*)).as("__p"))
+      .select(col("__p.nn").as("__nn"), col("__p.vv").as("__vv"))
+      .filter(col("__nn") >= 2 && col("__vv") >= 2)
+      .select(
+        r6(log(col("__nn").cast("double"))).as("__x"),
+        r6(log(col("__vv").cast("double"))).as("__y"))
+    // log-log OLS closed form over the checkpoint frame
+    val nD = count(lit(1)).cast("double")
+    val fit = points.agg(
+      count(lit(1)).as("n_points"),
+      dsum(col("__x")).as("__sx"), dsum(col("__y")).as("__sy"),
+      dsum(r6(col("__x") * col("__y"))).as("__sxy"),
+      dsum(r6(col("__x") * col("__x"))).as("__sxx"),
+      dsum(r6(col("__y") * col("__y"))).as("__syy"),
+      nD.as("__n"))
+    val det = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val beta = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) / det
+    val sstot = col("__syy") - col("__sy") * col("__sy") / col("__n")
+    val ssres = sstot - beta * (col("__sxy") - col("__sx") * col("__sy") / col("__n"))
+    fit.select(
+      col("n_points"),
+      when(col("n_points") >= 3 && det > 0, r6(beta)).as("heaps_beta"),
+      when(col("n_points") >= 3 && det > 0,
+        r6(exp((col("__sy") - beta * col("__sx")) / col("__n")))).as("heaps_k"),
+      when(col("n_points") >= 3 && det > 0 && sstot > 0,
+        r6(lit(1.0) - ssres / sstot)).as("r2"))
+  }
 
   /** word2vec-style negative-sampling table: each vocabulary word gets
     * probability ∝ count^power (0.75 is the canonical smoothing — raw
