@@ -3069,6 +3069,36 @@ object SparkEntry {
       Logistic.hteByPropensityBin(
         Logistic.score(d, fit, Seq("x1", "x2"), "p_hat"),
         "n_chars", "treat", "p_hat", nBins = 10)
+    }),
+
+    // language-ID confusion matrix: the per-class eval of #28 against
+    // the lang column (which labels leak where)
+    "q_confusion" -> ((s, dir) =>
+      Evaluation.confusionMatrix(
+        docs(s, dir).select(col("lang"),
+          TextFunctions.langId(col("text")).as("lang_pred")),
+        "lang", "lang_pred")),
+
+    // Fleiss' kappa across three deterministic heuristic "raters" —
+    // the annotator-agreement gate on a preference/label corpus
+    "q_fleiss" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def vote(c: org.apache.spark.sql.Column) =
+        when(c, lit("long")).otherwise(lit("short"))
+      val votes = d.select(col("doc_id"), vote(col("n_chars") >= 250).as("vote"))
+        .unionByName(d.select(col("doc_id"), vote(col("n_chars") >= 300).as("vote")))
+        .unionByName(d.select(col("doc_id"),
+          vote(size(TextFunctions.wordTokens(col("text"))) >= 55).as("vote")))
+      Evaluation.fleissKappa(votes, "doc_id", "vote")
+    }),
+
+    // IPF raking: weight an md5 subsample so its lang AND source
+    // marginals both match the full corpus
+    "q_rake_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sample = d.filter(TextFunctions.md5Hash32(
+        concat(lit("rk:"), col("doc_id").cast("string"))) % 10 < 3)
+      Sampling.rakeWeights(sample, d, "lang", "source", iters = 5)
     })
   )
 
@@ -8388,6 +8418,82 @@ object SparkEntry {
            |    ${r6("st / CAST(n_treated AS DOUBLE) - sc / CAST(n_control AS DOUBLE)")}
            |  END AS diff
            |FROM g""".stripMargin
+      },
+
+      "q_confusion" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH pred AS ($langIdSelectSql),
+           |j AS (SELECT coalesce(CAST(d.lang AS VARCHAR), '(null)') AS true_label,
+           |    coalesce(CAST(p.lang_pred AS VARCHAR), '(null)') AS pred_label
+           |  FROM documents d JOIN pred p USING (doc_id)),
+           |cells AS (SELECT true_label, pred_label, count(*) AS n FROM j GROUP BY 1, 2),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+           |    CAST(coalesce(sum(CASE WHEN true_label = pred_label THEN n END), 0) AS BIGINT) AS ok
+           |  FROM cells)
+           |SELECT true_label, pred_label, n,
+           |  ${r6("CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY true_label) AS DOUBLE)")} AS frac_of_true,
+           |  ${r6("CAST(tot.ok AS DOUBLE) / CAST(tot.t AS DOUBLE)")} AS accuracy
+           |FROM cells, tot""".stripMargin
+      },
+
+      "q_fleiss" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH lw AS (SELECT doc_id, n_chars,
+           |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS nw
+           |  FROM documents),
+           |votes AS (
+           |  SELECT doc_id, CASE WHEN n_chars >= 250 THEN 'long' ELSE 'short' END AS vote FROM lw
+           |  UNION ALL SELECT doc_id, CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END FROM lw
+           |  UNION ALL SELECT doc_id, CASE WHEN nw >= 55 THEN 'long' ELSE 'short' END FROM lw),
+           |cells AS (SELECT doc_id, vote, count(*) AS nij FROM votes GROUP BY 1, 2),
+           |items AS (SELECT doc_id, CAST(sum(nij) AS BIGINT) AS m,
+           |    CAST(sum(nij * nij) AS BIGINT) AS sq FROM cells GROUP BY 1),
+           |chk AS (SELECT count(*) AS ni, CAST(min(m) AS BIGINT) AS m FROM items),
+           |pb AS (SELECT c.ni AS n_items, c.m AS m_raters,
+           |    ${r6(s"coalesce(${dsum(r6("CAST(sq - i.m AS DOUBLE) / (CAST(c.m AS DOUBLE) * (CAST(c.m AS DOUBLE) - 1.0))"))}, 0.0) / CAST(count(*) AS DOUBLE)")} AS p_bar
+           |  FROM items i, chk c GROUP BY 1, 2),
+           |mg AS (SELECT vote, CAST(sum(nij) AS BIGINT) AS cn FROM cells GROUP BY 1),
+           |pe AS (SELECT count(*) AS n_categories,
+           |    ${r6(s"coalesce(${dsum(r6(s"${r6("CAST(cn AS DOUBLE) / CAST(c.ni * c.m AS DOUBLE)")} * ${r6("CAST(cn AS DOUBLE) / CAST(c.ni * c.m AS DOUBLE)")}"))}, 0.0)")} AS p_e
+           |  FROM mg, chk c)
+           |SELECT pb.n_items, pb.m_raters, pe.n_categories, pb.p_bar, pe.p_e,
+           |  CASE WHEN pe.p_e < 1.0 THEN ${r6("(pb.p_bar - pe.p_e) / (1.0 - pe.p_e)")} END AS kappa
+           |FROM pb, pe""".stripMargin
+      },
+
+      "q_rake_weights" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        def step(k: Int, prev: String, axis: String, target: String): String =
+          s"""ms$k AS (SELECT $axis, ${dsum(r6("weight * CAST(n AS DOUBLE)"))} AS mass
+             |  FROM $prev GROUP BY 1),
+             |tt$k AS (SELECT coalesce(${dsum(r6("weight * CAST(n AS DOUBLE)"))}, 0.0) AS tm FROM $prev),
+             |c$k AS MATERIALIZED (SELECT p.a, p.b, p.n, p.ta, p.tb,
+             |    CASE WHEN ${r6("m.mass / t.tm")} > 0
+             |      THEN ${r6(s"p.weight * ${r6(s"p.$target / (${r6("m.mass / t.tm")})")}")}
+             |      ELSE 0.0 END AS weight
+             |  FROM $prev p JOIN ms$k m ON p.$axis = m.$axis, tt$k t)""".stripMargin
+        val steps = (0 until 5).flatMap { i =>
+          val ka = 2 * i + 1; val kb = 2 * i + 2
+          val prevA = if (i == 0) "c0" else s"c${2 * i}"
+          Seq(step(ka, prevA, "a", "ta"), step(kb, s"c$ka", "b", "tb"))
+        }
+        s"""WITH smp AS (SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b FROM documents
+           |  WHERE ${h32("concat('rk:', CAST(doc_id AS VARCHAR))")} % 10 < 3),
+           |pa AS (SELECT CAST(lang AS VARCHAR) AS a, count(*) AS cnt FROM documents GROUP BY 1),
+           |paT AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM pa),
+           |tas AS (SELECT a, ${r6("CAST(cnt AS DOUBLE) / CAST(t.t AS DOUBLE)")} AS ta FROM pa, paT t),
+           |pb AS (SELECT CAST(source AS VARCHAR) AS b, count(*) AS cnt FROM documents GROUP BY 1),
+           |pbT AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM pb),
+           |tbs AS (SELECT b, ${r6("CAST(cnt AS DOUBLE) / CAST(t.t AS DOUBLE)")} AS tb FROM pb, pbT t),
+           |c0 AS MATERIALIZED (SELECT s.a, s.b, count(*) AS n,
+           |    coalesce(any_value(tas.ta), 0.0) AS ta, coalesce(any_value(tbs.tb), 0.0) AS tb,
+           |    CAST(1.0 AS DOUBLE) AS weight
+           |  FROM smp s LEFT JOIN tas ON s.a = tas.a LEFT JOIN tbs ON s.b = tbs.b
+           |  GROUP BY 1, 2),
+           |${steps.mkString(",\n")}
+           |SELECT a, b, n, weight FROM c10""".stripMargin
       }
     )
   }

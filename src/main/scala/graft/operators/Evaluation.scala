@@ -249,6 +249,109 @@ object Evaluation {
       when(chi2.isNotNull && col("df") >= 1, r6(tail)).as("p_value")): _*)
   }
 
+  /** Classifier confusion matrix with per-class recall and overall
+    * accuracy — the eval that turns "language-ID works" into numbers
+    * per class: which true labels leak where, and how much. One
+    * groupBy to the class²-sized cell frame; `frac_of_true` (the
+    * recall row-profile) is a class-partitioned window over it;
+    * accuracy is a one-row broadcast, never a global window. NULL
+    * labels on either side are kept as a real '(null)' class — a
+    * predictor that returns NULL is a finding, not a dropped row.
+    *
+    * Output: one row per observed (true, pred) cell —
+    * (true_label, pred_label, n, frac_of_true, accuracy).
+    */
+  def confusionMatrix(
+      df: DataFrame,
+      trueCol: String,
+      predCol: String): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    val cells = df
+      .groupBy(
+        coalesce(col(trueCol).cast("string"), lit("(null)")).as("true_label"),
+        coalesce(col(predCol).cast("string"), lit("(null)")).as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.agg(
+      sum(col("n")).as("__tot"),
+      coalesce(sum(when(col("true_label") === col("pred_label"), col("n"))), lit(0L))
+        .as("__ok"))
+    val byTrue = org.apache.spark.sql.expressions.Window.partitionBy(col("true_label"))
+    cells
+      .withColumn("frac_of_true",
+        r6(col("n").cast("double") / sum(col("n")).over(byTrue).cast("double")))
+      .crossJoin(broadcast(totals)) // one-row totals frame: lint-exempt
+      .withColumn("accuracy",
+        r6(col("__ok").cast("double") / col("__tot").cast("double")))
+      .select(col("true_label"), col("pred_label"), col("n"),
+        col("frac_of_true"), col("accuracy"))
+  }
+
+  /** Fleiss' κ — chance-corrected agreement for m raters per item, the
+    * multi-rater extension of Cohen's κ (two raters) and the first
+    * gate on any preference/annotation corpus: κ near 0 means the
+    * "labels" are noise dressed as data. Per item i and category j,
+    * n_ij votes with Σ_j n_ij = m; P_i = (Σ n_ij² − m)/(m(m−1)),
+    * P̄ = mean P_i, chance agreement P_e = Σ_j p_j², κ = (P̄−P_e)/(1−P_e).
+    * A VARYING vote count per item breaks the formula — enforced with
+    * an in-plan raise_error, not a silent wrong κ. P_e = 1 (every vote
+    * one category) leaves nothing to correct: κ NULL.
+    *
+    * One groupBy to the (items × categories) vote-cell frame, one
+    * item-sized reduction, category-sized marginals broadcast; all
+    * ratios r6-pinned, DECIMAL sums. Output ONE row:
+    * (n_items, m_raters, n_categories, p_bar, p_e, kappa).
+    */
+  def fleissKappa(
+      votes: DataFrame,
+      itemCol: String,
+      categoryCol: String): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val cells = votes
+      .filter(col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(categoryCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__nij"))
+    val items = cells
+      .groupBy(col("__i"))
+      .agg(sum(col("__nij")).as("__m"), sum(col("__nij") * col("__nij")).as("__sq"))
+    val mCheck = items.agg(
+      min(col("__m")).as("__mmin"), max(col("__m")).as("__mmax"),
+      count(lit(1)).as("__ni"))
+    val m = when(col("__mmin") === col("__mmax"), col("__mmin"))
+      .otherwise(raise_error(concat(lit("fleissKappa: every item needs the same "),
+        lit("number of votes; saw "), col("__mmin").cast("string"), lit(".."),
+        col("__mmax").cast("string"))))
+    // "__mr", not "__m": the item frame already carries "__m" and the
+    // crossJoin below would make the reference ambiguous
+    val checked = mCheck.select(col("__ni"), m.as("__mr"))
+    val mD = col("__mr").cast("double")
+    val pBar = items
+      .crossJoin(broadcast(checked)) // one-row frame: lint-exempt
+      .agg(
+        first(col("__ni")).as("n_items"),
+        first(col("__mr")).as("m_raters"),
+        r6(coalesce(dsum(r6((col("__sq") - col("__m")).cast("double") /
+          (mD * (mD - lit(1.0))))), lit(0.0)) /
+          count(lit(1)).cast("double")).as("p_bar"))
+    val marginals = cells
+      .groupBy(col("__c"))
+      .agg(sum(col("__nij")).as("__cn"))
+    val pe = marginals
+      .crossJoin(broadcast(checked.select((col("__ni") * col("__mr")).as("__votes"))))
+      .agg(
+        count(lit(1)).as("n_categories"),
+        r6(coalesce(dsum(r6(r6(col("__cn").cast("double") / col("__votes").cast("double")) *
+          r6(col("__cn").cast("double") / col("__votes").cast("double")))), lit(0.0)))
+          .as("p_e"))
+    pBar
+      .crossJoin(broadcast(pe))
+      .select(
+        col("n_items"), col("m_raters"), col("n_categories"),
+        col("p_bar"), col("p_e"),
+        when(col("p_e") < 1.0,
+          r6((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))).as("kappa"))
+  }
+
   def averagePrecision(
       df: DataFrame,
       by: Seq[String],

@@ -276,6 +276,81 @@ object Sampling {
         (coalesce(target, lit(0.0)) - epochs * col("tokens")).as("unspent"))
   }
 
+  /** Survey raking (iterative proportional fitting) — weight a sample
+    * so BOTH of two categorical marginals match a target population:
+    * the standard post-stratification fix when a subsample (labeled
+    * subset, survey respondents, an eval slice) is skewed on language
+    * AND source at once, and plain per-cell reweighting has empty
+    * cells. Fixed iteration count (the library's iterative-fit
+    * determinism contract); each step scales every cell's weight by
+    * target-share / current-weighted-share along one axis, then the
+    * other — the classic IPF alternation, converging geometrically
+    * when the table permits.
+    *
+    * Everything lives on the (\|A\|×\|B\|)-sized sample CELL frame
+    * (weights are constant within a cell by construction): per step
+    * two cell-frame aggregates + broadcast joins; the corpus and the
+    * population are each scanned ONCE for marginal shares. Categories
+    * with zero target mass get weight 0 — visibly unmatched, not
+    * silently renormalized. All shares/factors r6-pinned with DECIMAL
+    * sums.
+    *
+    * Output: one row per sample cell — (a, b, n, weight), Σ n·weight ≈
+    * sample size with marginals matched to the target.
+    */
+  def rakeWeights(
+      sample: DataFrame,
+      population: DataFrame,
+      colA: String,
+      colB: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 32,
+      s"rakeWeights is a fixed-step IPF contract: 1 <= iters <= 32, got $iters")
+    import graft.functions.Portable.r6
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    def shares(df: DataFrame, c: String, out: String): DataFrame = {
+      val g = df.groupBy(col(c).cast("string").as(out)).agg(count(lit(1)).as("__cnt"))
+      val t = g.agg(sum(col("__cnt")).as("__tt"))
+      g.crossJoin(broadcast(t))
+        .select(col(out), r6(col("__cnt").cast("double") / col("__tt").cast("double"))
+          .as(s"__t$out"))
+    }
+    val ta = shares(population, colA, "__a")
+    val tb = shares(population, colB, "__b")
+    val cells0 = sample
+      .groupBy(col(colA).cast("string").as("__a"), col(colB).cast("string").as("__b"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(ta), Seq("__a"), "left")
+      .join(broadcast(tb), Seq("__b"), "left")
+      .withColumn("__ta", coalesce(col("__t__a"), lit(0.0)))
+      .withColumn("__tb", coalesce(col("__t__b"), lit(0.0)))
+      .drop("__t__a", "__t__b")
+      .withColumn("weight", lit(1.0))
+    def axisStep(cells: DataFrame, axis: String, target: String): DataFrame = {
+      val mass = cells
+        .groupBy(col(axis))
+        .agg(dsum(r6(col("weight") * col("n").cast("double"))).as("__mass"))
+      val tot = cells.agg(
+        coalesce(dsum(r6(col("weight") * col("n").cast("double"))), lit(0.0)).as("__tm"))
+      cells
+        .join(broadcast(mass), Seq(axis))
+        .crossJoin(broadcast(tot)) // one-row totals frame: lint-exempt
+        .withColumn("__cur", r6(col("__mass") / col("__tm")))
+        .withColumn("weight",
+          when(col("__cur") > 0, r6(col("weight") * r6(col(target) / col("__cur"))))
+            .otherwise(lit(0.0)))
+        .drop("__mass", "__tm", "__cur")
+    }
+    // each axisStep references its input three times (mass, total,
+    // join): pin the tiny cell frame once per iteration or the lazy
+    // plan tree grows 3^(2·iters)
+    import graft.plans.Materialize.PinOps
+    val raked = (1 to iters).foldLeft(cells0.pin()) { (c, _) =>
+      axisStep(axisStep(c, "__a", "__ta"), "__b", "__tb").pin()
+    }
+    raked.select(col("__a").as("a"), col("__b").as("b"), col("n"), col("weight"))
+  }
+
   /** Neyman-optimal sample allocation: split a labeling/inspection
     * budget across strata ∝ N_h·σ_h — the variance-minimizing design
     * for estimating a population mean from a stratified sample, and
