@@ -3099,7 +3099,28 @@ object SparkEntry {
       val sample = d.filter(TextFunctions.md5Hash32(
         concat(lit("rk:"), col("doc_id").cast("string"))) % 10 < 3)
       Sampling.rakeWeights(sample, d, "lang", "source", iters = 5)
-    })
+    }),
+
+    // capture-recapture dedup-recall estimate: two independent SRP
+    // passes -> Chapman estimate of the TRUE near-dup pair count
+    "q_capture_recapture" -> ((s, dir) =>
+      graft.ann.Srp.captureRecapture(emb(s, dir), threshold = 0.25,
+        seedA = "cr1", seedB = "cr2")),
+
+    // split-half reliability of the per-source mean-length metric:
+    // is the source league table signal or re-rolled dice
+    "q_split_half" -> ((s, dir) =>
+      Reliability.splitHalf(docs(s, dir), "source", "doc_id",
+        col("n_chars"), seed = "sh42")),
+
+    // cost-optimal quality-filter threshold on the q_calibration
+    // score/label pair: keep-good pays 1, keep-bad costs 2
+    "q_threshold_opt" -> ((s, dir) =>
+      Evaluation.bestThreshold(
+        docs(s, dir).withColumn("score",
+          least(lit(1.0), col("n_chars").cast("double") / 1000.0)),
+        Seq("lang"), "score", col("text").contains(" the "),
+        benefitTp = 1.0, costFp = 2.0, nBins = 20))
   )
 
   /** Per-user Cox subjects shared by the q_cox Spark call and oracle:
@@ -8494,6 +8515,99 @@ object SparkEntry {
            |  GROUP BY 1, 2),
            |${steps.mkString(",\n")}
            |SELECT a, b, n, weight FROM c10""".stripMargin
+      },
+
+      "q_capture_recapture" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        // one seeded SRP pass as prefixed CTEs ending in <t>pr(ia, ib)
+        def srpPass(t: String, seed: String): String =
+          s"""${t}pl AS (SELECT p.i AS p,
+             |  list_transform(range(0,64), d -> CASE WHEN CAST(concat('0x', substr(md5(concat('srp:$seed:', p.i, ':', d)),1,8)) AS BIGINT) % 2 = 0
+             |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS pv
+             |  FROM range(0,16) p(i)),
+             |${t}sg AS (SELECT e.vec_id, ${t}pl.p,
+             |  CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1,65), i -> CAST(e.embedding[i] AS DOUBLE) * ${t}pl.pv[i])), (x,y) -> x+y) >= 0
+             |    THEN 1 ELSE 0 END AS bit
+             |  FROM embeddings e, ${t}pl),
+             |${t}bl AS (SELECT vec_id, list(CAST(bit AS VARCHAR) ORDER BY p) AS bits FROM ${t}sg GROUP BY 1),
+             |${t}bd AS (SELECT vec_id, b.i AS band, md5(array_to_string(bits[b.i*4+1:b.i*4+4], '|')) AS sig FROM ${t}bl, range(0,4) b(i)),
+             |${t}bok AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, sig) AS bsz FROM ${t}bd) WHERE bsz <= 1000),
+             |${t}cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+             |  FROM ${t}bok a JOIN ${t}bok b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+             |${t}pr AS (SELECT ia, ib FROM (
+             |    SELECT ia, ib, ${r6(cosSql("ea.embedding", "eb.embedding"))} AS cosine
+             |    FROM ${t}cand JOIN embeddings ea ON ia = ea.vec_id JOIN embeddings eb ON ib = eb.vec_id)
+             |  WHERE cosine >= 0.25)""".stripMargin
+        s"""WITH ${srpPass("x", "cr1")},
+           |${srpPass("y", "cr2")},
+           |j AS (SELECT coalesce(x.ia, y.ia) AS ia, coalesce(x.ib, y.ib) AS ib,
+           |    x.ia IS NOT NULL AS ina, y.ia IS NOT NULL AS inb
+           |  FROM xpr x FULL OUTER JOIN ypr y ON x.ia = y.ia AND x.ib = y.ib),
+           |ag AS (SELECT
+           |    CAST(count(CASE WHEN ina THEN 1 END) AS BIGINT) AS n_a,
+           |    CAST(count(CASE WHEN inb THEN 1 END) AS BIGINT) AS n_b,
+           |    CAST(count(CASE WHEN ina AND inb THEN 1 END) AS BIGINT) AS n_both FROM j),
+           |nm AS (SELECT *, CAST(n_a AS DOUBLE) AS d1, CAST(n_b AS DOUBLE) AS d2,
+           |    CAST(n_both AS DOUBLE) AS dm FROM ag)
+           |SELECT n_a, n_b, n_both,
+           |  CASE WHEN d1 > 0 AND d2 > 0 THEN ${r6("(d1 + 1.0) * (d2 + 1.0) / (dm + 1.0) - 1.0")} END AS n_est,
+           |  CASE WHEN d1 > 0 AND d2 > 0 THEN
+           |    ${r6("sqrt(greatest(0.0, (d1 + 1.0) * (d2 + 1.0) * (d1 - dm) * (d2 - dm) / ((dm + 1.0) * (dm + 1.0) * (dm + 2.0))))")}
+           |  END AS se_est,
+           |  CASE WHEN d1 > 0 AND d2 > 0 AND (d1 + 1.0) * (d2 + 1.0) / (dm + 1.0) - 1.0 > 0 THEN
+           |    ${r6("d1 / ((d1 + 1.0) * (d2 + 1.0) / (dm + 1.0) - 1.0)")} END AS recall_a,
+           |  CASE WHEN d1 > 0 AND d2 > 0 AND (d1 + 1.0) * (d2 + 1.0) / (dm + 1.0) - 1.0 > 0 THEN
+           |    ${r6("d2 / ((d1 + 1.0) * (d2 + 1.0) / (dm + 1.0) - 1.0)")} END AS recall_b
+           |FROM nm""".stripMargin
+      },
+
+      "q_split_half" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH rws AS (SELECT source AS g,
+           |    ${h32("concat('sh42', '|', CAST(doc_id AS VARCHAR))")} % 2 AS h,
+           |    CAST(n_chars AS DOUBLE) AS m FROM documents WHERE n_chars IS NOT NULL),
+           |cells AS (SELECT g, h, ${r6(s"${dsum(r6("m"))} / CAST(count(*) AS DOUBLE)")} AS mm
+           |  FROM rws GROUP BY 1, 2),
+           |wide AS (SELECT g, max(CASE WHEN h = 0 THEN mm END) AS m0,
+           |    max(CASE WHEN h = 1 THEN mm END) AS m1 FROM cells GROUP BY 1),
+           |st AS (SELECT
+           |    count(CASE WHEN m0 IS NOT NULL AND m1 IS NOT NULL THEN 1 END) AS n_groups,
+           |    count(CASE WHEN m0 IS NULL OR m1 IS NULL THEN 1 END) AS n_dropped,
+           |    coalesce(${dsum("CASE WHEN m0 IS NOT NULL AND m1 IS NOT NULL THEN m0 END")}, 0.0) AS s0,
+           |    coalesce(${dsum("CASE WHEN m0 IS NOT NULL AND m1 IS NOT NULL THEN m1 END")}, 0.0) AS s1,
+           |    coalesce(${dsum(s"CASE WHEN m0 IS NOT NULL AND m1 IS NOT NULL THEN ${r6("m0 * m1")} END")}, 0.0) AS s01,
+           |    coalesce(${dsum(s"CASE WHEN m0 IS NOT NULL AND m1 IS NOT NULL THEN ${r6("m0 * m0")} END")}, 0.0) AS s00,
+           |    coalesce(${dsum(s"CASE WHEN m0 IS NOT NULL AND m1 IS NOT NULL THEN ${r6("m1 * m1")} END")}, 0.0) AS s11,
+           |    CAST(count(CASE WHEN m0 IS NOT NULL AND m1 IS NOT NULL THEN 1 END) AS DOUBLE) AS nd
+           |  FROM wide),
+           |rr AS (SELECT *, CASE WHEN n_groups >= 3
+           |      AND s00 - s0 * s0 / nd > 0 AND s11 - s1 * s1 / nd > 0 THEN
+           |    ${r6("(s01 - s0 * s1 / nd) / sqrt((s00 - s0 * s0 / nd) * (s11 - s1 * s1 / nd))")}
+           |  END AS r_half FROM st)
+           |SELECT n_groups, n_dropped, r_half,
+           |  CASE WHEN r_half IS NOT NULL AND r_half > -1.0 THEN
+           |    ${r6("2.0 * r_half / (1.0 + r_half)")} END AS reliability
+           |FROM rr""".stripMargin
+      },
+
+      "q_threshold_opt" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH v AS (SELECT lang, least(1.0, CAST(n_chars AS DOUBLE) / 1000.0) AS x,
+           |    CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS y FROM documents),
+           |g AS (SELECT lang, least(19, greatest(0, CAST(floor(x * 20) AS BIGINT))) AS bin,
+           |    count(*) AS n, CAST(sum(y) AS BIGINT) AS pos FROM v GROUP BY 1, 2),
+           |c AS (SELECT lang, bin, n, pos,
+           |    CAST(sum(pos) OVER (PARTITION BY lang ORDER BY bin ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS tp,
+           |    CAST(sum(n - pos) OVER (PARTITION BY lang ORDER BY bin ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS fp,
+           |    CAST(sum(pos) OVER (PARTITION BY lang) AS BIGINT) AS allpos FROM g),
+           |u AS (SELECT lang, ${r6("CAST(bin AS DOUBLE) / 20.0")} AS threshold, tp, fp,
+           |    allpos - tp AS fn,
+           |    ${r6("1.0 * CAST(tp AS DOUBLE) - 2.0 * CAST(fp AS DOUBLE)")} AS utility FROM c),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY lang
+           |    ORDER BY utility DESC, threshold DESC) AS rn FROM u)
+           |SELECT lang, threshold, tp, fp, CAST(fn AS BIGINT) AS fn, utility
+           |FROM rk WHERE rn = 1""".stripMargin
       }
     )
   }

@@ -24,9 +24,10 @@ object Srp {
     * the same value `CAST(concat('0x', substr(md5(...),1,8)) AS BIGINT) % 2`
     * yields in DuckDB.
     */
-  def planeSign(p: Int, d: Int): Float = {
+  def planeSign(p: Int, d: Int, seed: String = ""): Float = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val dig = md.digest(s"srp:$p:$d".getBytes("UTF-8"))
+    val tag = if (seed.isEmpty) s"srp:$p:$d" else s"srp:$seed:$p:$d"
+    val dig = md.digest(tag.getBytes("UTF-8"))
     val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
       ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
     if (h % 2 == 0) 1.0f else -1.0f
@@ -35,15 +36,15 @@ object Srp {
   /** The deterministic hyperplane matrix (nPlanes × dim). Tiny (KBs) —
     * ships to executors as literals inside the plan, no broadcast needed.
     */
-  def planes(nPlanes: Int, dim: Int): Array[Array[Float]] =
-    Array.tabulate(nPlanes, dim)(planeSign)
+  def planes(nPlanes: Int, dim: Int, seed: String = ""): Array[Array[Float]] =
+    Array.tabulate(nPlanes, dim)((p, d) => planeSign(p, d, seed))
 
   /** Per-row SRP bit signature: element p is 1 iff dot(vec, plane_p) >= 0.
     * A pure projection over the codegen'd [[graft.functions.DotProduct]] —
     * zero shuffle to produce, like every signature stage in this repo.
     */
-  def srpSignatureCols(vec: Column, nPlanes: Int, dim: Int): Seq[Column] =
-    planes(nPlanes, dim).toSeq.zipWithIndex.map { case (pl, p) =>
+  def srpSignatureCols(vec: Column, nPlanes: Int, dim: Int, seed: String = ""): Seq[Column] =
+    planes(nPlanes, dim, seed).toSeq.zipWithIndex.map { case (pl, p) =>
       when(graft.functions.GraftFunctions.dotProduct(vec, typedLit(pl)) >= 0.0, lit(1))
         .otherwise(lit(0)).as(s"minhash_$p")
     }
@@ -66,10 +67,11 @@ object Srp {
       dim: Int = 64,
       maxBucketSize: Int = 1000,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      seed: String = ""
   ): DataFrame = {
     val sigs = vectors.select(
-      col(idCol).as("id") +: srpSignatureCols(col(vecCol), nPlanes, dim): _*)
+      col(idCol).as("id") +: srpSignatureCols(col(vecCol), nPlanes, dim, seed): _*)
     val cand = graft.dedup.Dedup.minhashCandidatePairs(sigs, nPlanes, numBands, maxBucketSize)
     cand
       .join(vectors.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
@@ -79,5 +81,62 @@ object Srp {
         col("id_b"),
         graft.functions.Portable.r6(Similarity.cosine(col("__va"), col("__vb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Capture–recapture estimate of the TRUE near-duplicate pair count —
+    * the scale-native answer to "how many near-dups is our LSH pass
+    * MISSING?": run [[srpLshPairs]] twice with INDEPENDENT hyperplane
+    * seeds, treat each verified pair set as a "capture", and apply the
+    * Chapman estimator N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with its standard
+    * error — the wildlife-census trick, pointed at a pair population
+    * nobody can afford to enumerate exactly. recall_a = n₁/N̂ is then
+    * the measured recall of a single pass, not a hoped-for one.
+    *
+    * Honesty note: SRP captures are independent only CONDITIONAL on a
+    * pair's cosine; high-cosine pairs are easier for BOTH passes, and
+    * that heterogeneity biases N̂ LOW — so N̂ is a lower bound on the
+    * missed mass and recall_a an upper bound on true recall
+    * (documented, the standard capture-recapture caveat).
+    *
+    * Cost: exactly two LSH passes (each the bounded-bucket machinery)
+    * plus one pair-frame join and a one-row aggregate.
+    *
+    * Output ONE row: (n_a, n_b, n_both, n_est, se_est, recall_a,
+    * recall_b) — estimate NULL when either pass catches nothing.
+    */
+  def captureRecapture(
+      vectors: DataFrame,
+      threshold: Double,
+      seedA: String,
+      seedB: String,
+      nPlanes: Int = 16,
+      numBands: Int = 4,
+      dim: Int = 64,
+      maxBucketSize: Int = 1000,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(seedA != seedB, "the two passes need independent hyperplane seeds")
+    val r6 = graft.functions.Portable.r6 _
+    def pass(seed: String, flag: String) =
+      srpLshPairs(vectors, threshold, nPlanes, numBands, dim, maxBucketSize,
+        idCol, vecCol, seed)
+        .select(col("id_a"), col("id_b"), lit(1).as(flag))
+    val joined = pass(seedA, "__ina")
+      .join(pass(seedB, "__inb"), Seq("id_a", "id_b"), "full")
+    val n1 = count(col("__ina")).cast("double")
+    val n2 = count(col("__inb")).cast("double")
+    val m = count(when(col("__ina").isNotNull && col("__inb").isNotNull, lit(1)))
+      .cast("double")
+    val nEst = (n1 + lit(1.0)) * (n2 + lit(1.0)) / (m + lit(1.0)) - lit(1.0)
+    val varEst = (n1 + lit(1.0)) * (n2 + lit(1.0)) * (n1 - m) * (n2 - m) /
+      ((m + lit(1.0)) * (m + lit(1.0)) * (m + lit(2.0)))
+    joined.agg(
+      count(col("__ina")).as("n_a"),
+      count(col("__inb")).as("n_b"),
+      count(when(col("__ina").isNotNull && col("__inb").isNotNull, lit(1))).as("n_both"),
+      when(n1 > 0 && n2 > 0, r6(nEst)).as("n_est"),
+      when(n1 > 0 && n2 > 0, r6(sqrt(greatest(lit(0.0), varEst)))).as("se_est"),
+      when(n1 > 0 && n2 > 0 && nEst > 0, r6(n1 / nEst)).as("recall_a"),
+      when(n1 > 0 && n2 > 0 && nEst > 0, r6(n2 / nEst)).as("recall_b"))
   }
 }

@@ -352,6 +352,64 @@ object Evaluation {
           r6((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))).as("kappa"))
   }
 
+  /** Cost-optimal decision threshold — turn a score + a benefit/cost
+    * pair into the cutoff to DEPLOY: at candidate threshold t (the
+    * lower edge of each fixed-width score bin), utility =
+    * benefitTp·TP(t) − costFp·FP(t); the argmax row per group is the
+    * operating point (ties break toward the HIGHER threshold — when
+    * two cutoffs pay the same, keep less). The step that turns
+    * #233's PR curve into an actual filter setting, priced in the
+    * caller's units ("a kept-good doc is worth 1, a kept-bad doc
+    * costs 5").
+    *
+    * One pass to the (group × bins) frame; TP/FP at each edge are
+    * reverse-cumulative sums under group-partitioned windows; the
+    * argmax is a group-partitioned rank. Output one row per group:
+    * (by..., threshold, tp, fp, fn, utility).
+    */
+  def bestThreshold(
+      df: DataFrame,
+      by: Seq[String],
+      scoreCol: String,
+      label: Column,
+      benefitTp: Double,
+      costFp: Double,
+      nBins: Int = 20): DataFrame = {
+    require(nBins >= 2 && nBins <= 10000, s"nBins must be in [2, 10000], got $nBins")
+    require(benefitTp > 0 && costFp >= 0, "benefit must be positive, cost non-negative")
+    val r6 = graft.functions.Portable.r6 _
+    val x = col(scoreCol).cast("double")
+    val byCols = by.map(col)
+    val bin = least(lit(nBins - 1L), greatest(lit(0L), floor(x * nBins).cast("long")))
+    val cells = df
+      .filter(ok(x))
+      .select((byCols :+ bin.as("__bin") :+
+        when(label, 1L).otherwise(0L).as("__y")): _*)
+      .groupBy((byCols :+ col("__bin")): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy(byCols: _*)
+    val fromTop = byG.orderBy(col("__bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val staged = cells
+      .withColumn("__tp", sum(col("__pos")).over(fromTop))
+      .withColumn("__fp", sum(col("__n") - col("__pos")).over(fromTop))
+      .withColumn("__allpos", sum(col("__pos")).over(byG))
+      .withColumn("threshold",
+        r6(col("__bin").cast("double") / lit(nBins.toDouble)))
+      .withColumn("utility",
+        r6(lit(benefitTp) * col("__tp").cast("double") -
+          lit(costFp) * col("__fp").cast("double")))
+    val best = org.apache.spark.sql.expressions.Window.partitionBy(byCols: _*)
+      .orderBy(col("utility").desc, col("threshold").desc)
+    staged
+      .withColumn("__rn", row_number().over(best))
+      .filter(col("__rn") === 1)
+      .select((byCols :+ col("threshold") :+ col("__tp").as("tp") :+
+        col("__fp").as("fp") :+ (col("__allpos") - col("__tp")).as("fn") :+
+        col("utility")): _*)
+  }
+
   def averagePrecision(
       df: DataFrame,
       by: Seq[String],
