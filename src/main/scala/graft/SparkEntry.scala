@@ -3120,7 +3120,17 @@ object SparkEntry {
         docs(s, dir).withColumn("score",
           least(lit(1.0), col("n_chars").cast("double") / 1000.0)),
         Seq("lang"), "score", col("text").contains(" the "),
-        benefitTp = 1.0, costFp = 2.0, nBins = 20))
+        benefitTp = 1.0, costFp = 2.0, nBins = 20)),
+
+    // Church-Gale term burstiness: content words clump (vmr >> 1),
+    // glue spreads (~Poisson)
+    "q_term_burstiness" -> ((s, dir) =>
+      graft.text.Keywords.termBurstiness(docs(s, dir), "doc_id", "text", minDf = 25L)),
+
+    // duplicate-influx monitor: exact-dup rate per arrival bucket of
+    // 50 docs — WHEN did duplication start, not just how much
+    "q_dup_influx" -> ((s, dir) =>
+      Dedup.duplicateInflux(docs(s, dir), "doc_id", "text", bucketWidth = 50L))
   )
 
   /** Per-user Cox subjects shared by the q_cox Spark call and oracle:
@@ -8608,6 +8618,40 @@ object SparkEntry {
            |    ORDER BY utility DESC, threshold DESC) AS rn FROM u)
            |SELECT lang, threshold, tp, fp, CAST(fn AS BIGINT) AS fn, utility
            |FROM rk WHERE rn = 1""".stripMargin
+      },
+
+      "q_term_burstiness" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH tk AS (SELECT doc_id,
+           |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+           |  FROM documents),
+           |tf AS (SELECT doc_id, w, count(*) AS tf FROM tk GROUP BY 1, 2),
+           |tm AS (SELECT w AS term, CAST(sum(tf) AS BIGINT) AS cf, count(*) AS df,
+           |    CAST(sum(tf * tf) AS BIGINT) AS sq FROM tf GROUP BY 1 HAVING count(*) >= 25),
+           |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+           |SELECT term, cf, df,
+           |  ${r6("CAST(cf AS DOUBLE) / CAST(df AS DOUBLE)")} AS burstiness,
+           |  CASE WHEN CAST(cf AS DOUBLE) / nd.n > 0 THEN
+           |    ${r6("(CAST(sq AS DOUBLE) / nd.n - (CAST(cf AS DOUBLE) / nd.n) * (CAST(cf AS DOUBLE) / nd.n)) / (CAST(cf AS DOUBLE) / nd.n)")}
+           |  END AS vmr
+           |FROM tm, nd""".stripMargin
+      },
+
+      "q_dup_influx" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH fp AS (SELECT doc_id AS o,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(1, len(s)+1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+           |      (acc, c) -> (acc*31 + c) % 1000000007) AS f
+           |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+           |    FROM documents)),
+           |fs AS (SELECT f, min(o) AS first FROM fp GROUP BY 1),
+           |j AS (SELECT CAST(floor(CAST(fp.o AS DOUBLE) / 50.0) AS BIGINT) AS bucket,
+           |    fp.o > fs.first AS dup FROM fp JOIN fs USING (f))
+           |SELECT bucket, count(*) AS n_docs,
+           |  count(CASE WHEN dup THEN 1 END) AS n_dups,
+           |  ${r6("CAST(count(CASE WHEN dup THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS dup_rate
+           |FROM j GROUP BY 1""".stripMargin
       }
     )
   }

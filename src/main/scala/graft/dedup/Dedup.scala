@@ -800,4 +800,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Duplicate-influx monitor: exact-duplicate rate per arrival bucket
+    * — "is the crawler suddenly re-fetching the same pages", read as a
+    * time series instead of one corpus-wide number ([[duplicationStats]]
+    * says HOW MUCH duplication; this says WHEN it started). A document
+    * is a duplicate iff an EARLIER document (by `orderCol`, the
+    * arrival/id order) carries the same content fingerprint; rates are
+    * reported per fixed-width bucket of that order.
+    *
+    * No ordered scan: each fingerprint's first arrival is a groupBy
+    * min; membership is one equi-join back on the fingerprint (both
+    * sides corpus-sized — a plain shuffle join, no broadcast
+    * assumption); the bucket rollup is a second map-side-combined
+    * groupBy. Output per bucket: (bucket, n_docs, n_dups, dup_rate).
+    */
+  def duplicateInflux(
+      docs: DataFrame,
+      orderCol: String,
+      textCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val r6 = graft.functions.Portable.r6 _
+    val fp = docs.select(
+      col(orderCol).cast("long").as("__o"),
+      graft.text.TextFunctions.rollingFingerprint(col(textCol)).as("__fp"))
+    val first = fp.groupBy(col("__fp")).agg(min(col("__o")).as("__first"))
+    fp
+      .join(first, Seq("__fp"))
+      .select(floor(col("__o").cast("double") / bucketWidth.toDouble).cast("long")
+        .as("bucket"),
+        (col("__o") > col("__first")).as("__dup"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("__dup"), lit(1))).as("n_dups"))
+      .withColumn("dup_rate",
+        r6(col("n_dups").cast("double") / col("n_docs").cast("double")))
+  }
 }

@@ -268,4 +268,49 @@ object Keywords {
       .select(col("group"), col("phrase"), col("n_words"), col("n_occurrences"),
         col("score"), col("rk"))
   }
+
+  /** Term burstiness — Church–Gale's "content words clump, function
+    * words spread": for each term, burstiness = cf/df (mean occurrences
+    * PER DOCUMENT THAT HAS IT) and the variance-to-mean ratio over ALL
+    * documents (Poisson ⇒ VMR ≈ 1; topical terms ≫ 1). The signal that
+    * separates topic-bearing vocabulary from glue without any stopword
+    * list — feeds keyword extraction and the "is this term a template
+    * artifact" triage that df alone can't answer.
+    *
+    * One explode pass to the vocab-sized (term, cf, df, Σtf²) frame;
+    * VMR's zero-count docs enter through the closed form
+    * var = Σtf²/N − (cf/N)² — no term×doc grid materializes. r6-pinned
+    * ratios; the one-row corpus doc count broadcasts.
+    *
+    * Output per term with df ≥ minDf: (term, cf, df, burstiness, vmr).
+    */
+  def termBurstiness(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long = 2L): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    val tf = docs
+      .select(col(idCol).as("__id"),
+        explode(TextFunctions.wordTokens(col(textCol))).as("__w"))
+      .groupBy(col("__id"), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+    val terms = tf
+      .groupBy(col("__w").as("term"))
+      .agg(
+        sum(col("__tf")).as("cf"),
+        count(lit(1)).as("df"),
+        sum(col("__tf") * col("__tf")).as("__sq"))
+      .filter(col("df") >= minDf)
+    val total = docs.agg(count(lit(1)).as("__nd"))
+    val mean = col("cf").cast("double") / col("__nd").cast("double")
+    terms
+      .crossJoin(broadcast(total)) // one-row doc count: lint-exempt
+      .select(
+        col("term"), col("cf"), col("df"),
+        r6(col("cf").cast("double") / col("df").cast("double")).as("burstiness"),
+        when(mean > 0, r6(
+          (col("__sq").cast("double") / col("__nd").cast("double") - mean * mean) / mean))
+          .as("vmr"))
+  }
 }
