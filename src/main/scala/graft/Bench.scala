@@ -19,16 +19,23 @@ object Bench {
     // round-6 additions: the wedge join (Adamic-Adar) and the sample-
     // bounded LSH audit (whose cost must stay FLAT as the corpus grows)
     "q_adamic", "q_lsh_tuning",
-    // round-8: the remaining heavy families whose scaling was assumed,
-    // not measured — exact-kNN LOF (all-pairs BY CONTRACT: work is n²,
-    // read its ratio against that), RAKE phrase stats, BM25 batch
-    // retrieval, and the iterative link-analysis pair
-    "q_lof", "q_rake", "q_bm25_retrieve", "q_hits", "q_ppr",
+    // round-8: RAKE phrase stats, BM25 batch retrieval, the iterative
+    // link-analysis pair. round-9: q_lof (brute all-pairs, 208.5 s at
+    // sf1 — n² by contract) is REPLACED by q_lof_scalable, the
+    // multi-probe candidate path a 100 TB pipeline actually runs; the
+    // brute definition stays oracle-checked at sf0.01 in Verify.
+    "q_lof_scalable", "q_rake", "q_bm25_retrieve", "q_hits", "q_ppr",
     // round-8 batch D-G corpus-scale plans: the NB token join
     // (corpus x model), the row-local Mahalanobis projection (should
     // scale ~linearly in vectors), and the fixed-step Newton Cox whose
     // per-iteration cost must stay FLAT once the subject frame is built
-    "q_nb", "q_mahalanobis", "q_cox")
+    "q_nb", "q_mahalanobis", "q_cox",
+    // round-9: the round-8 statistical fleet's heaviest at sf0.1, never
+    // before measured at sf1 — the iterative fits (IPF raking,
+    // Bradley-Terry, Markov attribution), the two-pass LSH recall
+    // estimate, and the (now single-scan, pinned) isotropy report
+    "q_rake_weights", "q_bradley_terry", "q_markov_attr",
+    "q_capture_recapture", "q_isotropy")
 
   /** The 100x (sf10) subset: the heaviest plans from the sf1 section —
     * where quadratic failure modes (bucket skew, pair explosion) would

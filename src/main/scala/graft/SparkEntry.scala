@@ -282,6 +282,41 @@ object SparkEntry {
   private val cellSql: String =
     (0 until 8).map(d => s"(CASE WHEN embedding[${d + 1}]>0 THEN ${1L << d} ELSE 0 END)").mkString("+")
 
+  /** Sign-bit cell over the first `n` dims of `col` (matches
+    * [[Similarity.signBitCell]] with nBits = n).
+    */
+  private def cellSqlN(c: String, n: Int): String =
+    (0 until n).map(d => s"(CASE WHEN $c[${d + 1}]>0 THEN ${1L << d} ELSE 0 END)").mkString("+")
+
+  /** The LOF k=5 tail over a `d(id, nb, dist)` candidate-distance CTE —
+    * kNN rank, k-distance, reachability, lrd, lof (mirrors
+    * [[graft.ann.Lof.lofFromScored]]); shared by the exact q_lof oracle
+    * (all-pairs `d`) and the q_lof_scalable oracle (probe-cell `d`).
+    */
+  private val lofTailSql: String =
+    """r AS (SELECT id, nb, dist, row_number() OVER (PARTITION BY id ORDER BY dist, nb) AS rk FROM d),
+      |knn AS (SELECT id, nb, dist FROM r WHERE rk <= 5),
+      |kd AS (SELECT id, max(dist) AS kdist FROM knn GROUP BY 1),
+      |reach AS (SELECT knn.id, knn.nb, greatest(kd.kdist, knn.dist) AS rd
+      |  FROM knn JOIN kd ON kd.id = knn.nb),
+      |lrd0 AS (SELECT id,
+      |    CAST(sum(CAST(floor(rd * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS mr
+      |  FROM reach GROUP BY 1),
+      |lr AS (SELECT id, CASE WHEN mr > 0 THEN CAST(1 AS DOUBLE) / mr END AS lrd FROM lrd0),
+      |lf0 AS (SELECT knn.id, l2.lrd AS lrd_nb, l1.lrd AS lrd
+      |  FROM knn JOIN lr l2 ON l2.id = knn.nb JOIN lr l1 ON l1.id = knn.id),
+      |lf AS (SELECT id, max(lrd) AS lrd,
+      |    CASE WHEN count(*) = count(lrd_nb / lrd) THEN
+      |      CAST(sum(CAST(floor(lrd_nb / lrd * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+      |        / CAST(count(lrd_nb / lrd) AS DOUBLE) END AS lofraw
+      |  FROM lf0 GROUP BY 1)
+      |SELECT lf.id AS vec_id,
+      |  floor(kd.kdist * 1000000 + 0.5) / 1000000 AS k_dist,
+      |  floor(lf.lrd * 1000000 + 0.5) / 1000000 AS lrd,
+      |  CASE WHEN lf.lrd IS NOT NULL THEN floor(lofraw * 1000000 + 0.5) / 1000000 END AS lof
+      |FROM lf JOIN kd ON kd.id = lf.id""".stripMargin
+
   /** The lang-ID detection SELECT (doc_id, lang_pred), DuckDB dialect —
     * shared by the q_lang_id oracle and the q_kappa agreement oracle
     * (which nests it as a CTE body; DuckDB accepts WITH inside a CTE).
@@ -2308,6 +2343,22 @@ object SparkEntry {
           graft.functions.Portable.r6(col("k_dist")).as("k_dist"),
           graft.functions.Portable.r6(col("lrd")).as("lrd"),
           graft.functions.Portable.r6(col("lof")).as("lof"))),
+
+    // LOF on the SCALE PATH: multi-probe LSH candidate blocking (a
+    // SHUFFLE cell join — ~(nBits+1)/2^nBits of all-pairs, no broadcast)
+    // feeding the same n×k-bounded LOF tail. This is the registration a
+    // 100 TB pipeline runs; q_lof above keeps the exact all-pairs
+    // definition as the oracle-checkable reference (and is the one
+    // brute-by-contract nested-loop allowance in PlanShapeSpec).
+    "q_lof_scalable" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val cand = graft.ann.Lof.selfProbeCandidates(e, nBits = 7, probeRadius = 1)
+      graft.ann.Lof.lofWithCandidates(e, k = 5, cand, pairsDistinct = true)
+        .select(col("id").as("vec_id"),
+          graft.functions.Portable.r6(col("k_dist")).as("k_dist"),
+          graft.functions.Portable.r6(col("lrd")).as("lrd"),
+          graft.functions.Portable.r6(col("lof")).as("lof"))
+    },
 
     // Hill tail-index of doc lengths per source over the top-50 order
     // statistics — how heavy is the length tail a clamp must survive
@@ -6346,28 +6397,16 @@ object SparkEntry {
         s"""WITH d AS (SELECT q.vec_id AS id, c.vec_id AS nb,
            |    sqrt(${sqDistSql("q.embedding", "c.embedding")}) AS dist
            |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id),
-           |r AS (SELECT id, nb, dist, row_number() OVER (PARTITION BY id ORDER BY dist, nb) AS rk FROM d),
-           |knn AS (SELECT id, nb, dist FROM r WHERE rk <= 5),
-           |kd AS (SELECT id, max(dist) AS kdist FROM knn GROUP BY 1),
-           |reach AS (SELECT knn.id, knn.nb, greatest(kd.kdist, knn.dist) AS rd
-           |  FROM knn JOIN kd ON kd.id = knn.nb),
-           |lrd0 AS (SELECT id,
-           |    CAST(sum(CAST(floor(rd * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
-           |      / CAST(count(*) AS DOUBLE) AS mr
-           |  FROM reach GROUP BY 1),
-           |lr AS (SELECT id, CASE WHEN mr > 0 THEN CAST(1 AS DOUBLE) / mr END AS lrd FROM lrd0),
-           |lf0 AS (SELECT knn.id, l2.lrd AS lrd_nb, l1.lrd AS lrd
-           |  FROM knn JOIN lr l2 ON l2.id = knn.nb JOIN lr l1 ON l1.id = knn.id),
-           |lf AS (SELECT id, max(lrd) AS lrd,
-           |    CASE WHEN count(*) = count(lrd_nb / lrd) THEN
-           |      CAST(sum(CAST(floor(lrd_nb / lrd * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
-           |        / CAST(count(lrd_nb / lrd) AS DOUBLE) END AS lofraw
-           |  FROM lf0 GROUP BY 1)
-           |SELECT lf.id AS vec_id,
-           |  floor(kd.kdist * 1000000 + 0.5) / 1000000 AS k_dist,
-           |  floor(lf.lrd * 1000000 + 0.5) / 1000000 AS lrd,
-           |  CASE WHEN lf.lrd IS NOT NULL THEN floor(lofraw * 1000000 + 0.5) / 1000000 END AS lof
-           |FROM lf JOIN kd ON kd.id = lf.id""".stripMargin,
+           |$lofTailSql""".stripMargin,
+
+      "q_lof_scalable" ->
+        s"""WITH c AS (SELECT vec_id, embedding, ${cellSqlN("embedding", 7)} AS cell FROM embeddings),
+           |p AS (SELECT vec_id AS id, embedding, xor(cell, m) AS cell
+           |      FROM c, (SELECT unnest([${graft.ann.Similarity.probeMasks(7, 1).mkString(",")}]) AS m)),
+           |d AS (SELECT p.id, c.vec_id AS nb,
+           |    sqrt(${sqDistSql("p.embedding", "c.embedding")}) AS dist
+           |  FROM p JOIN c ON c.cell = p.cell AND c.vec_id <> p.id),
+           |$lofTailSql""".stripMargin,
 
       "q_hill" ->
         """WITH v AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS x FROM documents
@@ -7934,6 +7973,7 @@ object SparkEntry {
            |SELECT stratum, CAST(n AS BIGINT) AS n, sigma, alloc_frac,
            |  least(CAST(n AS BIGINT), base + CASE WHEN
            |    row_number() OVER (ORDER BY fracpart DESC, stratum) <= 100 - sp.spent
+           |    AND alloc_frac > 0
            |    THEN 1 ELSE 0 END) AS n_alloc
            |FROM fr, sp""".stripMargin
       },
@@ -8646,7 +8686,7 @@ object SparkEntry {
            |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
            |    FROM documents)),
            |fs AS (SELECT f, min(o) AS first FROM fp GROUP BY 1),
-           |j AS (SELECT CAST(floor(CAST(fp.o AS DOUBLE) / 50.0) AS BIGINT) AS bucket,
+           |j AS (SELECT CAST((fp.o - ((fp.o % 50 + 50) % 50)) // 50 AS BIGINT) AS bucket,
            |    fp.o > fs.first AS dup FROM fp JOIN fs USING (f))
            |SELECT bucket, count(*) AS n_docs,
            |  count(CASE WHEN dup THEN 1 END) AS n_dups,

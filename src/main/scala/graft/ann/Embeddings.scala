@@ -233,16 +233,21 @@ object Embeddings {
       emb: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    import graft.plans.Materialize.PinOps
     val r6 = graft.functions.Portable.r6 _
     def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
     def rowFold(arr: Column): Column =
       aggregate(arr, lit(0).cast("decimal(38,6)"),
         (acc, x) => acc + x.cast("decimal(38,6)")).cast("double")
+    // pinned: three consumers (dims, rowsq, zeros) would otherwise each
+    // re-run the per-element norm fold over the whole corpus — at 100 TB
+    // that is two redundant full scans for a one-row answer
     val withNorm = emb.select(
       col(idCol),
       col(vecCol).as("__v"),
       sqrt(rowFold(transform(col(vecCol),
         v => r6(v.cast("double") * v.cast("double"))))).as("__norm"))
+      .pin(false)
     val unit = withNorm
       .filter(col("__norm") > 0)
       .select(col(idCol),

@@ -85,19 +85,62 @@ object Lof {
       k: Int,
       candidates: DataFrame,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      pairsDistinct: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val v = vectors.select(col(idCol).cast("long").as("__vid"), col(vecCol).as("__vec"))
-    val pairs = candidates
+    val pairs0 = candidates
       .select(col("id").cast("long").as("id"), col("nb").cast("long").as("nb"))
       .filter(col("id") =!= col("nb"))
-      .distinct() // multi-probe generators may emit a pair once per shared cell
+    // multi-probe generators may emit a pair once per shared cell; a
+    // duplicate pair would crowd the k-heap with copies of one neighbor.
+    // `pairsDistinct = true` skips the dedup shuffle for generators that
+    // guarantee uniqueness ([[selfProbeCandidates]]: XOR masks are
+    // pairwise distinct, so each (id, nb) shares at most one probe cell)
+    val pairs = if (pairsDistinct) pairs0 else pairs0.distinct()
     val scored = pairs
       .join(v.select(col("__vid").as("id"), col("__vec").as("__vq")), "id")
       .join(v.select(col("__vid").as("nb"), col("__vec").as("__vc")), "nb")
       .select(col("id"), col("nb"),
         sqrt(graft.functions.GraftFunctions.sqDist(col("__vq"), col("__vc"))).as("__d"))
     lofFromScored(scored, k, enforceK = true)
+  }
+
+  /** Self-kNN candidate pairs for [[lofWithCandidates]]: every vector
+    * probes its own sign-bit cell plus the cells one sign-flip away
+    * (radius ≤ 2 via [[Similarity.probeMasks]]) and pairs with every
+    * corpus vector bucketed there — the multi-probe LSH blocking scheme,
+    * emitted as a plain (id, nb) pair frame.
+    *
+    * Unlike [[Similarity.multiProbeTopK]] (which broadcasts the QUERY
+    * side — right when queries are a small frame, wrong when queries ==
+    * corpus), this is a SHUFFLE hash join keyed on the probe cell: both
+    * sides partition by `__cell`, so the pair stage scales with
+    * Σ_cells probes·|cell|² ≈ (probes/2^nBits)·n² and never broadcasts
+    * anything. With 2^nBits ≈ √n (the IVF sizing rule) and radius 1
+    * that is ~(nBits+1)·n^1.5 pairs — the 100 TB shape. Pairs are
+    * unique by construction (XOR masks are pairwise distinct and each
+    * corpus vector lives in exactly one cell), so pass
+    * `pairsDistinct = true` downstream and skip the dedup shuffle.
+    */
+  def selfProbeCandidates(
+      vectors: DataFrame,
+      nBits: Int = 7,
+      probeRadius: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val corpus = vectors.select(
+      col(idCol).cast("long").as("nb"),
+      Similarity.signBitCell(col(vecCol), nBits).as("__cell"))
+    val masks = Similarity.probeMasks(nBits, probeRadius)
+    val probes = vectors
+      .select(col(idCol).cast("long").as("id"),
+        Similarity.signBitCell(col(vecCol), nBits).as("__qc"))
+      .select(col("id"),
+        explode(array(masks.map(m => col("__qc").bitwiseXOR(lit(m))): _*)).as("__cell"))
+    probes.join(corpus, Seq("__cell"))
+      .filter(col("id") =!= col("nb"))
+      .select(col("id"), col("nb"))
   }
 
   /** Shared tail: bounded-heap kNN over a (id, nb, __d) candidate score

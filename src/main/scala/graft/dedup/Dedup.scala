@@ -828,7 +828,10 @@ object Dedup {
     val first = fp.groupBy(col("__fp")).agg(min(col("__o")).as("__first"))
     fp
       .join(first, Seq("__fp"))
-      .select(floor(col("__o").cast("double") / bucketWidth.toDouble).cast("long")
+      // exact long floor-division: pmod makes the numerator an exact
+      // multiple of the width, so integer `div` equals floor for any
+      // sign — a double cast would misbucket order values above 2^53
+      .select(expr(s"(__o - pmod(__o, ${bucketWidth}L)) div ${bucketWidth}L")
         .as("bucket"),
         (col("__o") > col("__first")).as("__dup"))
       .groupBy(col("bucket"))

@@ -407,7 +407,13 @@ object Sampling {
     alloc
       .crossJoin(broadcast(spent)) // one-row totals frame: lint-exempt
       .withColumn("__bonus",
-        when(row_number().over(byRemainder) <= lit(budget) - col("__spent"), 1L)
+        // alloc_frac > 0 gates the largest-remainder bonus: when EVERY
+        // stratum is zero-spread (W = 0) the budget is deliberately not
+        // spent — "zero-spread strata get weight 0, visibly" would
+        // otherwise be contradicted by the tie-break handing n_alloc=1
+        // to the first `budget` strata
+        when(row_number().over(byRemainder) <= lit(budget) - col("__spent") &&
+            col("alloc_frac") > 0, 1L)
           .otherwise(0L))
       .withColumn("n_alloc", least(col("n"), col("__base") + col("__bonus")))
       .select(col("stratum"), col("n"), col("sigma"), col("alloc_frac"), col("n_alloc"))

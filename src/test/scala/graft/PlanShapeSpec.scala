@@ -95,6 +95,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(bad.isEmpty, s"unbounded global windows found:\n${bad.mkString("\n")}")
   }
 
+  test("no query plan has a nested-loop or cartesian join outside the brute-by-contract allowance") {
+    // PlanLint's nested-loop-join rule already auto-passes the
+    // crossJoin(broadcast(one-row totals)) shape (provablySingleRow);
+    // this sweep makes the NEXT quadratic registration fail the suite
+    // the way partition-less windows already do. The only allowance:
+    //   q_lof — the exact all-pairs LOF definition, broadcast-nested-loop
+    //   BY CONTRACT (n² work, the oracle-checkable reference run at
+    //   sf0.01); its production twin q_lof_scalable runs the multi-probe
+    //   candidate path and must stay OUT of this list.
+    val bruteByContract = Set("q_lof")
+    // Bounded-build allowances: these queries DO plan a broadcast
+    // nested-loop join, but the broadcast side is bounded by operator
+    // contract — it never grows with the corpus, so scanning it per
+    // probe row stays O(corpus · small-constant) at any scale. PlanLint
+    // can only statically prove the ONE-ROW case; the rest are pinned
+    // here with their bound:
+    val boundedBuildByContract = Set(
+      "q_ann_topk", "q_hard_negatives", "q_trunc_recall", // the probe QUERY frame (vec_id < 8 by registration)
+      "q_ann_ivf_kmeans", "q_silhouette", "q_davies_bouldin", // the k-centroid / centroid-pair frame
+      "q_chi2", "q_cramers_v", // category-marginal frames (contingency vocab)
+      "q_kmv", // k=256-register sketches, one per source (source-pair algebra)
+      "q_mvc", // the single control-arm summary row joined onto each arm
+      "q_nb", "q_label_noise") // NB class-model frames (classes × bounded vocab)
+    val sf = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (bruteByContract(name) || boundedBuildByContract(name)) Nil
+      else
+        graft.plans.PlanLint.lint(fn(spark, sf))
+          .filter(f => f.rule == "nested-loop-join" || f.rule == "cartesian")
+          .map(f => s"$name: $f")
+    }
+    assert(bad.isEmpty, s"unbounded nested-loop/cartesian joins found:\n${bad.mkString("\n")}")
+  }
+
   private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -218,6 +218,27 @@ class Round6dOpsSpec extends SparkSpec {
     assert(exact == approx, "complete candidates must reproduce exact LOF bit-for-bit")
   }
 
+  test("selfProbeCandidates: unique pairs; full probe coverage reproduces exact lof") {
+    // mixed first-dim signs so nBits = 1 splits the corpus across both
+    // cells; radius 1 probes BOTH half-spaces -> complete candidate set
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 1f, 1f)
+    val pts = Seq(
+      (0L, v(-2, 0)), (1L, v(-2, 1)), (2L, v(-1, 0)), (3L, v(-1, 1)),
+      (4L, v(1, 0)), (5L, v(1, 1)), (6L, v(2, 0)), (7L, v(2, 1)),
+      (8L, v(30, 30))).toDF("vec_id", "embedding")
+    val cands = Lof.selfProbeCandidates(pts, nBits = 1, probeRadius = 1)
+    // pairs are unique by construction (distinct XOR masks x one cell
+    // per corpus vector) — the contract pairsDistinct = true relies on
+    assert(cands.count() == 9L * 8L, "complete + unique candidate pairs")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("k_dist"), Option(r.get(r.fieldIndex("lrd"))),
+          Option(r.get(r.fieldIndex("lof"))))).toMap
+    val exact = asMap(Lof.lof(pts, k = 3))
+    val scal = asMap(Lof.lofWithCandidates(pts, k = 3, cands, pairsDistinct = true))
+    assert(exact == scal, "full-coverage probe candidates must reproduce exact LOF bit-for-bit")
+  }
+
   test("lofWithCandidates: duplicate candidate pairs dedupe; < k candidates raises") {
     def v(x: Double) = Array(x.toFloat, 0f, 0f, 0f)
     val pts = Seq((0L, v(0)), (1L, v(1)), (2L, v(2)), (3L, v(4))).toDF("vec_id", "embedding")
