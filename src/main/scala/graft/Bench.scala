@@ -225,22 +225,27 @@ object Bench {
     // Optional comma-separated subset for local iteration; the driver
     // leaves this unset and benches everything.
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    // Optional section filter for local iteration (e.g. "checkpoint" or
+    // "sf1,sf10"); the driver leaves it unset = all sections.
+    val sections = sys.env.get("SPARK_GRAFT_SECTIONS").map(_.split(",").map(_.trim).toSet)
+    def wantSection(tag: String): Boolean = sections.forall(_.contains(tag))
 
-    val results = runSection(sfDir, only, cpus)
+    val results = if (wantSection("sf")) runSection(sfDir, only, cpus) else Nil
 
     // sf1 section: when the 10x scaled dataset exists, bench the hot
     // subset there too — the plan-dominated regime (round-4 verdict: at
     // sf0.1 every query is scheduler-bound). Fresh session (see newSession).
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata_sf1")
     val haveSf1 = only.isEmpty && new java.io.File(s"$sf1Dir/lineitem.parquet").exists()
-    val sf1Results = if (haveSf1) runIsolated(sf1Dir, HotQueries.toSet, cpus) else Nil
+    val sf1Results =
+      if (haveSf1 && wantSection("sf1")) runIsolated(sf1Dir, HotQueries.toSet, cpus) else Nil
 
     // Reliable-checkpoint variant: the same iterative/multi-consumer
     // queries at sf1 with spark.graft.checkpointDir set, so the 100 TB
     // production mode (Materialize.pin -> reliable checkpoint) carries a
     // measured cost, not just a parity spec.
     val cpResults =
-      if (haveSf1) {
+      if (haveSf1 && wantSection("checkpoint")) {
         val cpDir = java.nio.file.Files.createTempDirectory("graft-bench-cp")
         try runIsolated(sf1Dir, CheckpointQueries.toSet, cpus,
           Map(graft.plans.Materialize.DirKey -> cpDir.toString))
@@ -252,7 +257,7 @@ object Bench {
     // `Test/runMain graft.ScaleData /root/testdata/sf0.1 testdata_sf10 100`.
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/testdata_sf10")
     val (sf10Results, sf10Samples) =
-      if (only.isEmpty && new java.io.File(s"$sf10Dir/lineitem.parquet").exists())
+      if (only.isEmpty && wantSection("sf10") && new java.io.File(s"$sf10Dir/lineitem.parquet").exists())
         runIsolatedMedian(sf10Dir, Sf10Queries.toSet, cpus,
           n = sys.env.getOrElse("SPARK_GRAFT_SF10_RUNS", "3").toInt)
       else (Nil, Map.empty[String, Seq[Double]])
@@ -262,7 +267,7 @@ object Bench {
     // `Test/runMain graft.ScaleData testdata_sf10 testdata_sf100 10 documents`.
     val sf100Dir = sys.env.getOrElse("SPARK_GRAFT_SF100_DIR", "/root/repo/testdata_sf100")
     val sf100Results =
-      if (only.isEmpty && new java.io.File(s"$sf100Dir/documents.parquet").exists())
+      if (only.isEmpty && wantSection("sf100") && new java.io.File(s"$sf100Dir/documents.parquet").exists())
         runIsolated(sf100Dir, Sf100Queries.toSet, cpus)
       else Nil
 

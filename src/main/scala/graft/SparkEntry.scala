@@ -232,6 +232,41 @@ object SparkEntry {
     (head +: (0 until iters).map(step) :+ score(iters)).mkString(",\n")
   }
 
+  /** The classical-decomposition CTE chain (hourly buckets → 2×12 MA
+    * trend → phase means → centered seasonal, mirrors
+    * [[Seasonal.decomposeBuckets]] at period 24) — shared by the
+    * q_decompose and q_season_strength oracles. Exposes CTEs `de`
+    * (event_type, bk, phase, v, trend, detr) and `se` (event_type,
+    * phase, seasonal).
+    */
+  private val decomposeCtesSql: String =
+    """b AS (SELECT event_type, date_trunc('hour', ts) AS bk, CAST(count(*) AS DOUBLE) AS v
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT event_type, bk, v,
+      |        (epoch_us(bk) // 3600000000) % 24 AS phase,
+      |        lag(v, 12) OVER w AS l, lead(v, 12) OVER w AS r,
+      |        sum(v) OVER (PARTITION BY event_type ORDER BY bk
+      |          ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS si,
+      |        count(v) OVER (PARTITION BY event_type ORDER BY bk
+      |          ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS ci
+      |      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bk)),
+      |dd AS (SELECT event_type, bk, phase, v,
+      |        CASE WHEN l IS NOT NULL AND r IS NOT NULL AND ci = 23
+      |          THEN ((l + r) * 0.5 + si) / 24.0 END AS trend
+      |      FROM t),
+      |de AS (SELECT *, v - trend AS detr FROM dd),
+      |pm AS (SELECT event_type, phase,
+      |        CASE WHEN count(detr) > 0 THEN
+      |          CAST(sum(CAST(floor(detr * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+      |            / CAST(count(detr) AS DOUBLE) END AS sp
+      |      FROM de GROUP BY 1, 2),
+      |ctr AS (SELECT event_type,
+      |        CASE WHEN count(sp) > 0 THEN
+      |          CAST(sum(CAST(floor(sp * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+      |            / CAST(count(sp) AS DOUBLE) END AS c
+      |      FROM pm GROUP BY 1),
+      |se AS (SELECT pm.event_type, phase, sp - c AS seasonal FROM pm JOIN ctr USING (event_type))""".stripMargin
+
   /** Universal-hash minhash aggregate list (matches [[Dedup.minhashSignatures]]). */
   private def minhashAggSql(k: Int, alias: Int => String): String =
     (0 until k).map { j =>
@@ -3181,7 +3216,112 @@ object SparkEntry {
     // duplicate-influx monitor: exact-dup rate per arrival bucket of
     // 50 docs — WHEN did duplication start, not just how much
     "q_dup_influx" -> ((s, dir) =>
-      Dedup.duplicateInflux(docs(s, dir), "doc_id", "text", bucketWidth = 50L))
+      Dedup.duplicateInflux(docs(s, dir), "doc_id", "text", bucketWidth = 50L)),
+
+    // ------------------------------------------------ round 9 batch O
+
+    // B-cubed clustering eval: does 32-bit SimHash (as a bucket id)
+    // recover the exact-fingerprint duplicate classes — precision =
+    // bucket purity (hash collisions), recall = class cohesion
+    "q_bcubed" -> { (s, dir) =>
+      val sh = Dedup.simhash(docs(s, dir), bits = 32)
+      val gold = docs(s, dir).select(col("doc_id").as("id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      Evaluation.bCubed(sh.join(gold, "id"), "simhash", "fp")
+    },
+
+    // bounded-hop multi-source BFS over the word-adjacency graph from
+    // its lexicographically-first word: the blast-radius primitive
+    "q_khop" -> { (s, dir) =>
+      import graft.plans.Materialize.PinOps
+      // pinned: the seed aggregate plus one equi-join per hop would
+      // otherwise each re-tokenize the corpus into edges
+      val e = wordAdjacencyEdges(s, dir).pin(false)
+      Graph.kHopDistances(e, e.agg(min(col("src")).as("node")), maxHops = 4)
+    },
+
+    // consecutive 2/3-step event-sequence motifs with per-user support
+    "q_seq_patterns" -> ((s, dir) =>
+      Sequences.sequentialPatterns(ev(s, dir), "user_id", "ts", "event_type",
+        "event_id", minSupport = 5L)),
+
+    // user-level eps-DP mean event value per event type (clip [0, 500])
+    "q_dp_means" -> ((s, dir) =>
+      Integrity.dpMeans(ev(s, dir), Seq("event_type"), "user_id", "value",
+        lo = 0.0, hi = 500.0, epsilon = 1.0, seed = "graft-dp9")),
+
+    // Hyndman trend/seasonal strength at the daily cycle — is there a
+    // cycle worth modeling, per event type
+    "q_season_strength" -> ((s, dir) =>
+      Seasonal.strength(ev(s, dir), "event_type", "ts", period = 24)
+        .select(col("key").as("event_type"), col("n"),
+          col("f_trend"), col("f_seas"))),
+
+    // deterministic propensity matching: rank-paired ATT within the
+    // q_hte propensity bins (same GD fit)
+    "q_matched_att" -> { (s, dir) =>
+      val d = logitDocs(s, dir).withColumn("treat", col("source") === "src0")
+      val fit = Logistic.fitGd(d, "treat", Seq("x1", "x2"), iters = 5, lr = 0.5)
+      Logistic.rankMatchedAtt(
+        Logistic.score(d, fit, Seq("x1", "x2"), "p_hat"),
+        "doc_id", "n_chars", "treat", "p_hat", nBins = 10)
+    },
+
+    // embedding centroid drift across arrival buckets of 100 vectors —
+    // WHEN did the embedding distribution move
+    "q_embed_drift" -> ((s, dir) =>
+      Embeddings.centroidDrift(emb(s, dir), bucketWidth = 100L)),
+
+    // ------------------------------------------------ round 9 batch P
+
+    // exact Shapley attribution over pre-conversion channel sets — the
+    // order-free axiomatic twin of q_markov_attr; disagreement between
+    // the two IS the finding
+    "q_shapley_attr" -> ((s, dir) =>
+      Attribution.shapleyAttribution(ev(s, dir), "user_id", "ts", "event_type",
+        "event_id", "purchase")),
+
+    // growth accounting: every active (user, week) is new/retained/
+    // resurrected, silences churn into the next week; quick ratio
+    "q_growth" -> ((s, dir) =>
+      Retention.growthAccounting(ev(s, dir), "user_id", "ts", WeekUs)),
+
+    // sharp regression discontinuity on the length threshold: does
+    // crossing 1000 chars jump the ' the ' rate (it should not — a
+    // placebo cutoff; effect ~ 0 is the honest read)
+    "q_rdd" -> ((s, dir) =>
+      Discontinuity.sharpRdd(
+        docs(s, dir).select(col("n_chars"),
+          col("text").contains(" the ").cast("int").as("y")),
+        "n_chars", "y", cutoff = 1000.0, bandwidth = 800.0)),
+
+    // as-of join, nearest direction: each event tagged with the CLOSEST
+    // purchase either side (ties backward) — same single exchange as
+    // q_asof's backward scan
+    "q_asof_nearest" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val purchases = e
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
+      AsofJoin
+        .asof(
+          e.select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+          purchases,
+          on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+          rightCols = Seq("value"), direction = AsofJoin.Nearest,
+          rightPrefix = "purchase_")
+        .select(
+          col("event_id"), col("user_id"), unix_micros(col("ts")).as("time_us"), col("event_type"),
+          unix_micros(col("purchase_ts")).as("purchase_time_us"),
+          col("purchase_value").as("purchase_value"))
+    },
+
+    // BM25 + min-span proximity boost: same probe terms as q_bm25,
+    // co-occurring terms get lambda/(1+span) on top
+    "q_bm25_prox" -> ((s, dir) =>
+      Bm25.scoreWithProximity(docs(s, dir), Seq("spark", "hash", "merge"),
+        lambda = 2.0))
   )
 
   /** Per-user Cox subjects shared by the q_cox Spark call and oracle:
@@ -6599,37 +6739,12 @@ object SparkEntry {
           |FROM p""".stripMargin,
 
       "q_decompose" ->
-        """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bk, CAST(count(*) AS DOUBLE) AS v
-          |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
-          |t AS (SELECT event_type, bk, v,
-          |        (epoch_us(bk) // 3600000000) % 24 AS phase,
-          |        lag(v, 12) OVER w AS l, lead(v, 12) OVER w AS r,
-          |        sum(v) OVER (PARTITION BY event_type ORDER BY bk
-          |          ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS si,
-          |        count(v) OVER (PARTITION BY event_type ORDER BY bk
-          |          ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS ci
-          |      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bk)),
-          |dd AS (SELECT event_type, bk, phase, v,
-          |        CASE WHEN l IS NOT NULL AND r IS NOT NULL AND ci = 23
-          |          THEN ((l + r) * 0.5 + si) / 24.0 END AS trend
-          |      FROM t),
-          |de AS (SELECT *, v - trend AS detr FROM dd),
-          |pm AS (SELECT event_type, phase,
-          |        CASE WHEN count(detr) > 0 THEN
-          |          CAST(sum(CAST(floor(detr * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
-          |            / CAST(count(detr) AS DOUBLE) END AS sp
-          |      FROM de GROUP BY 1, 2),
-          |ctr AS (SELECT event_type,
-          |        CASE WHEN count(sp) > 0 THEN
-          |          CAST(sum(CAST(floor(sp * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
-          |            / CAST(count(sp) AS DOUBLE) END AS c
-          |      FROM pm GROUP BY 1),
-          |se AS (SELECT pm.event_type, phase, sp - c AS seasonal FROM pm JOIN ctr USING (event_type))
-          |SELECT de.event_type, epoch_us(bk) AS bucket_us, CAST(de.phase AS BIGINT) AS phase, v,
-          |  floor(trend * 1000000 + 0.5) / 1000000 AS trend,
-          |  floor(seasonal * 1000000 + 0.5) / 1000000 AS seasonal,
-          |  floor((detr - seasonal) * 1000000 + 0.5) / 1000000 AS residual
-          |FROM de LEFT JOIN se ON de.event_type = se.event_type AND de.phase = se.phase""".stripMargin,
+        s"""WITH $decomposeCtesSql
+           |SELECT de.event_type, epoch_us(bk) AS bucket_us, CAST(de.phase AS BIGINT) AS phase, v,
+           |  floor(trend * 1000000 + 0.5) / 1000000 AS trend,
+           |  floor(seasonal * 1000000 + 0.5) / 1000000 AS seasonal,
+           |  floor((detr - seasonal) * 1000000 + 0.5) / 1000000 AS residual
+           |FROM de LEFT JOIN se ON de.event_type = se.event_type AND de.phase = se.phase""".stripMargin,
 
       "q_isotonic" ->
         """WITH v AS (SELECT lang, least(1.0, CAST(n_chars AS DOUBLE) / 2000.0) AS x,
@@ -8692,6 +8807,283 @@ object SparkEntry {
            |  count(CASE WHEN dup THEN 1 END) AS n_dups,
            |  ${r6("CAST(count(CASE WHEN dup THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS dup_rate
            |FROM j GROUP BY 1""".stripMargin
+      },
+
+      "q_bcubed" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH t AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'')) AS tok FROM documents),
+           |w AS (SELECT id, tok, count(*) AS w, ${h32("tok")} AS h FROM t GROUP BY 1, 2),
+           |v AS (SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS v
+           |      FROM w, (SELECT unnest(range(0, 32)) AS b) GROUP BY 1, 2),
+           |sh AS (SELECT id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+           |      FROM v GROUP BY 1),
+           |g AS (SELECT doc_id AS id, md5(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))) AS fp FROM documents),
+           |j0 AS (SELECT CAST(sh.simhash AS VARCHAR) AS cl, g.fp AS lb FROM sh JOIN g USING (id)),
+           |dr AS (SELECT CAST(count(CASE WHEN cl IS NULL OR lb IS NULL THEN 1 END) AS BIGINT) AS n_dropped FROM j0),
+           |cells AS (SELECT cl, lb, count(*) AS cell FROM j0 WHERE cl IS NOT NULL AND lb IS NOT NULL GROUP BY 1, 2),
+           |cs AS (SELECT cl, sum(cell) AS cssz FROM cells GROUP BY 1),
+           |ls AS (SELECT lb, sum(cell) AS lssz FROM cells GROUP BY 1),
+           |a AS (SELECT CAST(sum(cell) AS BIGINT) AS n_items,
+           |    CAST(count(DISTINCT cells.cl) AS BIGINT) AS n_clusters,
+           |    CAST(count(DISTINCT cells.lb) AS BIGINT) AS n_labels,
+           |    ${dsum(r6("CAST(cell AS DOUBLE) * CAST(cell AS DOUBLE) / CAST(cssz AS DOUBLE)"))} AS sp,
+           |    ${dsum(r6("CAST(cell AS DOUBLE) * CAST(cell AS DOUBLE) / CAST(lssz AS DOUBLE)"))} AS sr
+           |  FROM cells JOIN cs USING (cl) JOIN ls USING (lb))
+           |SELECT n_items, dr.n_dropped, n_clusters, n_labels,
+           |  CASE WHEN n_items > 0 THEN ${r6("sp / CAST(n_items AS DOUBLE)")} END AS bcubed_precision,
+           |  CASE WHEN n_items > 0 THEN ${r6("sr / CAST(n_items AS DOUBLE)")} END AS bcubed_recall,
+           |  CASE WHEN n_items > 0 AND sp + sr > 0 THEN
+           |    ${r6("2.0 * (sp / CAST(n_items AS DOUBLE)) * (sr / CAST(n_items AS DOUBLE)) / (sp / CAST(n_items AS DOUBLE) + sr / CAST(n_items AS DOUBLE))")}
+           |  END AS bcubed_f1
+           |FROM a, dr""".stripMargin
+      },
+
+      "q_khop" ->
+        """WITH RECURSIVE tk AS (SELECT list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '') AS ts FROM documents),
+          |e AS (SELECT unnest(list_slice(ts, 1, len(ts)-1)) AS src, unnest(list_slice(ts, 2, len(ts))) AS dst
+          |      FROM tk WHERE len(ts) >= 2),
+          |s AS (SELECT min(src) AS node FROM e),
+          |r(node, d) AS (SELECT node, 0 FROM s
+          |    UNION SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node WHERE r.d < 4)
+          |SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY 1""".stripMargin,
+
+      "q_seq_patterns" ->
+        """WITH b AS (SELECT user_id AS u, event_type AS a,
+          |    lead(event_type, 1) OVER w AS b2, lead(event_type, 2) OVER w AS c
+          |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |p AS (SELECT u, 2 AS len, a || '>' || b2 AS pattern FROM b WHERE b2 IS NOT NULL
+          |      UNION ALL
+          |      SELECT u, 3, a || '>' || b2 || '>' || c FROM b WHERE c IS NOT NULL)
+          |SELECT pattern, CAST(len AS BIGINT) AS len,
+          |  CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+          |  CAST(count(*) AS BIGINT) AS n_occurrences
+          |FROM p GROUP BY 1, 2 HAVING count(DISTINCT u) >= 5""".stripMargin,
+
+      "q_dp_means" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        def lap(tag: String, scale: String) = {
+          val h = h32(s"concat('graft-dp9', coalesce(md5(CAST(event_type AS VARCHAR)), 'N'), '$tag')")
+          s"""-sign(($h + 0.5) / 4294967296.0 - 0.5)
+             | * ln(1.0 - 2.0 * abs(($h + 0.5) / 4294967296.0 - 0.5)) * $scale""".stripMargin
+        }
+        s"""WITH v AS (SELECT event_type, user_id,
+           |    least(CAST(500.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE), CAST(value AS DOUBLE))) AS cv
+           |  FROM events WHERE value IS NOT NULL),
+           |pu AS (SELECT event_type, user_id, ${dsum(r6("cv"))} / CAST(count(*) AS DOUBLE) AS m
+           |  FROM v GROUP BY 1, 2),
+           |g AS (SELECT event_type, count(*) AS nu, ${dsum(r6("m"))} AS s FROM pu GROUP BY 1),
+           |n AS (SELECT event_type, CAST(1.0 AS DOUBLE) AS epsilon,
+           |    ${r6(s"s + (${lap("S", "1000.0")})")} AS noisy_sum,
+           |    ${r6(s"CAST(nu AS DOUBLE) + (${lap("C", "2.0")})")} AS noisy_count
+           |  FROM g)
+           |SELECT event_type, epsilon, noisy_sum, noisy_count,
+           |  ${r6("noisy_sum / greatest(noisy_count, CAST(1.0 AS DOUBLE))")} AS noisy_mean
+           |FROM n""".stripMargin
+      },
+
+      "q_season_strength" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        val rr = r6("de.detr - se.seasonal")
+        val ss = r6("se.seasonal + (de.detr - se.seasonal)")
+        val tt = r6("de.trend + (de.detr - se.seasonal)")
+        s"""WITH $decomposeCtesSql,
+           |jj AS (SELECT de.event_type AS key, $rr AS r, $ss AS sr, $tt AS tr
+           |  FROM de LEFT JOIN se ON de.event_type = se.event_type AND de.phase = se.phase
+           |  WHERE de.trend IS NOT NULL),
+           |m AS (SELECT key, count(*) AS n,
+           |    ${dsum("r")} AS sR, ${dsum(r6("r * r"))} AS qR,
+           |    ${dsum("sr")} AS sS, ${dsum(r6("sr * sr"))} AS qS,
+           |    ${dsum("tr")} AS sT, ${dsum(r6("tr * tr"))} AS qT
+           |  FROM jj GROUP BY 1),
+           |f AS (SELECT key, n, CAST(n AS DOUBLE) AS nd,
+           |    qR / CAST(n AS DOUBLE) - (sR / CAST(n AS DOUBLE)) * (sR / CAST(n AS DOUBLE)) AS vR,
+           |    qS / CAST(n AS DOUBLE) - (sS / CAST(n AS DOUBLE)) * (sS / CAST(n AS DOUBLE)) AS vS,
+           |    qT / CAST(n AS DOUBLE) - (sT / CAST(n AS DOUBLE)) * (sT / CAST(n AS DOUBLE)) AS vT
+           |  FROM m)
+           |SELECT key AS event_type, CAST(n AS BIGINT) AS n,
+           |  CASE WHEN vT > 0 THEN ${r6("greatest(CAST(0.0 AS DOUBLE), 1.0 - vR / vT)")} END AS f_trend,
+           |  CASE WHEN vS > 0 THEN ${r6("greatest(CAST(0.0 AS DOUBLE), 1.0 - vR / vS)")} END AS f_seas
+           |FROM f""".stripMargin
+      },
+
+      "q_matched_att" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH ${logitCtes("source = 'src0'", 5)},
+           |cl AS (SELECT id, CAST(n_chars AS DOUBLE) AS yo, y = 1 AS t,
+           |    least(9, greatest(0, CAST(floor(p * 10) AS BIGINT))) AS bin FROM p5
+           |  WHERE p IS NOT NULL AND n_chars IS NOT NULL),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY bin, t ORDER BY id) AS rk FROM cl),
+           |arms AS (SELECT bin, CAST(count(CASE WHEN t THEN 1 END) AS BIGINT) AS n_treated,
+           |    CAST(count(CASE WHEN NOT t THEN 1 END) AS BIGINT) AS n_control FROM cl GROUP BY 1),
+           |pr AS (SELECT tt.bin, CAST(count(*) AS BIGINT) AS np, ${dsum(r6("tt.yo - cc.yo"))} AS sd
+           |  FROM rk tt JOIN rk cc ON tt.bin = cc.bin AND tt.rk = cc.rk AND tt.t AND NOT cc.t
+           |  GROUP BY 1)
+           |SELECT arms.bin, ${r6("CAST(arms.bin AS DOUBLE) * 0.1")} AS p_lo,
+           |  ${r6("CAST(arms.bin + 1 AS DOUBLE) * 0.1")} AS p_hi,
+           |  n_treated, n_control, coalesce(np, 0) AS n_pairs,
+           |  CASE WHEN np > 0 THEN ${r6("sd / CAST(np AS DOUBLE)")} END AS att
+           |FROM arms LEFT JOIN pr ON arms.bin = pr.bin""".stripMargin
+      },
+
+      "q_embed_drift" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+           |    unnest(range(0, len(embedding))) AS pos FROM embeddings),
+           |nr AS (SELECT vec_id, sqrt(${dsum(r6("v * v"))}) AS nm FROM x GROUP BY 1),
+           |un AS (SELECT CAST((x.vec_id - ((x.vec_id % 100 + 100) % 100)) // 100 AS BIGINT) AS bucket,
+           |    x.pos, ${r6("x.v / nr.nm")} AS u
+           |  FROM x JOIN nr ON x.vec_id = nr.vec_id WHERE nr.nm > 0),
+           |dm AS (SELECT bucket, pos, count(*) AS n,
+           |    ${r6(s"(${dsum("u")}) / CAST(count(*) AS DOUBLE)")} AS c
+           |  FROM un GROUP BY 1, 2),
+           |cur AS (SELECT bucket, CAST(max(n) AS BIGINT) AS n_vecs, ${dsum(r6("c * c"))} AS ss
+           |  FROM dm GROUP BY 1),
+           |dt AS (SELECT a.bucket, ${dsum(r6("a.c * b.c"))} AS dot, ${dsum(r6("b.c * b.c"))} AS pss
+           |  FROM dm a JOIN dm b ON a.bucket = b.bucket + 1 AND a.pos = b.pos GROUP BY 1)
+           |SELECT cur.bucket, cur.n_vecs, ${r6("sqrt(cur.ss)")} AS centroid_norm,
+           |  CASE WHEN dt.dot IS NOT NULL AND cur.ss > 0 AND dt.pss > 0 THEN
+           |    ${r6("dt.dot / (sqrt(cur.ss) * sqrt(dt.pss))")}
+           |  END AS drift_cos
+           |FROM cur LEFT JOIN dt ON cur.bucket = dt.bucket""".stripMargin
+      },
+
+      "q_shapley_attr" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        val weight = "CAST(factorial(CAST(bit_count(v1.S) AS INTEGER)) AS DOUBLE) " +
+          "* CAST(factorial(CAST(k.k - 1 - bit_count(v1.S) AS INTEGER)) AS DOUBLE) " +
+          "/ CAST(factorial(CAST(k.k AS INTEGER)) AS DOUBLE)"
+        s"""WITH rows AS (SELECT user_id AS u, event_type AS t,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           |  FROM events WHERE ts IS NOT NULL),
+           |cp AS (SELECT u, min(CASE WHEN t = 'purchase' THEN rn END) AS cp FROM rows GROUP BY 1),
+           |cu AS (SELECT u, cp FROM cp WHERE cp IS NOT NULL),
+           |ch AS (SELECT DISTINCT r.u, r.t FROM rows r JOIN cu USING (u) WHERE r.rn < cu.cp),
+           |chl AS (SELECT t, row_number() OVER (ORDER BY t) - 1 AS b FROM (SELECT DISTINCT t FROM ch)),
+           |k AS (SELECT count(*) AS k FROM chl),
+           |um AS (SELECT cu.u, coalesce(m.mask, 0) AS mask FROM cu
+           |  LEFT JOIN (SELECT u, CAST(sum(CAST(1 AS BIGINT) << b) AS BIGINT) AS mask
+           |             FROM ch JOIN chl USING (t) GROUP BY 1) m USING (u)),
+           |sv AS (SELECT mask, count(*) AS conv FROM um GROUP BY 1),
+           |ss AS (SELECT unnest(range(0, 1 << k.k)) AS S FROM k),
+           |v AS (SELECT ss.S, coalesce(CAST(sum(sv.conv) AS BIGINT), 0) AS v
+           |  FROM ss LEFT JOIN sv ON (sv.mask & ss.S) = sv.mask GROUP BY 1),
+           |vf AS (SELECT v.v AS v_full FROM v, k WHERE v.S = (1 << k.k) - 1),
+           |ve AS (SELECT v AS v_empty FROM v WHERE S = 0),
+           |terms AS (SELECT chl.t AS channel,
+           |    ${r6(s"($weight) * CAST(v2.v - v1.v AS DOUBLE)")} AS term
+           |  FROM chl, k, v v1, v v2
+           |  WHERE (v1.S >> chl.b) & 1 = 0 AND v2.S = v1.S | (1 << chl.b)),
+           |shap AS (SELECT channel, ${dsum("term")} AS phi FROM terms GROUP BY 1)
+           |SELECT channel, ${r6("phi")} AS shapley,
+           |  CASE WHEN v_full > 0 THEN ${r6("phi / CAST(v_full AS DOUBLE)")} END AS share,
+           |  CAST(v_full AS BIGINT) AS v_full, CAST(v_empty AS BIGINT) AS v_empty
+           |FROM shap, vf, ve""".stripMargin
+      },
+
+      "q_growth" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH a AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // $WeekUs AS p
+           |  FROM events WHERE ts IS NOT NULL),
+           |c AS (SELECT u, p, min(p) OVER (PARTITION BY u) AS f,
+           |    lag(p) OVER (PARTITION BY u ORDER BY p) AS pv,
+           |    lead(p) OVER (PARTITION BY u ORDER BY p) AS nx FROM a),
+           |st AS (SELECT p, CASE WHEN p = f THEN 'new'
+           |                     WHEN pv = p - 1 THEN 'retained'
+           |                     ELSE 'resurrected' END AS s FROM c
+           |  UNION ALL
+           |  SELECT c.p + 1, 'churned' FROM c, (SELECT max(p) AS mp FROM a) m
+           |  WHERE (c.nx IS NULL OR c.nx > c.p + 1) AND c.p + 1 <= m.mp)
+           |SELECT p AS period,
+           |  CAST(count(CASE WHEN s <> 'churned' THEN 1 END) AS BIGINT) AS n_active,
+           |  CAST(count(CASE WHEN s = 'new' THEN 1 END) AS BIGINT) AS n_new,
+           |  CAST(count(CASE WHEN s = 'retained' THEN 1 END) AS BIGINT) AS n_retained,
+           |  CAST(count(CASE WHEN s = 'resurrected' THEN 1 END) AS BIGINT) AS n_resurrected,
+           |  CAST(count(CASE WHEN s = 'churned' THEN 1 END) AS BIGINT) AS n_churned,
+           |  CASE WHEN count(CASE WHEN s = 'churned' THEN 1 END) > 0 THEN
+           |    ${r6("CAST(count(CASE WHEN s = 'new' THEN 1 END) + count(CASE WHEN s = 'resurrected' THEN 1 END) AS DOUBLE) / CAST(count(CASE WHEN s = 'churned' THEN 1 END) AS DOUBLE)")}
+           |  END AS quick_ratio
+           |FROM st GROUP BY 1""".stripMargin
+      },
+
+      "q_rdd" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        def side(cond: String, tag: String) = Seq(
+          s"count(CASE WHEN $cond THEN 1 END) AS n_$tag",
+          s"${dsum(s"CASE WHEN $cond THEN ${r6("u")} END")} AS su_$tag",
+          s"${dsum(s"CASE WHEN $cond THEN ${r6("y")} END")} AS sy_$tag",
+          s"${dsum(s"CASE WHEN $cond THEN ${r6("u * y")} END")} AS suy_$tag",
+          s"${dsum(s"CASE WHEN $cond THEN ${r6("u * u")} END")} AS suu_$tag"
+        ).mkString(",\n    ")
+        def fit(tag: String) = {
+          val n = s"CAST(n_$tag AS DOUBLE)"
+          val (su, sy, suy, suu) =
+            (s"coalesce(su_$tag, 0.0)", s"coalesce(sy_$tag, 0.0)",
+              s"coalesce(suy_$tag, 0.0)", s"coalesce(suu_$tag, 0.0)")
+          val denom = s"$n * $suu - $su * $su"
+          val slope = s"($n * $suy - $su * $sy) / ($denom)"
+          (s"CASE WHEN n_$tag > 0 THEN ${r6(s"CASE WHEN $denom > 0 THEN ($sy - ($slope) * $su) / $n ELSE $sy / $n END")} END",
+            s"CASE WHEN n_$tag > 0 AND $denom > 0 THEN ${r6(slope)} END")
+        }
+        val (il, sl) = fit("left")
+        val (ir, sr) = fit("right")
+        s"""WITH b AS (SELECT CAST(n_chars AS DOUBLE) - CAST(1000.0 AS DOUBLE) AS u,
+           |    CAST(CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS DOUBLE) AS y,
+           |    CAST(n_chars AS DOUBLE) >= 1000.0 AS r
+           |  FROM documents WHERE n_chars IS NOT NULL
+           |    AND abs(CAST(n_chars AS DOUBLE) - CAST(1000.0 AS DOUBLE)) <= CAST(800.0 AS DOUBLE)),
+           |m AS (SELECT ${side("NOT r", "left")},
+           |    ${side("r", "right")}
+           |  FROM b),
+           |f AS (SELECT CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+           |    $il AS il, $sl AS sl, $ir AS ir, $sr AS sr FROM m)
+           |SELECT n_left, n_right, il AS intercept_left, sl AS slope_left,
+           |  ir AS intercept_right, sr AS slope_right,
+           |  CASE WHEN il IS NOT NULL AND ir IS NOT NULL THEN ${r6("ir - il")} END AS effect
+           |FROM f""".stripMargin
+      },
+
+      "q_asof_nearest" ->
+        """WITH p AS (SELECT user_id, ts, max(value) AS value
+          |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY 1, 2)
+          |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS time_us, e.event_type,
+          |  CASE WHEN pb.ts IS NOT NULL AND (pf.ts IS NULL OR
+          |      epoch_us(e.ts) - epoch_us(pb.ts) <= epoch_us(pf.ts) - epoch_us(e.ts))
+          |    THEN epoch_us(pb.ts) ELSE epoch_us(pf.ts) END AS purchase_time_us,
+          |  CASE WHEN pb.ts IS NOT NULL AND (pf.ts IS NULL OR
+          |      epoch_us(e.ts) - epoch_us(pb.ts) <= epoch_us(pf.ts) - epoch_us(e.ts))
+          |    THEN pb.value ELSE pf.value END AS purchase_value
+          |FROM events e
+          |ASOF LEFT JOIN p pb ON e.user_id = pb.user_id AND e.ts >= pb.ts
+          |ASOF LEFT JOIN p pf ON e.user_id = pf.user_id AND e.ts <= pf.ts""".stripMargin,
+
+      "q_bm25_prox" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH tok AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+           |t AS (SELECT id, unnest(toks) AS term FROM tok),
+           |dl AS (SELECT id, CAST(len(toks) AS DOUBLE) AS dl FROM tok),
+           |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+           |tf AS (SELECT id, term, count(*) AS tf FROM t WHERE term IN ('spark','hash','merge') GROUP BY 1, 2),
+           |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |bs AS (SELECT id, sum(ln(1 + (n_docs - df + 0.5)/(df + 0.5)) * tf/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))) AS raw
+           |  FROM tf JOIN idf USING (term) JOIN dl USING (id), st GROUP BY id),
+           |pos AS (SELECT id, p, term FROM (
+           |    SELECT id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p FROM tok)
+           |  WHERE term IN ('spark','hash','merge')),
+           |lg AS (SELECT id, p, term, lag(term) OVER w AS pt, lag(p) OVER w AS pp
+           |  FROM pos WINDOW w AS (PARTITION BY id ORDER BY p)),
+           |sp AS (SELECT id, CAST(min(p - pp) AS BIGINT) AS min_span FROM lg
+           |  WHERE pt IS NOT NULL AND pt <> term GROUP BY 1)
+           |SELECT bs.id, ${r6("bs.raw")} AS bm25, sp.min_span,
+           |  ${r6("CASE WHEN sp.min_span IS NOT NULL THEN bs.raw + CAST(2.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(sp.min_span AS DOUBLE)) ELSE bs.raw END")} AS bm25_prox
+           |FROM bs LEFT JOIN sp ON bs.id = sp.id""".stripMargin
       }
     )
   }

@@ -250,8 +250,13 @@ object Embeddings {
       .pin(false)
     val unit = withNorm
       .filter(col("__norm") > 0)
+      // the norm>0 guard INSIDE the lambda too: past the checkpoint
+      // boundary the filter no longer provably precedes the projection
+      // for ANSI's divide-by-zero check (observed via the pinned frame);
+      // surviving rows compute the identical value
       .select(col(idCol),
-        transform(col("__v"), v => r6(v.cast("double") / col("__norm"))).as("__u"))
+        transform(col("__v"), v =>
+          when(col("__norm") > 0, r6(v.cast("double") / col("__norm")))).as("__u"))
     val dims = unit
       .select(posexplode(col("__u")).as(Seq("pos", "u")))
       .groupBy(col("pos"))
@@ -341,5 +346,74 @@ object Embeddings {
         size(filter(col("__vars"), s => s > 0)).cast("long").as("n_dims_used"))
       .withColumn("maha", r6(sqrt(col("m2"))))
       .select(col(idCol), col("m2"), col("maha"), col("n_dims_used"))
+  }
+
+  /** Embedding centroid DRIFT across arrival buckets — did the corpus's
+    * embedding distribution move, and when: per id-bucket of
+    * `bucketWidth` vectors, the unit-vector centroid, its norm (how
+    * concentrated the bucket is), and the cosine to the PREVIOUS
+    * bucket's centroid. The embedding-space twin of
+    * [[graft.dedup.Dedup.duplicateInflux]] (same exact long floor-div
+    * bucketing): a drop in consecutive-bucket cosine marks the batch
+    * where a new source/modality/encoder started landing, which a
+    * whole-corpus [[healthReport]] averages away.
+    *
+    * Execution: one corpus scan to the (bucket × dim) mean frame
+    * (posexplode collapses map-side to buckets×dims partial sums);
+    * the drift join is consecutive-bucket on that bounded frame, pinned
+    * once for its two consumers. Unit components and per-dim means are
+    * r6 + DECIMAL(38,6) — order-free.
+    *
+    * Output: (bucket, n_vecs, centroid_norm, drift_cos) ordered-free;
+    * the first bucket and buckets after a gap have NULL drift_cos
+    * (nothing adjacent to compare), zero-norm vectors are excluded.
+    */
+  def centroidDrift(
+      emb: DataFrame,
+      bucketWidth: Long,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    import graft.plans.Materialize.PinOps
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    def rowFold(arr: Column): Column =
+      aggregate(arr, lit(0).cast("decimal(38,6)"),
+        (acc, x) => acc + x.cast("decimal(38,6)")).cast("double")
+    val withNorm = emb.select(
+      col(idCol).cast("long").as("__id"),
+      col(vecCol).as("__v"),
+      sqrt(rowFold(transform(col(vecCol),
+        v => r6(v.cast("double") * v.cast("double"))))).as("__norm"))
+    val unit = withNorm
+      .filter(col("__norm") > 0)
+      // same in-lambda norm>0 guard as isotropy: ANSI divide-by-zero
+      // must not depend on filter/projection evaluation order
+      .select(
+        expr(s"(__id - pmod(__id, ${bucketWidth}L)) div ${bucketWidth}L").as("bucket"),
+        transform(col("__v"), v =>
+          when(col("__norm") > 0, r6(v.cast("double") / col("__norm")))).as("__u"))
+    val dims = unit
+      .select(col("bucket"), posexplode(col("__u")).as(Seq("pos", "u")))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(count(lit(1)).as("__n"), r6(dsum(col("u")) / count(lit(1)).cast("double")).as("__c"))
+      .pin(false) // consumed as both sides of the consecutive-bucket join
+    val cur = dims.groupBy(col("bucket")).agg(
+      max(col("__n")).as("n_vecs"),
+      dsum(r6(col("__c") * col("__c"))).as("__ss"))
+    val dot = dims.alias("a")
+      .join(dims.alias("b"), col("a.bucket") === col("b.bucket") + lit(1L) &&
+        col("a.pos") === col("b.pos"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(
+        dsum(r6(col("a.__c") * col("b.__c"))).as("__dot"),
+        dsum(r6(col("b.__c") * col("b.__c"))).as("__pss"))
+    cur.join(dot, Seq("bucket"), "left")
+      .select(
+        col("bucket"), col("n_vecs"),
+        r6(sqrt(col("__ss"))).as("centroid_norm"),
+        when(col("__dot").isNotNull && col("__ss") > 0 && col("__pss") > 0,
+          r6(col("__dot") / (sqrt(col("__ss")) * sqrt(col("__pss")))))
+          .as("drift_cos"))
   }
 }

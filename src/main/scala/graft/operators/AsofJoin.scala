@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
 /** Temporal as-of join: attach to each left row the single right row with
-  * the greatest right-time <= left-time (backward, the default) or the
-  * least right-time >= left-time (forward), per join key. The semantics
+  * the greatest right-time <= left-time (backward, the default), the
+  * least right-time >= left-time (forward), or whichever of the two is
+  * closer (nearest, ties backward), per join key. The semantics
   * of pandas `merge_asof` / DuckDB `ASOF JOIN` — the standard way to
   * align measurements with the most recent preceding state (last lab
   * value before an event, last purchase before a click, ...).
@@ -46,6 +47,7 @@ object AsofJoin {
 
   final val Backward = "backward"
   final val Forward = "forward"
+  final val Nearest = "nearest"
 
   def asof(
       left: DataFrame,
@@ -59,8 +61,12 @@ object AsofJoin {
       toleranceUs: Option[Long] = None
   ): DataFrame = {
     require(on.nonEmpty, "asof join needs at least one equality key")
-    require(direction == Backward || direction == Forward, s"direction must be backward|forward, got $direction")
+    require(direction == Backward || direction == Forward || direction == Nearest,
+      s"direction must be backward|forward|nearest, got $direction")
     require(rightCols.nonEmpty, "rightCols: name the right-side payload columns to attach")
+    if (direction == Nearest)
+      return asofNearest(left, right, on, leftTimeCol, rightTimeCol, rightCols,
+        rightPrefix, toleranceUs)
 
     val backward = direction == Backward
     // left rows must sort AFTER eligible right rows at equal time
@@ -114,5 +120,68 @@ object AsofJoin {
     matched.select(
       left.columns.map(col).toSeq ++
         payloadFields.map(f => col("__m_ok").getField(f).as(rightPrefix + f)): _*)
+  }
+
+  /** `nearest` direction: whichever of the backward/forward matches is
+    * closer in time wins; exact ties go BACKWARD (the stable
+    * convention — an equal-time right row is distance 0 through the
+    * backward pick, so the forward frame may safely exclude it).
+    * SAME execution shape as the directed variants: one union, one
+    * key-partitioned sort — the two window frames (preceding-last and
+    * following-first) share the single exchange+sort, so nearest costs
+    * the same shuffle as backward. `toleranceUs` nulls each candidate
+    * independently before the choice (pandas merge_asof semantics).
+    */
+  private def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightCols: Seq[String],
+      rightPrefix: String,
+      toleranceUs: Option[Long]
+  ): DataFrame = {
+    val payloadFields = rightTimeCol +: rightCols.filterNot(_ == rightTimeCol)
+    val payloadStruct = struct(payloadFields.map(col): _*)
+    val payloadType = right.select(payloadStruct.as("__m")).schema("__m").dataType
+    val leftOther = left.columns.filterNot(on.contains).toSeq
+    val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    // right sorts BEFORE left at equal time: the backward frame sees the
+    // equal-time right (distance 0, and backward wins ties), so the
+    // forward frame not seeing it is correct by construction.
+    val lhs = left.select(
+      on.map(col) ++
+        Seq(col(leftTimeCol).as("__t"), lit(1).as("__side"),
+          lit(null).cast(payloadType).as("__m")) ++
+        leftOther.map(col): _*)
+    val rhs = right
+      .filter(col(rightTimeCol).isNotNull && on.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        on.map(col) ++
+          Seq(col(rightTimeCol).as("__t"), lit(0).as("__side"), payloadStruct.as("__m")) ++
+          leftOther.map(c => lit(null).cast(leftTypes(c)).as(c)): _*)
+    val w0 = Window.partitionBy(on.map(col): _*).orderBy(col("__t"), col("__side"), col("__m"))
+    val pickB = last(col("__m"), ignoreNulls = true)
+      .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val pickF = first(col("__m"), ignoreNulls = true)
+      .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val isTs = left.schema(leftTimeCol).dataType == TimestampType
+    def us(c: Column): Column = if (isTs) unix_micros(c) else c.cast("long")
+    val matched = lhs.unionByName(rhs)
+      .withColumn("__mb", when(col("__t").isNotNull, pickB))
+      .withColumn("__mf", when(col("__t").isNotNull, pickF))
+      .filter(col("__side") === 1)
+    val db = us(col("__t")) - us(col("__mb").getField(rightTimeCol))
+    val df = us(col("__mf").getField(rightTimeCol)) - us(col("__t"))
+    val tol = toleranceUs.map(lit(_)).getOrElse(lit(Long.MaxValue))
+    val okB = when(col("__mb").isNotNull && db <= tol, col("__mb"))
+    val okF = when(col("__mf").isNotNull && df <= tol, col("__mf"))
+    val hit = when(okB.isNotNull && (okF.isNull || db <= df), okB).otherwise(okF)
+    matched
+      .withColumn("__m_ok", hit)
+      .select(
+        left.columns.map(col).toSeq ++
+          payloadFields.map(f => col("__m_ok").getField(f).as(rightPrefix + f)): _*)
   }
 }

@@ -184,4 +184,105 @@ object Attribution {
     import spark.implicits._
     out.toSeq.toDF("channel", "n_transitions", "p_full", "p_removed", "removal_effect")
   }
+
+  /** Exact Shapley-value attribution (Shapley 1953 applied to journeys,
+    * à la Dalessandro et al.) — the order-free axiomatic sibling of
+    * [[markovRemoval]]: credit channel c with its average marginal
+    * contribution over every coalition,
+    * φ_c = Σ_{S ∌ c} |S|!(k−1−|S|)!/k! · (v(S∪{c}) − v(S)), where the
+    * coalition value v(S) counts CONVERTED journeys whose pre-conversion
+    * channel set ⊆ S ("conversions reachable using only S"). Unlike
+    * position heuristics it satisfies efficiency (Σφ = v(all channels))
+    * and symmetry; unlike the Markov chain it ignores order/repetition —
+    * run both, disagreement IS the finding.
+    *
+    * Scale shape, same contract as [[markovRemoval]]: one window pass
+    * truncates each user at first conversion, one distinct+groupBy
+    * builds the (channel-set → conversion count) frame — bounded by the
+    * observed sets — which is collected under a LOUD k ≤ `maxChannels`
+    * ≤ 16 cap (2^k subset values fit the driver trivially; a 17th
+    * channel means typeCol is not categorical). v runs as a
+    * subset-sum DP over 2^k masks; Shapley terms are r6-pinned doubles
+    * summed as 6-scale BigDecimal — bit-replayable by the SQL oracle's
+    * factorial()-weighted subset join.
+    *
+    * Channels are bit-indexed in SORTED order (the engine-neutral
+    * canonicalization). Converted journeys with NO prior channel (the
+    * conversion was the first event) raise v(∅); they add the same
+    * constant to every coalition, so they earn no channel any credit —
+    * visible via p_baseline.
+    *
+    * Output: one row per channel — (channel, shapley, share), share =
+    * φ_c / v(full) when v(full) > 0 — plus the efficiency identity
+    * columns (v_full, v_empty) repeated per row for auditability.
+    */
+  def shapleyAttribution(
+      events: DataFrame,
+      userCol: String,
+      timeCol: String,
+      typeCol: String,
+      tieCol: String,
+      conversionType: String,
+      maxChannels: Int = 16): DataFrame = {
+    require(maxChannels >= 1 && maxChannels <= 16,
+      s"maxChannels must be in [1, 16], got $maxChannels — 2^k subset values " +
+        "must stay a driver-trivial frame")
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def d6(x: Double): BigDecimal =
+      BigDecimal(r6(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val w = Window.partitionBy(col(userCol)).orderBy(col(timeCol), col(tieCol))
+    val rows = events
+      .filter(col(timeCol).isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).cast("string").as("__t"),
+        row_number().over(w).as("__rn"))
+    val wu = Window.partitionBy(col("__u"))
+    val conv = rows
+      .withColumn("__cp", min(when(col("__t") === conversionType, col("__rn"))).over(wu))
+      .filter(col("__cp").isNotNull)
+    // distinct pre-conversion channels per CONVERTED user (strictly
+    // before the first conversion event)
+    val chans = conv.filter(col("__rn") < col("__cp"))
+      .select(col("__u"), col("__t")).distinct()
+    val perUser = conv.select(col("__u")).distinct()
+      .join(chans.groupBy(col("__u")).agg(collect_set(col("__t")).as("__set")),
+        Seq("__u"), "left")
+      .select(coalesce(col("__set"), array()).as("__set"))
+      .groupBy(array_sort(col("__set")).as("__key"))
+      .agg(count(lit(1)).as("__conv"))
+    val sets = perUser.collect()
+      .map(r => (r.getSeq[String](0), r.getLong(1)))
+    val channels = sets.flatMap(_._1).distinct.sorted
+    val k = channels.length
+    require(k <= maxChannels,
+      s"shapleyAttribution: $k distinct channels exceed the maxChannels=" +
+        s"$maxChannels bounded-collect contract; is typeCol really categorical?")
+    val bit = channels.zipWithIndex.toMap
+    val convByMask = sets.map { case (s, n) =>
+      s.map(bit).foldLeft(0L)((m, b) => m | (1L << b)) -> n
+    }.toMap
+    // subset-sum DP: v(S) = Σ_{T ⊆ S} conv(T)
+    val v = Array.tabulate(1 << k)(m => convByMask.getOrElse(m.toLong, 0L).toDouble)
+    for (b <- 0 until k; m <- 0 until (1 << k)) if ((m & (1 << b)) != 0)
+      v(m) += v(m ^ (1 << b))
+    val factorial = new Array[Double](k + 1)
+    factorial(0) = 1.0
+    for (i <- 1 to k) factorial(i) = factorial(i - 1) * i
+    val vFull = v((1 << k) - 1)
+    val vEmpty = v(0)
+    val out = channels.map { c =>
+      val b = bit(c)
+      var acc = BigDecimal(0)
+      for (m <- 0 until (1 << k)) if ((m & (1 << b)) == 0) {
+        val s = java.lang.Integer.bitCount(m)
+        val weight = factorial(s) * factorial(k - 1 - s) / factorial(k)
+        acc += d6(weight * (v(m | (1 << b)) - v(m)))
+      }
+      val phi = acc.toDouble
+      (c, r6(phi), if (vFull > 0) Some(r6(phi / vFull)) else None,
+        vFull.toLong, vEmpty.toLong)
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("channel", "shapley", "share", "v_full", "v_empty")
+  }
 }

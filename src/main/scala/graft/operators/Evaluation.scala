@@ -561,4 +561,63 @@ object Evaluation {
         (col("i___k").cast("double") / col("n").cast("double")).as("acc") :+
         col("iso")): _*)
   }
+
+  /** B-cubed clustering evaluation (Bagga–Baldwin) — the standard score
+    * for a DEDUP/entity clustering against gold classes, where pairwise
+    * F overweights big clusters and purity ignores recall. Per item:
+    * precision = the fraction of its cluster sharing its gold label,
+    * recall = the fraction of its gold class landing in its cluster;
+    * B³ P/R are the item averages, F1 their harmonic mean.
+    *
+    * Closed form over the (cluster × label) CELL frame — never per-item
+    * or per-pair: Σ cell²/|cluster| / N and Σ cell²/|class| / N (each
+    * item in a cell contributes cell/|cluster|, so the item sum
+    * collapses to cell²/|cluster|). Execution: one groupBy to cells,
+    * two group-sized joins (cluster sizes, class sizes), one global
+    * aggregate; the per-cell ratios are r6-rounded before their
+    * DECIMAL(38,6) sums so the reduction is order-free. Items with a
+    * NULL cluster or label are dropped and counted.
+    *
+    * Output (one row): n_items, n_dropped, n_clusters, n_labels,
+    * bcubed_precision, bcubed_recall, bcubed_f1.
+    */
+  def bCubed(
+      df: DataFrame,
+      clusterCol: String,
+      labelCol: String): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val base = df.select(col(clusterCol).cast("string").as("__cl"),
+      col(labelCol).cast("string").as("__lb"))
+    val kept = base.filter(col("__cl").isNotNull && col("__lb").isNotNull)
+    val dropped = base.agg(
+      count(when(col("__cl").isNull || col("__lb").isNull, lit(1))).as("n_dropped"))
+    val cells = kept.groupBy(col("__cl"), col("__lb")).agg(count(lit(1)).as("__cell"))
+    val csize = cells.groupBy(col("__cl")).agg(sum(col("__cell")).as("__cs"))
+    val lsize = cells.groupBy(col("__lb")).agg(sum(col("__cell")).as("__ls"))
+    val agg = cells
+      .join(csize, "__cl") // cluster-count-sized frames
+      .join(lsize, "__lb")
+      .agg(
+        sum(col("__cell")).as("n_items"),
+        countDistinct(col("__cl")).as("n_clusters"),
+        countDistinct(col("__lb")).as("n_labels"),
+        dsum(r6(col("__cell").cast("double") * col("__cell").cast("double") /
+          col("__cs").cast("double"))).as("__sp"),
+        dsum(r6(col("__cell").cast("double") * col("__cell").cast("double") /
+          col("__ls").cast("double"))).as("__sr"))
+    agg
+      .crossJoin(broadcast(dropped)) // one-row totals frame: lint-exempt
+      .select(col("n_items"), col("n_dropped"), col("n_clusters"), col("n_labels"),
+        when(col("n_items") > 0, r6(col("__sp") / col("n_items").cast("double")))
+          .as("bcubed_precision"),
+        when(col("n_items") > 0, r6(col("__sr") / col("n_items").cast("double")))
+          .as("bcubed_recall"),
+        when(col("n_items") > 0 && col("__sp") + col("__sr") > 0,
+          r6(lit(2.0) * (col("__sp") / col("n_items").cast("double")) *
+            (col("__sr") / col("n_items").cast("double")) /
+            (col("__sp") / col("n_items").cast("double") +
+              col("__sr") / col("n_items").cast("double"))))
+          .as("bcubed_f1"))
+  }
 }

@@ -162,6 +162,57 @@ object Graph {
     degrees(und)
   }
 
+  /** Bounded-hop multi-source BFS: shortest hop-distance from a SEED
+    * set to every node within `maxHops`, over the directed edge frame
+    * ([[undirected]] the edges first for symmetric reach). The
+    * "blast-radius" primitive — what is within k hops of the flagged
+    * accounts / contaminated docs / seed URLs — and the exact
+    * counterpart of [[adamicAdar]]'s 2-hop wedges at any bounded depth.
+    *
+    * Level-synchronous frontier iteration, the 100 TB BFS shape: hop h
+    * expands only the FRONTIER (nodes first reached at h−1) through one
+    * node-keyed equi-join, then anti-joins the visited set — work per
+    * hop is O(frontier out-edges), never corpus-wide, and the hop count
+    * is a loud ≤ 32 contract (an unbounded BFS on a social graph is a
+    * full-graph scan by hop ~6). Visited/frontier frames pin per
+    * iteration so the lazy plan never re-expands earlier hops.
+    *
+    * Output: (node, dist) for every reached node (seeds at 0); nodes
+    * beyond `maxHops` are absent, by contract.
+    */
+  def kHopDistances(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32,
+      s"maxHops must be in [1, 32], got $maxHops — deeper reach on a " +
+        "connected graph is a full scan; use connected components instead")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    var visited = seeds.select(seeds.columns.head).toDF("node")
+      .filter(col("node").isNotNull).distinct()
+      .withColumn("dist", lit(0L)).pin(true)
+    var frontier = visited
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val next = frontier
+        .join(e, frontier("node") === e("__s"))
+        .select(col("__d").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+        .pin(true)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.union(next).pin(true)
+        frontier = next
+        h += 1
+      }
+    }
+    visited
+  }
+
   /** Adamic–Adar link prediction: for every NON-adjacent pair (a, b)
     * with at least `minCommon` common neighbors, score = Σ_z 1/ln(deg z)
     * over the common neighbors z — rare shared neighbors are strong

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.plans.Materialize.PinOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Referential-integrity audit — the data-quality gate a multi-table
@@ -223,5 +223,71 @@ object Integrity {
       .withColumn("noisy_count",
         graft.functions.Portable.r6(col("__n").cast("double") + noise))
       .select(by.map(col) :+ col("epsilon") :+ col("noisy_count"): _*)
+  }
+
+  /** USER-level ε-DP mean release — [[dpCounts]]' big sibling for the
+    * statistic pipelines actually publish (mean doc length per source,
+    * mean spend per cohort), with the unit of privacy being a USER, not
+    * a row: a user with 10 000 rows must still be hidden by the noise.
+    * Contribution bounding does that the standard way — clip each value
+    * to [lo, hi], collapse each user to ONE number (their clipped
+    * per-group mean), so adding/removing any user moves the group sum
+    * by at most max(|lo|, |hi|) and the user count by exactly 1. The
+    * budget splits ε/2 to the sum (Laplace 2·max(|lo|,|hi|)/ε) and ε/2
+    * to the count (Laplace 2/ε); the released mean is their ratio with
+    * the count floored at 1 (a tiny group's noisy count can go ≤ 0 —
+    * flooring biases but never divides by nothing, visibly via the
+    * released noisy_count).
+    *
+    * Noise is DETERMINISTIC (inverse-CDF from md5(seed, group, tag) —
+    * the [[dpCounts]] idempotence/averaging-attack rationale); group-key
+    * hashing is the same delimiter-proof per-column md5.
+    *
+    * Execution: (group × user) mean aggregate, then the group rollup —
+    * two map-side-combined exchanges, noise row-local on the group
+    * frame. Per-user means and the sum are r6 + DECIMAL(38,6) so both
+    * reductions are order-free.
+    */
+  def dpMeans(
+      df: DataFrame,
+      by: Seq[String],
+      userCol: String,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      epsilon: Double,
+      seed: String): DataFrame = {
+    require(by.nonEmpty, "dpMeans needs at least one group column")
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    def lap(tag: String, scale: Double): Column = {
+      val keyHash = concat(
+        lit(seed) +: by.map(c => coalesce(md5(col(c).cast("string")), lit("N")))
+          :+ lit(tag): _*)
+      val h = graft.text.TextFunctions.md5Hash32(keyHash).cast("double")
+      val u = (h + lit(0.5)) / lit(4294967296.0) - lit(0.5)
+      -signum(u) * log(lit(1.0) - lit(2.0) * abs(u)) * lit(scale)
+    }
+    val clipped = least(lit(hi), greatest(lit(lo), col(valueCol).cast("double")))
+    val perUser = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy((by.map(col) :+ col(userCol).as("__user")): _*)
+      .agg((dsum(r6(clipped)) / count(lit(1)).cast("double")).as("__m"))
+    val sens = math.max(math.abs(lo), math.abs(hi))
+    perUser
+      .groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n_users"), dsum(r6(col("__m"))).as("__s"))
+      .withColumn("epsilon", lit(epsilon))
+      .withColumn("noisy_sum", r6(col("__s") + lap("S", 2.0 * sens / epsilon)))
+      .withColumn("noisy_count",
+        r6(col("n_users").cast("double") + lap("C", 2.0 / epsilon)))
+      .withColumn("noisy_mean",
+        r6(col("noisy_sum") / greatest(col("noisy_count"), lit(1.0))))
+      // the EXACT n_users never leaves: releasing it next to the noisy
+      // pair would spend privacy the ε accounting didn't pay for
+      .select(by.map(col) :+ col("epsilon") :+
+        col("noisy_sum") :+ col("noisy_count") :+ col("noisy_mean"): _*)
   }
 }

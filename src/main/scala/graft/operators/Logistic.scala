@@ -244,6 +244,72 @@ object Logistic {
           col("__sc") / col("n_control").cast("double"))).as("diff"))
   }
 
+  /** Propensity-bin RANK matching — the deterministic, distributed
+    * analog of 1:1 nearest-neighbor propensity matching. Classic greedy
+    * NN matching is sequential (each match removes a control) and
+    * order-dependent — unreproducible across engines and unshardable at
+    * scale. Here treated and control units are ranked WITHIN each
+    * fixed-width propensity bin by a stable outcome-independent key
+    * (the unit id) and paired rank-to-rank; unmatched surplus in either
+    * arm is dropped and counted. Within a bin, propensities differ by
+    * at most the bin width — the caliper, by construction.
+    *
+    * ATT reading: every treated unit that found a control contributes
+    * y_t − y_c; the per-bin mean is the bin's ATT, and Σ n_pairs·att /
+    * Σ n_pairs reconstructs the overall matched ATT. Bins missing an
+    * arm report 0 pairs (the positivity hole, visible — the
+    * [[hteByPropensityBin]] contract).
+    *
+    * Execution: two bin-partitioned rank windows + one (bin, rank)
+    * equi-join — no sequential state, no broadcast; pairs are r6 +
+    * DECIMAL-summed.
+    *
+    * Output per bin: (bin, p_lo, p_hi, n_treated, n_control, n_pairs,
+    * att).
+    */
+  def rankMatchedAtt(
+      scored: DataFrame,
+      idCol: String,
+      yCol: String,
+      treatCol: String,
+      propCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000], got $nBins")
+    val r6 = Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val t = col(treatCol).cast("boolean")
+    val p = col(propCol).cast("double")
+    val bin = least(lit(nBins - 1L), greatest(lit(0L), floor(p * nBins).cast("long")))
+    val width = 1.0 / nBins
+    val base = scored
+      .filter(p.isNotNull && !isnan(p) && col(yCol).isNotNull)
+      .select(bin.as("bin"), t.as("__t"), col(yCol).cast("double").as("__y"),
+        col(idCol).as("__id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin"), col("__t")).orderBy(col("__id"))
+    val ranked = base.withColumn("__rk", row_number().over(w))
+    val treated = ranked.filter(col("__t"))
+      .select(col("bin"), col("__rk"), col("__y").as("__yt"))
+    val control = ranked.filter(!col("__t"))
+      .select(col("bin"), col("__rk"), col("__y").as("__yc"))
+    val arms = base.groupBy(col("bin")).agg(
+      count(when(col("__t"), lit(1))).as("n_treated"),
+      count(when(!col("__t"), lit(1))).as("n_control"))
+    val pairs = treated.join(control, Seq("bin", "__rk"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        dsum(r6(col("__yt") - col("__yc"))).as("__sd"))
+    arms.join(pairs, Seq("bin"), "left")
+      .select(
+        col("bin"),
+        r6(col("bin").cast("double") * lit(width)).as("p_lo"),
+        r6((col("bin") + lit(1L)).cast("double") * lit(width)).as("p_hi"),
+        col("n_treated"), col("n_control"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("n_pairs") > 0, r6(col("__sd") / col("n_pairs").cast("double")))
+          .as("att"))
+  }
+
   /** Inverse-propensity weight diagnostics per arm — the numbers that
     * decide whether an [[ipwAte]]/[[aipwAte]] estimate deserves trust
     * BEFORE anyone reads it: Kish effective sample size

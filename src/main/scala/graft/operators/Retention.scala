@@ -76,6 +76,72 @@ object Retention {
             col("prev_active").cast("double")))
   }
 
+  /** Growth accounting (the Social-Capital "quick ratio" decomposition):
+    * every active (user, period) is exactly one of NEW (first-ever
+    * period), RETAINED (also active the previous period) or RESURRECTED
+    * (active before, but not the previous period); users active in p−1
+    * and silent in p are CHURNED into p. The decomposition explains a
+    * flat actives curve ([[periodOverPeriod]] says "unchanged"; this
+    * says "heavy churn masked by resurrection") — the first chart any
+    * growth review asks for.
+    *
+    * One distinct pass to the (user, period) activity frame, one
+    * user-keyed window for first/previous period, then a period rollup —
+    * churn is derived from the SAME window (a gap after p or
+    * stream-end churns the user into p+1), bounded by the global max
+    * period so the unknown future never reports churn. quick_ratio =
+    * (new + resurrected)/churned, NULL when churned = 0.
+    *
+    * Output per period: (period, n_active, n_new, n_retained,
+    * n_resurrected, n_churned, quick_ratio).
+    */
+  def growthAccounting(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val r6 = graft.functions.Portable.r6 _
+    val act = events
+      .filter(col(timeCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        floorDiv(unix_micros(col(timeCol)), bucketUs).as("period"))
+      .distinct()
+      .pin(false) // window classification + churn + max-period all read it
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("period"))
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    val classified = act
+      .withColumn("__first", min(col("period")).over(wk))
+      .withColumn("__prev", lag(col("period"), 1).over(w))
+      .withColumn("__next", lead(col("period"), 1).over(w))
+    val states = classified.select(
+      col("period"),
+      when(col("period") === col("__first"), lit("new"))
+        .when(col("__prev") === col("period") - 1, lit("retained"))
+        .otherwise(lit("resurrected")).as("state"))
+    // the one-row global horizon: churn into p+1 only exists if some
+    // activity anywhere reaches p+1 (the future is unknown, not churned)
+    val maxP = act.agg(max(col("period")).as("__maxp"))
+    val churn = classified
+      .filter(col("__next").isNull || col("__next") > col("period") + 1)
+      .crossJoin(broadcast(maxP)) // one-row frame: lint-exempt
+      .filter(col("period") + 1 <= col("__maxp"))
+      .select((col("period") + 1).as("period"), lit("churned").as("state"))
+    states.unionByName(churn)
+      .groupBy(col("period"))
+      .agg(
+        count(when(col("state") =!= "churned", lit(1))).as("n_active"),
+        count(when(col("state") === "new", lit(1))).as("n_new"),
+        count(when(col("state") === "retained", lit(1))).as("n_retained"),
+        count(when(col("state") === "resurrected", lit(1))).as("n_resurrected"),
+        count(when(col("state") === "churned", lit(1))).as("n_churned"))
+      .withColumn("quick_ratio",
+        when(col("n_churned") > 0,
+          r6((col("n_new") + col("n_resurrected")).cast("double") /
+            col("n_churned").cast("double"))))
+  }
+
   /** Exact integer floor division (negative-safe: -1 us lands in bucket
     * -1, not 0 — long `/` truncates toward zero). Pure integer math so
     * any engine computes the identical bucket.

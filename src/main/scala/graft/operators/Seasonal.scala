@@ -381,4 +381,53 @@ object Seasonal {
         .withColumn("period", lit(p).cast("long"))
     }.reduce(_ unionByName _)
   }
+
+  /** Trend/seasonal STRENGTH (Hyndman's F-measures) — the one-row-per-key
+    * summary that decides whether [[decompose]]'s components are signal
+    * or ritual: F = max(0, 1 − Var(residual)/Var(component + residual)),
+    * near 1 when the component explains the series, near 0 when the
+    * decomposition just relabeled noise. The triage step before anyone
+    * forecasts with [[holtWinters]] or alerts on [[decompose]]'s
+    * residuals at 100 TB: keys with F_seas ≈ 0 have no cycle to model.
+    *
+    * Composes on [[decomposeBuckets]]' frame (rows with a defined
+    * trend), so the fact is scanned once; variances are population
+    * moments over r6-rounded terms with DECIMAL(38,6) sums — order-free
+    * like every other reduction here.
+    *
+    * Output: (key, n, f_trend, f_seas); keys whose component+residual
+    * variance is 0 emit NULL (no variation to explain).
+    */
+  def strength(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      period: Int): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val d = decomposeBuckets(hourlyBuckets(df, keyCol, tsCol), period)
+      .filter(col("trend").isNotNull)
+    val r = r6(col("residual"))
+    val sr = r6(col("seasonal") + col("residual"))
+    val tr = r6(col("trend") + col("residual"))
+    def popVar(s1: Column, s2: Column, n: Column): Column =
+      s2 / n - (s1 / n) * (s1 / n)
+    val n = col("n").cast("double")
+    d.groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(r).as("__sR"), dsum(r6(r * r)).as("__qR"),
+        dsum(sr).as("__sS"), dsum(r6(sr * sr)).as("__qS"),
+        dsum(tr).as("__sT"), dsum(r6(tr * tr)).as("__qT"))
+      .select(
+        col("key"), col("n"),
+        when(popVar(col("__sT"), col("__qT"), n) > 0,
+          r6(greatest(lit(0.0),
+            lit(1.0) - popVar(col("__sR"), col("__qR"), n) /
+              popVar(col("__sT"), col("__qT"), n)))).as("f_trend"),
+        when(popVar(col("__sS"), col("__qS"), n) > 0,
+          r6(greatest(lit(0.0),
+            lit(1.0) - popVar(col("__sR"), col("__qR"), n) /
+              popVar(col("__sS"), col("__qS"), n)))).as("f_seas"))
+  }
 }

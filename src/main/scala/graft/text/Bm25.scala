@@ -127,4 +127,57 @@ object Bm25 {
     graft.pipeline.Selection
       .topKPerGroup(scored, Seq("query_id"), "bm25", k, tieBreakCol = "id")
   }
+
+  /** Minimum token span between occurrences of two DIFFERENT query
+    * terms per document — the proximity evidence bag-of-words BM25
+    * throws away ("new" and "york" adjacent vs 500 tokens apart).
+    * Min-distance pairs are always CONSECUTIVE in position order once
+    * same-term runs collapse (any closer cross-term pair would contain
+    * one), so one doc-partitioned lag window over the filtered
+    * positions suffices — no position self-join. Documents containing
+    * fewer than two distinct query terms are absent.
+    */
+  def minPairSpan(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "minPairSpan needs query terms")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(wordTokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isin(queryTerms: _*))
+      .withColumn("__pt", lag(col("term"), 1).over(w))
+      .withColumn("__pp", lag(col("pos"), 1).over(w))
+      .filter(col("__pt").isNotNull && col("__pt") =!= col("term"))
+      .groupBy(col("id"))
+      .agg(min(col("pos") - col("__pp")).cast("long").as("min_span"))
+  }
+
+  /** BM25 with a proximity boost: score + lambda/(1 + min_span) when at
+    * least two distinct query terms co-occur, plain BM25 otherwise —
+    * the classic cheap reranker between bag-of-words and positional
+    * indexes. Composes [[score]] and [[minPairSpan]] with one doc-keyed
+    * join; both sides are already doc-partitioned aggregates.
+    */
+  def scoreWithProximity(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      lambda: Double = 1.0,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    score(docs, queryTerms, k1, b, idCol, textCol)
+      .join(minPairSpan(docs, queryTerms, idCol, textCol), Seq("id"), "left")
+      .select(col("id"), r6(col("bm25")).as("bm25"), col("min_span"),
+        r6(when(col("min_span").isNotNull,
+          col("bm25") + lit(lambda) / (lit(1.0) + col("min_span").cast("double")))
+          .otherwise(col("bm25"))).as("bm25_prox"))
+  }
 }
