@@ -250,13 +250,15 @@ object Embeddings {
       .pin(false)
     val unit = withNorm
       .filter(col("__norm") > 0)
-      // the norm>0 guard INSIDE the lambda too: past the checkpoint
+      // the norm>0 guard OUTSIDE the lambda too: past the checkpoint
       // boundary the filter no longer provably precedes the projection
-      // for ANSI's divide-by-zero check (observed via the pinned frame);
-      // surviving rows compute the identical value
+      // for ANSI's divide-by-zero check (observed via the pinned frame).
+      // CaseWhen evaluates lazily, so a zero-norm row never reaches the
+      // division; hoisted above transform it costs one check per ROW
+      // (in-lambda it doubled the per-element tree — measured 2x).
       .select(col(idCol),
-        transform(col("__v"), v =>
-          when(col("__norm") > 0, r6(v.cast("double") / col("__norm")))).as("__u"))
+        when(col("__norm") > 0,
+          transform(col("__v"), v => r6(v.cast("double") / col("__norm")))).as("__u"))
     val dims = unit
       .select(posexplode(col("__u")).as(Seq("pos", "u")))
       .groupBy(col("pos"))
@@ -380,19 +382,24 @@ object Embeddings {
     def rowFold(arr: Column): Column =
       aggregate(arr, lit(0).cast("decimal(38,6)"),
         (acc, x) => acc + x.cast("decimal(38,6)")).cast("double")
+    // pinned like isotropy's: unpinned, CollapseProject substitutes the
+    // whole norm FOLD into the per-element division lambda — the row
+    // norm re-evaluates dim× per row (measured 20× slower at sf0.1)
     val withNorm = emb.select(
       col(idCol).cast("long").as("__id"),
       col(vecCol).as("__v"),
       sqrt(rowFold(transform(col(vecCol),
         v => r6(v.cast("double") * v.cast("double"))))).as("__norm"))
+      .pin(false)
     val unit = withNorm
       .filter(col("__norm") > 0)
-      // same in-lambda norm>0 guard as isotropy: ANSI divide-by-zero
-      // must not depend on filter/projection evaluation order
+      // same hoisted norm>0 guard as isotropy: ANSI divide-by-zero must
+      // not depend on filter/projection evaluation order, at one check
+      // per row instead of per element
       .select(
         expr(s"(__id - pmod(__id, ${bucketWidth}L)) div ${bucketWidth}L").as("bucket"),
-        transform(col("__v"), v =>
-          when(col("__norm") > 0, r6(v.cast("double") / col("__norm")))).as("__u"))
+        when(col("__norm") > 0,
+          transform(col("__v"), v => r6(v.cast("double") / col("__norm")))).as("__u"))
     val dims = unit
       .select(col("bucket"), posexplode(col("__u")).as(Seq("pos", "u")))
       .groupBy(col("bucket"), col("pos"))
