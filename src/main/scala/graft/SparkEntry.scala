@@ -3321,7 +3321,61 @@ object SparkEntry {
     // co-occurring terms get lambda/(1+span) on top
     "q_bm25_prox" -> ((s, dir) =>
       Bm25.scoreWithProximity(docs(s, dir), Seq("spark", "hash", "merge"),
-        lambda = 2.0))
+        lambda = 2.0)),
+
+    // ------------------------------------------------ round 9 batch Q
+
+    // blocking-quality audit: what does q_sorted_blocking's +/-2 window
+    // lose vs the exact within-block pair set (PC), and what does it
+    // save (RR)
+    "q_blocking_eval" -> ((s, dir) =>
+      FuzzyJoin.blockingQuality(Tables.part(s, dir), "p_name",
+        maxDist = 4, windowSize = 3)),
+
+    // whole-table drift report: KS + PSI per derived numeric feature,
+    // src0 as the reference slice
+    "q_drift_report" -> { (s, dir) =>
+      val feats = docs(s, dir).select(
+        col("source"),
+        col("n_chars").cast("double").as("n_chars"),
+        size(TextFunctions.wordTokens(col("text"))).cast("double").as("n_words"),
+        size(split(col("text"), "\n")).cast("double").as("n_lines"))
+      Drift.driftReport(feats, Seq("n_chars", "n_words", "n_lines"),
+          col("source") === "src0")
+        .select(col("feature"), col("n_ref"), col("n_cur"),
+          graft.functions.Portable.r6(col("d")).as("d"),
+          graft.functions.Portable.r6(col("ks")).as("ks"),
+          graft.functions.Portable.r6(col("psi")).as("psi"))
+    },
+
+    // S-stemmer vocabulary profile: per-stem surface-form and token
+    // counts (the synthetic vocab has no plural pairs, so collapses are
+    // spec-pinned on crafted input; the query pins the stem arithmetic
+    // on real data)
+    "q_stem" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextFunctions.wordTokens(col("text"))).as("term"))
+        .withColumn("stem", TextFunctions.sStem(col("term")))
+        .groupBy(col("stem"))
+        .agg(countDistinct(col("term")).as("n_forms"), count(lit(1)).as("n_tokens"))),
+
+    // template-structure clusters: same line-length-bucket skeleton,
+    // different content — what shingle dedup cannot see
+    "q_templates" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(col("text").isNotNull)
+        .select(TextFunctions.structureHash(col("text")).as("structure_hash"),
+          TextFunctions.fingerprint(col("text")).as("__fp"))
+        .groupBy(col("structure_hash"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("__fp")).as("n_contents"))
+        .filter(col("n_docs") >= 2)),
+
+    // curriculum interleave: easy->hard per source, round-robin across
+    // sources, closed-form global position (no global sort)
+    "q_curriculum" -> ((s, dir) =>
+      Selection.curriculumInterleave(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", "doc_id"))
   )
 
   /** Per-user Cox subjects shared by the q_cox Spark call and oracle:
@@ -9084,7 +9138,124 @@ object SparkEntry {
            |SELECT bs.id, ${r6("bs.raw")} AS bm25, sp.min_span,
            |  ${r6("CASE WHEN sp.min_span IS NOT NULL THEN bs.raw + CAST(2.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(sp.min_span AS DOUBLE)) ELSE bs.raw END")} AS bm25_prox
            |FROM bs LEFT JOIN sp ON bs.id = sp.id""".stripMargin
-      }
+      },
+
+      "q_blocking_eval" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH base AS (SELECT DISTINCT lower(p_name) AS name FROM part
+           |  WHERE p_name IS NOT NULL AND lower(p_name) <> ''),
+           |rk AS (SELECT name, substr(name, 1, 2) AS block,
+           |    row_number() OVER (PARTITION BY substr(name, 1, 2) ORDER BY name) AS rnk
+           |  FROM base),
+           |sz AS (SELECT block, count(*) AS bs FROM rk GROUP BY 1),
+           |gold AS (SELECT a.name AS a_name, b.name AS b_name FROM rk a JOIN rk b
+           |  ON a.block = b.block AND a.rnk < b.rnk
+           |  WHERE levenshtein(a.name, b.name) <= 4),
+           |cand AS (SELECT a.name AS a_name, b.name AS b_name
+           |  FROM rk a, (SELECT unnest([1, 2]) AS off) o, rk b
+           |  WHERE b.block = a.block AND b.rnk = a.rnk + o.off
+           |    AND levenshtein(a.name, b.name) <= 4),
+           |cov AS (SELECT count(*) AS n_covered FROM gold
+           |  WHERE EXISTS (SELECT 1 FROM cand WHERE cand.a_name = gold.a_name AND cand.b_name = gold.b_name)),
+           |cnt AS (SELECT CAST(sum(bs) AS BIGINT) AS n_names, CAST(count(*) AS BIGINT) AS n_blocks,
+           |    CAST(sum(bs * (bs - 1) // 2) AS BIGINT) AS n_block_pairs,
+           |    CAST(sum(CASE WHEN bs <= 3 THEN bs * (bs - 1) // 2 ELSE 2 * bs - 3 END) AS BIGINT) AS n_candidates
+           |  FROM sz),
+           |g AS (SELECT CAST(count(*) AS BIGINT) AS n_gold FROM gold)
+           |SELECT n_names, n_blocks, n_block_pairs, n_candidates, n_gold,
+           |  CAST(n_covered AS BIGINT) AS n_covered,
+           |  CASE WHEN n_gold > 0 THEN ${r6("CAST(n_covered AS DOUBLE) / CAST(n_gold AS DOUBLE)")} END AS pair_completeness,
+           |  CASE WHEN n_block_pairs > 0 THEN ${r6("1.0 - CAST(n_candidates AS DOUBLE) / CAST(n_block_pairs AS DOUBLE)")} END AS reduction_ratio
+           |FROM cnt, g, cov""".stripMargin
+      },
+
+      "q_drift_report" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH m AS (
+           |  SELECT source = 'src0' AS ref, 'n_chars' AS feature, CAST(n_chars AS DOUBLE) AS v FROM documents
+           |  UNION ALL
+           |  SELECT source = 'src0', 'n_words', CAST(len(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'')) AS DOUBLE) FROM documents
+           |  UNION ALL
+           |  SELECT source = 'src0', 'n_lines', CAST(len(string_split(text, chr(10))) AS DOUBLE) FROM documents),
+           |vv AS (SELECT feature, CASE WHEN ref THEN 1 ELSE 0 END AS a, v AS x FROM m
+           |  WHERE v IS NOT NULL AND NOT isnan(v)),
+           |c AS (SELECT feature, x, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(1 - a) AS BIGINT) AS cb
+           |      FROM vv GROUP BY 1, 2),
+           |w AS (SELECT feature,
+           |        CAST(sum(ca) OVER (PARTITION BY feature ORDER BY x) AS BIGINT) AS fa,
+           |        CAST(sum(cb) OVER (PARTITION BY feature ORDER BY x) AS BIGINT) AS fb,
+           |        CAST(sum(ca) OVER (PARTITION BY feature) AS BIGINT) AS na,
+           |        CAST(sum(cb) OVER (PARTITION BY feature) AS BIGINT) AS nb
+           |      FROM c),
+           |ksm AS (SELECT feature, max(na) AS n_ref, max(nb) AS n_cur,
+           |        max(CASE WHEN na > 0 AND nb > 0 THEN
+           |          abs(CAST(fa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(fb AS DOUBLE) / CAST(nb AS DOUBLE)) END) AS d0
+           |      FROM w GROUP BY 1),
+           |r2 AS (SELECT feature, min(x) AS lo, max(x) AS hi FROM vv GROUP BY 1),
+           |b2 AS (SELECT vv.feature, a = 1 AS ref,
+           |    CASE WHEN r2.hi = r2.lo THEN 0
+           |         ELSE CAST(least(floor((x - r2.lo) / ((r2.hi - r2.lo)/10.0)), 9.0) AS INT) END AS bin
+           |  FROM vv JOIN r2 ON vv.feature = r2.feature),
+           |c2 AS (SELECT feature, ref, bin, count(*) AS n FROM b2 GROUP BY 1,2,3),
+           |tt AS (SELECT feature, ref, sum(n) AS tot FROM c2 GROUP BY 1,2),
+           |grid AS (SELECT feature, CAST(range AS INT) AS bin
+           |  FROM (SELECT DISTINCT feature FROM c2) CROSS JOIN range(10)),
+           |j2 AS (SELECT grid.feature,
+           |    (CAST(COALESCE(cr.n,0) AS DOUBLE)+0.5)/(CAST(COALESCE(tr.tot,0) AS DOUBLE)+5.0) AS p,
+           |    (CAST(COALESCE(cc.n,0) AS DOUBLE)+0.5)/(CAST(COALESCE(tc.tot,0) AS DOUBLE)+5.0) AS q
+           |  FROM grid
+           |  LEFT JOIN c2 cr ON cr.feature = grid.feature AND cr.bin = grid.bin AND cr.ref
+           |  LEFT JOIN c2 cc ON cc.feature = grid.feature AND cc.bin = grid.bin AND NOT cc.ref
+           |  LEFT JOIN tt tr ON tr.feature = grid.feature AND tr.ref
+           |  LEFT JOIN tt tc ON tc.feature = grid.feature AND NOT tc.ref),
+           |ps AS (SELECT feature,
+           |    CAST(sum(CAST((p - q) * ln(p / q) AS DECIMAL(38,12))) AS DOUBLE) AS psi0
+           |  FROM j2 GROUP BY 1)
+           |SELECT ksm.feature, n_ref, n_cur,
+           |  ${r6("d0")} AS d,
+           |  ${r6("sqrt(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) / CAST(n_ref + n_cur AS DOUBLE)) * d0")} AS ks,
+           |  ${r6("psi0")} AS psi
+           |FROM ksm LEFT JOIN ps ON ksm.feature = ps.feature""".stripMargin
+      },
+
+      "q_stem" ->
+        """WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'')) AS term FROM documents),
+          |s AS (SELECT term, CASE
+          |  WHEN ends_with(term,'ies') THEN
+          |    CASE WHEN ends_with(term,'eies') OR ends_with(term,'aies') THEN term
+          |         ELSE substr(term, 1, len(term)-3) || 'y' END
+          |  WHEN ends_with(term,'es') THEN
+          |    CASE WHEN ends_with(term,'aes') OR ends_with(term,'ees') OR ends_with(term,'oes') THEN term
+          |         ELSE substr(term, 1, len(term)-1) END
+          |  WHEN ends_with(term,'s') THEN
+          |    CASE WHEN ends_with(term,'ss') OR ends_with(term,'us') THEN term
+          |         ELSE substr(term, 1, len(term)-1) END
+          |  ELSE term END AS stem FROM t)
+          |SELECT stem, CAST(count(DISTINCT term) AS BIGINT) AS n_forms,
+          |  CAST(count(*) AS BIGINT) AS n_tokens
+          |FROM s GROUP BY 1""".stripMargin,
+
+      "q_templates" ->
+        """WITH t AS (SELECT
+          |    md5(array_to_string(list_transform(
+          |      list_filter(list_transform(string_split(regexp_replace(text, '\r', '', 'g'), chr(10)), l -> trim(l)), l -> l <> ''),
+          |      l -> least(50, CAST(floor(len(l) / 10.0) AS INT))), ',')) AS structure_hash,
+          |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+          |  FROM documents WHERE text IS NOT NULL)
+          |SELECT structure_hash, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT fp) AS BIGINT) AS n_contents
+          |FROM t GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+      "q_curriculum" ->
+        """WITH g AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS gi
+          |  FROM (SELECT DISTINCT source FROM documents)),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM g),
+          |r AS (SELECT doc_id, source, n_chars,
+          |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS rk
+          |  FROM documents)
+          |SELECT r.doc_id, r.source, r.n_chars, rk AS rank_in_group,
+          |  CAST(rk * ng + gi AS BIGINT) AS global_pos
+          |FROM r JOIN g USING (source), n""".stripMargin
     )
   }
 }

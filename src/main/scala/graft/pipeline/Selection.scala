@@ -247,4 +247,41 @@ object Selection {
     sel.select(col("__q").as(queryCol), col("step"), col("__id").as(idCol),
       col("__rel").as(relCol), col("max_sim"), col("mmr"))
   }
+
+  /** Curriculum interleave: a GLOBAL training order that is (a) easy →
+    * hard by `scoreCol` and (b) round-robin across `groupCol` (no
+    * source monopolizes an epoch segment) — WITHOUT a global sort or a
+    * partition-less rank. The trick: global_pos = rank_in_group ×
+    * n_groups + group_index is a closed-form total order (sparse where
+    * a group has run out of rows — positions are ORDER, not offsets,
+    * by contract), so the only shuffles are the group-keyed rank
+    * window and a vocab-sized group-index frame broadcast back on.
+    * The group index itself ranks the GROUPS frame (vocab-sized by
+    * the q_neyman/q_bh global-window contract).
+    *
+    * Output: input id + group + rank_in_group + global_pos. Ties on
+    * score break by `idCol` so the order is deterministic.
+    */
+  def curriculumInterleave(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String): DataFrame = {
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol), col(idCol))
+    val groups = df.select(col(groupCol)).distinct()
+      .withColumn("__gi",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col(groupCol))).cast("long") - 1L)
+    val nG = groups.agg(count(lit(1)).as("__ng"))
+    df
+      .select(col(idCol), col(groupCol), col(scoreCol))
+      .withColumn("rank_in_group", row_number().over(wg).cast("long") - 1L)
+      .join(broadcast(groups), Seq(groupCol))
+      .crossJoin(broadcast(nG)) // one-row frame: lint-exempt
+      .withColumn("global_pos",
+        col("rank_in_group") * col("__ng") + col("__gi"))
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        col("rank_in_group"), col("global_pos"))
+  }
 }

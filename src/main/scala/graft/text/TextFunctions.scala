@@ -518,4 +518,42 @@ object TextFunctions {
           !array_contains(slice(arr, lit(1), i), l))).cast("long")))
       .drop(s"__${outCol}_lines")
   }
+
+  /** Harman S-stemmer — the three-rule English plural collapse that
+    * gets most of stemming's vocabulary reduction with none of
+    * Porter's over-stemming ("ponies"→"pony", "glasses"→"glasse"→no:
+    * "es" keeps the e, "classes"→"classe"? no — see rules): ies→y
+    * (unless eies/aies), es→e (drop only the s, unless aes/ees/oes),
+    * s→∅ (unless ss/us). Pure suffix CASE chain — codegen-friendly,
+    * engine-mirrorable, no lookup table.
+    */
+  def sStem(w: Column): Column =
+    // first matching SUFFIX pattern decides; an exception TERMINATES
+    // (Harman's rules are mutually exclusive — "goes" matches the es
+    // pattern, its oes exception keeps it whole, the s rule never sees it)
+    when(w.endsWith("ies"),
+      when(w.endsWith("eies") || w.endsWith("aies"), w)
+        .otherwise(concat(w.substr(lit(1), length(w) - 3), lit("y"))))
+      .when(w.endsWith("es"),
+        when(w.endsWith("aes") || w.endsWith("ees") || w.endsWith("oes"), w)
+          .otherwise(w.substr(lit(1), length(w) - 1)))
+      .when(w.endsWith("s"),
+        when(w.endsWith("ss") || w.endsWith("us"), w)
+          .otherwise(w.substr(lit(1), length(w) - 1)))
+      .otherwise(w)
+
+  /** Structural fingerprint: md5 over the sequence of per-line
+    * length BUCKETS (⌊len/10⌋ capped at 50) — two documents filled
+    * from the same TEMPLATE share it even when every word differs,
+    * which is exactly what content fingerprints ([[fingerprint]]) and
+    * shingle dedup cannot see. Blank lines collapse out (formatting);
+    * NULL text yields NULL. Row-local.
+    */
+  def structureHash(text: Column): Column = {
+    val buckets = transform(
+      filter(transform(split(regexp_replace(text, "\r", ""), "\n"), l => trim(l)),
+        l => l =!= ""),
+      l => least(lit(50), floor(length(l) / lit(10)).cast("int")))
+    when(text.isNotNull, md5(array_join(buckets, ",")))
+  }
 }

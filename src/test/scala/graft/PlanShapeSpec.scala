@@ -72,6 +72,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_cif", // Aalen-Johansen CIFs: same day-frame contract
       "q_sampling_table", // cumulative ranges over the VOCABULARY rank
       "q_neyman", // largest-remainder rank over the STRATA frame (q_bh contract)
+      "q_curriculum", // group-index rank over the DISTINCT-SOURCE frame (vocab-sized)
       "q_pareto")
 
     def boundedBelow(p: SparkPlan): Boolean = p match {
