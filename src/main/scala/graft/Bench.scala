@@ -35,7 +35,11 @@ object Bench {
     // Bradley-Terry, Markov attribution), the two-pass LSH recall
     // estimate, and the (now single-scan, pinned) isotropy report
     "q_rake_weights", "q_bradley_terry", "q_markov_attr",
-    "q_capture_recapture", "q_isotropy")
+    "q_capture_recapture", "q_isotropy",
+    // round-9 batch O-R heavies: 4-hop BFS over the word graph
+    // (frontier-join scaling), the double-lead sequence motifs, the
+    // positional BM25 rerank, and the bucketed embedding drift
+    "q_khop", "q_seq_patterns", "q_bm25_prox", "q_embed_drift")
 
   /** The 100x (sf10) subset: the heaviest plans from the sf1 section —
     * where quadratic failure modes (bucket skew, pair explosion) would

@@ -3375,7 +3375,62 @@ object SparkEntry {
     "q_curriculum" -> ((s, dir) =>
       Selection.curriculumInterleave(
         docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
-        "source", "n_chars", "doc_id"))
+        "source", "n_chars", "doc_id")),
+
+    // ------------------------------------------------ round 9 batch R
+
+    // as-of join, forward direction: next purchase at-or-after each
+    // event (the already-implemented third direction, oracle-paired)
+    "q_asof_forward" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val purchases = e
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
+      AsofJoin
+        .asof(
+          e.select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+          purchases,
+          on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+          rightCols = Seq("value"), direction = AsofJoin.Forward,
+          rightPrefix = "purchase_")
+        .select(
+          col("event_id"), col("user_id"), unix_micros(col("ts")).as("time_us"), col("event_type"),
+          unix_micros(col("purchase_ts")).as("purchase_time_us"),
+          col("purchase_value").as("purchase_value"))
+    },
+
+    // language-ID confidence margin: top vs runner-up stopword hits —
+    // which q_lang_id calls deserve trust
+    "q_lang_margin" -> { (s, dir) =>
+      val withToks = docs(s, dir)
+        .withColumn("__toks", TextFunctions.wordTokens(col("text")))
+      val hits = TextFunctions.Stopwords.map { case (_, words) =>
+        TextFunctions.stopwordHits(col("__toks"), words) }
+      val sorted = sort_array(array(hits: _*), asc = false)
+      withToks.select(
+        col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        element_at(sorted, 1).cast("long").as("top_hits"),
+        element_at(sorted, 2).cast("long").as("second_hits"),
+        (element_at(sorted, 1) - element_at(sorted, 2)).cast("long").as("margin"))
+    },
+
+    // one-row graph sanity sheet for the word-adjacency graph
+    "q_graph_profile" -> ((s, dir) =>
+      Graph.profile(wordAdjacencyEdges(s, dir))),
+
+    // leakage screen: single-feature AUC of each doc feature against
+    // the ' the ' label (n_words ~ doc length: the expected "proxy")
+    "q_feature_auc" -> { (s, dir) =>
+      val feats = docs(s, dir).select(
+        col("text"),
+        col("n_chars").cast("double").as("n_chars"),
+        size(TextFunctions.wordTokens(col("text"))).cast("double").as("n_words"),
+        size(split(col("text"), "\n")).cast("double").as("n_lines"))
+      Drift.featureAucScreen(feats, Seq("n_chars", "n_words", "n_lines"),
+        col("text").contains(" the "))
+    }
   )
 
   /** Per-user Cox subjects shared by the q_cox Spark call and oracle:
@@ -9255,7 +9310,79 @@ object SparkEntry {
           |  FROM documents)
           |SELECT r.doc_id, r.source, r.n_chars, rk AS rank_in_group,
           |  CAST(rk * ng + gi AS BIGINT) AS global_pos
-          |FROM r JOIN g USING (source), n""".stripMargin
+          |FROM r JOIN g USING (source), n""".stripMargin,
+
+      "q_asof_forward" ->
+        """WITH p AS (SELECT user_id, ts, max(value) AS purchase_value
+          |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY 1, 2)
+          |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS time_us, e.event_type,
+          |  epoch_us(p.ts) AS purchase_time_us, p.purchase_value
+          |FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts""".stripMargin,
+
+      "q_lang_margin" -> {
+        val langs = TextFunctions.Stopwords.map(_._1)
+        val hitCols = langs
+          .map(l => s"len(list_filter(toks, x -> list_contains(${stopwordSqlLists(l)}, x))) AS h_$l")
+          .mkString(", ")
+        s"""WITH pred AS ($langIdSelectSql),
+           |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+           |h AS (SELECT doc_id, $hitCols FROM t),
+           |s AS (SELECT doc_id, list_reverse(list_sort([${langs.map(l => s"h_$l").mkString(", ")}])) AS hs FROM h)
+           |SELECT pred.doc_id, pred.lang_pred,
+           |  CAST(hs[1] AS BIGINT) AS top_hits, CAST(hs[2] AS BIGINT) AS second_hits,
+           |  CAST(hs[1] - hs[2] AS BIGINT) AS margin
+           |FROM pred JOIN s ON pred.doc_id = s.doc_id""".stripMargin
+      },
+
+      "q_graph_profile" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH tk AS (SELECT list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '') AS ts FROM documents),
+           |e AS (SELECT unnest(list_slice(ts, 1, len(ts)-1)) AS src, unnest(list_slice(ts, 2, len(ts))) AS dst
+           |      FROM tk WHERE len(ts) >= 2),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM (SELECT src AS x FROM e UNION SELECT dst FROM e)),
+           |de AS (SELECT DISTINCT src, dst FROM e),
+           |rr AS (SELECT count(*) AS nr FROM de a
+           |  WHERE EXISTS (SELECT 1 FROM de b WHERE b.src = a.dst AND b.dst = a.src)),
+           |dg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+           |m AS (SELECT CAST(max(od) AS BIGINT) AS max_out_deg, count(*) AS nsrc,
+           |    CAST(sum(od) AS BIGINT) AS n_edges FROM dg),
+           |dc AS (SELECT CAST(count(*) AS BIGINT) AS n_edges_distinct FROM de)
+           |SELECT nn.n_nodes, m.n_edges, dc.n_edges_distinct, m.max_out_deg,
+           |  ${r6("CAST(m.n_edges AS DOUBLE) / CAST(m.nsrc AS DOUBLE)")} AS avg_out_deg,
+           |  CASE WHEN dc.n_edges_distinct > 0 THEN
+           |    ${r6("CAST(rr.nr AS DOUBLE) / CAST(dc.n_edges_distinct AS DOUBLE)")}
+           |  END AS reciprocity
+           |FROM m, nn, dc, rr""".stripMargin
+      },
+
+      "q_feature_auc" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH m0 AS (
+           |  SELECT CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS p,
+           |    'n_chars' AS feature, CAST(n_chars AS DOUBLE) AS x FROM documents
+           |  UNION ALL
+           |  SELECT CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END, 'n_words',
+           |    CAST(len(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'')) AS DOUBLE) FROM documents
+           |  UNION ALL
+           |  SELECT CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END, 'n_lines',
+           |    CAST(len(string_split(text, chr(10))) AS DOUBLE) FROM documents),
+           |v AS (SELECT feature, x, p FROM m0 WHERE x IS NOT NULL AND NOT isnan(x)),
+           |r AS (SELECT feature, p,
+           |        CAST(rank() OVER (PARTITION BY feature ORDER BY x) AS DOUBLE)
+           |          + CAST(count(*) OVER (PARTITION BY feature, x) - 1 AS DOUBLE) / 2.0 AS rk
+           |      FROM v),
+           |m AS (SELECT feature, CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(1 - p) AS BIGINT) AS n_neg,
+           |        CAST(coalesce(sum(CASE WHEN p = 1 THEN CAST(rk AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS rp
+           |      FROM r GROUP BY 1),
+           |a AS (SELECT feature, n_pos, n_neg,
+           |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           |      (rp - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+           |        / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc0
+           |  FROM m)
+           |SELECT feature, n_pos, n_neg, ${r6("auc0")} AS auc,
+           |  CASE WHEN auc0 IS NOT NULL THEN ${r6("abs(auc0 - 0.5) * 2.0")} END AS separation
+           |FROM a""".stripMargin
+      }
     )
   }
 }

@@ -44,4 +44,32 @@ object Drift {
     val psi = Stats.psi(melted, Seq("feature"), "v", col("__ref"), psiBins)
     ks.join(psi, Seq("feature"), "left")
   }
+
+  /** Per-feature leakage screen: the single-feature ROC AUC of every
+    * numeric column against a label, in one melted pass — a feature
+    * whose lone AUC approaches 1 (or 0) predicts the label suspiciously
+    * well BY ITSELF, the classic symptom of target leakage (the label
+    * snuck into a feature) or of a proxy that will dominate training.
+    * `separation` = 2·|AUC − ½| reads the same for both directions.
+    * Same ≤64-column melt contract as [[driftReport]].
+    */
+  def featureAucScreen(
+      df: DataFrame,
+      cols: Seq[String],
+      label: Column): DataFrame = {
+    require(cols.nonEmpty, "featureAucScreen needs at least one column")
+    require(cols.size <= 64,
+      s"featureAucScreen melts the fact table x|cols|; ${cols.size} columns " +
+        "exceed the 64-column audit contract — run in batches")
+    val r6 = graft.functions.Portable.r6 _
+    val melted = df
+      .select(label.as("__y"),
+        explode(array(cols.map(c =>
+          struct(lit(c).as("feature"), col(c).cast("double").as("v"))): _*)).as("__m"))
+      .select(col("__y"), col("__m.feature").as("feature"), col("__m.v").as("v"))
+    Evaluation.rocAuc(melted, Seq("feature"), "v", col("__y"))
+      .select(col("feature"), col("n_pos"), col("n_neg"),
+        r6(col("auc")).as("auc"),
+        when(col("auc").isNotNull, r6(abs(col("auc") - 0.5) * 2.0)).as("separation"))
+  }
 }

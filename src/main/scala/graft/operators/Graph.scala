@@ -162,6 +162,47 @@ object Graph {
     degrees(und)
   }
 
+  /** One-row graph summary — the sanity sheet read before any iterative
+    * graph op is launched at scale: node/edge counts, multi-edge rate
+    * (n_edges vs n_edges_distinct — high multiplicity means the input
+    * wants a pre-aggregation), reciprocity (directed edges whose
+    * reverse exists — near 1 means treat it as undirected and halve the
+    * work), and the out-degree extremes that predict join skew
+    * ([[graft.operators.Skew]]'s graph twin). Two scans of the edge
+    * frame (degree rollup + the reciprocity semi-join), everything else
+    * node/one-row-sized.
+    */
+  def profile(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull)
+    val de = e.distinct().pin(false) // reciprocity joins it against itself
+    val nodes = e.select(col("__s").as("n")).union(e.select(col("__d")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    val recip = de.as("a")
+      .join(de.as("b"), col("a.__s") === col("b.__d") && col("a.__d") === col("b.__s"),
+        "left_semi")
+      .agg(count(lit(1)).as("__nr"))
+    val deg = e.groupBy(col("__s")).agg(count(lit(1)).as("__od"))
+      .agg(max(col("__od")).as("max_out_deg"),
+        count(lit(1)).as("__nsrc"), sum(col("__od")).as("__ne"))
+    val dcount = de.agg(count(lit(1)).as("n_edges_distinct"))
+    deg
+      .crossJoin(broadcast(nodes)) // one-row frames: lint-exempt
+      .crossJoin(broadcast(dcount))
+      .crossJoin(broadcast(recip))
+      .select(
+        col("n_nodes"), col("__ne").as("n_edges"), col("n_edges_distinct"),
+        col("max_out_deg"),
+        r6(col("__ne").cast("double") / col("__nsrc").cast("double")).as("avg_out_deg"),
+        when(col("n_edges_distinct") > 0,
+          r6(col("__nr").cast("double") / col("n_edges_distinct").cast("double")))
+          .as("reciprocity"))
+  }
+
   /** Bounded-hop multi-source BFS: shortest hop-distance from a SEED
     * set to every node within `maxHops`, over the directed edge frame
     * ([[undirected]] the edges first for symmetric reach). The

@@ -79,6 +79,29 @@ class Round9cOpsSpec extends SparkSpec {
     assert(got("moved").getAs[Double]("psi") > got("same").getAs[Double]("psi") + 1.0)
   }
 
+  test("Graph.profile: counts, multiplicity, reciprocity, degree extremes") {
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "c")).toDF("src", "dst")
+    val r = graft.operators.Graph.profile(e).collect().head
+    assert(r.getAs[Long]("n_nodes") == 3L)
+    assert(r.getAs[Long]("n_edges") == 4L && r.getAs[Long]("n_edges_distinct") == 3L)
+    assert(r.getAs[Long]("max_out_deg") == 3L)
+    assert(r.getAs[Double]("avg_out_deg") == 2.0) // 4 edges over 2 sources
+    assert(math.abs(r.getAs[Double]("reciprocity") - 2.0 / 3.0) < 1e-6)
+  }
+
+  test("featureAucScreen: a leaking feature saturates separation in either direction") {
+    val df = (1 to 10).map(i => (i > 5, i * 1.0, (10 - i) * 1.0, 7.0))
+      .toDF("y", "leak", "antileak", "flat")
+    val got = Drift.featureAucScreen(df, Seq("leak", "antileak", "flat"), col("y"))
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    assert(got("leak").getAs[Double]("auc") == 1.0)
+    assert(got("antileak").getAs[Double]("auc") == 0.0)
+    assert(got("leak").getAs[Double]("separation") == 1.0)
+    assert(got("antileak").getAs[Double]("separation") == 1.0,
+      "an inverted leak separates just as perfectly")
+    assert(got("flat").getAs[Double]("auc") == 0.5, "a constant feature is a coin flip")
+  }
+
   test("curriculumInterleave: easy-first within groups, round-robin across them") {
     val df = Seq(
       (1L, "a", 3.0), (2L, "a", 1.0), (3L, "a", 2.0),
