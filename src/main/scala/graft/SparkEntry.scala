@@ -3430,7 +3430,18 @@ object SparkEntry {
         size(split(col("text"), "\n")).cast("double").as("n_lines"))
       Drift.featureAucScreen(feats, Seq("n_chars", "n_words", "n_lines"),
         col("text").contains(" the "))
-    }
+    },
+
+    // rendezvous-hash rebalance audit: growing 8->10 shards should move
+    // ~(10-8)/10 of keys — the consistent-placement proof a mod-N
+    // layout fails by an order of magnitude
+    "q_rendezvous" -> ((s, dir) =>
+      Shard.rendezvousRebalanceAudit(ev(s, dir), "user_id",
+        fromShards = 8, toShards = 10, seed = "rdz")),
+
+    // RM1 pseudo-relevance expansion terms off the spark/hash/merge probe
+    "q_prf_terms" -> ((s, dir) =>
+      Bm25.expansionTerms(docs(s, dir), Seq("spark", "hash", "merge")))
   )
 
   /** Per-user Cox subjects shared by the q_cox Spark call and oracle:
@@ -9382,6 +9393,44 @@ object SparkEntry {
            |SELECT feature, n_pos, n_neg, ${r6("auc0")} AS auc,
            |  CASE WHEN auc0 IS NOT NULL THEN ${r6("abs(auc0 - 0.5) * 2.0")} END AS separation
            |FROM a""".stripMargin
+      },
+
+      "q_rendezvous" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def hw(n: Int) =
+          s"list_transform(range(0, $n), sh -> ${h32("concat('rdz', '|', CAST(key AS VARCHAR), '|', CAST(sh AS VARCHAR))")})"
+        s"""WITH k AS (SELECT DISTINCT user_id AS key FROM events WHERE user_id IS NOT NULL),
+           |a AS (SELECT key, ${hw(8)} AS lf, ${hw(10)} AS lt FROM k),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           |    CAST(count(CASE WHEN list_position(lf, list_max(lf)) <> list_position(lt, list_max(lt)) THEN 1 END) AS BIGINT) AS n_moved
+           |  FROM a)
+           |SELECT n_keys, n_moved,
+           |  CASE WHEN n_keys > 0 THEN ${r6("CAST(n_moved AS DOUBLE) / CAST(n_keys AS DOUBLE)")} END AS moved_frac,
+           |  ${r6("CAST(2 AS DOUBLE) / CAST(10 AS DOUBLE)")} AS expected_frac
+           |FROM m""".stripMargin
+      },
+
+      "q_prf_terms" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH tok AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+           |t AS (SELECT id, unnest(toks) AS term FROM tok),
+           |dl AS (SELECT id, CAST(len(toks) AS DOUBLE) AS dl FROM tok),
+           |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+           |tf AS (SELECT id, term, count(*) AS tf FROM t WHERE term IN ('spark','hash','merge') GROUP BY 1, 2),
+           |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |bs AS (SELECT id, sum(ln(1 + (n_docs - df + 0.5)/(df + 0.5)) * tf/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))) AS raw
+           |  FROM tf JOIN idf USING (term) JOIN dl USING (id), st GROUP BY id),
+           |top AS (SELECT id FROM (SELECT id, ${r6("raw")} AS s0 FROM bs)
+           |  ORDER BY s0 DESC, id LIMIT 10),
+           |e AS (SELECT tok.id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term
+           |  FROM tok JOIN top USING (id)),
+           |f AS (SELECT id, term, dl, count(*) AS tf FROM e
+           |  WHERE term NOT IN ('spark','hash','merge') AND dl > 0 GROUP BY 1, 2, 3),
+           |w AS (SELECT term, CAST(count(*) AS BIGINT) AS n_docs,
+           |    ${r6(s"(${dsum(r6("CAST(tf AS DOUBLE) / dl"))})")} AS weight
+           |  FROM f GROUP BY 1)
+           |SELECT term, n_docs, weight FROM w ORDER BY weight DESC, term LIMIT 10""".stripMargin
       }
     )
   }

@@ -105,4 +105,57 @@ object Shard {
       .withColumn("shard", pmod(floor(col(Meds.PatientId).cast("double") / denom).cast("long"), lit(nShardsPerSplit)))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: each key goes
+    * to the shard with the largest md5-derived weight h(seed|key|shard)
+    * — the consistent-placement scheme whose defining property is
+    * MINIMAL MOVEMENT on resize: growing n→m shards relocates only the
+    * keys whose new shards win, an expected (m−n)/m fraction, where any
+    * mod-n scheme reshuffles ~everything. Row-local (one bounded
+    * weight-array fold per key), deterministic, engine-mirrorable.
+    * Ties take the lowest shard id.
+    */
+  def rendezvousAssign(
+      df: DataFrame,
+      keyCol: String,
+      nShards: Int,
+      seed: String,
+      outCol: String = "shard"): DataFrame = {
+    require(nShards >= 1 && nShards <= 4096, s"nShards must be in [1, 4096], got $nShards")
+    val weights = transform(sequence(lit(0), lit(nShards - 1)), s =>
+      graft.text.TextFunctions.md5Hash32(
+        concat_ws("|", lit(seed), col(keyCol).cast("string"), s.cast("string"))))
+    df.withColumn(outCol,
+      (array_position(weights, array_max(weights)) - 1L).cast("long"))
+  }
+
+  /** The resize-movement audit: assign DISTINCT keys under `fromShards`
+    * and `toShards`, count movers, report the measured moved fraction
+    * next to the theoretical (to−from)/to (for growth) — the one-row
+    * proof that placement is rendezvous-stable, and the number a
+    * mod-N layout fails by ~10×. One distinct pass, two row-local
+    * assignment projections, one global aggregate.
+    */
+  def rendezvousRebalanceAudit(
+      df: DataFrame,
+      keyCol: String,
+      fromShards: Int,
+      toShards: Int,
+      seed: String): DataFrame = {
+    require(fromShards >= 1 && toShards > fromShards,
+      s"audit expects growth, got $fromShards -> $toShards")
+    val r6 = graft.functions.Portable.r6 _
+    val keys = df.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
+    val assigned = rendezvousAssign(
+      rendezvousAssign(keys, keyCol, fromShards, seed, "__from"),
+      keyCol, toShards, seed, "__to")
+    assigned.agg(
+      count(lit(1)).as("n_keys"),
+      count(when(col("__from") =!= col("__to"), lit(1))).as("n_moved"))
+      .select(col("n_keys"), col("n_moved"),
+        when(col("n_keys") > 0,
+          r6(col("n_moved").cast("double") / col("n_keys").cast("double")))
+          .as("moved_frac"),
+        r6(lit((toShards - fromShards).toDouble / toShards.toDouble))
+          .as("expected_frac"))
+  }
 }

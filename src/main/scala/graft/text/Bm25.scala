@@ -157,6 +157,51 @@ object Bm25 {
       .agg(min(col("pos") - col("__pp")).cast("long").as("min_span"))
   }
 
+  /** Pseudo-relevance feedback expansion terms (RM1 with uniform doc
+    * prior, the core of RM3): take the top `fbDocs` documents by
+    * r6-rounded BM25 (rounded ranking so a 1-ulp ln() difference cannot
+    * flip the feedback set across engines — the retrieveTopK
+    * convention), weight every term in them by Σ_docs tf/|doc|, drop
+    * the original query terms, return the top `fbTerms` — the terms a
+    * retrieval pipeline ADDS to the query. Both rankings are
+    * TakeOrdered (limit k), never a global sort; the feedback-doc frame
+    * is fbDocs-sized and broadcasts onto its own token scan.
+    *
+    * Output: (term, n_docs, weight) — weight r6 + DECIMAL-summed.
+    */
+  def expansionTerms(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      fbDocs: Int = 10,
+      fbTerms: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(fbDocs > 0 && fbTerms > 0, "need positive feedback sizes")
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,6)")).cast("double")
+    val top = score(docs, queryTerms, k1, b, idCol, textCol)
+      .select(col("id"), r6(col("bm25")).as("__s"))
+      .orderBy(col("__s").desc, col("id").asc)
+      .limit(fbDocs)
+    val fb = docs.join(broadcast(top), docs(idCol) === top("id"), "left_semi")
+    fb
+      .select(col(idCol).as("id"), wordTokens(col(textCol)).as("__toks"))
+      .select(col("id"), size(col("__toks")).cast("double").as("__dl"),
+        explode(col("__toks")).as("term"))
+      .filter(!col("term").isin(queryTerms: _*) && col("__dl") > 0)
+      .groupBy(col("id"), col("term"), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_docs"),
+        r6(dsum(r6(col("__tf").cast("double") / col("__dl")))).as("weight"))
+      .orderBy(col("weight").desc, col("term").asc)
+      .limit(fbTerms)
+  }
+
   /** BM25 with a proximity boost: score + lambda/(1 + min_span) when at
     * least two distinct query terms co-occur, plain BM25 otherwise —
     * the classic cheap reranker between bag-of-words and positional

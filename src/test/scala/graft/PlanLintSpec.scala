@@ -112,7 +112,11 @@ class PlanLintSpec extends SparkSpec {
       // it also broadcasts are |C|-sized aggregates of the model.
       // q_label_noise composes the same NB plan.
       "q_nb"             -> Set("nested-loop-join"),
-      "q_label_noise"    -> Set("nested-loop-join")
+      "q_label_noise"    -> Set("nested-loop-join"),
+      // the group-index rank orders the DISTINCT-SOURCE frame — vocab-
+      // sized by the q_neyman/q_bh contract; the corpus itself only
+      // sees the group-keyed rank window
+      "q_curriculum"     -> Set("global-window")
     )
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       PlanLint.lint(fn(spark, sf))

@@ -102,6 +102,40 @@ class Round9cOpsSpec extends SparkSpec {
     assert(got("flat").getAs[Double]("auc") == 0.5, "a constant feature is a coin flip")
   }
 
+  test("rendezvous hashing: movers only ever move TO a new shard (minimal movement)") {
+    import graft.operators.Shard
+    val keys = (1L to 500L).toDF("k")
+    val a = Shard.rendezvousAssign(
+      Shard.rendezvousAssign(keys, "k", 8, "s", "from8"), "k", 10, "s", "to10")
+    val rows = a.collect()
+    assert(rows.forall(r => r.getAs[Long]("from8") >= 0 && r.getAs[Long]("from8") < 8))
+    assert(rows.forall(r => r.getAs[Long]("to10") >= 0 && r.getAs[Long]("to10") < 10))
+    val movers = rows.filter(r => r.getAs[Long]("from8") != r.getAs[Long]("to10"))
+    assert(movers.forall(_.getAs[Long]("to10") >= 8),
+      "a rendezvous key only relocates when a NEW shard out-weighs every old one")
+    val audit = Shard.rendezvousRebalanceAudit(keys, "k", 8, 10, "s").collect().head
+    assert(audit.getAs[Long]("n_moved") == movers.length.toLong)
+    assert(audit.getAs[Double]("expected_frac") == 0.2)
+    val frac = audit.getAs[Double]("moved_frac")
+    assert(frac > 0.1 && frac < 0.3, s"~1/5 of 500 keys should move, got $frac")
+  }
+
+  test("expansionTerms: co-occurring vocabulary surfaces, query terms never do") {
+    import graft.text.Bm25
+    val docs = Seq(
+      (1L, "spark aaa aaa"), // aaa weight 2/3
+      (2L, "spark bbb"), // bbb weight 1/2
+      (3L, "ccc ccc ccc") // no query term: not a feedback doc
+    ).toDF("doc_id", "text")
+    val got = Bm25.expansionTerms(docs, Seq("spark"), fbDocs = 5, fbTerms = 5)
+      .collect().map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("weight"))).toMap
+    assert(!got.contains("spark"), "original query terms are excluded")
+    assert(!got.contains("ccc"), "non-feedback docs contribute nothing")
+    assert(got("aaa") == ((1L, 0.666667)))
+    assert(got("bbb") == ((1L, 0.5)))
+  }
+
   test("curriculumInterleave: easy-first within groups, round-robin across them") {
     val df = Seq(
       (1L, "a", 3.0), (2L, "a", 1.0), (3L, "a", 2.0),
