@@ -3441,7 +3441,31 @@ object SparkEntry {
 
     // RM1 pseudo-relevance expansion terms off the spark/hash/merge probe
     "q_prf_terms" -> ((s, dir) =>
-      Bm25.expansionTerms(docs(s, dir), Seq("spark", "hash", "merge")))
+      Bm25.expansionTerms(docs(s, dir), Seq("spark", "hash", "merge"))),
+
+    // ------------------------------------------------ round 9 batch T
+
+    // time-decay attribution (1-day half-life): the deployable recency
+    // model between last-touch and the q_markov_attr/q_shapley_attr pair
+    "q_decay_attr" -> ((s, dir) =>
+      Attribution.timeDecayAttribution(ev(s, dir), "user_id", "ts",
+        "event_type", "event_id", "purchase", halfLifeUs = 86400000000L)),
+
+    // DAU / trailing-7-day actives / stickiness per day
+    "q_dau_wau" -> ((s, dir) =>
+      Retention.rollingActives(ev(s, dir), "user_id", "ts")),
+
+    // deterministic balanced downsampling: every lang capped at the
+    // smallest lang's size by seeded hash rank
+    "q_class_balance" -> ((s, dir) =>
+      Sampling.balanceClasses(
+        docs(s, dir).select(col("doc_id"), col("lang")), "lang", "doc_id",
+        seed = "bal9")),
+
+    // qq drift: WHERE src0's length distribution sits vs the rest,
+    // probe by probe
+    "q_qq_drift" -> ((s, dir) =>
+      Drift.qqDrift(docs(s, dir), "n_chars", col("source") === "src0", QuantilePs))
   )
 
   /** Per-user Cox subjects shared by the q_cox Spark call and oracle:
@@ -9431,6 +9455,59 @@ object SparkEntry {
            |    ${r6(s"(${dsum(r6("CAST(tf AS DOUBLE) / dl"))})")} AS weight
            |  FROM f GROUP BY 1)
            |SELECT term, n_docs, weight FROM w ORDER BY weight DESC, term LIMIT 10""".stripMargin
+      },
+
+      "q_decay_attr" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH rows AS (SELECT user_id AS u, event_type AS ty, epoch_us(ts) AS tu,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           |  FROM events WHERE ts IS NOT NULL),
+           |cc AS (SELECT u, min(CASE WHEN ty = 'purchase' THEN rn END) AS cp,
+           |    min(CASE WHEN ty = 'purchase' THEN tu END) AS ct FROM rows GROUP BY 1),
+           |t AS (SELECT r.u, r.ty,
+           |    ${r6("pow(0.5, CAST(cc.ct - r.tu AS DOUBLE) / 86400000000.0)")} AS w
+           |  FROM rows r JOIN cc USING (u) WHERE cc.cp IS NOT NULL AND r.rn < cc.cp),
+           |sw AS (SELECT u, ${dsum("w")} AS sw FROM t GROUP BY 1),
+           |cr AS (SELECT t.ty AS channel, ${r6("t.w / sw.sw")} AS credit
+           |  FROM t JOIN sw USING (u))
+           |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+           |  ${r6(s"(${dsum("credit")})")} AS total_credit
+           |FROM cr GROUP BY 1""".stripMargin
+      },
+
+      "q_dau_wau" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH a AS (SELECT DISTINCT user_id AS key, epoch_us(ts) // 86400000000 AS day
+           |  FROM events WHERE ts IS NOT NULL),
+           |d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM a GROUP BY 1),
+           |c AS (SELECT DISTINCT key, day + o AS wday FROM a, (SELECT unnest(range(0, 7)) AS o)),
+           |w AS (SELECT wday, CAST(count(*) AS BIGINT) AS wau FROM c GROUP BY 1)
+           |SELECT d.day, d.dau, w.wau,
+           |  ${r6("CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE)")} AS stickiness
+           |FROM d JOIN w ON w.wday = d.day""".stripMargin
+      },
+
+      "q_class_balance" ->
+        s"""WITH b AS (SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL),
+           |n AS (SELECT min(cnt) AS nmin FROM (SELECT count(*) AS cnt FROM b GROUP BY lang)),
+           |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+           |  FROM (SELECT doc_id, lang,
+           |          ${h32("concat('bal9', '|', CAST(doc_id AS VARCHAR))")} AS h FROM b))
+           |SELECT doc_id, lang FROM r, n WHERE rn <= nmin""".stripMargin,
+
+      "q_qq_drift" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        val ps = QuantilePs.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
+        s"""WITH v AS (SELECT (source = 'src0') AS slice, CAST(n_chars AS DOUBLE) AS x
+           |  FROM documents WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+           |q AS (SELECT slice, quantile_cont(x, $ps) AS qs FROM v GROUP BY 1),
+           |u AS (SELECT slice, unnest($ps) AS p, unnest(qs) AS q FROM q),
+           |r AS (SELECT p, q FROM u WHERE slice),
+           |c AS (SELECT p, q FROM u WHERE NOT slice)
+           |SELECT coalesce(r.p, c.p) AS p, ${r6("r.q")} AS q_ref, ${r6("c.q")} AS q_cur,
+           |  CASE WHEN r.q IS NOT NULL AND c.q IS NOT NULL THEN ${r6("c.q - r.q")} END AS gap
+           |FROM r FULL JOIN c ON r.p = c.p""".stripMargin
       }
     )
   }

@@ -185,6 +185,56 @@ object Attribution {
     out.toSeq.toDF("channel", "n_transitions", "p_full", "p_removed", "removal_effect")
   }
 
+  /** Time-decay attribution — the recency-weighted middle ground between
+    * last-touch (all credit to the final step) and linear (all steps
+    * equal): each pre-conversion touch earns weight 0.5^(Δt/halfLife)
+    * toward its user's FIRST conversion, normalized so every converting
+    * journey distributes exactly 1.0 credit. The model marketing teams
+    * actually deploy when [[markovRemoval]]/[[shapleyAttribution]] are
+    * too opaque to action.
+    *
+    * One user-keyed window pass (conversion cutoff + journey weight
+    * sum), one channel rollup; weights and credits are r6-pinned with
+    * DECIMAL window/group sums, so the division and both reductions are
+    * engine-replayable. Touches at the conversion instant get weight 1
+    * (Δt = 0); journeys whose conversion is the first event distribute
+    * nothing, visibly (they have no touches).
+    *
+    * Output per channel: (channel, n_touches, total_credit).
+    */
+  def timeDecayAttribution(
+      events: DataFrame,
+      userCol: String,
+      timeCol: String,
+      typeCol: String,
+      tieCol: String,
+      conversionType: String,
+      halfLifeUs: Long): DataFrame = {
+    require(halfLifeUs > 0, s"halfLifeUs must be positive, got $halfLifeUs")
+    val r6 = graft.functions.Portable.r6 _
+    val w = Window.partitionBy(col(userCol)).orderBy(col(timeCol), col(tieCol))
+    val rows = events
+      .filter(col(timeCol).isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).cast("string").as("__ty"),
+        unix_micros(col(timeCol)).as("__tu"),
+        row_number().over(w).as("__rn"))
+    val wu = Window.partitionBy(col("__u"))
+    val touches = rows
+      .withColumn("__cp", min(when(col("__ty") === conversionType, col("__rn"))).over(wu))
+      .withColumn("__ct", min(when(col("__ty") === conversionType, col("__tu"))).over(wu))
+      .filter(col("__cp").isNotNull && col("__rn") < col("__cp"))
+      .withColumn("__w", r6(pow(lit(0.5),
+        (col("__ct") - col("__tu")).cast("double") / lit(halfLifeUs.toDouble))))
+    val withSum = touches.withColumn("__sw",
+      sum(col("__w").cast("decimal(38,6)")).over(Window.partitionBy(col("__u")))
+        .cast("double"))
+    withSum
+      .withColumn("__credit", r6(col("__w") / col("__sw")))
+      .groupBy(col("__ty").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        r6(sum(col("__credit").cast("decimal(38,6)")).cast("double")).as("total_credit"))
+  }
+
   /** Exact Shapley-value attribution (Shapley 1953 applied to journeys,
     * à la Dalessandro et al.) — the order-free axiomatic sibling of
     * [[markovRemoval]]: credit channel c with its average marginal

@@ -45,6 +45,36 @@ object Drift {
     ks.join(psi, Seq("feature"), "left")
   }
 
+  /** Quantile–quantile drift table: exact R-7 quantiles of the
+    * reference and current slices at each probe, side by side with the
+    * gap — WHERE a shifted distribution moved ([[driftReport]] says THAT
+    * it moved; the qq table says "the p90 gained 400 chars while the
+    * median held", which decides whether a clamp or a filter responds).
+    * One sliced quantile aggregate (pinned for its two filter
+    * consumers), then a probe-count-sized join.
+    *
+    * Output per probe: (p, q_ref, q_cur, gap).
+    */
+  def qqDrift(
+      df: DataFrame,
+      valueCol: String,
+      inRef: Column,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "qqDrift needs probe quantiles")
+    val r6 = graft.functions.Portable.r6 _
+    val qs = Profile.quantileSummary(
+      df.select(inRef.as("__slice"), col(valueCol).as("__v")),
+      Seq("__slice"), "__v", ps)
+      .pin(false) // the ref/cur filters both read the sliced aggregate
+    val ref = qs.filter(col("__slice")).select(col("p"), col("q").as("__qr"))
+    val cur = qs.filter(!col("__slice")).select(col("p"), col("q").as("__qc"))
+    ref.join(cur, Seq("p"), "full")
+      .select(col("p"),
+        r6(col("__qr")).as("q_ref"), r6(col("__qc")).as("q_cur"),
+        when(col("__qr").isNotNull && col("__qc").isNotNull,
+          r6(col("__qc") - col("__qr"))).as("gap"))
+  }
+
   /** Per-feature leakage screen: the single-feature ROC AUC of every
     * numeric column against a label, in one melted pass — a feature
     * whose lone AUC approaches 1 (or 0) predicts the label suspiciously

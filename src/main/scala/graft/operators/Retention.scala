@@ -142,6 +142,46 @@ object Retention {
             col("n_churned").cast("double"))))
   }
 
+  /** Rolling actives (DAU/WAU + stickiness): per calendar day the
+    * distinct-key daily actives next to the trailing `windowDays`
+    * actives and their ratio — the engagement staple
+    * ([[growthAccounting]] says WHO moved; stickiness says how often
+    * the stayers show up). The trailing-distinct is computed WITHOUT a
+    * window-distinct (unsupported) or a per-day range self-join: each
+    * active (key, day) contributes itself to the `windowDays` window
+    * END days it falls inside (a bounded explode), and one distinct +
+    * groupBy counts window actives — cost = activity × windowDays
+    * pairs, all map-side combinable. Only days with ≥1 daily active
+    * emit (the trailing window is defined for them by construction).
+    *
+    * Output per day: (day, dau, wau, stickiness = dau/wau).
+    */
+  def rollingActives(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      windowDays: Int = 7,
+      dayUs: Long = 86400000000L): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 90,
+      s"windowDays must be in [1, 90], got $windowDays — the explode factor IS windowDays")
+    val r6 = graft.functions.Portable.r6 _
+    val act = events
+      .filter(col(timeCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        floorDiv(unix_micros(col(timeCol)), dayUs).as("day"))
+      .distinct()
+      .pin(false) // read by the daily rollup and the window contribution
+    val dau = act.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = act
+      .select(col("key"),
+        explode(sequence(col("day"), col("day") + lit((windowDays - 1).toLong))).as("wday"))
+      .distinct()
+      .groupBy(col("wday")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("day") === wau("wday"))
+      .select(col("day"), col("dau"), col("wau"),
+        r6(col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+  }
+
   /** Exact integer floor division (negative-safe: -1 us lands in bucket
     * -1, not 0 — long `/` truncates toward zero). Pure integer math so
     * any engine computes the identical bucket.

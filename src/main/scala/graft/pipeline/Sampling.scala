@@ -418,4 +418,31 @@ object Sampling {
       .withColumn("n_alloc", least(col("n"), col("__base") + col("__bonus")))
       .select(col("stratum"), col("n"), col("sigma"), col("alloc_frac"), col("n_alloc"))
   }
+
+  /** Balanced class downsampling: cap every class at the SMALLEST
+    * class's size, keeping each class's rows with the lowest
+    * md5(seed|id) — the deterministic version of the under-sampling
+    * every imbalanced-label training run starts with (same
+    * seeded-hash-rank discipline as [[deterministicSample]]: re-runs
+    * and engines agree row-for-row, and changing the seed redraws).
+    * One class-keyed rank window + a one-row min broadcast; classes
+    * with NULL labels are dropped (they have no class to balance into).
+    */
+  def balanceClasses(
+      df: DataFrame,
+      classCol: String,
+      idCol: String,
+      seed: String): DataFrame = {
+    val kept = df.filter(col(classCol).isNotNull)
+    val nMin = kept.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")).as("__nmin"))
+    val h = md5Hash32(concat_ws("|", lit(seed), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol)).orderBy(h, col(idCol))
+    kept
+      .withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(nMin)) // one-row frame: lint-exempt
+      .filter(col("__rn") <= col("__nmin"))
+      .drop("__rn", "__nmin")
+  }
 }
