@@ -3465,7 +3465,21 @@ object SparkEntry {
     // qq drift: WHERE src0's length distribution sits vs the rest,
     // probe by probe
     "q_qq_drift" -> ((s, dir) =>
-      Drift.qqDrift(docs(s, dir), "n_chars", col("source") === "src0", QuantilePs))
+      Drift.qqDrift(docs(s, dir), "n_chars", col("source") === "src0", QuantilePs)),
+
+    // full Pearson matrix over the doc features in ONE scan
+    "q_corr_matrix" -> { (s, dir) =>
+      val feats = docs(s, dir).select(
+        col("n_chars").cast("double").as("n_chars"),
+        size(TextFunctions.wordTokens(col("text"))).cast("double").as("n_words"),
+        size(split(col("text"), "\n")).cast("double").as("n_lines"))
+      Stats.correlationMatrix(feats, Seq("n_chars", "n_words", "n_lines"))
+    },
+
+    // Lorenz/concentration table: which length-decile of docs holds the
+    // characters — the curve behind q_gini's single number
+    "q_lorenz" -> ((s, dir) =>
+      Stats.concentrationCurve(docs(s, dir), "n_chars", nBins = 10))
   )
 
   /** Per-user Cox subjects shared by the q_cox Spark call and oracle:
@@ -9508,6 +9522,57 @@ object SparkEntry {
            |SELECT coalesce(r.p, c.p) AS p, ${r6("r.q")} AS q_ref, ${r6("c.q")} AS q_cur,
            |  CASE WHEN r.q IS NOT NULL AND c.q IS NOT NULL THEN ${r6("c.q - r.q")} END AS gap
            |FROM r FULL JOIN c ON r.p = c.p""".stripMargin
+      },
+
+      "q_corr_matrix" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        def cellSqlRow(fa: String, fb: String, a: String, b: String) = {
+          val (sa, sb, qa, qb, p) = (s"s$a", s"s$b", s"q$a", s"q$b", s"p$a$b")
+          val va = s"(CAST(n AS DOUBLE) * $qa - $sa * $sa)"
+          val vb = s"(CAST(n AS DOUBLE) * $qb - $sb * $sb)"
+          s"""SELECT '$fa' AS feature_a, '$fb' AS feature_b, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN n > 1 AND $va > 0 AND $vb > 0 THEN
+             |    ${r6(s"(CAST(n AS DOUBLE) * $p - $sa * $sb) / (sqrt($va) * sqrt($vb))")}
+             |  END AS corr FROM m""".stripMargin
+        }
+        s"""WITH b0 AS (SELECT CAST(n_chars AS DOUBLE) AS a,
+           |    CAST(len(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'')) AS DOUBLE) AS b,
+           |    CAST(len(string_split(text, chr(10))) AS DOUBLE) AS c
+           |  FROM documents),
+           |bb AS (SELECT * FROM b0 WHERE a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL),
+           |m AS (SELECT count(*) AS n,
+           |    ${dsum(r6("a"))} AS sa, ${dsum(r6("a * a"))} AS qa,
+           |    ${dsum(r6("b"))} AS sb, ${dsum(r6("b * b"))} AS qb,
+           |    ${dsum(r6("c"))} AS sc, ${dsum(r6("c * c"))} AS qc,
+           |    ${dsum(r6("a * b"))} AS pab, ${dsum(r6("a * c"))} AS pac,
+           |    ${dsum(r6("b * c"))} AS pbc
+           |  FROM bb)
+           |${cellSqlRow("n_chars", "n_words", "a", "b")}
+           |UNION ALL
+           |${cellSqlRow("n_chars", "n_lines", "a", "c")}
+           |UNION ALL
+           |${cellSqlRow("n_words", "n_lines", "b", "c")}""".stripMargin
+      },
+
+      "q_lorenz" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        val ps = (1 until 10).map(p => s"CAST(0.${p} AS DOUBLE)").mkString("[", ", ", "]")
+        s"""WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+           |  WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+           |e AS (SELECT quantile_cont(x, $ps) AS qs FROM v),
+           |bn AS (SELECT CAST(len(list_filter(e.qs, q -> q < v.x)) AS BIGINT) AS bin, v.x
+           |  FROM v, e),
+           |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, ${dsum(r6("x"))} AS s
+           |  FROM bn GROUP BY 1),
+           |t AS (SELECT ${dsum(r6("s"))} AS tot FROM g),
+           |cm AS (SELECT a.bin, ${dsum(r6("b.s"))} AS cs
+           |  FROM g a JOIN g b ON b.bin <= a.bin GROUP BY 1)
+           |SELECT g.bin, g.n,
+           |  CASE WHEN tot > 0 THEN ${r6("g.s / tot")} END AS value_share,
+           |  CASE WHEN tot > 0 THEN ${r6("cm.cs / tot")} END AS cum_share
+           |FROM g JOIN cm ON g.bin = cm.bin, t""".stripMargin
       }
     )
   }

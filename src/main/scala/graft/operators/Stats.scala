@@ -1446,4 +1446,91 @@ object Stats {
         hY.as("h_y") :+ hYgX.as("h_y_given_x") :+
         when(hY > 0.0, (hY - hYgX) / hY).as("u")): _*)
   }
+
+  /** Full Pearson correlation MATRIX over ≤16 numeric columns in ONE
+    * global aggregate — the EDA staple that loop-calling a per-pair
+    * corr would turn into k(k−1)/2 corpus scans. All k(k+3)/2 + 1
+    * moment sums (n, Σx, Σx², every Σx·y) evaluate in a single pass;
+    * rows are LISTWISE complete (any NULL among the columns drops the
+    * row — same n for every cell, the textbook matrix). Pairs then
+    * unfold from the one-row moment frame as a literal-struct explode.
+    * Moments are r6 + DECIMAL(38,6); zero-variance columns yield NULL
+    * cells, visibly.
+    *
+    * Output per unordered pair (a < b by column order):
+    * (feature_a, feature_b, n, corr).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 16,
+      s"correlationMatrix needs 2..16 columns, got ${cols.size} — wider " +
+        "matrices belong in batched calls")
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val base = df
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size)
+      yield (cols(i), cols(j))
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+        cols.flatMap(c => Seq(
+          dsum(r6(col(c))).as(s"__s_$c"),
+          dsum(r6(col(c) * col(c))).as(s"__q_$c"))) ++
+        pairs.map { case (a, b) => dsum(r6(col(a) * col(b))).as(s"__p_${a}__$b") }
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n").cast("double")
+    def cell(a: String, b: String): Column = {
+      val cov = n * col(s"__p_${a}__$b") - col(s"__s_$a") * col(s"__s_$b")
+      def varN(c: String) = n * col(s"__q_$c") - col(s"__s_$c") * col(s"__s_$c")
+      struct(lit(a).as("feature_a"), lit(b).as("feature_b"),
+        col("__n").as("n"),
+        when(col("__n") > 1 && varN(a) > 0 && varN(b) > 0,
+          r6(cov / (sqrt(varN(a)) * sqrt(varN(b))))).as("corr"))
+    }
+    m.select(explode(array(pairs.map { case (a, b) => cell(a, b) }: _*)).as("__c"))
+      .select(col("__c.feature_a"), col("__c.feature_b"), col("__c.n"), col("__c.corr"))
+  }
+
+  /** Concentration (Lorenz) table: split the corpus into value-decile
+    * bins by exact R-7 quantile EDGES (bin = how many edges lie strictly
+    * below the value — ties cluster, so bins can be uneven, by design)
+    * and report each bin's share of the TOTAL value plus the running
+    * share — the curve behind #100's single Gini number ("the top
+    * decile of docs holds 48% of all characters"). Edges ride a one-row
+    * broadcast; the cumulative runs as a bin×bin join on the
+    * nBins-sized frame, never a partition-less window.
+    *
+    * Output per non-empty bin: (bin, n, value_share, cum_share).
+    */
+  def concentrationCurve(
+      df: DataFrame,
+      valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 100, s"nBins must be in [2, 100], got $nBins")
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull && !isnan(v)).select(v.as("__v"))
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val edges = Profile.quantileSummary(
+      base.withColumn("__g", lit(1)), Seq("__g"), "__v", ps)
+      .agg(sort_array(collect_list(col("q"))).as("__edges"))
+    val binned = base
+      .crossJoin(broadcast(edges)) // one-row edge frame: lint-exempt
+      .select(size(filter(col("__edges"), e => e < col("__v"))).cast("long").as("bin"),
+        col("__v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), dsum(r6(col("__v"))).as("__s"))
+      .pin(false) // totals + the cumulative join both read it
+    val tot = binned.agg(dsum(r6(col("__s"))).as("__tot"))
+    val cum = binned.as("a")
+      .join(binned.as("b"), col("b.bin") <= col("a.bin"))
+      .groupBy(col("a.bin").as("bin"))
+      .agg(dsum(r6(col("b.__s"))).as("__cs"))
+    binned.join(cum, Seq("bin"))
+      .crossJoin(broadcast(tot)) // one-row totals: lint-exempt
+      .select(col("bin"), col("n"),
+        when(col("__tot") > 0, r6(col("__s") / col("__tot"))).as("value_share"),
+        when(col("__tot") > 0, r6(col("__cs") / col("__tot"))).as("cum_share"))
+  }
 }

@@ -116,7 +116,10 @@ class PlanLintSpec extends SparkSpec {
       // the group-index rank orders the DISTINCT-SOURCE frame — vocab-
       // sized by the q_neyman/q_bh contract; the corpus itself only
       // sees the group-keyed rank window
-      "q_curriculum"     -> Set("global-window")
+      "q_curriculum"     -> Set("global-window"),
+      // the Lorenz cumulative is a triangular join on the BIN frame —
+      // ≤ 100 rows by the nBins require, never the corpus
+      "q_lorenz"         -> Set("nested-loop-join")
     )
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       PlanLint.lint(fn(spark, sf))

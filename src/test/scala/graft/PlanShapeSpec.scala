@@ -118,7 +118,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_chi2", "q_cramers_v", // category-marginal frames (contingency vocab)
       "q_kmv", // k=256-register sketches, one per source (source-pair algebra)
       "q_mvc", // the single control-arm summary row joined onto each arm
-      "q_nb", "q_label_noise") // NB class-model frames (classes × bounded vocab)
+      "q_nb", "q_label_noise", // NB class-model frames (classes × bounded vocab)
+      "q_lorenz") // cumulative via triangular join on the ≤100-bin frame (nBins contract)
     val sf = "/root/testdata/sf0.001"
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (bruteByContract(name) || boundedBuildByContract(name)) Nil

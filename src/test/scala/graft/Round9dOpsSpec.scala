@@ -51,6 +51,40 @@ class Round9dOpsSpec extends SparkSpec {
     assert(again == out.collect().map(_.getAs[Long]("id")).toSet, "same seed, same rows")
   }
 
+  test("correlationMatrix: one pass yields every cell; listwise-complete n; NULL on zero variance") {
+    import graft.operators.Stats
+    val rows: Seq[(Option[Double], Double, Double, Double)] =
+      (1 to 10).map(i => (Some(i.toDouble), 2.0 * i, -1.0 * i, 7.0)) :+
+        ((Option.empty[Double], 1.0, 1.0, 7.0))
+    val typed = rows.toDF("x", "y", "z", "const")
+    val got = Stats.correlationMatrix(typed, Seq("x", "y", "z", "const"))
+      .collect().map(r => (r.getAs[String]("feature_a"), r.getAs[String]("feature_b")) -> r).toMap
+    assert(got.size == 6, "4 columns -> 6 unordered pairs")
+    assert(got.values.forall(_.getAs[Long]("n") == 10L), "the null row drops from EVERY cell")
+    assert(got(("x", "y")).getAs[Double]("corr") == 1.0)
+    assert(got(("x", "z")).getAs[Double]("corr") == -1.0)
+    assert(got(("y", "z")).getAs[Double]("corr") == -1.0)
+    assert(got(("x", "const")).isNullAt(got(("x", "const")).fieldIndex("corr")),
+      "zero-variance column -> NULL cell, visibly")
+  }
+
+  test("concentrationCurve: shares and running shares over value-decile bins") {
+    import graft.operators.Stats
+    val df = (1 to 10).map(_.toDouble).toDF("v")
+    val got = Stats.concentrationCurve(df, "v", nBins = 2).collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L).getAs[Long]("n") == 5L && got(1L).getAs[Long]("n") == 5L)
+    assert(got(0L).getAs[Double]("value_share") == 0.272727) // 15/55
+    assert(got(1L).getAs[Double]("value_share") == 0.727273) // 40/55
+    assert(got(1L).getAs[Double]("cum_share") == 1.0)
+    // all-equal values: every edge ties, everything lands in bin 0
+    val flat = Seq.fill(6)(3.0).toDF("v")
+    val f = Stats.concentrationCurve(flat, "v", nBins = 3).collect()
+    assert(f.length == 1 && f.head.getAs[Long]("bin") == 0L)
+    assert(f.head.getAs[Double]("cum_share") == 1.0)
+  }
+
   test("qqDrift: the gap localizes the shift probe by probe") {
     val rows = (1 to 10).map(v => (true, v.toDouble)) ++
       (1 to 10).map(v => (false, v.toDouble + 10.0))
