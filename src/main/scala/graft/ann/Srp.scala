@@ -98,8 +98,20 @@ object Srp {
     * missed mass and recall_a an upper bound on true recall
     * (documented, the standard capture-recapture caveat).
     *
-    * Cost: exactly two LSH passes (each the bounded-bucket machinery)
-    * plus one pair-frame join and a one-row aggregate.
+    * Cost: the corpus is scanned ONCE — the (id, vector) frame pins
+    * up front and BOTH seeds' sign bits evaluate in a single
+    * projection over the pinned copy (2·nPlanes dot products per row,
+    * one pass); only the per-seed band/bucket machinery and the
+    * verify joins — all reading the pinned frame — run twice, which
+    * is the method (two independent captures). The dominant cost is
+    * the bucket machinery itself, and THAT is driven by the near-dup
+    * pair population (quadratic in cluster density), not corpus rows —
+    * measured: 10× vectors grew the estimated pair population 98× and
+    * wall time 5.4× (SURVEY §4 "Capture–recapture work growth",
+    * [[graft.CrProbe]] for the stage breakdown). Size bands to the
+    * corpus via `nPlanes`/`numBands` (bits/band ≈ log₂(n/targetBucket))
+    * when auditing bigger corpora; 4-bit bands saturate ≈20k clustered
+    * vectors.
     *
     * Output ONE row: (n_a, n_b, n_both, n_est, se_est, recall_a,
     * recall_b) — estimate NULL when either pass catches nothing.
@@ -116,13 +128,33 @@ object Srp {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(seedA != seedB, "the two passes need independent hyperplane seeds")
+    import graft.plans.Materialize.PinOps
     val r6 = graft.functions.Portable.r6 _
-    def pass(seed: String, flag: String) =
-      srpLshPairs(vectors, threshold, nPlanes, numBands, dim, maxBucketSize,
-        idCol, vecCol, seed)
+    val pinned = vectors.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .pin(false) // both seeded projections + all 4 verify joins read it
+    def seedBits(seed: String, tag: String): Seq[Column] =
+      planes(nPlanes, dim, seed).toSeq.zipWithIndex.map { case (pl, p) =>
+        when(graft.functions.GraftFunctions.dotProduct(
+          col("__v"), typedLit(pl)) >= 0.0, lit(1))
+          .otherwise(lit(0)).as(s"__${tag}_$p")
+      }
+    val sigsBoth = pinned.select(
+      col("id") +: (seedBits(seedA, "a") ++ seedBits(seedB, "b")): _*)
+      .pin(false) // one corpus projection feeds both band passes
+    def pass(tag: String, flag: String): DataFrame = {
+      val sigs = sigsBoth.select(
+        col("id") +:
+          (0 until nPlanes).map(p => col(s"__${tag}_$p").as(s"minhash_$p")): _*)
+      graft.dedup.Dedup.minhashCandidatePairs(sigs, nPlanes, numBands, maxBucketSize)
+        .join(pinned.select(col("id").as("id_a"), col("__v").as("__va")), "id_a")
+        .join(pinned.select(col("id").as("id_b"), col("__v").as("__vb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          r6(Similarity.cosine(col("__va"), col("__vb"))).as("cosine"))
+        .filter(col("cosine") >= threshold)
         .select(col("id_a"), col("id_b"), lit(1).as(flag))
-    val joined = pass(seedA, "__ina")
-      .join(pass(seedB, "__inb"), Seq("id_a", "id_b"), "full")
+    }
+    val joined = pass("a", "__ina")
+      .join(pass("b", "__inb"), Seq("id_a", "id_b"), "full")
     val n1 = count(col("__ina")).cast("double")
     val n2 = count(col("__inb")).cast("double")
     val m = count(when(col("__ina").isNotNull && col("__inb").isNotNull, lit(1)))

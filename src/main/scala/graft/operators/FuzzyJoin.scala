@@ -252,8 +252,18 @@ object FuzzyJoin {
             lit(s"blockingQuality: block '"), col("block"),
             lit(s"' holds more than $maxBlockSize names — the exact gold " +
               "pair set is quadratic per block; audit a sample instead")))))
-    val gold = ranked.as("a")
-      .join(ranked.as("b"),
+    // Route the quadratic self-join THROUGH the audited block list:
+    // `audited` only emits a block after its size passed the raise_error
+    // in `sizes`, so an oversized block aborts the job before the O(s²)
+    // pair scan it documents guarding against can execute.
+    // (the filter CONSUMES __bs so column pruning cannot drop the
+    // raise_error projection; it is vacuously true for any valid size)
+    val audited = ranked
+      .join(sizes.select(col("block"), col("__bs")), Seq("block"))
+      .filter(col("__bs") >= 1L)
+      .drop("__bs")
+    val gold = audited.as("a")
+      .join(audited.as("b"),
         col("a.block") === col("b.block") && col("a.rnk") < col("b.rnk"))
       .filter(levenshtein(col("a.name"), col("b.name")) <= maxDist)
       .select(col("a.name").as("a_name"), col("b.name").as("b_name"))

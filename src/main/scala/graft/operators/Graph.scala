@@ -231,6 +231,7 @@ object Graph {
       s"maxHops must be in [1, 32], got $maxHops — deeper reach on a " +
         "connected graph is a full scan; use connected components instead")
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull)
     var visited = seeds.select(seeds.columns.head).toDF("node")
       .filter(col("node").isNotNull).distinct()
       .withColumn("dist", lit(0L)).pin(true)

@@ -1467,27 +1467,32 @@ object Stats {
     val r6 = graft.functions.Portable.r6 _
     def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
     val base = df
-      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .filter(cols.map(c =>
+        col(c).isNotNull && !isnan(col(c).cast("double"))).reduce(_ && _))
       .select(cols.map(c => col(c).cast("double").as(c)): _*)
+    // Positional (i, j) pair indices: user column names may themselves
+    // contain "__", so embedding raw names in the moment aliases could
+    // collide (cols x, y__z, x__y, z ⇒ two `__p_x__y__z`).
     val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size)
-      yield (cols(i), cols(j))
+      yield (i, j)
     val aggs =
       Seq(count(lit(1)).as("__n")) ++
-        cols.flatMap(c => Seq(
-          dsum(r6(col(c))).as(s"__s_$c"),
-          dsum(r6(col(c) * col(c))).as(s"__q_$c"))) ++
-        pairs.map { case (a, b) => dsum(r6(col(a) * col(b))).as(s"__p_${a}__$b") }
+        cols.indices.flatMap(i => Seq(
+          dsum(r6(col(cols(i)))).as(s"__s_$i"),
+          dsum(r6(col(cols(i)) * col(cols(i)))).as(s"__q_$i"))) ++
+        pairs.map { case (i, j) =>
+          dsum(r6(col(cols(i)) * col(cols(j)))).as(s"__p_${i}_$j") }
     val m = base.agg(aggs.head, aggs.tail: _*)
     val n = col("__n").cast("double")
-    def cell(a: String, b: String): Column = {
-      val cov = n * col(s"__p_${a}__$b") - col(s"__s_$a") * col(s"__s_$b")
-      def varN(c: String) = n * col(s"__q_$c") - col(s"__s_$c") * col(s"__s_$c")
-      struct(lit(a).as("feature_a"), lit(b).as("feature_b"),
+    def cell(i: Int, j: Int): Column = {
+      val cov = n * col(s"__p_${i}_$j") - col(s"__s_$i") * col(s"__s_$j")
+      def varN(k: Int) = n * col(s"__q_$k") - col(s"__s_$k") * col(s"__s_$k")
+      struct(lit(cols(i)).as("feature_a"), lit(cols(j)).as("feature_b"),
         col("__n").as("n"),
-        when(col("__n") > 1 && varN(a) > 0 && varN(b) > 0,
-          r6(cov / (sqrt(varN(a)) * sqrt(varN(b))))).as("corr"))
+        when(col("__n") > 1 && varN(i) > 0 && varN(j) > 0,
+          r6(cov / (sqrt(varN(i)) * sqrt(varN(j))))).as("corr"))
     }
-    m.select(explode(array(pairs.map { case (a, b) => cell(a, b) }: _*)).as("__c"))
+    m.select(explode(array(pairs.map { case (i, j) => cell(i, j) }: _*)).as("__c"))
       .select(col("__c.feature_a"), col("__c.feature_b"), col("__c.n"), col("__c.corr"))
   }
 
