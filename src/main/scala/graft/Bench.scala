@@ -49,7 +49,22 @@ object Bench {
     "q1_pricing", "q_top_customers", "q_dedup_exact", "q_dedup_jaccard",
     "q_dedup_cluster", "q_containment", "q_curation", "q_pagerank",
     "q_semdedup", "q_simhash_pairs", "q_minhash_sigs", "q_cross_dedup",
-    "q_dedup_minhash", "q_source_sim")
+    "q_dedup_minhash", "q_source_sim",
+    // round-10: rotate the subset onto the post-round-7 statistical/
+    // causal/graph fleet (round-9 verdict item 1) — the ten most
+    // expensive non-dedup queries, whose flat-across-scale claim for
+    // the fixed-step fits previously rested on a sf0.001→sf1 probe.
+    // q_capture_recapture is here to MEASURE the documented 4-bit-band
+    // saturation (SURVEY §4): at 200k clustered vectors most buckets
+    // blow the 1000 cap and drop whole, so the audit goes cheap and
+    // catches little — the signal an operator re-sizes bands on.
+    "q_cox", "q_matched_att", "q_hte", "q_communities", "q_adamic",
+    "q_shapley_attr", "q_nb", "q_khop", "q_meds_pipeline",
+    "q_capture_recapture",
+    // the LOF scale path's one-decade-further point (200k vectors,
+    // auto-sized nBits=9 → ~(nBits+1)·n^1.5 candidate pairs); sf100
+    // is out of single-node reach — see the Sf100Queries note
+    "q_lof_scalable")
 
   /** The 1000x (sf100, 5M documents) subset — the SCALE-PATH dedup
     * operators. Exact shingle-jaccard/containment are NOT here by
@@ -64,7 +79,19 @@ object Bench {
     * Rows-only — no oracle at this size; the df-cap-bind evidence
     * (max_df 1323, shingles over cap) comes from [[graft.CapBindProbe]].
     */
-  val Sf100Queries: Seq[String] = Seq("q_dedup_minhash", "q_minhash_sigs", "q_line_dedup")
+  val Sf100Queries: Seq[String] = Seq(
+    "q_dedup_minhash", "q_minhash_sigs", "q_line_dedup",
+    // round-10 (round-9 verdict item 4): the remaining operators that
+    // claim a 100 TB-safe shape, now exercised at 5M docs instead of
+    // trusted past sf10: cross-corpus exact dedup (hash anti-join),
+    // canonical-URL dedup (hash groupBy), and SimHash banding (1000-cap
+    // buckets). q_lof_scalable is NOT here by arithmetic, not oversight:
+    // self-kNN is (nBits+1)·n^1.5 pairs under the sizing rule — at 2M
+    // vectors that is ~3×10^10 scored pairs (≈ a TB-scale shuffle),
+    // distributable across a cluster but past this node's disk exactly
+    // like exact shingle-jaccard above; its one-decade-further
+    // measurement runs in the sf10 section instead (auto-sized nBits=9).
+    "q_cross_dedup", "q_url_dedup", "q_simhash_pairs")
 
   /** Queries re-benched under `spark.graft.checkpointDir` (reliable
     * checkpoints — the 100 TB production mode for the iterative ops):

@@ -106,6 +106,52 @@ object Lof {
     lofFromScored(scored, k, enforceK = true)
   }
 
+  /** FUSED self-kNN LOF — [[selfProbeCandidates]] ∘ [[lofWithCandidates]]
+    * with the candidate PAIR FRAME eliminated: both sides of the cell
+    * join carry their vectors, the distance evaluates inside the join's
+    * projection, and the rows stream straight into the bounded top-k
+    * partial aggregate — the (nBits+1)·n^1.5 pairs exist only inside
+    * one whole-stage-codegen pipeline and NEVER hit the shuffle layer
+    * or disk. The unfused composition materializes the pair frame and
+    * then sort-merge-joins it back to the vector table twice; at 200k
+    * vectors (nBits=9, ~8·10^8 pairs) that is a multi-hundred-GB sort
+    * spill — measured ENOSPC on the round-10 bench node — while this
+    * shape's exchanges carry only the probe and corpus frames
+    * (corpus·(radius+1) rows). Same pairs, same distances, bit-identical
+    * output (the LofSpec parity contract).
+    *
+    * The cell join is hinted shuffle_hash: both sides partition by
+    * `__cell` (a handful of vectors per cell under the [[sizedBits]]
+    * rule — the build map stays small), and sorting 10^8-row join
+    * OUTPUT, which is what a sort-merge plan would do, is exactly the
+    * spill this method exists to avoid.
+    */
+  def selfProbeLof(
+      vectors: DataFrame,
+      k: Int,
+      nBits: Int = 7,
+      probeRadius: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val corpus = vectors.select(
+      col(idCol).cast("long").as("nb"),
+      col(vecCol).as("__vc"),
+      Similarity.signBitCell(col(vecCol), nBits).as("__cell"))
+    val masks = Similarity.probeMasks(nBits, probeRadius)
+    val probes = vectors
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__vq"),
+        Similarity.signBitCell(col(vecCol), nBits).as("__qc"))
+      .select(col("id"), col("__vq"),
+        explode(array(masks.map(m => col("__qc").bitwiseXOR(lit(m))): _*)).as("__cell"))
+    val scored = probes
+      .join(corpus.hint("shuffle_hash"), Seq("__cell"))
+      .filter(col("id") =!= col("nb"))
+      .select(col("id"), col("nb"),
+        sqrt(graft.functions.GraftFunctions.sqDist(col("__vq"), col("__vc"))).as("__d"))
+    lofFromScored(scored, k, enforceK = true)
+  }
+
   /** Self-kNN candidate pairs for [[lofWithCandidates]]: every vector
     * probes its own sign-bit cell plus the cells one sign-flip away
     * (radius ≤ 2 via [[Similarity.probeMasks]]) and pairs with every
@@ -123,6 +169,22 @@ object Lof {
     * corpus vector lives in exactly one cell), so pass
     * `pairsDistinct = true` downstream and skip the dedup shuffle.
     */
+  /** The IVF sizing rule as a function: 2^nBits ≈ √n, floored so tiny
+    * corpora keep enough cells for the probe ring to mean something and
+    * capped at 16 (65k cells — past that the probe fan-out, nBits+1
+    * cells per point, costs more than the cell shrink saves at any n
+    * this library targets). Pairs scale as (nBits+1)·n^1.5 under this
+    * rule; a FIXED nBits degrades to n²/2^nBits as the corpus grows —
+    * the round-10 sf10 measurements of q_lof_scalable use exactly this
+    * sizing (nBits 7 up to ~8k vectors, 8 at 20k, 9 at 200k).
+    */
+  def sizedBits(n: Long, floor: Int = 7, cap: Int = 16): Int = {
+    require(floor >= 1 && cap >= floor, s"need 1 <= floor <= cap, got $floor..$cap")
+    val bits = math.ceil(
+      math.log(math.sqrt(math.max(1L, n).toDouble)) / math.log(2.0)).toInt
+    math.min(cap, math.max(floor, bits))
+  }
+
   def selfProbeCandidates(
       vectors: DataFrame,
       nBits: Int = 7,
