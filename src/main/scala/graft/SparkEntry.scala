@@ -3496,7 +3496,121 @@ object SparkEntry {
     // Lorenz/concentration table: which length-decile of docs holds the
     // characters — the curve behind q_gini's single number
     "q_lorenz" -> ((s, dir) =>
-      Stats.concentrationCurve(docs(s, dir), "n_chars", nBins = 10))
+      Stats.concentrationCurve(docs(s, dir), "n_chars", nBins = 10)),
+
+    // ---- round 10 batch T: exact/paired/resampling tests ----
+
+    // Fisher's exact 2x2 per source: rare exposure (1-in-3 by id)
+    // vs containing "join" — the small-cell regime chi2 gets wrong
+    "q_fisher" -> ((s, dir) =>
+      Hypothesis.fisherExact(docs(s, dir), Seq("source"),
+        pmod(col("doc_id"), lit(3)) === 0, col("text").contains("join"))),
+
+    // McNemar paired flip test per lang: do the "join" and "merge"
+    // detectors disagree asymmetrically on the same docs
+    "q_mcnemar" -> ((s, dir) =>
+      Hypothesis.mcnemar(docs(s, dir), Seq("lang"),
+        col("text").contains("join"), col("text").contains("merge"))),
+
+    // Holm step-down over the same per-slice tests frame as q_bh —
+    // FWER where q_bh is FDR
+    "q_holm" -> { (s, dir) =>
+      val tests = Hypothesis.twoProportionZ(docs(s, dir), Seq("lang", "source"),
+          col("n_chars") > 300,
+          pmod(TextFunctions.md5Hash32(concat(lit("bh|"), col("doc_id").cast("string"))),
+            lit(2)) === 0)
+        .select(col("lang"), col("source"),
+          graft.functions.Portable.r6(col("z")).as("z"),
+          graft.functions.Portable.r6(Hypothesis.pFromZ(col("z"))).as("p"))
+      Hypothesis.holm(tests, "p", Seq("lang", "source"), alpha = 0.1)
+        .select(col("lang"), col("source"), col("z"), col("p"), col("m"),
+          col("rank"), graft.functions.Portable.r6(col("p_adj")).as("p_adj"),
+          col("reject"))
+    },
+
+    // randomization test: 19 deterministic md5 relabelings of the
+    // en-vs-rest mean n_chars difference
+    "q_rand_test" -> ((s, dir) =>
+      Hypothesis.randomizationTest(docs(s, dir), "n_chars",
+        col("lang") === "en", "doc_id", k = 19, seed = "rt")),
+
+    // ---- round 10 batch U: screens, agreement, fairness ----
+
+    // mutual-information screen: which categorical doc columns know
+    // the " the " label
+    "q_mi" -> ((s, dir) =>
+      Stats.miScreen(docs(s, dir), Seq("lang", "source"),
+        col("text").contains(" the "))),
+
+    // Kendall's W: do the 5 event types agree on the user-decile
+    // ranking by total value
+    "q_kendall_w" -> { (s, dir) =>
+      val cells = ev(s, dir).filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy(col("event_type"), pmod(col("user_id"), lit(10)).as("bucket"))
+        .agg(graft.functions.Portable.r6(
+          sum(col("value").cast("decimal(38,6)")).cast("double")).as("total"))
+      Stats.kendallW(cells, "event_type", "bucket", "total")
+    },
+
+    // per-class one-vs-rest metrics of the n-gram language-ID against
+    // the true lang column
+    "q_cls_metrics" -> ((s, dir) =>
+      Evaluation.classMetrics(
+        docs(s, dir).select(col("lang"),
+          TextFunctions.langId(col("text")).as("lang_pred")),
+        "lang", "lang_pred")),
+
+    // fairness audit of a length-gate "keep" decision across langs,
+    // labeled by the " the " ground truth
+    "q_fair_audit" -> ((s, dir) =>
+      Fairness.fairnessAudit(docs(s, dir), "lang",
+        col("n_chars") > 800, col("text").contains(" the "))),
+
+    // ---- round 10 batch V: attribution/LTV/text/series ----
+
+    // U-shaped 40/20/40 attribution, same journey truncation as
+    // q_decay_attr
+    "q_position_attr" -> ((s, dir) =>
+      Attribution.positionAttribution(ev(s, dir), "user_id", "ts",
+        "event_type", "event_id", "purchase", endWeight = 0.4)),
+
+    // cohort LTV: cumulative value per cohort member by cohort age
+    "q_ltv" -> ((s, dir) =>
+      Retention.ltvCurve(ev(s, dir), "user_id", "ts", "value")),
+
+    // Yule's K repetitiveness constant per source
+    "q_yule_k" -> ((s, dir) =>
+      graft.text.Lexical.yuleK(docs(s, dir), Seq("source"))),
+
+    // Luhn-verified card-number candidates over deterministically
+    // planted digit runs (the corpus itself is digit-free)
+    "q_luhn" -> ((s, dir) =>
+      graft.text.Lexical.luhnScan(
+        docs(s, dir).withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" card "),
+              lpad(pmod(col("doc_id") * 2654435761L, lit(10000000000L)).cast("string"), 10, "0"),
+              lpad(pmod((col("doc_id") + 13L) * 97L, lit(100000L)).cast("string"), 5, "0")))
+            .otherwise(col("text"))))),
+
+    // ERR@10 of the BM25 ranking — the cascade-model metric next to
+    // q_retrieval_eval's nDCG
+    "q_err" -> { (s, dir) =>
+      val qs = Seq(
+        "q_joins"  -> Seq("join", "hash", "merge"),
+        "q_scan"   -> Seq("scan", "filter", "column"),
+        "q_stream" -> Seq("stream", "window", "batch"))
+      val ranking = Bm25.retrieveTopK(docs(s, dir), qs, k = 10)
+        .select(col("query_id"), col("id").as("doc_id"), col("rank"))
+      val rel = graft.text.RetrievalEval.containsAllRelevance(docs(s, dir), qs)
+      graft.text.RetrievalEval.errAtK(ranking, rel, k = 10)
+        .select(col("query_id"), col("n_relevant"), col("err_at_k").as("err_at_10"))
+    },
+
+    // SAX words: each event type's value series as an 8-letter shape
+    "q_sax" -> ((s, dir) =>
+      Trend.sax(ev(s, dir), Seq("event_type"), "ts", "event_id", "value",
+        nSegments = 8))
   )
 
   /** Per-user Cox subjects shared by the q_cox Spark call and oracle:
@@ -5182,6 +5296,362 @@ object SparkEntry {
       "q_hll" ->
         """SELECT event_type, count(DISTINCT user_id) AS n_distinct,
           |TRUE AS est_within_band FROM events GROUP BY 1""".stripMargin,
+
+      // ---- round 10 batch T-V oracles ----
+
+      "q_fisher" -> {
+        def lf(e: String) = graft.functions.SpecialMath.lfactSql(e)
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def lp(k: String) =
+          s"${lf("r1")} + ${lf("n - r1")} + ${lf("c1")} + ${lf("n - c1")} - ${lf("n")}" +
+            s" - ${lf(k)} - ${lf(s"r1 - ($k)")} - ${lf(s"c1 - ($k)")} - ${lf(s"n - r1 - c1 + ($k)")}"
+        s"""WITH cells AS (SELECT source,
+           |    CAST(count(CASE WHEN doc_id % 3 = 0 AND contains(text, 'join') THEN 1 END) AS BIGINT) AS a,
+           |    CAST(count(CASE WHEN doc_id % 3 = 0 AND NOT contains(text, 'join') THEN 1 END) AS BIGINT) AS b,
+           |    CAST(count(CASE WHEN doc_id % 3 <> 0 AND contains(text, 'join') THEN 1 END) AS BIGINT) AS c,
+           |    CAST(count(CASE WHEN doc_id % 3 <> 0 AND NOT contains(text, 'join') THEN 1 END) AS BIGINT) AS d
+           |  FROM documents GROUP BY 1),
+           |m AS (SELECT source, a, b, c, d, a + b + c + d AS n, a + b AS r1, a + c AS c1 FROM cells),
+           |t AS (SELECT *, unnest(range(greatest(0, r1 + c1 - n), least(r1, c1) + 1)) AS k FROM m),
+           |l AS (SELECT source, a, b, c, d, (${lp("k")}) AS lpk, (${lp("a")}) AS lpobs FROM t)
+           |SELECT source, a, b, c, d,
+           |  ${r6("least(1.0, CAST(coalesce(sum(CASE WHEN lpk <= lpobs + 1e-7 THEN CAST(" + r6("exp(lpk)") + " AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END), 0) AS DOUBLE))")} AS p_value
+           |FROM l GROUP BY 1, 2, 3, 4, 5""".stripMargin
+      },
+
+      "q_mcnemar" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        val pSql = "least(1.0, 2.0 * exp(-az * az / 2.0) / " +
+          s"${math.sqrt(2.0 * math.Pi)} * " +
+          "(0.4361836 * tt - 0.1201676 * tt * tt + 0.9372980 * tt * tt * tt))"
+        s"""WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(CASE WHEN contains(text, 'join') AND NOT contains(text, 'merge') THEN 1 END) AS BIGINT) AS b,
+           |    CAST(count(CASE WHEN NOT contains(text, 'join') AND contains(text, 'merge') THEN 1 END) AS BIGINT) AS c
+           |  FROM documents GROUP BY 1),
+           |x AS (SELECT lang, n, b, c,
+           |    CASE WHEN b + c > 0 THEN (CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2
+           |  FROM g),
+           |z AS (SELECT lang, n, b, c, chi2, sqrt(chi2) AS az,
+           |    1.0 / (1.0 + 0.33267 * sqrt(chi2)) AS tt FROM x)
+           |SELECT lang, n, b, c, ${r6("chi2")} AS chi2,
+           |  CASE WHEN chi2 IS NOT NULL THEN ${r6(pSql)} END AS p_value
+           |FROM z""".stripMargin
+      },
+
+      "q_holm" -> {
+        val pSql = "least(1.0, 2.0 * exp(-az * az / 2.0) / " +
+          s"${math.sqrt(2.0 * math.Pi)} * " +
+          "(0.4361836 * tt - 0.1201676 * tt * tt + 0.9372980 * tt * tt * tt))"
+        s"""WITH v AS (SELECT lang, source,
+           |    CASE WHEN ${h32("concat('bh|', CAST(doc_id AS VARCHAR))")} % 2 = 0 THEN 1 ELSE 0 END AS a,
+           |    CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS hit
+           |  FROM documents),
+           |g AS (SELECT lang, source,
+           |        CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(1 - a) AS BIGINT) AS n_b,
+           |        CAST(coalesce(sum(CASE WHEN a = 1 THEN hit END), 0) AS BIGINT) AS k_a,
+           |        CAST(coalesce(sum(CASE WHEN a = 0 THEN hit END), 0) AS BIGINT) AS k_b
+           |      FROM v GROUP BY 1, 2),
+           |e AS (SELECT lang, source, n_a, n_b, k_a, k_b,
+           |        CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+           |        CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+           |        CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+           |      FROM g),
+           |z0 AS (SELECT lang, source,
+           |        CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0 AND pp < 1 THEN
+           |          (pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+           |        END AS z FROM e),
+           |pz AS (SELECT lang, source, z, abs(z) AS az,
+           |        1.0 / (1.0 + 0.33267 * abs(z)) AS tt FROM z0),
+           |pv AS (SELECT lang, source,
+           |        floor(z * 1000000 + 0.5) / 1000000 AS z,
+           |        floor($pSql * 1000000 + 0.5) / 1000000 AS p
+           |      FROM pz WHERE z IS NOT NULL),
+           |rk AS (SELECT lang, source, z, p,
+           |        CAST(count(*) OVER () AS BIGINT) AS m,
+           |        CAST(row_number() OVER (ORDER BY p, lang, source) AS BIGINT) AS "rank"
+           |      FROM pv),
+           |adj AS (SELECT lang, source, z, p, m, "rank",
+           |        least(1.0, max(p * CAST(m - "rank" + 1 AS DOUBLE))
+           |          OVER (ORDER BY p, lang, source
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS a_raw
+           |      FROM rk),
+           |nullz AS (SELECT lang, source, CAST(NULL AS DOUBLE) AS z, CAST(NULL AS DOUBLE) AS p,
+           |        CAST(NULL AS BIGINT) AS m, CAST(NULL AS BIGINT) AS "rank",
+           |        CAST(NULL AS DOUBLE) AS p_adj, CAST(NULL AS BOOLEAN) AS reject
+           |      FROM z0 WHERE z IS NULL)
+           |SELECT lang, source, z, p, m, "rank",
+           |  floor(a_raw * 1000000 + 0.5) / 1000000 AS p_adj, a_raw <= 0.1 AS reject
+           |FROM adj
+           |UNION ALL SELECT * FROM nullz""".stripMargin
+      },
+
+      "q_rand_test" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS v, lang = 'en' AS a,
+           |    CAST(doc_id AS VARCHAR) AS id FROM documents
+           |  WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+           |obs AS (SELECT CAST(count(CASE WHEN a THEN 1 END) AS BIGINT) AS n_a,
+           |    CAST(count(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS n_b,
+           |    CAST(coalesce(sum(CASE WHEN a THEN CAST(${r6("v")} AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sa,
+           |    CAST(coalesce(sum(CAST(${r6("v")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS st
+           |  FROM b),
+           |reps AS (SELECT i,
+           |    CAST(count(CASE WHEN f THEN 1 END) AS BIGINT) AS ka,
+           |    CAST(count(CASE WHEN NOT f THEN 1 END) AS BIGINT) AS kb,
+           |    CAST(coalesce(sum(CASE WHEN f THEN CAST(${r6("v")} AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS ksa,
+           |    CAST(coalesce(sum(CAST(${r6("v")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS ks
+           |  FROM (SELECT v, i.i AS i, ${h32("concat('rt:', CAST(i.i AS VARCHAR), ':', id)")} % 2 = 0 AS f
+           |        FROM b, range(1, 20) i(i))
+           |  GROUP BY 1),
+           |ds AS (SELECT
+           |    (SELECT ${r6("CASE WHEN n_a > 0 AND n_b > 0 THEN sa / CAST(n_a AS DOUBLE) - (st - sa) / CAST(n_b AS DOUBLE) END")} FROM obs) AS d_obs,
+           |    ${r6("CASE WHEN ka > 0 AND kb > 0 THEN ksa / CAST(ka AS DOUBLE) - (ks - ksa) / CAST(kb AS DOUBLE) END")} AS d_rep
+           |  FROM reps)
+           |SELECT (SELECT n_a FROM obs) AS n_a, (SELECT n_b FROM obs) AS n_b,
+           |  d_obs, CAST(count(*) AS BIGINT) AS k,
+           |  CAST(count(CASE WHEN abs(d_rep) >= abs(d_obs) THEN 1 END) AS BIGINT) AS n_ge,
+           |  ${r6("(CAST(count(CASE WHEN abs(d_rep) >= abs(d_obs) THEN 1 END) AS DOUBLE) + 1.0) / (CAST(count(*) AS DOUBLE) + 1.0)")} AS p_value
+           |FROM ds GROUP BY d_obs""".stripMargin
+      },
+
+      "q_mi" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH m AS (SELECT f.feature,
+           |    CASE f.feature WHEN 'lang' THEN coalesce(lang, '<null>') ELSE coalesce(source, '<null>') END AS x,
+           |    CAST(contains(text, ' the ') AS VARCHAR) AS y
+           |  FROM documents, (VALUES ('lang'), ('source')) f(feature)),
+           |cells AS (SELECT feature, x, y, CAST(count(*) AS BIGINT) AS nxy FROM m GROUP BY 1, 2, 3),
+           |xm AS (SELECT feature, x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1, 2),
+           |ym AS (SELECT feature, y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1, 2),
+           |tot AS (SELECT feature, CAST(sum(nxy) AS BIGINT) AS n FROM cells GROUP BY 1),
+           |j AS (SELECT cells.feature, cells.x, cells.y, nxy, nx, ny, n, CAST(n AS DOUBLE) AS nd
+           |  FROM cells JOIN xm USING (feature, x) JOIN ym USING (feature, y) JOIN tot USING (feature)),
+           |agg AS (SELECT feature, n,
+           |    CAST(coalesce(sum(CAST(${r6("CAST(nx AS DOUBLE) / nd * ln(nd / CAST(nx AS DOUBLE)) * CAST(nxy AS DOUBLE) / CAST(nx AS DOUBLE)")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS hx,
+           |    CAST(coalesce(sum(CAST(${r6("CAST(ny AS DOUBLE) / nd * ln(nd / CAST(ny AS DOUBLE)) * CAST(nxy AS DOUBLE) / CAST(ny AS DOUBLE)")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS hy,
+           |    CAST(coalesce(sum(CAST(${r6("CAST(nxy AS DOUBLE) / nd * ln(nd * CAST(nxy AS DOUBLE) / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS mi
+           |  FROM j GROUP BY 1, 2)
+           |SELECT feature, n, ${r6("hx")} AS h_x, ${r6("hy")} AS h_y, ${r6("mi")} AS mi,
+           |  CASE WHEN least(hx, hy) > 0 THEN ${r6("mi / least(hx, hy)")} END AS nmi
+           |FROM agg""".stripMargin
+      },
+
+      "q_kendall_w" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH cells AS (SELECT event_type AS r, user_id % 10 AS it,
+           |    ${r6("CAST(coalesce(sum(CAST(value AS DECIMAL(38,6))), 0) AS DOUBLE)")} AS v
+           |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+           |  GROUP BY 1, 2),
+           |rk AS (SELECT r, it, v,
+           |    CAST(rank() OVER (PARTITION BY r ORDER BY v) AS DOUBLE) +
+           |      (CAST(count(*) OVER (PARTITION BY r, v) AS DOUBLE) - 1.0) / 2.0 AS ark,
+           |    CAST(count(*) OVER (PARTITION BY r, v) AS BIGINT) AS t
+           |  FROM cells),
+           |shape AS (SELECT CAST(count(DISTINCT r) AS BIGINT) AS m, CAST(count(DISTINCT it) AS BIGINT) AS ni FROM rk),
+           |ties AS (SELECT CAST(coalesce(sum(CAST(CAST(t * t - 1 AS DOUBLE) AS DECIMAL(38,6))), 0) AS DOUBLE) AS tsum FROM rk),
+           |isum AS (SELECT it, CAST(coalesce(sum(CAST(ark AS DECIMAL(38,6))), 0) AS DOUBLE) AS ri FROM rk GROUP BY 1),
+           |dev AS (SELECT it, ri, (SELECT m FROM shape) AS m, (SELECT ni FROM shape) AS ni, (SELECT tsum FROM ties) AS tsum FROM isum),
+           |sagg AS (SELECT m, ni, tsum,
+           |    CAST(coalesce(sum(CAST(${r6("(ri - CAST(m AS DOUBLE) * (CAST(ni AS DOUBLE) + 1.0) / 2.0) * (ri - CAST(m AS DOUBLE) * (CAST(ni AS DOUBLE) + 1.0) / 2.0)")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS s
+           |  FROM dev GROUP BY 1, 2, 3)
+           |SELECT ni AS n_items, m AS n_raters, ${r6("s")} AS s,
+           |  CASE WHEN CAST(m AS DOUBLE) * CAST(m AS DOUBLE) * (CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE) - CAST(ni AS DOUBLE)) - CAST(m AS DOUBLE) * tsum > 0
+           |    THEN ${r6("12.0 * s / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE) * (CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE) - CAST(ni AS DOUBLE)) - CAST(m AS DOUBLE) * tsum)")} END AS w
+           |FROM sagg""".stripMargin
+      },
+
+      "q_cls_metrics" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH det AS ($langIdSelectSql),
+           |cells AS (SELECT coalesce(d.lang, '(null)') AS t, coalesce(det.lang_pred, '(null)') AS p, CAST(count(*) AS BIGINT) AS n
+           |  FROM documents d JOIN det ON d.doc_id = det.doc_id GROUP BY 1, 2),
+           |classes AS (SELECT t AS class FROM cells UNION SELECT p FROM cells),
+           |diag AS (SELECT t AS class, n AS tp FROM cells WHERE t = p),
+           |tm AS (SELECT t AS class, CAST(sum(n) AS BIGINT) AS nt FROM cells GROUP BY 1),
+           |pm AS (SELECT p AS class, CAST(sum(n) AS BIGINT) AS np FROM cells GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells),
+           |sums AS (SELECT class,
+           |    coalesce(tp, 0) AS tp,
+           |    coalesce(np, 0) - coalesce(tp, 0) AS fp,
+           |    coalesce(nt, 0) - coalesce(tp, 0) AS fn,
+           |    (SELECT total FROM tot) - coalesce(nt, 0) - coalesce(np, 0) + coalesce(tp, 0) AS tn
+           |  FROM classes LEFT JOIN diag USING (class) LEFT JOIN tm USING (class) LEFT JOIN pm USING (class)),
+           |r AS (SELECT class, tp, fp, fn, tn,
+           |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) END AS prec,
+           |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)) END AS rec,
+           |    sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)) * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE)) * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))) AS mden
+           |  FROM sums)
+           |SELECT class, CAST(tp + fn AS BIGINT) AS n_true, CAST(tp + fp AS BIGINT) AS n_pred,
+           |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+           |  ${r6("prec")} AS precision, ${r6("rec")} AS recall,
+           |  CASE WHEN prec IS NOT NULL AND rec IS NOT NULL AND prec + rec > 0 THEN ${r6("2.0 * prec * rec / (prec + rec)")} END AS f1,
+           |  CASE WHEN mden > 0 THEN ${r6("(CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE) - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE)) / mden")} END AS mcc
+           |FROM r""".stripMargin
+      },
+
+      "q_fair_audit" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH g AS (SELECT coalesce(lang, '(null)') AS "group",
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(CASE WHEN n_chars > 800 THEN 1 END) AS BIGINT) AS n_selected,
+           |    CAST(count(CASE WHEN contains(text, ' the ') THEN 1 END) AS BIGINT) AS np,
+           |    CAST(count(CASE WHEN NOT contains(text, ' the ') THEN 1 END) AS BIGINT) AS nn,
+           |    CAST(count(CASE WHEN n_chars > 800 AND contains(text, ' the ') THEN 1 END) AS BIGINT) AS tp,
+           |    CAST(count(CASE WHEN n_chars > 800 AND NOT contains(text, ' the ') THEN 1 END) AS BIGINT) AS fp
+           |  FROM documents GROUP BY 1),
+           |rates AS (SELECT "group", n, n_selected,
+           |    CASE WHEN n > 0 THEN ${r6("CAST(n_selected AS DOUBLE) / CAST(n AS DOUBLE)")} END AS selection_rate,
+           |    CASE WHEN np > 0 THEN ${r6("CAST(tp AS DOUBLE) / CAST(np AS DOUBLE)")} END AS tpr,
+           |    CASE WHEN nn > 0 THEN ${r6("CAST(fp AS DOUBLE) / CAST(nn AS DOUBLE)")} END AS fpr
+           |  FROM g),
+           |ref AS (SELECT selection_rate AS rsel, tpr AS rtpr, fpr AS rfpr
+           |  FROM rates ORDER BY n DESC, "group" ASC LIMIT 1)
+           |SELECT "group", n, n_selected, selection_rate, tpr, fpr,
+           |  CASE WHEN rsel > 0 THEN ${r6("selection_rate / rsel")} END AS selection_ratio,
+           |  ${r6("tpr - rtpr")} AS tpr_gap, ${r6("fpr - rfpr")} AS fpr_gap,
+           |  CASE WHEN rsel > 0 THEN selection_rate / rsel < 0.8 END AS four_fifths_flag
+           |FROM rates, ref""".stripMargin
+      },
+
+      "q_position_attr" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""WITH rows AS (SELECT user_id AS u, event_type AS ty, ts, event_id,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           |  FROM events WHERE ts IS NOT NULL),
+           |cc AS (SELECT u, min(CASE WHEN ty = 'purchase' THEN rn END) AS cp FROM rows GROUP BY 1),
+           |t AS (SELECT r.u, r.ty,
+           |    row_number() OVER (PARTITION BY r.u ORDER BY r.ts, r.event_id) AS ti,
+           |    count(*) OVER (PARTITION BY r.u) AS nt
+           |  FROM rows r JOIN cc USING (u) WHERE cc.cp IS NOT NULL AND r.rn < cc.cp),
+           |cr AS (SELECT ty AS channel, ${r6("""CASE WHEN nt = 1 THEN 1.0
+           |    WHEN nt = 2 THEN 0.5
+           |    WHEN ti = 1 OR ti = nt THEN 0.4
+           |    ELSE 0.19999999999999998 / (CAST(nt AS DOUBLE) - 2.0) END""")} AS credit
+           |  FROM t)
+           |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+           |  ${r6(s"(${dsum("credit")})")} AS total_credit
+           |FROM cr GROUP BY 1""".stripMargin
+      },
+
+      "q_ltv" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH b AS (SELECT user_id AS u, epoch_us(date_trunc('week', ts)) AS wk,
+           |    coalesce(CAST(value AS DOUBLE), 0.0) AS v
+           |  FROM events WHERE ts IS NOT NULL),
+           |bf AS (SELECT * FROM b WHERE NOT isnan(v)),
+           |coh AS (SELECT u, min(wk) AS cw FROM bf GROUP BY 1),
+           |sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users FROM coh GROUP BY 1),
+           |cells AS (SELECT coh.cw, (bf.wk - coh.cw) // 604800000000 AS age_weeks,
+           |    CAST(count(DISTINCT bf.u) AS BIGINT) AS n_active,
+           |    CAST(coalesce(sum(CAST(${r6("v")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS rev
+           |  FROM bf JOIN coh USING (u) GROUP BY 1, 2),
+           |cum AS (SELECT cw, age_weeks, n_active, rev,
+           |    CAST(sum(CAST(rev AS DECIMAL(38,6))) OVER (PARTITION BY cw ORDER BY age_weeks
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS crev
+           |  FROM cells)
+           |SELECT cw AS cohort_week, CAST(age_weeks AS BIGINT) AS age_weeks, n_users,
+           |  n_active, ${r6("rev")} AS revenue,
+           |  CASE WHEN n_users > 0 THEN ${r6("crev / CAST(n_users AS DOUBLE)")} END AS cum_revenue_per_user
+           |FROM cum JOIN sz USING (cw)""".stripMargin
+      },
+
+      "q_yule_k" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH t AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w FROM documents),
+           |vocab AS (SELECT source, w, CAST(count(*) AS BIGINT) AS m FROM t GROUP BY 1, 2),
+           |spec AS (SELECT source, m, CAST(count(*) AS BIGINT) AS vm FROM vocab GROUP BY 1, 2),
+           |agg AS (SELECT source, CAST(sum(m * vm) AS BIGINT) AS n_tokens,
+           |    CAST(sum(vm) AS BIGINT) AS n_types, CAST(sum(m * m * vm) AS BIGINT) AS s2
+           |  FROM spec GROUP BY 1)
+           |SELECT source, n_tokens, n_types,
+           |  CASE WHEN n_tokens > 0 THEN ${r6("10000.0 * CAST(s2 - n_tokens AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))")} END AS yule_k
+           |FROM agg""".stripMargin
+      },
+
+      "q_luhn" ->
+        """WITH aug AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0 THEN text || ' card ' ||
+          |      lpad(CAST((doc_id * 2654435761) % 10000000000 AS VARCHAR), 10, '0') ||
+          |      lpad(CAST(((doc_id + 13) * 97) % 100000 AS VARCHAR), 5, '0')
+          |    ELSE text END AS txt
+          |  FROM documents),
+          |runs AS (SELECT doc_id,
+          |    list_filter(string_split_regex(txt, '[^0-9]+'), x -> len(x) >= 13 AND len(x) <= 19) AS rs
+          |  FROM aug)
+          |SELECT doc_id AS id, CAST(len(rs) AS BIGINT) AS n_candidates,
+          |  CAST(len(list_filter(rs, x -> len(x) > 0 AND
+          |    CAST(list_sum(list_transform(range(1, len(x) + 1), i ->
+          |      CASE WHEN i % 2 = 0 THEN
+          |        CASE WHEN CAST(substr(reverse(x), CAST(i AS INT), 1) AS BIGINT) * 2 > 9
+          |             THEN CAST(substr(reverse(x), CAST(i AS INT), 1) AS BIGINT) * 2 - 9
+          |             ELSE CAST(substr(reverse(x), CAST(i AS INT), 1) AS BIGINT) * 2 END
+          |      ELSE CAST(substr(reverse(x), CAST(i AS INT), 1) AS BIGINT) END)) AS BIGINT) % 10 = 0)) AS BIGINT) AS n_luhn_valid
+          |FROM runs WHERE len(rs) > 0""".stripMargin,
+
+      "q_err" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH qt(query_id, term) AS (VALUES
+           |  ('q_joins','join'), ('q_joins','hash'), ('q_joins','merge'),
+           |  ('q_scan','scan'), ('q_scan','filter'), ('q_scan','column'),
+           |  ('q_stream','stream'), ('q_stream','window'), ('q_stream','batch')),
+           |tok AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+           |t AS (SELECT id, unnest(toks) AS term FROM tok),
+           |dl AS (SELECT id, CAST(len(toks) AS DOUBLE) AS dl FROM tok),
+           |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+           |tf AS (SELECT id, term, count(*) AS tf FROM t WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+           |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT qt.query_id, tf.id,
+           |    floor((sum(ln(1 + (n_docs - df + 0.5)/(df + 0.5)) * tf/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl)))) * 1000000 + 0.5) / 1000000 AS bm25
+           |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl USING (id), st GROUP BY 1, 2),
+           |b AS (SELECT query_id, id AS doc_id, rank FROM (SELECT query_id, id, bm25,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, id) AS rank FROM sc) WHERE rank <= 10),
+           |rel AS (SELECT q.query_id, t2.id FROM tok t2, qt q WHERE list_contains(t2.toks, q.term)
+           |  GROUP BY 1, 2 HAVING count(*) = 3),
+           |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant FROM rel GROUP BY 1),
+           |j AS (SELECT b.query_id, b.rank, (rel.id IS NOT NULL) AS isrel
+           |  FROM b LEFT JOIN rel ON rel.query_id = b.query_id AND rel.id = b.doc_id),
+           |wj AS (SELECT query_id, rank, isrel,
+           |    count(CASE WHEN isrel THEN 1 END) OVER (PARTITION BY query_id ORDER BY rank
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS jj
+           |  FROM j),
+           |eq AS (SELECT query_id,
+           |    CAST(coalesce(sum(CASE WHEN isrel THEN CAST(${r6("pow(0.5, CAST(jj AS DOUBLE)) / CAST(rank AS DOUBLE)")} AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS err
+           |  FROM wj GROUP BY 1)
+           |SELECT q.query_id, coalesce(n_relevant, CAST(0 AS BIGINT)) AS n_relevant,
+           |  ${r6("coalesce(err, 0.0)")} AS err_at_10
+           |FROM (SELECT DISTINCT query_id FROM b) q
+           |LEFT JOIN eq USING (query_id) LEFT JOIN nrel USING (query_id)""".stripMargin
+      },
+
+      "q_sax" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH b AS (SELECT event_type AS g, ts, event_id, CAST(value AS DOUBLE) AS v
+           |  FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL),
+           |mom AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(coalesce(sum(CAST(${r6("v")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS sm,
+           |    CAST(coalesce(sum(CAST(${r6("v * v")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS s2
+           |  FROM b GROUP BY 1),
+           |rk AS (SELECT g, v,
+           |    row_number() OVER (PARTITION BY g ORDER BY ts, event_id) - 1 AS rn FROM b),
+           |zz AS (SELECT rk.g, (rk.rn * 8) // mom.n AS seg,
+           |    CASE WHEN sqrt(greatest(s2 / CAST(n AS DOUBLE) - (sm / CAST(n AS DOUBLE)) * (sm / CAST(n AS DOUBLE)), 0.0)) > 0
+           |      THEN (v - sm / CAST(n AS DOUBLE)) / sqrt(greatest(s2 / CAST(n AS DOUBLE) - (sm / CAST(n AS DOUBLE)) * (sm / CAST(n AS DOUBLE)), 0.0))
+           |      ELSE 0.0 END AS z
+           |  FROM rk JOIN mom USING (g)),
+           |paa AS (SELECT g, seg,
+           |    CAST(coalesce(sum(CAST(${r6("z")} AS DECIMAL(38,6))), 0) AS DOUBLE) /
+           |      CAST(count(*) AS DOUBLE) AS pm
+           |  FROM zz GROUP BY 1, 2),
+           |sym AS (SELECT g, seg,
+           |    CASE WHEN pm < -0.6745 THEN 'a' WHEN pm < 0.0 THEN 'b'
+           |         WHEN pm < 0.6745 THEN 'c' ELSE 'd' END AS sy
+           |  FROM paa)
+           |SELECT sym.g AS event_type, mom.n AS n,
+           |  string_agg(sy, '' ORDER BY seg) AS sax
+           |FROM sym JOIN mom ON mom.g = sym.g GROUP BY sym.g, mom.n""".stripMargin
+      },
+
 
       "q_compact" ->
         """SELECT user_id, event_type, event_id, ts_us, value FROM (

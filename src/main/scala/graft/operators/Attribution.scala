@@ -335,4 +335,53 @@ object Attribution {
     import spark.implicits._
     out.toSeq.toDF("channel", "shapley", "share", "v_full", "v_empty")
   }
+
+  /** Position-based (U-shaped) attribution — the 40/20/40 industry
+    * heuristic completing the attribution family: [[touchAttribution]]
+    * (first/last), [[timeDecayAttribution]] (recency), [[markovRemoval]]
+    * / [[shapleyAttribution]] (model-based). First and last touch
+    * before the conversion earn `endWeight` each, the middle splits the
+    * remainder evenly; one-touch journeys earn 1.0, two-touch journeys
+    * split evenly — the standard degenerate-path conventions.
+    *
+    * Same scale shape as [[timeDecayAttribution]]: user-partitioned
+    * windows truncate each journey at its FIRST conversion and index
+    * the prior touches; credits are r6-pinned and DECIMAL-summed per
+    * channel. Output per channel: (channel, n_touches, total_credit).
+    */
+  def positionAttribution(
+      events: DataFrame,
+      userCol: String,
+      timeCol: String,
+      typeCol: String,
+      tieCol: String,
+      conversionType: String,
+      endWeight: Double = 0.4): DataFrame = {
+    require(endWeight > 0 && endWeight <= 0.5,
+      s"endWeight must be in (0, 0.5], got $endWeight")
+    val r6 = graft.functions.Portable.r6 _
+    val w = Window.partitionBy(col(userCol)).orderBy(col(timeCol), col(tieCol))
+    val rows = events
+      .filter(col(timeCol).isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).cast("string").as("__ty"),
+        col(timeCol).as("__t"), col(tieCol).as("__tie"),
+        row_number().over(w).as("__rn"))
+    val wu = Window.partitionBy(col("__u"))
+    val touches = rows
+      .withColumn("__cp", min(when(col("__ty") === conversionType, col("__rn"))).over(wu))
+      .filter(col("__cp").isNotNull && col("__rn") < col("__cp"))
+    val wt = Window.partitionBy(col("__u")).orderBy(col("__t"), col("__tie"))
+    val indexed = touches
+      .withColumn("__ti", row_number().over(wt).cast("long"))
+      .withColumn("__nt", count(lit(1)).over(Window.partitionBy(col("__u"))))
+    val credit =
+      when(col("__nt") === 1L, lit(1.0))
+        .when(col("__nt") === 2L, lit(0.5))
+        .when(col("__ti") === 1L || col("__ti") === col("__nt"), lit(endWeight))
+        .otherwise(lit(1.0 - 2.0 * endWeight) / (col("__nt").cast("double") - 2.0))
+    indexed
+      .groupBy(col("__ty").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        r6(sum(r6(credit).cast("decimal(38,6)")).cast("double")).as("total_credit"))
+  }
 }

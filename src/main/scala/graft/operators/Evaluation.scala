@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
+import graft.plans.Materialize.PinOps
 import org.apache.spark.sql.functions._
 
 /** Classifier-quality evaluation over scored rows — the measurement side
@@ -619,5 +620,71 @@ object Evaluation {
             (col("__sp") / col("n_items").cast("double") +
               col("__sr") / col("n_items").cast("double"))))
           .as("bcubed_f1"))
+  }
+
+  /** Per-class one-vs-rest classifier metrics — precision, recall, F1,
+    * and Matthews correlation per class off ONE confusion pass: what
+    * [[confusionMatrix]] leaves to the reader, computed with the
+    * same cell machinery ("which classes does the filter actually
+    * miss" is a per-class question; accuracy hides it behind the
+    * majority class). MCC is the balance-proof single number per class
+    * (tp·tn − fp·fn over the geometric mean of the four margins; NULL
+    * when any margin is empty — the 0/0 classes are the finding).
+    *
+    * Scale shape: one corpus groupBy to the k² cell frame; classes =
+    * distinct labels ∪ predictions (each class must appear for its
+    * zero-support row to exist); tp comes from the diagonal and
+    * fp/fn/tn from the MARGINS (fp = n_pred − tp, fn = n_true − tp,
+    * tn = N − tp − fp − fn) — class-sized joins only, no classes ×
+    * cells fan-out, nothing corpus-sized past the first groupBy.
+    *
+    * Output per class: (class, n_true, n_pred, tp, fp, fn, precision,
+    * recall, f1, mcc).
+    */
+  def classMetrics(
+      df: DataFrame,
+      trueCol: String,
+      predCol: String): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    val cells = df
+      .groupBy(
+        coalesce(col(trueCol).cast("string"), lit("(null)")).as("__t"),
+        coalesce(col(predCol).cast("string"), lit("(null)")).as("__p"))
+      .agg(count(lit(1)).as("__n"))
+      .pin(false) // consumed by the class list, margins, diagonal, total
+    val classes = cells.select(col("__t").as("class"))
+      .unionAll(cells.select(col("__p").as("class"))).distinct()
+    val diag = cells.filter(col("__t") === col("__p"))
+      .select(col("__t").as("class"), col("__n").as("__tp"))
+    val trueM = cells.groupBy(col("__t").as("class")).agg(sum(col("__n")).as("__nt"))
+    val predM = cells.groupBy(col("__p").as("class")).agg(sum(col("__n")).as("__np"))
+    val tot = cells.agg(sum(col("__n")).as("__tot"))
+    val sums = classes
+      .join(diag, Seq("class"), "left")
+      .join(trueM, Seq("class"), "left")
+      .join(predM, Seq("class"), "left")
+      .crossJoin(broadcast(tot)) // one-row total: lint-exempt
+      .select(col("class"),
+        coalesce(col("__tp"), lit(0L)).as("tp"),
+        (coalesce(col("__np"), lit(0L)) - coalesce(col("__tp"), lit(0L))).as("fp"),
+        (coalesce(col("__nt"), lit(0L)) - coalesce(col("__tp"), lit(0L))).as("fn"),
+        (col("__tot") - coalesce(col("__nt"), lit(0L)) -
+          coalesce(col("__np"), lit(0L)) + coalesce(col("__tp"), lit(0L))).as("tn"))
+    def d(c: String) = col(c).cast("double")
+    val prec = when(col("tp") + col("fp") > 0, d("tp") / (d("tp") + d("fp")))
+    val rec = when(col("tp") + col("fn") > 0, d("tp") / (d("tp") + d("fn")))
+    val mccDen = sqrt((d("tp") + d("fp")) * (d("tp") + d("fn")) *
+      (d("tn") + d("fp")) * (d("tn") + d("fn")))
+    sums.select(
+      col("class"),
+      (col("tp") + col("fn")).as("n_true"),
+      (col("tp") + col("fp")).as("n_pred"),
+      col("tp"), col("fp"), col("fn"),
+      r6(prec).as("precision"),
+      r6(rec).as("recall"),
+      when(prec.isNotNull && rec.isNotNull && prec + rec > 0,
+        r6(lit(2.0) * prec * rec / (prec + rec))).as("f1"),
+      when(mccDen > 0,
+        r6((d("tp") * d("tn") - d("fp") * d("fn")) / mccDen)).as("mcc"))
   }
 }

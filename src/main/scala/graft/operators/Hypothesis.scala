@@ -437,4 +437,207 @@ object Hypothesis {
       r6(rr).as("rr"),
       when(rr.isNotNull, r6(away + sqrt(away * (away - lit(1.0))))).as("e_value"))
   }
+
+  /** Fisher's EXACT test per group — the 2×2 association test that is
+    * still valid when [[chiSquare]]'s expected-count-≥5 rule breaks
+    * (rare exposures × rare outcomes, exactly the slices a filter audit
+    * cares about). Two-sided by the point-probability rule: p = Σ of
+    * hypergeometric P(k) over every table at least as extreme
+    * (P(k) ≤ P(observed)·(1+1e-7), the R convention).
+    *
+    * Scale shape: ONE corpus aggregate to the group-sized cell frame;
+    * the enumeration explodes min(r1, c1)−max(0, r1+c1−n)+1 terms PER
+    * GROUP (support of the hypergeometric), each term a handful of
+    * [[graft.functions.SpecialMath.lfact]] formula evaluations — no
+    * factorial tables, no windows. The term count is the smaller
+    * margin, so it is loudly capped: a margin past `maxTerms` means the
+    * counts are far out of the exact-test regime and [[chiSquare]] is
+    * the right tool (the error message says so).
+    *
+    * Engine portability: log-space terms via the Lanczos lgamma (same
+    * operation sequence in both engines), each exp(logP) r6-pinned
+    * before the DECIMAL sum — term order is free.
+    *
+    * Output per group: (by…, a, b, c, d, p_value).
+    */
+  def fisherExact(
+      df: DataFrame,
+      byCols: Seq[String],
+      exposure: Column,
+      outcome: Column,
+      maxTerms: Long = 100000L): DataFrame = {
+    require(maxTerms >= 1, s"maxTerms must be positive, got $maxTerms")
+    val r6 = graft.functions.Portable.r6 _
+    val lf = graft.functions.SpecialMath.lfact _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val cells = df
+      .groupBy(byCols.map(col): _*)
+      .agg(
+        count(when(exposure && outcome, lit(1))).as("a"),
+        count(when(exposure && !outcome, lit(1))).as("b"),
+        count(when(!exposure && outcome, lit(1))).as("c"),
+        count(when(!exposure && !outcome, lit(1))).as("d"))
+      .withColumn("__n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("__r1", col("a") + col("b"))
+      .withColumn("__c1", col("a") + col("c"))
+      .withColumn("__lo", greatest(lit(0L), col("__r1") + col("__c1") - col("__n")))
+      .withColumn("__hi", least(col("__r1"), col("__c1")))
+      .withColumn("__hi",
+        when(col("__hi") - col("__lo") < maxTerms, col("__hi"))
+          .otherwise(raise_error(concat(
+            lit(s"fisherExact: more than $maxTerms enumeration terms in group ("),
+            concat_ws(",", byCols.map(col): _*),
+            lit(") — margins this large are out of the exact-test regime; " +
+              "use chiSquare")))))
+    // log P(k) with the group-constant part factored out once per group
+    val constPart = lf(col("__r1")) + lf(col("__n") - col("__r1")) +
+      lf(col("__c1")) + lf(col("__n") - col("__c1")) - lf(col("__n"))
+    def varPart(k: Column): Column =
+      -lf(k) - lf(col("__r1") - k) - lf(col("__c1") - k) -
+        lf(col("__n") - col("__r1") - col("__c1") + k)
+    val terms = cells
+      .withColumn("__lpobs", constPart + varPart(col("a")))
+      .select((byCols.map(col) ++ Seq(col("a"), col("b"), col("c"), col("d"),
+        col("__n"), col("__r1"), col("__c1"), col("__lpobs"),
+        explode(sequence(col("__lo"), col("__hi"))).as("__k"))): _*)
+      .withColumn("__lp", constPart + varPart(col("__k")))
+    terms
+      .groupBy((byCols.map(col) ++ Seq(col("a"), col("b"), col("c"), col("d"))): _*)
+      .agg(r6(least(lit(1.0),
+        dsum(when(col("__lp") <= col("__lpobs") + 1e-7,
+          r6(exp(col("__lp")))).otherwise(lit(0.0))))).as("p_value"))
+  }
+
+  /** McNemar's test for PAIRED binary outcomes — "did the flag flip
+    * between the two runs", asked of the SAME units (the before/after
+    * question [[twoProportionZ]] gets wrong by ignoring the pairing:
+    * concordant pairs carry no information and only inflate n). Per
+    * group: b = 1→0 flips, c = 0→1 flips, χ²₁ = (b−c)²/(b+c), NULL when
+    * b+c = 0 (no discordant pairs — nothing moved, nothing testable).
+    * No continuity correction (the modern default, matching [[cmh]]).
+    * One aggregate; p via the χ²₁ = z² identity and [[pFromZ]].
+    *
+    * Output per group: (by…, n, b, c, chi2, p_value).
+    */
+  def mcnemar(
+      df: DataFrame,
+      byCols: Seq[String],
+      before: Column,
+      after: Column): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    val g = df
+      .groupBy(byCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(before && !after, lit(1))).as("b"),
+        count(when(!before && after, lit(1))).as("c"))
+    val bD = col("b").cast("double")
+    val cD = col("c").cast("double")
+    val chi2 = when(col("b") + col("c") > 0,
+      (bD - cD) * (bD - cD) / (bD + cD))
+    g.select((byCols.map(col) ++ Seq(col("n"), col("b"), col("c"),
+      r6(chi2).as("chi2"),
+      r6(pFromZ(sqrt(chi2))).as("p_value"))): _*)
+  }
+
+  /** Holm step-down familywise-error correction — the
+    * assumption-free companion of [[benjaminiHochberg]] (FWER, not
+    * FDR: use Holm when ONE false claim is disqualifying, BH when a
+    * controlled fraction is fine). Adjusted p = running MAX over the
+    * ascending-p prefix of (m−rank+1)·p, capped at 1; reject = adj ≤ α.
+    * Same tests-frame window allowance as BH (hundreds of hypotheses,
+    * never raw data); NULL-p rows pass through untestable, visibly.
+    *
+    * Output: input columns + (m, rank, p_adj, reject).
+    */
+  def holm(
+      tests: DataFrame,
+      pCol: String,
+      tieCols: Seq[String],
+      alpha: Double = 0.05): DataFrame = {
+    val p = col(pCol)
+    val ord = p.asc +: tieCols.map(col(_).asc)
+    val wRank = Window.orderBy(ord: _*)
+    val wPrefix = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val testable = tests.filter(p.isNotNull)
+    val ranked = testable
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("p_adj",
+        least(lit(1.0),
+          max(p * (col("m") - col("rank") + 1L).cast("double")).over(wPrefix)))
+      .withColumn("reject", col("p_adj") <= alpha)
+    ranked.unionByName(
+      tests.filter(p.isNull)
+        .withColumn("m", lit(null).cast("long"))
+        .withColumn("rank", lit(null).cast("long"))
+        .withColumn("p_adj", lit(null).cast("double"))
+        .withColumn("reject", lit(null).cast("boolean")))
+  }
+
+  /** Randomization (Monte-Carlo relabeling) test for a difference in
+    * means — the EXACT-logic answer when the z-test's normality is in
+    * doubt (heavy tails, tiny arms): re-run the 50/50 assignment `k`
+    * times with deterministic md5-derived labels, and ask how often a
+    * random split beats the observed |Δ|. p = (1 + #{|Δᵢ| ≥ |Δobs|}) /
+    * (k + 1), the add-one-for-the-observed convention — never 0, as a
+    * resampling p must be.
+    *
+    * Scale shape: ONE corpus scan computes all k relabeled partial sums
+    * at once (the per-row explode is k ≤ `maxK` struct literals, then a
+    * k-row groupBy with map-side combine) plus the observed sums — no
+    * per-iteration jobs, no shuffle of raw rows beyond the k-sized
+    * partials. Sums DECIMAL-reduced; Δs r6-pinned.
+    *
+    * Output ONE row: (n_a, n_b, d_obs, k, n_ge, p_value).
+    */
+  def randomizationTest(
+      df: DataFrame,
+      valueCol: String,
+      inA: Column,
+      idCol: String,
+      k: Int = 19,
+      seed: String = "rt"): DataFrame = {
+    require(k >= 1 && k <= 64,
+      s"k must be in [1, 64], got $k — the melt factor is k")
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val v = col(valueCol).cast("double")
+    val base = df
+      .filter(v.isNotNull && !isnan(v))
+      .select(v.as("__v"), inA.as("__a"), col(idCol).cast("string").as("__id"))
+    val obs = base.agg(
+      count(when(col("__a"), lit(1))).as("n_a"),
+      count(when(!col("__a"), lit(1))).as("n_b"),
+      dsum(when(col("__a"), r6(col("__v"))).otherwise(lit(0.0))).as("__sa"),
+      dsum(r6(col("__v"))).as("__s"))
+    val reps = base
+      .select(col("__v"),
+        explode(array((1 to k).map(i => struct(
+          lit(i).as("i"),
+          (graft.text.TextFunctions.md5Hash32(
+            concat(lit(s"$seed:$i:"), col("__id"))) % 2 === 0).as("f"))): _*))
+          .as("__r"))
+      .groupBy(col("__r.i").as("__i"))
+      .agg(
+        count(when(col("__r.f"), lit(1))).as("__ka"),
+        count(when(!col("__r.f"), lit(1))).as("__kb"),
+        dsum(when(col("__r.f"), r6(col("__v"))).otherwise(lit(0.0))).as("__ksa"),
+        dsum(r6(col("__v"))).as("__ks"))
+    def meanDiff(na: Column, nb: Column, sa: Column, s: Column): Column =
+      when(na > 0 && nb > 0,
+        sa / na.cast("double") - (s - sa) / nb.cast("double"))
+    val dObs = meanDiff(col("n_a"), col("n_b"), col("__sa"), col("__s"))
+    val dRep = meanDiff(col("__ka"), col("__kb"), col("__ksa"), col("__ks"))
+    reps
+      .crossJoin(broadcast(obs)) // one-row observed frame: lint-exempt
+      .select(col("n_a"), col("n_b"), r6(dObs).as("d_obs"),
+        (abs(r6(dRep)) >= abs(r6(dObs))).as("__ge"))
+      .groupBy(col("n_a"), col("n_b"), col("d_obs"))
+      .agg(count(lit(1)).as("k"), count(when(col("__ge"), lit(1))).as("n_ge"))
+      .select(col("n_a"), col("n_b"), col("d_obs"), col("k"), col("n_ge"),
+        r6((col("n_ge").cast("double") + 1.0) /
+          (col("k").cast("double") + 1.0)).as("p_value"))
+  }
 }

@@ -188,4 +188,57 @@ object Retention {
     */
   private def floorDiv(c: org.apache.spark.sql.Column, d: Long) =
     ((c - pmod(c, lit(d))) / d).cast("long")
+
+  /** Cohort LTV curve — cumulative value per cohort member by cohort
+    * age: the revenue companion of [[cohortRetention]] ("week-3
+    * retention is 40%" says nothing about whether the retained users
+    * are the paying ones). Cohort = the user's first-event period;
+    * age = periods since; the curve is cumulative Σ value / cohort
+    * size, so flat tails mean monetization stopped even if activity
+    * did not.
+    *
+    * Scale shape: one groupBy to per-user cohort assignment, one
+    * fact-table join + groupBy to the (cohort × age) frame, then the
+    * cumulative as a window over that period-count-sized frame —
+    * exactly [[cohortRetention]]'s shape plus a DECIMAL value sum.
+    * Events before a user's cohort cannot exist by construction;
+    * NULL values count as 0 revenue, NULL times drop.
+    *
+    * Output per (cohort, age): (cohort_week, age_weeks, n_users,
+    * n_active, revenue, cum_revenue_per_user) — cohort_week as
+    * epoch-micros BIGINT (§5 convention).
+    */
+  def ltvCurve(
+      events: DataFrame,
+      userCol: String,
+      timeCol: String,
+      valueCol: String): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: org.apache.spark.sql.Column) =
+      sum(e.cast("decimal(38,6)")).cast("double")
+    val base = events
+      .filter(col(timeCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        unix_micros(date_trunc("week", col(timeCol))).as("__wk"),
+        coalesce(col(valueCol).cast("double"), lit(0.0)).as("__v"))
+      .filter(!isnan(col("__v")))
+    val cohorts = base.groupBy(col("__u")).agg(min(col("__wk")).as("__cw"))
+    val sizes = cohorts.groupBy(col("__cw")).agg(count(lit(1)).as("n_users"))
+    val weekUs = 7L * 24L * 3600L * 1000000L
+    val cells = base
+      .join(cohorts, Seq("__u"))
+      .groupBy(col("__cw"), floorDiv(col("__wk") - col("__cw"), weekUs).as("age_weeks"))
+      .agg(countDistinct(col("__u")).as("n_active"), dsum(r6(col("__v"))).as("__rev"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cw")).orderBy(col("age_weeks"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    cells
+      .join(sizes, Seq("__cw"))
+      .withColumn("__cum", sum(col("__rev").cast("decimal(38,6)")).over(wc).cast("double"))
+      .select(col("__cw").as("cohort_week"), col("age_weeks"), col("n_users"),
+        col("n_active"), r6(col("__rev")).as("revenue"),
+        when(col("n_users") > 0, r6(col("__cum") / col("n_users").cast("double")))
+          .as("cum_revenue_per_user"))
+  }
 }

@@ -1538,4 +1538,147 @@ object Stats {
         when(col("__tot") > 0, r6(col("__s") / col("__tot"))).as("value_share"),
         when(col("__tot") > 0, r6(col("__cs") / col("__tot"))).as("cum_share"))
   }
+
+  /** Mutual-information feature screen: MI(feature; label) in nats per
+    * CATEGORICAL feature, plus the entropies and the normalized
+    * MI / min(H(x), H(y)) — the model-free "does this column know
+    * anything about the label" ranking that catches the non-monotone
+    * relationships [[Woe]]'s information value (binned, direction-aware)
+    * and a correlation screen both miss.
+    *
+    * Scale shape: melt the features (×|cols|, the [[Drift.driftReport]]
+    * contract) → ONE groupBy to the (feature, x, y) cell frame
+    * (bounded by Σ feature cardinalities × label cardinality) → margins
+    * as two more grouped frames off the CELL frame (never the corpus)
+    * → joins all feature-sized. Per-cell plogp terms r6-pinned before
+    * DECIMAL sums, so reduction order is free. NULL feature values are
+    * a category ("<null>"), not dropped — missingness often IS the
+    * signal; NULL labels are dropped (untestable rows).
+    *
+    * Output per feature: (feature, n, h_x, h_y, mi, nmi).
+    */
+  def miScreen(
+      df: DataFrame,
+      featureCols: Seq[String],
+      labelCol: Column): DataFrame = {
+    require(featureCols.nonEmpty, "miScreen needs at least one feature")
+    require(featureCols.size <= 64,
+      s"miScreen melts the fact table x|cols|; ${featureCols.size} " +
+        "columns exceed the 64-column audit contract — run in batches")
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val cells = df
+      .select(labelCol.cast("string").as("__y"),
+        explode(array(featureCols.map(c => struct(
+          lit(c).as("feature"),
+          coalesce(col(c).cast("string"), lit("<null>")).as("x"))): _*)).as("__m"))
+      .filter(col("__y").isNotNull)
+      .select(col("__m.feature").as("feature"), col("__m.x").as("x"), col("__y"))
+      .groupBy(col("feature"), col("x"), col("__y"))
+      .agg(count(lit(1)).as("__nxy"))
+      .pin(false) // consumed by both margins and the joint term
+    val xm = cells.groupBy(col("feature"), col("x"))
+      .agg(sum(col("__nxy")).as("__nx"))
+    val ym = cells.groupBy(col("feature"), col("__y"))
+      .agg(sum(col("__nxy")).as("__ny"))
+    val tot = cells.groupBy(col("feature")).agg(sum(col("__nxy")).as("n"))
+    val nD = col("n").cast("double")
+    val joined = cells
+      .join(xm, Seq("feature", "x"))
+      .join(ym, Seq("feature", "__y"))
+      .join(tot, Seq("feature"))
+    def plogp(num: Column): Column =
+      num.cast("double") / nD * log(nD / num.cast("double"))
+    joined
+      .groupBy(col("feature"), col("n"))
+      .agg(
+        // margin terms arrive once per cell — weight by the cell's
+        // share of its margin so each margin term sums exactly once;
+        // r6 the OUTER product (§5: the value entering the DECIMAL sum
+        // is the one that must be engine-pinned)
+        dsum(r6(plogp(col("__nx")) * col("__nxy").cast("double") /
+          col("__nx").cast("double"))).as("__hx"),
+        dsum(r6(plogp(col("__ny")) * col("__nxy").cast("double") /
+          col("__ny").cast("double"))).as("__hy"),
+        dsum(r6(col("__nxy").cast("double") / nD *
+          log(nD * col("__nxy").cast("double") /
+            (col("__nx").cast("double") * col("__ny").cast("double")))))
+          .as("__mi"))
+      .select(col("feature"), col("n"),
+        r6(col("__hx")).as("h_x"), r6(col("__hy")).as("h_y"),
+        r6(col("__mi")).as("mi"),
+        when(least(col("__hx"), col("__hy")) > 0,
+          r6(col("__mi") / least(col("__hx"), col("__hy")))).as("nmi"))
+  }
+
+  /** Kendall's coefficient of concordance W — "do the m raters agree on
+    * the ranking of the n items at all" ([[Agreement]]'s kappas ask
+    * about LABELS; W asks about ORDERINGS — reviewer panels, per-source
+    * quality league tables, A/B judge pools). Average ranks for ties;
+    * tie-corrected denominator: W = 12·S / (m²(n³−n) − m·ΣT) with
+    * S = Σᵢ (Rᵢ − m(n+1)/2)² and T = Σ(t³−t) per rater.
+    *
+    * Every rater must rank every item (incomplete blocks are a
+    * different statistic) — enforced with a loud raise_error, not a
+    * silent filter. Ranks come from windows PARTITIONED per rater
+    * (item-count-sized partitions); everything downstream is
+    * rater/item-frame-sized. Output ONE row:
+    * (n_items, n_raters, s, w).
+    */
+  def kendallW(
+      df: DataFrame,
+      raterCol: String,
+      itemCol: String,
+      valueCol: String): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val v = col(valueCol).cast("double")
+    val base = df
+      .filter(v.isNotNull && !isnan(v) &&
+        col(raterCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(raterCol).as("__r"), col(itemCol).as("__it"), v.as("__v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__r")).orderBy(col("__v"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__r"), col("__v"))
+    // average rank of a tie family = rank() + (ties-1)/2, an exact half
+    val ranked = base
+      .withColumn("__rk",
+        rank().over(w).cast("double") +
+          (count(lit(1)).over(wt).cast("double") - 1.0) / 2.0)
+      .withColumn("__t", count(lit(1)).over(wt))
+      .pin(false) // consumed by the item sums, the tie sums, and the check
+    // completeness check: every rater ranks every item exactly once
+    val shape = ranked.agg(
+      countDistinct(col("__r")).as("__m"),
+      countDistinct(col("__it")).as("__ni"),
+      count(lit(1)).as("__rows"),
+      countDistinct(col("__r"), col("__it")).as("__cells"))
+      .withColumn("__ok",
+        when(col("__rows") === col("__m") * col("__ni") &&
+          col("__cells") === col("__rows"), lit(1L))
+          .otherwise(raise_error(lit(
+            "kendallW: incomplete or duplicated (rater, item) block — " +
+              "every rater must rank every item exactly once"))))
+    val itemSums = ranked.groupBy(col("__it"))
+      .agg(dsum(col("__rk")).as("__ri"))
+    // tie correction ΣT = Σ over tie families of (t³−t): each of a
+    // family's t member rows contributes t²−1, so the row sum is exact
+    val ties = ranked.agg(
+      dsum((col("__t") * col("__t") - 1L).cast("double")).as("__tsum"))
+    val joined = itemSums
+      .crossJoin(broadcast(shape.filter(col("__ok") === 1L))) // one-row: lint-exempt
+      .crossJoin(broadcast(ties)) // one-row: lint-exempt
+    val mD = col("__m").cast("double")
+    val nD = col("__ni").cast("double")
+    val dev = col("__ri") - mD * (nD + 1.0) / 2.0
+    joined
+      .groupBy(col("__m"), col("__ni"), col("__tsum"))
+      .agg(dsum(r6(dev * dev)).as("s"))
+      .select(
+        col("__ni").as("n_items"), col("__m").as("n_raters"), r6(col("s")).as("s"),
+        when(mD * mD * (nD * nD * nD - nD) - mD * col("__tsum") > 0,
+          r6(lit(12.0) * col("s") /
+            (mD * mD * (nD * nD * nD - nD) - mD * col("__tsum")))).as("w"))
+  }
 }

@@ -154,4 +154,78 @@ object Trend {
           (col("s").cast("double") - signum(col("s").cast("double"))) / sqrt(varS))
           .as("z")): _*)
   }
+
+  /** SAX — Symbolic Aggregate approXimation (Lin et al. 2003): each
+    * key's series z-normalizes, averages into `nSegments` equal-width
+    * Piecewise Aggregate Approximation segments, and each segment mean
+    * maps to a letter by the N(0,1) quartile breakpoints
+    * (−0.6745, 0, 0.6745 → a/b/c/d) — the discretization that turns a
+    * numeric series into a WORD, unlocking the whole text toolbox
+    * (exact dedup of shapes, n-gram motif counts, heavy-hitter shapes)
+    * on telemetry. Fixed 4-letter alphabet: the standard cardinality,
+    * and exact quartile breakpoints keep every engine bit-identical
+    * (finer alphabets need erf⁻¹ tables).
+    *
+    * Scale shape: per-key moment aggregate (DECIMAL sums) joined back,
+    * position ranks from KEY-partitioned windows, PAA means per
+    * (key, segment) DECIMAL-summed, and the word assembled with an
+    * in-group sorted fold — every frame key- or segment-sized. A
+    * zero-variance series z-scores to 0 → all-'c' (flat word), by
+    * convention. Output per key: (by…, n, sax).
+    */
+  def sax(
+      df: DataFrame,
+      byCols: Seq[String],
+      timeCol: String,
+      tieCol: String,
+      valueCol: String,
+      nSegments: Int = 8): DataFrame = {
+    require(byCols.nonEmpty, "sax needs at least one key column")
+    require(nSegments >= 2 && nSegments <= 64,
+      s"nSegments must be in [2, 64], got $nSegments")
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val by = byCols.map(col)
+    val v = col(valueCol).cast("double")
+    val base = df
+      .filter(v.isNotNull && !isnan(v) && col(timeCol).isNotNull)
+      .select((by ++ Seq(col(timeCol).as("__t"), col(tieCol).as("__tie"),
+        v.as("__v"))): _*)
+    val moments = base
+      .groupBy(by: _*)
+      .agg(count(lit(1)).as("__n"), dsum(r6(col("__v"))).as("__s"),
+        dsum(r6(col("__v") * col("__v"))).as("__s2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(by: _*).orderBy(col("__t"), col("__tie"))
+    val seg = base
+      .withColumn("__rn", row_number().over(w).cast("long") - 1L)
+      .join(moments, byCols)
+      // exact integer floor-div: Spark's `/` on longs is a DOUBLE divide;
+      // subtract the remainder first so the division is exact, then cast
+      .withColumn("__seg",
+        ((col("__rn") * nSegments.toLong -
+          pmod(col("__rn") * nSegments.toLong, col("__n"))) / col("__n"))
+          .cast("long"))
+    val mean = col("__s") / col("__n").cast("double")
+    val sd = sqrt(greatest(
+      col("__s2") / col("__n").cast("double") - mean * mean, lit(0.0)))
+    val paa = seg
+      .groupBy((by :+ col("__seg")): _*)
+      .agg(dsum(r6(when(sd > 0, (col("__v") - mean) / sd).otherwise(lit(0.0))))
+        .as("__zs"),
+        count(lit(1)).as("__k"),
+        first(col("__n")).as("__n"))
+      .withColumn("__pm", col("__zs") / col("__k").cast("double"))
+      .withColumn("__sym",
+        when(col("__pm") < -0.6745, lit("a"))
+          .when(col("__pm") < 0.0, lit("b"))
+          .when(col("__pm") < 0.6745, lit("c"))
+          .otherwise(lit("d")))
+    paa
+      .groupBy(by: _*)
+      .agg(first(col("__n")).as("n"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__seg"), col("__sym")))),
+          x => x.getField("__sym")), "").as("sax"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Retrieval-quality evaluation — MRR, recall@k, nDCG@k per query for a
@@ -98,6 +99,49 @@ object RetrievalEval {
           .otherwise(lit(0.0)).as("recall_at_k"),
         when(col("__idcg") > 0, col("__dcg") / col("__idcg"))
           .otherwise(lit(0.0)).as("ndcg_at_k"))
+  }
+
+  /** Expected Reciprocal Rank (Chapelle et al. 2009) — the cascade-model
+    * metric [[evaluate]]'s nDCG is blind to: a user scans down, stops at
+    * the first satisfying result with probability R, so a SECOND
+    * relevant hit after a first is worth little. With binary relevance
+    * R = 1/2, the j-th relevant doc at rank r contributes (1/2)ʲ / r:
+    * ERR = Σ (Rᵣ/r)·Π_{i<r}(1 − Rᵢ) collapses to a per-relevant-row
+    * power term — no running product, just the count of relevant docs
+    * at-or-before each rank (one window per query over ≤ k rows, the
+    * bounded ranking frame). Queries in `ranking` with no relevant docs
+    * score 0, matching [[evaluate]]'s convention.
+    *
+    * Output per query: (query_id, n_relevant, err_at_k).
+    */
+  def errAtK(ranking: DataFrame, relevance: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val r6 = graft.functions.Portable.r6 _
+    val relDistinct = relevance.select(col("query_id"), col("id")).distinct()
+    val nRel = relDistinct.groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
+    val judged = ranking
+      .filter(col("rank") <= k)
+      .join(relDistinct.select(col("query_id"), col("id").as("doc_id"),
+        lit(true).as("__rel")), Seq("query_id", "doc_id"), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(false)))
+    val wq = Window
+      .partitionBy(col("query_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perQuery = judged
+      .withColumn("__j", count(when(col("__rel"), lit(1))).over(wq))
+      .filter(col("__rel"))
+      .groupBy("query_id")
+      .agg(coalesce(sum(
+        graft.functions.Portable.r6(
+          pow(lit(0.5), col("__j").cast("double")) / col("rank").cast("double"))
+          .cast("decimal(38,6)")),
+        lit(0).cast("decimal(38,6)")).cast("double").as("__err"))
+    ranking.select(col("query_id")).distinct()
+      .join(perQuery, Seq("query_id"), "left")
+      .join(broadcast(nRel), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        r6(coalesce(col("__err"), lit(0.0))).as("err_at_k"))
   }
 
   /** Rank-biased overlap (truncated RBO_min, Webber et al. 2010)

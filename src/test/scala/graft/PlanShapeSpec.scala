@@ -73,6 +73,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_sampling_table", // cumulative ranges over the VOCABULARY rank
       "q_neyman", // largest-remainder rank over the STRATA frame (q_bh contract)
       "q_curriculum", // group-index rank over the DISTINCT-SOURCE frame (vocab-sized)
+      "q_holm", // step-down prefix max over the TESTS frame (q_bh contract)
       "q_pareto")
 
     def boundedBelow(p: SparkPlan): Boolean = p match {
@@ -119,7 +120,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_kmv", // k=256-register sketches, one per source (source-pair algebra)
       "q_mvc", // the single control-arm summary row joined onto each arm
       "q_nb", "q_label_noise", // NB class-model frames (classes × bounded vocab)
-      "q_lorenz") // cumulative via triangular join on the ≤100-bin frame (nBins contract)
+      "q_lorenz", // cumulative via triangular join on the ≤100-bin frame (nBins contract)
+      "q_fair_audit") // the limit(1) reference-group row (one row by construction; the limit sits below a select so PlanLint cannot prove it)
     val sf = "/root/testdata/sf0.001"
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (bruteByContract(name) || boundedBuildByContract(name)) Nil
