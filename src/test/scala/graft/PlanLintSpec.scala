@@ -119,7 +119,15 @@ class PlanLintSpec extends SparkSpec {
       "q_curriculum"     -> Set("global-window"),
       // the Lorenz cumulative is a triangular join on the BIN frame —
       // ≤ 100 rows by the nBins require, never the corpus
-      "q_lorenz"         -> Set("nested-loop-join")
+      "q_lorenz"         -> Set("nested-loop-join"),
+      // Holm's rank/prefix-max windows order the TESTS frame — one row
+      // per hypothesis, the q_bh contract; the corpus collapsed in the
+      // upstream per-slice aggregate
+      "q_holm"           -> Set("global-window"),
+      // the reference-group frame is limit(1) — one row by
+      // construction, but the limit sits below a select so the
+      // linter's one-row auto-pass can't prove it
+      "q_fair_audit"     -> Set("nested-loop-join")
     )
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       PlanLint.lint(fn(spark, sf))
