@@ -3610,7 +3610,92 @@ object SparkEntry {
     // SAX words: each event type's value series as an 8-letter shape
     "q_sax" -> ((s, dir) =>
       Trend.sax(ev(s, dir), Seq("event_type"), "ts", "event_id", "value",
-        nSegments = 8))
+        nSegments = 8)),
+
+    // ---- round 10 batch W: causal/robust/layout/series/JSON ----
+
+    // IV Wald/LATE per lang: even-user instrument, did-purchase
+    // treatment, event value outcome
+    "q_iv_wald" -> ((s, dir) => {
+      val peru = ev(s, dir).filter(col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)).as("__t"),
+          graft.functions.Portable.r6(
+            sum(coalesce(
+              when(!isnan(col("value")), col("value")), lit(0.0))
+              .cast("decimal(38,6)")).cast("double")).as("y"))
+      Causal.ivWald(peru.withColumn("g", lit("all")), Seq("g"),
+        pmod(col("user_id"), lit(2)) === 0, col("__t") === 1L, "y")
+    }),
+
+    // Cramer-von Mises: integrated squared ECDF gap of n_chars,
+    // en vs rest, per source — next to the same slice's KS
+    "q_cvm" -> ((s, dir) =>
+      Hypothesis.cvmTest(docs(s, dir), Seq("source"), "n_chars",
+        col("lang") === "en")),
+
+    // token-weighted doc-length quantiles per lang: where the TOKENS
+    // live, not where the docs are
+    "q_wquantile" -> ((s, dir) =>
+      graft.operators.Quantiles.weightedQuantiles(
+        docs(s, dir).withColumn("n_words",
+          size(TextFunctions.wordTokens(col("text"))).cast("double")),
+        Seq("lang"), "n_chars", "n_words", Seq(0.5, 0.9, 0.99))),
+
+    // trailing 5-row rolling median of event values per user
+    "q_roll_median" -> ((s, dir) =>
+      Rolling.rollingMedian(
+        ev(s, dir).withColumn("t", unix_micros(col("ts"))),
+        Seq("user_id"), "t", "event_id", "value", k = 5)
+        .select(col("user_id"), col("t"), col("v"), col("n_window"),
+          col("roll_median"))),
+
+    // Hilbert layout index over the same 2-D key as q_zorder
+    "q_hilbert" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.operators.ZOrder.hilbertValue(
+          pmod(col("doc_id"), lit(1024L)),
+          pmod(col("n_chars"), lit(1024L)), bits = 10).as("h"))),
+
+    // pairwise DTW over the event types' 8-segment PAA shapes
+    "q_dtw" -> { (s, dir) =>
+      val paa = Trend.paaVectors(ev(s, dir), Seq("event_type"), "ts",
+        "event_id", "value", nSegments = 8)
+      paa.as("a").join(paa.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          graft.functions.Portable.r6(
+            Trend.dtwDistance(col("a.paa"), col("b.paa"))).as("dtw"))
+    },
+
+    // Krippendorff's alpha over an incomplete rating design: unit =
+    // user decile, category = an event's value tercile, every event a
+    // "rating" (raters anonymous/unequal by construction)
+    "q_kripp" -> ((s, dir) =>
+      Evaluation.krippendorffAlpha(
+        ev(s, dir).filter(col("value").isNotNull && !isnan(col("value")))
+          .withColumn("unit", pmod(col("user_id"), lit(10)))
+          .withColumn("cat",
+            when(col("value") < 40.0, "lo")
+              .when(col("value") < 70.0, "mid").otherwise("hi")),
+        Seq("event_type"), "unit", "cat")),
+
+    // negative-binomial overdispersion fit of per-user event counts
+    "q_negbin" -> ((s, dir) => {
+      val counts = ev(s, dir).groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).cast("double").as("k"))
+      Stats.negativeBinomialFit(counts, Seq("event_type"), "k")
+    }),
+
+    // log-normal fit of doc lengths per lang with implied median/p95
+    "q_lognormal" -> ((s, dir) =>
+      Stats.logNormalFit(docs(s, dir), Seq("lang"), "n_chars")),
+
+    // JSON field health of events.props' $.k per event type
+    "q_json_health" -> ((s, dir) =>
+      graft.operators.Json.fieldHealth(ev(s, dir), Seq("event_type"),
+        "props", "$.k"))
   )
 
   /** Per-user Cox subjects shared by the q_cox Spark call and oracle:
@@ -5650,6 +5735,235 @@ object SparkEntry {
            |SELECT sym.g AS event_type, mom.n AS n,
            |  string_agg(sy, '' ORDER BY seg) AS sax
            |FROM sym JOIN mom ON mom.g = sym.g GROUP BY sym.g, mom.n""".stripMargin
+      },
+
+      // ---- round 10 batch W oracles ----
+
+      "q_iv_wald" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH peru AS (SELECT user_id,
+           |    max(CASE WHEN event_type = 'purchase' THEN 1 END) AS t,
+           |    ${r6("CAST(coalesce(sum(CASE WHEN NOT isnan(value) THEN CAST(value AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END), 0) AS DOUBLE)")} AS y
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+           |f AS (SELECT user_id % 2 = 0 AS z, t = 1 AS tt, y FROM peru
+           |  WHERE y IS NOT NULL AND NOT isnan(y)),
+           |g AS (SELECT 'all' AS g, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(CASE WHEN z THEN 1 END) AS BIGINT) AS n_z1,
+           |    CAST(count(CASE WHEN NOT z THEN 1 END) AS BIGINT) AS n_z0,
+           |    CAST(count(CASE WHEN z AND tt THEN 1 END) AS BIGINT) AS t1,
+           |    CAST(count(CASE WHEN (NOT z) AND tt THEN 1 END) AS BIGINT) AS t0,
+           |    CAST(coalesce(sum(CASE WHEN z THEN CAST(${r6("y")} AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sy1,
+           |    CAST(coalesce(sum(CASE WHEN NOT z THEN CAST(${r6("y")} AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sy0
+           |  FROM f),
+           |e AS (SELECT *, CAST(n_z1 AS DOUBLE) AS n1, CAST(n_z0 AS DOUBLE) AS n0,
+           |    CAST(t1 AS DOUBLE) / CAST(n_z1 AS DOUBLE) AS p1,
+           |    CAST(t0 AS DOUBLE) / CAST(n_z0 AS DOUBLE) AS p0,
+           |    CAST(t1 + t0 AS DOUBLE) / CAST(n_z1 + n_z0 AS DOUBLE) AS pp
+           |  FROM g),
+           |x AS (SELECT *,
+           |    CASE WHEN n_z1 > 0 AND n_z0 > 0 THEN p1 - p0 END AS fs,
+           |    CASE WHEN n_z1 > 0 AND n_z0 > 0 THEN sy1 / n1 - sy0 / n0 END AS itt0
+           |  FROM e)
+           |SELECT g, n, n_z1, n_z0,
+           |  CASE WHEN n_z1 > 0 THEN ${r6("p1")} END AS t_rate_z1,
+           |  CASE WHEN n_z0 > 0 THEN ${r6("p0")} END AS t_rate_z0,
+           |  ${r6("fs")} AS first_stage,
+           |  CASE WHEN n_z1 > 0 AND n_z0 > 0 AND pp > 0 AND pp < 1
+           |    THEN ${r6("(p1 - p0) / sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n0))")} END AS first_stage_z,
+           |  ${r6("itt0")} AS itt,
+           |  CASE WHEN fs IS NOT NULL AND fs <> 0.0 THEN ${r6("itt0 / fs")} END AS late
+           |FROM x""".stripMargin
+      },
+
+      "q_cvm" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH v AS (SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+           |    CAST(n_chars AS DOUBLE) AS x
+           |  FROM documents WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+           |c AS (SELECT source, x, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(1 - a) AS BIGINT) AS cb
+           |      FROM v GROUP BY 1, 2),
+           |w AS (SELECT source, ca, cb,
+           |        CAST(sum(ca) OVER (PARTITION BY source ORDER BY x) AS BIGINT) AS fa,
+           |        CAST(sum(cb) OVER (PARTITION BY source ORDER BY x) AS BIGINT) AS fb,
+           |        CAST(sum(ca) OVER (PARTITION BY source) AS BIGINT) AS na,
+           |        CAST(sum(cb) OVER (PARTITION BY source) AS BIGINT) AS nb
+           |      FROM c),
+           |t AS (SELECT source, na, nb,
+           |        CAST(ca + cb AS DOUBLE) *
+           |          (CAST(fa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(fb AS DOUBLE) / CAST(nb AS DOUBLE)) *
+           |          (CAST(fa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(fb AS DOUBLE) / CAST(nb AS DOUBLE)) AS term
+           |      FROM w WHERE na > 0 AND nb > 0),
+           |m AS (SELECT source, first(na) AS n_a, first(nb) AS n_b,
+           |        CAST(coalesce(sum(CAST(${r6("term")} AS DECIMAL(38,6))), 0) AS DOUBLE) *
+           |          CAST(first(na) AS DOUBLE) * CAST(first(nb) AS DOUBLE) /
+           |          (CAST(first(na) + first(nb) AS DOUBLE) * CAST(first(na) + first(nb) AS DOUBLE)) AS t0
+           |      FROM t GROUP BY 1)
+           |SELECT source, n_a, n_b, ${r6("t0")} AS t FROM m""".stripMargin
+      },
+
+      "q_wquantile" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH b AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+           |    CAST(len(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '')) AS DOUBLE) AS w
+           |  FROM documents WHERE n_chars IS NOT NULL),
+           |pv AS (SELECT lang, v, sum(CAST(w AS DECIMAL(38,6))) AS wd FROM b GROUP BY 1, 2),
+           |cum AS (SELECT lang, v,
+           |    CAST(sum(wd) OVER (PARTITION BY lang ORDER BY v) AS DOUBLE) AS cw,
+           |    CAST(sum(wd) OVER (PARTITION BY lang) AS DOUBLE) AS tw
+           |  FROM pv),
+           |pr AS (SELECT lang, p.p AS p,
+           |    min(CASE WHEN cw >= p.p * tw THEN v END) AS q, max(tw) AS twx
+           |  FROM cum, (VALUES (0.5), (0.9), (0.99)) p(p) GROUP BY 1, 2)
+           |SELECT lang, CAST(p AS DOUBLE) AS p, q, ${r6("twx")} AS w_total FROM pr""".stripMargin
+      },
+
+      "q_roll_median" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH b AS (SELECT user_id, epoch_us(ts) AS t, event_id, CAST(value AS DOUBLE) AS v
+           |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+           |w AS (SELECT user_id, t, v,
+           |    list_sort(list(v) OVER (PARTITION BY user_id ORDER BY t, event_id
+           |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS win
+           |  FROM b)
+           |SELECT user_id, t, v, CAST(len(win) AS BIGINT) AS n_window,
+           |  ${r6("(win[(len(win) + 1) // 2] + win[len(win) // 2 + 1]) / 2.0")} AS roll_median
+           |FROM w""".stripMargin
+      },
+
+      "q_hilbert" ->
+        """WITH b AS (SELECT doc_id, doc_id % 1024 AS x, n_chars % 1024 AS y FROM documents)
+          |SELECT doc_id,
+          |  list_reduce(
+          |    list_prepend([CAST(0 AS BIGINT), x, y],
+          |      list_transform(range(0, 10), i -> [9 - i, CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),
+          |    (acc, lv) -> [
+          |      acc[1] + CAST(pow(2, lv[1]) AS BIGINT) * CAST(pow(2, lv[1]) AS BIGINT) *
+          |        xor(3 * (CASE WHEN (acc[2] & CAST(pow(2, lv[1]) AS BIGINT)) > 0 THEN 1 ELSE 0 END),
+          |            (CASE WHEN (acc[3] & CAST(pow(2, lv[1]) AS BIGINT)) > 0 THEN 1 ELSE 0 END)),
+          |      CASE WHEN (acc[3] & CAST(pow(2, lv[1]) AS BIGINT)) > 0 THEN acc[2]
+          |           WHEN (acc[2] & CAST(pow(2, lv[1]) AS BIGINT)) > 0
+          |             THEN CAST(pow(2, lv[1]) AS BIGINT) - 1 - acc[3]
+          |           ELSE acc[3] END,
+          |      CASE WHEN (acc[3] & CAST(pow(2, lv[1]) AS BIGINT)) > 0 THEN acc[3]
+          |           WHEN (acc[2] & CAST(pow(2, lv[1]) AS BIGINT)) > 0
+          |             THEN CAST(pow(2, lv[1]) AS BIGINT) - 1 - acc[2]
+          |           ELSE acc[2] END
+          |    ])[1] AS h
+          |FROM b""".stripMargin,
+
+      "q_dtw" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH b AS (SELECT event_type AS g, ts, event_id, CAST(value AS DOUBLE) AS v
+           |  FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL),
+           |mom AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(coalesce(sum(CAST(${r6("v")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS sm,
+           |    CAST(coalesce(sum(CAST(${r6("v * v")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS s2
+           |  FROM b GROUP BY 1),
+           |rk AS (SELECT g, v,
+           |    row_number() OVER (PARTITION BY g ORDER BY ts, event_id) - 1 AS rn FROM b),
+           |zz AS (SELECT rk.g, (rk.rn * 8) // mom.n AS seg,
+           |    CASE WHEN sqrt(greatest(s2 / CAST(n AS DOUBLE) - (sm / CAST(n AS DOUBLE)) * (sm / CAST(n AS DOUBLE)), 0.0)) > 0
+           |      THEN (v - sm / CAST(n AS DOUBLE)) / sqrt(greatest(s2 / CAST(n AS DOUBLE) - (sm / CAST(n AS DOUBLE)) * (sm / CAST(n AS DOUBLE)), 0.0))
+           |      ELSE 0.0 END AS z
+           |  FROM rk JOIN mom USING (g)),
+           |paa AS (SELECT g, seg,
+           |    ${r6("CAST(coalesce(sum(CAST(" + r6("z") + " AS DECIMAL(38,6))), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS pm
+           |  FROM zz GROUP BY 1, 2),
+           |vecs AS (SELECT g, list(pm ORDER BY seg) AS paa FROM paa GROUP BY 1),
+           |pairs AS (SELECT a.g AS type_a, b.g AS type_b, a.paa AS pa, b.paa AS pb
+           |  FROM vecs a JOIN vecs b ON a.g < b.g)
+           |SELECT type_a, type_b,
+           |  ${r6("""list_reduce(
+           |    list_prepend(list_prepend(CAST(0 AS DOUBLE), list_transform(pb, q -> 1e308)),
+           |      list_transform(pa, q -> [q])),
+           |    (prev, xr) -> list_reduce(
+           |      list_prepend([1e308], list_transform(range(1, len(pb) + 1), j -> [CAST(j AS DOUBLE)])),
+           |      (row, jj) -> list_append(row,
+           |        abs(xr[1] - pb[CAST(jj[1] AS BIGINT)]) +
+           |        least(prev[CAST(jj[1] AS BIGINT)], prev[CAST(jj[1] AS BIGINT) + 1], row[len(row)]))))[len(pb) + 1]""")} AS dtw
+           |FROM pairs""".stripMargin
+      },
+
+      "q_kripp" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH r AS (SELECT event_type AS g, user_id % 10 AS u,
+           |    CASE WHEN CAST(value AS DOUBLE) < 40.0 THEN 'lo'
+           |         WHEN CAST(value AS DOUBLE) < 70.0 THEN 'mid' ELSE 'hi' END AS c
+           |  FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+           |ouc AS (SELECT g, u, c, CAST(count(*) AS BIGINT) AS o FROM r GROUP BY 1, 2, 3),
+           |mu AS (SELECT g, u, CAST(sum(o) AS BIGINT) AS m FROM ouc GROUP BY 1, 2),
+           |cells AS (SELECT ouc.g, ouc.u, ouc.c, ouc.o, mu.m FROM ouc JOIN mu USING (g, u) WHERE mu.m >= 2),
+           |nc AS (SELECT g, c, CAST(sum(o) AS BIGINT) AS nc FROM cells GROUP BY 1, 2),
+           |ds AS (SELECT g, CAST(count(DISTINCT u) AS BIGINT) AS n_units,
+           |    CAST(sum(o) AS BIGINT) AS n_pairable,
+           |    CAST(coalesce(sum(CAST(${r6("CAST(o AS DOUBLE) * CAST(m - o AS DOUBLE) / (CAST(m AS DOUBLE) - 1.0)")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS dnum
+           |  FROM cells GROUP BY 1),
+           |de AS (SELECT nc.g, CAST(coalesce(sum(CAST(CAST(nc.nc * (ds.n_pairable - nc.nc) AS DOUBLE) AS DECIMAL(38,6))), 0) AS DOUBLE) AS enum
+           |  FROM nc JOIN ds USING (g) GROUP BY 1),
+           |f AS (SELECT ds.g AS event_type, n_units, n_pairable,
+           |    CASE WHEN n_pairable > 0 THEN dnum / CAST(n_pairable AS DOUBLE) END AS d_o0,
+           |    CASE WHEN n_pairable > 1 THEN enum / (CAST(n_pairable AS DOUBLE) * (CAST(n_pairable AS DOUBLE) - 1.0)) END AS d_e0
+           |  FROM ds JOIN de USING (g))
+           |SELECT event_type, n_units, n_pairable, ${r6("d_o0")} AS d_o, ${r6("d_e0")} AS d_e,
+           |  CASE WHEN d_e0 > 0 THEN ${r6("1.0 - d_o0 / d_e0")} END AS alpha
+           |FROM f""".stripMargin
+      },
+
+      "q_negbin" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH k AS (SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS k FROM events GROUP BY 1, 2),
+           |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(coalesce(sum(CAST(${r6("k")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS s,
+           |    CAST(coalesce(sum(CAST(${r6("k * k")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS s2
+           |  FROM k GROUP BY 1),
+           |m AS (SELECT event_type, n, s / CAST(n AS DOUBLE) AS mn,
+           |    greatest(s2 / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)), 0.0) AS vr
+           |  FROM g),
+           |x AS (SELECT *, CASE WHEN vr > mn AND mn > 0 THEN mn * mn / (vr - mn) END AS r0 FROM m)
+           |SELECT event_type, n, ${r6("mn")} AS mean, ${r6("vr")} AS variance,
+           |  ${r6("r0")} AS r,
+           |  CASE WHEN r0 IS NOT NULL THEN ${r6("r0 / (r0 + mn)")} END AS p
+           |FROM x""".stripMargin
+      },
+
+      "q_lognormal" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH b AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+           |  WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+           |g AS (SELECT lang, CAST(count(CASE WHEN v > 0 THEN 1 END) AS BIGINT) AS n,
+           |    CAST(count(CASE WHEN v <= 0 THEN 1 END) AS BIGINT) AS n_dropped,
+           |    CAST(coalesce(sum(CASE WHEN v > 0 THEN CAST(${r6("ln(v)")} AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS s,
+           |    CAST(coalesce(sum(CASE WHEN v > 0 THEN CAST(${r6("ln(v) * ln(v)")} AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS s2
+           |  FROM b GROUP BY 1),
+           |m AS (SELECT lang, n, n_dropped, s / CAST(n AS DOUBLE) AS mu,
+           |    sqrt(greatest(s2 / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)), 0.0)) AS sd
+           |  FROM g)
+           |SELECT lang, n, n_dropped,
+           |  CASE WHEN n > 0 THEN ${r6("mu")} END AS mu,
+           |  CASE WHEN n > 0 THEN ${r6("sd")} END AS sigma,
+           |  CASE WHEN n > 0 THEN ${r6("exp(mu)")} END AS median_fit,
+           |  CASE WHEN n > 0 THEN ${r6("exp(mu + 1.6449 * sd)")} END AS p95_fit
+           |FROM m""".stripMargin
+      },
+
+      "q_json_health" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH f AS (SELECT event_type, props,
+           |    CASE WHEN props IS NOT NULL AND json_valid(props)
+           |      THEN try_cast(json_extract_string(props, '$$.k') AS DOUBLE) END AS v
+           |  FROM events),
+           |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(CASE WHEN props IS NULL THEN 1 END) AS BIGINT) AS n_null_payload,
+           |    CAST(count(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN 1 END) AS BIGINT) AS n_field,
+           |    CAST(coalesce(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN CAST(${r6("v")} AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS s,
+           |    min(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN v END) AS mn,
+           |    max(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN v END) AS mx
+           |  FROM f GROUP BY 1)
+           |SELECT event_type, n, n_null_payload, n_field,
+           |  CASE WHEN n > 0 THEN ${r6("CAST(n_field AS DOUBLE) / CAST(n AS DOUBLE)")} END AS present_rate,
+           |  CASE WHEN n_field > 0 THEN ${r6("s / CAST(n_field AS DOUBLE)")} END AS field_mean,
+           |  ${r6("mn")} AS field_min, ${r6("mx")} AS field_max
+           |FROM g""".stripMargin
       },
 
 

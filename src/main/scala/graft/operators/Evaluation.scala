@@ -687,4 +687,58 @@ object Evaluation {
       when(mccDen > 0,
         r6((d("tp") * d("tn") - d("fp") * d("fn")) / mccDen)).as("mcc"))
   }
+
+  /** Krippendorff's alpha (nominal) per group — the agreement
+    * coefficient that handles MISSING ratings and any rater count,
+    * where [[fleissKappa]] requires complete equal-size blocks: ratings
+    * arrive as bare (unit, category) rows, units with a single rating
+    * carry no pairable information and drop (counted). Disagreement
+    * form: Do = (1/n)·Σ_u Σ_c o_uc(m_u − o_uc)/(m_u − 1),
+    * De = (1/(n(n−1)))·Σ_c n_c(n − n_c), α = 1 − Do/De over the
+    * pairable ratings n = Σ_{m_u ≥ 2} m_u.
+    *
+    * Shape: two groupBys to the (unit × category) o_uc frame and the
+    * category totals — unit/category-sized, never rater-pair-sized.
+    * α NULL when De = 0 (one category total — agreement is undefined,
+    * not perfect). Output per group: (by…, n_units, n_pairable,
+    * d_o, d_e, alpha).
+    */
+  def krippendorffAlpha(
+      df: DataFrame,
+      byCols: Seq[String],
+      unitCol: String,
+      categoryCol: String): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val by = byCols.map(col)
+    val ouc = df
+      .filter(col(unitCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy((by :+ col(unitCol).as("__u") :+
+        col(categoryCol).cast("string").as("__c")): _*)
+      .agg(count(lit(1)).as("__o"))
+    val mu = ouc.groupBy((by :+ col("__u")): _*)
+      .agg(sum(col("__o")).as("__m"))
+    val cells = ouc.join(mu, byCols :+ "__u")
+      .filter(col("__m") >= 2L)
+    val nc = cells.groupBy((by :+ col("__c")): _*)
+      .agg(sum(col("__o")).as("__nc"))
+    val doSum = cells
+      .groupBy(by: _*)
+      .agg(
+        countDistinct(col("__u")).as("n_units"),
+        sum(col("__o")).as("n_pairable"),
+        dsum(r6(col("__o").cast("double") * (col("__m") - col("__o")).cast("double") /
+          (col("__m").cast("double") - 1.0))).as("__dnum"))
+    val n = col("n_pairable").cast("double")
+    val joined = doSum.join(
+      nc.join(doSum.select((by :+ col("n_pairable").as("__np")): _*), byCols)
+        .groupBy(by: _*)
+        .agg(dsum((col("__nc") * (col("__np") - col("__nc"))).cast("double")).as("__enum")),
+      byCols)
+    val dO = when(n > 0, col("__dnum") / n)
+    val dE = when(n > 1, col("__enum") / (n * (n - 1.0)))
+    joined.select((by ++ Seq(col("n_units"), col("n_pairable"),
+      r6(dO).as("d_o"), r6(dE).as("d_e"),
+      when(dE > 0, r6(lit(1.0) - dO / dE)).as("alpha"))): _*)
+  }
 }

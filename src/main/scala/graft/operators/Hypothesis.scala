@@ -640,4 +640,52 @@ object Hypothesis {
         r6((col("n_ge").cast("double") + 1.0) /
           (col("k").cast("double") + 1.0)).as("p_value"))
   }
+
+  /** Two-sample Cramér–von Mises statistic per group — [[ksTest]]'s
+    * integrated sibling: KS reads the single WORST ECDF gap, CvM
+    * integrates the SQUARED gap over the pooled distribution, so a
+    * persistent moderate shift (which KS can under-rank against one
+    * freak step) accumulates. T = (n·m / N²) · Σ_x cnt_x · gap_x², the
+    * tie-aware discrete form over the pooled distinct-value frame —
+    * IDENTICAL machinery to ksTest (one groupBy to the distinct-value
+    * frame, cumulative windows over it), one extra squared-gap column.
+    * Per-value terms r6-pinned before the DECIMAL reduction.
+    *
+    * Output per group: (by…, n_a, n_b, t).
+    */
+  def cvmTest(df: DataFrame, by: Seq[String], valueCol: String, inA: Column): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    val x = col(valueCol).cast("double")
+    val a = when(inA, 1L).otherwise(0L)
+    val byCols = by.map(col)
+    val counts = df
+      .filter(ok(x))
+      .select((byCols :+ x.as("__x") :+ a.as("__a")): _*)
+      .groupBy((byCols :+ col("__x")): _*)
+      .agg(sum(col("__a")).as("__ca"), sum(lit(1L) - col("__a")).as("__cb"))
+    val wOrd = Window
+      .partitionBy(byCols: _*)
+      .orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(byCols: _*)
+    val stepped = counts
+      .withColumn("__fa", sum(col("__ca")).over(wOrd))
+      .withColumn("__fb", sum(col("__cb")).over(wOrd))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+    val gap = col("__fa").cast("double") / col("__na").cast("double") -
+      col("__fb").cast("double") / col("__nb").cast("double")
+    val term = (col("__ca") + col("__cb")).cast("double") * gap * gap
+    stepped
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .groupBy(byCols: _*)
+      .agg(
+        first(col("__na")).as("n_a"),
+        first(col("__nb")).as("n_b"),
+        (sum(r6(term).cast("decimal(38,6)")).cast("double") *
+          first(col("__na")).cast("double") * first(col("__nb")).cast("double") /
+          ((first(col("__na")) + first(col("__nb"))).cast("double") *
+            (first(col("__na")) + first(col("__nb"))).cast("double"))).as("__t"))
+      .select((byCols ++ Seq(col("n_a"), col("n_b"), r6(col("__t")).as("t"))): _*)
+  }
 }

@@ -237,4 +237,43 @@ object Rolling {
         col("n"), col("sum_value"))): _*)
   }
 
+
+  /** Trailing rolling MEDIAN per key — the robust twin of the rolling
+    * mean/z features above: one poisoned reading drags a trailing mean
+    * (and the z-scores built on it) for the whole window, while the
+    * median shrugs. Exact, over the last `k` ROWS by (time, tie) order:
+    * the window collects ≤ k values per row (k ≤ 64 loudly — a rolling
+    * collect is O(k) state per row by construction), sorts in-row, and
+    * takes the lower-middle / middle pair average.
+    *
+    * Output: input keys + (t, v, n_window, roll_median).
+    */
+  def rollingMedian(
+      df: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      tieCol: String,
+      valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 64,
+      s"k must be in [1, 64], got $k — the per-row window state is O(k)")
+    val r6 = graft.functions.Portable.r6 _
+    val v = col(valueCol).cast("double")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("t"), col("__tie"))
+      .rowsBetween(-(k - 1).toLong, 0L)
+    val base = df
+      .filter(v.isNotNull && !isnan(v) && col(timeCol).isNotNull)
+      .select((keyCols.map(col) :+ col(timeCol).as("t") :+
+        col(tieCol).as("__tie") :+ v.as("v")): _*)
+      .withColumn("__win", sort_array(collect_list(col("v")).over(w)))
+    val n = size(col("__win"))
+    // integer midpoints: Spark's `/` is a double divide, so cast back
+    val lo = element_at(col("__win"), ((n + 1) / 2).cast("int"))
+    val hi = element_at(col("__win"), (n / 2 + 1).cast("int"))
+    base
+      .select((keyCols.map(col) ++ Seq(col("t"), col("v"),
+        n.cast("long").as("n_window"),
+        r6((lo + hi) / 2.0).as("roll_median"))): _*)
+  }
 }

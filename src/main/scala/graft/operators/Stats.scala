@@ -1681,4 +1681,68 @@ object Stats {
           r6(lit(12.0) * col("s") /
             (mD * mD * (nD * nD * nD - nD) - mD * col("__tsum")))).as("w"))
   }
+
+  /** Negative-binomial method-of-moments fit per group — the
+    * overdispersion MODEL behind #199's Fano flag: once var > mean,
+    * r = mean²/(var − mean) and p = r/(r + mean) say HOW clumpy
+    * (small r = bursty; r → ∞ recovers Poisson). Exact DECIMAL
+    * moments; r/p NULL when var ≤ mean (no overdispersion to model —
+    * the Poisson row is the finding). Output per group:
+    * (by…, n, mean, variance, r, p).
+    */
+  def negativeBinomialFit(
+      df: DataFrame,
+      byCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val v = col(valueCol).cast("double")
+    val g = df
+      .filter(v.isNotNull && !isnan(v))
+      .groupBy(byCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), dsum(r6(v)).as("__s"), dsum(r6(v * v)).as("__s2"))
+    val nD = col("n").cast("double")
+    val mean = col("__s") / nD
+    val vr = greatest(col("__s2") / nD - mean * mean, lit(0.0))
+    val r = when(vr > mean && mean > 0, mean * mean / (vr - mean))
+    g.select((byCols.map(col) ++ Seq(col("n"),
+      r6(mean).as("mean"), r6(vr).as("variance"),
+      r6(r).as("r"), r6(when(r.isNotNull, r / (r + mean))).as("p"))): _*)
+  }
+
+  /** Log-normal method-of-moments fit per group over POSITIVE values —
+    * the two-parameter model heavy right-skewed pipeline metrics
+    * (latencies, doc lengths, spend) actually follow: μ/σ of ln x with
+    * the implied median exp(μ) and p95 exp(μ + 1.6449·σ), so "what
+    * will the tail do if this is really log-normal" is one look.
+    * Non-positive values drop and are COUNTED (n_dropped) — they are
+    * evidence against the model, not noise. ln terms r6-pinned before
+    * DECIMAL sums. Output per group: (by…, n, n_dropped, mu, sigma,
+    * median_fit, p95_fit).
+    */
+  def logNormalFit(
+      df: DataFrame,
+      byCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val v = col(valueCol).cast("double")
+    val lx = log(v)
+    val g = df
+      .filter(v.isNotNull && !isnan(v))
+      .groupBy(byCols.map(col): _*)
+      .agg(
+        count(when(v > 0, lit(1))).as("n"),
+        count(when(v <= 0, lit(1))).as("n_dropped"),
+        dsum(when(v > 0, r6(lx)).otherwise(lit(0.0))).as("__s"),
+        dsum(when(v > 0, r6(lx * lx)).otherwise(lit(0.0))).as("__s2"))
+    val nD = col("n").cast("double")
+    val mu = col("__s") / nD
+    val sd = sqrt(greatest(col("__s2") / nD - mu * mu, lit(0.0)))
+    g.select((byCols.map(col) ++ Seq(col("n"), col("n_dropped"),
+      r6(when(col("n") > 0, mu)).as("mu"),
+      r6(when(col("n") > 0, sd)).as("sigma"),
+      r6(when(col("n") > 0, exp(mu))).as("median_fit"),
+      r6(when(col("n") > 0, exp(mu + lit(1.6449) * sd))).as("p95_fit"))): _*)
+  }
 }

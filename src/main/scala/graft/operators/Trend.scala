@@ -180,7 +180,31 @@ object Trend {
       tieCol: String,
       valueCol: String,
       nSegments: Int = 8): DataFrame = {
-    require(byCols.nonEmpty, "sax needs at least one key column")
+    val paa = paaFrame(df, byCols, timeCol, tieCol, valueCol, nSegments)
+      .withColumn("__sym",
+        when(col("__pm") < -0.6745, lit("a"))
+          .when(col("__pm") < 0.0, lit("b"))
+          .when(col("__pm") < 0.6745, lit("c"))
+          .otherwise(lit("d")))
+    paa
+      .groupBy(byCols.map(col): _*)
+      .agg(first(col("__n")).as("n"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__seg"), col("__sym")))),
+          x => x.getField("__sym")), "").as("sax"))
+  }
+
+  /** The shared z-normalized PAA frame behind [[sax]] and
+    * [[paaVectors]]: per (key, segment), the r6-pinned mean z-score.
+    */
+  private def paaFrame(
+      df: DataFrame,
+      byCols: Seq[String],
+      timeCol: String,
+      tieCol: String,
+      valueCol: String,
+      nSegments: Int): DataFrame = {
+    require(byCols.nonEmpty, "PAA needs at least one key column")
     require(nSegments >= 2 && nSegments <= 64,
       s"nSegments must be in [2, 64], got $nSegments")
     val r6 = graft.functions.Portable.r6 _
@@ -209,23 +233,68 @@ object Trend {
     val mean = col("__s") / col("__n").cast("double")
     val sd = sqrt(greatest(
       col("__s2") / col("__n").cast("double") - mean * mean, lit(0.0)))
-    val paa = seg
+    seg
       .groupBy((by :+ col("__seg")): _*)
       .agg(dsum(r6(when(sd > 0, (col("__v") - mean) / sd).otherwise(lit(0.0))))
         .as("__zs"),
         count(lit(1)).as("__k"),
         first(col("__n")).as("__n"))
       .withColumn("__pm", col("__zs") / col("__k").cast("double"))
-      .withColumn("__sym",
-        when(col("__pm") < -0.6745, lit("a"))
-          .when(col("__pm") < 0.0, lit("b"))
-          .when(col("__pm") < 0.6745, lit("c"))
-          .otherwise(lit("d")))
-    paa
-      .groupBy(by: _*)
+  }
+
+  /** Per-key z-normalized PAA vector — [[sax]] without the letter
+    * quantization: (by…, n, paa[nSegments]) with each segment mean
+    * r6-pinned, segment-ordered. The numeric shape descriptor
+    * [[dtwDistance]] compares.
+    */
+  def paaVectors(
+      df: DataFrame,
+      byCols: Seq[String],
+      timeCol: String,
+      tieCol: String,
+      valueCol: String,
+      nSegments: Int = 8): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    paaFrame(df, byCols, timeCol, tieCol, valueCol, nSegments)
+      .groupBy(byCols.map(col): _*)
       .agg(first(col("__n")).as("n"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("__seg"), col("__sym")))),
-          x => x.getField("__sym")), "").as("sax"))
+        transform(
+          array_sort(collect_list(struct(col("__seg"), col("__pm")))),
+          x => r6(x.getField("__pm"))).as("paa"))
+  }
+
+  /** Exact dynamic-time-warping distance between two DOUBLE arrays —
+    * the alignment-tolerant series distance (Euclidean on PAA vectors
+    * calls a 1-segment phase shift "far"; DTW warps it back). The
+    * classic O(p·q) band-free DP as a pure fold: the outer aggregate
+    * walks `a` carrying the previous DP row, the inner aggregate
+    * builds each row left-to-right (the cell needs its LEFT neighbor,
+    * so the row is an append-fold) — [[graft.text.Bpe.mergeOnce]]'s
+    * accumulator discipline, twice. |a|·|b| work per ROW: meant for
+    * bounded shape vectors (PAA segments, ≤ 64 by the paa contract),
+    * not raw series — feed it [[paaVectors]].
+    *
+    * Empty inputs yield the 1e308 sentinel (no alignment exists) —
+    * callers filter, the way NULL would hide the row.
+    */
+  def dtwDistance(a: Column, b: Column): Column = {
+    val inf = lit(1.0e308)
+    val init = concat(array(lit(0.0)), transform(b, _ => inf))
+    val folded = aggregate(
+      a,
+      init,
+      (prev, ai) =>
+        aggregate(
+          sequence(lit(1), size(b)),
+          array(inf),
+          (row, j) => {
+            val cost = abs(ai - element_at(b, j))
+            val best = least(
+              element_at(prev, j),          // D(i-1, j-1)
+              element_at(prev, j + 1),      // D(i-1, j)
+              element_at(row, size(row)))   // D(i,   j-1)
+            concat(row, array(cost + best))
+          }))
+    element_at(folded, -1)
   }
 }

@@ -55,4 +55,46 @@ object ZOrder {
       .sortWithinPartitions("zvalue")
       .drop("zvalue")
       .write.mode("overwrite").parquet(path)
+
+  /** Hilbert-curve index for two dimensions — [[zValue]]'s
+    * better-locality sibling: Morton order takes long diagonal jumps at
+    * quadrant boundaries (adjacent z-values can be far apart in space),
+    * while the Hilbert curve is CONTINUOUS, so range-partitioning by it
+    * keeps every file's rows in one compact blob — measurably fewer
+    * files overlap a box query. The price is the per-level rotation,
+    * here an integer fold over `bits` levels (the classic d2xy
+    * inverse): rx/ry quadrant bits, d += s²·((3rx) XOR ry), rotate.
+    * Pure integer arithmetic — any engine replays it bit-for-bit.
+    *
+    * Inputs are column values already scaled to [0, 2^bits); the fold
+    * carries (d, x, y) as a 3-long array through the per-level
+    * transform, exactly [[graft.text.Bpe.mergeOnce]]'s accumulator
+    * discipline. bits ≤ 31 keeps s² in the long range trivially.
+    */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val init = array(lit(0L), x.cast("long"), y.cast("long"))
+    val folded = aggregate(
+      // levels s = 2^(bits-1) … 1, descending
+      sequence(lit(bits - 1), lit(0), lit(-1)),
+      init,
+      (acc, lv) => {
+        // 2^lv as an exact double→long (shiftleft needs a literal shift)
+        val s = pow(lit(2.0), lv.cast("double")).cast("long")
+        val d = element_at(acc, 1)
+        val cx = element_at(acc, 2)
+        val cy = element_at(acc, 3)
+        val rx = when(cx.bitwiseAND(s) > 0L, lit(1L)).otherwise(lit(0L))
+        val ry = when(cy.bitwiseAND(s) > 0L, lit(1L)).otherwise(lit(0L))
+        val d2 = d + s * s * ((lit(3L) * rx).bitwiseXOR(ry))
+        // rotate the quadrant so the sub-curve orientation is right:
+        // ry=0: (rx=1 ⇒ reflect), then swap x/y
+        val fx = when(ry === 0L && rx === 1L, s - 1L - cx).otherwise(cx)
+        val fy = when(ry === 0L && rx === 1L, s - 1L - cy).otherwise(cy)
+        val nx = when(ry === 0L, fy).otherwise(fx)
+        val ny = when(ry === 0L, fx).otherwise(fy)
+        array(d2, nx, ny)
+      })
+    element_at(folded, 1)
+  }
 }

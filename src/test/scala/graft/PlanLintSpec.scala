@@ -127,7 +127,10 @@ class PlanLintSpec extends SparkSpec {
       // the reference-group frame is limit(1) — one row by
       // construction, but the limit sits below a select so the
       // linter's one-row auto-pass can't prove it
-      "q_fair_audit"     -> Set("nested-loop-join")
+      "q_fair_audit"     -> Set("nested-loop-join"),
+      // the PAA-vector pair join runs on the GROUP-sized shape frame
+      // (one row per event type) — the q_kmv sketch-pair contract
+      "q_dtw"            -> Set("nested-loop-join")
     )
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       PlanLint.lint(fn(spark, sf))

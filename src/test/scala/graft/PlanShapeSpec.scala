@@ -121,7 +121,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_mvc", // the single control-arm summary row joined onto each arm
       "q_nb", "q_label_noise", // NB class-model frames (classes × bounded vocab)
       "q_lorenz", // cumulative via triangular join on the ≤100-bin frame (nBins contract)
-      "q_fair_audit") // the limit(1) reference-group row (one row by construction; the limit sits below a select so PlanLint cannot prove it)
+      "q_fair_audit", // the limit(1) reference-group row (one row by construction; the limit sits below a select so PlanLint cannot prove it)
+      "q_dtw") // PAA-vector pair join on the GROUP-sized shape frame (one row per event type — the q_kmv sketch-pair contract)
     val sf = "/root/testdata/sf0.001"
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (bruteByContract(name) || boundedBuildByContract(name)) Nil
