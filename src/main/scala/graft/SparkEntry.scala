@@ -2923,6 +2923,14 @@ object SparkEntry {
     // market-basket shape, never an all-pairs part join
     "q_communities" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // shape note (round 10): the in-bucket pair-explosion alternative
+      // (groupBy(ok) → collect_list → orderedPairs, hash-identical) was
+      // MEASURED SLOWER at sf10 — 43.2 s median vs this join's 25.4 s
+      // bench median, both zero-spill — because collect_list's partial
+      // aggregation cannot shrink the 60M-row exchange while the
+      // sort-merge join streams it; the r9 single-sample 67 s that
+      // prompted the experiment was JIT/GC noise (CommProbe: edges grow
+      // exactly 10.0× for 10× data). Keeping the faster plan.
       val edges = li.as("x")
         .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
@@ -3695,7 +3703,67 @@ object SparkEntry {
     // JSON field health of events.props' $.k per event type
     "q_json_health" -> ((s, dir) =>
       graft.operators.Json.fieldHealth(ev(s, dir), Seq("event_type"),
-        "props", "$.k"))
+        "props", "$.k")),
+
+    // ---- round 10 batch X: resampled order stats, JL, backtests ----
+
+    // Poisson-bootstrap band for the per-lang median doc length
+    "q_boot_median" -> ((s, dir) =>
+      Bootstrap.bootstrapMedianCI(docs(s, dir), Seq("lang"), "n_chars",
+        "doc_id", replicas = 16, seed = "bm")),
+
+    // JL projection distortion, measured on the id<40 probe pairs
+    "q_jl" -> ((s, dir) =>
+      graft.ann.RandomProjection.distortionReport(emb(s, dir),
+        k = 16, dim = 64, maxId = 40L)),
+
+    // Markov next-event backtest: fit argmax transitions on even
+    // users, score top-1 accuracy on odd users
+    "q_markov_eval" -> ((s, dir) =>
+      Transitions.markovBacktest(ev(s, dir), "user_id", "ts",
+        "event_type", "event_id", pmod(col("user_id"), lit(2)) === 0)),
+
+    // SRM sweep: per-source split-health chi2 -> p -> BH over sources
+    "q_srm_sweep" -> { (s, dir) =>
+      val tests = Stats.sampleRatioMismatch(docs(s, dir), Seq("source"),
+          pmod(TextFunctions.md5Hash32(
+            concat(lit("srm|"), col("doc_id").cast("string"))), lit(2)) === 0,
+          expectedB = 0.5)
+        .select(col("source"), col("n_a"), col("n_b"),
+          graft.functions.Portable.r6(col("chi2")).as("chi2"),
+          graft.functions.Portable.r6(
+            Hypothesis.pFromZ(sqrt(col("chi2")))).as("p"))
+      Hypothesis.benjaminiHochberg(tests, "p", Seq("source"), alpha = 0.05)
+        .select(col("source"), col("n_a"), col("n_b"), col("chi2"), col("p"),
+          col("m"), col("rank"),
+          graft.functions.Portable.r6(col("q")).as("q"), col("reject"))
+    },
+
+    // top-20 term league-table churn between the doc-parity halves:
+    // RBO (top-weighted) next to plain set Jaccard
+    "q_top_terms_drift" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val terms = docs(s, dir)
+        .select((pmod(col("doc_id"), lit(2)) === 0).as("__h"),
+          explode(TextFunctions.wordTokens(col("text"))).as("term"))
+        .groupBy(col("__h"), col("term")).agg(count(lit(1)).as("__n"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("__h")).orderBy(col("__n").desc, col("term"))))
+        .filter(col("rank") <= 20)
+        .withColumn("q", lit("terms"))
+      val a = terms.filter(col("__h")).select(col("q"), col("term"), col("rank"))
+      val b = terms.filter(!col("__h")).select(col("q"), col("term"), col("rank"))
+      val rboRow = graft.text.RetrievalEval.rbo(a, b, "q", "term", "rank", k = 20, p = 0.9)
+      val jac = a.select(col("term")).intersect(b.select(col("term")))
+        .agg(count(lit(1)).as("__inter"))
+      rboRow
+        .crossJoin(broadcast(jac)) // one-row intersection count: lint-exempt
+        .select(col("n_a"), col("n_b"),
+          graft.functions.Portable.r6(col("overlap_k")).as("overlap_k"),
+          graft.functions.Portable.r6(col("rbo")).as("rbo"),
+          graft.functions.Portable.r6(col("__inter").cast("double") /
+            (col("n_a") + col("n_b") - col("__inter")).cast("double")).as("jaccard"))
+    }
   )
 
   /** Per-user Cox subjects shared by the q_cox Spark call and oracle:
@@ -5964,6 +6032,174 @@ object SparkEntry {
            |  CASE WHEN n_field > 0 THEN ${r6("s / CAST(n_field AS DOUBLE)")} END AS field_mean,
            |  ${r6("mn")} AS field_min, ${r6("mx")} AS field_max
            |FROM g""".stripMargin
+      },
+
+      // ---- round 10 batch X oracles ----
+
+      "q_boot_median" -> {
+        s"""WITH base AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v, CAST(doc_id AS VARCHAR) AS id
+           |  FROM documents WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+           |ov AS (SELECT lang, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+           |oc AS (SELECT lang, v,
+           |        CAST(sum(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cw,
+           |        CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS nn
+           |      FROM ov),
+           |obs AS (SELECT lang, first(nn) AS n, min(CASE WHEN cw * 2 >= nn THEN v END) AS median_obs
+           |      FROM oc GROUP BY 1),
+           |x AS (SELECT lang, v, id, r.b FROM base, (SELECT unnest(range(0, 16)) AS b) r),
+           |u AS (SELECT lang, v, b,
+           |        ((${h32("concat('bm', '|', id, '|', CAST(b AS VARCHAR))")} % 1000000)
+           |          + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS u
+           |      FROM x),
+           |w AS (SELECT lang, v, b,
+           |        CASE WHEN u < CAST(0.36787944117144233 AS DOUBLE) THEN 0
+           |             WHEN u < CAST(0.7357588823428847 AS DOUBLE) THEN 1
+           |             WHEN u < CAST(0.9196986029286058 AS DOUBLE) THEN 2
+           |             WHEN u < CAST(0.9810118431238462 AS DOUBLE) THEN 3
+           |             WHEN u < CAST(0.9963401531726563 AS DOUBLE) THEN 4
+           |             WHEN u < CAST(0.9994058151824183 AS DOUBLE) THEN 5
+           |             WHEN u < CAST(0.9999167588507119 AS DOUBLE) THEN 6
+           |             ELSE 7 END AS w
+           |      FROM u),
+           |pv AS (SELECT lang, b, v, CAST(sum(w) AS BIGINT) AS wd FROM w GROUP BY 1, 2, 3),
+           |cum AS (SELECT lang, b, v,
+           |        CAST(sum(wd) OVER (PARTITION BY lang, b ORDER BY v) AS BIGINT) AS cw,
+           |        CAST(sum(wd) OVER (PARTITION BY lang, b) AS BIGINT) AS tw
+           |      FROM pv),
+           |med AS (SELECT lang, b, min(CASE WHEN cw * 2 >= tw THEN v END) AS med
+           |      FROM cum WHERE tw > 0 GROUP BY 1, 2),
+           |band AS (SELECT lang, list_sort(list(med)) AS ms, CAST(count(med) AS BIGINT) AS k
+           |      FROM med GROUP BY 1)
+           |SELECT obs.lang, obs.n, obs.median_obs,
+           |  ms[CASE WHEN k >= 3 THEN 2 ELSE 1 END] AS boot_lo,
+           |  ms[CAST(CASE WHEN k >= 3 THEN k - 1 ELSE k END AS INT)] AS boot_hi,
+           |  k AS k_effective
+           |FROM obs JOIN band USING (lang)""".stripMargin
+      },
+
+      "q_jl" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def planes(seed: String) =
+          s"""SELECT p.i AS p,
+             |  list_transform(range(0,64), d -> CASE WHEN CAST(concat('0x', substr(md5(concat('srp:$seed:', p.i, ':', d)),1,8)) AS BIGINT) % 2 = 0
+             |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS pv
+             |  FROM range(0,16) p(i)""".stripMargin
+        val dot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1,65), i -> CAST(e.embedding[i] AS DOUBLE) * pl.pv[i])), (x,y) -> x+y)"
+        s"""WITH pl AS (${planes("jl")}),
+           |pr AS (SELECT e.vec_id, pl.p, $dot AS d
+           |  FROM embeddings e, pl WHERE e.vec_id < 40),
+           |vv AS (SELECT vec_id, list(d ORDER BY p) AS ds FROM pr GROUP BY 1),
+           |ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40),
+           |pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+           |    va.ds AS da, vb.ds AS db, a.embedding AS ea, b.embedding AS eb
+           |  FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+           |  JOIN vv va ON va.vec_id = a.vec_id JOIN vv vb ON vb.vec_id = b.vec_id),
+           |sc AS (SELECT
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list_transform(range(1,65), i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))), (x,y) -> x+y) AS o,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list_transform(range(1,17), i -> (da[i] - db[i]) * (da[i] - db[i]))), (x,y) -> x+y) / 16.0 AS pq
+           |  FROM pairs)
+           |SELECT CAST(count(CASE WHEN o > 0 THEN 1 END) AS BIGINT) AS n_pairs,
+           |  CAST(count(CASE WHEN o = 0 THEN 1 END) AS BIGINT) AS n_zero_dist,
+           |  ${r6("CAST(coalesce(sum(CASE WHEN o > 0 THEN CAST(" + r6("sqrt(pq / o)") + " AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END), 0) AS DOUBLE) / CAST(count(CASE WHEN o > 0 THEN 1 END) AS DOUBLE)")} AS ratio_mean,
+           |  ${r6("min(CASE WHEN o > 0 THEN sqrt(pq / o) END)")} AS ratio_min,
+           |  ${r6("max(CASE WHEN o > 0 THEN sqrt(pq / o) END)")} AS ratio_max
+           |FROM sc""".stripMargin
+      },
+
+      "q_markov_eval" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH bg AS (SELECT event_type AS prev,
+           |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next,
+           |    user_id % 2 = 0 AS tr
+           |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+           |b AS (SELECT prev, next, tr FROM bg WHERE next IS NOT NULL),
+           |tc AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS n FROM b WHERE tr GROUP BY 1, 2),
+           |model AS (SELECT prev, next AS predicted FROM (
+           |    SELECT prev, next, row_number() OVER (PARTITION BY prev ORDER BY n DESC, next ASC) AS r FROM tc)
+           |  WHERE r = 1),
+           |tt AS (SELECT prev, CAST(sum(n) AS BIGINT) AS n_train FROM tc GROUP BY 1),
+           |te AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS nt FROM b WHERE NOT tr GROUP BY 1, 2),
+           |tes AS (SELECT prev, CAST(sum(nt) AS BIGINT) AS n_test FROM te GROUP BY 1)
+           |SELECT model.prev, model.predicted, tt.n_train,
+           |  coalesce(tes.n_test, 0) AS n_test,
+           |  coalesce(te.nt, 0) AS n_correct,
+           |  CASE WHEN coalesce(tes.n_test, 0) > 0
+           |    THEN ${r6("CAST(coalesce(te.nt, 0) AS DOUBLE) / CAST(tes.n_test AS DOUBLE)")} END AS accuracy
+           |FROM model JOIN tt USING (prev)
+           |LEFT JOIN tes USING (prev)
+           |LEFT JOIN te ON te.prev = model.prev AND te.next = model.predicted""".stripMargin
+      },
+
+      "q_srm_sweep" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        val pSql = "least(1.0, 2.0 * exp(-az * az / 2.0) / " +
+          s"${math.sqrt(2.0 * math.Pi)} * " +
+          "(0.4361836 * tt - 0.1201676 * tt * tt + 0.9372980 * tt * tt * tt))"
+        s"""WITH v AS (SELECT source,
+           |    CASE WHEN ${h32("concat('srm|', CAST(doc_id AS VARCHAR))")} % 2 = 0 THEN 1 ELSE 0 END AS b
+           |  FROM documents),
+           |g AS (SELECT source, CAST(count(CASE WHEN b = 0 THEN 1 END) AS BIGINT) AS n_a,
+           |        CAST(count(CASE WHEN b = 1 THEN 1 END) AS BIGINT) AS n_b
+           |      FROM v GROUP BY 1),
+           |c AS (SELECT source, n_a, n_b,
+           |        CAST(n_a + n_b AS DOUBLE) AS nd FROM g),
+           |x AS (SELECT source, n_a, n_b,
+           |        CASE WHEN nd > 0 THEN
+           |          (CAST(n_b AS DOUBLE) - nd * 0.5) * (CAST(n_b AS DOUBLE) - nd * 0.5) / (nd * 0.5) +
+           |          (CAST(n_a AS DOUBLE) - nd * 0.5) * (CAST(n_a AS DOUBLE) - nd * 0.5) / (nd * 0.5)
+           |        END AS chi2 FROM c),
+           |pz AS (SELECT source, n_a, n_b, floor(chi2 * 1000000 + 0.5) / 1000000 AS chi2,
+           |        sqrt(chi2) AS az, 1.0 / (1.0 + 0.33267 * sqrt(chi2)) AS tt FROM x),
+           |pv AS (SELECT source, n_a, n_b, chi2,
+           |        floor($pSql * 1000000 + 0.5) / 1000000 AS p
+           |      FROM pz WHERE chi2 IS NOT NULL),
+           |rk AS (SELECT source, n_a, n_b, chi2, p,
+           |        CAST(count(*) OVER () AS BIGINT) AS m,
+           |        CAST(row_number() OVER (ORDER BY p, source) AS BIGINT) AS "rank"
+           |      FROM pv),
+           |adj AS (SELECT source, n_a, n_b, chi2, p, m, "rank",
+           |        least(1.0, min(p * CAST(m AS DOUBLE) / CAST("rank" AS DOUBLE))
+           |          OVER (ORDER BY p, source
+           |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS q_raw
+           |      FROM rk)
+           |SELECT source, n_a, n_b, chi2, p, m, "rank",
+           |  floor(q_raw * 1000000 + 0.5) / 1000000 AS q, q_raw <= 0.05 AS reject
+           |FROM adj""".stripMargin
+      },
+
+      "q_top_terms_drift" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        val wts = (1 to 20).map(d => s"($d, CAST(${math.pow(0.9, d)} AS DOUBLE))")
+        s"""WITH t AS (SELECT doc_id % 2 = 0 AS h,
+           |    unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '')) AS term
+           |  FROM documents),
+           |tc AS (SELECT h, term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+           |rk AS (SELECT h, term,
+           |    CAST(row_number() OVER (PARTITION BY h ORDER BY n DESC, term) AS BIGINT) AS rank
+           |  FROM tc QUALIFY rank <= 20),
+           |a AS (SELECT term, rank AS ra FROM rk WHERE h),
+           |b AS (SELECT term, rank AS rb FROM rk WHERE NOT h),
+           |common AS (SELECT greatest(ra, rb) AS m, CAST(count(*) AS BIGINT) AS c
+           |  FROM a JOIN b USING (term) GROUP BY 1),
+           |wt(d, w) AS (VALUES ${wts.mkString(", ")}),
+           |grid AS (SELECT d, w FROM wt),
+           |terms AS (SELECT grid.d, grid.w,
+           |    CAST(sum(coalesce(common.c, 0)) OVER (ORDER BY grid.d
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS x
+           |  FROM grid LEFT JOIN common ON common.m = grid.d),
+           |rbo0 AS (SELECT CAST(coalesce(sum(CAST(${r6("w * CAST(x AS DOUBLE) / CAST(d AS DOUBLE)")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS srb,
+           |    max(CASE WHEN d = 20 THEN x END) AS x20
+           |  FROM terms),
+           |sz AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b USING (term)) AS inter)
+           |SELECT n_a, n_b,
+           |  ${r6("CAST(x20 AS DOUBLE) / 20.0")} AS overlap_k,
+           |  ${r6(s"(1.0 - 0.9) / 0.9 * srb")} AS rbo,
+           |  ${r6("CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)")} AS jaccard
+           |FROM rbo0, sz""".stripMargin
       },
 
 

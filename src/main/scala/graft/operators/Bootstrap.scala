@@ -86,4 +86,84 @@ object Bootstrap {
               (col("__bn") - 1).cast("double"),
             lit(0.0)))).as("se_boot")): _*)
   }
+
+  /** Poisson-bootstrap confidence band for the per-group MEDIAN — the
+    * order statistic [[bootstrapMeanSE]]'s replica-variance algebra
+    * cannot touch (a median has no closed-form SE; resampling is the
+    * standard answer). Each replica's median is the weighted type-1
+    * median under Poisson(1) integer weights — the 2·W_cum ≥ W_total
+    * test stays EXACT integer arithmetic end to end — computed with
+    * one cumulative window per (group × replica) over the
+    * distinct-value frame ([[graft.operators.Quantiles.weightedQuantiles]]'s
+    * machinery). The reported band is the TRIMMED replicate range
+    * (2nd-smallest … 2nd-largest of `replicas` medians — at the
+    * default 16 an ~88% band): honest for an order statistic where a
+    * normal ±2σ would not be. Zero-total-weight replicas drop,
+    * visibly (k_effective).
+    *
+    * Output per group: (by…, n, median_obs, boot_lo, boot_hi,
+    * k_effective).
+    */
+  def bootstrapMedianCI(
+      df: DataFrame,
+      by: Seq[String],
+      valueCol: String,
+      idCol: String,
+      replicas: Int = 16,
+      seed: String = "bm"
+  ): DataFrame = {
+    require(replicas >= 4 && replicas <= 64,
+      s"replicas must be in [4, 64], got $replicas — the melt factor is B")
+    val byCols = by.map(col)
+    val v = col(valueCol).cast("double")
+    val base = df
+      .filter(v.isNotNull && !isnan(v))
+      .select((byCols :+ v.as("__v") :+ col(idCol).cast("string").as("__id")): _*)
+    // observed (unweighted) type-1 median: 2·rank ≥ n over distinct values
+    val obsVal = base.groupBy((byCols :+ col("__v")): _*).agg(count(lit(1)).as("__c"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(byCols: _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(byCols: _*)
+    val obs = obsVal
+      .withColumn("__cw", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .groupBy(byCols: _*)
+      .agg(first(col("__n")).as("n"),
+        min(when(col("__cw") * 2 >= col("__n"), col("__v"))).as("median_obs"))
+    // replica medians: Poisson weights, same exact-integer test
+    val u = (pmod(
+      md5Hash32(concat_ws("|", lit(seed), col("__id"), col("b").cast("string"))),
+      lit(1000000L)).cast("double") + 0.5) / lit(1000000.0)
+    val perVal = base
+      .select((byCols :+ col("__v") :+ col("__id") :+
+        explode(sequence(lit(0), lit(replicas - 1))).as("b")): _*)
+      .withColumn("__w", poissonWeight(u))
+      .groupBy((byCols :+ col("b") :+ col("__v")): _*)
+      .agg(sum(col("__w")).as("__wd"))
+    val wOrdB = org.apache.spark.sql.expressions.Window
+      .partitionBy((byCols :+ col("b")): _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAllB = org.apache.spark.sql.expressions.Window
+      .partitionBy((byCols :+ col("b")): _*)
+    val medians = perVal
+      .withColumn("__cw", sum(col("__wd")).over(wOrdB))
+      .withColumn("__tw", sum(col("__wd")).over(wAllB))
+      .filter(col("__tw") > 0)
+      .groupBy((byCols :+ col("b")): _*)
+      .agg(min(when(col("__cw") * 2 >= col("__tw"), col("__v"))).as("__med"))
+    val band = medians
+      .groupBy(byCols: _*)
+      .agg(sort_array(collect_list(col("__med"))).as("__ms"))
+      .select((byCols :+ col("__ms") :+ size(col("__ms")).as("__k")): _*)
+      .select((byCols ++ Seq(
+        element_at(col("__ms"), when(col("__k") >= 3, 2).otherwise(1)).as("boot_lo"),
+        element_at(col("__ms"),
+          when(col("__k") >= 3, col("__k") - 1).otherwise(col("__k")).cast("int"))
+          .as("boot_hi"),
+        col("__k").cast("long").as("k_effective"))): _*)
+    obs.join(band, by)
+      .select((byCols ++ Seq(col("n"), col("median_obs"),
+        col("boot_lo"), col("boot_hi"), col("k_effective"))): _*)
+  }
 }

@@ -152,4 +152,66 @@ object Transitions {
         when(col("max_entropy") > 0, graft.functions.Portable.r6(
           lit(1.0) - col("entropy_rate") / col("max_entropy"))))
   }
+
+  /** Markov next-event BACKTEST — does yesterday's transition matrix
+    * actually predict tomorrow's clicks, measured instead of assumed:
+    * fit per-state argmax-next on the TRAIN keys (whole keys, never
+    * split mid-journey — a journey straddling train/test would leak),
+    * score top-1 accuracy on the TEST keys' transitions. The
+    * train/test discipline of #98's leakage audit applied to the
+    * transition model itself; a state whose accuracy ≈ its majority
+    * base rate carries no sequence signal.
+    *
+    * One windowed bigram pass (key-partitioned), a state-frame argmax
+    * (row_number over the VOCAB-sized (prev, next) count frame), one
+    * broadcast-able join of test bigrams to the state-sized model.
+    * Ties break by `next` ascending — deterministic. States only seen
+    * in test have no model row and are absent — the caller's coverage
+    * question, answered by comparing state sets, not hidden in a 0.
+    *
+    * Output per prev state: (prev, predicted, n_train, n_test,
+    * n_correct, accuracy).
+    */
+  def markovBacktest(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      typeCol: String,
+      tieCol: String,
+      inTrain: Column): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    val w = Window.partitionBy(col(keyCol)).orderBy(unix_micros(col(timeCol)), col(tieCol))
+    val bigrams = events
+      .filter(col(timeCol).isNotNull && col(typeCol).isNotNull)
+      .withColumn("__train", inTrain)
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(col(typeCol).as("prev"), col("__next").as("next"), col("__train"))
+    val trainCounts = bigrams.filter(col("__train"))
+      .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("__n"))
+    val wRank = Window.partitionBy(col("prev"))
+      .orderBy(col("__n").desc, col("next").asc)
+    val model = trainCounts
+      .withColumn("__r", row_number().over(wRank))
+      .filter(col("__r") === 1)
+      .groupBy(col("prev"))
+      .agg(first(col("next")).as("predicted"),
+        sum(col("__n")).as("__npred")) // __n of the argmax row only
+    val trainTotals = trainCounts.groupBy(col("prev")).agg(sum(col("__n")).as("n_train"))
+    val test = bigrams.filter(!col("__train"))
+      .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("__nt"))
+    model.drop("__npred")
+      .join(trainTotals, Seq("prev"))
+      .join(test
+        .groupBy(col("prev"))
+        .agg(sum(col("__nt")).as("n_test")), Seq("prev"), "left")
+      .join(test.select(col("prev"), col("next").as("predicted"), col("__nt").as("__nc")),
+        Seq("prev", "predicted"), "left")
+      .select(col("prev"), col("predicted"), col("n_train"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        coalesce(col("__nc"), lit(0L)).as("n_correct"),
+        when(coalesce(col("n_test"), lit(0L)) > 0,
+          r6(coalesce(col("__nc"), lit(0L)).cast("double") /
+            col("n_test").cast("double"))).as("accuracy"))
+  }
 }

@@ -130,7 +130,15 @@ class PlanLintSpec extends SparkSpec {
       "q_fair_audit"     -> Set("nested-loop-join"),
       // the PAA-vector pair join runs on the GROUP-sized shape frame
       // (one row per event type) — the q_kmv sketch-pair contract
-      "q_dtw"            -> Set("nested-loop-join")
+      "q_dtw"            -> Set("nested-loop-join"),
+      // BH over the per-source SRM tests frame — the q_bh contract
+      "q_srm_sweep"      -> Set("global-window"),
+      // the JL distortion probe pairs: both sides bounded by the
+      // maxId <= 128 require (the q_ann_topk probe contract)
+      "q_jl"             -> Set("nested-loop-join"),
+      // rbo's one-row-per-side size frames under a constant-folded
+      // literal query key (20-row top-k lists, k-bounded)
+      "q_top_terms_drift" -> Set("nested-loop-join")
     )
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       PlanLint.lint(fn(spark, sf))

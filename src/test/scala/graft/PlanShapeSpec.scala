@@ -74,6 +74,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_neyman", // largest-remainder rank over the STRATA frame (q_bh contract)
       "q_curriculum", // group-index rank over the DISTINCT-SOURCE frame (vocab-sized)
       "q_holm", // step-down prefix max over the TESTS frame (q_bh contract)
+      "q_srm_sweep", // BH over the per-source SRM tests frame (q_bh contract)
       "q_pareto")
 
     def boundedBelow(p: SparkPlan): Boolean = p match {
@@ -122,7 +123,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_nb", "q_label_noise", // NB class-model frames (classes × bounded vocab)
       "q_lorenz", // cumulative via triangular join on the ≤100-bin frame (nBins contract)
       "q_fair_audit", // the limit(1) reference-group row (one row by construction; the limit sits below a select so PlanLint cannot prove it)
-      "q_dtw") // PAA-vector pair join on the GROUP-sized shape frame (one row per event type — the q_kmv sketch-pair contract)
+      "q_dtw", // PAA-vector pair join on the GROUP-sized shape frame (one row per event type — the q_kmv sketch-pair contract)
+      "q_jl", // JL distortion probe pairs: both sides bounded by the maxId<=128 require (the q_ann_topk probe contract)
+      "q_top_terms_drift") // rbo's one-row-per-side size frames under a constant-folded literal query key (20-row top-k lists)
     val sf = "/root/testdata/sf0.001"
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (bruteByContract(name) || boundedBuildByContract(name)) Nil
