@@ -3763,6 +3763,45 @@ object SparkEntry {
           graft.functions.Portable.r6(col("rbo")).as("rbo"),
           graft.functions.Portable.r6(col("__inter").cast("double") /
             (col("n_a") + col("n_b") - col("__inter")).cast("double")).as("jaccard"))
+    },
+
+    // ---- round 10 batch Y: extremes, robust shape, inequality, trend ----
+
+    // Gumbel fit over daily value maxima per event type + fitted p99
+    "q_gumbel" -> ((s, dir) =>
+      Stats.gumbelFit(ev(s, dir), Seq("event_type"), "ts", "value",
+        blockUs = 86400000000L, returnQ = 0.99)),
+
+    // L-moments of doc length per lang: robust scale/shape ratios
+    "q_lmoments" -> ((s, dir) =>
+      Stats.lMoments(docs(s, dir), Seq("lang"), "n_chars")),
+
+    // Theil inequality of characters across docs, decomposed
+    // between/within sources
+    "q_theil" -> ((s, dir) =>
+      Stats.theilDecomposition(docs(s, dir), "source", "n_chars")),
+
+    // Cochran-Armitage: does the " the " rate climb with the doc-length
+    // decile, per lang
+    "q_trend_test" -> ((s, dir) =>
+      Hypothesis.cochranArmitage(
+        docs(s, dir).withColumn("dose",
+          least(lit(9L), floor(col("n_chars") / 150L)).cast("double")),
+        Seq("lang"), "dose", col("text").contains(" the "))),
+
+    // Storey pi0 + q-values over the q_bh tests frame
+    "q_storey" -> { (s, dir) =>
+      val tests = Hypothesis.twoProportionZ(docs(s, dir), Seq("lang", "source"),
+          col("n_chars") > 300,
+          pmod(TextFunctions.md5Hash32(concat(lit("bh|"), col("doc_id").cast("string"))),
+            lit(2)) === 0)
+        .select(col("lang"), col("source"),
+          graft.functions.Portable.r6(col("z")).as("z"),
+          graft.functions.Portable.r6(Hypothesis.pFromZ(col("z"))).as("p"))
+      Hypothesis.storeyQValues(tests, "p", Seq("lang", "source"), lambda = 0.5, alpha = 0.1)
+        .select(col("lang"), col("source"), col("z"), col("p"), col("m"),
+          col("rank"), col("pi0"),
+          graft.functions.Portable.r6(col("q_storey")).as("q_storey"), col("reject"))
     }
   )
 
@@ -6200,6 +6239,159 @@ object SparkEntry {
            |  ${r6(s"(1.0 - 0.9) / 0.9 * srb")} AS rbo,
            |  ${r6("CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)")} AS jaccard
            |FROM rbo0, sz""".stripMargin
+      },
+
+      // ---- round 10 batch Y oracles ----
+
+      "q_gumbel" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH b AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % 86400000000 AS blk,
+           |    max(CAST(value AS DOUBLE)) AS mx
+           |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+           |  GROUP BY 1, 2),
+           |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+           |    CAST(coalesce(sum(CAST(${r6("mx")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS s,
+           |    CAST(coalesce(sum(CAST(${r6("mx * mx")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS s2
+           |  FROM b GROUP BY 1),
+           |m AS (SELECT event_type, n_blocks, s / CAST(n_blocks AS DOUBLE) AS mn,
+           |    sqrt(greatest(s2 / CAST(n_blocks AS DOUBLE) - (s / CAST(n_blocks AS DOUBLE)) * (s / CAST(n_blocks AS DOUBLE)), 0.0)) AS sd
+           |  FROM g),
+           |f AS (SELECT event_type, n_blocks, mn, sd * 0.7796968012336793 AS beta,
+           |    mn - 0.5772156649015329 * (sd * 0.7796968012336793) AS mu
+           |  FROM m)
+           |SELECT event_type, n_blocks, ${r6("mn")} AS block_max_mean,
+           |  CASE WHEN n_blocks >= 2 THEN ${r6("mu")} END AS mu,
+           |  CASE WHEN n_blocks >= 2 THEN ${r6("beta")} END AS beta,
+           |  CASE WHEN n_blocks >= 2 THEN ${r6("mu - beta * ln(-ln(0.99))")} END AS q_fit
+           |FROM f""".stripMargin
+      },
+
+      "q_lmoments" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH b AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+           |  WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+           |rk AS (SELECT lang, v, CAST(row_number() OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS r FROM b),
+           |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(coalesce(sum(CAST(${r6("v")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS b0s,
+           |    CAST(coalesce(sum(CAST(${r6("CAST(r - 1 AS DOUBLE) * v")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS b1s,
+           |    CAST(coalesce(sum(CAST(${r6("CAST((r - 1) * (r - 2) AS DOUBLE) * v")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS b2s
+           |  FROM rk GROUP BY 1),
+           |m AS (SELECT lang, n, b0s / CAST(n AS DOUBLE) AS b0,
+           |    CASE WHEN n >= 2 THEN b1s / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END AS b1,
+           |    CASE WHEN n >= 3 THEN b2s / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) - 2.0)) END AS b2
+           |  FROM g),
+           |l AS (SELECT lang, n, b0 AS l1, 2.0 * b1 - b0 AS l2,
+           |    6.0 * b2 - 6.0 * b1 + b0 AS l3 FROM m)
+           |SELECT lang, n, ${r6("l1")} AS l1, ${r6("l2")} AS l2,
+           |  CASE WHEN l1 <> 0.0 THEN ${r6("l2 / l1")} END AS l_cv,
+           |  CASE WHEN l2 <> 0.0 THEN ${r6("l3 / l2")} END AS l_skew
+           |FROM l""".stripMargin
+      },
+
+      "q_theil" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH base AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v FROM documents
+           |  WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+           |tot AS (SELECT CAST(count(CASE WHEN v > 0 THEN 1 END) AS BIGINT) AS n,
+           |    CAST(count(CASE WHEN v <= 0 THEN 1 END) AS BIGINT) AS nd,
+           |    CAST(coalesce(sum(CASE WHEN v > 0 THEN CAST(${r6("v")} AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS s
+           |  FROM base),
+           |rows0 AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+           |    CAST(coalesce(sum(CAST(${r6("v")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS sg,
+           |    CAST(coalesce(sum(CAST(${r6("v / (tot.s / CAST(tot.n AS DOUBLE)) * ln(v / (tot.s / CAST(tot.n AS DOUBLE)))")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS tsum,
+           |    first(tot.n) AS n, first(tot.nd) AS nd, first(tot.s) AS s
+           |  FROM base, tot WHERE v > 0 GROUP BY 1),
+           |terms AS (SELECT n, nd,
+           |    tsum / CAST(n AS DOUBLE) AS tg,
+           |    (sg / s) * ln((sg / CAST(ng AS DOUBLE)) / (s / CAST(n AS DOUBLE))) AS btw
+           |  FROM rows0)
+           |SELECT first(n) AS n, first(nd) AS n_dropped, CAST(count(*) AS BIGINT) AS k_groups,
+           |  ${r6("CAST(coalesce(sum(CAST(" + r6("tg") + " AS DECIMAL(38,6))), 0) AS DOUBLE)")} AS theil_total,
+           |  ${r6("CAST(coalesce(sum(CAST(" + r6("btw") + " AS DECIMAL(38,6))), 0) AS DOUBLE)")} AS theil_between,
+           |  ${r6("CAST(coalesce(sum(CAST(" + r6("tg") + " AS DECIMAL(38,6))), 0) AS DOUBLE) - CAST(coalesce(sum(CAST(" + r6("btw") + " AS DECIMAL(38,6))), 0) AS DOUBLE)")} AS theil_within
+           |FROM terms GROUP BY n, nd""".stripMargin
+      },
+
+      "q_trend_test" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        val pSql = "least(1.0, 2.0 * exp(-az * az / 2.0) / " +
+          s"${math.sqrt(2.0 * math.Pi)} * " +
+          "(0.4361836 * tt - 0.1201676 * tt * tt + 0.9372980 * tt * tt * tt))"
+        s"""WITH d AS (SELECT lang, CAST(least(9, n_chars // 150) AS DOUBLE) AS s,
+           |    contains(text, ' the ') AS hit
+           |  FROM documents WHERE n_chars IS NOT NULL),
+           |lv AS (SELECT lang, s, CAST(count(*) AS BIGINT) AS n, CAST(count(CASE WHEN hit THEN 1 END) AS BIGINT) AS k
+           |  FROM d GROUP BY 1, 2),
+           |g AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k_levels,
+           |    CAST(sum(k) AS BIGINT) AS ktot,
+           |    CAST(coalesce(sum(CAST(${r6("s * CAST(n AS DOUBLE)")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS sn,
+           |    CAST(coalesce(sum(CAST(${r6("s * s * CAST(n AS DOUBLE)")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS s2n,
+           |    CAST(coalesce(sum(CAST(${r6("s * CAST(k AS DOUBLE)")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS sk
+           |  FROM lv GROUP BY 1),
+           |x AS (SELECT lang, n, k_levels,
+           |    CAST(ktot AS DOUBLE) / CAST(n AS DOUBLE) AS pbar,
+           |    sk, sn, s2n - sn * sn / CAST(n AS DOUBLE) AS spread
+           |  FROM g),
+           |z0 AS (SELECT lang, n, k_levels,
+           |    CASE WHEN pbar > 0 AND pbar < 1 AND spread > 0
+           |      THEN (sk - pbar * sn) / sqrt(pbar * (1.0 - pbar) * spread) END AS z
+           |  FROM x),
+           |pz AS (SELECT lang, n, k_levels, z, abs(z) AS az,
+           |    1.0 / (1.0 + 0.33267 * abs(z)) AS tt FROM z0)
+           |SELECT lang, n, k_levels, ${r6("z")} AS z,
+           |  CASE WHEN z IS NOT NULL THEN ${r6(pSql)} END AS p_value
+           |FROM pz""".stripMargin
+      },
+
+      "q_storey" -> {
+        val pSql = "least(1.0, 2.0 * exp(-az * az / 2.0) / " +
+          s"${math.sqrt(2.0 * math.Pi)} * " +
+          "(0.4361836 * tt - 0.1201676 * tt * tt + 0.9372980 * tt * tt * tt))"
+        s"""WITH v AS (SELECT lang, source,
+           |    CASE WHEN ${h32("concat('bh|', CAST(doc_id AS VARCHAR))")} % 2 = 0 THEN 1 ELSE 0 END AS a,
+           |    CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS hit
+           |  FROM documents),
+           |g AS (SELECT lang, source,
+           |        CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(1 - a) AS BIGINT) AS n_b,
+           |        CAST(coalesce(sum(CASE WHEN a = 1 THEN hit END), 0) AS BIGINT) AS k_a,
+           |        CAST(coalesce(sum(CASE WHEN a = 0 THEN hit END), 0) AS BIGINT) AS k_b
+           |      FROM v GROUP BY 1, 2),
+           |e AS (SELECT lang, source, n_a, n_b, k_a, k_b,
+           |        CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+           |        CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+           |        CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+           |      FROM g),
+           |z0 AS (SELECT lang, source,
+           |        CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0 AND pp < 1 THEN
+           |          (pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+           |        END AS z FROM e),
+           |pz AS (SELECT lang, source, z, abs(z) AS az,
+           |        1.0 / (1.0 + 0.33267 * abs(z)) AS tt FROM z0),
+           |pv AS (SELECT lang, source,
+           |        floor(z * 1000000 + 0.5) / 1000000 AS z,
+           |        floor($pSql * 1000000 + 0.5) / 1000000 AS p
+           |      FROM pz WHERE z IS NOT NULL),
+           |rk AS (SELECT lang, source, z, p,
+           |        CAST(count(*) OVER () AS BIGINT) AS m,
+           |        least(1.0, CAST(count(CASE WHEN p > 0.5 THEN 1 END) OVER () AS DOUBLE) /
+           |          (0.5 * CAST(count(*) OVER () AS DOUBLE))) AS pi0_raw,
+           |        CAST(row_number() OVER (ORDER BY p, lang, source) AS BIGINT) AS "rank"
+           |      FROM pv),
+           |adj AS (SELECT lang, source, z, p, m, "rank", pi0_raw,
+           |        least(1.0, pi0_raw * min(p * CAST(m AS DOUBLE) / CAST("rank" AS DOUBLE))
+           |          OVER (ORDER BY p, lang, source
+           |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS q_raw
+           |      FROM rk),
+           |nullz AS (SELECT lang, source, CAST(NULL AS DOUBLE) AS z, CAST(NULL AS DOUBLE) AS p,
+           |        CAST(NULL AS BIGINT) AS m, CAST(NULL AS BIGINT) AS "rank",
+           |        CAST(NULL AS DOUBLE) AS pi0, CAST(NULL AS DOUBLE) AS q_storey,
+           |        CAST(NULL AS BOOLEAN) AS reject
+           |      FROM z0 WHERE z IS NULL)
+           |SELECT lang, source, z, p, m, "rank",
+           |  floor(pi0_raw * 1000000 + 0.5) / 1000000 AS pi0,
+           |  floor(q_raw * 1000000 + 0.5) / 1000000 AS q_storey, q_raw <= 0.1 AS reject
+           |FROM adj
+           |UNION ALL SELECT * FROM nullz""".stripMargin
       },
 
 

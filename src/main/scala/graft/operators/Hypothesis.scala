@@ -688,4 +688,92 @@ object Hypothesis {
             (first(col("__na")) + first(col("__nb"))).cast("double"))).as("__t"))
       .select((byCols ++ Seq(col("n_a"), col("n_b"), r6(col("__t")).as("t"))): _*)
   }
+
+  /** Cochran–Armitage trend test — "does the hit RATE climb with the
+    * dose", which [[chiSquare]] cannot ask (it sees unordered
+    * categories; a clean monotone trend and a zigzag score the same
+    * χ²). Doses are the numeric `scoreCol` levels; per group:
+    * z = Σsᵢ(kᵢ − nᵢ·p̄) / √(p̄(1−p̄)·(Σs²nᵢ − (Σsnᵢ)²/N)). One
+    * aggregate to the dose-level frame (bounded by distinct doses),
+    * exact integer counts, the score sums r6-pinned DECIMALs.
+    *
+    * Output per group: (by…, n, k_levels, z, p_value) — NULL z when
+    * the pooled rate or the dose spread is degenerate.
+    */
+  def cochranArmitage(
+      df: DataFrame,
+      byCols: Seq[String],
+      doseCol: String,
+      hit: Column): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val s = col(doseCol).cast("double")
+    val levels = df
+      .filter(s.isNotNull && !isnan(s))
+      .groupBy((byCols.map(col) :+ s.as("__s")): _*)
+      .agg(count(lit(1)).as("__n"), count(when(hit, lit(1))).as("__k"))
+    val g = levels
+      .groupBy(byCols.map(col): _*)
+      .agg(sum(col("__n")).as("n"),
+        count(lit(1)).as("k_levels"),
+        sum(col("__k")).as("__ktot"),
+        dsum(r6(col("__s") * col("__n").cast("double"))).as("__sn"),
+        dsum(r6(col("__s") * col("__s") * col("__n").cast("double"))).as("__s2n"),
+        dsum(r6(col("__s") * col("__k").cast("double"))).as("__sk"))
+    val nD = col("n").cast("double")
+    val pbar = col("__ktot").cast("double") / nD
+    val num = col("__sk") - pbar * col("__sn")
+    val spread = col("__s2n") - col("__sn") * col("__sn") / nD
+    val z = when(pbar > 0 && pbar < 1 && spread > 0,
+      num / sqrt(pbar * (lit(1.0) - pbar) * spread))
+    g.select((byCols.map(col) ++ Seq(col("n"), col("k_levels"),
+      r6(z).as("z"), r6(pFromZ(z)).as("p_value"))): _*)
+  }
+
+  /** Storey's π₀ and q-values over a tests frame — the missing number
+    * behind [[benjaminiHochberg]]: BH conservatively assumes EVERY
+    * hypothesis is null; Storey estimates the true null fraction
+    * π₀ = #{p > λ} / ((1−λ)·m) (λ = 0.5, capped at 1) and scales the
+    * q-values by it, buying back power exactly when most slices really
+    * moved. Same tests-frame window allowance as BH; NULL-p rows ride
+    * through untestable.
+    *
+    * Output: input columns + (m, rank, pi0, q_storey, reject).
+    */
+  def storeyQValues(
+      tests: DataFrame,
+      pCol: String,
+      tieCols: Seq[String],
+      lambda: Double = 0.5,
+      alpha: Double = 0.05): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val r6 = graft.functions.Portable.r6 _
+    val p = col(pCol)
+    val ord = p.asc +: tieCols.map(col(_).asc)
+    val wAll = Window.partitionBy()
+    val wRank = Window.orderBy(ord: _*)
+    val wSuffix = Window.orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val testable = tests.filter(p.isNotNull)
+    val ranked = testable
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("pi0",
+        least(lit(1.0),
+          count(when(p > lambda, lit(1))).over(wAll).cast("double") /
+            (lit(1.0 - lambda) * col("m").cast("double"))))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("q_storey",
+        least(lit(1.0),
+          col("pi0") *
+            min(p * col("m").cast("double") / col("rank").cast("double")).over(wSuffix)))
+      .withColumn("reject", col("q_storey") <= alpha)
+      .withColumn("pi0", r6(col("pi0")))
+    ranked.unionByName(
+      tests.filter(p.isNull)
+        .withColumn("m", lit(null).cast("long"))
+        .withColumn("pi0", lit(null).cast("double"))
+        .withColumn("rank", lit(null).cast("long"))
+        .withColumn("q_storey", lit(null).cast("double"))
+        .withColumn("reject", lit(null).cast("boolean")))
+  }
 }

@@ -1745,4 +1745,153 @@ object Stats {
       r6(when(col("n") > 0, exp(mu))).as("median_fit"),
       r6(when(col("n") > 0, exp(mu + lit(1.6449) * sd))).as("p95_fit"))): _*)
   }
+
+  /** Gumbel (EV-I) fit over per-block MAXIMA — capacity planning's
+    * question ("what value does a worst-of-T-blocks reach") answered
+    * with the distribution that block maxima actually converge to, not
+    * a normal tail. Method of moments on the block-max frame:
+    * β = s·√6/π, μ = m − γ·β (γ = Euler–Mascheroni), plus the fitted
+    * return level at `returnQ` (default the 99% quantile,
+    * μ − β·ln(−ln q)). Blocks are fixed `blockUs` windows of the event
+    * time — one corpus pass to the (group × block) maxima, moments on
+    * that bounded frame. Constants are exact shared literals; the one
+    * libm ln(−ln q) is r6-pinned at the output.
+    *
+    * Output per group: (by…, n_blocks, block_max_mean, mu, beta,
+    * q_fit) — NULL fit when fewer than 2 blocks (no spread to fit).
+    */
+  def gumbelFit(
+      df: DataFrame,
+      byCols: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      blockUs: Long,
+      returnQ: Double = 0.99): DataFrame = {
+    require(blockUs > 0, s"blockUs must be positive, got $blockUs")
+    require(returnQ > 0 && returnQ < 1, s"returnQ must be in (0,1), got $returnQ")
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val sqrt6OverPi = 0.7796968012336793 // √6/π as the shared double
+    val gamma = 0.5772156649015329 // Euler–Mascheroni
+    val v = col(valueCol).cast("double")
+    val blocks = df
+      .filter(v.isNotNull && !isnan(v) && col(timeCol).isNotNull)
+      .groupBy((byCols.map(col) :+
+        (unix_micros(col(timeCol)) - pmod(unix_micros(col(timeCol)), lit(blockUs)))
+          .as("__blk")): _*)
+      .agg(max(v).as("__mx"))
+    val g = blocks
+      .groupBy(byCols.map(col): _*)
+      .agg(count(lit(1)).as("n_blocks"),
+        dsum(r6(col("__mx"))).as("__s"),
+        dsum(r6(col("__mx") * col("__mx"))).as("__s2"))
+    val nD = col("n_blocks").cast("double")
+    val m = col("__s") / nD
+    val sd = sqrt(greatest(col("__s2") / nD - m * m, lit(0.0)))
+    val beta = sd * lit(sqrt6OverPi)
+    val mu = m - lit(gamma) * beta
+    g.select((byCols.map(col) ++ Seq(col("n_blocks"),
+      r6(m).as("block_max_mean"),
+      when(col("n_blocks") >= 2, r6(mu)).as("mu"),
+      when(col("n_blocks") >= 2, r6(beta)).as("beta"),
+      when(col("n_blocks") >= 2,
+        r6(mu - beta * log(-log(lit(returnQ))))).as("q_fit"))): _*)
+  }
+
+  /** Sample L-moments per group — the robust distribution-shape
+    * summary built from ORDER statistics instead of powers: λ2 (scale),
+    * L-CV λ2/λ1, L-skewness λ3/λ2, each bounded and orders of
+    * magnitude less outlier-sensitive than variance/skewness (a single
+    * 10⁹ row saturates classical skewness; it shifts t3 by ~1/n).
+    * Probability-weighted moments via exact integer rank weights
+    * (b1/b2 from row_number over a group-partitioned window): tie
+    * order is irrelevant because equal values contribute the same term
+    * multiset under any rank assignment.
+    *
+    * Output per group: (by…, n, l1, l2, l_cv, l_skew) — shape ratios
+    * NULL when undefined (n < 3 or a zero denominator).
+    */
+  def lMoments(
+      df: DataFrame,
+      byCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val v = col(valueCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(byCols.map(col): _*).orderBy(col("__v"))
+    val ranked = df
+      .filter(v.isNotNull && !isnan(v))
+      .select((byCols.map(col) :+ v.as("__v")): _*)
+      .withColumn("__r", row_number().over(w).cast("long"))
+    val g = ranked
+      .groupBy(byCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        dsum(r6(col("__v"))).as("__b0s"),
+        dsum(r6((col("__r") - 1L).cast("double") * col("__v"))).as("__b1s"),
+        dsum(r6(((col("__r") - 1L) * (col("__r") - 2L)).cast("double") * col("__v")))
+          .as("__b2s"))
+    val nD = col("n").cast("double")
+    val b0 = col("__b0s") / nD
+    val b1 = when(col("n") >= 2, col("__b1s") / (nD * (nD - 1.0)))
+    val b2 = when(col("n") >= 3, col("__b2s") / (nD * (nD - 1.0) * (nD - 2.0)))
+    val l1 = b0
+    val l2 = lit(2.0) * b1 - b0
+    val l3 = lit(6.0) * b2 - lit(6.0) * b1 + b0
+    g.select((byCols.map(col) ++ Seq(col("n"),
+      r6(l1).as("l1"),
+      r6(l2).as("l2"),
+      when(l1 =!= 0.0, r6(l2 / l1)).as("l_cv"),
+      when(l2 =!= 0.0, r6(l3 / l2)).as("l_skew"))): _*)
+  }
+
+  /** Theil-T inequality with the exact within/between decomposition —
+    * what #100's single Gini cannot say: HOW MUCH of the concentration
+    * is "some groups are richer" (between — fixable by rebalancing
+    * sources) vs "inequality inside each group" (within — not). For
+    * positive values: T = (1/N)Σ(xᵢ/μ)ln(xᵢ/μ) =
+    * Σ_g s_g·T_g + Σ_g s_g·ln(μ_g/μ), s_g = the group's value share.
+    * Non-positive values drop and are counted (Theil needs x > 0).
+    * One pass to the group frame + a one-row broadcast of the totals;
+    * the per-row entropy terms r6-pin before DECIMAL sums.
+    *
+    * Output ONE row: (n, n_dropped, k_groups, theil_total,
+    * theil_between, theil_within).
+    */
+  def theilDecomposition(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val v = col(valueCol).cast("double")
+    val base = df
+      .filter(v.isNotNull && !isnan(v))
+      .select(col(groupCol).as("__g"), v.as("__v"))
+    val tot = base.agg(
+      count(when(col("__v") > 0, lit(1))).as("__n"),
+      count(when(col("__v") <= 0, lit(1))).as("__nd"),
+      dsum(when(col("__v") > 0, r6(col("__v"))).otherwise(lit(0.0))).as("__s"))
+    val pos = base.filter(col("__v") > 0)
+      .crossJoin(broadcast(tot)) // one-row totals: lint-exempt
+    val mu = col("__s") / col("__n").cast("double")
+    val rows = pos
+      .groupBy(col("__g"), col("__n"), col("__nd"), col("__s"))
+      .agg(count(lit(1)).as("__ng"),
+        dsum(r6(col("__v"))).as("__sg"),
+        dsum(r6(col("__v") / mu * log(col("__v") / mu))).as("__tsum"))
+    val muG = col("__sg") / col("__ng").cast("double")
+    val shareG = col("__sg") / col("__s")
+    val tg = col("__tsum") / col("__n").cast("double") // Σ over group of per-row terms / N
+    val between = shareG * log(muG / mu)
+    rows
+      .groupBy(col("__n"), col("__nd"))
+      .agg(count(lit(1)).as("k_groups"),
+        dsum(r6(tg)).as("__tt"),
+        dsum(r6(between)).as("__tb"))
+      .select(col("__n").as("n"), col("__nd").as("n_dropped"), col("k_groups"),
+        r6(col("__tt")).as("theil_total"),
+        r6(col("__tb")).as("theil_between"),
+        r6(col("__tt") - col("__tb")).as("theil_within"))
+  }
 }

@@ -133,6 +133,8 @@ class PlanLintSpec extends SparkSpec {
       "q_dtw"            -> Set("nested-loop-join"),
       // BH over the per-source SRM tests frame — the q_bh contract
       "q_srm_sweep"      -> Set("global-window"),
+      // Storey pi0/q windows order the same TESTS frame — q_bh contract
+      "q_storey"         -> Set("global-window"),
       // the JL distortion probe pairs: both sides bounded by the
       // maxId <= 128 require (the q_ann_topk probe contract)
       "q_jl"             -> Set("nested-loop-join"),

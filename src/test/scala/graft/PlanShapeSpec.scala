@@ -75,6 +75,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_curriculum", // group-index rank over the DISTINCT-SOURCE frame (vocab-sized)
       "q_holm", // step-down prefix max over the TESTS frame (q_bh contract)
       "q_srm_sweep", // BH over the per-source SRM tests frame (q_bh contract)
+      "q_storey", // pi0/q windows over the same TESTS frame (q_bh contract)
       "q_pareto")
 
     def boundedBelow(p: SparkPlan): Boolean = p match {
