@@ -157,9 +157,15 @@ object Bootstrap {
       .agg(sort_array(collect_list(col("__med"))).as("__ms"))
       .select((byCols :+ col("__ms") :+ size(col("__ms")).as("__k")): _*)
       .select((byCols ++ Seq(
-        element_at(col("__ms"), when(col("__k") >= 3, 2).otherwise(1)).as("boot_lo"),
-        element_at(col("__ms"),
-          when(col("__k") >= 3, col("__k") - 1).otherwise(col("__k")).cast("int"))
+        // __k = 0 (every replicate drew zero weight — only conceivable
+        // for ~1-row groups) must yield NULL, not an ANSI
+        // INVALID_ARRAY_INDEX on the empty list
+        when(col("__k") >= 1,
+          element_at(col("__ms"), when(col("__k") >= 3, 2).otherwise(1)))
+          .as("boot_lo"),
+        when(col("__k") >= 1,
+          element_at(col("__ms"),
+            when(col("__k") >= 3, col("__k") - 1).otherwise(col("__k")).cast("int")))
           .as("boot_hi"),
         col("__k").cast("long").as("k_effective"))): _*)
     obs.join(band, by)
