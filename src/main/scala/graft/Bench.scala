@@ -39,7 +39,12 @@ object Bench {
     // round-9 batch O-R heavies: 4-hop BFS over the word graph
     // (frontier-join scaling), the double-lead sequence motifs, the
     // positional BM25 rerank, and the bucketed embedding drift
-    "q_khop", "q_seq_patterns", "q_bm25_prox", "q_embed_drift")
+    "q_khop", "q_seq_patterns", "q_bm25_prox", "q_embed_drift",
+    // round-10: the five heaviest of the 34 new operators at sf0.1 —
+    // the corpus-melt bootstrap (×16), the full-corpus langId
+    // confusion, the BM25-backed ERR, the feature melt MI screen, and
+    // the digit-run Luhn scan; each must stay ~linear one decade up
+    "q_boot_median", "q_cls_metrics", "q_err", "q_mi", "q_luhn")
 
   /** The 100x (sf10) subset: the heaviest plans from the sf1 section —
     * where quadratic failure modes (bucket skew, pair explosion) would
