@@ -3802,7 +3802,41 @@ object SparkEntry {
         .select(col("lang"), col("source"), col("z"), col("p"), col("m"),
           col("rank"), col("pi0"),
           graft.functions.Portable.r6(col("q_storey")).as("q_storey"), col("reject"))
-    }
+    },
+
+    // ---- round 10 batch Z: confounders, peaks, randomness, gains, style ----
+
+    // does length still track word count once line count is held fixed
+    "q_partial_corr" -> { (s, dir) =>
+      val feats = docs(s, dir).select(
+        col("n_chars").cast("double").as("n_chars"),
+        size(TextFunctions.wordTokens(col("text"))).cast("double").as("n_words"),
+        size(split(col("text"), "\n")).cast("double").as("n_lines"))
+      Stats.partialCorrelation(feats, "n_chars", "n_words", "n_lines")
+    },
+
+    // strict local maxima of per-user event values, >= 20 above the
+    // trailing 5-row median baseline
+    "q_peaks" -> ((s, dir) =>
+      Rolling.detectPeaks(
+        ev(s, dir).withColumn("tu", unix_micros(col("ts"))),
+        Seq("user_id"), "tu", "event_id", "value", k = 5, minProminence = 20.0)),
+
+    // Wald-Wolfowitz runs test: do per-type value sequences streak
+    "q_runs" -> ((s, dir) =>
+      Hypothesis.runsTest(ev(s, dir), Seq("event_type"), "ts", "event_id", "value")),
+
+    // cumulative gains/lift of the length score against the " the "
+    // label, per lang
+    "q_gains" -> ((s, dir) =>
+      Evaluation.gainsTable(
+        docs(s, dir).withColumn("score",
+          least(lit(1.0), col("n_chars").cast("double") / 1000.0)),
+        Seq("lang"), "score", col("text").contains(" the "), "doc_id", nBins = 10)),
+
+    // Burrows' Delta stylometric distance between sources (top 50 words)
+    "q_burrows" -> ((s, dir) =>
+      graft.text.Lexical.burrowsDelta(docs(s, dir), "source", nWords = 50))
   )
 
   /** Per-user Cox subjects shared by the q_cox Spark call and oracle:
@@ -6392,6 +6426,147 @@ object SparkEntry {
            |  floor(q_raw * 1000000 + 0.5) / 1000000 AS q_storey, q_raw <= 0.1 AS reject
            |FROM adj
            |UNION ALL SELECT * FROM nullz""".stripMargin
+      },
+
+      // ---- round 10 batch Z oracles ----
+
+      "q_partial_corr" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def ds(e: String) = s"CAST(coalesce(sum(CAST(${r6(e)} AS DECIMAL(38,6))), 0) AS DOUBLE)"
+        s"""WITH f AS (SELECT CAST(n_chars AS DOUBLE) AS x,
+           |    CAST(len(list_filter(string_split_regex(lower(text),'[^a-z]+'), t -> t <> '')) AS DOUBLE) AS y,
+           |    CAST(len(string_split(text, chr(10))) AS DOUBLE) AS z
+           |  FROM documents),
+           |g AS (SELECT * FROM f WHERE x IS NOT NULL AND NOT isnan(x)
+           |  AND y IS NOT NULL AND NOT isnan(y) AND z IS NOT NULL AND NOT isnan(z)),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    ${ds("x")} AS sx, ${ds("y")} AS sy, ${ds("z")} AS sz,
+           |    ${ds("x * x")} AS qx, ${ds("y * y")} AS qy, ${ds("z * z")} AS qz,
+           |    ${ds("x * y")} AS pxy, ${ds("x * z")} AS pxz, ${ds("y * z")} AS pyz
+           |  FROM g),
+           |r AS (SELECT n,
+           |    CASE WHEN n > 1 AND CAST(n AS DOUBLE) * qx - sx * sx > 0 AND CAST(n AS DOUBLE) * qy - sy * sy > 0
+           |      THEN (CAST(n AS DOUBLE) * pxy - sx * sy) / (sqrt(CAST(n AS DOUBLE) * qx - sx * sx) * sqrt(CAST(n AS DOUBLE) * qy - sy * sy)) END AS rxy,
+           |    CASE WHEN n > 1 AND CAST(n AS DOUBLE) * qx - sx * sx > 0 AND CAST(n AS DOUBLE) * qz - sz * sz > 0
+           |      THEN (CAST(n AS DOUBLE) * pxz - sx * sz) / (sqrt(CAST(n AS DOUBLE) * qx - sx * sx) * sqrt(CAST(n AS DOUBLE) * qz - sz * sz)) END AS rxz,
+           |    CASE WHEN n > 1 AND CAST(n AS DOUBLE) * qy - sy * sy > 0 AND CAST(n AS DOUBLE) * qz - sz * sz > 0
+           |      THEN (CAST(n AS DOUBLE) * pyz - sy * sz) / (sqrt(CAST(n AS DOUBLE) * qy - sy * sy) * sqrt(CAST(n AS DOUBLE) * qz - sz * sz)) END AS ryz
+           |  FROM m)
+           |SELECT n, ${r6("rxy")} AS r_xy, ${r6("rxz")} AS r_xz, ${r6("ryz")} AS r_yz,
+           |  CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+           |    THEN ${r6("(rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))")} END AS r_xy_given_z
+           |FROM r""".stripMargin
+      },
+
+      "q_peaks" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH b AS (SELECT user_id, epoch_us(ts) AS t, event_id, CAST(value AS DOUBLE) AS v
+           |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+           |w AS (SELECT user_id, t, v,
+           |    list_sort(list(v) OVER (PARTITION BY user_id ORDER BY t, event_id
+           |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS win,
+           |    lag(v) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pv,
+           |    lead(v) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nv
+           |  FROM b),
+           |med AS (SELECT user_id, t, v, pv, nv,
+           |    (win[(len(win) + 1) // 2] + win[len(win) // 2 + 1]) / 2.0 AS bl
+           |  FROM w)
+           |SELECT user_id, t, v, ${r6("bl")} AS baseline, ${r6("v - bl")} AS prominence
+           |FROM med
+           |WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v > nv AND v - bl >= 20.0""".stripMargin
+      },
+
+      "q_runs" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        val pSql = "least(1.0, 2.0 * exp(-az * az / 2.0) / " +
+          s"${math.sqrt(2.0 * math.Pi)} * " +
+          "(0.4361836 * tt - 0.1201676 * tt * tt + 0.9372980 * tt * tt * tt))"
+        s"""WITH b AS (SELECT event_type AS g, ts, event_id, CAST(value AS DOUBLE) AS v
+           |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+           |pv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+           |cm AS (SELECT g, v,
+           |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cw,
+           |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS nn
+           |  FROM pv),
+           |med AS (SELECT g, min(CASE WHEN cw * 2 >= nn THEN v END) AS md FROM cm GROUP BY 1),
+           |sg AS (SELECT b.g, b.ts, b.event_id, b.v > med.md AS s
+           |  FROM b JOIN med ON b.g = med.g WHERE b.v <> med.md),
+           |ch AS (SELECT g, s,
+           |    CASE WHEN lag(s) OVER (PARTITION BY g ORDER BY ts, event_id) IS NULL
+           |           OR lag(s) OVER (PARTITION BY g ORDER BY ts, event_id) <> s
+           |         THEN 1 ELSE 0 END AS chg
+           |  FROM sg),
+           |t AS (SELECT b.g, CAST(count(CASE WHEN b.v = med.md THEN 1 END) AS BIGINT) AS n_ties
+           |  FROM b JOIN med ON b.g = med.g GROUP BY 1),
+           |gg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(CASE WHEN s THEN 1 END) AS BIGINT) AS n_above,
+           |    CAST(count(CASE WHEN NOT s THEN 1 END) AS BIGINT) AS n_below,
+           |    CAST(sum(chg) AS BIGINT) AS runs
+           |  FROM ch GROUP BY 1),
+           |zc AS (SELECT gg.g, n, n_above, n_below, t.n_ties, runs,
+           |    CASE WHEN n_above > 0 AND n_below > 0 AND
+           |      2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) - CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0
+           |      THEN (CAST(runs AS DOUBLE) - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) / CAST(n AS DOUBLE) + 1.0)) /
+           |        sqrt(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) - CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+           |    END AS z
+           |  FROM gg JOIN t ON gg.g = t.g),
+           |pz AS (SELECT g, n, n_above, n_below, n_ties, runs, z, abs(z) AS az,
+           |    1.0 / (1.0 + 0.33267 * abs(z)) AS tt FROM zc)
+           |SELECT g AS event_type, n, n_above, n_below, n_ties AS n_ties_dropped, runs,
+           |  ${r6("z")} AS z,
+           |  CASE WHEN z IS NOT NULL THEN ${r6(pSql)} END AS p_value
+           |FROM pz""".stripMargin
+      },
+
+      "q_gains" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        s"""WITH b AS (SELECT lang, least(1.0, CAST(n_chars AS DOUBLE) / 1000.0) AS x,
+           |    CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS p, doc_id
+           |  FROM documents WHERE n_chars IS NOT NULL),
+           |rk AS (SELECT lang, p,
+           |    CAST(row_number() OVER (PARTITION BY lang ORDER BY x DESC, doc_id) AS BIGINT) - 1 AS r,
+           |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+           |  FROM b),
+           |bn AS (SELECT lang, (r * 10) // n + 1 AS bin, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(p) AS BIGINT) AS n_pos
+           |  FROM rk GROUP BY 1, 2),
+           |c AS (SELECT lang, bin, n, n_pos,
+           |    CAST(sum(n_pos) OVER (PARTITION BY lang ORDER BY bin) AS BIGINT) AS cp,
+           |    CAST(sum(n) OVER (PARTITION BY lang ORDER BY bin) AS BIGINT) AS cn,
+           |    CAST(sum(n_pos) OVER (PARTITION BY lang) AS BIGINT) AS tp,
+           |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS tn
+           |  FROM bn)
+           |SELECT lang, CAST(bin AS BIGINT) AS bin, n, n_pos,
+           |  CASE WHEN tp > 0 THEN ${r6("CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE)")} END AS cum_capture,
+           |  CASE WHEN tp > 0 THEN ${r6("(CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)) / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))")} END AS cum_lift
+           |FROM c""".stripMargin
+      },
+
+      "q_burrows" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def ds(e: String) = s"CAST(coalesce(sum(CAST(${r6(e)} AS DECIMAL(38,6))), 0) AS DOUBLE)"
+        s"""WITH toks AS (SELECT source AS s,
+           |    unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x <> '')) AS w
+           |  FROM documents),
+           |counts AS (SELECT s, w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+           |totals AS (SELECT s, CAST(sum(c) AS BIGINT) AS tot FROM counts GROUP BY 1),
+           |top AS (SELECT w FROM (SELECT w, sum(c) AS cw FROM counts GROUP BY 1
+           |    ORDER BY cw DESC, w LIMIT 50)),
+           |grid AS (SELECT totals.s, top.w,
+           |    CAST(coalesce(counts.c, 0) AS DOUBLE) / CAST(totals.tot AS DOUBLE) AS f
+           |  FROM totals CROSS JOIN top
+           |  LEFT JOIN counts ON counts.s = totals.s AND counts.w = top.w),
+           |st AS (SELECT w, CAST(count(*) AS BIGINT) AS k, ${ds("f")} AS sf, ${ds("f * f")} AS qf
+           |  FROM grid GROUP BY 1),
+           |z AS (SELECT grid.s, grid.w,
+           |    CASE WHEN sqrt(greatest(qf / CAST(k AS DOUBLE) - (sf / CAST(k AS DOUBLE)) * (sf / CAST(k AS DOUBLE)), 0.0)) > 0
+           |      THEN ${r6("(f - sf / CAST(k AS DOUBLE)) / sqrt(greatest(qf / CAST(k AS DOUBLE) - (sf / CAST(k AS DOUBLE)) * (sf / CAST(k AS DOUBLE)), 0.0))")}
+           |      ELSE 0.0 END AS z
+           |  FROM grid JOIN st USING (w))
+           |SELECT a.s AS source_a, b.s AS source_b, CAST(count(*) AS BIGINT) AS n_words,
+           |  ${r6(s"(${ds("abs(a.z - b.z)")}) / CAST(count(*) AS DOUBLE)")} AS delta
+           |FROM z a JOIN z b ON a.w = b.w AND a.s < b.s
+           |GROUP BY 1, 2""".stripMargin
       },
 
 

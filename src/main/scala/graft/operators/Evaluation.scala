@@ -741,4 +741,60 @@ object Evaluation {
       r6(dO).as("d_o"), r6(dE).as("d_e"),
       when(dE > 0, r6(lit(1.0) - dO / dE)).as("alpha"))): _*)
   }
+
+  /** Cumulative gains / lift table per group — the business-facing
+    * readout behind [[rocAuc]]'s single number: rank by score
+    * descending, cut into `nBins` equal-population bins, and report
+    * each bin's positives, the CUMULATIVE capture share ("the top 20%
+    * of scores catch 61% of the positives"), and the cumulative lift
+    * vs random targeting. Ranking tie-breaks by `idCol` so the table
+    * — and the hash — is deterministic. Rank windows partition by the
+    * group; the cumulative runs over the (group × nBins) frame.
+    *
+    * Output per (group, bin 1-based): (by…, bin, n, n_pos,
+    * cum_capture, cum_lift) — lift NULL when the group has no
+    * positives.
+    */
+  def gainsTable(
+      df: DataFrame,
+      by: Seq[String],
+      scoreCol: String,
+      label: Column,
+      idCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 100, s"nBins must be in [2, 100], got $nBins")
+    val r6 = graft.functions.Portable.r6 _
+    val x = col(scoreCol).cast("double")
+    val byCols = by.map(col)
+    val wr = Window.partitionBy(byCols: _*).orderBy(col("__x").desc, col("__id"))
+    val wg = Window.partitionBy(byCols: _*)
+    val ranked = df
+      .filter(ok(x))
+      .select((byCols :+ x.as("__x") :+ when(label, 1L).otherwise(0L).as("__p") :+
+        col(idCol).as("__id")): _*)
+      .withColumn("__r", row_number().over(wr).cast("long") - 1L)
+      .withColumn("__n", count(lit(1)).over(wg))
+      // exact integer floor-div bin (the PAA discipline)
+      .withColumn("bin",
+        ((col("__r") * nBins.toLong - pmod(col("__r") * nBins.toLong, col("__n"))) /
+          col("__n")).cast("long") + 1L)
+    val bins = ranked
+      .groupBy((byCols :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("n_pos"))
+    val wCum = Window.partitionBy(byCols: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bins
+      .withColumn("__cp", sum(col("n_pos")).over(wCum))
+      .withColumn("__cn", sum(col("n")).over(wCum))
+      .withColumn("__tp", sum(col("n_pos")).over(Window.partitionBy(byCols: _*)))
+      .withColumn("__tn", sum(col("n")).over(Window.partitionBy(byCols: _*)))
+      .select((byCols ++ Seq(col("bin"), col("n"), col("n_pos"),
+        when(col("__tp") > 0,
+          r6(col("__cp").cast("double") / col("__tp").cast("double")))
+          .as("cum_capture"),
+        when(col("__tp") > 0,
+          r6((col("__cp").cast("double") / col("__cn").cast("double")) /
+            (col("__tp").cast("double") / col("__tn").cast("double"))))
+          .as("cum_lift"))): _*)
+  }
 }

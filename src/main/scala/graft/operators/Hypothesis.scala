@@ -776,4 +776,72 @@ object Hypothesis {
         .withColumn("q_storey", lit(null).cast("double"))
         .withColumn("reject", lit(null).cast("boolean")))
   }
+
+  /** Wald–Wolfowitz runs test per group — "is this sequence RANDOM
+    * around its level, or does it streak/alternate": binarize each
+    * ordered value against the group median (type-1, exact-integer
+    * 2·cum ≥ n — the [[graft.operators.Bootstrap.bootstrapMedianCI]]
+    * test), count sign runs, standardize against the exact run-count
+    * moments. Too few runs = regimes/autocorrelation; too many =
+    * oscillation — either invalidates every i.i.d.-assuming monitor
+    * upstream. Values EQUAL to the median carry no sign and drop,
+    * counted. The run count needs one lag over the group-ordered
+    * rows; the median windows run over the distinct-value frame.
+    *
+    * Output per group: (by…, n, n_above, n_below, n_ties_dropped,
+    * runs, z, p_value) — z NULL when either side is empty.
+    */
+  def runsTest(
+      df: DataFrame,
+      byCols: Seq[String],
+      timeCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    val by = byCols.map(col)
+    val v = col(valueCol).cast("double")
+    val base = df
+      .filter(v.isNotNull && !isnan(v) && col(timeCol).isNotNull)
+      .select((by ++ Seq(col(timeCol).as("__t"), col(tieCol).as("__tie"),
+        v.as("__v"))): _*)
+    val perVal = base.groupBy((by :+ col("__v")): _*).agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(by: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(by: _*)
+    val med = perVal
+      .withColumn("__cw", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .groupBy(by: _*)
+      .agg(min(when(col("__cw") * 2 >= col("__n"), col("__v"))).as("__med"))
+    val signed = base
+      .join(med, byCols)
+      .filter(col("__v") =!= col("__med"))
+      .withColumn("__s", col("__v") > col("__med"))
+    val wSeq = Window.partitionBy(by: _*).orderBy(col("__t"), col("__tie"))
+    val counted = signed
+      .withColumn("__chg",
+        when(lag(col("__s"), 1).over(wSeq).isNull ||
+          lag(col("__s"), 1).over(wSeq) =!= col("__s"), 1L).otherwise(0L))
+    val ties = base.join(med, byCols)
+      .groupBy(by: _*)
+      .agg(count(when(col("__v") === col("__med"), lit(1))).as("n_ties_dropped"))
+    val g = counted
+      .groupBy(by: _*)
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__s"), lit(1))).as("n_above"),
+        count(when(!col("__s"), lit(1))).as("n_below"),
+        sum(col("__chg")).as("runs"))
+    val n1 = col("n_above").cast("double")
+    val n2 = col("n_below").cast("double")
+    val nD = col("n").cast("double")
+    val muR = lit(2.0) * n1 * n2 / nD + 1.0
+    val sigma2 = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nD) /
+      (nD * nD * (nD - 1.0))
+    val z = when(col("n_above") > 0 && col("n_below") > 0 && sigma2 > 0,
+      (col("runs").cast("double") - muR) / sqrt(sigma2))
+    g.join(ties, byCols)
+      .select((by ++ Seq(col("n"), col("n_above"), col("n_below"),
+        col("n_ties_dropped"), col("runs"),
+        r6(z).as("z"), r6(pFromZ(z)).as("p_value"))): _*)
+  }
 }

@@ -272,8 +272,43 @@ object Rolling {
     val lo = element_at(col("__win"), ((n + 1) / 2).cast("int"))
     val hi = element_at(col("__win"), (n / 2 + 1).cast("int"))
     base
-      .select((keyCols.map(col) ++ Seq(col("t"), col("v"),
+      .select((keyCols.map(col) ++ Seq(col("t"), col("__tie"), col("v"),
         n.cast("long").as("n_window"),
         r6((lo + hi) / 2.0).as("roll_median"))): _*)
+  }
+
+  /** Peak detection over per-key series — strict local maxima with a
+    * PROMINENCE floor measured against the [[rollingMedian]] baseline
+    * (a spike is a peak relative to its robust local level, not the
+    * global mean — a rising series would otherwise flag every step).
+    * Endpoints cannot be peaks (no two-sided evidence). All three
+    * windows (lag, lead, trailing median) share the one (key ×
+    * time-order) exchange.
+    *
+    * Output per detected peak: (keys…, t, v, baseline, prominence).
+    */
+  def detectPeaks(
+      df: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      tieCol: String,
+      valueCol: String,
+      k: Int = 5,
+      minProminence: Double = 0.0): DataFrame = {
+    require(minProminence >= 0, s"minProminence must be >= 0, got $minProminence")
+    val r6 = graft.functions.Portable.r6 _
+    val base = rollingMedian(df, keyCols, timeCol, tieCol, valueCol, k)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("t"), col("__tie"))
+    base
+      .withColumn("__prev", lag(col("v"), 1).over(w))
+      .withColumn("__next", lead(col("v"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__next").isNotNull &&
+        col("v") > col("__prev") && col("v") > col("__next") &&
+        col("v") - col("roll_median") >= minProminence)
+      .drop("__tie")
+      .select((keyCols.map(col) ++ Seq(col("t"), col("v"),
+        col("roll_median").as("baseline"),
+        r6(col("v") - col("roll_median")).as("prominence"))): _*)
   }
 }

@@ -1894,4 +1894,54 @@ object Stats {
         r6(col("__tb")).as("theil_between"),
         r6(col("__tt") - col("__tb")).as("theil_within"))
   }
+
+  /** First-order partial correlation r_xy·z — "does x still track y
+    * once z is held fixed", the one-line confounder check before
+    * anyone reads a [[correlationMatrix]] cell causally (doc length
+    * correlates with quality score? both ride the source): r_xy·z =
+    * (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)). ONE aggregate carries
+    * all nine moments (the correlationMatrix discipline: listwise
+    * NaN-complete rows, r6 + DECIMAL sums); NULL when any marginal is
+    * degenerate or a guard correlation is ±1.
+    *
+    * Output ONE row: (n, r_xy, r_xz, r_yz, r_xy_given_z).
+    */
+  def partialCorrelation(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      zCol: String): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val cols = Seq(xCol, yCol, zCol)
+    val base = df
+      .filter(cols.map(c =>
+        col(c).isNotNull && !isnan(col(c).cast("double"))).reduce(_ && _))
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"), col(zCol).cast("double").as("__z"))
+    val m = base.agg(
+      count(lit(1)).as("n"),
+      dsum(r6(col("__x"))).as("__sx"), dsum(r6(col("__y"))).as("__sy"),
+      dsum(r6(col("__z"))).as("__sz"),
+      dsum(r6(col("__x") * col("__x"))).as("__qx"),
+      dsum(r6(col("__y") * col("__y"))).as("__qy"),
+      dsum(r6(col("__z") * col("__z"))).as("__qz"),
+      dsum(r6(col("__x") * col("__y"))).as("__pxy"),
+      dsum(r6(col("__x") * col("__z"))).as("__pxz"),
+      dsum(r6(col("__y") * col("__z"))).as("__pyz"))
+    val nD = col("n").cast("double")
+    def corrOf(p: Column, sa: Column, sb: Column, qa: Column, qb: Column): Column = {
+      val cov = nD * p - sa * sb
+      val va = nD * qa - sa * sa
+      val vb = nD * qb - sb * sb
+      when(col("n") > 1 && va > 0 && vb > 0, cov / (sqrt(va) * sqrt(vb)))
+    }
+    val rxy = corrOf(col("__pxy"), col("__sx"), col("__sy"), col("__qx"), col("__qy"))
+    val rxz = corrOf(col("__pxz"), col("__sx"), col("__sz"), col("__qx"), col("__qz"))
+    val ryz = corrOf(col("__pyz"), col("__sy"), col("__sz"), col("__qy"), col("__qz"))
+    val den = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    m.select(col("n"),
+      r6(rxy).as("r_xy"), r6(rxz).as("r_xz"), r6(ryz).as("r_yz"),
+      when(den > 0, r6((rxy - rxz * ryz) / sqrt(den))).as("r_xy_given_z"))
+  }
 }

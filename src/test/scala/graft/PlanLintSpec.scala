@@ -140,7 +140,11 @@ class PlanLintSpec extends SparkSpec {
       "q_jl"             -> Set("nested-loop-join"),
       // rbo's one-row-per-side size frames under a constant-folded
       // literal query key (20-row top-k lists, k-bounded)
-      "q_top_terms_drift" -> Set("nested-loop-join")
+      "q_top_terms_drift" -> Set("nested-loop-join"),
+      // the (source-count × top-50-words) grid completion and the
+      // source-pair z join — both sides source/nWords-bounded (the
+      // q_kmv pair contract)
+      "q_burrows"        -> Set("nested-loop-join")
     )
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       PlanLint.lint(fn(spark, sf))
