@@ -3836,7 +3836,48 @@ object SparkEntry {
 
     // Burrows' Delta stylometric distance between sources (top 50 words)
     "q_burrows" -> ((s, dir) =>
-      graft.text.Lexical.burrowsDelta(docs(s, dir), "source", nWords = 50))
+      graft.text.Lexical.burrowsDelta(docs(s, dir), "source", nWords = 50)),
+
+    // ---- round 10 batch AA: long memory, blocked designs, robust geometry ----
+
+    // R/S Hurst exponent of per-type value series
+    "q_hurst" -> ((s, dir) =>
+      Trend.hurstExponent(ev(s, dir), Seq("event_type"), "ts", "event_id",
+        "value", blockSizes = Seq(8, 16, 32, 64))),
+
+    // Friedman: do the event types rank differently across user-decile
+    // blocks (the q_kendall_w cells, tested instead of agreed)
+    "q_friedman" -> { (s, dir) =>
+      val cells = ev(s, dir).filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy(col("event_type"), pmod(col("user_id"), lit(10)).as("bucket"))
+        .agg(graft.functions.Portable.r6(
+          sum(col("value").cast("decimal(38,6)")).cast("double")).as("total"))
+        .withColumn("g", lit("all"))
+      Hypothesis.friedman(cells, Seq("g"), "bucket", "event_type", "total")
+    },
+
+    // Cochran's Q: do the event types "flag" the same user deciles
+    // (hit = cell mean value above 50)
+    "q_cochran_q" -> { (s, dir) =>
+      val cells = ev(s, dir).filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy(col("event_type"), pmod(col("user_id"), lit(10)).as("bucket"))
+        .agg((graft.functions.Portable.r6(
+          sum(col("value").cast("decimal(38,6)")).cast("double")) /
+          count(lit(1)).cast("double")).as("mv"))
+        .withColumn("g", lit("all"))
+      Hypothesis.cochranQ(cells, Seq("g"), "bucket", "event_type", col("mv") > 50.0)
+    },
+
+    // robust per-label embedding anchor: 5 Weiszfeld iterations
+    // (vector exploded to per-dimension rows — the hash compare is
+    // scalar-typed)
+    "q_geo_median" -> ((s, dir) =>
+      graft.ann.Embeddings.geometricMedian(emb(s, dir), "label", "embedding",
+        iterations = 5)
+        .select(col("group"), col("n"), col("mean_dist"),
+          posexplode(col("median")).as(Seq("dim", "m")))
+        .select(col("group"), col("n"), col("mean_dist"),
+          col("dim").cast("long").as("dim"), col("m")))
   )
 
   /** Per-user Cox subjects shared by the q_cox Spark call and oracle:
@@ -6567,6 +6608,109 @@ object SparkEntry {
            |  ${r6(s"(${ds("abs(a.z - b.z)")}) / CAST(count(*) AS DOUBLE)")} AS delta
            |FROM z a JOIN z b ON a.w = b.w AND a.s < b.s
            |GROUP BY 1, 2""".stripMargin
+      },
+
+      // ---- round 10 batch AA oracles ----
+
+      "q_hurst" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def ds(e: String) = s"CAST(coalesce(sum(CAST(${r6(e)} AS DECIMAL(38,6))), 0) AS DOUBLE)"
+        s"""WITH b AS (SELECT event_type AS g, ts, event_id, CAST(value AS DOUBLE) AS v
+           |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+           |rk AS (SELECT g, ts, event_id, v,
+           |    CAST(row_number() OVER (PARTITION BY g ORDER BY ts, event_id) AS BIGINT) - 1 AS rn FROM b),
+           |mel AS (SELECT g, ts, event_id, v, m.m AS m, (rn - rn % m.m) // m.m AS blk
+           |  FROM rk, (VALUES (CAST(8 AS BIGINT)), (16), (32), (64)) m(m)),
+           |f2 AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY g, m, blk) AS bn FROM mel)
+           |  WHERE bn = m),
+           |wm AS (SELECT *, CAST(sum(CAST(v AS DECIMAL(38,6))) OVER (PARTITION BY g, m, blk) AS DOUBLE) / CAST(m AS DOUBLE) AS mn FROM f2),
+           |cum AS (SELECT *, CAST(sum(CAST(${r6("v - mn")} AS DECIMAL(38,6)))
+           |    OVER (PARTITION BY g, m, blk ORDER BY ts, event_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cumv FROM wm),
+           |pb AS (SELECT g, m, blk, max(cumv) - min(cumv) AS r,
+           |    sqrt(greatest(${ds("(v - mn) * (v - mn)")} / CAST(first(m) AS DOUBLE), 0.0)) AS sd
+           |  FROM cum GROUP BY 1, 2, 3),
+           |rs AS (SELECT g, m, r / sd AS rsv FROM pb WHERE sd > 0),
+           |ps AS (SELECT g, m, ${ds("rsv")} / CAST(count(*) AS DOUBLE) AS mrs FROM rs GROUP BY 1, 2),
+           |pts AS (SELECT g, ln(CAST(m AS DOUBLE)) AS x, ln(mrs) AS y FROM ps WHERE mrs > 0),
+           |fit AS (SELECT g, CAST(count(*) AS BIGINT) AS k_sizes,
+           |    ${ds("x")} AS sx, ${ds("y")} AS sy, ${ds("x * x")} AS qx, ${ds("x * y")} AS pxy
+           |  FROM pts GROUP BY 1),
+           |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1)
+           |SELECT tot.g AS event_type, n, k_sizes,
+           |  CASE WHEN k_sizes >= 2 AND CAST(k_sizes AS DOUBLE) * qx - sx * sx > 0
+           |    THEN ${r6("(CAST(k_sizes AS DOUBLE) * pxy - sx * sy) / (CAST(k_sizes AS DOUBLE) * qx - sx * sx)")} END AS hurst
+           |FROM tot JOIN fit ON tot.g = fit.g""".stripMargin
+      },
+
+      "q_friedman" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def ds(e: String) = s"CAST(coalesce(sum(CAST(${r6(e)} AS DECIMAL(38,6))), 0) AS DOUBLE)"
+        s"""WITH cells AS (SELECT event_type AS tr, user_id % 10 AS blk,
+           |    ${r6("CAST(coalesce(sum(CAST(value AS DECIMAL(38,6))), 0) AS DOUBLE)")} AS v
+           |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+           |  GROUP BY 1, 2),
+           |rk AS (SELECT tr, blk, v,
+           |    CAST(rank() OVER (PARTITION BY blk ORDER BY v) AS DOUBLE) +
+           |      (CAST(count(*) OVER (PARTITION BY blk, v) AS DOUBLE) - 1.0) / 2.0 AS ark
+           |  FROM cells),
+           |rj AS (SELECT tr, CAST(coalesce(sum(CAST(ark AS DECIMAL(38,6))), 0) AS DOUBLE) AS rjs FROM rk GROUP BY 1),
+           |shape AS (SELECT CAST(count(DISTINCT blk) AS BIGINT) AS nb, CAST(count(DISTINCT tr) AS BIGINT) AS k FROM cells),
+           |agg AS (SELECT ${ds("rjs * rjs")} AS sr2 FROM rj)
+           |SELECT 'all' AS g, nb AS n_blocks, k AS k_treatments,
+           |  CASE WHEN k >= 2 AND nb >= 2 THEN ${r6("12.0 / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)) * sr2 - 3.0 * CAST(nb AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)")} END AS q,
+           |  k - 1 AS df
+           |FROM shape, agg""".stripMargin
+      },
+
+      "q_cochran_q" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def ds(e: String) = s"CAST(coalesce(sum(CAST(${r6(e)} AS DECIMAL(38,6))), 0) AS DOUBLE)"
+        s"""WITH cells AS (SELECT event_type AS tr, user_id % 10 AS s,
+           |    CASE WHEN ${r6("CAST(coalesce(sum(CAST(value AS DECIMAL(38,6))), 0) AS DOUBLE)")} / CAST(count(*) AS DOUBLE) > 50.0 THEN 1 ELSE 0 END AS h
+           |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+           |  GROUP BY 1, 2),
+           |cj AS (SELECT tr, CAST(sum(h) AS BIGINT) AS cj FROM cells GROUP BY 1),
+           |ri AS (SELECT s, CAST(sum(h) AS BIGINT) AS ri FROM cells GROUP BY 1),
+           |cs AS (SELECT CAST(sum(cj) AS BIGINT) AS t, ${ds("CAST(cj AS DOUBLE) * CAST(cj AS DOUBLE)")} AS sc2 FROM cj),
+           |rr AS (SELECT ${ds("CAST(ri AS DOUBLE) * CAST(ri AS DOUBLE)")} AS sr2 FROM ri),
+           |shape AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS ns, CAST(count(DISTINCT tr) AS BIGINT) AS k FROM cells)
+           |SELECT 'all' AS g, ns AS n_subjects, k AS k_treatments,
+           |  CASE WHEN CAST(k AS DOUBLE) * CAST(t AS DOUBLE) - sr2 > 0
+           |    THEN ${r6("(CAST(k AS DOUBLE) - 1.0) * (CAST(k AS DOUBLE) * sc2 - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) / (CAST(k AS DOUBLE) * CAST(t AS DOUBLE) - sr2)")} END AS q,
+           |  k - 1 AS df
+           |FROM shape, cs, rr""".stripMargin
+      },
+
+      "q_geo_median" -> {
+        def r6(e: String) = graft.functions.Portable.r6Sql(e)
+        def ds(e: String) = s"CAST(coalesce(sum(CAST(${r6(e)} AS DECIMAL(38,6))), 0) AS DOUBLE)"
+        val distTo = (m: String) =>
+          s"greatest(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1,65), i -> (x[i] - $m[i]) * (x[i] - $m[i]))), (a, q) -> a + q)), 1e-9)"
+        val rounds = (1 to 5).map { r =>
+          s"""jd$r AS (SELECT ve.g, ve.x, ${distTo(s"m${r - 1}.m")} AS dd
+             |  FROM ve JOIN m${r - 1} USING (g)),
+             |w$r AS (SELECT g, CAST(coalesce(sum(CAST(${r6("1.0 / dd")} AS DECIMAL(38,18))), 0) AS DOUBLE) AS w FROM jd$r GROUP BY 1),
+             |pd$r AS (SELECT jd$r.g, i.i AS d, ${ds("x[i.i] / dd")} AS ws
+             |  FROM jd$r, range(1,65) i(i) GROUP BY 1, 2),
+             |m$r AS MATERIALIZED (SELECT pd$r.g, list(${r6("ws / w")} ORDER BY d) AS m
+             |  FROM pd$r JOIN w$r USING (g) GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ve AS MATERIALIZED (SELECT label AS g,
+           |    list_transform(range(1,65), i -> CAST(embedding[i] AS DOUBLE)) AS x
+           |  FROM embeddings WHERE embedding IS NOT NULL),
+           |pd0 AS (SELECT g, i.i AS d, ${ds("x[i.i]")} AS sv, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM ve, range(1,65) i(i) GROUP BY 1, 2),
+           |m0 AS MATERIALIZED (SELECT g, list(${r6("sv / CAST(cnt AS DOUBLE)")} ORDER BY d) AS m FROM pd0 GROUP BY 1),
+           |$rounds,
+           |fin AS (SELECT ve.g, ${distTo("m5.m")} AS dd
+           |  FROM ve JOIN m5 USING (g)),
+           |res AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    ${r6(s"(${ds("dd")}) / CAST(count(*) AS DOUBLE)")} AS mean_dist
+           |  FROM fin GROUP BY g)
+           |SELECT res.g AS "group", res.n, res.mean_dist,
+           |  CAST(i.i - 1 AS BIGINT) AS dim, m5.m[i.i] AS m
+           |FROM res JOIN m5 ON res.g = m5.g, range(1,65) i(i)""".stripMargin
       },
 
 

@@ -423,4 +423,76 @@ object Embeddings {
           r6(col("__dot") / (sqrt(col("__ss")) * sqrt(col("__pss")))))
           .as("drift_cos"))
   }
+
+  /** Geometric median per group — the ROBUST centroid (the point
+    * minimizing Σ‖x − m‖, vs the mean's Σ‖x − m‖²): a 1% cluster of
+    * corrupt embeddings drags a mean centroid 1% of their distance,
+    * but the geometric median barely moves — the right anchor for
+    * drift baselines (#318) and semantic-dedup seeds. Fixed
+    * `iterations` of Weiszfeld's algorithm from the mean: m' =
+    * Σ(xᵢ/dᵢ) / Σ(1/dᵢ), dᵢ = max(‖xᵢ − m‖, ε) — each iteration ONE
+    * corpus pass (broadcast-join of the group-sized median frame,
+    * codegen'd [[graft.functions.SqDist]] for the distances), pinned
+    * so the lazy plan stays flat. Accumulation is per-dimension
+    * r6 + DECIMAL sums over a posexplode — the §5 engine-exact path;
+    * `VectorSum`'s raw-double partials would leave the hash at the
+    * mercy of partition-order low bits COMPOUNDED across iterations
+    * (a one-shot centroid tolerates that; a 5-round fixed point does
+    * not). 64× more (tiny) shuffle rows than VectorSum, bought as
+    * bit-exactness.
+    *
+    * Output per group: (group, n, median[dim], mean_dist) — mean_dist
+    * the average distance to the FINAL median (the robust spread).
+    */
+  def geometricMedian(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      iterations: Int = 5,
+      eps: Double = 1e-9): DataFrame = {
+    require(iterations >= 1 && iterations <= 16,
+      s"iterations must be in [1, 16], got $iterations — each is a corpus pass")
+    import graft.plans.Materialize.PinOps
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val vecs = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(vecCol).cast("array<double>").as("__x"))
+      .pin(false) // re-read once per iteration
+    // assemble the per-dim frame back into the ordered median vector
+    def assemble(perDim: DataFrame): DataFrame = perDim
+      .groupBy(col("__g"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__d"), col("__mv")))),
+        e => e.getField("__mv")).as("__m"))
+    var med = assemble(vecs
+      .select(col("__g"), posexplode(col("__x")).as(Seq("__d", "__val")))
+      .groupBy(col("__g"), col("__d"))
+      .agg(r6(dsum(r6(col("__val"))) / count(lit(1)).cast("double")).as("__mv")))
+      .pin(true)
+    for (_ <- 1 to iterations) {
+      val joined = vecs.join(broadcast(med), "__g")
+        .withColumn("__dd",
+          greatest(sqrt(graft.functions.GraftFunctions.sqDist(col("__x"), col("__m"))),
+            lit(eps)))
+      val w = joined.groupBy(col("__g"))
+        .agg(sum(r6(lit(1.0) / col("__dd")).cast("decimal(38,18)"))
+          .cast("double").as("__w"))
+      med = assemble(joined
+        .select(col("__g"), col("__dd"), posexplode(col("__x")).as(Seq("__d", "__val")))
+        .groupBy(col("__g"), col("__d"))
+        .agg(dsum(r6(col("__val") / col("__dd"))).as("__ws"))
+        .join(w, "__g")
+        .select(col("__g"), col("__d"), r6(col("__ws") / col("__w")).as("__mv")))
+        .pin(true)
+    }
+    vecs.join(broadcast(med), "__g")
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), first(col("__m")).as("median"),
+        (sum(r6(sqrt(graft.functions.GraftFunctions.sqDist(col("__x"), col("__m"))))
+          .cast("decimal(38,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("__md"))
+      .select(col("__g").as("group"), col("n"), col("median"),
+        r6(col("__md")).as("mean_dist"))
+  }
 }

@@ -844,4 +844,118 @@ object Hypothesis {
         col("n_ties_dropped"), col("runs"),
         r6(z).as("z"), r6(pFromZ(z)).as("p_value"))): _*)
   }
+
+  /** Friedman test per group — "do the k treatments rank differently
+    * across the b blocks", the rank-based repeated-measures ANOVA
+    * ([[kruskalWallis]] needs independent groups; Friedman respects
+    * the block pairing, and [[graft.operators.Stats.kendallW]] is its
+    * agreement-flavored twin: Q = b(k−1)W with tie-free data).
+    * Average ranks within block for ties; the classical statistic
+    * Q = 12/(bk(k+1))·ΣR_j² − 3b(k+1), df = k−1. Complete blocks
+    * enforced loudly (the kendallW contract). Emits the statistic and
+    * df, not a p — the χ²_{k−1} tail is the caller's lookup, the
+    * [[kruskalWallis]] convention.
+    *
+    * Output per group: (by…, n_blocks, k_treatments, q, df).
+    */
+  def friedman(
+      df: DataFrame,
+      byCols: Seq[String],
+      blockCol: String,
+      treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val by = byCols.map(col)
+    val v = col(valueCol).cast("double")
+    val base = df
+      .filter(v.isNotNull && !isnan(v) &&
+        col(blockCol).isNotNull && col(treatmentCol).isNotNull)
+      .select((by ++ Seq(col(blockCol).as("__b"), col(treatmentCol).as("__tr"),
+        v.as("__v"))): _*)
+    val wb = Window.partitionBy((by :+ col("__b")): _*).orderBy(col("__v"))
+    val wt = Window.partitionBy((by ++ Seq(col("__b"), col("__v"))): _*)
+    val ranked = base
+      .withColumn("__rk",
+        rank().over(wb).cast("double") +
+          (count(lit(1)).over(wt).cast("double") - 1.0) / 2.0)
+    val shape = ranked.groupBy(by: _*)
+      .agg(countDistinct(col("__b")).as("__nb"),
+        countDistinct(col("__tr")).as("__k"),
+        count(lit(1)).as("__rows"),
+        countDistinct(col("__b"), col("__tr")).as("__cells"))
+      .withColumn("__ok",
+        when(col("__rows") === col("__nb") * col("__k") &&
+          col("__cells") === col("__rows"), lit(1L))
+          .otherwise(raise_error(lit(
+            "friedman: incomplete or duplicated (block, treatment) design — " +
+              "every block must measure every treatment exactly once"))))
+    val rj = ranked.groupBy((by :+ col("__tr")): _*)
+      .agg(dsum(col("__rk")).as("__rj"))
+    val agg = rj.groupBy(by: _*)
+      .agg(dsum(r6(col("__rj") * col("__rj"))).as("__sr2"))
+      .join(shape.filter(col("__ok") === 1L), byCols)
+    val bD = col("__nb").cast("double")
+    val kD = col("__k").cast("double")
+    val q = lit(12.0) / (bD * kD * (kD + 1.0)) * col("__sr2") -
+      lit(3.0) * bD * (kD + 1.0)
+    agg.select((by ++ Seq(col("__nb").as("n_blocks"),
+      col("__k").as("k_treatments"),
+      when(col("__k") >= 2 && col("__nb") >= 2, r6(q)).as("q"),
+      (col("__k") - 1L).as("df"))): _*)
+  }
+
+  /** Cochran's Q per group — [[mcnemar]] generalized to k BINARY
+    * treatments on the same subjects ("do the k filter versions flag
+    * the same docs"): Q = k(k−1)·Σ_j(C_j − T/k)² / (k·T − ΣR_i²),
+    * C_j = per-treatment hits, R_i = per-subject hits, T = ΣR_i;
+    * df = k−1. Subjects with all-equal outcomes carry no information
+    * but stay in the sums (the standard formulation handles them).
+    * Complete design enforced loudly. Output per group:
+    * (by…, n_subjects, k_treatments, q, df) — Q NULL when the
+    * denominator is 0 (every subject constant).
+    */
+  def cochranQ(
+      df: DataFrame,
+      byCols: Seq[String],
+      subjectCol: String,
+      treatmentCol: String,
+      hit: Column): DataFrame = {
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val by = byCols.map(col)
+    val base = df
+      .filter(col(subjectCol).isNotNull && col(treatmentCol).isNotNull)
+      .select((by ++ Seq(col(subjectCol).as("__s"), col(treatmentCol).as("__tr"),
+        when(hit, 1L).otherwise(0L).as("__h"))): _*)
+    val shape = base.groupBy(by: _*)
+      .agg(countDistinct(col("__s")).as("__ns"),
+        countDistinct(col("__tr")).as("__k"),
+        count(lit(1)).as("__rows"),
+        countDistinct(col("__s"), col("__tr")).as("__cells"))
+      .withColumn("__ok",
+        when(col("__rows") === col("__ns") * col("__k") &&
+          col("__cells") === col("__rows"), lit(1L))
+          .otherwise(raise_error(lit(
+            "cochranQ: incomplete or duplicated (subject, treatment) design"))))
+    val cj = base.groupBy((by :+ col("__tr")): _*)
+      .agg(sum(col("__h")).as("__cj"))
+    val ri = base.groupBy((by :+ col("__s")): _*)
+      .agg(sum(col("__h")).as("__ri"))
+    val cSums = cj.groupBy(by: _*)
+      .agg(sum(col("__cj")).as("__t"), dsum(r6(col("__cj").cast("double") *
+        col("__cj").cast("double"))).as("__sc2"))
+    val rSums = ri.groupBy(by: _*)
+      .agg(dsum(r6(col("__ri").cast("double") * col("__ri").cast("double"))).as("__sr2"))
+    val joined = cSums.join(rSums, byCols).join(shape.filter(col("__ok") === 1L), byCols)
+    val kD = col("__k").cast("double")
+    val tD = col("__t").cast("double")
+    // k(k−1)Σ(C_j − T/k)² = (k−1)(kΣC_j² − T²)
+    val num = (kD - 1.0) * (kD * col("__sc2") - tD * tD)
+    val den = kD * tD - col("__sr2")
+    joined.select((by ++ Seq(col("__ns").as("n_subjects"),
+      col("__k").as("k_treatments"),
+      when(den > 0, r6(num / den)).as("q"),
+      (col("__k") - 1L).as("df"))): _*)
+  }
 }

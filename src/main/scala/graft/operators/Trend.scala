@@ -297,4 +297,91 @@ object Trend {
           }))
     element_at(folded, -1)
   }
+
+  /** Rescaled-range Hurst exponent per key — long-memory detection for
+    * telemetry: H ≈ 0.5 is a random walk (i.i.d.-assuming monitors are
+    * fine), H → 1 means persistent trends (yesterday's drift predicts
+    * today's — alert thresholds calibrated on i.i.d. noise will both
+    * under- and over-fire), H < 0.5 means mean-reversion. Classic R/S:
+    * for each block size m ∈ `blockSizes`, split the (time, tie)-ordered
+    * series into FULL m-blocks, compute each block's range of cumulative
+    * mean-deviations over its std, average R/S per m, and fit
+    * ln(R/S) = H·ln(m) + c by OLS over the ≤|blockSizes| points.
+    *
+    * Shapes: one key-ordered rank window, a ×|blockSizes| melt, then
+    * every window/aggregate is (key, m, block)-partitioned — block
+    * state is ≤ max(blockSizes) rows by construction. Partial blocks
+    * drop (an R/S over a short tail biases the fit). Output per key:
+    * (by…, n, k_sizes, hurst) — NULL with fewer than 2 usable sizes.
+    */
+  def hurstExponent(
+      df: DataFrame,
+      byCols: Seq[String],
+      timeCol: String,
+      tieCol: String,
+      valueCol: String,
+      blockSizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(blockSizes.size >= 2 && blockSizes.forall(_ >= 4) &&
+      blockSizes.distinct == blockSizes && blockSizes.max <= 4096,
+      s"need >= 2 distinct block sizes in [4, 4096], got $blockSizes")
+    val r6 = graft.functions.Portable.r6 _
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
+    val by = byCols.map(col)
+    val v = col(valueCol).cast("double")
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(by: _*).orderBy(col("__t"), col("__tie"))
+    val ranked = df
+      .filter(v.isNotNull && !isnan(v) && col(timeCol).isNotNull)
+      .select((by ++ Seq(col(timeCol).as("__t"), col(tieCol).as("__tie"),
+        v.as("__v"))): _*)
+      .withColumn("__rn", row_number().over(wk).cast("long") - 1L)
+    val melted = ranked.select((by ++ Seq(col("__t"), col("__tie"), col("__v"),
+      col("__rn"), explode(array(blockSizes.map(m => lit(m.toLong)): _*)).as("__m"))): _*)
+      .withColumn("__blk",
+        ((col("__rn") - pmod(col("__rn"), col("__m"))) / col("__m")).cast("long"))
+    val blockKey = by ++ Seq(col("__m"), col("__blk"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(blockKey: _*)
+    val wbo = org.apache.spark.sql.expressions.Window
+      .partitionBy(blockKey: _*).orderBy(col("__t"), col("__tie"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val withDev = melted
+      .withColumn("__bn", count(lit(1)).over(wb))
+      .filter(col("__bn") === col("__m")) // full blocks only
+      .withColumn("__mean",
+        sum(col("__v").cast("decimal(38,6)")).over(wb).cast("double") /
+          col("__m").cast("double"))
+      .withColumn("__cum",
+        sum(r6(col("__v") - col("__mean")).cast("decimal(38,6)")).over(wbo)
+          .cast("double"))
+    val perBlock = withDev
+      .groupBy(blockKey: _*)
+      .agg(
+        (max(col("__cum")) - min(col("__cum"))).as("__r"),
+        sqrt(greatest(
+          dsum(r6((col("__v") - col("__mean")) * (col("__v") - col("__mean")))) /
+            first(col("__m")).cast("double"), lit(0.0))).as("__s"))
+      .filter(col("__s") > 0)
+      .withColumn("__rs", col("__r") / col("__s"))
+    val perSize = perBlock
+      .groupBy((by :+ col("__m")): _*)
+      .agg((dsum(r6(col("__rs"))) / count(lit(1)).cast("double")).as("__mrs"))
+      .filter(col("__mrs") > 0)
+      .select((by ++ Seq(log(col("__m").cast("double")).as("__x"),
+        log(col("__mrs")).as("__y"))): _*)
+    // OLS slope over the <= |blockSizes| (ln m, ln R/S) points
+    val fit = perSize
+      .groupBy(by: _*)
+      .agg(count(lit(1)).as("k_sizes"),
+        dsum(r6(col("__x"))).as("__sx"), dsum(r6(col("__y"))).as("__sy"),
+        dsum(r6(col("__x") * col("__x"))).as("__qx"),
+        dsum(r6(col("__x") * col("__y"))).as("__pxy"))
+    val kD = col("k_sizes").cast("double")
+    val den = kD * col("__qx") - col("__sx") * col("__sx")
+    val totals = ranked.groupBy(by: _*).agg(count(lit(1)).as("n"))
+    totals.join(fit, byCols)
+      .select((by ++ Seq(col("n"), col("k_sizes"),
+        when(col("k_sizes") >= 2 && den > 0,
+          r6((kD * col("__pxy") - col("__sx") * col("__sy")) / den)).as("hurst"))): _*)
+  }
 }

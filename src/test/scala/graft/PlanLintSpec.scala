@@ -144,7 +144,12 @@ class PlanLintSpec extends SparkSpec {
       // the (source-count × top-50-words) grid completion and the
       // source-pair z join — both sides source/nWords-bounded (the
       // q_kmv pair contract)
-      "q_burrows"        -> Set("nested-loop-join")
+      "q_burrows"        -> Set("nested-loop-join"),
+      // block-design joins on the (blocks × treatments) cells frame
+      // (50 rows by registration) under a constant-folded literal
+      // group key — design-sized, never the corpus
+      "q_friedman"       -> Set("nested-loop-join"),
+      "q_cochran_q"      -> Set("nested-loop-join")
     )
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       PlanLint.lint(fn(spark, sf))

@@ -127,7 +127,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_dtw", // PAA-vector pair join on the GROUP-sized shape frame (one row per event type — the q_kmv sketch-pair contract)
       "q_jl", // JL distortion probe pairs: both sides bounded by the maxId<=128 require (the q_ann_topk probe contract)
       "q_top_terms_drift", // rbo's one-row-per-side size frames under a constant-folded literal query key (20-row top-k lists)
-      "q_burrows") // the (source-count × top-50-words) grid completion and the source-pair z join — both sides source/nWords-bounded (the q_kmv pair contract)
+      "q_burrows", // the (source-count × top-50-words) grid completion and the source-pair z join — both sides source/nWords-bounded (the q_kmv pair contract)
+      "q_friedman", "q_cochran_q") // block-design joins on the (blocks × treatments) cells frame (50 rows by registration) under a constant-folded literal group key
     val sf = "/root/testdata/sf0.001"
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (bruteByContract(name) || boundedBuildByContract(name)) Nil
