@@ -157,9 +157,10 @@ object Bootstrap {
       .agg(sort_array(collect_list(col("__med"))).as("__ms"))
       .select((byCols :+ col("__ms") :+ size(col("__ms")).as("__k")): _*)
       .select((byCols ++ Seq(
-        // __k = 0 (every replicate drew zero weight — only conceivable
-        // for ~1-row groups) must yield NULL, not an ANSI
-        // INVALID_ARRAY_INDEX on the empty list
+        // within `band` __k >= 1 by construction (a group reaches here
+        // only via at least one replicate median); the all-replicates-
+        // zero-weight group has NO band row and is surfaced by the
+        // LEFT join below with a NULL band and k_effective = 0
         when(col("__k") >= 1,
           element_at(col("__ms"), when(col("__k") >= 3, 2).otherwise(1)))
           .as("boot_lo"),
@@ -168,8 +169,12 @@ object Bootstrap {
             when(col("__k") >= 3, col("__k") - 1).otherwise(col("__k")).cast("int")))
           .as("boot_hi"),
         col("__k").cast("long").as("k_effective"))): _*)
-    obs.join(band, by)
+    // LEFT join: a group whose every replicate drew zero total weight has
+    // no `band` row at all — it must still surface with median_obs and a
+    // NULL band (k_effective = 0), not silently vanish from the report.
+    obs.join(band, by, "left")
       .select((byCols ++ Seq(col("n"), col("median_obs"),
-        col("boot_lo"), col("boot_hi"), col("k_effective"))): _*)
+        col("boot_lo"), col("boot_hi"),
+        coalesce(col("k_effective"), lit(0L)).as("k_effective"))): _*)
   }
 }

@@ -57,7 +57,23 @@ object Fairness {
     val rates = g.select(col("group"), col("n"), col("n_selected"),
       r6(sel).as("selection_rate"), r6(tpr).as("tpr"), r6(fpr).as("fpr"))
     val ref = refGroup match {
-      case Some(name) => rates.filter(col("group") === name)
+      case Some(name) =>
+        // a misspelled reference group would otherwise yield an empty
+        // reference frame and the crossJoin would silently erase the
+        // whole report — fail loudly instead (kendallW / friedman
+        // convention): aggregate to exactly one row and raise when no
+        // group matched
+        rates.filter(col("group") === name)
+          .groupBy()
+          .agg(count(lit(1)).as("__c"),
+            first(col("selection_rate")).as("selection_rate"),
+            first(col("tpr")).as("tpr"), first(col("fpr")).as("fpr"))
+          .select(
+            when(col("__c") >= 1, col("selection_rate"))
+              .otherwise(raise_error(concat(
+                lit(s"fairnessAudit: reference group '$name' not found in "),
+                lit(s"column '$groupCol'")))).as("selection_rate"),
+            col("tpr"), col("fpr"))
       case None => rates
         .orderBy(col("n").desc, col("group").asc)
         .limit(1)

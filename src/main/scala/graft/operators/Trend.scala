@@ -275,7 +275,11 @@ object Trend {
     * not raw series — feed it [[paaVectors]].
     *
     * Empty inputs yield the 1e308 sentinel (no alignment exists) —
-    * callers filter, the way NULL would hide the row.
+    * callers filter, the way NULL would hide the row. The guard is
+    * explicit: with `b` empty, sequence(1, size(b)) = sequence(1, 0)
+    * is a DESCENDING [1, 0] whose j = 0 step would evaluate
+    * element_at(b, 0) — an ANSI INVALID_ARRAY_INDEX — so the fold only
+    * runs when both sides are non-empty.
     */
   def dtwDistance(a: Column, b: Column): Column = {
     val inf = lit(1.0e308)
@@ -295,7 +299,8 @@ object Trend {
               element_at(row, size(row)))   // D(i,   j-1)
             concat(row, array(cost + best))
           }))
-    element_at(folded, -1)
+    when(size(a) === 0 || size(b) === 0, inf)
+      .otherwise(element_at(folded, -1))
   }
 
   /** Rescaled-range Hurst exponent per key — long-memory detection for

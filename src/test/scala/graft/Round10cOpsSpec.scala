@@ -112,7 +112,8 @@ class Round10cOpsSpec extends SparkSpec {
   }
 
   test("negativeBinomialFit: overdispersed counts fit r/p; Poisson-like is NULL") {
-    // mean 2, var 4 (> mean): r = 4/(4-2) = 2, p = 2/(2+2) = 0.5
+    // mean 2, var 8/3 (> mean): r = mean²/(var-mean) = 4/(8/3-2) = 6,
+    // p = r/(r+mean) = 6/(6+2) = 0.75
     val over = Seq(0.0, 0.0, 2.0, 2.0, 4.0, 4.0).map(("g", _)).toDF("g", "k")
     val got = Stats.negativeBinomialFit(over, Seq("g"), "k").collect()(0)
     assert(got.getAs[Double]("mean") == 2.0)
