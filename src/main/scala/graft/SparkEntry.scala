@@ -2403,7 +2403,15 @@ object SparkEntry {
       // selfProbeCandidates∘lofWithCandidates at both oracle scales
       // (≤2k vectors ⇒ nBits=7), but holds the (nBits+1)·n^1.5 pair
       // bound and streams it — the round-9 verdict's "would this
-      // survive one more decade" question, answered in code
+      // survive one more decade" question, answered in code.
+      // sf10 first-sample spread (r10 bench: 93.5/37.1/36.0 s) is
+      // WARMUP, not sizing: SpillProbe r11 measured 102.6/48.5/31.5 s
+      // with byte-identical shuffle (0.8 GB) and sorter spill
+      // (8 GB disk / 34 GB mem) on every run while GC fell
+      // 30.9 → 16.8 → 8.4 s — the spill footprint is a constant plan
+      // property of the cell join's sorter, the spread is JIT/page-
+      // cache cold-start, so the median is the honest number and the
+      // grid needs no re-size
       graft.ann.Lof.selfProbeLof(
         e, k = 5, nBits = graft.ann.Lof.sizedBits(e.count()), probeRadius = 1)
         .select(col("id").as("vec_id"),
@@ -3258,10 +3266,18 @@ object SparkEntry {
     // bounded-hop multi-source BFS over the word-adjacency graph from
     // its lexicographically-first word: the blast-radius primitive
     "q_khop" -> { (s, dir) =>
-      import graft.plans.Materialize.PinOps
-      // pinned: the seed aggregate plus one equi-join per hop would
-      // otherwise each re-tokenize the corpus into edges
-      val e = wordAdjacencyEdges(s, dir).pin(false)
+      // cached COLUMNAR, not pinned: the seed aggregate plus one
+      // equi-join per hop would otherwise each re-tokenize the corpus
+      // into edges. A localCheckpoint here stores the ~1B-row sf100
+      // edge frame as deserialized on-heap blocks — measured OOM at
+      // the bench's 48g and 1415 s of cumulative GC even at 96g —
+      // while InMemoryRelation's compressed columnar batches
+      // (dictionary-coded word pairs) hold the same frame in a few GB
+      // and spill per-batch. Lineage truncation isn't needed: the hop
+      // loop pins its own frontier/visited frames, and every hop's
+      // reference to `e` is the one cached scan, so the plan stays flat.
+      val e = wordAdjacencyEdges(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Graph.kHopDistances(e, e.agg(min(col("src")).as("node")), maxHops = 4)
     },
 
