@@ -1193,6 +1193,23 @@ object SparkEntry {
           graft.functions.Portable.r6(col("ndcg_at_k")).as("ndcg_at_10"))
     },
 
+    // judged-qrels (graded) variant: grade = matched-term count (1..3),
+    // graded nDCG (gain 2^g−1) + cascade ERR (R = (2^g−1)/2^3) —
+    // RetrievalEval.evaluateGraded over the same BM25 top-10 ranking
+    "q_retrieval_eval_graded" -> { (s, dir) =>
+      val qs = Seq(
+        "q_joins"  -> Seq("join", "hash", "merge"),
+        "q_scan"   -> Seq("scan", "filter", "column"),
+        "q_stream" -> Seq("stream", "window", "batch"))
+      val ranking = Bm25.retrieveTopK(docs(s, dir), qs, k = 10)
+        .select(col("query_id"), col("id").as("doc_id"), col("rank"))
+      val qrels = graft.text.RetrievalEval.gradedTermRelevance(docs(s, dir), qs)
+      graft.text.RetrievalEval.evaluateGraded(ranking, qrels, k = 10, maxGrade = 3)
+        .select(col("query_id"), col("n_judged"),
+          col("ndcg_graded_at_k").as("ndcg_graded_at_10"),
+          col("err_graded_at_k").as("err_graded_at_10"))
+    },
+
     // first-10-steps event path per user (clickstream journeys)
     "q_paths" -> ((s, dir) =>
       Transitions.eventPaths(ev(s, dir), "user_id", "ts", "event_type", "event_id",
@@ -5189,6 +5206,45 @@ object SparkEntry {
            |  ${graft.functions.Portable.r6Sql("CASE WHEN n_relevant > 0 THEN CAST(hits AS DOUBLE)/CAST(n_relevant AS DOUBLE) ELSE 0.0 END")} AS recall_at_10,
            |  ${graft.functions.Portable.r6Sql("CASE WHEN idcg > 0 THEN dcg/idcg ELSE 0.0 END")} AS ndcg_at_10
            |FROM f""".stripMargin,
+
+      "q_retrieval_eval_graded" ->
+        s"""WITH qt(query_id, term) AS (VALUES
+           |  ('q_joins','join'), ('q_joins','hash'), ('q_joins','merge'),
+           |  ('q_scan','scan'), ('q_scan','filter'), ('q_scan','column'),
+           |  ('q_stream','stream'), ('q_stream','window'), ('q_stream','batch')),
+           |tok AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+           |t AS (SELECT id, unnest(toks) AS term FROM tok),
+           |dl AS (SELECT id, CAST(len(toks) AS DOUBLE) AS dl FROM tok),
+           |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+           |tf AS (SELECT id, term, count(*) AS tf FROM t WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+           |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT qt.query_id, tf.id,
+           |    floor((sum(ln(1 + (n_docs - df + 0.5)/(df + 0.5)) * tf/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl)))) * 1000000 + 0.5) / 1000000 AS bm25
+           |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl USING (id), st GROUP BY 1, 2),
+           |b AS (SELECT query_id, id AS doc_id, rank FROM (SELECT query_id, id, bm25,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, id) AS rank FROM sc) WHERE rank <= 10),
+           |grel AS (SELECT q.query_id, t2.id, count(*) AS grade
+           |  FROM tok t2, qt q WHERE list_contains(t2.toks, q.term) GROUP BY 1, 2),
+           |nrel AS (SELECT query_id, count(*) AS n_judged FROM grel GROUP BY 1),
+           |j AS (SELECT b.query_id, b.rank, coalesce(grel.grade, 0) AS grade,
+           |    (pow(2, coalesce(grel.grade, 0)) - 1)/8.0 AS rr
+           |  FROM b LEFT JOIN grel ON grel.query_id = b.query_id AND grel.id = b.doc_id),
+           |jc AS (SELECT query_id, rank, grade, rr,
+           |    exp(coalesce(sum(ln(1 - rr)) OVER (PARTITION BY query_id ORDER BY rank
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS cont FROM j),
+           |pq AS (SELECT query_id,
+           |    CAST(coalesce(sum(CAST(${graft.functions.Portable.r6Sql("(pow(2, grade) - 1) / (ln(CAST(rank AS DOUBLE) + 1.0)/ln(CAST(2 AS DOUBLE)))")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS dcg,
+           |    CAST(coalesce(sum(CAST(${graft.functions.Portable.r6Sql("rr / CAST(rank AS DOUBLE) * cont")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS err
+           |  FROM jc GROUP BY 1),
+           |ideal AS (SELECT query_id,
+           |    CAST(coalesce(sum(CAST(${graft.functions.Portable.r6Sql("(pow(2, grade) - 1) / (ln(CAST(ir AS DOUBLE) + 1.0)/ln(CAST(2 AS DOUBLE)))")} AS DECIMAL(38,6))), 0) AS DOUBLE) AS idcg
+           |  FROM (SELECT query_id, grade,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY grade DESC, id) AS ir FROM grel)
+           |  WHERE ir <= 10 GROUP BY 1)
+           |SELECT pq.query_id, CAST(coalesce(n_judged, 0) AS BIGINT) AS n_judged,
+           |  ${graft.functions.Portable.r6Sql("CASE WHEN idcg > 0 THEN dcg/idcg ELSE 0.0 END")} AS ndcg_graded_at_10,
+           |  ${graft.functions.Portable.r6Sql("coalesce(err, 0)")} AS err_graded_at_10
+           |FROM pq LEFT JOIN nrel USING (query_id) LEFT JOIN ideal USING (query_id)""".stripMargin,
 
       "q_paths" ->
         """WITH r AS (SELECT user_id, event_type,

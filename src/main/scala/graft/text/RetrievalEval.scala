@@ -101,6 +101,112 @@ object RetrievalEval {
           .otherwise(lit(0.0)).as("ndcg_at_k"))
   }
 
+  /** Graded term-coverage relevance for `queries` over the corpus:
+    * (query_id, id, grade) with grade = number of DISTINCT query terms
+    * the document contains (1 … |terms|) — the deterministic judged-
+    * qrels stand-in ([[containsAllRelevance]] is its all-or-nothing
+    * grade = |terms| cut). One corpus scan; per-query term checks are
+    * row-local array_contains sums. Docs matching no term are absent
+    * (unjudged), matching real qrel exports where only judged pairs
+    * appear.
+    */
+  def gradedTermRelevance(
+      docs: DataFrame,
+      queries: Seq[(String, Seq[String])],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.forall { case (_, ts) => ts.nonEmpty && ts.distinct == ts },
+      "query terms must be non-empty and distinct (grade = matched-term count)")
+    val toks = col("__toks")
+    val flags = queries.map { case (qid, terms) =>
+      struct(lit(qid).as("query_id"),
+        terms.map(t => when(array_contains(toks, t), 1L).otherwise(0L))
+          .reduce(_ + _).as("grade"))
+    }
+    docs
+      .select(col(idCol).as("id"), TextFunctions.wordTokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(array(flags: _*)).as("q"))
+      .filter(col("q.grade") >= 1L)
+      .select(col("q.query_id").as("query_id"), col("id"), col("q.grade").as("grade"))
+  }
+
+  /** Graded-relevance evaluation — the judged-qrels variant of
+    * [[evaluate]]: graded nDCG@k (gain 2^g − 1, the TREC/web-search
+    * convention that rewards a highly-relevant hit ~2× a fair one at
+    * the same rank) and graded ERR@k (cascade stop-probability
+    * R = (2^g − 1)/2^maxGrade, Chapelle et al. 2009 — [[errAtK]] is
+    * this at binary grades). Takes any (query_id, id, grade) frame;
+    * duplicate judgments collapse to the MAX grade (qrel exports carry
+    * dupes; max is the conservative union of assessors).
+    *
+    * Shapes, all k- or qrels-bounded: DCG/ERR run over the ≤ k ranked
+    * rows per query; the cascade continuation Π(1−Rᵢ) is
+    * exp(Σ ln(1−Rᵢ)) over a rank-ordered window of those same ≤ k rows
+    * (no running-product primitive needed; R < 1 always since
+    * g ≤ maxGrade); ideal DCG takes the top-min(n_judged, k) grades via
+    * a qrels-side window. Per-term r6 + DECIMAL sums keep both engines
+    * hash-identical. Queries with no judged-relevant docs score 0
+    * (the [[evaluate]] convention).
+    *
+    * Output per query: (query_id, n_judged, ndcg_graded_at_k,
+    * err_graded_at_k).
+    */
+  def evaluateGraded(
+      ranking: DataFrame,
+      qrels: DataFrame,
+      k: Int,
+      maxGrade: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxGrade >= 1 && maxGrade <= 16,
+      s"maxGrade must be in [1, 16], got $maxGrade — 2^g must stay exact")
+    val r6 = graft.functions.Portable.r6 _
+    val rel = qrels
+      .filter(col("grade").isNotNull && col("grade") >= 1L)
+      .groupBy(col("query_id"), col("id"))
+      .agg(max(col("grade").cast("long")).as("grade"))
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_judged"))
+    val judged = ranking
+      .filter(col("rank") <= k)
+      .join(rel.select(col("query_id"), col("id").as("doc_id"), col("grade")),
+        Seq("query_id", "doc_id"), "left")
+      .withColumn("grade", coalesce(col("grade"), lit(0L)))
+    def gain(g: Column, rank: Column): Column =
+      (pow(lit(2.0), g.cast("double")) - 1.0) / log2(rank.cast("double") + 1.0)
+    val stopP = (pow(lit(2.0), col("grade").cast("double")) - 1.0) /
+      lit(math.pow(2.0, maxGrade))
+    val wPrev = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perQuery = judged
+      .withColumn("__logc", log(lit(1.0) - stopP))
+      .withColumn("__cont", exp(coalesce(sum(col("__logc")).over(wPrev), lit(0.0))))
+      .groupBy("query_id")
+      .agg(
+        coalesce(sum(r6(gain(col("grade"), col("rank"))).cast("decimal(38,6)")),
+          lit(0).cast("decimal(38,6)")).cast("double").as("__dcg"),
+        coalesce(sum(r6(stopP / col("rank").cast("double") * col("__cont"))
+          .cast("decimal(38,6)")), lit(0).cast("decimal(38,6)"))
+          .cast("double").as("__err"))
+    val wIdeal = Window.partitionBy(col("query_id"))
+      .orderBy(col("grade").desc, col("id").asc)
+    val ideal = rel
+      .withColumn("__ir", row_number().over(wIdeal))
+      .filter(col("__ir") <= k)
+      .groupBy("query_id")
+      .agg(coalesce(sum(r6(gain(col("grade"), col("__ir"))).cast("decimal(38,6)")),
+        lit(0).cast("decimal(38,6)")).cast("double").as("__idcg"))
+    ranking.select(col("query_id")).distinct()
+      .join(perQuery, Seq("query_id"), "left")
+      .join(broadcast(nRel), Seq("query_id"), "left")
+      .join(broadcast(ideal), Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_judged"), lit(0L)).as("n_judged"),
+        r6(when(col("__idcg") > 0, col("__dcg") / col("__idcg"))
+          .otherwise(lit(0.0))).as("ndcg_graded_at_k"),
+        r6(coalesce(col("__err"), lit(0.0))).as("err_graded_at_k"))
+  }
+
   /** Expected Reciprocal Rank (Chapelle et al. 2009) — the cascade-model
     * metric [[evaluate]]'s nDCG is blind to: a user scans down, stops at
     * the first satisfying result with probability R, so a SECOND

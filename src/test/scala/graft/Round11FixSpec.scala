@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Bootstrap, Fairness, Trend}
+import graft.text.RetrievalEval
 import org.apache.spark.sql.functions._
 
 /** Round-11 ADVICE regressions: the three behavioral fixes from the
@@ -45,6 +46,43 @@ class Round11FixSpec extends SparkSpec {
     rows.filter(_.getAs[Long]("k_effective") > 0L).foreach { r =>
       assert(r.getAs[Double]("boot_lo") == 7.0 && r.getAs[Double]("boot_hi") == 7.0)
     }
+  }
+
+  test("evaluateGraded: graded nDCG and cascade ERR match hand-computed values") {
+    val ranking = Seq(("q", "d1", 1L), ("q", "d2", 2L), ("q", "d3", 3L))
+      .toDF("query_id", "doc_id", "rank")
+    // duplicate judgment for d3 (grades 1 and 2) must collapse to max=2;
+    // d4 is judged-relevant but unranked (counts toward n_judged + ideal)
+    val qrels = Seq(("q", "d1", 1L), ("q", "d3", 2L), ("q", "d4", 2L), ("q", "d3", 1L))
+      .toDF("query_id", "id", "grade")
+    val r = RetrievalEval.evaluateGraded(ranking, qrels, k = 3, maxGrade = 2)
+      .collect()(0)
+    assert(r.getAs[Long]("n_judged") == 3L)
+    // DCG = 1/log2(2) + 0 + 3/log2(4) = 2.5;
+    // IDCG (grades 2,2,1 at ideal ranks) = 3 + 3/log2(3) + 0.5 = 5.392789
+    assert(math.abs(r.getAs[Double]("ndcg_graded_at_k") - 0.463582) < 1e-5)
+    // ERR: R = (2^g-1)/4 -> 1/4, 0, 3/4:
+    // 0.25/1 + 0 + (0.75)(1)(0.75)/3 = 0.25 + 0.1875 = 0.4375 exactly
+    assert(r.getAs[Double]("err_graded_at_k") == 0.4375)
+  }
+
+  test("evaluateGraded: a query with no judged docs scores 0, not NULL") {
+    val ranking = Seq(("q", "d1", 1L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(("other", "d9", 2L)).toDF("query_id", "id", "grade")
+    val r = RetrievalEval.evaluateGraded(ranking, qrels, k = 3, maxGrade = 2)
+      .filter(col("query_id") === "q").collect()(0)
+    assert(r.getAs[Long]("n_judged") == 0L)
+    assert(r.getAs[Double]("ndcg_graded_at_k") == 0.0)
+    assert(r.getAs[Double]("err_graded_at_k") == 0.0)
+  }
+
+  test("gradedTermRelevance: grade counts distinct matched terms; no-match docs absent") {
+    val docs = Seq(("d1", "join hash merge now"), ("d2", "join things"),
+      ("d3", "nothing relevant here")).toDF("doc_id", "text")
+    val got = RetrievalEval
+      .gradedTermRelevance(docs, Seq("q" -> Seq("join", "hash", "merge")))
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Long]("grade")).toMap
+    assert(got == Map("d1" -> 3L, "d2" -> 1L))
   }
 
   test("fairnessAudit: explicit refGroup pins the reference; a misspelled one fails loudly") {
