@@ -286,6 +286,10 @@ object SparkEntry {
   private def sqDistSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1,65), i -> (CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))*(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE)))), (x,y) -> x+y)"
 
+  /** [[sqDistSql]] over the first `n` elements (PQ sub-vector blocks). */
+  private def sqDistSqlN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1,${n + 1}), i -> (CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))*(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE)))), (x,y) -> x+y)"
+
   /** Hash-seeded k=8 init centroids (matches [[KMeans.initCentroids]]). */
   private val kmeansInitCte: String =
     s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid, embedding
@@ -836,6 +840,29 @@ object SparkEntry {
       KMeans
         .ivfTopK(e, e.filter(col("vec_id") < 8), KMeans.initCentroids(e, k = 8), k = 5, nProbe = 2)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"), col("cosine"))
+    },
+
+    // PQ encode + reconstruction against the DuckDB oracle — the
+    // init-codebook convention q_kmeans_assign established (iters = 0:
+    // the oracle pins the hash-seeded codebook + the whole encode/
+    // decode path; the Lloyd refinement loop stays ScalaTest-pinned,
+    // where its empty-cluster and convergence behavior is asserted
+    // directly). 4 blocks × 16 dims, k = 8 codes per block; recon_dist
+    // is the full-vector squared reconstruction error, r6'd.
+    "q_pq_codes" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val model = graft.ann.ProductQuantizer.fit(
+        e, numBlocks = 4, k = 8, iters = 0, dim = 64)
+      e.select(col("vec_id"),
+          graft.ann.ProductQuantizer.codesColumn(model, col("embedding")).as("__codes"),
+          col("embedding"))
+        .withColumn("recon_dist", graft.functions.Portable.r6(
+          KMeans.sqDist(col("embedding").cast("array<double>"),
+            graft.ann.ProductQuantizer.decodeColumn(model, col("__codes")))))
+        .select(col("vec_id"), col("recon_dist"),
+          posexplode(col("__codes")).as(Seq("blk", "code")))
+        .select(col("vec_id"), col("blk").cast("long").as("blk"),
+          col("code").cast("long").as("code"), col("recon_dist"))
     },
 
     // ------------------------------- pipeline: sample / select / pack / score
@@ -4557,6 +4584,26 @@ object SparkEntry {
           |SELECT relation, n_rows, n_null_fk, n_orphans,
           |  floor((CAST(n_orphans AS DOUBLE)/CAST(greatest(n_rows,1) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS orphan_frac
           |FROM (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM cta)""".stripMargin,
+
+      "q_pq_codes" ->
+        s"""WITH sub AS (SELECT e.vec_id AS id, b.blk,
+           |    list_slice(e.embedding, b.blk*16 + 1, b.blk*16 + 16) AS sub
+           |  FROM embeddings e CROSS JOIN (SELECT unnest(range(4)) AS blk) b),
+           |pc AS (SELECT blk, CAST(rn - 1 AS BIGINT) AS cid, sub FROM (
+           |  SELECT blk, sub, row_number() OVER (PARTITION BY blk ORDER BY h, id) AS rn FROM (
+           |    SELECT id, blk, sub, ${h32("concat('graft','|',CAST(id AS VARCHAR))")} AS h FROM sub))
+           |  WHERE rn <= 8),
+           |d AS (SELECT s.id, s.blk, pc.cid, ${sqDistSqlN("s.sub", "pc.sub", 16)} AS dist
+           |  FROM sub s JOIN pc ON s.blk = pc.blk),
+           |a AS (SELECT id, blk, cid AS code FROM (SELECT id, blk, cid,
+           |    row_number() OVER (PARTITION BY id, blk ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+           |rec AS (SELECT a.id, flatten(list(pc.sub ORDER BY a.blk)) AS rec
+           |  FROM a JOIN pc ON pc.blk = a.blk AND pc.cid = a.code GROUP BY a.id),
+           |rd AS (SELECT e.vec_id AS id, ${graft.functions.Portable.r6Sql(sqDistSql("e.embedding", "rec.rec"))} AS recon_dist
+           |  FROM embeddings e JOIN rec ON rec.id = e.vec_id)
+           |SELECT a.id AS vec_id, CAST(a.blk AS BIGINT) AS blk,
+           |  CAST(a.code AS BIGINT) AS code, rd.recon_dist
+           |FROM a JOIN rd USING (id)""".stripMargin,
 
       "q_kmeans_assign" ->
         s"""WITH $kmeansInitCte,
