@@ -14,7 +14,9 @@ object CommProbe {
       .config("spark.sql.session.timeZone", "UTC").config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (dir <- Seq("/root/repo/testdata_sf1", "/root/repo/testdata_sf10")) {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/repo/testdata_sf1", "/root/repo/testdata_sf10")
+    for (dir <- dirs) {
       val li = graft.sources.Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       val nLi = li.count()
