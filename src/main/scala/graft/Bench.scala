@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
 
 object Bench {
 
@@ -49,30 +50,23 @@ object Bench {
   /** The 100x (sf10) subset: the heaviest plans from the sf1 section —
     * where quadratic failure modes (bucket skew, pair explosion) would
     * finally show. Kept small because each query runs on ~1.7 GB.
+    * LIST ORDER IS EXECUTION ORDER, cheapest-first by the round-11
+    * measurements: if the time budget runs out mid-section, the skipped
+    * tail is the expensive queries that already carry multi-round
+    * history, not the cheap ones that would otherwise never get a number.
     */
   val Sf10Queries: Seq[String] = Seq(
-    "q1_pricing", "q_top_customers", "q_dedup_exact", "q_dedup_jaccard",
-    "q_dedup_cluster", "q_containment", "q_curation", "q_pagerank",
-    "q_semdedup", "q_simhash_pairs", "q_minhash_sigs", "q_cross_dedup",
-    "q_dedup_minhash", "q_source_sim",
-    // round-10: rotate the subset onto the post-round-7 statistical/
-    // causal/graph fleet (round-9 verdict item 1) — the ten most
-    // expensive non-dedup queries, whose flat-across-scale claim for
-    // the fixed-step fits previously rested on a sf0.001→sf1 probe.
-    // q_capture_recapture is here to MEASURE the documented 4-bit-band
-    // saturation (SURVEY §4): at 200k clustered vectors most buckets
-    // blow the 1000 cap and drop whole, so the audit goes cheap and
-    // catches little — the signal an operator re-sizes bands on.
-    "q_cox", "q_matched_att", "q_hte", "q_communities", "q_adamic",
-    "q_shapley_attr", "q_nb", "q_khop", "q_meds_pipeline",
-    "q_capture_recapture",
-    // the LOF scale path's one-decade-further point (200k vectors,
-    // auto-sized nBits=9 → ~(nBits+1)·n^1.5 candidate pairs); sf100
-    // is out of single-node reach — see the Sf100Queries note
-    "q_lof_scalable")
+    "q1_pricing", "q_minhash_sigs", "q_dedup_exact", "q_cross_dedup",
+    "q_source_sim", "q_adamic", "q_pagerank", "q_shapley_attr",
+    "q_simhash_pairs", "q_nb", "q_meds_pipeline", "q_dedup_minhash",
+    "q_cox", "q_hte", "q_matched_att", "q_semdedup", "q_khop",
+    "q_top_customers", "q_capture_recapture", "q_communities",
+    "q_curation", "q_containment", "q_dedup_cluster", "q_lof_scalable",
+    "q_dedup_jaccard")
 
   /** The 1000x (sf100, 5M documents) subset — the SCALE-PATH dedup
-    * operators. Exact shingle-jaccard/containment are NOT here by
+    * operators plus four non-dedup representatives (round-10 verdict
+    * item 3). Exact shingle-jaccard/containment are NOT here by
     * measurement, not oversight: at 5M docs thousands of shingles sit
     * just under the df=1000 drop-cap, each contributing up to
     * C(1000,2) candidate pairs — a multi-hundred-GB shuffle that
@@ -81,33 +75,19 @@ object Bench {
     * hands this regime to banded MinHash (cluster-sized buckets,
     * oversized buckets dropped whole): the section measures the
     * operators a real pipeline would actually run at this scale.
-    * Rows-only — no oracle at this size; the df-cap-bind evidence
-    * (max_df 1323, shingles over cap) comes from [[graft.CapBindProbe]].
+    * q_lof_scalable is NOT here by arithmetic: self-kNN is
+    * (nBits+1)·n^1.5 pairs under the sizing rule — at 2M vectors that is
+    * ~3×10^10 scored pairs (≈ a TB-scale shuffle), distributable across
+    * a cluster but past this node's disk exactly like exact
+    * shingle-jaccard; its one-decade-further measurement runs in the
+    * sf10 section instead. Rows-only — no oracle at this size; the
+    * df-cap-bind evidence comes from [[graft.CapBindProbe]].
+    * LIST ORDER IS EXECUTION ORDER, cheapest-first (see Sf10Queries).
     */
   val Sf100Queries: Seq[String] = Seq(
-    "q_dedup_minhash", "q_minhash_sigs", "q_line_dedup",
-    // round-10 (round-9 verdict item 4): the remaining operators that
-    // claim a 100 TB-safe shape, now exercised at 5M docs instead of
-    // trusted past sf10: cross-corpus exact dedup (hash anti-join),
-    // canonical-URL dedup (hash groupBy), and SimHash banding (1000-cap
-    // buckets). q_lof_scalable is NOT here by arithmetic, not oversight:
-    // self-kNN is (nBits+1)·n^1.5 pairs under the sizing rule — at 2M
-    // vectors that is ~3×10^10 scored pairs (≈ a TB-scale shuffle),
-    // distributable across a cluster but past this node's disk exactly
-    // like exact shingle-jaccard above; its one-decade-further
-    // measurement runs in the sf10 section instead (auto-sized nBits=9).
-    "q_cross_dedup", "q_url_dedup", "q_simhash_pairs",
-    // round-11 (round-10 verdict item 3): the sf100 section is no longer
-    // dedup-only — four non-dedup representatives whose 100 TB claims had
-    // never been exercised past sf10, each node-feasible by the round-10
-    // arithmetic. The sf100 dir now scales events and lineitem alongside
-    // documents (ScaleData table subset "documents,events,lineitem"):
-    // q_communities (bounded-8-round Pregel over the 600M-row lineitem
-    // co-purchase graph), q_khop (4-hop frontier BFS over the 50M-doc
-    // word graph), q_meds_pipeline (the reference-parity composed
-    // pipeline on 60M events), q_cox (fixed-step Newton on the
-    // user-aggregated subject frame — per-iteration cost must stay FLAT).
-    "q_communities", "q_khop", "q_meds_pipeline", "q_cox")
+    "q_line_dedup", "q_url_dedup", "q_cross_dedup", "q_simhash_pairs",
+    "q_minhash_sigs", "q_cox", "q_dedup_minhash", "q_meds_pipeline",
+    "q_khop", "q_communities")
 
   /** Queries re-benched under `spark.graft.checkpointDir` (reliable
     * checkpoints — the 100 TB production mode for the iterative ops):
@@ -118,7 +98,19 @@ object Bench {
     "q_dedup_cluster", "q_pagerank", "q_kcore", "q_dedup_jaccard",
     "q_curation", "q_semdedup")
 
-  final case class QRes(name: String, sec: Double, err: Option[String], rows: Long)
+  /** Task-metrics attached to one timed sample — the SpillProbe
+    * adjudication signals (round-11 verdict item 1b: heavy sf100
+    * singles should carry their probe inline). Constant shuffle volume
+    * + falling GC across rounds on identical rows = session/warmup
+    * noise; growing spill = a real plan property.
+    */
+  final case class Probe(
+      gcSec: Double, memSpillGb: Double, diskSpillGb: Double,
+      shReadGb: Double, shWriteGb: Double)
+
+  final case class QRes(
+      name: String, sec: Double, err: Option[String], rows: Long,
+      probe: Option[Probe] = None)
 
   private def esc(s: String): String = s.flatMap {
     case '"'           => "\\\""
@@ -166,14 +158,45 @@ object Bench {
     s
   }
 
+  /** Cumulative task-metrics counters; `delta` reads the increment since
+    * the last call, so one listener serves every query in a section.
+    */
+  private final class MetricsAcc extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    private val gcMs = new AtomicLong; private val mem = new AtomicLong
+    private val disk = new AtomicLong; private val rd = new AtomicLong
+    private val wr = new AtomicLong
+    private var last = (0L, 0L, 0L, 0L, 0L)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        gcMs.addAndGet(m.jvmGCTime)
+        mem.addAndGet(m.memoryBytesSpilled)
+        disk.addAndGet(m.diskBytesSpilled)
+        rd.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        wr.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def delta(): Probe = {
+      val now = (gcMs.get, mem.get, disk.get, rd.get, wr.get)
+      val p = Probe(
+        (now._1 - last._1) / 1e3, (now._2 - last._2) / 1e9,
+        (now._3 - last._3) / 1e9, (now._4 - last._4) / 1e9,
+        (now._5 - last._5) / 1e9)
+      last = now
+      p
+    }
+  }
+
   /** Run each query of `subset` in its OWN SparkSession. The scaled
-    * (sf1/sf10) sections use this: even with section-fresh sessions,
-    * blocking unpersist and an explicit gc(), a 100x query following
-    * other 100x queries read up to 4x its isolated time (q_curation:
-    * 57s isolated, 156-251s in-section — residual shuffle files, codegen
-    * cache and GC state). The artifact is the round contract and must
-    * match isolated reality, so isolation is the measurement, not a
-    * diagnostic. Session setup (~2s) stays outside the timed region.
+    * (sf1/sf10/sf100) sections use this: even with section-fresh
+    * sessions, blocking unpersist and an explicit gc(), a 100x query
+    * following other 100x queries read up to 4x its isolated time
+    * (q_curation: 57s isolated, 156-251s in-section — residual shuffle
+    * files, codegen cache and GC state). The artifact is the round
+    * contract and must match isolated reality, so isolation is the
+    * measurement, not a diagnostic. Session setup (~2s) stays outside
+    * the timed region.
     */
   def runIsolated(
       dir: String,
@@ -184,52 +207,44 @@ object Bench {
       runSection(dir, Some(Set(name)), cpus, extraConf)
     }
 
-  /** Median-of-n isolated runs per query. Single isolated sf10 runs
-    * swung ±45% round-over-round on UNCHANGED code (r6→r7:
-    * q_dedup_cluster 79.7→114.5s, q_dedup_minhash 44.6→5.7s —
-    * JIT/page-cache/GC luck per fresh JVM-less session), which makes a
-    * 2× performance gate unreadable. The summarized QRes carries the
-    * MEDIAN wall time; all raw samples are returned for the artifact so
-    * a future reader can judge the spread, not just trust the middle.
-    */
-  def runIsolatedMedian(
-      dir: String,
-      subset: Set[String],
-      cpus: String,
-      n: Int,
-      extraConf: Map[String, String] = Map.empty): (Seq[QRes], Map[String, Seq[Double]]) = {
-    require(n >= 1 && n % 2 == 1, s"n must be odd, got $n")
-    val perQuery = subset.toSeq.sorted.map { name =>
-      name -> (1 to n).flatMap(_ => runSection(dir, Some(Set(name)), cpus, extraConf))
-    }
-    val summarized = perQuery.map { case (name, runs) =>
-      val med = runs.map(_.sec).sorted.apply(runs.size / 2)
-      QRes(name, med, runs.flatMap(_.err).headOption, runs.head.rows)
-    }
-    (summarized, perQuery.map { case (name, runs) => name -> runs.map(_.sec) }.toMap)
-  }
-
-  /** Run `subset` (or all queries) against `dir` in one SparkSession.
-    * A failed query records an `err` — it must NOT read as a fast success
-    * (round-5 verdict: the old catch printed to stderr and the near-zero
-    * timing landed in the artifact as a speedup).
+  /** Run `subset` (or all queries) against `dir` in one SparkSession,
+    * calling `onResult` after EVERY query (the round-11 driver run was
+    * killed at its timeout and the all-at-the-end artifact write left
+    * rc=124/parsed-null — incremental consumers lose at most the
+    * in-flight query now). `shouldStop` is consulted before each query;
+    * when it turns true the remaining queries are left unrun (the
+    * caller records them as skipped, which is NOT an error).
+    * A failed query records an `err` — it must NOT read as a fast
+    * success (round-5 verdict: the old catch printed to stderr and the
+    * near-zero timing landed in the artifact as a speedup).
     */
   def runSection(
       dir: String,
       subset: Option[Set[String]],
       cpus: String,
-      extraConf: Map[String, String] = Map.empty): Seq[QRes] = {
+      extraConf: Map[String, String] = Map.empty,
+      onResult: QRes => Unit = _ => (),
+      shouldStop: () => Boolean = () => false): Seq[QRes] = {
     val spark = newSession(cpus, extraConf)
     try {
+      val metrics = new MetricsAcc
+      spark.sparkContext.addSparkListener(metrics)
       // Warm-up: JVM/codegen/file-listing costs land here, not in the timings.
       Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
         .foreach { t =>
           try graft.sources.Tables.read(spark, dir, t).count()
           catch { case _: Throwable => () }
         }
-      SparkEntry.queries.toSeq.sortBy(_._1)
+      metrics.delta() // drop the warm-up's task metrics
+      val out = mutable.ArrayBuffer.empty[QRes]
+      val names = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => subset.forall(_.contains(name)) }
-        .map { case (name, fn) =>
+      val it = names.iterator
+      var stopped = false
+      while (it.hasNext && !stopped) {
+        if (shouldStop()) stopped = true
+        else {
+          val (name, fn) = it.next()
           val t0 = System.nanoTime()
           // keep the output cardinality: scaled-data ratios are only
           // readable against the WORK a query did (the sf10 dedup
@@ -253,18 +268,46 @@ object Bench {
           // OUTSIDE the timed region.
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
           System.gc()
-          QRes(name, elapsed, err, rows)
+          val r = QRes(name, elapsed, err, rows, Some(metrics.delta()))
+          out += r
+          onResult(r)
         }
+      }
+      out.toSeq
     } finally spark.stop()
   }
+
+  /** The sf100 section needs all three scaled tables, not just
+    * documents: q_communities/q_meds_pipeline/q_cox read events and
+    * lineitem (round-11 ADVICE — a stale documents-only sf100 dir from
+    * round 10 would error those queries and fail the whole bench
+    * instead of skipping the section). Returns the missing file names;
+    * empty = ready.
+    */
+  def missingSf100Tables(dir: String): Seq[String] =
+    Seq("documents.parquet", "events.parquet", "lineitem.parquet")
+      .filterNot(f => new java.io.File(s"$dir/$f").exists())
+
+  /** The end-to-end row verification for [[runMainPipeline]]: the
+    * written data frame must match the oracle-verified q_meds_pipeline
+    * equivalent exactly (round-11 ADVICE: the count used to be recorded
+    * but never compared, so a silent row-count regression in the
+    * graft.Main path could not fail the bench).
+    */
+  def mainRowCheck(written: Long, expected: Long): Option[String] =
+    if (written == expected) None
+    else Some(s"main_pipeline wrote $written data rows but the " +
+      s"oracle-verified q_meds_pipeline computes $expected")
 
   /** Time `graft.Main` end-to-end: the spark-submit pipeline entry over
     * the example YAML, INCLUDING the output parquet writes — the path a
     * cluster operator actually invokes, whose config-parse + write
     * overhead the per-query harness never measures. The timed region is
-    * config read → pipeline run → all frames written; the verification
-    * re-read of the data frame (row count vs the oracle-verified
-    * q_meds_pipeline equivalent) happens after the clock stops.
+    * config read → pipeline run → all frames written. After the clock
+    * stops, the written data frame is re-read and its row count is
+    * COMPARED against the oracle-verified q_meds_pipeline equivalent on
+    * the same tables (the example YAML composes that exact pipeline) —
+    * a mismatch is an `err` and fails the bench run.
     */
   def runMainPipeline(dir: String, cpus: String): Seq[QRes] = {
     val spark = newSession(cpus, Map.empty)
@@ -276,7 +319,7 @@ object Bench {
       try {
         val t0 = System.nanoTime()
         var rows = -1L
-        val err =
+        var err =
           try {
             val yaml = new String(
               java.nio.file.Files.readAllBytes(
@@ -289,12 +332,38 @@ object Bench {
             Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        if (err.isEmpty)
-          try rows = spark.read.parquet(s"$outDir/data").count()
-          catch { case _: Throwable => () }
+        if (err.isEmpty) {
+          err =
+            try {
+              rows = spark.read.parquet(s"$outDir/data").count()
+              val expected = SparkEntry.queries("q_meds_pipeline")(spark, dir).count()
+              mainRowCheck(rows, expected)
+            } catch { case e: Throwable =>
+              Some(s"verification re-read failed: ${e.getClass.getSimpleName}: " +
+                s"${String.valueOf(e.getMessage).take(200)}")
+            }
+        }
         Seq(QRes("main_pipeline", elapsed, err, rows))
       } finally org.apache.commons.io.FileUtils.deleteQuietly(outDir.toFile)
     } finally spark.stop()
+  }
+
+  /** One section's accumulated state: per-query samples in execution
+    * order plus the queries the time budget skipped (with reasons).
+    */
+  private final class Acc(var dir: String = "") {
+    val samples = mutable.LinkedHashMap.empty[String, Vector[QRes]]
+    val skipped = mutable.LinkedHashMap.empty[String, String]
+    def add(r: QRes): Unit =
+      samples(r.name) = samples.getOrElse(r.name, Vector.empty) :+ r
+    /** Upper median over the samples (exact middle for odd counts — the
+      * round-10 convention); all raw samples stay in the artifact.
+      */
+    def summary: Seq[QRes] = samples.toSeq.map { case (n, rs) =>
+      val med = rs.map(_.sec).sorted.apply(rs.size / 2)
+      QRes(n, med, rs.flatMap(_.err).headOption, rs.head.rows)
+    }.sortBy(_.name)
+    def nonEmpty: Boolean = samples.nonEmpty
   }
 
   private def timesJson(rs: Seq[QRes]): String =
@@ -302,8 +371,24 @@ object Bench {
   private def rowsJson(rs: Seq[QRes]): String =
     rs.map(r => s"\"${r.name}\":${r.rows}").mkString("{", ",", "}")
   private def errsJson(rs: Seq[QRes]): String =
-    rs.collect { case QRes(n, _, Some(e), _) => s"\"$n\":\"${esc(e)}\"" }
+    rs.collect { case QRes(n, _, Some(e), _, _) => s"\"$n\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
+  private def samplesJson(acc: Acc): String = acc.samples.toSeq.sortBy(_._1)
+    .map { case (n, rs) => s"\"$n\":[${rs.map(_.sec).mkString(",")}]" }
+    .mkString("{", ",", "}")
+  private def probesJson(acc: Acc): String = acc.samples.toSeq.sortBy(_._1)
+    .map { case (n, rs) =>
+      val ps = rs.flatMap(_.probe).map(p =>
+        f"""{"gc_sec":${p.gcSec}%.1f,"mem_spill_gb":${p.memSpillGb}%.1f,""" +
+          f""""disk_spill_gb":${p.diskSpillGb}%.1f,"shuffle_read_gb":${p.shReadGb}%.1f,""" +
+          f""""shuffle_write_gb":${p.shWriteGb}%.1f}""")
+      s"\"$n\":[${ps.mkString(",")}]"
+    }.mkString("{", ",", "}")
+  private def skippedJson(accs: Seq[(String, Acc)]): String = accs
+    .filter(_._2.skipped.nonEmpty)
+    .map { case (tag, a) =>
+      s"\"$tag\":{${a.skipped.map { case (q, why) => s"\"$q\":\"${esc(why)}\"" }.mkString(",")}}"
+    }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -316,99 +401,201 @@ object Bench {
     val sections = sys.env.get("SPARK_GRAFT_SECTIONS").map(_.split(",").map(_.trim).toSet)
     def wantSection(tag: String): Boolean = sections.forall(_.contains(tag))
 
-    val results = if (wantSection("sf")) runSection(sfDir, only, cpus) else Nil
+    // The run's wall-clock budget (round-11 verdict item 1: the six
+    // sections grew to ~3,480 s of timed work and the driver killed the
+    // run at its timeout — with the artifact written only at the very
+    // end, the official perf gate read NOTHING). The budget makes the
+    // run SELF-limiting: coverage pass first (every section, one sample
+    // per query), then extra samples for medians only while time
+    // remains; what does not fit is recorded as skipped, and the run
+    // exits 0 well before any external kill.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "2400").toDouble
+    val tStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - tStart) / 1e9
+    def remaining: Double = budgetSec - elapsedSec
 
-    // sf1 section: when the 10x scaled dataset exists, bench the hot
-    // subset there too — the plan-dominated regime (round-4 verdict: at
-    // sf0.1 every query is scheduler-bound). Fresh session (see newSession).
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata_sf1")
+    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/testdata_sf10")
+    val sf100Dir = sys.env.getOrElse("SPARK_GRAFT_SF100_DIR", "/root/repo/testdata_sf100")
+
+    val tags = Seq("sf", "sf1", "checkpoint", "sf10", "sf100", "main_sf10")
+    val accs: Map[String, Acc] = tags.map(_ -> new Acc).toMap
+    val sectionsDone = mutable.LinkedHashSet.empty[String]
+
+    def acc(tag: String): Acc = accs(tag)
+    def orderedAccs: Seq[(String, Acc)] = tags.map(t => t -> accs(t))
+
+    def perQueryJson(): String = {
+      val (a0, a1, aCp, a10, a100, aM) =
+        (acc("sf"), acc("sf1"), acc("checkpoint"), acc("sf10"), acc("sf100"), acc("main_sf10"))
+      s"""{"metric":"per_query","queries":${timesJson(a0.summary)},"errors":${errsJson(a0.summary)},"rows":${rowsJson(a0.summary)},"sf":"$sfDir"""" +
+        s""","sf1_queries":${timesJson(a1.summary)},"sf1_errors":${errsJson(a1.summary)},"sf1_rows":${rowsJson(a1.summary)},"sf1_dir":"${a1.dir}"""" +
+        s""","checkpoint_queries":${timesJson(aCp.summary)},"checkpoint_errors":${errsJson(aCp.summary)}""" +
+        s""","sf10_queries":${timesJson(a10.summary)},"sf10_errors":${errsJson(a10.summary)},"sf10_rows":${rowsJson(a10.summary)},"sf10_dir":"${a10.dir}"""" +
+        s""","sf10_samples":${samplesJson(a10)},"sf10_probe":${probesJson(a10)}""" +
+        s""","sf100_queries":${timesJson(a100.summary)},"sf100_errors":${errsJson(a100.summary)},"sf100_rows":${rowsJson(a100.summary)},"sf100_dir":"${a100.dir}"""" +
+        s""","sf100_samples":${samplesJson(a100)},"sf100_probe":${probesJson(a100)}""" +
+        s""","main_sf10_queries":${timesJson(aM.summary)},"main_sf10_errors":${errsJson(aM.summary)},"main_sf10_rows":${rowsJson(aM.summary)}""" +
+        s""","skipped":${skippedJson(orderedAccs)}""" +
+        f""","sections_done":[${sectionsDone.map(t => s"\"$t\"").mkString(",")}],"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f}"""
+    }
+
+    def nSkipped: Int = accs.values.map(_.skipped.size).sum
+
+    def totalJson(): String = {
+      def section(tag: String, accTag: String, dir: String): String = {
+        val rs = acc(accTag).summary
+        if (rs.isEmpty) ""
+        else s""","$tag":{"total":${rs.map(_.sec).sum},"n_queries":${rs.size},"n_err":${rs.count(_.err.isDefined)},"dir":"${esc(dir)}"}"""
+      }
+      val rs0 = acc("sf").summary
+      val nErr = accs.values.flatMap(_.summary).count(_.err.isDefined)
+      s"""{"metric":"total","value":${rs0.map(_.sec).sum},"unit":"sec","sf":"$sfDir","n_queries":${rs0.size},"n_err":$nErr""" +
+        section("sf1", "sf1", sf1Dir) +
+        section("checkpoint_sf1", "checkpoint", sf1Dir) +
+        section("sf10", "sf10", sf10Dir) +
+        section("sf100", "sf100", sf100Dir) +
+        section("main_sf10", "main_sf10", sf10Dir) +
+        s""","sections_done":[${sectionsDone.map(t => s"\"$t\"").mkString(",")}]""" +
+        f""","truncated":${nSkipped > 0},"n_skipped":$nSkipped,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f}"""
+    }
+
+    /** Overwrite the artifact file — called after EVERY completed query
+      * so an external kill degrades to a truncated-but-parseable
+      * artifact instead of rc=124/parsed-null (round-11 verdict item 1).
+      */
+    def writeArtifact(): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_QUERIES.json"),
+        perQueryJson().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+
+    /** Print the cumulative per-query and total lines — called after
+      * every section, so the LAST parseable "total" line on stdout
+      * always reflects all sections completed so far.
+      */
+    def emitStdout(): Unit = { writeArtifact(); println(perQueryJson()); println(totalJson()) }
+
+    // ---------------- pass 1: coverage — one sample per query, every section
+    if (wantSection("sf")) {
+      val a = acc("sf"); a.dir = sfDir
+      runSection(sfDir, only, cpus,
+        onResult = r => { a.add(r); writeArtifact() },
+        shouldStop = () => remaining < 30)
+      val intended = SparkEntry.queries.keySet.filter(n => only.forall(_.contains(n)))
+      (intended -- a.samples.keySet).toSeq.sorted
+        .foreach(n => a.skipped(n) = "time budget")
+      sectionsDone += "sf"
+      emitStdout()
+    }
+
+    /** One isolated section, one sample per query, incremental artifact
+      * writes. `reserve` is the per-query floor (seconds) below which
+      * the remaining queries are skipped instead of started — sized to
+      * the section's heaviest known query so a start never overruns the
+      * budget by more than one query.
+      */
+    def coveragePass(tag: String, dir: String, names: Seq[String], reserve: Double,
+        extraConf: Map[String, String] = Map.empty): Unit = {
+      val a = acc(tag); a.dir = dir
+      names.foreach { n =>
+        if (remaining < reserve)
+          a.skipped(n) = f"time budget (${remaining}%.0f s left < ${reserve}%.0f s reserve)"
+        else
+          runSection(dir, Some(Set(n)), cpus, extraConf,
+            onResult = r => { a.add(r); writeArtifact() })
+      }
+      sectionsDone += tag
+      emitStdout()
+    }
+
     val haveSf1 = only.isEmpty && new java.io.File(s"$sf1Dir/lineitem.parquet").exists()
-    val sf1Results =
-      if (haveSf1 && wantSection("sf1")) runIsolated(sf1Dir, HotQueries.toSet, cpus) else Nil
+    if (haveSf1 && wantSection("sf1"))
+      coveragePass("sf1", sf1Dir, HotQueries.sorted, reserve = 20)
 
     // Reliable-checkpoint variant: the same iterative/multi-consumer
     // queries at sf1 with spark.graft.checkpointDir set, so the 100 TB
     // production mode (Materialize.pin -> reliable checkpoint) carries a
     // measured cost, not just a parity spec.
-    val cpResults =
-      if (haveSf1 && wantSection("checkpoint")) {
-        val cpDir = java.nio.file.Files.createTempDirectory("graft-bench-cp")
-        try runIsolated(sf1Dir, CheckpointQueries.toSet, cpus,
-          Map(graft.plans.Materialize.DirKey -> cpDir.toString))
-        finally org.apache.commons.io.FileUtils.deleteQuietly(cpDir.toFile)
-      } else Nil
+    if (haveSf1 && wantSection("checkpoint")) {
+      val cpDir = java.nio.file.Files.createTempDirectory("graft-bench-cp")
+      try coveragePass("checkpoint", sf1Dir, CheckpointQueries.sorted, reserve = 20,
+        extraConf = Map(graft.plans.Materialize.DirKey -> cpDir.toString))
+      finally org.apache.commons.io.FileUtils.deleteQuietly(cpDir.toFile)
+    }
 
-    // sf10 (100x) section: the heaviest plans on ~1.7 GB — where the
+    // sf10 (100x) section: the heaviest plans on ~2 GB — where the
     // quadratic failure modes would surface. Generated locally via
     // `Test/runMain graft.ScaleData /root/testdata/sf0.1 testdata_sf10 100`.
-    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/testdata_sf10")
-    val (sf10Results, sf10Samples) =
-      if (only.isEmpty && wantSection("sf10") && new java.io.File(s"$sf10Dir/lineitem.parquet").exists())
-        runIsolatedMedian(sf10Dir, Sf10Queries.toSet, cpus,
-          n = sys.env.getOrElse("SPARK_GRAFT_SF10_RUNS", "3").toInt)
-      else (Nil, Map.empty[String, Seq[Double]])
+    val haveSf10 = only.isEmpty && new java.io.File(s"$sf10Dir/lineitem.parquet").exists()
+    if (haveSf10 && wantSection("sf10"))
+      coveragePass("sf10", sf10Dir, Sf10Queries, reserve = 120)
 
-    // sf100 (1000x, ~30 GB: documents + events + lineitem) section:
-    // rows-only, MEDIAN-OF-3 like sf10 — the round-10 artifact carried a
-    // single-sample run where q_minhash_sigs read 3.0x slower than r9 on
-    // byte-identical output rows (a contended session, indistinguishable
-    // from a real regression without samples). Generated via
+    // sf100 (1000x, ~18 GB: documents + events + lineitem) section:
+    // rows-only. Guarded on ALL THREE required tables (round-11 ADVICE):
+    // a stale documents-only dir skips the section with a regenerate
+    // hint instead of erroring the run. Generated via
     // `Test/runMain graft.ScaleData testdata_sf10 testdata_sf100 10
     // documents,events,lineitem`.
-    val sf100Dir = sys.env.getOrElse("SPARK_GRAFT_SF100_DIR", "/root/repo/testdata_sf100")
-    val (sf100Results, sf100Samples) =
-      if (only.isEmpty && wantSection("sf100") && new java.io.File(s"$sf100Dir/documents.parquet").exists())
-        runIsolatedMedian(sf100Dir, Sf100Queries.toSet, cpus,
-          n = sys.env.getOrElse("SPARK_GRAFT_SF100_RUNS", "3").toInt)
-      else (Nil, Map.empty[String, Seq[Double]])
+    if (only.isEmpty && wantSection("sf100")) {
+      val missing = missingSf100Tables(sf100Dir)
+      if (missing.isEmpty) coveragePass("sf100", sf100Dir, Sf100Queries, reserve = 300)
+      else if (new java.io.File(sf100Dir).exists())
+        System.err.println(s"[bench] sf100 section skipped: $sf100Dir is missing " +
+          s"${missing.mkString(", ")} — regenerate with `Test/runMain graft.ScaleData " +
+          "testdata_sf10 testdata_sf100 10 documents,events,lineitem`")
+    }
 
-    // End-to-end spark-submit path (round-10 verdict item 5): graft.Main
-    // over the sf10 events table with the shipped example YAML — the
-    // invocation a cluster operator actually runs, including the final
-    // parquet writes the per-query harness never pays for.
-    val mainResults =
-      if (only.isEmpty && wantSection("main_sf10") && new java.io.File(s"$sf10Dir/events.parquet").exists())
-        runMainPipeline(sf10Dir, cpus)
-      else Nil
+    // End-to-end spark-submit path: graft.Main over the sf10 events table
+    // with the shipped example YAML — the invocation a cluster operator
+    // actually runs, including the final parquet writes the per-query
+    // harness never pays for (and now the post-run row verification
+    // against q_meds_pipeline, outside the timed region).
+    if (only.isEmpty && wantSection("main_sf10")
+        && new java.io.File(s"$sf10Dir/events.parquet").exists()) {
+      val a = acc("main_sf10"); a.dir = sf10Dir
+      if (remaining < 90) a.skipped("main_pipeline") = "time budget"
+      else runMainPipeline(sf10Dir, cpus).foreach(a.add)
+      sectionsDone += "main_sf10"
+      emitStdout()
+    }
 
-    val all = results ++ sf1Results ++ cpResults ++ sf10Results ++ sf100Results ++ mainResults
-    val nErr = all.count(_.err.isDefined)
+    // ---------------- pass 2: precision — extra samples for medians, budget-gated.
+    // Round-11 verdict item 1b: median-of-3 ONLY where a sample is under
+    // ~60 s (the heavies keep their single sample + inline probe — at
+    // sf100 the extra samples alone cost 1,579 s and blew the driver
+    // budget). sf100 first (its medians carry the round-over-round
+    // noise history), cheapest queries first within a section, and each
+    // query takes BOTH extra samples or none (odd sample counts only).
+    val targetRuns = Map(
+      "sf10" -> sys.env.getOrElse("SPARK_GRAFT_SF10_RUNS", "3").toInt,
+      "sf100" -> sys.env.getOrElse("SPARK_GRAFT_SF100_RUNS", "3").toInt)
+    for (tag <- Seq("sf100", "sf10") if only.isEmpty && wantSection(tag)) {
+      val a = acc(tag)
+      val extra = targetRuns(tag) - 1
+      if (extra > 0 && a.nonEmpty) {
+        val candidates = a.samples.toSeq.collect {
+          case (n, rs) if rs.size == 1 && rs.head.err.isEmpty && rs.head.sec < 60.0 =>
+            (n, rs.head.sec)
+        }.sortBy(_._2)
+        candidates.foreach { case (n, sec1) =>
+          // 1.5x the observed sample + per-session setup, per extra run
+          val estEach = sec1 * 1.5 + 12
+          if (remaining > estEach * extra + 45)
+            (1 to extra).foreach { _ =>
+              runSection(a.dir, Some(Set(n)), cpus,
+                onResult = r => { a.add(r); writeArtifact() })
+            }
+        }
+        emitStdout()
+      }
+    }
 
-    // Per-query map goes to a side file (and an earlier stdout line): with 140+
-    // queries the combined JSON overflows the driver's tail capture, leaving the
-    // headline unparseable (round-4 verdict). The FINAL line is compact,
-    // total-only, and always parseable.
-    def samplesJson(samples: Map[String, Seq[Double]]): String = samples.toSeq.sortBy(_._1)
-      .map { case (n, ss) => s"\"$n\":[${ss.mkString(",")}]" }.mkString("{", ",", "}")
-    val perQuery =
-      s"""{"metric":"per_query","queries":${timesJson(results)},"errors":${errsJson(results)},"rows":${rowsJson(results)},"sf":"$sfDir"""" +
-        s""","sf1_queries":${timesJson(sf1Results)},"sf1_errors":${errsJson(sf1Results)},"sf1_rows":${rowsJson(sf1Results)},"sf1_dir":"$sf1Dir"""" +
-        s""","checkpoint_queries":${timesJson(cpResults)},"checkpoint_errors":${errsJson(cpResults)}""" +
-        s""","sf10_queries":${timesJson(sf10Results)},"sf10_errors":${errsJson(sf10Results)},"sf10_rows":${rowsJson(sf10Results)},"sf10_dir":"$sf10Dir"""" +
-        s""","sf10_samples":${samplesJson(sf10Samples)}""" +
-        s""","sf100_queries":${timesJson(sf100Results)},"sf100_errors":${errsJson(sf100Results)},"sf100_rows":${rowsJson(sf100Results)},"sf100_dir":"$sf100Dir"""" +
-        s""","sf100_samples":${samplesJson(sf100Samples)}""" +
-        s""","main_sf10_queries":${timesJson(mainResults)},"main_sf10_errors":${errsJson(mainResults)},"main_sf10_rows":${rowsJson(mainResults)}}"""
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_QUERIES.json"),
-        perQuery.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () }
-    println(perQuery)
-
-    val total = results.map(_.sec).sum
-    def section(tag: String, rs: Seq[QRes], dir: String): String =
-      if (rs.isEmpty) ""
-      else s""","$tag":{"total":${rs.map(_.sec).sum},"n_queries":${rs.size},"n_err":${rs.count(_.err.isDefined)},"dir":"${esc(dir)}"}"""
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr""" +
-        section("sf1", sf1Results, sf1Dir) +
-        section("checkpoint_sf1", cpResults, sf1Dir) +
-        section("sf10", sf10Results, sf10Dir) +
-        section("sf100", sf100Results, sf100Dir) +
-        section("main_sf10", mainResults, sf10Dir) + "}")
+    emitStdout()
     // a failed query must fail the bench run — a regression cannot hide as
-    // a near-zero "fast" timing (round-5 verdict item 2)
+    // a near-zero "fast" timing (round-5 verdict item 2). Budget-skipped
+    // queries are NOT errors: they are recorded in "skipped".
+    val nErr = accs.values.flatMap(_.summary).count(_.err.isDefined)
     if (nErr > 0) sys.exit(1)
   }
 }

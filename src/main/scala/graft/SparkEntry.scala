@@ -865,6 +865,29 @@ object SparkEntry {
           col("code").cast("long").as("code"), col("recon_dist"))
     },
 
+    // IVF-PQ ADC search against the DuckDB oracle — the last spec-only
+    // leg of the PQ stack (round-11 verdict item 6), oracled under the
+    // q_pq_codes init-codebook convention (iters = 0 on the residual
+    // codebook, hash-seeded coarse cells): the oracle pins the whole
+    // probe → residual ADC table → summed-lookup → top-k path, while
+    // Lloyd refinement quality stays ScalaTest-pinned. 8 coarse cells,
+    // nProbe = 2, 4 blocks × 16 dims, k = 8 codes per block, top-5.
+    "q_ann_ivfpq_adc" -> { (s, dir) =>
+      import graft.plans.Materialize.PinOps
+      val e = emb(s, dir)
+      val coarse = KMeans.initCentroids(e, k = 8)
+      val pq = graft.ann.IvfPq.fitResidualPq(
+        e, coarse, numBlocks = 4, k = 8, iters = 0, dim = 64)
+      val res = graft.ann.IvfPq.assignResiduals(e, coarse).pin(false)
+      val codes = graft.ann.ProductQuantizer
+        .encode(res.select(col("vec_id"), col("embedding")), pq)
+        .join(res.select(col("vec_id").as("id"), col("cid")), "id")
+      graft.ann.IvfPq
+        .searchFrames(codes, coarse, e.filter(col("vec_id") < 8), pq, kTop = 5, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("neg_adc_dist"))
+    },
+
     // ------------------------------- pipeline: sample / select / pack / score
     "q_sample_det" -> ((s, dir) =>
       Sampling
@@ -4604,6 +4627,48 @@ object SparkEntry {
            |SELECT a.id AS vec_id, CAST(a.blk AS BIGINT) AS blk,
            |  CAST(a.code AS BIGINT) AS code, rd.recon_dist
            |FROM a JOIN rd USING (id)""".stripMargin,
+
+      // IVF-PQ ADC: coarse assign -> residual -> init codebook (the
+      // q_pq_codes convention, over RESIDUAL sub-vectors) -> per-(query,
+      // probed-cell) ADC table -> summed lookups -> top-5. The adc sum
+      // folds in blk order (list_reduce over list(... ORDER BY blk)) to
+      // match Spark's left-to-right aggregate over the codes array.
+      "q_ann_ivfpq_adc" ->
+        s"""WITH $kmeansInitCte,
+           |asn AS (SELECT vec_id, cid, cemb FROM (
+           |  SELECT e.vec_id, c0.cid, c0.embedding AS cemb,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqDistSql("e.embedding", "c0.embedding")}, c0.cid) AS rn
+           |  FROM embeddings e CROSS JOIN c0) WHERE rn = 1),
+           |res AS (SELECT a.vec_id AS id, a.cid,
+           |    list_transform(range(1,65), i -> CAST(e.embedding[i] AS DOUBLE) - CAST(a.cemb[i] AS DOUBLE)) AS r
+           |  FROM asn a JOIN embeddings e ON e.vec_id = a.vec_id),
+           |sub AS (SELECT res.id, b.blk, res.cid, list_slice(res.r, b.blk*16 + 1, b.blk*16 + 16) AS sub
+           |  FROM res CROSS JOIN (SELECT unnest(range(4)) AS blk) b),
+           |pc AS (SELECT blk, CAST(rn - 1 AS BIGINT) AS code, sub FROM (
+           |  SELECT blk, sub, row_number() OVER (PARTITION BY blk ORDER BY h, id) AS rn FROM (
+           |    SELECT id, blk, sub, ${h32("concat('graft','|',CAST(id AS VARCHAR))")} AS h FROM sub))
+           |  WHERE rn <= 8),
+           |codes AS (SELECT id, blk, code, cid FROM (SELECT s.id, s.blk, s.cid, pc.code,
+           |    row_number() OVER (PARTITION BY s.id, s.blk ORDER BY ${sqDistSqlN("s.sub", "pc.sub", 16)}, pc.code) AS rn
+           |  FROM sub s JOIN pc ON s.blk = pc.blk) WHERE rn = 1),
+           |q AS (SELECT query_id, cid, qr FROM (
+           |  SELECT e.vec_id AS query_id, c0.cid,
+           |    list_transform(range(1,65), i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c0.embedding[i] AS DOUBLE)) AS qr,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqDistSql("e.embedding", "c0.embedding")}, c0.cid) AS rn
+           |  FROM embeddings e CROSS JOIN c0 WHERE e.vec_id < 8) WHERE rn <= 2),
+           |qd AS (SELECT q.query_id, q.cid, pc.blk, pc.code,
+           |    ${sqDistSqlN("list_slice(q.qr, pc.blk*16 + 1, pc.blk*16 + 16)", "pc.sub", 16)} AS d
+           |  FROM q CROSS JOIN pc),
+           |sc AS (SELECT qd.query_id, c.id AS neighbor_id,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qd.d ORDER BY qd.blk)), (x,y) -> x + y) AS adc
+           |  FROM codes c JOIN qd ON qd.cid = c.cid AND qd.blk = c.blk AND qd.code = c.code
+           |  WHERE c.id <> qd.query_id
+           |  GROUP BY 1, 2),
+           |r AS (SELECT query_id, neighbor_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS BIGINT) AS "rank",
+           |    ${graft.functions.Portable.r6Sql("-adc")} AS neg_adc_dist
+           |  FROM sc)
+           |SELECT query_id, neighbor_id, "rank", neg_adc_dist FROM r WHERE "rank" <= 5""".stripMargin,
 
       "q_kmeans_assign" ->
         s"""WITH $kmeansInitCte,

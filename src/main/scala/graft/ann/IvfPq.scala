@@ -24,6 +24,20 @@ object IvfPq {
   private def residual(vec: Column, centroid: Column): Column =
     zip_with(vec.cast("array<double>"), centroid, (x, c) => x - c)
 
+  /** (id, cid, residual-as-vecCol): each corpus vector assigned to its
+    * nearest coarse cell with the cell centroid subtracted — the frame
+    * every IVF-PQ stage (fit, encode, index write) starts from.
+    */
+  def assignResiduals(
+      corpus: DataFrame,
+      coarseCentroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    KMeans.assign(corpus, coarseCentroids, idCol, vecCol)
+      .join(broadcast(coarseCentroids), "cid")
+      .select(col(idCol), col("cid"), residual(col(vecCol), col("centroid")).as(vecCol))
+
   /** Fit the residual PQ model: assign the corpus to coarse cells, subtract
     * the cell centroid, and product-quantize the residuals.
     */
@@ -37,9 +51,8 @@ object IvfPq {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): PQ.Model = {
-    val assigned = KMeans.assign(corpus, coarseCentroids, idCol, vecCol)
-      .join(broadcast(coarseCentroids), "cid")
-      .select(col(idCol), residual(col(vecCol), col("centroid")).as(vecCol))
+    val assigned = assignResiduals(corpus, coarseCentroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol))
     PQ.fit(assigned, numBlocks, k, iters, dim, idCol, vecCol)
   }
 
@@ -65,10 +78,7 @@ object IvfPq {
     // materialize once: the encode branch and the cid join would otherwise
     // each re-run the corpus-vs-centroids assignment (pruning defeats
     // exchange reuse — same pattern as connectedComponents/Curation)
-    val assigned = KMeans.assign(corpus, coarseCentroids, idCol, vecCol)
-      .join(broadcast(coarseCentroids), "cid")
-      .select(col(idCol), col("cid"), residual(col(vecCol), col("centroid")).as(vecCol))
-      .pin(false)
+    val assigned = assignResiduals(corpus, coarseCentroids, idCol, vecCol).pin(false)
     PQ.encode(assigned.select(col(idCol), col(vecCol)), pq, idCol, vecCol)
       .join(assigned.select(col(idCol).as("id"), col("cid")), "id")
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
@@ -96,8 +106,29 @@ object IvfPq {
       nProbe: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
+  ): DataFrame =
+    searchFrames(
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/coarse"),
+      queries, pq, kTop, nProbe, idCol, vecCol)
+
+  /** [[search]] over in-memory frames — `codes` is (id, codes, cid),
+    * `coarse` is (cid, centroid). The parquet-backed [[search]] delegates
+    * here; an in-memory caller (or the DuckDB-oracled `q_ann_ivfpq_adc`)
+    * skips the index round-trip. The probed-cell filter is computed
+    * driver-side (nProbe × queries cell ids, bounded) so a parquet-backed
+    * codes frame still gets literal partition pruning.
+    */
+  def searchFrames(
+      codes: DataFrame,
+      coarse: DataFrame,
+      queries: DataFrame,
+      pq: PQ.Model,
+      kTop: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
   ): DataFrame = {
-    val coarse = spark.read.parquet(s"$dir/coarse")
     val cents = typedlit(pq.centroids.map(_.map(_.toSeq).toSeq).toSeq)
     val qres = residual(col(vecCol), col("centroid"))
     val dtable = transform(
@@ -120,13 +151,14 @@ object IvfPq {
       // collect and the broadcast join below — without this the coarse cross
       // join + window would run twice
       .pin(false)
-    val probed = queryCells.select("cid").distinct().collect().map(_.getLong(0))
+    val probed = queryCells.select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0))
     val adc = aggregate(
       zip_with(col("codes"), col("__dt"), (code, table) => element_at(table, code + 1)),
       lit(0.0),
       (acc, x) => acc + x
     )
-    val scored = spark.read.parquet(s"$dir/codes")
+    val scored = codes
       .filter(col("cid").isin(probed: _*))
       .join(broadcast(queryCells), "cid")
       .filter(col("id") =!= col("query_id"))

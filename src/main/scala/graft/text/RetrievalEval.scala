@@ -161,10 +161,19 @@ object RetrievalEval {
     require(maxGrade >= 1 && maxGrade <= 16,
       s"maxGrade must be in [1, 16], got $maxGrade — 2^g must stay exact")
     val r6 = graft.functions.Portable.r6 _
+    // a qrel grade above maxGrade would make the cascade stop-probability
+    // R > 1, so log(1 - R) goes NULL and the window sum silently DROPS
+    // that term from the continuation — ERR would come out quietly wrong.
+    // Fail loudly instead (the module convention; round-11 ADVICE).
     val rel = qrels
       .filter(col("grade").isNotNull && col("grade") >= 1L)
+      .select(col("query_id"), col("id"),
+        when(col("grade").cast("long") <= maxGrade, col("grade").cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"evaluateGraded: qrel grade exceeds maxGrade=$maxGrade: got "),
+            col("grade").cast("string")))).as("grade"))
       .groupBy(col("query_id"), col("id"))
-      .agg(max(col("grade").cast("long")).as("grade"))
+      .agg(max(col("grade")).as("grade"))
     val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_judged"))
     val judged = ranking
       .filter(col("rank") <= k)

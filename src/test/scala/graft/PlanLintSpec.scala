@@ -88,6 +88,9 @@ class PlanLintSpec extends SparkSpec {
       "q_silhouette"      -> Set("nested-loop-join"),
       "q_davies_bouldin"  -> Set("nested-loop-join"),
       "q_ann_ivf_kmeans" -> Set("nested-loop-join"),
+      // IVF-PQ probe: queries crossJoin the 8-row coarse-centroid
+      // broadcast (k-bounded, the q_kmeans_assign contract)
+      "q_ann_ivfpq_adc"  -> Set("nested-loop-join"),
       "q_ann_topk"       -> Set("nested-loop-join"),
       "q_hard_negatives" -> Set("nested-loop-join"), // same broadcast query-set scan as q_ann_topk
       "q_trunc_recall"   -> Set("nested-loop-join"), // q_ann_topk's scan, once per prefix length
