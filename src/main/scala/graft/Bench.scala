@@ -312,9 +312,12 @@ object Bench {
   def runMainPipeline(dir: String, cpus: String): Seq[QRes] = {
     val spark = newSession(cpus, Map.empty)
     try {
+      val metrics = new MetricsAcc
+      spark.sparkContext.addSparkListener(metrics)
       // warm-up: file listing + codegen land here, as in runSection
       try graft.sources.Tables.read(spark, dir, "events").count()
       catch { case _: Throwable => () }
+      metrics.delta() // drop the warm-up's task metrics
       val outDir = java.nio.file.Files.createTempDirectory("graft-bench-main")
       try {
         val t0 = System.nanoTime()
@@ -332,6 +335,9 @@ object Bench {
             Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
+        // snapshot the probe BEFORE the verification jobs so the
+        // gc/spill/shuffle columns describe only the timed region
+        val probe = metrics.delta()
         if (err.isEmpty) {
           err =
             try {
@@ -343,7 +349,7 @@ object Bench {
                 s"${String.valueOf(e.getMessage).take(200)}")
             }
         }
-        Seq(QRes("main_pipeline", elapsed, err, rows))
+        Seq(QRes("main_pipeline", elapsed, err, rows, Some(probe)))
       } finally org.apache.commons.io.FileUtils.deleteQuietly(outDir.toFile)
     } finally spark.stop()
   }
@@ -435,7 +441,7 @@ object Bench {
         s""","sf10_samples":${samplesJson(a10)},"sf10_probe":${probesJson(a10)}""" +
         s""","sf100_queries":${timesJson(a100.summary)},"sf100_errors":${errsJson(a100.summary)},"sf100_rows":${rowsJson(a100.summary)},"sf100_dir":"${a100.dir}"""" +
         s""","sf100_samples":${samplesJson(a100)},"sf100_probe":${probesJson(a100)}""" +
-        s""","main_sf10_queries":${timesJson(aM.summary)},"main_sf10_errors":${errsJson(aM.summary)},"main_sf10_rows":${rowsJson(aM.summary)}""" +
+        s""","main_sf10_queries":${timesJson(aM.summary)},"main_sf10_errors":${errsJson(aM.summary)},"main_sf10_rows":${rowsJson(aM.summary)},"main_sf10_probe":${probesJson(aM)}""" +
         s""","skipped":${skippedJson(orderedAccs)}""" +
         f""","sections_done":[${sectionsDone.map(t => s"\"$t\"").mkString(",")}],"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f}"""
     }

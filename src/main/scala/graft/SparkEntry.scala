@@ -1260,6 +1260,33 @@ object SparkEntry {
           col("err_graded_at_k").as("err_graded_at_10"))
     },
 
+    // RBO over the graded qrels (round-12 pull): rank-biased overlap of
+    // the BM25 top-10 against the grade-IDEAL ordering (grade desc, id —
+    // the exact ordering evaluateGraded's IDCG uses). Where nDCG asks
+    // "how much gain did the ranker collect", this asks "how much of the
+    // ideal HEAD did it reproduce, position by position" — the
+    // list-similarity complement to q_retrieval_eval_graded on the same
+    // judgments, composed entirely from existing operators.
+    "q_rbo_graded" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val qs = Seq(
+        "q_joins"  -> Seq("join", "hash", "merge"),
+        "q_scan"   -> Seq("scan", "filter", "column"),
+        "q_stream" -> Seq("stream", "window", "batch"))
+      val d = docs(s, dir)
+      val ranking = Bm25.retrieveTopK(d, qs, k = 10)
+        .select(col("query_id"), col("id"), col("rank"))
+      val wIdeal = Window.partitionBy(col("query_id"))
+        .orderBy(col("grade").desc, col("id").asc)
+      val ideal = graft.text.RetrievalEval.gradedTermRelevance(d, qs)
+        .select(col("query_id"), col("id"), row_number().over(wIdeal).as("rank"))
+        .filter(col("rank") <= 10)
+      graft.text.RetrievalEval.rbo(ranking, ideal, "query_id", "id", "rank", k = 10, p = 0.9)
+        .select(col("query_id"), col("n_a"), col("n_b"),
+          graft.functions.Portable.r6(col("overlap_k")).as("overlap_k"),
+          graft.functions.Portable.r6(col("rbo")).as("rbo"))
+    },
+
     // first-10-steps event path per user (clickstream journeys)
     "q_paths" -> ((s, dir) =>
       Transitions.eventPaths(ev(s, dir), "user_id", "ts", "event_type", "event_id",
@@ -5357,6 +5384,53 @@ object SparkEntry {
            |  ${graft.functions.Portable.r6Sql("CASE WHEN idcg > 0 THEN dcg/idcg ELSE 0.0 END")} AS ndcg_graded_at_10,
            |  ${graft.functions.Portable.r6Sql("coalesce(err, 0)")} AS err_graded_at_10
            |FROM pq LEFT JOIN nrel USING (query_id) LEFT JOIN ideal USING (query_id)""".stripMargin,
+
+      // BM25 top-10 (the q_retrieval_eval_graded ranking CTEs) vs the
+      // grade-ideal ordering, through the q_rbo overlap/weight tail.
+      "q_rbo_graded" -> {
+        val wts = (1 to 10).map(d => s"($d, CAST(${math.pow(0.9, d)} AS DOUBLE))")
+          .mkString(", ")
+        s"""WITH wts(d, w) AS (VALUES $wts),
+           |qt(query_id, term) AS (VALUES
+           |  ('q_joins','join'), ('q_joins','hash'), ('q_joins','merge'),
+           |  ('q_scan','scan'), ('q_scan','filter'), ('q_scan','column'),
+           |  ('q_stream','stream'), ('q_stream','window'), ('q_stream','batch')),
+           |tok AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text),'[^a-z]+'), x -> x<>'') AS toks FROM documents),
+           |t AS (SELECT id, unnest(toks) AS term FROM tok),
+           |dl AS (SELECT id, CAST(len(toks) AS DOUBLE) AS dl FROM tok),
+           |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+           |tf AS (SELECT id, term, count(*) AS tf FROM t WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+           |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT qt.query_id, tf.id,
+           |    floor((sum(ln(1 + (n_docs - df + 0.5)/(df + 0.5)) * tf/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl)))) * 1000000 + 0.5) / 1000000 AS bm25
+           |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl USING (id), st GROUP BY 1, 2),
+           |a AS (SELECT query_id, id, rk FROM (SELECT query_id, id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, id) AS rk FROM sc) WHERE rk <= 10),
+           |grel AS (SELECT q.query_id, t2.id, count(*) AS grade
+           |  FROM tok t2, qt q WHERE list_contains(t2.toks, q.term) GROUP BY 1, 2),
+           |b AS (SELECT query_id, id, rk FROM (SELECT query_id, id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY grade DESC, id) AS rk FROM grel) WHERE rk <= 10),
+           |cm AS (SELECT a.query_id, greatest(a.rk, b.rk) AS m, count(*) AS c
+           |  FROM a JOIN b ON a.query_id = b.query_id AND a.id = b.id GROUP BY 1, 2),
+           |sz AS (SELECT coalesce(x.query_id, y.query_id) AS query_id,
+           |    CAST(coalesce(x.na, 0) AS BIGINT) AS n_a, CAST(coalesce(y.nb, 0) AS BIGINT) AS n_b
+           |  FROM (SELECT query_id, count(*) AS na FROM a GROUP BY 1) x
+           |  FULL JOIN (SELECT query_id, count(*) AS nb FROM b GROUP BY 1) y ON x.query_id = y.query_id),
+           |grid AS (SELECT query_id, unnest(range(1, 11)) AS d FROM (SELECT DISTINCT query_id FROM sz)),
+           |tg AS (SELECT grid.query_id, grid.d,
+           |    sum(coalesce(c, 0)) OVER (PARTITION BY grid.query_id ORDER BY grid.d
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x
+           |  FROM grid LEFT JOIN cm ON cm.query_id = grid.query_id AND cm.m = grid.d),
+           |tt AS (SELECT tg.query_id, tg.d, tg.x, w * CAST(x AS DOUBLE) / CAST(tg.d AS DOUBLE) AS term
+           |  FROM tg JOIN wts ON wts.d = tg.d),
+           |f AS (SELECT query_id, CAST(max(CASE WHEN d = 10 THEN x END) AS BIGINT) AS xk,
+           |    CAST(sum(CAST(floor(term * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS ss
+           |  FROM tt GROUP BY 1)
+           |SELECT sz.query_id, n_a, n_b,
+           |  floor(CAST(xk AS DOUBLE) / 10.0 * 1000000 + 0.5) / 1000000 AS overlap_k,
+           |  floor((1.0 - 0.9) / 0.9 * ss * 1000000 + 0.5) / 1000000 AS rbo
+           |FROM f JOIN sz ON f.query_id = sz.query_id""".stripMargin
+      },
 
       "q_paths" ->
         """WITH r AS (SELECT user_id, event_type,
