@@ -873,15 +873,17 @@ object SparkEntry {
     // Lloyd refinement quality stays ScalaTest-pinned. 8 coarse cells,
     // nProbe = 2, 4 blocks × 16 dims, k = 8 codes per block, top-5.
     "q_ann_ivfpq_adc" -> { (s, dir) =>
-      import graft.plans.Materialize.PinOps
       val e = emb(s, dir)
       val coarse = KMeans.initCentroids(e, k = 8)
       val pq = graft.ann.IvfPq.fitResidualPq(
         e, coarse, numBlocks = 4, k = 8, iters = 0, dim = 64)
-      val res = graft.ann.IvfPq.assignResiduals(e, coarse).pin(false)
-      val codes = graft.ann.ProductQuantizer
-        .encode(res.select(col("vec_id"), col("embedding")), pq)
-        .join(res.select(col("vec_id").as("id"), col("cid")), "id")
+      // encode is a pure literal-centroid projection, so the codes frame
+      // keeps its cid in ONE pass over the residuals — no corpus self-join
+      // (the parquet index path gets this for free from partitionBy(cid))
+      val codes = graft.ann.IvfPq.assignResiduals(e, coarse)
+        .select(col("vec_id").as("id"),
+          graft.ann.ProductQuantizer.codesColumn(pq, col("embedding")).as("codes"),
+          col("cid"))
       graft.ann.IvfPq
         .searchFrames(codes, coarse, e.filter(col("vec_id") < 8), pq, kTop = 5, nProbe = 2)
         .select(col("query_id"), col("neighbor_id"),
