@@ -482,11 +482,25 @@ object Bench {
       */
     def emitStdout(): Unit = { writeArtifact(); println(perQueryJson()); println(totalJson()) }
 
+    /** Per-query bookkeeping shared by every section: record the sample,
+      * refresh the artifact file, and every 25 completed queries also
+      * print the (small) cumulative total line — an external kill BEFORE
+      * the first section boundary would otherwise leave stdout with no
+      * parseable line at all, even though the artifact file is current.
+      */
+    var nDone = 0
+    def record(a: Acc)(r: QRes): Unit = {
+      a.add(r)
+      writeArtifact()
+      nDone += 1
+      if (nDone % 25 == 0) println(totalJson())
+    }
+
     // ---------------- pass 1: coverage — one sample per query, every section
     if (wantSection("sf")) {
       val a = acc("sf"); a.dir = sfDir
       runSection(sfDir, only, cpus,
-        onResult = r => { a.add(r); writeArtifact() },
+        onResult = record(a),
         shouldStop = () => remaining < 30)
       val intended = SparkEntry.queries.keySet.filter(n => only.forall(_.contains(n)))
       (intended -- a.samples.keySet).toSeq.sorted
@@ -508,8 +522,7 @@ object Bench {
         if (remaining < reserve)
           a.skipped(n) = f"time budget (${remaining}%.0f s left < ${reserve}%.0f s reserve)"
         else
-          runSection(dir, Some(Set(n)), cpus, extraConf,
-            onResult = r => { a.add(r); writeArtifact() })
+          runSection(dir, Some(Set(n)), cpus, extraConf, onResult = record(a))
       }
       sectionsDone += tag
       emitStdout()
@@ -589,8 +602,7 @@ object Bench {
           val estEach = sec1 * 1.5 + 12
           if (remaining > estEach * extra + 45)
             (1 to extra).foreach { _ =>
-              runSection(a.dir, Some(Set(n)), cpus,
-                onResult = r => { a.add(r); writeArtifact() })
+              runSection(a.dir, Some(Set(n)), cpus, onResult = record(a))
             }
         }
         emitStdout()
