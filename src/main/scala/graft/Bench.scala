@@ -609,6 +609,33 @@ object Bench {
       }
     }
 
+    // ---------------- pass 3: leftover budget only — extend medians to the
+    // > 60 s heavies (single + inline probe is their 2400 s contract; a
+    // driver granting a larger SPARK_GRAFT_TIME_BUDGET buys real medians
+    // for q_communities/q_khop-class queries instead of idling the rest).
+    // Same cheapest-first, both-extra-samples-or-none gating as pass 2.
+    for (tag <- Seq("sf100", "sf10") if only.isEmpty && wantSection(tag)) {
+      val a = acc(tag)
+      val extra = targetRuns(tag) - 1
+      if (extra > 0 && a.nonEmpty) {
+        val heavies = a.samples.toSeq.collect {
+          case (n, rs) if rs.size == 1 && rs.head.err.isEmpty && rs.head.sec >= 60.0 =>
+            (n, rs.head.sec)
+        }.sortBy(_._2)
+        var emitted = false
+        heavies.foreach { case (n, sec1) =>
+          val estEach = sec1 * 1.5 + 12
+          if (remaining > estEach * extra + 45) {
+            (1 to extra).foreach { _ =>
+              runSection(a.dir, Some(Set(n)), cpus, onResult = record(a))
+            }
+            emitted = true
+          }
+        }
+        if (emitted) emitStdout()
+      }
+    }
+
     emitStdout()
     // a failed query must fail the bench run — a regression cannot hide as
     // a near-zero "fast" timing (round-5 verdict item 2). Budget-skipped
