@@ -61,6 +61,15 @@ object SparkEntry {
   }
   private def emb(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
 
+  /** Fixed stride-permutation rotation for q_opq_encode: output dim j
+    * reads input dim 37·j mod 64 (37 ⊥ 64 ⇒ a permutation, hence
+    * orthonormal). y = x·R with R(i)(j) = 1 iff i = 37j mod 64 — the
+    * matrix is SQL-replicable as pure list indexing, unlike a learned
+    * Procrustes rotation, so the apply/encode path gets a hash oracle.
+    */
+  private val stridePerm64: IndexedSeq[IndexedSeq[Double]] =
+    IndexedSeq.tabulate(64, 64)((i, j) => if (i == (37 * j) % 64) 1.0 else 0.0)
+
   private def timeUs(c: String = "time"): org.apache.spark.sql.Column =
     unix_micros(col(c)).as("time_us")
 
@@ -546,6 +555,47 @@ object SparkEntry {
         .select(col("patient_id"), timeUs(), col("n_measurements"), col("codes"),
           graft.functions.Portable.r6(col("time_delta_days")).as("time_delta_days"))),
 
+    // Tensorization (§2 #14, the reference's convert_to_NRT) against the
+    // DuckDB oracle — codes are vocab-indexed (1-based lexicographic, 0
+    // reserved for padding per fit_vocabulary_indices.py:120), run
+    // through the REAL seqOfPatientEvents → toDense pipeline, then the
+    // dense+mask tensors explode back to one scalar row per
+    // (patient, event-slot, measurement-slot) so every padded cell,
+    // mask bit, truncation boundary and the leading-NaN time delta is
+    // hash-compared. Valid because the synthetic events have no
+    // (user, ts, event_type) ties and no null values at oracle scales
+    // (measured), so the struct sort orders are total in both engines.
+    "q_tensorize" -> { (s, dir) =>
+      val m = meds(s, dir)
+      val vocab = Vocabulary
+        .lexicographicIndices(CodeMetadata.aggregate(m))
+        .select(col("code"), col("code/vocab_index"))
+      val indexed = m.join(vocab, Seq("code"))
+        .select(col("patient_id"), col("time"),
+          col("code/vocab_index").as("code"), col("numeric_value"))
+      val dense = graft.operators.Tensorize.toDense(
+        Tokenize.seqOfPatientEvents(indexed),
+        maxEvents = 8, maxMeasurementsPerEvent = 4)
+      dense
+        .select(col("patient_id"), col("n_events").cast("long").as("n_events"),
+          posexplode(arrays_zip(
+            col("time_delta_days"), col("event_mask"), col("code"),
+            col("code_mask"), col("numeric_value"), col("numeric_value_mask")))
+            .as(Seq("e", "z")))
+        .select(col("patient_id"), col("n_events"), col("e").cast("long").as("e"),
+          col("z.time_delta_days").as("__tdd"), col("z.event_mask").as("event_mask"),
+          posexplode(arrays_zip(
+            col("z.code"), col("z.code_mask"), col("z.numeric_value"),
+            col("z.numeric_value_mask"))).as(Seq("i", "w")))
+        .select(col("patient_id"), col("n_events"), col("e"),
+          col("i").cast("long").as("i"),
+          graft.functions.Portable.r6(col("__tdd")).as("time_delta_days"),
+          col("event_mask"),
+          col("w.code").as("code"), col("w.code_mask").as("code_mask"),
+          graft.functions.Portable.r6(col("w.numeric_value")).as("numeric_value"),
+          col("w.numeric_value_mask").as("numeric_value_mask"))
+    },
+
     "q_shard_assign" -> ((s, dir) =>
       Shard.splitByModulo(meds(s, dir), Seq("train" -> 8, "tuning" -> 1, "held_out" -> 1), 4)),
 
@@ -888,6 +938,46 @@ object SparkEntry {
         .searchFrames(codes, coarse, e.filter(col("vec_id") < 8), pq, kTop = 5, nProbe = 2)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), col("neg_adc_dist"))
+    },
+
+    // OPQ apply-side path against the DuckDB oracle — rotate-then-encode
+    // with a FIXED stride-permutation rotation (R[i][j] = 1 iff
+    // i = 37·j mod 64; permutation matrices are orthonormal, and the
+    // products are exact in float, so the rotated corpus is replicated
+    // bit-for-bit by list indexing in SQL). The oracle pins
+    // Opq.rotateColumn's literal mat-vec + the full encode/decode in
+    // rotated space under the q_pq_codes init-codebook convention
+    // (iters = 0); the Procrustes/SVD fit alternation stays
+    // ScalaTest-pinned (OpqSpec), like PQ's Lloyd loop.
+    "q_opq_encode" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val rotated = e.select(col("vec_id"),
+        graft.ann.Opq.rotateColumn(col("embedding"), stridePerm64).as("y"))
+      val pq = graft.ann.ProductQuantizer.fit(
+        rotated, numBlocks = 4, k = 8, iters = 0, dim = 64, vecCol = "y")
+      rotated
+        .select(col("vec_id"),
+          graft.ann.ProductQuantizer.codesColumn(pq, col("y")).as("__codes"),
+          col("y"))
+        .withColumn("recon_dist", graft.functions.Portable.r6(
+          KMeans.sqDist(col("y"),
+            graft.ann.ProductQuantizer.decodeColumn(pq, col("__codes")))))
+        .select(col("vec_id"), col("recon_dist"),
+          posexplode(col("__codes")).as(Seq("blk", "code")))
+        .select(col("vec_id"), col("blk").cast("long").as("blk"),
+          col("code").cast("long").as("code"), col("recon_dist"))
+    },
+
+    // PCA's distributed leg against the DuckDB oracle — the one-pass
+    // count/Σx/Σxxᵀ moment accumulation (map-side VectorSum partials,
+    // d² bounded buffers) unpacked to the d×d unbiased covariance
+    // matrix as (i, j, cov) rows. This is the half of Pca.fit that
+    // scales with the corpus; the driver-side Breeze eigenproblem it
+    // feeds stays property-pinned (Round6gOpsSpec: orthonormality,
+    // variance = eigenvalue, reconstruction).
+    "q_pca_cov" -> { (s, dir) =>
+      graft.ann.Pca.covarianceFrame(emb(s, dir))
+        .select(col("i"), col("j"), graft.functions.Portable.r6(col("cov")).as("cov"))
     },
 
     // ------------------------------- pipeline: sample / select / pack / score
@@ -4289,6 +4379,38 @@ object SparkEntry {
           |  floor(((epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts))/(86400.0*1000000.0)) * 1000000 + 0.5) / 1000000 AS time_delta_days
           |FROM pe""".stripMargin,
 
+      // Tensorize: replay vocab-indexing + per-event (idx, val) and
+      // per-patient (ts) ordered lists, then pad/truncate to the 8×4
+      // dense window by list indexing. The day-delta division is forced
+      // to DOUBLE on both sides (integer micros / 8.64e10 — bit-equal);
+      // out-of-range list indexes are NULL in DuckDB, coalesced to the
+      // pad values exactly where toDense pads.
+      "q_tensorize" ->
+        s"""WITH v AS (SELECT code, CAST(row_number() OVER (ORDER BY code) AS BIGINT) AS idx
+           |  FROM (SELECT DISTINCT event_type AS code FROM events)),
+           |mi AS (SELECT e.user_id AS patient_id, e.ts, v.idx, CAST(e.value AS DOUBLE) AS val
+           |  FROM events e JOIN v ON v.code = e.event_type WHERE e.ts IS NOT NULL),
+           |pe AS (SELECT patient_id, ts, list(idx ORDER BY idx, val) AS codes,
+           |    list(val ORDER BY idx, val) AS vals
+           |  FROM mi GROUP BY 1, 2),
+           |se AS (SELECT patient_id, list(epoch_us(ts) ORDER BY ts) AS tus,
+           |    list(codes ORDER BY ts) AS codes, list(vals ORDER BY ts) AS vals
+           |  FROM pe GROUP BY 1),
+           |g AS (SELECT se.*, ee.e, ii.i FROM se
+           |  CROSS JOIN (SELECT unnest(range(8)) AS e) ee
+           |  CROSS JOIN (SELECT unnest(range(4)) AS i) ii)
+           |SELECT patient_id, CAST(least(len(tus), 8) AS BIGINT) AS n_events,
+           |  CAST(e AS BIGINT) AS e, CAST(i AS BIGINT) AS i,
+           |  ${graft.functions.Portable.r6Sql(
+             "CASE WHEN e + 1 > len(tus) THEN 0.0 WHEN e = 0 THEN 'NaN'::DOUBLE " +
+             "ELSE CAST(tus[e+1] - tus[e] AS DOUBLE) / CAST(86400000000 AS DOUBLE) END")} AS time_delta_days,
+           |  e + 1 <= len(tus) AS event_mask,
+           |  coalesce(codes[e+1][i+1], 0) AS code,
+           |  coalesce(len(codes[e+1]), 0) >= i + 1 AS code_mask,
+           |  ${graft.functions.Portable.r6Sql("coalesce(vals[e+1][i+1], 0.0)")} AS numeric_value,
+           |  vals[e+1][i+1] IS NOT NULL AS numeric_value_mask
+           |FROM g""".stripMargin,
+
       "q_shard_assign" ->
         """SELECT DISTINCT user_id AS patient_id,
           |  CASE WHEN user_id%10 < 8 THEN 'train' WHEN user_id%10 < 9 THEN 'tuning' ELSE 'held_out' END AS split,
@@ -4698,6 +4820,49 @@ object SparkEntry {
            |    ${graft.functions.Portable.r6Sql("-adc")} AS neg_adc_dist
            |  FROM sc)
            |SELECT query_id, neighbor_id, "rank", neg_adc_dist FROM r WHERE "rank" <= 5""".stripMargin,
+
+      // OPQ apply path: the fixed stride-permutation rotation is pure
+      // list indexing (y[j+1] = x[37j mod 64 + 1], exact in float),
+      // then the q_pq_codes encode/decode body runs on the rotated
+      // corpus. recon_dist is in ROTATED space (where OPQ's PQ lives).
+      "q_opq_encode" ->
+        s"""WITH rot AS (SELECT vec_id,
+           |    list_transform(range(0,64), j -> CAST(embedding[((37*j) % 64) + 1] AS DOUBLE)) AS y
+           |  FROM embeddings),
+           |sub AS (SELECT r.vec_id AS id, b.blk,
+           |    list_slice(r.y, b.blk*16 + 1, b.blk*16 + 16) AS sub
+           |  FROM rot r CROSS JOIN (SELECT unnest(range(4)) AS blk) b),
+           |pc AS (SELECT blk, CAST(rn - 1 AS BIGINT) AS cid, sub FROM (
+           |  SELECT blk, sub, row_number() OVER (PARTITION BY blk ORDER BY h, id) AS rn FROM (
+           |    SELECT id, blk, sub, ${h32("concat('graft','|',CAST(id AS VARCHAR))")} AS h FROM sub))
+           |  WHERE rn <= 8),
+           |d AS (SELECT s.id, s.blk, pc.cid, ${sqDistSqlN("s.sub", "pc.sub", 16)} AS dist
+           |  FROM sub s JOIN pc ON s.blk = pc.blk),
+           |a AS (SELECT id, blk, cid AS code FROM (SELECT id, blk, cid,
+           |    row_number() OVER (PARTITION BY id, blk ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+           |rec AS (SELECT a.id, flatten(list(pc.sub ORDER BY a.blk)) AS rec
+           |  FROM a JOIN pc ON pc.blk = a.blk AND pc.cid = a.code GROUP BY a.id),
+           |rd AS (SELECT r.vec_id AS id, ${graft.functions.Portable.r6Sql(sqDistSql("r.y", "rec.rec"))} AS recon_dist
+           |  FROM rot r JOIN rec ON rec.id = r.vec_id)
+           |SELECT a.id AS vec_id, CAST(a.blk AS BIGINT) AS blk,
+           |  CAST(a.code AS BIGINT) AS code, rd.recon_dist
+           |FROM a JOIN rd USING (id)""".stripMargin,
+
+      // PCA distributed leg: unbiased covariance entries from raw
+      // moments — sums replayed per (i, j) by an unnest self-join; the
+      // centering (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/(n−1) matches Pca.covarianceFrame
+      // term-for-term. r6 absorbs reduction-order float noise.
+      "q_pca_cov" ->
+        s"""WITH xs AS (SELECT vec_id, ii.i, CAST(embedding[ii.i] AS DOUBLE) AS x
+           |  FROM embeddings CROSS JOIN (SELECT unnest(range(1,65)) AS i) ii
+           |  WHERE embedding IS NOT NULL),
+           |nn AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
+           |s AS (SELECT i, sum(x) AS sx FROM xs GROUP BY i),
+           |p AS (SELECT a.i AS i, b.i AS j, sum(a.x*b.x) AS sxx
+           |  FROM xs a JOIN xs b USING (vec_id) GROUP BY 1, 2)
+           |SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
+           |  ${graft.functions.Portable.r6Sql("(p.sxx - si.sx*sj.sx/nn.n)/(nn.n - 1)")} AS cov
+           |FROM p CROSS JOIN nn JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j""".stripMargin,
 
       "q_kmeans_assign" ->
         s"""WITH $kmeansInitCte,

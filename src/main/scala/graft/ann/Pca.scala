@@ -85,6 +85,37 @@ object Pca {
       order.map(i => es.eigenvalues(i)).toIndexedSeq)
   }
 
+  /** The distributed half of [[fit]] exposed as a frame: the unbiased
+    * covariance matrix as (i, j, cov) rows (d² of them), computed by
+    * the SAME one-corpus-pass moment shape fit uses — count + Σx + the
+    * flattened Σxxᵀ through map-side [[graft.functions.VectorSum]]
+    * partials — then unpacked declaratively (posexplode on the d²
+    * array; no collect, no driver math). This is the leg of PCA that
+    * has to survive 100 TB; the d×d eigenproblem that follows is
+    * driver-side Breeze either way. cov = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/(n−1),
+    * algebraically identical to [[fit]]'s centering (differs only in
+    * float rounding below any reported precision).
+    */
+  def covarianceFrame(vectors: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val x = col(vecCol).cast("array<double>")
+    val outer = flatten(transform(x, xi => transform(x, xj => xi * xj)))
+    vectors
+      .filter(col(vecCol).isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        vectorSum(x).as("sx"),
+        vectorSum(outer).as("sxx"))
+      .select(col("n"), col("sx"), size(col("sx")).as("d"),
+        posexplode(col("sxx")).as(Seq("p", "sxx")))
+      .select(
+        (col("p") / col("d")).cast("long").as("i"),
+        pmod(col("p"), col("d")).cast("long").as("j"),
+        ((col("sxx")
+          - element_at(col("sx"), (col("p") / col("d")).cast("int") + 1)
+            * element_at(col("sx"), pmod(col("p"), col("d")).cast("int") + 1) / col("n"))
+          / (col("n") - 1)).as("cov"))
+  }
+
   /** Project vectors onto the fitted basis: (idCol, proj[k]); when
     * `whiten`, each coordinate is scaled by 1/√λ so downstream
     * Euclidean distance is Mahalanobis in the original space.

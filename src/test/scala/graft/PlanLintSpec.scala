@@ -79,6 +79,7 @@ class PlanLintSpec extends SparkSpec {
       "q_cramers_v"      -> Set("nested-loop-join"),
       "q_bh"             -> Set("global-window"),
       "q_fit_vocab"      -> Set("global-window"),
+      "q_tensorize"      -> Set("global-window"), // vocab indexing, the q_fit_vocab contract
       "q_normalize"      -> Set("global-window"),
       "q_meds_pipeline"  -> Set("global-window"),
       "q_pipeline_config" -> Set("global-window"), // same pipeline, config-composed
