@@ -6,6 +6,11 @@ import numpy as np
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 only = sys.argv[3].split(',') if len(sys.argv) > 3 else None
+# CHECK_JSON=path writes a machine-readable per-query mirror of this run —
+# the committed round artifact (dev/correctness_r{N}.json) that survives a
+# driver-side gate failure like CORRECTNESS_r12.json = {}.
+json_out = os.environ.get('CHECK_JSON')
+results = {}
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sfdir, '*.parquet')):
     # ScaleData writes multi-file tables as DIRECTORIES named <t>.parquet
@@ -13,23 +18,26 @@ for p in glob.glob(os.path.join(sfdir, '*.parquet')):
     con.sql(f"CREATE VIEW {os.path.basename(p)[:-8]} AS SELECT * FROM '{src}'")
 oracle = json.load(open(os.path.join(outdir, 'oracle_sql.json')))
 fails = []
+def fail(name, msg):
+    print(f"{name}: {msg}"); fails.append(name); results[name] = msg
+
 for name in sorted(oracle):
     if only and name not in only: continue
     try:
         spark = pd.read_parquet(os.path.join(outdir, name))
     except Exception as e:
-        print(f"{name}: NO SPARK OUTPUT ({e})"); fails.append(name); continue
+        fail(name, f"NO SPARK OUTPUT ({e})"); continue
     try:
         duck = con.sql(oracle[name]).df()
     except Exception as e:
-        print(f"{name}: ORACLE SQL FAILED: {e}"); fails.append(name); continue
+        fail(name, f"ORACLE SQL FAILED: {e}"); continue
     sc, dc = sorted(spark.columns), sorted(duck.columns)
     if sc != dc:
-        print(f"{name}: SCHEMA MISMATCH spark={sc} duck={dc}"); fails.append(name); continue
+        fail(name, f"SCHEMA MISMATCH spark={sc} duck={dc}"); continue
     s = spark[sc].sort_values(sc, kind='mergesort').reset_index(drop=True)
     d = duck[sc].sort_values(sc, kind='mergesort').reset_index(drop=True)
     if len(s) != len(d):
-        print(f"{name}: ROWCOUNT spark={len(s)} duck={len(d)}"); fails.append(name); continue
+        fail(name, f"ROWCOUNT spark={len(s)} duck={len(d)}"); continue
     bad = None
     for c in sc:
         a, b = s[c], d[c]
@@ -44,9 +52,20 @@ for name in sorted(oracle):
             bad = (c, i, a.iloc[i], b.iloc[i]); break
     if bad:
         c, i, av, bv = bad
-        print(f"{name}: VALUE MISMATCH col={c} row={i} spark={av!r} duck={bv!r} ({len(s)} rows)")
-        fails.append(name)
+        fail(name, f"VALUE MISMATCH col={c} row={i} spark={av!r} duck={bv!r} ({len(s)} rows)")
     else:
         print(f"{name}: OK ({len(s)} rows)")
-print(f"\n{len(oracle) - len(fails)}/{len(oracle)} passed" + (f"; FAILED: {fails}" if fails else ""))
+        results[name] = f"ok ({len(s)} rows)"
+n_checked = len(results)
+print(f"\n{n_checked - len(fails)}/{n_checked} passed" + (f"; FAILED: {fails}" if fails else ""))
+if json_out:
+    progress = {}
+    try:
+        progress = json.load(open(os.path.join(outdir, 'verify_progress.json')))
+    except Exception:
+        pass
+    with open(json_out, 'w') as f:
+        json.dump({'n_checked': n_checked, 'n_pass': n_checked - len(fails),
+                   'n_fail': len(fails), 'sf': sfdir,
+                   'verify_progress': progress, 'queries': results}, f, indent=1)
 sys.exit(1 if fails else 0)

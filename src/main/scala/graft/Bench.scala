@@ -112,6 +112,35 @@ object Bench {
       name: String, sec: Double, err: Option[String], rows: Long,
       probe: Option[Probe] = None)
 
+  /** Fixed-work host-speed canary (round-12 verdict item 3): a single-
+    * thread, allocation-free xorshift loop over a constant iteration
+    * count — pure CPU, no Spark, no I/O — so its wall time depends on
+    * NOTHING but how fast this host currently executes instructions.
+    * Rounds 11-12 were both adjudicated against a VM that silently ran
+    * 2-5× slower after a mid-round reboot (identical shuffle bytes/rows,
+    * GC inflated up to 30×); the probes proved it per-query but only by
+    * cross-round comparison. The canary is the instant denominator: it
+    * is timed at every section start and before every isolated scaled
+    * sample, and lands in the artifact next to the timings it
+    * calibrates. Adjudication rule (SURVEY §4): a riser whose probe
+    * shows constant shuffle volume and rows AND whose nearest canary
+    * reads >1.5× the round's healthy floor is the host, not the plan.
+    * Floor measured on the round-13 build box: 2.7 s (three back-to-back
+    * runs 2.68-2.89 s).
+    */
+  val CanaryIters: Long = 1200000000L
+  @volatile private var canarySink: Long = 0L // defeat dead-code elimination
+  def hostCanarySec(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < CanaryIters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x += i; i += 1
+    }
+    canarySink = x
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def esc(s: String): String = s.flatMap {
     case '"'           => "\\\""
     case '\\'          => "\\\\"
@@ -152,6 +181,9 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // keep the object-hash aggregates on the hash path (SessionDefaults:
+    // the 128-group sort fallback silently re-sorted the LOF pair stream)
+    SessionDefaults.applyTo(b)
     extraConf.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -360,6 +392,12 @@ object Bench {
   private final class Acc(var dir: String = "") {
     val samples = mutable.LinkedHashMap.empty[String, Vector[QRes]]
     val skipped = mutable.LinkedHashMap.empty[String, String]
+    /** Host-canary samples keyed by position ("start", or the query name
+      * the measurement immediately precedes); repeats accumulate.
+      */
+    val canaries = mutable.LinkedHashMap.empty[String, Vector[Double]]
+    def addCanary(label: String): Unit =
+      canaries(label) = canaries.getOrElse(label, Vector.empty) :+ hostCanarySec()
     def add(r: QRes): Unit =
       samples(r.name) = samples.getOrElse(r.name, Vector.empty) :+ r
     /** Upper median over the samples (exact middle for odd counts — the
@@ -389,6 +427,10 @@ object Bench {
           f""""disk_spill_gb":${p.diskSpillGb}%.1f,"shuffle_read_gb":${p.shReadGb}%.1f,""" +
           f""""shuffle_write_gb":${p.shWriteGb}%.1f}""")
       s"\"$n\":[${ps.mkString(",")}]"
+    }.mkString("{", ",", "}")
+  private def canariesJson(acc: Acc): String = acc.canaries.toSeq
+    .map { case (label, cs) =>
+      s""""$label":[${cs.map(c => f"$c%.2f").mkString(",")}]"""
     }.mkString("{", ",", "}")
   private def skippedJson(accs: Seq[(String, Acc)]): String = accs
     .filter(_._2.skipped.nonEmpty)
@@ -434,14 +476,14 @@ object Bench {
     def perQueryJson(): String = {
       val (a0, a1, aCp, a10, a100, aM) =
         (acc("sf"), acc("sf1"), acc("checkpoint"), acc("sf10"), acc("sf100"), acc("main_sf10"))
-      s"""{"metric":"per_query","queries":${timesJson(a0.summary)},"errors":${errsJson(a0.summary)},"rows":${rowsJson(a0.summary)},"sf":"$sfDir"""" +
-        s""","sf1_queries":${timesJson(a1.summary)},"sf1_errors":${errsJson(a1.summary)},"sf1_rows":${rowsJson(a1.summary)},"sf1_dir":"${a1.dir}"""" +
-        s""","checkpoint_queries":${timesJson(aCp.summary)},"checkpoint_errors":${errsJson(aCp.summary)}""" +
+      s"""{"metric":"per_query","queries":${timesJson(a0.summary)},"errors":${errsJson(a0.summary)},"rows":${rowsJson(a0.summary)},"sf":"$sfDir","canary":${canariesJson(a0)}""" +
+        s""","sf1_queries":${timesJson(a1.summary)},"sf1_errors":${errsJson(a1.summary)},"sf1_rows":${rowsJson(a1.summary)},"sf1_dir":"${a1.dir}","sf1_canary":${canariesJson(a1)}""" +
+        s""","checkpoint_queries":${timesJson(aCp.summary)},"checkpoint_errors":${errsJson(aCp.summary)},"checkpoint_canary":${canariesJson(aCp)}""" +
         s""","sf10_queries":${timesJson(a10.summary)},"sf10_errors":${errsJson(a10.summary)},"sf10_rows":${rowsJson(a10.summary)},"sf10_dir":"${a10.dir}"""" +
-        s""","sf10_samples":${samplesJson(a10)},"sf10_probe":${probesJson(a10)}""" +
+        s""","sf10_samples":${samplesJson(a10)},"sf10_probe":${probesJson(a10)},"sf10_canary":${canariesJson(a10)}""" +
         s""","sf100_queries":${timesJson(a100.summary)},"sf100_errors":${errsJson(a100.summary)},"sf100_rows":${rowsJson(a100.summary)},"sf100_dir":"${a100.dir}"""" +
-        s""","sf100_samples":${samplesJson(a100)},"sf100_probe":${probesJson(a100)}""" +
-        s""","main_sf10_queries":${timesJson(aM.summary)},"main_sf10_errors":${errsJson(aM.summary)},"main_sf10_rows":${rowsJson(aM.summary)},"main_sf10_probe":${probesJson(aM)}""" +
+        s""","sf100_samples":${samplesJson(a100)},"sf100_probe":${probesJson(a100)},"sf100_canary":${canariesJson(a100)}""" +
+        s""","main_sf10_queries":${timesJson(aM.summary)},"main_sf10_errors":${errsJson(aM.summary)},"main_sf10_rows":${rowsJson(aM.summary)},"main_sf10_probe":${probesJson(aM)},"main_sf10_canary":${canariesJson(aM)}""" +
         s""","skipped":${skippedJson(orderedAccs)}""" +
         f""","sections_done":[${sectionsDone.map(t => s"\"$t\"").mkString(",")}],"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f}"""
     }
@@ -499,9 +541,11 @@ object Bench {
     // ---------------- pass 1: coverage — one sample per query, every section
     if (wantSection("sf")) {
       val a = acc("sf"); a.dir = sfDir
+      a.addCanary("start")
       runSection(sfDir, only, cpus,
         onResult = record(a),
         shouldStop = () => remaining < 30)
+      a.addCanary("end")
       val intended = SparkEntry.queries.keySet.filter(n => only.forall(_.contains(n)))
       (intended -- a.samples.keySet).toSeq.sorted
         .foreach(n => a.skipped(n) = "time budget")
@@ -518,11 +562,18 @@ object Bench {
     def coveragePass(tag: String, dir: String, names: Seq[String], reserve: Double,
         extraConf: Map[String, String] = Map.empty): Unit = {
       val a = acc(tag); a.dir = dir
+      a.addCanary("start")
+      // per-sample canaries only in the scaled sections whose risers get
+      // adjudicated round-over-round; ~2 s each would cost the 48-query
+      // sf1 pass ~1.5 min of budget for queries nobody disputes
+      val perQuery = tag == "sf10" || tag == "sf100"
       names.foreach { n =>
         if (remaining < reserve)
           a.skipped(n) = f"time budget (${remaining}%.0f s left < ${reserve}%.0f s reserve)"
-        else
+        else {
+          if (perQuery) a.addCanary(n)
           runSection(dir, Some(Set(n)), cpus, extraConf, onResult = record(a))
+        }
       }
       sectionsDone += tag
       emitStdout()
@@ -574,7 +625,7 @@ object Bench {
         && new java.io.File(s"$sf10Dir/events.parquet").exists()) {
       val a = acc("main_sf10"); a.dir = sf10Dir
       if (remaining < 90) a.skipped("main_pipeline") = "time budget"
-      else runMainPipeline(sf10Dir, cpus).foreach(a.add)
+      else { a.addCanary("start"); runMainPipeline(sf10Dir, cpus).foreach(a.add) }
       sectionsDone += "main_sf10"
       emitStdout()
     }
@@ -602,6 +653,7 @@ object Bench {
           val estEach = sec1 * 1.5 + 12
           if (remaining > estEach * extra + 45)
             (1 to extra).foreach { _ =>
+              a.addCanary(n)
               runSection(a.dir, Some(Set(n)), cpus, onResult = record(a))
             }
         }
@@ -627,6 +679,7 @@ object Bench {
           val estEach = sec1 * 1.5 + 12
           if (remaining > estEach * extra + 45) {
             (1 to extra).foreach { _ =>
+              a.addCanary(n)
               runSection(a.dir, Some(Set(n)), cpus, onResult = record(a))
             }
             emitted = true

@@ -68,12 +68,12 @@ object Main {
     // runs default to every local core. shuffle.partitions is only a
     // default — a cluster submit overrides it on the command line.
     val builder = SparkSession.builder().appName("graft-pipeline")
-    val spark =
+    val spark = SessionDefaults.applyTo(
       (if (sys.props.contains("spark.master")) builder
        else builder.master("local[*]")
          .config("spark.sql.shuffle.partitions",
            Runtime.getRuntime.availableProcessors().toString))
-        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.session.timeZone", "UTC"))
         .getOrCreate()
     try {
       val state = run(spark, configText, inDir, outDir)

@@ -563,8 +563,11 @@ object SparkEntry {
     // (patient, event-slot, measurement-slot) so every padded cell,
     // mask bit, truncation boundary and the leading-NaN time delta is
     // hash-compared. Valid because the synthetic events have no
-    // (user, ts, event_type) ties and no null values at oracle scales
-    // (measured), so the struct sort orders are total in both engines.
+    // (user, ts, event_type) ties at oracle scales (measured), so the
+    // struct sort orders are total in both engines; null values no
+    // longer matter either way — the oracle's list sort keys carry
+    // NULLS FIRST to match Spark's null-first struct ordering
+    // (round-12 ADVICE).
     "q_tensorize" -> { (s, dir) =>
       val m = meds(s, dir)
       val vocab = Vocabulary
@@ -4212,7 +4215,7 @@ object SparkEntry {
           |  FROM oc GROUP BY 1),
           |ms1 AS (SELECT code, CASE WHEN n>0 THEN s/n END AS mean,
           |        CASE WHEN n>0 THEN sqrt(greatest(s2/n - (s/n)*(s/n), 0)) END AS std FROM st1),
-          |vc AS (SELECT code, row_number() OVER (ORDER BY code) AS idx
+          |vc AS (SELECT code, row_number() OVER (ORDER BY code NULLS FIRST) AS idx
           |       FROM (SELECT DISTINCT code FROM oc))
           |SELECT oc.patient_id, epoch_us(oc.time) AS time_us, CAST(vc.idx AS BIGINT) AS code,
           |  floor(((oc.v - ms1.mean)/ms1.std) * 1000000 + 0.5) / 1000000 AS numeric_value
@@ -4334,13 +4337,20 @@ object SparkEntry {
 
       "q_normalize" ->
         s"""WITH $statsCtes,
-           |v AS (SELECT code, mean, std, row_number() OVER (ORDER BY code) AS idx FROM st)
+           |v AS (SELECT code, mean, std, row_number() OVER (ORDER BY code NULLS FIRST) AS idx FROM st)
            |SELECT e.user_id AS patient_id, epoch_us(e.ts) AS time_us, v.idx AS code,
            |  floor(((e.value - v.mean)/v.std) * 1000000 + 0.5) / 1000000 AS numeric_value
            |FROM events e JOIN v ON e.event_type = v.code""".stripMargin,
 
+      // NULLS FIRST everywhere a vocab rank is replayed: DuckDB's default
+      // ORDER BY is NULLS LAST while the Spark leg (Vocabulary.
+      // lexicographicIndices, asc_nulls_first — the reference's order) and
+      // every other Spark ascending sort put nulls first. The driver data
+      // has no null codes today, but a null event_type would otherwise
+      // shift every vocab index by one on the Spark side only (round-12
+      // ADVICE).
       "q_fit_vocab" ->
-        """SELECT event_type AS code, row_number() OVER (ORDER BY event_type) AS "code/vocab_index"
+        """SELECT event_type AS code, row_number() OVER (ORDER BY event_type NULLS FIRST) AS "code/vocab_index"
           |FROM (SELECT DISTINCT event_type FROM events)""".stripMargin,
 
       "q_cust_semi_anti" ->
@@ -4351,7 +4361,7 @@ object SparkEntry {
           |    WHERE l_returnflag = 'R')""".stripMargin,
 
       "q_fit_vocab_scalable" ->
-        """SELECT event_type AS code, row_number() OVER (ORDER BY event_type) AS "code/vocab_index"
+        """SELECT event_type AS code, row_number() OVER (ORDER BY event_type NULLS FIRST) AS "code/vocab_index"
           |FROM (SELECT DISTINCT event_type FROM events)""".stripMargin,
 
       "q_reorder_measurements" ->
@@ -4386,12 +4396,12 @@ object SparkEntry {
       // out-of-range list indexes are NULL in DuckDB, coalesced to the
       // pad values exactly where toDense pads.
       "q_tensorize" ->
-        s"""WITH v AS (SELECT code, CAST(row_number() OVER (ORDER BY code) AS BIGINT) AS idx
+        s"""WITH v AS (SELECT code, CAST(row_number() OVER (ORDER BY code NULLS FIRST) AS BIGINT) AS idx
            |  FROM (SELECT DISTINCT event_type AS code FROM events)),
            |mi AS (SELECT e.user_id AS patient_id, e.ts, v.idx, CAST(e.value AS DOUBLE) AS val
            |  FROM events e JOIN v ON v.code = e.event_type WHERE e.ts IS NOT NULL),
-           |pe AS (SELECT patient_id, ts, list(idx ORDER BY idx, val) AS codes,
-           |    list(val ORDER BY idx, val) AS vals
+           |pe AS (SELECT patient_id, ts, list(idx ORDER BY idx, val NULLS FIRST) AS codes,
+           |    list(val ORDER BY idx, val NULLS FIRST) AS vals
            |  FROM mi GROUP BY 1, 2),
            |se AS (SELECT patient_id, list(epoch_us(ts) ORDER BY ts) AS tus,
            |    list(codes ORDER BY ts) AS codes, list(vals ORDER BY ts) AS vals

@@ -105,6 +105,16 @@ object Pca {
         count(lit(1)).as("n"),
         vectorSum(x).as("sx"),
         vectorSum(outer).as("sxx"))
+      // Mirror fit's n >= 2 contract (round-12 ADVICE): the unbiased
+      // (n-1) divisor below would otherwise turn an empty or
+      // single-vector input into silent NaN/Inf/null covariance rows —
+      // a degenerate edge that also diverges from the DuckDB oracle's
+      // divide-by-zero behavior. Fail loudly instead.
+      .select(
+        when(col("n") >= 2, col("n")).otherwise(raise_error(concat(
+          lit("covarianceFrame: the unbiased covariance needs at least "),
+          lit("2 non-null vectors, got "), col("n"))).cast("long")).as("n"),
+        col("sx"), col("sxx"))
       .select(col("n"), col("sx"), size(col("sx")).as("d"),
         posexplode(col("sxx")).as(Seq("p", "sxx")))
       .select(

@@ -10,7 +10,7 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession
+    val s = SessionDefaults.applyTo(SparkSession
       .builder()
       .master("local[4]")
       .appName("graft-test")
@@ -18,7 +18,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -13,21 +13,31 @@ import java.util.concurrent.atomic.AtomicLong
   * memory-pressure noise on a shared box, not a plan property.
   *
   *   Test/runMain graft.SpillProbe /root/repo/testdata_sf10 q_curation 3
+  *
+  * Trailing `key=value` args become session conf overrides — e.g. pass
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold=128` to
+  * replay the pre-round-13 sort-fallback behavior against the now-
+  * default raised threshold (SessionDefaults, applied here exactly as
+  * in the bench sessions).
   */
 object SpillProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/testdata_sf10")
     val query = args.lift(1).getOrElse("q_curation")
     val n = args.lift(2).map(_.toInt).getOrElse(3)
+    val overrides = args.drop(3).filter(_.contains("="))
+      .map { a => val Array(k, v) = a.split("=", 2); k -> v }
     val runs = (1 to n).map { i =>
-      val spark = org.apache.spark.sql.SparkSession.builder()
+      val b = org.apache.spark.sql.SparkSession.builder()
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", 32)
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+      SessionDefaults.applyTo(b)
+      overrides.foreach { case (k, v) => b.config(k, v) }
+      val spark = b.getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       val memSpill = new AtomicLong; val diskSpill = new AtomicLong
       val gc = new AtomicLong; val shRead = new AtomicLong; val shWrite = new AtomicLong
