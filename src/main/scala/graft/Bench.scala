@@ -130,14 +130,74 @@ object Bench {
     */
   val CanaryIters: Long = 1200000000L
   @volatile private var canarySink: Long = 0L // defeat dead-code elimination
-  def hostCanarySec(): Double = {
-    val t0 = System.nanoTime()
-    var x = 0x9E3779B97F4A7C15L
+  private def canaryWork(seed: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L + seed
     var i = 0L
     while (i < CanaryIters) {
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x += i; i += 1
     }
-    canarySink = x
+    x
+  }
+  def hostCanarySec(): Double = {
+    val t0 = System.nanoTime()
+    canarySink = canaryWork(0L)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The multi-core companion: every available core runs the same fixed
+    * work concurrently and the WALL time is recorded. A CPU-quota'd or
+    * SMT-oversubscribed host can pass the single-thread canary while
+    * throttling exactly the 32-way parallelism the bench runs with —
+    * measured on the round-13 box: single 2.6 s but 32-thread wall
+    * 4.1 s (~64% parallel efficiency, the SMT-pair baseline for this
+    * VM shape). A section whose queries rise while `*_mt` holds its
+    * floor is the plans; `*_mt` rising with constant probes is the host.
+    */
+  def hostCanaryMtSec(threads: Int = Runtime.getRuntime.availableProcessors()): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { k =>
+      val t = new Thread(() => { canarySink = canaryWork(k.toLong) })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The memory-latency canary: a fixed 8M-hop pointer chase over a
+    * 128 MB single-cycle permutation (Sattolo shuffle, deterministic
+    * seed) — every hop is a dependent random DRAM access, so the wall
+    * time is pure memory/TLB latency, the one axis the register-only
+    * xorshift canaries cannot see. This is the axis that matters for
+    * the round-12 failure signature: tracing GC, Catalyst planning and
+    * codegen are all pointer chasing, so a hypervisor-degraded memory
+    * subsystem inflates GC wall and per-query driver time uniformly
+    * while task shuffle volumes stay constant and the CPU canary reads
+    * healthy — measured on the round-13 box: 267 ns/hop (2.1-2.3 s for
+    * the 8M hops) while the CPU canary held its 2.7 s floor during a
+    * section that ran 1.8× its round-12 pre-break wall. The ring is
+    * built once (lazily, ~2 s, outside any timed region) and reused.
+    */
+  val ChaseHops: Long = 8L * 1024 * 1024
+  private lazy val chaseRing: Array[Int] = {
+    val n = 32 * 1024 * 1024
+    val next = Array.tabulate(n)(identity)
+    var seed = 0x9E3779B97F4A7C15L
+    var i = n - 1
+    while (i > 0) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      val j = java.lang.Math.floorMod(seed, i).toInt
+      val t = next(i); next(i) = next(j); next(j) = t
+      i -= 1
+    }
+    next
+  }
+  def hostCanaryChaseSec(): Double = {
+    val ring = chaseRing
+    val t0 = System.nanoTime()
+    var p = 0
+    var i = 0L
+    while (i < ChaseHops) { p = ring(p); i += 1 }
+    canarySink = p.toLong
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -393,11 +453,20 @@ object Bench {
     val samples = mutable.LinkedHashMap.empty[String, Vector[QRes]]
     val skipped = mutable.LinkedHashMap.empty[String, String]
     /** Host-canary samples keyed by position ("start", or the query name
-      * the measurement immediately precedes); repeats accumulate.
+      * the measurement immediately precedes); repeats accumulate. With
+      * `mt = true` (section boundaries) the all-cores wall lands under
+      * "<label>_mt" next to the single-thread number.
       */
     val canaries = mutable.LinkedHashMap.empty[String, Vector[Double]]
-    def addCanary(label: String): Unit =
+    def addCanary(label: String, mt: Boolean = false): Unit = {
       canaries(label) = canaries.getOrElse(label, Vector.empty) :+ hostCanarySec()
+      if (mt) {
+        canaries(label + "_mt") =
+          canaries.getOrElse(label + "_mt", Vector.empty) :+ hostCanaryMtSec()
+        canaries(label + "_chase") =
+          canaries.getOrElse(label + "_chase", Vector.empty) :+ hostCanaryChaseSec()
+      }
+    }
     def add(r: QRes): Unit =
       samples(r.name) = samples.getOrElse(r.name, Vector.empty) :+ r
     /** Upper median over the samples (exact middle for odd counts — the
@@ -476,9 +545,9 @@ object Bench {
     def perQueryJson(): String = {
       val (a0, a1, aCp, a10, a100, aM) =
         (acc("sf"), acc("sf1"), acc("checkpoint"), acc("sf10"), acc("sf100"), acc("main_sf10"))
-      s"""{"metric":"per_query","queries":${timesJson(a0.summary)},"errors":${errsJson(a0.summary)},"rows":${rowsJson(a0.summary)},"sf":"$sfDir","canary":${canariesJson(a0)}""" +
-        s""","sf1_queries":${timesJson(a1.summary)},"sf1_errors":${errsJson(a1.summary)},"sf1_rows":${rowsJson(a1.summary)},"sf1_dir":"${a1.dir}","sf1_canary":${canariesJson(a1)}""" +
-        s""","checkpoint_queries":${timesJson(aCp.summary)},"checkpoint_errors":${errsJson(aCp.summary)},"checkpoint_canary":${canariesJson(aCp)}""" +
+      s"""{"metric":"per_query","queries":${timesJson(a0.summary)},"errors":${errsJson(a0.summary)},"rows":${rowsJson(a0.summary)},"sf":"$sfDir","canary":${canariesJson(a0)},"probe":${probesJson(a0)}""" +
+        s""","sf1_queries":${timesJson(a1.summary)},"sf1_errors":${errsJson(a1.summary)},"sf1_rows":${rowsJson(a1.summary)},"sf1_dir":"${a1.dir}","sf1_canary":${canariesJson(a1)},"sf1_probe":${probesJson(a1)}""" +
+        s""","checkpoint_queries":${timesJson(aCp.summary)},"checkpoint_errors":${errsJson(aCp.summary)},"checkpoint_canary":${canariesJson(aCp)},"checkpoint_probe":${probesJson(aCp)}""" +
         s""","sf10_queries":${timesJson(a10.summary)},"sf10_errors":${errsJson(a10.summary)},"sf10_rows":${rowsJson(a10.summary)},"sf10_dir":"${a10.dir}"""" +
         s""","sf10_samples":${samplesJson(a10)},"sf10_probe":${probesJson(a10)},"sf10_canary":${canariesJson(a10)}""" +
         s""","sf100_queries":${timesJson(a100.summary)},"sf100_errors":${errsJson(a100.summary)},"sf100_rows":${rowsJson(a100.summary)},"sf100_dir":"${a100.dir}"""" +
@@ -541,11 +610,11 @@ object Bench {
     // ---------------- pass 1: coverage — one sample per query, every section
     if (wantSection("sf")) {
       val a = acc("sf"); a.dir = sfDir
-      a.addCanary("start")
+      a.addCanary("start", mt = true)
       runSection(sfDir, only, cpus,
         onResult = record(a),
         shouldStop = () => remaining < 30)
-      a.addCanary("end")
+      a.addCanary("end", mt = true)
       val intended = SparkEntry.queries.keySet.filter(n => only.forall(_.contains(n)))
       (intended -- a.samples.keySet).toSeq.sorted
         .foreach(n => a.skipped(n) = "time budget")
@@ -562,7 +631,7 @@ object Bench {
     def coveragePass(tag: String, dir: String, names: Seq[String], reserve: Double,
         extraConf: Map[String, String] = Map.empty): Unit = {
       val a = acc(tag); a.dir = dir
-      a.addCanary("start")
+      a.addCanary("start", mt = true)
       // per-sample canaries only in the scaled sections whose risers get
       // adjudicated round-over-round; ~2 s each would cost the 48-query
       // sf1 pass ~1.5 min of budget for queries nobody disputes

@@ -144,8 +144,14 @@ class Round13FixSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
-  test("host canary: fixed work, plausible wall time") {
-    val sec = Bench.hostCanarySec()
-    assert(sec > 0.05 && sec < 60.0, s"canary read $sec s — not a plausible fixed-work time")
+  test("host canary: fixed work, plausible wall time, all three axes") {
+    val cpu = Bench.hostCanarySec()
+    assert(cpu > 0.05 && cpu < 60.0, s"CPU canary read $cpu s — not a plausible fixed-work time")
+    val chase = Bench.hostCanaryChaseSec()
+    assert(chase > 0.05 && chase < 120.0, s"chase canary read $chase s")
+    // the chase must actually be memory-bound: ns/hop beyond any
+    // in-cache latency (an accidental cache-resident ring would read <5)
+    val nsPerHop = chase * 1e9 / Bench.ChaseHops
+    assert(nsPerHop > 20.0, f"chase read $nsPerHop%.0f ns/hop — ring not DRAM-resident?")
   }
 }
