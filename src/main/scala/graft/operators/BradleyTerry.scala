@@ -31,7 +31,14 @@ import org.apache.spark.sql.functions._
   * frame and the (≤ items²)-sized symmetric game frame, both pinned;
   * each MM step is two broadcast (item-frame) joins + one
   * map-side-combined groupBy over the game frame + a one-row rescale —
-  * the comparison stream is never rescanned.
+  * the comparison stream is never rescanned. The per-step item frame is
+  * PINNED: θ feeds the next step twice (both join sides) and the raw
+  * frame feeds both the rescale aggregate and the output select, so an
+  * unpinned chain grows the logical plan ~4^iters (Spark does not dedup
+  * common subplans — at iters=3 that executed up to 64 redundant
+  * join+aggregate passes; measured q_bradley_terry 4.7 s at sf0.1).
+  * Pinning cuts the lineage so each step's plan is constant-size and
+  * its joins run once.
   *
   * Output: (item, n_wins, n_games, theta).
   */
@@ -78,6 +85,7 @@ object BradleyTerry {
         .select(col("item"),
           when(col("__den") > 0, col("n_wins").cast("double") / col("__den"))
             .otherwise(lit(0.0)).as("__raw"))
+        .pin() // consumed twice (rescale agg + select) and twice again next step
       val scale = raw.agg(
         (count(lit(1)).cast("double") / dsum(r6(col("__raw")))).as("__k"))
       raw

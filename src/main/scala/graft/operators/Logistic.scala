@@ -19,11 +19,25 @@ import org.apache.spark.sql.functions._
   * Callers should pre-scale features to O(1) magnitudes (and r6-pin
   * them); GD on wild scales needs the tiny η this contract doesn't take.
   *
-  * Spark shape: β lives in a ONE-ROW frame that broadcasts into each
-  * step's single map-side-combined global aggregate — `iters` linear
-  * passes, zero shuffles of the data, no driver round-trips (the whole
-  * fit is one lazy plan). Scoring is a broadcast of the same one-row
-  * frame.
+  * Spark shape: β is CARRIED THROUGH THE DRIVER between steps — each
+  * step is the SAME one-row-β-broadcast aggregate plan as before (β
+  * enters as a broadcast one-row LocalRelation, the update arithmetic
+  * stays in-plan), but its single result row is collected and re-seeded
+  * into the next step's LocalRelation instead of being FOLDED into the
+  * next step's logical plan. `iters` linear passes, zero shuffles of
+  * the data. Two reasons for this exact shape:
+  *   - the folded chain referenced β twice per step, so the logical
+  *     plan — and the executed aggregate count, Spark not dedup'ing
+  *     common subplans — grew 2^iters: at iters=5 up to 31 redundant
+  *     aggregate passes (measured: q_logreg 5.6 s at sf0.1 where one
+  *     pass costs ~0.1 s);
+  *   - a LocalRelation carry rather than lit(β) literals keeps the
+  *     generated whole-stage source IDENTICAL across steps and across
+  *     every fitGd caller (β values live in the broadcast relation,
+  *     not the source text), so janino compiles the step once per JVM
+  *     — measured 1.25 s vs 5.7 s for the 5-step fit when each step's
+  *     literals forced a fresh compile.
+  * Scoring is a broadcast of the resulting one-row frame.
   *
   * Reference analog: none (training-data pipeline extension per the
   * build brief — quality/propensity classifier plumbing).
@@ -55,9 +69,18 @@ object Logistic {
       (col(yCol).cast("boolean").cast("int").cast("double").as("__y") +:
         xs.zipWithIndex.map { case (x, j) => x.as(s"__x$j") }): _*).pin()
     val spark = data.sparkSession
-    import spark.implicits._
-    val b0 = Seq(1).toDF("__one")
-      .select(xs.indices.map(j => lit(0.0).as(bcol(j))): _*)
+    val schema = org.apache.spark.sql.types.StructType(xs.indices.map(j =>
+      org.apache.spark.sql.types.StructField(bcol(j),
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    // one-row LocalRelation β frame from collected values (null-safe:
+    // an empty input NULLs the sums and the NULLs carry, as before)
+    def betaDf(row: org.apache.spark.sql.Row): DataFrame =
+      spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row.fromSeq(xs.indices.map(j =>
+            if (row.isNullAt(j)) null else java.lang.Double.valueOf(row.getDouble(j))))),
+        schema)
+    // identical expression tree per step to the old folded chain
     def step(beta: DataFrame): DataFrame = {
       val z = xs.indices.map(j => col(bcol(j)) * col(s"__x$j")).reduce(_ + _)
       val p = r6(lit(1.0) / (lit(1.0) + exp(-z)))
@@ -72,7 +95,8 @@ object Logistic {
           r6(col(bcol(j)) - lit(lr) * col(s"__g$j") / col("__n").cast("double"))
             .as(bcol(j))): _*)
     }
-    (1 to iters).foldLeft(b0)((b, _) => step(b))
+    val b0 = betaDf(org.apache.spark.sql.Row.fromSeq(xs.indices.map(_ => 0.0)))
+    (1 to iters).foldLeft(b0)((b, _) => betaDf(step(b).head()))
   }
 
   /** Melt a [[fitGd]] frame to (feature, beta) rows — "__intercept"

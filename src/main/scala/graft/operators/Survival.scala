@@ -475,9 +475,16 @@ object Survival {
     * upstream); each Newton step is one map-side-combined groupBy(day)
     * over it plus windows on the DAY-granularity frame — bounded by the
     * observation horizon, the [[kaplanMeier]] global-window contract —
-    * and a one-row (U, I, β) frame that broadcasts into the next step.
-    * `iters` steps = `iters`+1 linear passes, zero subject-frame
-    * shuffles beyond the day groupBy.
+    * collected to ONE (U, I, ll) row whose β update runs driver-side
+    * via [[graft.functions.Portable.r6d]] (bit-identical to the in-plan
+    * rounding) and re-enters the next step as a literal. `iters` steps
+    * = `iters`+1 linear passes, zero subject-frame shuffles beyond the
+    * day groupBy. The previous shape (β in a one-row frame folded into
+    * the next step's plan) referenced β THREE times per step, so the
+    * logical plan — and the executed aggregate count, Spark not
+    * dedup'ing common subplans — grew 3^(iters+1): at iters=4 that was
+    * up to ~3⁵ redundant day-aggregate+window passes (measured: q_cox
+    * 10.3 s at sf0.1 where one pass costs ~0.3 s).
     *
     * Output is ONE row: (n, n_events, beta, hr, se, loglik) where
     * hr = r6(e^β), se = r6(1/√I) at the final β, and loglik is the
@@ -505,7 +512,12 @@ object Survival {
       col(xCol).cast("double").as("__x")).pin()
     val byT = Window.orderBy(col("__t"))
     val riskFrame = byT.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    // one Newton step: (one-row β frame) -> (one-row β' frame w/ U, I).
+    // one Newton step: (one-row β frame) -> (one-row β' frame w/ U, I),
+    // collected and re-seeded as a LocalRelation between steps (same
+    // discipline as [[graft.operators.Logistic.fitGd]]: β values live
+    // in the broadcast relation so every step compiles to the same
+    // whole-stage source, and the collected carry keeps the plan
+    // constant-size instead of folding 3 references per step).
     // The β-independent event stats (d, sx) ride the SAME day groupBy as
     // the β-weighted moments — recomputing two cheap aggregates beats a
     // per-step join against a separate evDay frame.
@@ -546,11 +558,33 @@ object Survival {
           col("__u"), col("__i"), col("__ll"), col("__bprev"))
     }
     val spark = subjects.sparkSession
-    import spark.implicits._
-    val b0 = Seq(0.0).toDF("__beta")
-    val fitted = (1 to iters).foldLeft(b0)((b, _) => step(b))
+    val betaSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__beta",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    def betaDf(b: Double): DataFrame =
+      spark.createDataFrame(
+        java.util.Collections.singletonList(org.apache.spark.sql.Row(b)), betaSchema)
+    var fittedB = 0.0
+    var it = 0
+    while (it < iters) {
+      fittedB = step(betaDf(fittedB)).head().getDouble(0)
+      it += 1
+    }
     // one extra evaluation AT the final β for (U, I, loglik) reporting
-    val finalEval = step(fitted)
+    val finalRow = step(betaDf(fittedB)).head()
+    val finalEval = spark.createDataFrame(
+      java.util.Collections.singletonList(finalRow),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__beta",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("__u",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("__i",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("__ll",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("__bprev",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
     val counts = subj.agg(
       count(lit(1)).as("n"),
       count(when(col("__obs"), lit(1))).as("n_events"))
