@@ -35,17 +35,19 @@ object Opq {
   private def identity(dim: Int): IndexedSeq[IndexedSeq[Double]] =
     IndexedSeq.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
 
-  /** y = x·R as a literal mat-vec projection (codegen-friendly: no UDF,
-    * no join; the matrix rides the plan as a nested array literal).
+  /** y = x·R as a literal mat-vec projection — the native
+    * [[graft.functions.MatOps.matVec]] kernel (no UDF, no join; the
+    * matrix rides the plan as a task-local reference object). Replaces
+    * the interpreted `transform(sequence, aggregate(zip_with))` fold,
+    * whose O(dim²) per-row lambda dispatch dominated the OPQ encode
+    * path (guide §4); accumulation order and null semantics are
+    * bit-identical.
     */
   def rotateColumn(vec: Column, rotation: IndexedSeq[IndexedSeq[Double]]): Column = {
     val dim = rotation.length
-    val rLit = typedlit(rotation.map(_.toSeq).toSeq)
-    val x = vec.cast("array<double>")
-    transform(sequence(lit(0), lit(dim - 1)), j =>
-      aggregate(
-        zip_with(x, rLit, (xi, row) => xi * element_at(row, j + 1)),
-        lit(0.0), (acc, v) => acc + v))
+    // MatOps.matVec takes output-major weights: cols(j)(i) = R[i][j]
+    val cols = Array.tabulate(dim, dim)((j, i) => rotation(i)(j))
+    graft.functions.MatOps.matVec(vec.cast("array<double>"), cols)
   }
 
   /** Orthogonal Procrustes: the R maximizing tr(Rᵀ·M) over orthonormal

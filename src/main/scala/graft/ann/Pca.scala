@@ -50,7 +50,11 @@ object Pca {
     val x = col(vecCol).cast("array<double>")
     // row-local flattened outer product x⊗x (d² array), then ONE
     // map-side-partial VectorSum pass for all moments together
-    val outer = flatten(transform(x, xi => transform(x, xj => xi * xj)))
+    // native x⊗x kernel (graft.functions.OuterFlat): same row-major
+    // layout and per-position null semantics as the composable
+    // flatten(transform(transform)) form, without its O(d²) interpreted
+    // lambda dispatch per row (guide §4)
+    val outer = graft.functions.MatOps.outerFlat(x)
     val row = vectors
       .filter(col(vecCol).isNotNull)
       .agg(
@@ -98,7 +102,11 @@ object Pca {
     */
   def covarianceFrame(vectors: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val x = col(vecCol).cast("array<double>")
-    val outer = flatten(transform(x, xi => transform(x, xj => xi * xj)))
+    // native x⊗x kernel (graft.functions.OuterFlat): same row-major
+    // layout and per-position null semantics as the composable
+    // flatten(transform(transform)) form, without its O(d²) interpreted
+    // lambda dispatch per row (guide §4)
+    val outer = graft.functions.MatOps.outerFlat(x)
     vectors
       .filter(col(vecCol).isNotNull)
       .agg(

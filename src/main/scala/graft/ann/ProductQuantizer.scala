@@ -107,25 +107,15 @@ object ProductQuantizer {
     * against the literal centroid array — a pure projection (no join,
     * no shuffle).
     */
-  def codesColumn(model: Model, vec: Column): Column = {
-    val cents = centroidLit(model)
-    transform(
-      subVectors(vec, model.numBlocks, model.blockDim),
-      s => {
-        val tables = element_at(cents, s.getField("blk") + 1)
-        // argmin over k centroids: fold (bestDist, bestCid) through the table
-        val folded = aggregate(
-          sequence(lit(0), lit(model.k - 1)),
-          struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
-          (acc, i) => {
-            val d = KMeans.sqDist(s.getField("sub"), element_at(tables, i + 1))
-            when(d < acc.getField("d"), struct(d.as("d"), i.cast("int").as("c"))).otherwise(acc)
-          }
-        )
-        folded.getField("c")
-      }
-    )
-  }
+  def codesColumn(model: Model, vec: Column): Column =
+    // native per-block argmin (graft.functions.PqCodes) — replaces the
+    // interpreted slice + aggregate-over-sequence fold whose per-row
+    // struct boxing dominated the encode path (guide §4); candidate
+    // order, strict-< tie handling and the -1 no-winner convention are
+    // bit-identical to the composable form
+    graft.functions.MatOps.pqCodes(
+      vec.cast("array<double>"),
+      model.centroids.map(_.map(_.toArray).toArray).toArray)
 
   /** Reconstruction ŷ from PQ codes: concatenation of each block's
     * centroid — again a pure literal-lookup projection.
