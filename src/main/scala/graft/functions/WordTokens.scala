@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native lowercase word tokenizer — the codegen twin of
+  * `filter(split(lower(text), "[^a-z]+"), t => t =!= "")`, the single
+  * most-shared text kernel in the library (~80 call sites: token counts,
+  * TF-IDF, vocabulary fits, language ID, the curation chain).
+  *
+  * Equivalence argument: `split` on `[^a-z]+` partitions the lowercased
+  * string and the filter drops the empty fields, so the result is
+  * exactly the maximal runs of [a-z] — which this expression extracts in
+  * one byte scan. Lowercasing goes through the SAME
+  * `UTF8String.toLowerCase` the built-in `lower` uses (full Unicode,
+  * length may change), and a-z are single-byte UTF-8 values that cannot
+  * occur inside a multi-byte sequence (continuation bytes are ≥ 0x80),
+  * so the byte scan finds the same runs the code-point regex does. The
+  * composable form's regex engine and per-token interpreted filter
+  * lambda were the dominant per-row cost of every tokenizing query
+  * (guide §4).
+  */
+case class WordTokens(child: Expression) extends UnaryExpression {
+
+  // split() declares non-null elements and filter() preserves that
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_word_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordTokens.tokenize(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = graft.functions.WordTokens.tokenize($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordTokens =
+    copy(child = newChild)
+}
+
+object WordTokens {
+
+  /** One-pass run extraction over the lowercased bytes. */
+  def tokenize(s: UTF8String): GenericArrayData = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[UTF8String](16)
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (b >= 'a' && b <= 'z') {
+        val start = i
+        i += 1
+        while (i < n && bytes(i) >= 'a' && bytes(i) <= 'z') i += 1
+        out.add(UTF8String.fromBytes(bytes, start, i - start))
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def wordTokens(text: Column): Column =
+    ExpressionUtils.column(WordTokens(ExpressionUtils.expression(text)))
+}

@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercase word tokens: split on non-letter runs, dropping empties. */
+  /** Lowercase word tokens: split on non-letter runs, dropping empties.
+    * Native one-pass kernel ([[graft.functions.WordTokens]]); token-array
+    * parity with the previous `filter(split(lower(text), "[^a-z]+"),
+    * _ =!= "")` form is pinned by WordTokensSpec (guide §4: the regex
+    * engine + interpreted filter lambda dominated every tokenizing
+    * query's per-row cost).
+    */
   def wordTokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+    graft.functions.WordTokens.wordTokens(text)
 
   /** Tiny per-language stopword lists for the n-gram/stopword-hit
     * language-ID heuristic. Deliberately small: language ID at corpus scale
