@@ -53,6 +53,60 @@ case class WordTokens(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native set-membership array filter — the codegen twin of
+  * `filter(tokens, t => t.isInCollection(words))` for the stopword-hit
+  * counters behind language ID and quality features (5 interpreted
+  * lambda filters per row in langId alone). Same semantics: NULL array
+  * → NULL; NULL elements dropped (a NULL predicate is not true);
+  * element order preserved; duplicates kept.
+  */
+case class FilterInSet(child: Expression, words: Array[String])
+    extends UnaryExpression {
+
+  private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_filter_in_set"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    val out = new java.util.ArrayList[UTF8String](math.min(n, 16))
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val t = a.getUTF8String(i)
+        if (set.contains(t)) out.add(t)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val expr = ctx.addReferenceObj("filterInSetExpr", this, classOf[FilterInSet].getName)
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $expr.nullSafeEval($a);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FilterInSet =
+    copy(child = newChild)
+}
+
 object WordTokens {
 
   /** One-pass run extraction over the lowercased bytes. */
@@ -76,4 +130,7 @@ object WordTokens {
 
   def wordTokens(text: Column): Column =
     ExpressionUtils.column(WordTokens(ExpressionUtils.expression(text)))
+
+  def filterInSet(tokens: Column, words: Seq[String]): Column =
+    ExpressionUtils.column(FilterInSet(ExpressionUtils.expression(tokens), words.toArray))
 }

@@ -448,16 +448,20 @@ object Graph {
       .pin(true)
     var labels = nbrs.select(col("node")).distinct()
       .select(col("node"), col("node").as("community"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("__c").desc, col("__lbl").asc)
     for (_ <- 1 to iterations) {
+      // majority pick as a hash-aggregate struct-min instead of a
+      // row_number window: min((-count, label)) IS (max count, tie min
+      // label) — the same winner the (__c desc, __lbl asc) window chose,
+      // without the per-round partition SORT a WindowExec needs, and
+      // with map-side partial aggregation shrinking the exchange
+      // (guide §2.2)
       labels = nbrs
         .join(labels.select(col("node").as("nb"), col("community").as("__lbl")), "nb")
         .groupBy(col("node"), col("__lbl"))
         .agg(count(lit(1)).as("__c"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("node"), col("__lbl").as("community"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("__c")).as("__nc"), col("__lbl"))).as("__w"))
+        .select(col("node"), col("__w.__lbl").as("community"))
     }
     labels
   }

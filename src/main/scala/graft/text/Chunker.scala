@@ -34,7 +34,7 @@ object Chunker {
       "need 0 <= overlapTokens < chunkTokens")
     val stride = chunkTokens - overlapTokens
     docs
-      .withColumn("__ts", expr(s"filter(split(lower($textCol), '[^a-z]+'), x -> x != '')"))
+      .withColumn("__ts", graft.text.TextFunctions.wordTokens(col(textCol))) // native kernel
       .withColumn("__len", size(col("__ts")).cast("long"))
       .filter(col("__len") > 0)
       .withColumn("__nchunks",

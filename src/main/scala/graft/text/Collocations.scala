@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object Collocations {
 
   private def tokArray(textCol: String) =
-    expr(s"filter(split(lower($textCol), '[^a-z]+'), x -> x != '')")
+    graft.text.TextFunctions.wordTokens(col(textCol)) // native kernel, same fields
 
   /** (a, b, c_ab, pmi) for bigrams seen ≥ `minCount` times. The PMI
     * arithmetic is ordered deterministically (counts are exact longs;

@@ -39,7 +39,7 @@ object InvertedIndex {
     val tf = docs
       .select(
         col(idCol).as("doc_id"),
-        explode(expr(s"filter(split(lower($textCol), '[^a-z]+'), x -> x != '')")).as("term"))
+        explode(graft.text.TextFunctions.wordTokens(col(textCol))).as("term")) // native kernel
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
     val byTerm = Window.partitionBy("term")

@@ -33,9 +33,13 @@ object TextFunctions {
     "zh" -> Seq("de", "shi", "bu", "le", "wo", "you", "zai", "ta", "men", "zhe")
   )
 
-  /** Count of tokens that appear in `words`. */
+  /** Count of tokens that appear in `words`. Native set filter
+    * ([[graft.functions.FilterInSet]]) under the unchanged `size` — the
+    * interpreted per-token lambda ran 5× per row in [[langId]];
+    * WordTokensSpec pins parity.
+    */
   def stopwordHits(tokens: Column, words: Seq[String]): Column =
-    size(filter(tokens, t => t.isInCollection(words)))
+    size(graft.functions.WordTokens.filterInSet(tokens, words))
 
   /** Language-ID: argmax over per-language stopword hit counts; ties and
     * zero-hit docs resolve to "und" (undetermined). Deterministic: on equal
@@ -183,7 +187,7 @@ object TextFunctions {
     */
   def sentenceStats(text: Column): Column = {
     val sents = filter(transform(split(text, "[.!?]+"), s => trim(s)), s => s =!= "")
-    val wps = transform(sents, s => size(filter(split(lower(s), "[^a-z]+"), t => t =!= "")))
+    val wps = transform(sents, s => size(wordTokens(s))) // native kernel, same fields
     val nSent = size(sents).cast("long")
     // NULL text => NULL sents => the aggregate yields NULL; coalesce to 0 so
     // n_words means "words counted" in every engine (DuckDB's list_sum needs

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object WordVocab {
 
   private def toks(textCol: String) =
-    expr(s"filter(split(lower($textCol), '[^a-z]+'), x -> x != '')")
+    graft.text.TextFunctions.wordTokens(col(textCol)) // native kernel, same fields
 
   /** (word, n, word_id): ids 1..maxSize by (count desc, word asc); 0 is
     * reserved for OOV.

@@ -43,6 +43,30 @@ class WordTokensSpec extends SparkSpec {
     assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
   }
 
+  test("filterInSet matches the interpreted isInCollection filter") {
+    val words = Seq("the", "and", "of", "la", "de")
+    val docs = Seq(
+      "the cat and the dog of de la",
+      "no stopwords here at all",
+      ""
+    ).toDF("text")
+    val toks = graft.text.TextFunctions.wordTokens(col("text"))
+    val both = docs.select(
+      graft.functions.WordTokens.filterInSet(toks, words).as("native"),
+      filter(toks, t => t.isInCollection(words)).as("hof"))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
+    // null array and null elements
+    val edge = spark.sql(
+      "SELECT CAST(NULL AS array<string>) AS a UNION ALL SELECT array('the', NULL, 'x')")
+    val both2 = edge.select(
+      graft.functions.WordTokens.filterInSet(col("a"), words).as("native"),
+      filter(col("a"), t => t.isInCollection(words)).as("hof"))
+    assert(both2.filter(not(col("native") <=> col("hof"))).count() == 0)
+    val sN = edge.select(graft.functions.WordTokens.filterInSet(col("a"), words)).schema.head.dataType
+    val sH = edge.select(filter(col("a"), t => t.isInCollection(words))).schema.head.dataType
+    assert(sN == sH)
+  }
+
   test("null text yields null, and schemas agree") {
     val docs = spark.sql("SELECT CAST(NULL AS STRING) AS text")
     val r = docs.select(graft.text.TextFunctions.wordTokens(col("text"))).collect()(0)
