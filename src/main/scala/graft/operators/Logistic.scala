@@ -186,6 +186,14 @@ object Logistic {
     require(clip >= 0 && clip < 0.5, s"clip must be in [0, 0.5), got $clip")
     val r6 = Portable.r6 _
     def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    // two full passes read `scored` (the outcome-model aggregate and the
+    // contribution aggregate); pin the four needed columns once so the
+    // caller's upstream plan (typically a scored+tokenized corpus) runs
+    // once, not twice (guide §2.1: don't recompute what two consumers
+    // share)
+    import graft.plans.Materialize.PinOps
+    val scoredP = scored
+      .select(col(yCol), col(treatCol), col(propCol), col(xCol)).pin(false)
     val t = col(treatCol).cast("boolean")
     val y = col(yCol).cast("double")
     val x = col(xCol).cast("double")
@@ -203,14 +211,14 @@ object Logistic {
         b.as(s"__b$tag"))
     }
     val modelCols = armOls(t, "1") ++ armOls(!t, "0")
-    val model = scored.agg(modelCols.head, modelCols.tail: _*)
+    val model = scoredP.agg(modelCols.head, modelCols.tail: _*)
     val p = r6(least(greatest(col(propCol), lit(clip)), lit(1.0 - clip)))
     val mu1 = col("__a1") + col("__b1") * x
     val mu0 = col("__a0") + col("__b0") * x
     val contrib = r6(mu1 - mu0 +
       when(t, (y - mu1) / p).otherwise(lit(0.0)) -
       when(!t, (y - mu0) / (lit(1.0) - p)).otherwise(lit(0.0)))
-    scored
+    scoredP
       .crossJoin(broadcast(model)) // one-row model frame: lint-exempt
       .agg(
         first(col("__n1")).as("n_treated"),
