@@ -57,8 +57,13 @@ object BradleyTerry {
       col(winnerCol).cast("string").as("__w"),
       col(loserCol).cast("string").as("__l"))
       .filter(col("__w").isNotNull && col("__l").isNotNull && col("__w") =!= col("__l"))
-    // directed win counts -> symmetric game frame (both orientations)
+    // directed win counts -> symmetric game frame (both orientations);
+    // pinned: consumed by the game frame (twice) AND the item frame, and
+    // each unpinned read re-ran the caller's comparison-producing plan
+    // (measured: the q_bradley_terry doc self-join ran twice, ~1.2 s/pass
+    // at sf0.1)
     val winCounts = pairs.groupBy(col("__w"), col("__l")).agg(count(lit(1)).as("__n"))
+      .pin()
     val games = winCounts.select(col("__w").as("__a"), col("__l").as("__b"), col("__n"))
       .unionByName(winCounts.select(col("__l").as("__a"), col("__w").as("__b"), col("__n")))
       .groupBy(col("__a"), col("__b"))
