@@ -107,6 +107,68 @@ case class FilterInSet(child: Expression, words: Array[String])
     copy(child = newChild)
 }
 
+/** Native ASCII-set character counter — the codegen twin of
+  * `length(regexp_replace(text, "[^<set>]", ""))` (negate = false:
+  * count the codepoints IN the set) and of
+  * `length(regexp_replace(text, "[<set>]", ""))` (negate = true: count
+  * the codepoints NOT in the set). Only valid for sets of ASCII
+  * characters: each is one byte = one codepoint, and those bytes cannot
+  * occur inside multi-byte UTF-8 sequences, so a byte scan counts
+  * exactly the codepoints the regex form keeps. With `lowercase` the
+  * input first passes through the SAME `UTF8String.toLowerCase` the
+  * built-in `lower` uses. NULL text → NULL (the regex form's
+  * propagation).
+  */
+case class AsciiCharCount(
+    child: Expression,
+    chars: Array[Byte],
+    negate: Boolean,
+    lowercase: Boolean) extends UnaryExpression {
+
+  require(chars.forall(b => b >= 0), "AsciiCharCount needs ASCII set members")
+
+  private lazy val inSet: Array[Boolean] = {
+    val m = new Array[Boolean](128)
+    chars.foreach(b => m(b.toInt) = true)
+    m
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ascii_char_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s0 = input.asInstanceOf[UTF8String]
+    val s = if (lowercase) s0.toLowerCase else s0
+    val bytes = s.getBytes
+    var hit = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 0 && inSet(b.toInt)) hit += 1
+      i += 1
+    }
+    if (!negate) hit else s.numChars() - hit
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val expr = ctx.addReferenceObj("asciiCountExpr", this, classOf[AsciiCharCount].getName)
+      s"""
+         |${ev.value} = ((Integer) $expr.nullSafeEval($s)).intValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiCharCount =
+    copy(child = newChild)
+}
+
 object WordTokens {
 
   /** One-pass run extraction over the lowercased bytes. */
@@ -133,4 +195,14 @@ object WordTokens {
 
   def filterInSet(tokens: Column, words: Seq[String]): Column =
     ExpressionUtils.column(FilterInSet(ExpressionUtils.expression(tokens), words.toArray))
+
+  /** Count codepoints of `text` in (negate=false) or not in (negate=true)
+    * the ASCII `chars` set, optionally lowercasing first.
+    */
+  def asciiCharCount(
+      text: Column, chars: String, negate: Boolean = false,
+      lowercase: Boolean = false): Column =
+    ExpressionUtils.column(AsciiCharCount(
+      ExpressionUtils.expression(text),
+      chars.getBytes(java.nio.charset.StandardCharsets.US_ASCII), negate, lowercase))
 }

@@ -76,8 +76,12 @@ object TextFunctions {
     val toks = wordTokens(text)
     val nChars = length(text)
     val nWords = size(toks)
-    val alphaChars = length(regexp_replace(lower(text), "[^a-z]", ""))
-    val punct = length(regexp_replace(text, "[^.!?,;:]", ""))
+    // native byte-scan counters (graft.functions.AsciiCharCount) — each
+    // replaced a full regex-engine pass per row; codepoint counts are
+    // identical (pinned in WordTokensSpec)
+    val alphaChars = graft.functions.WordTokens.asciiCharCount(
+      text, "abcdefghijklmnopqrstuvwxyz", negate = false, lowercase = true)
+    val punct = graft.functions.WordTokens.asciiCharCount(text, ".!?,;:")
     val allStop = Stopwords.flatMap(_._2).distinct
     val stopHits = stopwordHits(toks, allStop)
     struct(
@@ -264,7 +268,8 @@ object TextFunctions {
     val nWords = size(words).cast("long")
     val wDen = greatest(nWords, lit(1L)).cast("double")
     // sum(len(word)) == count of non-whitespace chars: one regexp, no fold
-    val meanWordLen = r6(length(regexp_replace(text, "\\s", "")).cast("double") / wDen)
+    val meanWordLen = r6(graft.functions.WordTokens.asciiCharCount(
+      text, " \t\n\u000b\f\r", negate = true).cast("double") / wDen)
     val symbolRatio = r6((regexp_count(text, lit("#")) +
       regexp_count(text, lit("\\.\\.\\.|…"))).cast("double") / wDen)
     val lines = filter(split(text, "\n"), l => trim(l) =!= "")

@@ -67,6 +67,31 @@ class WordTokensSpec extends SparkSpec {
     assert(sN == sH)
   }
 
+  test("asciiCharCount matches the regex-count forms (alpha, punct, non-ws)") {
+    val docs = Seq(
+      "The quick brown fox!! Jumps; over: 123, dots...",
+      "  \t\n whitespace   soup \r\n",
+      "İstanbul KKelvin straße café 😀 mixed",
+      "",
+      "ALLCAPS AND digits 42"
+    ).toDF("text")
+    val t = col("text")
+    val both = docs.select(
+      graft.functions.WordTokens.asciiCharCount(
+        t, "abcdefghijklmnopqrstuvwxyz", negate = false, lowercase = true).as("na"),
+      length(regexp_replace(lower(t), "[^a-z]", "")).as("ha"),
+      graft.functions.WordTokens.asciiCharCount(t, ".!?,;:").as("np"),
+      length(regexp_replace(t, "[^.!?,;:]", "")).as("hp"),
+      graft.functions.WordTokens.asciiCharCount(t, " \t\n\f\r", negate = true).as("nw"),
+      length(regexp_replace(t, "\\s", "")).as("hw"))
+    assert(both.filter(
+      not(col("na") <=> col("ha")) || not(col("np") <=> col("hp")) ||
+        not(col("nw") <=> col("hw"))).count() == 0)
+    val nullRow = spark.sql("SELECT CAST(NULL AS STRING) AS text").select(
+      graft.functions.WordTokens.asciiCharCount(col("text"), "az")).collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
   test("null text yields null, and schemas agree") {
     val docs = spark.sql("SELECT CAST(NULL AS STRING) AS text")
     val r = docs.select(graft.text.TextFunctions.wordTokens(col("text"))).collect()(0)
