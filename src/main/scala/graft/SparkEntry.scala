@@ -3455,17 +3455,23 @@ object SparkEntry {
     // bounded-hop multi-source BFS over the word-adjacency graph from
     // its lexicographically-first word: the blast-radius primitive
     "q_khop" -> { (s, dir) =>
-      // cached COLUMNAR, not pinned: the seed aggregate plus one
-      // equi-join per hop would otherwise each re-tokenize the corpus
-      // into edges. A localCheckpoint here stores the ~1B-row sf100
-      // edge frame as deserialized on-heap blocks — measured OOM at
-      // the bench's 48g and 1415 s of cumulative GC even at 96g —
-      // while InMemoryRelation's compressed columnar batches
-      // (dictionary-coded word pairs) hold the same frame in a few GB
-      // and spill per-batch. Lineage truncation isn't needed: the hop
-      // loop pins its own frontier/visited frames, and every hop's
-      // reference to `e` is the one cached scan, so the plan stays flat.
-      val e = wordAdjacencyEdges(s, dir)
+      // DISTINCT edges, cached COLUMNAR, not pinned. BFS reachability
+      // only reads the edge SET, so the per-occurrence adjacency rows
+      // (~1B at sf100, one per consecutive token pair) collapse to the
+      // distinct word-pair graph BEFORE the cache: map-side partial
+      // aggregation absorbs the Zipfian duplicate mass in one pass, and
+      // every hop joins the collapsed frame instead of re-scanning a
+      // billion occurrence rows (the 1,000 s cumulative-GC signature at
+      // sf100 was 4 hop-scans of cached per-occurrence strings).
+      // Cached columnar rather than pinned: a localCheckpoint stores
+      // deserialized on-heap blocks — measured OOM at the bench's 48g
+      // and 1415 s of GC even at 96g — while InMemoryRelation's
+      // compressed columnar batches (dictionary-coded word pairs) hold
+      // the frame in a few GB and spill per-batch. Lineage truncation
+      // isn't needed: the hop loop pins its own frontier/visited
+      // frames, and every hop's reference to `e` is the one cached
+      // scan, so the plan stays flat.
+      val e = wordAdjacencyEdges(s, dir).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Graph.kHopDistances(e, e.agg(min(col("src")).as("node")), maxHops = 4)
     },

@@ -47,9 +47,10 @@ object SemDedup {
       .agg(graft.functions.BoundedCollectVectors
         .boundedCollectVectors(col(idCol), col(vecCol), maxClusterSize).as("items"))
       .filter(col("items").isNotNull && size(col("items")) >= 2)
-    // streamed two-stage pair explosion: the one-shot pair array is a
-    // memory cliff with vector payloads (see Pairs.explodeOrderedPairs)
-    graft.functions.Pairs.explodeOrderedPairs(clusters, "items", "a", "b")
+    // streaming pair generator: O(cluster) working memory (the one-shot
+    // pair array is a memory cliff with vector payloads), zero per-pair
+    // slice/struct allocation (see Pairs.pairs)
+    graft.functions.Pairs.pairs(clusters, col("items"), "a", "b")
       .filter(graft.functions.Portable.r6(cosine(col("a.vec"), col("b.vec"))) >= threshold)
       .select(col("b.id").as(idCol))
       .distinct()

@@ -262,9 +262,10 @@ object Similarity {
         .agg(graft.functions.BoundedCollectVectors
           .boundedCollectVectors(col(idCol), col(vecCol), maxCellSize).as("items"))
         .filter(col("items").isNotNull && size(col("items")) >= 2)
-      // streamed two-stage pair explosion: the one-shot pair array is a
-      // memory cliff with vector payloads (see Pairs.explodeOrderedPairs)
-      graft.functions.Pairs.explodeOrderedPairs(cells, "items", "a", "b")
+      // streaming pair generator: O(cell) working memory (the one-shot
+      // pair array is a memory cliff with vector payloads), zero per-pair
+      // slice/struct allocation (see Pairs.pairs)
+      graft.functions.Pairs.pairs(cells, col("items"), "a", "b")
         .select(
           col("a.id").as("id_a"),
           col("b.id").as("id_b"),

@@ -135,12 +135,6 @@ object Dedup {
     (98317L, 295075147L)
   )
 
-  /** All ordered index pairs from a SORTED id array: (ids(i), ids(j)) for
-    * i < j — so `ia < ib` by construction ([[graft.functions.Pairs]]).
-    */
-  private def combinationPairs(ids: Column): Column =
-    graft.functions.Pairs.orderedPairs(ids, "ia", "ib")
-
   /** Bits reserved for the per-doc shingle count when (id, n_sh) rides one
     * long through the bucket aggregation: ids < 2^36 (68 billion docs),
     * counts < 2^27 (134M shingles/doc). Violations raise, never corrupt.
@@ -174,8 +168,11 @@ object Dedup {
       n: Int,
       idCol: String,
       textCol: String,
-      maxDocFreq: Long
+      maxDocFreq: Long,
+      minSizeRatio: Double = 0.0
   ): DataFrame = {
+    require(minSizeRatio >= 0.0 && minSizeRatio <= 1.0,
+      s"minSizeRatio must be in [0,1], got $minSizeRatio")
     // per-doc distinct shingle hashes as ONE row-local array (native
     // ShingleHashes + array_distinct): the shingle count is just size(),
     // so the pack needs neither the old id-partitioned count window nor
@@ -199,9 +196,30 @@ object Dedup {
       .agg(graft.functions.BoundedCollectLongs.boundedCollect(col("pid"), maxDocFreq.toInt).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
     val mask = (1L << PackShift) - 1
-    buckets
-      .select(explode(combinationPairs(col("ids"))).as("p"))
-      .groupBy(col("p.ia").as("pa"), col("p.ib").as("pb"))
+    // in-bucket pair explosion through the streaming generator: the
+    // interpreted orderedPairs HOF materialized the O(m²) pair array per
+    // bucket and its allocation churn WAS the dedup family's GC bill
+    val rawPairs = graft.functions.Pairs.pairs(buckets, col("ids"), "pa", "pb")
+    // size-ratio prune BEFORE the pair-count exchange: jaccard(a,b) <=
+    // n_min/n_max, so when the caller only keeps jaccard >= t, any pair
+    // with n_min < t*n_max can never pass — dropping it here (map-side,
+    // same stage as the generate) shrinks the groupBy(pa,pb) shuffle.
+    // n rides the packed low bits, so the test is two bit-ands per pair.
+    // minSizeRatio = 0 keeps every pair (the containment path: cont can
+    // reach 1 at ANY size ratio, so no size-based prune is sound there).
+    // DIVISION form, not n_min >= t*n_max: at the binding case
+    // c = n_min the caller's jaccard evaluates the same n_min/n_max
+    // double division, so the boundary rounds identically and no
+    // exactly-at-threshold pair can be pruned by a 1-ulp multiply skew.
+    val pruned =
+      if (minSizeRatio <= 0.0) rawPairs
+      else {
+        val na = col("pa").bitwiseAND(mask).cast("double")
+        val nb = col("pb").bitwiseAND(mask).cast("double")
+        rawPairs.filter(least(na, nb) / greatest(na, nb) >= lit(minSizeRatio))
+      }
+    pruned
+      .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("n_common"))
       .select(
         shiftright(col("pa"), PackShift).as("id_a"),
@@ -219,7 +237,9 @@ object Dedup {
       textCol: String = "text",
       maxDocFreq: Long = 1000
   ): DataFrame =
-    commonShinglePairs(docs, n, idCol, textCol, maxDocFreq)
+    // minSizeRatio = threshold: jaccard <= n_min/n_max, so the pruned
+    // pairs are exactly those that could never pass this filter
+    commonShinglePairs(docs, n, idCol, textCol, maxDocFreq, minSizeRatio = threshold)
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
@@ -698,12 +718,11 @@ object Dedup {
       explode(array((0 until numBands).map(b => struct(lit(b).as("band"), col(s"band_$b").as("sig"))): _*))
         .as("bk")
     ).select(col("id"), col("bk.band"), col("bk.sig"))
-    buckets
+    val capped = buckets
       .groupBy("band", "sig")
       .agg(graft.functions.BoundedCollectLongs.boundedCollect(col("id"), maxBucketSize).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-      .select(explode(combinationPairs(col("ids"))).as("p"))
-      .select(col("p.ia").as("id_a"), col("p.ib").as("id_b"))
+    graft.functions.Pairs.pairs(capped, col("ids"), "id_a", "id_b")
       .distinct()
   }
 
@@ -782,16 +801,16 @@ object Dedup {
         )
       }: _*)).as("b")
     ).select(col("pid"), col("b.blk"), col("b.v"))
-    val sigA = col("p.ia").bitwiseAND(sigMask)
-    val sigB = col("p.ib").bitwiseAND(sigMask)
-    packed
+    val sigA = col("pa").bitwiseAND(sigMask)
+    val sigB = col("pb").bitwiseAND(sigMask)
+    val capped = packed
       .groupBy("blk", "v")
       .agg(graft.functions.BoundedCollectLongs.boundedCollect(col("pid"), maxBucketSize).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-      .select(explode(combinationPairs(col("ids"))).as("p"))
+    graft.functions.Pairs.pairs(capped, col("ids"), "pa", "pb")
       .select(
-        shiftright(col("p.ia"), bits).as("id_a"),
-        shiftright(col("p.ib"), bits).as("id_b"),
+        shiftright(col("pa"), bits).as("id_a"),
+        shiftright(col("pb"), bits).as("id_b"),
         bit_count(sigA.bitwiseXOR(sigB)).as("hamming")
       )
       // hamming filter BEFORE the distinct: most bucket-mates are NOT

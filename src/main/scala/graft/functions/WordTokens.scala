@@ -169,7 +169,92 @@ case class AsciiCharCount(
     copy(child = newChild)
 }
 
+/** Native token counters — the codegen twins of
+  * `size(filter(split(text, "\\s+"), t => t =!= ""))` (bpeish = false:
+  * count of maximal non-whitespace runs) and of
+  * `size(regexp_extract_all(text, "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]", 0))`
+  * (bpeish = true: one count per ASCII-letter run, per ASCII digit, and
+  * per other non-whitespace CODEPOINT — the alternation is left-to-right
+  * maximal, so those are exactly its matches). Both regex passes reduce
+  * to one byte scan: Java's default `\s` is the ASCII set
+  * [ \t\n\x0B\f\r], ASCII bytes cannot occur inside multi-byte UTF-8
+  * sequences, and non-ASCII codepoints count via their single lead byte
+  * ((b & 0xC0) != 0x80). NULL text → NULL.
+  */
+case class AsciiTokenCount(child: Expression, bpeish: Boolean) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ascii_token_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bpeish) WordTokens.bpeishCount(bytes) else WordTokens.wsRunCount(bytes)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val fn = if (bpeish) "bpeishCount" else "wsRunCount"
+      s"""
+         |${ev.value} = graft.functions.WordTokens.$fn($s.getBytes());
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiTokenCount =
+    copy(child = newChild)
+}
+
 object WordTokens {
+
+  private def isAsciiWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** Count of maximal runs of non-whitespace bytes (Java ASCII \s). */
+  def wsRunCount(bytes: Array[Byte]): Int = {
+    var count = 0
+    var inRun = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 0 && isAsciiWs(b)) inRun = false
+      else { if (!inRun) count += 1; inRun = true }
+      i += 1
+    }
+    count
+  }
+
+  /** Count of `[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]` matches: letter runs count
+    * once, digits and other non-ws codepoints count each (non-ASCII via
+    * their lead byte — one per codepoint, like Java's negated class).
+    */
+  def bpeishCount(bytes: Array[Byte]): Int = {
+    var count = 0
+    var inLetters = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 0) {
+        if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) {
+          if (!inLetters) count += 1
+          inLetters = true
+        } else {
+          inLetters = false
+          if (!isAsciiWs(b)) count += 1 // digit or other ASCII glyph
+        }
+      } else {
+        inLetters = false
+        if ((b & 0xc0) != 0x80) count += 1 // lead byte = one codepoint
+      }
+      i += 1
+    }
+    count
+  }
 
   /** One-pass run extraction over the lowercased bytes. */
   def tokenize(s: UTF8String): GenericArrayData = {
@@ -195,6 +280,9 @@ object WordTokens {
 
   def filterInSet(tokens: Column, words: Seq[String]): Column =
     ExpressionUtils.column(FilterInSet(ExpressionUtils.expression(tokens), words.toArray))
+
+  def asciiTokenCount(text: Column, bpeish: Boolean): Column =
+    ExpressionUtils.column(AsciiTokenCount(ExpressionUtils.expression(text), bpeish))
 
   /** Count codepoints of `text` in (negate=false) or not in (negate=true)
     * the ASCII `chars` set, optionally lowercasing first.

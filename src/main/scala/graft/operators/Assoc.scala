@@ -46,9 +46,8 @@ object Assoc {
       .agg(sort_array(collect_set(col("i"))).as("is"))
       .pin(true)
 
-    val pairCounts = sets
-      .select(explode(Pairs.orderedPairs(col("is"), "a", "b")).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    val pairCounts = Pairs.pairs(sets, col("is"), "a", "b")
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minCount)
 

@@ -38,15 +38,17 @@ object FuzzyJoin {
   def candidatePairs(df: DataFrame, nameCol: String, maxTokenDf: Long): DataFrame = {
     require(maxTokenDf > 0, "maxTokenDf must be positive")
     val names = df.select(lower(col(nameCol)).as("name")).filter(col("name") =!= "").distinct()
+    // native one-pass tokenizer ([[graft.functions.WordTokens]]): `name`
+    // is already lowercased, and the kernel's lower() is idempotent, so
+    // the runs it extracts are exactly the old split/filter fields
     val toks = names
-      .select(col("name"), explode(expr("filter(split(name, '[^a-z]+'), x -> x != '')")).as("tk"))
+      .select(col("name"), explode(graft.text.TextFunctions.wordTokens(col("name"))).as("tk"))
       .distinct()
-    toks
+    val capped = toks
       .groupBy("tk")
       .agg(sort_array(collect_list(col("name"))).as("ns"))
       .filter(size(col("ns")).between(2, maxTokenDf))
-      .select(explode(Pairs.orderedPairs(col("ns"), "a_name", "b_name")).as("p"))
-      .select("p.*")
+    Pairs.pairs(capped, col("ns"), "a_name", "b_name")
       .distinct()
   }
 
@@ -154,13 +156,13 @@ object FuzzyJoin {
       .join(ids.withColumnRenamed("id", "b_id"), col("b_name") === col("name"))
       .drop("name")
       .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"), col("dist"))
-    val sameName = ids
+    val sameNameGroups = ids
       .filter(col("name").isNotNull && col("name") =!= "")
       .groupBy("name")
       .agg(sort_array(collect_list(col("id"))).as("is"))
       .filter(size(col("is")).between(2, maxSameNameRows))
-      .select(col("name"), explode(Pairs.orderedPairs(col("is"), "a_id", "b_id")).as("p"))
-      .select(col("p.a_id"), col("p.b_id"), col("name").as("a_name"),
+    val sameName = Pairs.pairs(sameNameGroups, col("is"), "a_id", "b_id", keep = Seq(col("name")))
+      .select(col("a_id"), col("b_id"), col("name").as("a_name"),
         col("name").as("b_name"), lit(0L).as("dist"))
     crossName.unionByName(sameName)
   }

@@ -57,16 +57,22 @@ object TextFunctions {
     pick
   }
 
-  /** Whitespace token count: runs of non-whitespace. */
+  /** Whitespace token count: runs of non-whitespace. Native byte-scan
+    * twin of `size(filter(split(text, "\\s+"), t => t =!= ""))` —
+    * pinned in WordTokensSpec (guide §4: no regex pass per row).
+    */
   def whitespaceTokenCount(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => t =!= ""))
+    graft.functions.WordTokens.asciiTokenCount(text, bpeish = false)
 
   /** BPE-ish token count: letter runs, single digits, and single
     * non-alphanumeric glyphs each count as one token — an upper-bound proxy
-    * for byte-pair-encoded token counts without a vocabulary.
+    * for byte-pair-encoded token counts without a vocabulary. Native
+    * byte-scan twin of
+    * `size(regexp_extract_all(text, "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]", 0))`
+    * — pinned in WordTokensSpec.
     */
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+    graft.functions.WordTokens.asciiTokenCount(text, bpeish = true)
 
   /** Quality features: doc length, word count, mean word length,
     * punctuation ratio, stopword ratio (any language), all as one struct so

@@ -92,6 +92,31 @@ class WordTokensSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("asciiTokenCount matches the split/regexp_extract_all count forms") {
+    val docs = Seq(
+      "The quick brown fox!! Jumps; over: 123, dots...",
+      "  \t\n whitespace   soup \r\n",
+      "İstanbul KKelvin straße café 😀 mixed",
+      "",
+      "a",
+      " x ",
+      "ALLCAPS AND digits 42 mixed-in hyphen-ated 3.14",
+      " vertical tab run  end",
+      "ab12cd!?ef 😀😀 tail"
+    ).toDF("text")
+    val t = col("text")
+    val both = docs.select(
+      graft.functions.WordTokens.asciiTokenCount(t, bpeish = false).as("nws"),
+      size(filter(split(t, "\\s+"), x => x =!= "")).as("hws"),
+      graft.functions.WordTokens.asciiTokenCount(t, bpeish = true).as("nbp"),
+      size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("hbp"))
+    assert(both.filter(
+      not(col("nws") <=> col("hws")) || not(col("nbp") <=> col("hbp"))).count() == 0)
+    val nullRow = spark.sql("SELECT CAST(NULL AS STRING) AS text").select(
+      graft.functions.WordTokens.asciiTokenCount(col("text"), bpeish = true)).collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
   test("null text yields null, and schemas agree") {
     val docs = spark.sql("SELECT CAST(NULL AS STRING) AS text")
     val r = docs.select(graft.text.TextFunctions.wordTokens(col("text"))).collect()(0)
