@@ -9,7 +9,6 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.{GraftColumnBridge => Bridge}
 import org.apache.spark.sql.types._
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
-import scala.collection.mutable
 
 /** Collect up to `max` long values per group; a group that exceeds the cap
   * evaluates to NULL (and stops buffering immediately).
@@ -52,8 +51,8 @@ case class BoundedCollectLongs(
     if (!buf.overflowed) {
       val v = child.eval(input)
       if (v != null) {
-        buf.values += v.asInstanceOf[Long]
-        if (buf.values.length > max) buf.poison()
+        if (buf.n >= max) buf.poison()
+        else buf.add(v.asInstanceOf[Long])
       }
     }
     buf
@@ -61,23 +60,29 @@ case class BoundedCollectLongs(
 
   override def merge(buf: BoundedCollectLongs.Buffer, other: BoundedCollectLongs.Buffer): BoundedCollectLongs.Buffer = {
     if (buf.overflowed || other.overflowed) buf.poison()
+    else if (buf.n + other.n > max) buf.poison()
     else {
-      buf.values ++= other.values
-      if (buf.values.length > max) buf.poison()
+      var j = 0
+      while (j < other.n) { buf.add(other.values(j)); j += 1 }
     }
     buf
   }
 
   override def eval(buf: BoundedCollectLongs.Buffer): Any =
     if (buf.overflowed) null
-    else new GenericArrayData(buf.values.sorted.toArray)
+    else {
+      val out = java.util.Arrays.copyOf(buf.values, buf.n)
+      java.util.Arrays.sort(out)
+      new GenericArrayData(out)
+    }
 
   override def serialize(buf: BoundedCollectLongs.Buffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeBoolean(buf.overflowed)
-    out.writeInt(buf.values.length)
-    buf.values.foreach(out.writeLong)
+    out.writeInt(buf.n)
+    var j = 0
+    while (j < buf.n) { out.writeLong(buf.values(j)); j += 1 }
     out.flush()
     bos.toByteArray
   }
@@ -89,7 +94,7 @@ case class BoundedCollectLongs(
     else {
       val n = in.readInt()
       var j = 0
-      while (j < n) { buf.values += in.readLong(); j += 1 }
+      while (j < n) { buf.add(in.readLong()); j += 1 }
     }
     buf
   }
@@ -105,13 +110,25 @@ case class BoundedCollectLongs(
 object BoundedCollectLongs {
 
   /** Overflow drops the data immediately — a poisoned group costs O(1)
-    * memory from that point on, not O(df).
+    * memory from that point on, not O(df). PRIMITIVE backing array: the
+    * old `ArrayBuffer[Long]` boxed every element, and with tens of
+    * millions of shingle/band groups per task the boxes were a measured
+    * slice of the dedup family's GC bill (round 13 batch 7).
     */
   final class Buffer {
     var overflowed: Boolean = false
-    val values: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty
-    def poison(): Unit = { overflowed = true; values.clear() }
+    var values: Array[Long] = new Array[Long](4)
+    var n: Int = 0
+    def add(v: Long): Unit = {
+      if (n == values.length)
+        values = java.util.Arrays.copyOf(values, values.length << 1)
+      values(n) = v
+      n += 1
+    }
+    def poison(): Unit = { overflowed = true; values = Buffer.Empty; n = 0 }
   }
+
+  private object Buffer { val Empty: Array[Long] = Array.emptyLongArray }
 
   /** Column-API entry point; the child is cast to long. */
   def boundedCollect(c: Column, max: Int): Column =

@@ -442,7 +442,16 @@ object Graph {
       s"iterations must be in [1, $maxIterations], got $iterations — " +
         "each round is a full edge shuffle; a deeper sweep wants a real Pregel loop")
     val und = undirected(edges, srcCol, dstCol)
-    // both directions: every node sees every neighbor
+    // both directions: every node sees every neighbor. PINNED
+    // (localCheckpoint), not columnar-cached — measured BOTH ways in
+    // round 13 on interleaved same-host pairs: a MEMORY_AND_DISK
+    // InMemoryRelation read ~2x FASTER at sf10 (39.6-47.7 s vs
+    // 78.1-95.8 s for the whole q_communities) but ~1.5x SLOWER at
+    // sf100 (311-357 s vs 195-249 s), and sf100 is where the absolute
+    // cost lives, so the pin stays. The upstream co-purchase self-join
+    // (the expensive subtree) runs once per variant either way; the
+    // crossover is in how the materialized frame re-reads across the
+    // LPA rounds. Round-2 candidate: size-adaptive storage.
     val nbrs = und.select(col("a").as("node"), col("b").as("nb"))
       .unionAll(und.select(col("b").as("node"), col("a").as("nb")))
       .pin(true)

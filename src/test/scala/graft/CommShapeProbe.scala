@@ -35,7 +35,7 @@ object CommShapeProbe {
       val li = graft.sources.Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       def check(df: org.apache.spark.sql.DataFrame): Unit = {
-        val r = df.agg(count(lit(1)), sum(xxhash64(col("a"), col("b"), col("w")))).collect()(0)
+        val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b, w))")).collect()(0)
         println(s"COMMSHAPE   rows=${r.getLong(0)} checksum=${r.getLong(1)}")
       }
       val shapeA = li.as("x")
