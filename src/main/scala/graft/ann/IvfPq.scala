@@ -153,11 +153,10 @@ object IvfPq {
       .pin(false)
     val probed = queryCells.select(col("cid").cast("long")).distinct()
       .collect().map(_.getLong(0))
-    val adc = aggregate(
-      zip_with(col("codes"), col("__dt"), (code, table) => element_at(table, code + 1)),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+    // native table-lookup sum (graft.functions.AdcLookup) — replaces the
+    // interpreted zip_with+aggregate fold that ran per (corpus row ×
+    // probed query) pair (guide §4); parity pinned in MatOpsSpec
+    val adc = graft.functions.MatOps.adcLookup(col("codes"), col("__dt"))
     val scored = codes
       .filter(col("cid").isin(probed: _*))
       .join(broadcast(queryCells), "cid")

@@ -156,11 +156,11 @@ object ProductQuantizer {
         c => KMeans.sqDist(s.getField("sub"), c))
     )
     val q = queries.select(col(idCol).as("query_id"), dtable.as("__dt"))
-    val adc = aggregate(
-      zip_with(col("codes"), col("__dt"), (code, table) => element_at(table, code + 1)),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+    // native table-lookup sum (graft.functions.AdcLookup) — replaces the
+    // interpreted zip_with+aggregate fold that ran per (corpus row ×
+    // query) pair (guide §4); same left-to-right accumulation, parity
+    // pinned in MatOpsSpec
+    val adc = graft.functions.MatOps.adcLookup(col("codes"), col("__dt"))
     val scored = codes
       .crossJoin(broadcast(q))
       .filter(col("id") =!= col("query_id"))

@@ -58,6 +58,24 @@ object MatOps {
       "pqCodes centroids must share one block dim")
     ExpressionUtils.column(PqCodes(ExpressionUtils.expression(vec), centroids))
   }
+
+  /** ADC distance: Σ_b dtable(b)(codes(b)) in ascending-b order — the
+    * native twin of the per-candidate
+    * `aggregate(zip_with(codes, dtable, (c, t) => element_at(t, c + 1)),
+    * 0.0, +)` fold ([[ProductQuantizer.searchADC]] / [[IvfPq]]), which
+    * allocated a zipped array and ran interpreted lambda steps per
+    * (corpus row × probed query) pair. Same accumulation order; NULL
+    * semantics replicated from the fold: NULL inputs, mismatched
+    * lengths, or a NULL code/table entry make the running sum NULL. One
+    * deliberate divergence class, pinned in MatOpsSpec: an OUT-OF-RANGE
+    * code (the [[pqCodes]] −1 no-winner sentinel, or past-the-end)
+    * contributes NULL where ANSI `element_at` THROWS — a corpus row
+    * without a valid code should drop from ranking, not kill the query;
+    * pqCodes output against the model's own tables is always in range.
+    */
+  def adcLookup(codes: Column, dtable: Column): Column =
+    ExpressionUtils.column(
+      AdcLookup(ExpressionUtils.expression(codes), ExpressionUtils.expression(dtable)))
 }
 
 private[functions] trait ArrayDoubleInput { self: UnaryExpression =>
@@ -365,4 +383,70 @@ case class PqCodes(child: Expression, centroids: Array[Array[Array[Double]]])
 
   override protected def withNewChildInternal(newChild: Expression): PqCodes =
     copy(child = newChild)
+}
+
+case class AdcLookup(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_adc_lookup"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(ArrayType(et, _), _))
+        if et == FloatType || et == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, array<array<float|double>>), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+  }
+
+  private def innerIsFloat: Boolean = right.dataType match {
+    case ArrayType(ArrayType(FloatType, _), _) => true
+    case _ => false
+  }
+
+  // BinaryExpression's default eval null-short-circuits both children —
+  // exactly the zip_with NULL-input convention.
+  override def nullSafeEval(codesAny: Any, dtableAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val dtable = dtableAny.asInstanceOf[ArrayData]
+    val n = codes.numElements()
+    // zip_with pads the shorter side with NULLs; one NULL lookup nulls
+    // the whole running sum, so a length mismatch is an immediate NULL
+    if (n != dtable.numElements()) return null
+    val isFloat = innerIsFloat
+    var acc = 0.0
+    var b = 0
+    while (b < n) {
+      if (codes.isNullAt(b) || dtable.isNullAt(b)) return null
+      val c = codes.getInt(b)
+      val t = dtable.getArray(b)
+      // element_at(t, c+1) out-of-range → NULL (non-ANSI); c == −1 is the
+      // pqCodes sentinel, deliberately NULL here (see adcLookup scaladoc)
+      if (c < 0 || c >= t.numElements() || t.isNullAt(c)) return null
+      acc += (if (isFloat) t.getFloat(c).toDouble else t.getDouble(c))
+      b += 1
+    }
+    acc
+  }
+
+  // Delegation codegen (the OuterFlat pattern): one virtual call into the
+  // tight interpreted loop still removes the per-element zip_with array
+  // allocation and the per-step interpreted lambda evals.
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      val expr = ctx.addReferenceObj("adcLookupExpr", this, classOf[AdcLookup].getName)
+      val r = ctx.freshName("adcResult")
+      s"""
+         |Object $r = $expr.nullSafeEval($c, $t);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $r).doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcLookup =
+    copy(left = newLeft, right = newRight)
 }

@@ -43,6 +43,19 @@ object Filters {
     * One shuffle on patient_id; the window aggregate is partial-agg
     * friendly and the same exchange is reusable by downstream
     * patient-keyed ops.
+    *
+    * Round-13 shape adjudication (MEASURED, kept the window): an
+    * agg + null-safe SHUFFLE_HASH semi-join variant (narrow
+    * (patient_id, count) exchange, no full-width sort) was built and
+    * benchmarked same-host — it read WORSE at both 10× and 100×
+    * (q_filter_patients_meas sf10 1.29 → 2.16 s, sf100 7.4 → 9.2 s;
+    * q_filter_patients_events sf100 8.6 → 22.6-46.0 s): the join
+    * doubles the fact scan, its `<=>` condition re-keys the exchange to
+    * (coalesce(pid), isnull(pid)) which kills ReusedExchange across the
+    * pipeline's replicated consumer subtrees, and the partition-only
+    * window's sort is cheap next to that (Spark's radix sort on the
+    * already-exchanged partition). The window form IS the measured-
+    * optimal shape here.
     */
   def filterPatientsByNumMeasurements(df: DataFrame, min: Long): DataFrame = {
     val w = Window.partitionBy(Meds.PatientId)
@@ -61,7 +74,11 @@ object Filters {
     * is `size(collect_set(time))` per patient window (+1 when any null time
     * exists, since collect_set drops nulls). Per-patient distinct-time
     * cardinality is bounded in practice, so the set stays small even at
-    * 100 TB total scale.
+    * 100 TB total scale. A countDistinct-aggregate + semi-join variant
+    * was MEASURED WORSE at every scale (see
+    * [[filterPatientsByNumMeasurements]]'s adjudication note; the
+    * distinct aggregate costs a second full-key exchange on top of the
+    * doubled scan).
     */
   def filterPatientsByNumEvents(df: DataFrame, min: Long): DataFrame = {
     val w = Window.partitionBy(Meds.PatientId)

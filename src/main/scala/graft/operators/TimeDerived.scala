@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.meds.Meds
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-derived measurement generators (age, time-of-day) and the
@@ -52,7 +51,16 @@ object TimeDerived {
     * `dobExpr` generalizes the reference's `DOB_code` lookup: pass
     * `dobFromCode("DOB")` for reference semantics, or e.g. the patient's
     * first observation time for datasets without explicit birth events.
-    * Computed with a patient-window min — single shuffle on patient_id.
+    *
+    * Shape: the per-patient DOB is a narrow AGGREGATE over the non-null-
+    * time rows, null-safe-joined onto the distinct (patient, time) frame —
+    * not a patient-window min. A partition-only window makes WindowExec
+    * sort the full-width cohort by patient_id (part of q_meds_pipeline's
+    * measured 27.8 GB sf100 sort spill); the aggregate shuffles only
+    * (patient_id, dob) and the join touches the already-deduplicated key
+    * frame. Same values: the window min over the filtered frame IS the
+    * per-patient aggregate min over the same rows, and `<=>` keeps a NULL
+    * patient_id as one shared group exactly like the window partition did.
     */
   def ageEvents(
       df: DataFrame,
@@ -62,12 +70,24 @@ object TimeDerived {
   ): DataFrame = {
     val (_, unitSec) = normalizeTimeUnit(ageUnit)
     val microsInUnit = 1e6 * unitSec
-    val withDob = df
-      .filter(col(Meds.Time).isNotNull)
-      .withColumn("__dob", dobExpr(df))
-    withDob
-      .select(col(Meds.PatientId), col(Meds.Time), col("__dob"))
+    val nonNull = df.filter(col(Meds.Time).isNotNull)
+    val keys = nonNull
+      .select(col(Meds.PatientId), col(Meds.Time))
       .dropDuplicates(Meds.PatientId, Meds.Time)
+    val dobs =
+      if (dobExpr eq dobFromFirstEvent)
+        // first-event DOB reads only (patient, time): min over the
+        // DISTINCT key set equals min over the multiset, so aggregate
+        // the dedup frame itself — the cohort is scanned once and the
+        // dedup exchange is shared (ReusedExchange) instead of paying a
+        // second full scan + window sort of the upstream chain
+        keys.groupBy(col(Meds.PatientId).as("__pid"))
+          .agg(min(col(Meds.Time)).as("__dob"))
+      else nonNull
+        .groupBy(col(Meds.PatientId).as("__pid"))
+        .agg(dobExpr(df).as("__dob"))
+    keys
+      .join(dobs.hint("shuffle_hash"), col(Meds.PatientId) <=> col("__pid"), "inner")
       .select(
         col(Meds.PatientId),
         col(Meds.Time),
@@ -79,18 +99,21 @@ object TimeDerived {
   }
 
   /** DOB from an explicit birth-code event: min time of rows whose code is
-    * `dobCode`, per patient (add_time_derived_measurements.py:251).
+    * `dobCode`, per patient (add_time_derived_measurements.py:251). The
+    * returned column is the per-patient AGGREGATE [[ageEvents]] groups by
+    * patient_id (it was a patient-window min before round 13 — same
+    * values, see the ageEvents shape note).
     */
   def dobFromCode(dobCode: String): DataFrame => Column = { _ =>
     min(when(col(Meds.Code) === dobCode, col(Meds.Time)))
-      .over(Window.partitionBy(Meds.PatientId))
   }
 
   /** Anchor ages at each patient's first observed time (for cohorts without
-    * birth events; an extension beyond the reference).
+    * birth events; an extension beyond the reference). Aggregate form, as
+    * [[dobFromCode]].
     */
   val dobFromFirstEvent: DataFrame => Column = { _ =>
-    min(col(Meds.Time)).over(Window.partitionBy(Meds.PatientId))
+    min(col(Meds.Time))
   }
 
   /** Emit one time-of-day bucket event per (patient, unique non-null time):

@@ -51,6 +51,22 @@ object CommShapeProbe {
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
       time(s"B collect+gen $dir rep$rep")(check(shapeB))
+      // Shape C (round-13 continuation): same join as A, but the pair
+      // stream is repartitioned on (a, b) BEFORE the groupBy. The count's
+      // partial aggregate then runs post-exchange (EnsureRequirements
+      // elides the agg's own exchange), so the map side never builds the
+      // near-unique-key hash map whose sort fallback was the measured
+      // 40 GB sf100 spill; the exchange carries the raw 16-byte pair rows
+      // it was already carrying (the partial agg shrank almost nothing:
+      // 29.5 GB shuffle either way).
+      val shapeC = li.as("x")
+        .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .repartition(col("a"), col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      time(s"C pre-exchange $dir rep$rep")(check(shapeC))
     }
     spark.stop()
   }

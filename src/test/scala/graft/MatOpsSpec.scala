@@ -110,4 +110,60 @@ class MatOpsSpec extends SparkSpec {
       assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
     }
   }
+
+  private def hofAdc(codes: org.apache.spark.sql.Column, dt: org.apache.spark.sql.Column) =
+    aggregate(
+      zip_with(codes, dt, (code, table) => element_at(table, code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  test("adcLookup is bit-identical to the zip_with/aggregate fold") {
+    // codes in [0, k), tables numBlocks × k — the searchADC shape
+    val numBlocks = 4
+    val k = 3
+    val rows = (1L to 40L).map { i =>
+      (Array.tabulate(numBlocks)(b => ((i + b) % k).toInt),
+        Array.tabulate(numBlocks, k)((b, c) => ((i * 7 + b * 5 + c * 3) % 11 - 5) / 4.0))
+    }.toDF("codes", "dt")
+    val both = rows.select(
+      graft.functions.MatOps.adcLookup(col("codes"), col("dt")).as("native"),
+      hofAdc(col("codes"), col("dt")).as("hof"))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
+    assert(both.filter(col("native").isNull).count() == 0)
+  }
+
+  test("adcLookup null semantics match the fold; -1 sentinel is NULL not error") {
+    // NULL codes / NULL table / length mismatch / NULL table cell /
+    // out-of-range positive code all NULL the sum, exactly like the fold
+    val edge = spark.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(NULL AS array<int>), array(array(1.0D), array(2.0D))),
+        |  (array(0, 0), CAST(NULL AS array<array<double>>)),
+        |  (array(0), array(array(1.0D), array(2.0D))),
+        |  (array(0, 0, 0), array(array(1.0D), array(2.0D))),
+        |  (array(0, CAST(NULL AS int)), array(array(1.0D), array(2.0D))),
+        |  (array(0, 0), array(array(1.0D), CAST(NULL AS array<double>))),
+        |  (array(0, 0), array(array(1.0D), array(CAST(NULL AS double))))
+        |AS t(codes, dt)""".stripMargin)
+    val both = edge.select(
+      graft.functions.MatOps.adcLookup(col("codes"), col("dt")).as("native"),
+      hofAdc(col("codes"), col("dt")).as("hof"))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
+    assert(both.filter(col("native").isNotNull).count() == 0)
+    // the ONE documented divergence class: an out-of-range code — the −1
+    // pqCodes no-winner sentinel or a past-the-end index — makes
+    // element_at THROW in the fold under ANSI (the Spark 4 default); the
+    // native kernel returns NULL so the row drops from ranking instead
+    // of killing the query. Codes from pqCodes against the model's own
+    // tables are always in range, so no production plan reaches this edge.
+    for (codes <- Seq("array(-1, 0)", "array(0, 5)")) {
+      val sentinel = spark.sql(
+        s"SELECT $codes AS codes, array(array(1.0D), array(2.0D)) AS dt")
+      assert(sentinel.select(
+        graft.functions.MatOps.adcLookup(col("codes"), col("dt")).as("native"))
+        .filter(col("native").isNull).count() == 1)
+      assertThrows[Exception] {
+        sentinel.select(hofAdc(col("codes"), col("dt")).as("hof")).collect()
+      }
+    }
+  }
 }

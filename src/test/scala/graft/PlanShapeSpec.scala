@@ -32,13 +32,34 @@ class PlanShapeSpec extends SparkSpec {
     walk(df.queryExecution.executedPlan)
   }
 
+  private def countSorts(df: DataFrame): Int = {
+    df.collect() // materialize so AQE finalizes the plan
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: org.apache.spark.sql.execution.SortExec => 1
+        case _ => 0
+      }
+      val sub = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ => 0
+      }
+      self + sub + p.children.map(walk).sum + p.subqueries.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   private lazy val cohort = (1L to 50L).flatMap { p =>
     (0 until 6).map(i => (p, Timestamp.valueOf(f"2020-01-0${i % 5 + 1} 10:00:00"), s"C$i", i * 1.0))
   }.toDF("patient_id", "time", "code", "numeric_value")
 
   test("patient-keyed chain (filter by #measurements -> tokenize seqs) shuffles exactly once") {
     // The window's hash(patient_id) partitioning must satisfy both the
-    // (patient,time) and (patient) groupings downstream.
+    // (patient,time) and (patient) groupings downstream. (Round-13
+    // adjudication: an agg + semi-join filter variant that made this
+    // chain sort-free was measured SLOWER at 10×/100× — doubled scan,
+    // broken exchange reuse — so the 1-exchange window shape stands;
+    // see Filters.filterPatientsByNumMeasurements.)
     val out = Tokenize.seqsExploded(Filters.filterPatientsByNumMeasurements(cohort, 2))
     assert(countShuffles(out) == 1)
   }
