@@ -27,6 +27,9 @@ object CommShapeProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dirs = if (args.nonEmpty) args.toSeq else Seq("/root/repo/testdata_sf10")
+    // COMMSHAPE_SHAPES=A,C skips the rest (B at sf100 would be a
+    // half-hour of already-adjudicated losing shape)
+    val shapes = sys.env.getOrElse("COMMSHAPE_SHAPES", "A,B,C").split(",").map(_.trim).toSet
     def time[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"COMMSHAPE $tag ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
@@ -43,14 +46,14 @@ object CommShapeProbe {
         .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
-      time(s"A join $dir rep$rep")(check(shapeA))
+      if (shapes("A")) time(s"A join $dir rep$rep")(check(shapeA))
       val grouped = li.groupBy(col("ok")).agg(sort_array(collect_list(col("pk"))).as("pks"))
       val shapeB = graft.functions.Pairs.pairs(grouped, col("pks"), "a", "b")
         .filter(col("a") < col("b"))
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
-      time(s"B collect+gen $dir rep$rep")(check(shapeB))
+      if (shapes("B")) time(s"B collect+gen $dir rep$rep")(check(shapeB))
       // Shape C (round-13 continuation): same join as A, but the pair
       // stream is repartitioned on (a, b) BEFORE the groupBy. The count's
       // partial aggregate then runs post-exchange (EnsureRequirements
@@ -66,7 +69,7 @@ object CommShapeProbe {
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
-      time(s"C pre-exchange $dir rep$rep")(check(shapeC))
+      if (shapes("C")) time(s"C pre-exchange $dir rep$rep")(check(shapeC))
     }
     spark.stop()
   }
